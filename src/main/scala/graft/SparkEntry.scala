@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` keys are the stable operator names from SURVEY.md §2.2/§7.5;
+  * each takes (session, sfDir) and returns a deterministic DataFrame.
+  * `oracleSql` holds the DuckDB-equivalent SQL for every oracle-able query
+  * (same column names, same row order — the driver hash-compares after
+  * sorting columns by name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.queries.Aggregates.aggHashGroupby(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Scans.queries ++
+      graft.queries.Joins.queries ++
+      graft.queries.Aggregates.queries ++
+      graft.queries.Windows.queries ++
+      graft.queries.SortsSets.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.Scans.oracles ++
+      graft.queries.Joins.oracles ++
+      graft.queries.Aggregates.oracles ++
+      graft.queries.Windows.oracles ++
+      graft.queries.SortsSets.oracles
 }

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Aggregation surface (SURVEY.md §2.2 "Aggregations"). The reference only
+  * merges rows per routing group and records a `row_count`
+  * (reference src/function_app.py:344-379); the relational aggregate
+  * surface is engine scope.
+  *
+  * Scale notes: all group-bys here are hash aggregates with map-side
+  * partial aggregation — one shuffle on the grouping key, partials combined
+  * before the exchange, so the shuffle volume is |groups| per mapper, not
+  * |rows|. `count(DISTINCT …)` expands to a two-phase plan; multiple
+  * distincts use Spark's `expand` operator (row multiplication ×
+  * #distincts — at 100 TB prefer `approx_count_distinct`, exposed as
+  * `agg_approx_distinct_hll`). All double sums are rounded per the
+  * oracle-safety rule (SURVEY.md §2.2).
+  */
+object Aggregates {
+
+  /** TPC-H Q1 shape — the flagship aggregation. */
+  def aggHashGroupby(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  def aggCountDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+
+  def aggMultiDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** GROUPING SETS via SQL (the DataFrame API exposes only rollup/cube). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem").createOrReplaceTempView("graft_li_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+        |FROM graft_li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** collect_list / collect_set, sorted for determinism. */
+  def aggCollect(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderpriority"))
+
+  /** HLL sketch — approximate, no oracle (rows-only check). */
+  def aggApproxDistinctHll(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hash_groupby" -> (aggHashGroupby _),
+    "agg_count_distinct" -> (aggCountDistinct _),
+    "agg_multi_distinct" -> (aggMultiDistinct _),
+    "agg_rollup" -> (aggRollup _),
+    "agg_cube" -> (aggCube _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "agg_collect" -> (aggCollect _),
+    "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_hash_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       ROUND(AVG(l_quantity), 2) AS avg_qty,
+        |       ROUND(AVG(l_discount), 4) AS avg_disc,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT l_returnflag,
+        |       COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_collect" ->
+      """SELECT o_orderpriority,
+        |       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |       COUNT(*) AS cnt
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

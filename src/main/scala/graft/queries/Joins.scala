@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Join surface (SURVEY.md §2.2 "Joins" — absent from the reference, which
+  * is a single-stream ingest; this is the engine's relational extension).
+  *
+  * Scale notes per query:
+  *  - equi joins on surrogate keys shuffle both sides on the key; Catalyst
+  *    picks sort-merge for large×large and broadcast-hash when one side is
+  *    under `spark.sql.autoBroadcastJoinThreshold`. At 100 TB the
+  *    orders⋈customer join would be bucketed on the key to avoid the
+  *    shuffle entirely (see PERF.md).
+  *  - `joinBroadcast` pins the dimension side with `broadcast()` — no
+  *    shuffle at any scale for small dims.
+  *  - theta/band joins have no hash strategy; Spark uses
+  *    BroadcastNestedLoopJoin. Keep the broadcast side a dimension table.
+  *  - the as-of join is expressed as bounded-condition join + per-key
+  *    `row_number` pick: both sides shuffle once on the join key and the
+  *    window reuses that partitioning (no extra shuffle).
+  */
+object Joins {
+
+  private def ordersCust(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    (t(s, d, "orders"), t(s, d, "customer"))
+
+  def joinInnerEqui(s: SparkSession, d: String): DataFrame = {
+    val (o, c) = ordersCust(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** High-price orders per customer; customers with none keep nulls. */
+  def joinLeftOuter(s: SparkSession, d: String): DataFrame = {
+    val (o, c) = ordersCust(s, d)
+    val big = o.filter(col("o_totalprice") > 300000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
+  def joinRightOuter(s: SparkSession, d: String): DataFrame = {
+    val (o, c) = ordersCust(s, d)
+    val big = o.filter(col("o_totalprice") > 300000.0)
+    big.join(c, big("o_custkey") === c("c_custkey"), "right")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)
+  }
+
+  def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val (o, c) = ordersCust(s, d)
+    val lowNat = c.filter(col("c_nationkey") < 13)
+    val big = o.filter(col("o_totalprice") > 300000.0)
+    lowNat.join(big, lowNat("c_custkey") === big("o_custkey"), "full")
+      .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val (o, c) = ordersCust(s, d)
+    val big = o.filter(col("o_totalprice") > 350000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val (o, c) = ordersCust(s, d)
+    val big = o.filter(col("o_totalprice") > 350000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Explicit broadcast of the small dimension (region, 5 rows). */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region")
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "inner")
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** Band (theta) join: customers within ±100 of a supplier's balance. */
+  def joinThetaRange(s: SparkSession, d: String): DataFrame = {
+    val sup = t(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal"))
+    val c = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    sup.join(
+        broadcast(c),
+        col("c_acctbal") >= col("s_acctbal") - 100.0 &&
+          col("c_acctbal") <= col("s_acctbal") + 100.0)
+      .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"), col("c_acctbal"))
+      .orderBy(col("s_suppkey"), col("c_custkey"))
+  }
+
+  def joinCross(s: SparkSession, d: String): DataFrame =
+    t(s, d, "region").crossJoin(t(s, d, "nation"))
+      .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
+      .orderBy(col("r_regionkey"), col("n_nationkey"))
+
+  /** As-of join: for each purchase event, the most recent prior 'view'
+    * event of the same user (ties broken by highest event id).
+    * Spark-first shape: keyed join with bound + `row_number` pick; the
+    * window reuses the join's hash partitioning on the key.
+    */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"), col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_uid"), col("ts").as("v_ts"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("v_ts").desc_nulls_last, col("v_id").desc_nulls_last)
+    p.join(v, col("p_uid") === col("v_uid") && col("v_ts") <= col("p_ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("v_id"))
+      .orderBy(col("p_id"))
+  }
+
+  /** Interval join: views within the hour preceding each purchase. */
+  def joinInterval(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"), col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_uid"), col("ts").as("v_ts"))
+    p.join(
+        v,
+        col("p_uid") === col("v_uid") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"),
+        "left")
+      .groupBy(col("p_id"))
+      .agg(count(col("v_id")).as("n_views"))
+      .orderBy(col("p_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_equi" -> (joinInnerEqui _),
+    "join_left_outer" -> (joinLeftOuter _),
+    "join_right_outer" -> (joinRightOuter _),
+    "join_full_outer" -> (joinFullOuter _),
+    "join_semi" -> (joinSemi _),
+    "join_anti" -> (joinAnti _),
+    "join_broadcast" -> (joinBroadcast _),
+    "join_theta_range" -> (joinThetaRange _),
+    "join_cross" -> (joinCross _),
+    "join_asof" -> (joinAsof _),
+    "join_interval" -> (joinInterval _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_equi" ->
+      """SELECT o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |  ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "join_right_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |RIGHT JOIN customer ON o.o_custkey = c_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "join_full_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM customer WHERE c_nationkey < 13) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 350000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 350000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "join_theta_range" ->
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal - 100.0 AND c_acctbal <= s_acctbal + 100.0
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_regionkey, n_nationkey, r_name, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "join_asof" ->
+      """SELECT p_id, v_id FROM (
+        |  SELECT p.event_id AS p_id, v.event_id AS v_id,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |           ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST) AS rn
+        |  FROM events p LEFT JOIN events v
+        |    ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+        |  WHERE p.event_type = 'purchase') q
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_interval" ->
+      """SELECT p.event_id AS p_id, COUNT(v.event_id) AS n_views
+        |FROM events p LEFT JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id ORDER BY p_id""".stripMargin
+  )
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Scans, projections, filters (SURVEY.md §2.2 "Scans / Projections").
+  *
+  * The reference's only projection/filter surface is envelope-field access
+  * and the routing-validity filter (reference src/function_app.py:98,106,273
+  * and :339-341); the full relational filter surface is engine scope.
+  *
+  * Scale notes: both queries are a single parquet scan with the predicate
+  * and the projection pushed into the scan (verify: `PushedFilters` and
+  * `ReadSchema` in `.explain("formatted")`) — no shuffle except the final
+  * sort, which at cluster scale is a range-partitioned global sort.
+  */
+object Scans {
+
+  /** Filter on ship date range + arithmetic projection. */
+  def scanProjectFilter(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        // Per-row money rounding must go through DECIMAL: price×discount
+        // products land exactly on half-cent boundaries, where Spark
+        // (rounds the shortest decimal repr of the double) and DuckDB
+        // (rounds the binary value) disagree. DECIMAL(18,4) recovers the
+        // exact 4-dp product in both engines first.
+        round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)"), 2).cast("double").as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"))
+
+  /** AND / OR / NOT / IN / BETWEEN / LIKE / IS NULL predicate mix. */
+  def filterPredicates(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(
+        col("l_quantity").between(5, 45) &&
+          col("l_returnflag").isin("A", "R") &&
+          !(col("l_discount") < 0.02) &&
+          (col("l_linestatus").like("F%") || col("l_tax") > 0.07) &&
+          col("l_shipdate").isNotNull)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity"),
+        col("l_discount"),
+        col("l_returnflag"))
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+      // order by every output column for a fully deterministic row order.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"), col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_project_filter" -> (scanProjectFilter _),
+    "filter_predicates" -> (filterPredicates _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(ROUND(CAST(l_extendedprice * (1 - l_discount)
+        |            AS DECIMAL(18,4)), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
+    "filter_predicates" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 5 AND 45
+        |  AND l_returnflag IN ('A', 'R')
+        |  AND NOT (l_discount < 0.02)
+        |  AND (l_linestatus LIKE 'F%' OR l_tax > 0.07)
+        |  AND l_shipdate IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount,
+        |         l_returnflag""".stripMargin
+  )
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Sorts, limits, top-k and set operations (SURVEY.md §2.2).
+  *
+  * `set_union_by_name` is the direct Spark equivalent of the reference's
+  * `_merge_columnars` (reference src/function_app.py:177-191): union of the
+  * column sets with null padding for columns missing on either side —
+  * `unionByName(allowMissingColumns = true)`.
+  *
+  * Scale notes: `sort_limit_topk` compiles to `TakeOrderedAndProject`
+  * (per-partition top-k + driver merge of k·partitions rows — no global
+  * sort). Full sorts are range-partitioned (sampled boundaries, no single
+  * reducer). Set ops hash-partition both sides on the full row.
+  */
+object SortsSets {
+
+  def sortMultiKey(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(
+        col("c_nationkey").desc_nulls_last,
+        col("c_acctbal").asc_nulls_first,
+        col("c_custkey").asc)
+
+  def sortLimitTopk(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** Null-padded union of heterogeneous schemas — the reference's
+    * `_merge_columnars` semantics (src/function_app.py:177-191). */
+  def setUnionByName(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer")
+      .select(col("c_custkey").as("id"), lit("cust").as("src"), col("c_acctbal").as("bal"))
+    val supp = t(s, d, "supplier")
+      .select(lit("supp").as("src"), col("s_suppkey").as("id"), col("s_name").as("nm"))
+    cust.unionByName(supp, allowMissingColumns = true)
+      .orderBy(col("src"), col("id"))
+  }
+
+  def setUnionDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(col("l_suppkey").as("k"))
+      .union(t(s, d, "supplier").select(col("s_suppkey").as("k")))
+      .distinct()
+      .orderBy(col("k"))
+
+  def setIntersect(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(col("o_custkey").as("k"))
+      .intersect(t(s, d, "customer").select(col("c_custkey").as("k")))
+      .orderBy(col("k"))
+
+  def setExcept(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer").select(col("c_custkey").as("k"))
+      .except(t(s, d, "orders").select(col("o_custkey").as("k")))
+      .orderBy(col("k"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_multi_key" -> (sortMultiKey _),
+    "sort_limit_topk" -> (sortLimitTopk _),
+    "set_union_by_name" -> (setUnionByName _),
+    "set_union_distinct" -> (setUnionDistinct _),
+    "set_intersect" -> (setIntersect _),
+    "set_except" -> (setExcept _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sort_multi_key" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |ORDER BY c_nationkey DESC NULLS LAST, c_acctbal ASC NULLS FIRST,
+        |         c_custkey ASC""".stripMargin,
+    "sort_limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "set_union_by_name" ->
+      """SELECT c_custkey AS id, 'cust' AS src, c_acctbal AS bal FROM customer
+        |UNION ALL BY NAME
+        |SELECT 'supp' AS src, s_suppkey AS id, s_name AS nm FROM supplier
+        |ORDER BY src, id""".stripMargin,
+    "set_union_distinct" ->
+      """SELECT l_suppkey AS k FROM lineitem
+        |UNION
+        |SELECT s_suppkey AS k FROM supplier
+        |ORDER BY k""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey AS k FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS k FROM customer
+        |ORDER BY k""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders
+        |ORDER BY k""".stripMargin
+  )
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Window-function surface (SURVEY.md §2.2 "Window functions" — absent
+  * from the reference; its only "window" is batch slicing, covered by
+  * `chunk_batches`).
+  *
+  * Scale notes: every window here partitions by a key
+  * (`o_custkey`/`l_orderkey`/`o_orderpriority`) — one shuffle on the
+  * partition key, then a per-partition sort; no single-partition global
+  * windows (those serialize the whole table through one task). Final
+  * `orderBy` for oracle determinism is a range-partitioned sort.
+  */
+object Windows {
+
+  /** row_number / rank / dense_rank / ntile per customer by price. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val byPriceTies = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc)
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        row_number().over(byPrice).as("rn"),
+        rank().over(byPriceTies).as("rk"),
+        dense_rank().over(byPriceTies).as("drk"),
+        ntile(4).over(byPrice).as("nt"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** lag / lead / first_value / last_value per customer order history. */
+  def windowAnalytic(s: SparkSession, d: String): DataFrame = {
+    val hist = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = hist.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(hist).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(hist).as("next_price"),
+        first(col("o_orderkey")).over(hist).as("first_ok"),
+        last(col("o_orderkey")).over(full).as("last_ok"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Running sum: rowsBetween(unboundedPreceding, currentRow).
+    * lineitem has no unique key (duplicate (l_orderkey, l_linenumber)
+    * pairs exist in the synthetic data), so pre-aggregate to that grain
+    * first — the running frame is then fully deterministic.
+    */
+  def windowFrameRunning(s: SparkSession, d: String): DataFrame = {
+    val run = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("qty"),
+        round(sum(col("qty")).over(run), 2).as("running_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** RANGE frame over a numeric ordering column (peer-inclusive).
+    * Expressed in SQL so the literal bound type-checks against the double
+    * ordering key; only order-insensitive aggregates (count/max) are used
+    * so the frame result is exact regardless of evaluation order.
+    */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("graft_ord_rf")
+    s.sql(
+      """SELECT o_orderkey, o_orderpriority,
+        |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS cnt_band,
+        |  MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS max_band
+        |FROM graft_ord_rf
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rank" -> (windowRank _),
+    "window_analytic" -> (windowAnalytic _),
+    "window_frame_running" -> (windowFrameRunning _),
+    "window_range_frame" -> (windowRangeFrame _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "window_rank" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn,
+        |  CAST(RANK() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC) AS INTEGER) AS rk,
+        |  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC) AS INTEGER) AS drk,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS nt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "window_analytic" ->
+      """SELECT o_orderkey, o_custkey,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_ok,
+        |  LAST_VALUE(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_frame_running" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, l_linenumber, ROUND(SUM(l_quantity), 2) AS qty
+        |  FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |SELECT l_orderkey, l_linenumber, qty,
+        |  ROUND(SUM(qty) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM g ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS cnt_band,
+        |  MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS max_band
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+  )
+}

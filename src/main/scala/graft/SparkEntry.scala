@@ -22,7 +22,9 @@ object SparkEntry {
       graft.queries.Joins.queries ++
       graft.queries.Aggregates.queries ++
       graft.queries.Windows.queries ++
-      graft.queries.SortsSets.queries
+      graft.queries.SortsSets.queries ++
+      graft.queries.Scalars.queries ++
+      graft.queries.IngestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +33,7 @@ object SparkEntry {
       graft.queries.Joins.oracles ++
       graft.queries.Aggregates.oracles ++
       graft.queries.Windows.oracles ++
-      graft.queries.SortsSets.oracles
+      graft.queries.SortsSets.oracles ++
+      graft.queries.Scalars.oracles ++
+      graft.queries.IngestQueries.oracles
 }

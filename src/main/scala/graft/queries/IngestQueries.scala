@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Batch-oracled versions of the reference's ingest operators
+  * (SURVEY.md §2.1 #3, #9, #10, #12, #14): base64 cleaning + decode,
+  * route resolution, chunk numbering, stringify-normalization and
+  * row-flattening — expressed over the deterministic test tables so the
+  * DuckDB oracle can replay them. The streaming pipeline composition of
+  * the same logic lives in `graft.ingest`.
+  */
+object IngestQueries {
+
+  /** Sanitizer from the reference's route resolution
+    * (src/function_app.py:88-92): lowercase, keep only `[a-z0-9_-]`. */
+  private def sanitize(c: Column): Column =
+    regexp_replace(lower(c), "[^a-z0-9_-]", "")
+
+  /** base64 → clean → decode round-trip (reference src/function_app.py:
+    * 118-127,278). Pure built-ins: regexp_replace + repeat + unbase64. */
+  def ingestBase64Roundtrip(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        // Spark's base64 emits MIME-chunked output (\r\n every 76 chars);
+        // strip the wrapping for the canonical unchunked form.
+        regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", "")
+          .as("b64"),
+        decode(unbase64(base64(col("text").cast("binary"))), "UTF-8").as("rt"))
+      .orderBy(col("doc_id"))
+
+  /** Strip non-base64 chars and re-pad to a multiple of 4
+    * (reference clean_base64, src/function_app.py:118-127): the payload is
+    * corrupted with junk chars and stripped padding, then recovered. */
+  def ingestBase64Clean(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("corrupt",
+        concat(lit("??"),
+          regexp_replace(base64(col("text").cast("binary")), "=", ""),
+          lit("!!")))
+      .withColumn("cleaned", regexp_replace(col("corrupt"), "[^A-Za-z0-9+/=]", ""))
+      .withColumn("padded",
+        concat(col("cleaned"),
+          expr("repeat('=', (4 - length(cleaned) % 4) % 4)")))
+      .select(
+        col("doc_id"),
+        col("padded"),
+        decode(unbase64(col("padded")), "UTF-8").as("rt"))
+      .orderBy(col("doc_id"))
+
+  /** Route resolution (reference resolve_folder_and_table,
+    * src/function_app.py:97-113): keep `[a-zA-Z0-9._-]` in Source, split
+    * on the FIRST dot into (db, table) else duplicate, sanitize all parts,
+    * fall back to a default folder when Destination is empty. Inputs are
+    * synthesized from documents (source/lang) so the oracle can replay. */
+  def routeResolve(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("src_raw",
+        concat(col("source"), lit(".Tbl "), (col("doc_id") % 5).cast("string")))
+      .withColumn("dest_raw",
+        when(col("doc_id") % 3 === 0, lit(""))
+          .otherwise(concat(lit("Fold-"), col("lang"))))
+      .withColumn("kept", regexp_replace(col("src_raw"), "[^a-zA-Z0-9._-]", ""))
+      .withColumn("dotpos", instr(col("kept"), "."))
+      .select(
+        col("doc_id"),
+        when(col("dest_raw").isNull || col("dest_raw") === "", lit("landing"))
+          .otherwise(sanitize(col("dest_raw"))).as("folder"),
+        sanitize(when(col("dotpos") > 0,
+          expr("substring(kept, 1, dotpos - 1)")).otherwise(col("kept")))
+          .as("source_db"),
+        sanitize(when(col("dotpos") > 0,
+          expr("substring(kept, dotpos + 1)")).otherwise(col("kept")))
+          .as("tbl"))
+      .orderBy(col("doc_id"))
+
+  /** Batch chunking to MAX_BATCH_SIZE rows (reference
+    * src/function_app.py:379-401): explicit batch numbering over a total
+    * order, aggregated per chunk so the oracle can verify sizes.
+    * NOTE the global row_number here exists for oracle-ability only — the
+    * production sink chunks per-task via
+    * `spark.sql.files.maxRecordsPerFile` (no global window, see
+    * graft.ingest.Pipeline). */
+  def chunkBatches(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"))
+    t(s, d, "lineitem")
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("batch_number", expr("CAST(rn DIV 2000 AS INT)"))
+      .groupBy(col("batch_number"))
+      .agg(
+        count(lit(1)).as("row_count"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+      .orderBy(col("batch_number"))
+  }
+
+  /** Type-erasing normalization (reference _normalize_columnar /
+    * _rows_to_columnar, src/function_app.py:161-175,200-220): every cell
+    * to string — numerics via fixed-point format, timestamps via explicit
+    * ISO-style format (engine-portable, unlike raw double→string casts). */
+  def normalizeStringify(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey").cast("string").as("s_custkey"),
+        col("o_orderstatus").as("s_status"),
+        format_string("%.2f", col("o_totalprice")).as("s_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("s_orderdate"),
+        col("o_orderpriority").as("s_priority"))
+      .orderBy(col("o_orderkey"))
+
+  /** Rows→columnar→rows round-trip (reference _flatten_decoded_rows +
+    * _rows_to_columnar, src/function_app.py:193-220): group lineitems per
+    * order into an array of structs, then explode back — identity on the
+    * projected columns, which is exactly what the oracle asserts. */
+  def rowsFlatten(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))))
+        .as("rows"))
+      .select(col("l_orderkey"), explode(col("rows")).as("r"))
+      .select(
+        col("l_orderkey"),
+        col("r.l_linenumber").as("l_linenumber"),
+        col("r.l_quantity").as("l_quantity"),
+        col("r.l_extendedprice").as("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_base64_roundtrip" -> (ingestBase64Roundtrip _),
+    "ingest_base64_clean" -> (ingestBase64Clean _),
+    "route_resolve" -> (routeResolve _),
+    "chunk_batches" -> (chunkBatches _),
+    "normalize_stringify" -> (normalizeStringify _),
+    "rows_flatten" -> (rowsFlatten _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ingest_base64_roundtrip" ->
+      """SELECT doc_id,
+        |  to_base64(encode(text)) AS b64,
+        |  decode(from_base64(to_base64(encode(text)))) AS rt
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ingest_base64_clean" ->
+      """WITH b AS (
+        |  SELECT doc_id, text,
+        |    '??' || replace(to_base64(encode(text)), '=', '') || '!!' AS corrupt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(corrupt, '[^A-Za-z0-9+/=]', '', 'g') AS cleaned
+        |  FROM b),
+        |p AS (
+        |  SELECT doc_id, text,
+        |    cleaned || repeat('=', CAST((4 - length(cleaned) % 4) % 4 AS INTEGER)) AS padded
+        |  FROM c)
+        |SELECT doc_id, padded, decode(from_base64(padded)) AS rt
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "route_resolve" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    regexp_replace(source || '.Tbl ' || CAST(doc_id % 5 AS VARCHAR),
+        |                   '[^a-zA-Z0-9._-]', '', 'g') AS kept,
+        |    CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'Fold-' || lang END AS dest
+        |  FROM documents),
+        |c AS (SELECT doc_id, kept, dest, strpos(kept, '.') AS dotpos FROM b)
+        |SELECT doc_id,
+        |  CASE WHEN dest IS NULL OR dest = '' THEN 'landing'
+        |       ELSE regexp_replace(lower(dest), '[^a-z0-9_-]', '', 'g') END AS folder,
+        |  regexp_replace(lower(CASE WHEN dotpos > 0
+        |      THEN substr(kept, 1, CAST(dotpos - 1 AS INTEGER)) ELSE kept END),
+        |    '[^a-z0-9_-]', '', 'g') AS source_db,
+        |  regexp_replace(lower(CASE WHEN dotpos > 0
+        |      THEN substr(kept, CAST(dotpos + 1 AS INTEGER)) ELSE kept END),
+        |    '[^a-z0-9_-]', '', 'g') AS tbl
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "chunk_batches" ->
+      """WITH nr AS (
+        |  SELECT l_orderkey,
+        |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity,
+        |                       l_extendedprice) - 1 AS rn
+        |  FROM lineitem)
+        |SELECT CAST(rn // 2000 AS INTEGER) AS batch_number,
+        |       COUNT(*) AS row_count,
+        |       MIN(l_orderkey) AS min_key,
+        |       MAX(l_orderkey) AS max_key
+        |FROM nr GROUP BY batch_number ORDER BY batch_number""".stripMargin,
+    "normalize_stringify" ->
+      """SELECT o_orderkey,
+        |  CAST(o_custkey AS VARCHAR) AS s_custkey,
+        |  o_orderstatus AS s_status,
+        |  printf('%.2f', o_totalprice) AS s_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS s_orderdate,
+        |  o_orderpriority AS s_priority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "rows_flatten" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
+  )
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Scalar-function surface (SURVEY.md §2.2 "Scalar functions").
+  *
+  * The reference's scalar usage is string sanitize regexes, base64, path
+  * join, lower/strip, split-on-dot, JSON encode/decode, ISO timestamps
+  * (reference src/function_app.py:19,81-92,102,118-127,167,213,282,346);
+  * this module exposes the general engine surface those imply. All
+  * expressions are Spark built-ins (whole-stage codegen'd, no UDFs);
+  * every query is a pure per-row map over one scan — at scale these
+  * pipeline into a single stage with the final sort as the only exchange.
+  *
+  * Cross-engine typing notes baked into the oracles: DuckDB length/len and
+  * window/date_part results are BIGINT where Spark produces INT, so the
+  * oracle casts; DuckDB regexp_replace needs the 'g' flag to match Spark's
+  * replace-all.
+  */
+object Scalars {
+
+  def scalarString(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        lower(col("c_name")).as("lo"),
+        upper(col("c_mktsegment")).as("up"),
+        substring(col("c_name"), 10, 5).as("sub"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("tr"),
+        concat(col("c_name"), lit("|"), col("c_mktsegment")).as("cc"),
+        regexp_replace(col("c_name"), "0+", "0").as("rr"),
+        split(col("c_name"), "#").as("parts"),
+        length(col("c_name")).as("ln"))
+      .orderBy(col("c_custkey"))
+
+  def scalarDate(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("dt"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dd"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("mon"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .as("days_since"),
+        add_months(to_date(col("o_orderdate")), 3).as("plus3m"))
+      .orderBy(col("o_orderkey"))
+
+  def scalarMath(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        round(col("o_totalprice").cast("decimal(18,2)"), 0).cast("double").as("r0"),
+        abs(col("o_totalprice") - 150000.0).as("dist"),
+        ceil(col("o_totalprice")).as("ce"),
+        floor(col("o_totalprice")).as("fl"),
+        pmod(col("o_orderkey"), lit(7)).as("pm"),
+        // pow differs from DuckDB's libm in the last ulp — round defensively
+        round(pow(col("o_totalprice") / 100000.0, 2), 6).as("pw"),
+        sqrt(col("o_totalprice")).as("sq"))
+      .orderBy(col("o_orderkey"))
+
+  def scalarArray(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        slice(split(col("text"), " "), 1, 5).as("first5"),
+        sort_array(slice(split(col("text"), " "), 1, 5)).as("sorted5"),
+        size(split(col("text"), " ")).as("n_words"),
+        array_contains(split(col("text"), " "), "spark").as("has_spark"),
+        element_at(split(col("text"), " "), 1).as("first_word"))
+      .orderBy(col("doc_id"))
+
+  def scalarMap(s: SparkSession, d: String): DataFrame = {
+    val m = map(
+      lit("cust"), col("c_custkey").cast("string"),
+      lit("nat"), col("c_nationkey").cast("string"))
+    t(s, d, "customer")
+      .select(
+        col("c_custkey"),
+        map_keys(m).as("ks"),
+        map_values(m).as("vs"),
+        element_at(m, "cust").as("cv"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def scalarJson(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("kv"),
+        get_json_object(col("props"), "$.k").cast("int").as("ki"),
+        get_json_object(col("props"), "$.missing").as("kmiss"))
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_string" -> (scalarString _),
+    "scalar_date" -> (scalarDate _),
+    "scalar_math" -> (scalarMath _),
+    "scalar_array" -> (scalarArray _),
+    "scalar_map" -> (scalarMap _),
+    "scalar_json" -> (scalarJson _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scalar_string" ->
+      """SELECT c_custkey,
+        |  lower(c_name) AS lo,
+        |  upper(c_mktsegment) AS up,
+        |  substr(c_name, 10, 5) AS sub,
+        |  trim('  ' || c_name || '  ') AS tr,
+        |  c_name || '|' || c_mktsegment AS cc,
+        |  regexp_replace(c_name, '0+', '0', 'g') AS rr,
+        |  string_split(c_name, '#') AS parts,
+        |  CAST(length(c_name) AS INTEGER) AS ln
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dd,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |       AS INTEGER) AS days_since,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_math" ->
+      """SELECT o_orderkey,
+        |  CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS DOUBLE) AS r0,
+        |  ABS(o_totalprice - 150000.0) AS dist,
+        |  CAST(CEIL(o_totalprice) AS BIGINT) AS ce,
+        |  CAST(FLOOR(o_totalprice) AS BIGINT) AS fl,
+        |  ((o_orderkey % 7) + 7) % 7 AS pm,
+        |  ROUND(POWER(o_totalprice / 100000.0, 2), 6) AS pw,
+        |  SQRT(o_totalprice) AS sq
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_array" ->
+      """SELECT doc_id,
+        |  list_slice(string_split(text, ' '), 1, 5) AS first5,
+        |  list_sort(list_slice(string_split(text, ' '), 1, 5)) AS sorted5,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  string_split(text, ' ')[1] AS first_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "scalar_map" ->
+      """SELECT c_custkey,
+        |  ['cust', 'nat'] AS ks,
+        |  [CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR)] AS vs,
+        |  CAST(c_custkey AS VARCHAR) AS cv
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "scalar_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS kv,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS ki,
+        |  json_extract_string(props, '$.missing') AS kmiss
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

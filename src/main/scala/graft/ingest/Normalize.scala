@@ -1,0 +1,64 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema normalization mirroring the reference's type-erasing
+  * normalization and null-padded merge (reference src/function_app.py:
+  * 161-175 `_normalize_columnar`, :177-191 `_merge_columnars`,
+  * :200-220 `_rows_to_columnar`).
+  *
+  * Deviation (SURVEY.md §1.2, deliberate): rows stay rows — the engine
+  * writes row-per-record parquet, not the reference's single-row
+  * LIST<STRING> layout, which defeats row-group pruning and splitting at
+  * scale. The *cell-level* semantics match: nested values become JSON
+  * strings, timestamps ISO-8601, scalars decimal strings, nulls survive.
+  */
+object Normalize {
+
+  /** Every column to StringType (null-preserving): struct/array/map →
+    * JSON, timestamp/date → ISO-8601, everything else → cast. */
+  def stringifyAll(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f => stringifyCell(col(f.name), f.dataType).as(f.name) }
+    df.select(cols.toSeq: _*)
+  }
+
+  private def stringifyCell(c: Column, dt: DataType): Column = dt match {
+    case _: StructType | _: ArrayType | _: MapType => to_json(c)
+    case _: TimestampType => date_format(c, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    case _: DateType => date_format(c, "yyyy-MM-dd")
+    case _: StringType => c
+    case _ => c.cast(StringType)
+  }
+
+  /** Union-all with null padding for columns missing on either side —
+    * the reference's `_merge_columnars` (src/function_app.py:177-191). */
+  def mergeColumnars(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Columnar-shape detection (reference `_is_columnar_dict`,
+    * src/function_app.py:149-159): every top-level field is an array.
+    * (The equal-lengths check happens implicitly at explode time.) */
+  def isColumnar(schema: StructType): Boolean =
+    schema.fields.nonEmpty &&
+      schema.fields.forall(f => f.dataType.isInstanceOf[ArrayType] &&
+        f.name != "_corrupt_record")
+
+  /** Pivot a columnar payload row ({col: [v, …]} per record) into rows:
+    * null-pad absent columns to the record's length, zip, explode.
+    * Ragged merges (different column sets per payload) surface here as
+    * null arrays after schema union — exactly the reference's null
+    * padding semantics (src/function_app.py:184-190). */
+  def explodeColumnar(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.filter(_.name != "_corrupt_record")
+    val len = greatest(
+      fields.map(f => coalesce(size(col(f.name)), lit(0))).toSeq: _*)
+    val filled = fields.map { f =>
+      val elem = f.dataType.asInstanceOf[ArrayType].elementType
+      coalesce(col(f.name), array_repeat(lit(null).cast(elem), len)).as(f.name)
+    }
+    df.select(filled.toSeq: _*)
+      .select(inline(arrays_zip(fields.map(f => col(f.name)).toSeq: _*)))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch ingest pipeline — the Spark-first re-expression of the
+  * reference's entire data plane (reference src/function_app.py:310-423):
+  * envelope parse → base64 clean/decode → best-effort decompress → JSON
+  * payload parse with shape detection → stringify-normalize → route →
+  * chunked Snappy Parquet per (folder, source_db, table).
+  *
+  * Design for scale:
+  *  - the decode chain is pure codegen'd expressions over one scan;
+  *  - routing cardinality is bounded (it's a set of tables), so the
+  *    driver-side loop over distinct routes is O(#tables), never O(rows);
+  *  - each route's write is an independent distributed job (per-group
+  *    error isolation like the reference's per-group try/except :416-417);
+  *  - chunking via `maxRecordsPerFile` is per-task — no global window;
+  *  - the streaming wrapper (graft.streaming) calls [[ingest]] from
+  *    `foreachBatch`, making the micro-batch the failure domain.
+  */
+object Pipeline {
+
+  /** Fixed envelope schema (reference fields at src/function_app.py:
+    * 98,106,273; MessageType from the IoT route filter infra/iothub.tf:55). */
+  val envelopeSchema: StructType = StructType(Seq(
+    StructField("Source", StringType),
+    StructField("Destination", StringType),
+    StructField("Data", StringType),
+    StructField("MessageType", StringType)))
+
+  case class IngestConfig(
+      outDir: String,
+      destinationFallback: String = "landing",
+      maxRecordsPerFile: Int = 2000,
+      compression: String = "snappy",
+      messageType: Option[String] = None)
+
+  case class RouteResult(folder: String, sourceDb: String, table: String,
+      rows: Long, kind: String)
+  case class IngestReport(written: Seq[RouteResult], failed: Seq[(String, String)])
+
+  /** Raw event bodies (one JSON envelope, a JSON array of envelopes, or
+    * garbage per row in `value`) → one row per envelope. Non-JSON bodies
+    * are wrapped as `{"Data": body}` (reference src/function_app.py:
+    * 322-327). */
+  def parseEnvelopes(raw: DataFrame): DataFrame = {
+    val asArray = from_json(col("value"), ArrayType(envelopeSchema))
+    val asObject = from_json(col("value"), envelopeSchema)
+    val wrapped = struct(
+      lit(null).cast(StringType).as("Source"),
+      lit(null).cast(StringType).as("Destination"),
+      col("value").as("Data"),
+      lit(null).cast(StringType).as("MessageType"))
+    raw
+      .withColumn("env",
+        explode(coalesce(asArray, array(coalesce(asObject, wrapped)))))
+      .select(col("env.Source").as("Source"),
+        col("env.Destination").as("Destination"),
+        col("env.Data").as("Data"),
+        col("env.MessageType").as("MessageType"))
+  }
+
+  /** Envelopes → decoded payload strings + route columns. One narrow
+    * stage of codegen'd expressions; no shuffle. */
+  def decodeAndRoute(envelopes: DataFrame, cfg: IngestConfig): DataFrame = {
+    val filtered = cfg.messageType match {
+      case Some(mt) => envelopes.filter(col("MessageType") === mt)
+      case None => envelopes
+    }
+    Routing.withRoute(
+        filtered.withColumn("payload_str", Codecs.decodePayload(col("Data"))),
+        col("Source"), col("Destination"), cfg.destinationFallback)
+  }
+
+  /** Per-payload shape classification (reference shape detection
+    * src/function_app.py:149-159,284-289): a JSON array is rows; an
+    * object whose every top-level value is an array is columnar; any
+    * other object is a single row. */
+  def withShape(decoded: DataFrame): DataFrame = {
+    val asMap = from_json(col("payload_str"), MapType(StringType, StringType))
+    decoded.withColumn("shape",
+      when(col("payload_str").rlike("^\\s*\\["), lit("rows"))
+        .when(asMap.isNotNull && size(map_values(asMap)) > 0 &&
+          forall(map_values(asMap), v => v.rlike("^\\s*\\[")), lit("columnar"))
+        .otherwise(lit("single")))
+  }
+
+  /** Full batch ingest: returns what was written where. Failures are
+    * isolated per route (reference :416-417) — one bad group never stops
+    * the others. */
+  def ingest(spark: SparkSession, rawBodies: DataFrame, cfg: IngestConfig): IngestReport = {
+    import spark.implicits._
+    val decoded = withShape(
+      decodeAndRoute(parseEnvelopes(rawBodies), cfg)
+        .filter(Routing.validRoute && col("payload_str").isNotNull)
+        .select("folder", "source_db", "tbl", "payload_str"))
+      .cache()
+    try {
+      // Bounded cardinality: one row per logical table, not per event.
+      val routes = decoded.select("folder", "source_db", "tbl").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      val results = routes.toSeq.map { case (folder, db, table) =>
+        try {
+          val group = decoded
+            .filter(col("folder") === folder && col("source_db") === db &&
+              col("tbl") === table)
+          // Process each payload shape separately (columnar payloads must
+          // explode, row payloads must not), then merge the normalized
+          // halves with null padding — the reference's merge at :367-377.
+          val halves = Seq("rows", "single", "columnar").flatMap { shape =>
+            val payloads = group.filter(col("shape") === shape)
+              .select("payload_str").as[String]
+            // Schema inference per route per shape per batch — the
+            // reference's dynamic first-seen schema (:203-207).
+            val parsed = spark.read.json(payloads)
+            val dataFields = parsed.schema.fields.filter(_.name != "_corrupt_record")
+            if (dataFields.isEmpty) None // non-JSON payloads dropped (:290-292)
+            else {
+              val clean = parsed.select(dataFields.map(f => col(f.name)).toSeq: _*)
+              val rows =
+                if (shape == "columnar") Normalize.explodeColumnar(clean)
+                else clean
+              Some(shape -> Normalize.stringifyAll(rows))
+            }
+          }
+          if (halves.isEmpty) {
+            Right(RouteResult(folder, db, table, 0L, "empty"))
+          } else {
+            val kind = halves.map(_._1).distinct.sorted.mkString("+")
+            val out = Normalize.mergeColumnars(halves.map(_._2)).cache()
+            try {
+              val n = out.count()
+              val path = s"${cfg.outDir}/folder=$folder/source_db=$db/table=$table"
+              out.write.mode("append")
+                .option("compression", cfg.compression)
+                .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toLong)
+                .parquet(path)
+              Right(RouteResult(folder, db, table, n, kind))
+            } finally out.unpersist()
+          }
+        } catch {
+          case e: Exception => Left(s"$folder/$db/$table" -> e.toString)
+        }
+      }
+      IngestReport(
+        results.collect { case Right(r) => r },
+        results.collect { case Left(f) => f })
+    } finally decoded.unpersist()
+  }
+}

@@ -1,9 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
+import graft.ingest.{Codecs, Pipeline, Routing}
 
 /** Batch-oracled versions of the reference's ingest operators
   * (SURVEY.md §2.1 #3, #9, #10, #12, #14): base64 cleaning + decode,
@@ -13,11 +14,6 @@ import graft.Tables.t
   * the same logic lives in `graft.ingest`.
   */
 object IngestQueries {
-
-  /** Sanitizer from the reference's route resolution
-    * (src/function_app.py:88-92): lowercase, keep only `[a-z0-9_-]`. */
-  private def sanitize(c: Column): Column =
-    regexp_replace(lower(c), "[^a-z0-9_-]", "")
 
   /** base64 → clean → decode round-trip (reference src/function_app.py:
     * 118-127,278). Pure built-ins: regexp_replace + repeat + unbase64. */
@@ -41,10 +37,7 @@ object IngestQueries {
         concat(lit("??"),
           regexp_replace(base64(col("text").cast("binary")), "=", ""),
           lit("!!")))
-      .withColumn("cleaned", regexp_replace(col("corrupt"), "[^A-Za-z0-9+/=]", ""))
-      .withColumn("padded",
-        concat(col("cleaned"),
-          expr("repeat('=', (4 - length(cleaned) % 4) % 4)")))
+      .withColumn("padded", Codecs.cleanBase64(col("corrupt")))
       .select(
         col("doc_id"),
         col("padded"),
@@ -56,26 +49,17 @@ object IngestQueries {
     * on the FIRST dot into (db, table) else duplicate, sanitize all parts,
     * fall back to a default folder when Destination is empty. Inputs are
     * synthesized from documents (source/lang) so the oracle can replay. */
-  def routeResolve(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+  def routeResolve(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "documents")
       .withColumn("src_raw",
         concat(col("source"), lit(".Tbl "), (col("doc_id") % 5).cast("string")))
       .withColumn("dest_raw",
         when(col("doc_id") % 3 === 0, lit(""))
           .otherwise(concat(lit("Fold-"), col("lang"))))
-      .withColumn("kept", regexp_replace(col("src_raw"), "[^a-zA-Z0-9._-]", ""))
-      .withColumn("dotpos", instr(col("kept"), "."))
-      .select(
-        col("doc_id"),
-        when(col("dest_raw").isNull || col("dest_raw") === "", lit("landing"))
-          .otherwise(sanitize(col("dest_raw"))).as("folder"),
-        sanitize(when(col("dotpos") > 0,
-          expr("substring(kept, 1, dotpos - 1)")).otherwise(col("kept")))
-          .as("source_db"),
-        sanitize(when(col("dotpos") > 0,
-          expr("substring(kept, dotpos + 1)")).otherwise(col("kept")))
-          .as("tbl"))
+    Routing.withRoute(base, col("src_raw"), col("dest_raw"), "landing")
+      .select(col("doc_id"), col("folder"), col("source_db"), col("tbl"))
       .orderBy(col("doc_id"))
+  }
 
   /** Batch chunking to MAX_BATCH_SIZE rows (reference
     * src/function_app.py:379-401): explicit batch numbering over a total
@@ -133,13 +117,71 @@ object IngestQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"))
 
+  /** Deterministic synthetic envelopes covering every payload variant of
+    * FIXTURES.md §B (gzip/deflate/zlib/plain compression, rows/columnar/
+    * scalar shapes, adversarial base64 junk). */
+  def syntheticEnvelopes: Seq[String] = {
+    import java.util.Base64
+    def b64(b: Array[Byte]) = Base64.getEncoder.encodeToString(b)
+    def gz(s: String) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    def deflate(s: String, nowrap: Boolean) = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](65536)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val rowsPayload = """[{"device_id":"d1","temp_c":21.5,"ok":true,"tags":["a","b"]},{"device_id":"d2","temp_c":22.0,"ok":false,"tags":[]}]"""
+    val columnarPayload = """{"device_id":["d3","d4"],"temp_c":[20.0,null]}"""
+    val singlePayload = """{"device_id":"d5","temp_c":19.0}"""
+    Seq(
+      s"""{"MessageType":"Raw","Source":"factorydb.sensor_readings","Destination":"telemetry","Data":"${b64(gz(rowsPayload))}"}""",
+      s"""{"MessageType":"Raw","Source":"factorydb.sensor_readings","Destination":"telemetry","Data":"${b64(deflate(columnarPayload, nowrap = true))}"}""",
+      s"""{"MessageType":"Raw","Source":"factorydb.sensor_readings","Destination":"telemetry","Data":"??${b64(deflate(singlePayload, nowrap = false))}!!"}""",
+      s"""{"MessageType":"Raw","Source":"otherdb.metrics","Destination":"","Data":"${b64(rowsPayload.getBytes("UTF-8"))}"}""",
+      s"""[{"MessageType":"Raw","Source":"arraydb.t1","Destination":"arr","Data":"${b64(singlePayload.getBytes("UTF-8"))}"}]""",
+      "this is not json at all")
+  }
+
+  /** Decode-chain round-trip through the custom TryDecompress expression
+    * (no oracle — binary fallback semantics aren't SQL-expressible). */
+  def ingestTryDecompress(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = s.createDataset(syntheticEnvelopes).toDF("value")
+    Pipeline.decodeAndRoute(Pipeline.parseEnvelopes(raw),
+        Pipeline.IngestConfig(outDir = "", destinationFallback = "landing"))
+      .select(col("Source"), col("folder"), col("source_db"), col("tbl"),
+        col("payload_str"))
+      .orderBy(col("folder"), col("source_db"), col("tbl"), col("payload_str"))
+  }
+
+  /** Full pipeline → partitioned parquet → read-back (no oracle; the
+    * driver checks rows>0, the scalatest E2E spec checks contents). */
+  def sinkParquetRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sink_roundtrip").toString
+    val raw = s.createDataset(syntheticEnvelopes).toDF("value")
+    val report = Pipeline.ingest(s, raw, Pipeline.IngestConfig(outDir = out))
+    val readBack = s.read.parquet(out)
+    readBack.groupBy(col("folder"), col("source_db"), col("table"))
+      .agg(count(lit(1)).as("rows_written"))
+      .orderBy(col("folder"), col("source_db"), col("table"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_base64_roundtrip" -> (ingestBase64Roundtrip _),
     "ingest_base64_clean" -> (ingestBase64Clean _),
     "route_resolve" -> (routeResolve _),
     "chunk_batches" -> (chunkBatches _),
     "normalize_stringify" -> (normalizeStringify _),
-    "rows_flatten" -> (rowsFlatten _)
+    "rows_flatten" -> (rowsFlatten _),
+    "ingest_try_decompress" -> (ingestTryDecompress _),
+    "sink_parquet_roundtrip" -> (sinkParquetRoundtrip _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Pipeline
+import graft.queries.IngestQueries
+
+/** E2E: synthetic envelopes (FIXTURES.md §B — every payload variant) →
+  * full batch pipeline → partitioned string-typed parquet, re-read and
+  * asserted (reference data plane src/function_app.py:310-423). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("full ingest writes routed, chunked, string-typed parquet") {
+    val out = Files.createTempDirectory("graft_pipeline_e2e").toString
+    val raw = spark.createDataset(IngestQueries.syntheticEnvelopes).toDF("value")
+    val report = Pipeline.ingest(spark, raw, Pipeline.IngestConfig(outDir = out))
+
+    assert(report.failed.isEmpty, s"route failures: ${report.failed}")
+    val routes = report.written.map(r => (r.folder, r.sourceDb, r.table)).toSet
+    // telemetry/factorydb: gzip rows + deflate columnar + zlib single dict
+    // landing/otherdb (empty Destination → fallback), arr/arraydb (array envelope)
+    assert(routes == Set(
+      ("telemetry", "factorydb", "sensor_readings"),
+      ("landing", "otherdb", "metrics"),
+      ("arr", "arraydb", "t1")))
+
+    val tele = spark.read.parquet(s"$out/folder=telemetry/source_db=factorydb/table=sensor_readings")
+    // 2 rows (gzip) + 2 rows (columnar deflate) + 1 row (zlib single)
+    assert(tele.count() == 5)
+    assert(tele.schema.fields.forall(_.dataType.typeName == "string"))
+    val d1 = tele.filter(col("device_id") === "d1").head()
+    assert(d1.getAs[String]("temp_c") == "21.5")
+    assert(d1.getAs[String]("ok") == "true")
+    assert(d1.getAs[String]("tags") == """["a","b"]""")
+    // columnar null survives (d4's temp_c)
+    assert(tele.filter(col("device_id") === "d4" && col("temp_c").isNull).count() == 1)
+
+    // non-JSON envelope line → wrapped as {"Data": body} with null route → dropped
+    val all = spark.read.parquet(out)
+    assert(all.count() == 5 + 2 + 1)
+  }
+
+  test("maxRecordsPerFile chunks output files at the batch size") {
+    val out = Files.createTempDirectory("graft_pipeline_chunk").toString
+    val rows = (1 to 25).map(i => s"""{"v":$i}""").mkString("[", ",", "]")
+    val b64 = java.util.Base64.getEncoder.encodeToString(rows.getBytes("UTF-8"))
+    val env = s"""{"Source":"db.big","Destination":"f","Data":"$b64"}"""
+    val raw = spark.createDataset(Seq(env)).toDF("value")
+    val report = Pipeline.ingest(spark, raw,
+      Pipeline.IngestConfig(outDir = out, maxRecordsPerFile = 10))
+    assert(report.written.map(_.rows).sum == 25)
+    val dir = new java.io.File(s"$out/folder=f/source_db=db/table=big")
+    val parts = dir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parts >= 3, s"expected >=3 chunked files, got $parts")
+    assert(spark.read.parquet(dir.toString).count() == 25)
+  }
+
+  test("per-group error isolation: a bad route never blocks good ones") {
+    // A payload that decodes to valid JSON for one route plus an envelope
+    // whose Data is valid base64 of invalid UTF-8/JSON for another route.
+    val ok = s"""{"Source":"gooddb.t","Destination":"f","Data":"${
+      java.util.Base64.getEncoder.encodeToString("""{"a":1}""".getBytes)}"}"""
+    val bad = s"""{"Source":"baddb.t","Destination":"f","Data":"${
+      java.util.Base64.getEncoder.encodeToString(Array[Byte](-1, -2, -3))}"}"""
+    val out = Files.createTempDirectory("graft_pipeline_err").toString
+    val report = Pipeline.ingest(spark,
+      spark.createDataset(Seq(ok, bad)).toDF("value"),
+      Pipeline.IngestConfig(outDir = out))
+    val good = report.written.filter(_.sourceDb == "gooddb")
+    assert(good.nonEmpty && good.head.rows == 1)
+  }
+}

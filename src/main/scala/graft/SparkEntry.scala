@@ -24,7 +24,11 @@ object SparkEntry {
       graft.queries.Windows.queries ++
       graft.queries.SortsSets.queries ++
       graft.queries.Scalars.queries ++
-      graft.queries.IngestQueries.queries
+      graft.queries.IngestQueries.queries ++
+      graft.llm.Dedup.queries ++
+      graft.llm.Similarity.queries ++
+      graft.llm.TextStats.queries ++
+      graft.llm.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +39,9 @@ object SparkEntry {
       graft.queries.Windows.oracles ++
       graft.queries.SortsSets.oracles ++
       graft.queries.Scalars.oracles ++
-      graft.queries.IngestQueries.oracles
+      graft.queries.IngestQueries.oracles ++
+      graft.llm.Dedup.oracles ++
+      graft.llm.Similarity.oracles ++
+      graft.llm.TextStats.oracles ++
+      graft.llm.Multimodal.oracles
 }

@@ -1,0 +1,147 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Text analysis for training-data pipelines (north-star scope, SURVEY.md
+  * §2.2 ⊕): per-document statistics, heuristic language ID, quality
+  * scoring, regex token counting and content fingerprinting over the
+  * `documents` table.
+  *
+  * All pure per-row built-in expressions over one scan — a single
+  * codegen'd stage at any scale, no shuffle except the deterministic
+  * output sort (dropped in production use).
+  */
+object TextStats {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def textStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars_c"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("n_uniq"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(split(col("text"), " ")), 4).as("avg_tok_len"),
+        round(expr(s"size(filter(split(text, ' '), t -> t IN $stopList))")
+          .cast("double") / size(split(col("text"), " ")), 4).as("stop_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Heuristic n-gram language ID: stopword-density vote (the container
+    * has no langid model; the heuristic is the operator shape). */
+  def textLangId(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("stop_ratio",
+        expr(s"size(filter(split(text, ' '), t -> t IN $stopList))")
+          .cast("double") / size(split(col("text"), " ")))
+      .select(
+        col("doc_id"), col("lang"),
+        round(col("stop_ratio"), 4).as("en_score"),
+        when(col("stop_ratio") > 0.05, lit("en")).otherwise(lit("other"))
+          .as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** Composite quality score: length saturation + lexical diversity. */
+  def textQualityScore(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("len_score",
+        least(lit(1.0), length(col("text")).cast("double") / 500.0))
+      .withColumn("uniq_ratio",
+        size(array_distinct(split(col("text"), " "))).cast("double") /
+          col("n_tokens"))
+      .select(
+        col("doc_id"),
+        round(col("len_score"), 4).as("len_score"),
+        round(col("uniq_ratio"), 4).as("uniq_ratio"),
+        // composite averages land exactly on .xxxx5 — decimal-route the
+        // final rounding (same rule as money arithmetic, SKILL.md gotcha)
+        round((col("len_score") * 0.5 + col("uniq_ratio") * 0.5)
+          .cast("decimal(18,8)"), 4).cast("double").as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Regex token counting (BPE-ish pre-tokenizer split: word runs vs
+    * single non-space symbols) + whitespace token count. */
+  def textTokenCount(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"))
+          .as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Content fingerprints: full-text md5 plus min/max token-level md5
+    * (a 1-function MinHash — the banded generalization is
+    * `dedup_fuzzy_minhash`). */
+  def docFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5_full"),
+        array_min(transform(split(col("text"), " "), t => md5(t)))
+          .as("min_tok_md5"),
+        array_max(transform(split(col("text"), " "), t => md5(t)))
+          .as("max_tok_md5"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_lang_id" -> (textLangId _),
+    "text_quality_score" -> (textQualityScore _),
+    "text_token_count" -> (textTokenCount _),
+    "doc_fingerprint" -> (docFingerprint _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(length(text) AS INTEGER) AS n_chars_c,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+         |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+         |        len(string_split(text, ' ')), 4) AS avg_tok_len,
+         |  ROUND(CAST(len(list_filter(string_split(text, ' '),
+         |        t -> t IN $stopList)) AS DOUBLE) /
+         |        len(string_split(text, ' ')), 4) AS stop_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  ROUND(CAST(len(list_filter(string_split(text, ' '),
+         |        t -> t IN $stopList)) AS DOUBLE) /
+         |        len(string_split(text, ' ')), 4) AS en_score,
+         |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+         |       t -> t IN $stopList)) AS DOUBLE) /
+         |       len(string_split(text, ' ')) > 0.05
+         |       THEN 'en' ELSE 'other' END AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      """SELECT doc_id,
+        |  ROUND(LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0), 4) AS len_score,
+        |  ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |        len(string_split(text, ' ')), 4) AS uniq_ratio,
+        |  CAST(ROUND(CAST(LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) * 0.5 +
+        |        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |        len(string_split(text, ' ')) * 0.5 AS DECIMAL(18,8)), 4)
+        |       AS DOUBLE) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
+        |       AS INTEGER) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(text) AS md5_full,
+        |  list_min(list_transform(string_split(text, ' '), t -> md5(t)))
+        |    AS min_tok_md5,
+        |  list_max(list_transform(string_split(text, ' '), t -> md5(t)))
+        |    AS max_tok_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

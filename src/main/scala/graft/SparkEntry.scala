@@ -28,7 +28,8 @@ object SparkEntry {
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
       graft.llm.TextStats.queries ++
-      graft.llm.Multimodal.queries
+      graft.llm.Multimodal.queries ++
+      graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.llm.Dedup.oracles ++
       graft.llm.Similarity.oracles ++
       graft.llm.TextStats.oracles ++
-      graft.llm.Multimodal.oracles
+      graft.llm.Multimodal.oracles ++
+      graft.streaming.StreamQueries.oracles
 }

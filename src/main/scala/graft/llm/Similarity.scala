@@ -19,18 +19,21 @@ import graft.Tables.t
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, accumulated in double
-    * (pure higher-order built-ins — codegen'd, no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(
-        zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column): Column =
-      sqrt(aggregate(x, lit(0.0),
-        (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot(a, b) / (norm(a) * norm(b))
-  }
+  /** Dot product of two float-array columns, accumulated in double
+    * (pure higher-order built-ins, no UDF). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(
+      zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a float-array column, accumulated in double. */
+  def norm2(x: Column): Column =
+    sqrt(aggregate(x, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity of two float-array columns. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
 
   /** Exact brute-force cosine top-k vs the probe vector (vec_id=0). */
   def simSearchTopk(s: SparkSession, d: String): DataFrame = {

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (SURVEY.md §4.2 / §7.1 step 7): the
+  * optimizations the engine relies on at 100 TB must actually appear in
+  * the plans — predicate pushdown into the parquet scan, column pruning,
+  * broadcast-hash for dimension joins, TakeOrderedAndProject for top-k,
+  * whole-stage codegen on the hot paths.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("scan_project_filter pushes the shipdate predicate into the scan") {
+    val p = plan(graft.queries.Scans.scanProjectFilter(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // column pruning: only 4 of 11 lineitem columns read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("dimension join broadcasts (BroadcastHashJoin, no shuffle of nation)") {
+    val p = plan(graft.queries.Joins.joinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("orders⋈customer picks a hash join strategy, not nested loop") {
+    val p = plan(graft.queries.Joins.joinInnerEqui(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(graft.queries.SortsSets.sortLimitTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("flagship aggregation is partial+final hash aggregate (map-side combine)") {
+    val p = plan(graft.queries.Aggregates.aggHashGroupby(spark, sf))
+    // two HashAggregates around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange"), p)
+  }
+
+  test("custom decode expressions constant-fold and stay in codegen") {
+    import org.apache.spark.sql.functions._
+    // literal input → Catalyst constant-folds the whole chain at plan
+    // time, proving TryDecompress/TryUtf8Decode are optimizer-transparent
+    val folded = plan(spark.range(1)
+      .select(graft.ingest.Codecs.decodePayload(lit("aGVsbG8=")).as("p")))
+    assert(folded.contains("hello AS p"), folded)
+    // column input → the chain evaluates inside a codegen'd stage
+    val df = spark.range(3)
+      .select(base64(col("id").cast("string").cast("binary")).as("Data"))
+      .select(graft.ingest.Codecs.decodePayload(col("Data")).as("p"))
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("*("), exec) // whole-stage codegen marker
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("0", "1", "2"))
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{TryDecompress, TryUtf8Decode}
+
+/** SparkSessionExtensions entry point — lets any user of the library
+  * register the engine's custom SQL functions at session build time:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions()) ...
+  * }}}
+  *
+  * The same registrations are available imperatively via
+  * [[graft.ingest.Codecs.register]] for sessions created without
+  * extensions (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("try_decompress"),
+      new ExpressionInfo(classOf[TryDecompress].getName, "try_decompress"),
+      (exprs: Seq[Expression]) => TryDecompress(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("try_utf8_decode"),
+      new ExpressionInfo(classOf[TryUtf8Decode].getName, "try_utf8_decode"),
+      (exprs: Seq[Expression]) => TryUtf8Decode(exprs.head)))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Envelope stream sources (reference operator `source_eventhub`,
+  * src/function_app.py:302-309: one Event Hub event body per
+  * invocation). The engine consumes any source that yields one envelope
+  * body string per row in a `value` column — everything downstream
+  * ([[Pipeline.parseEnvelopes]] onward) is source-agnostic.
+  *
+  * Production: the Kafka/Event Hubs connector —
+  * `spark.readStream.format("kafka")… selectExpr("CAST(value AS
+  * STRING)")` — plugs in here unchanged; the connector jar is not in
+  * this offline container, so only the file and in-memory sources are
+  * exercised by tests (they share the exact downstream pipeline).
+  */
+object Sources {
+
+  /** Streaming file source: one envelope JSON (or array) per line. */
+  def fileText(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toLong))
+    r.text(dir).select(col("value"))
+  }
+
+  /** Batch file source over the same layout (for reprocessing/backfill —
+    * identical downstream semantics, Spark's batch/streaming unification). */
+  def fileTextBatch(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(dir).select(col("value"))
+
+  /** Generic streaming source by format name, cast to the envelope
+    * contract. Use `format = "kafka"` with the connector on the
+    * classpath; `options` carries bootstrap servers/topic etc. */
+  def stream(spark: SparkSession, format: String,
+      options: Map[String, String]): DataFrame =
+    spark.readStream.format(format).options(options).load()
+      .selectExpr("CAST(value AS STRING) AS value")
+}

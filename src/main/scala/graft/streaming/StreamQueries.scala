@@ -161,11 +161,14 @@ object StreamQueries {
       envs.drop(3).mkString("\n").getBytes("UTF-8"))
     inDir.resolve("0000.txt").toFile.setLastModified(1700000000000L)
     inDir.resolve("0001.txt").toFile.setLastModified(1700000060000L)
-    val cfg = Pipeline.IngestConfig(outDir = outDir)
+    // production-shaped construction: fail-fast settings + source module
+    val cfg = graft.ingest.Config.ingestConfig(Map(
+      "OUTPUT_CONTAINER" -> outDir,
+      "MAX_BATCH_SIZE" -> "2000",
+      "PARQUET_COMPRESSION" -> "SNAPPY"))
     val ckpt = Files.createTempDirectory("graft_stream_ingest_ckpt").toString
-    val q = s.readStream
-      .option("maxFilesPerTrigger", 1)
-      .text(inDir.toString)
+    val q = graft.ingest.Sources
+      .fileText(s, inDir.toString, maxFilesPerTrigger = Some(1))
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", ckpt)

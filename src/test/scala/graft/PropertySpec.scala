@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.{Codecs, Routing}
+
+/** Randomized contract checks (seeded — reproducible) for the decode and
+  * routing layers, evaluated through Spark itself so the tested code
+  * path is the real columnar one (SURVEY.md §5.3). */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(4242)
+
+  test("property: clean∘base64 roundtrips arbitrary binary through Spark") {
+    val blobs = (1 to 300).map { _ =>
+      val b = new Array[Byte](rnd.nextInt(512)); rnd.nextBytes(b); b
+    }
+    val out = blobs.toDF("b")
+      .select(
+        col("b"),
+        Codecs.safeUnbase64(Codecs.cleanBase64(
+          concat(lit("!!"), base64(col("b")), lit("  ")))).as("rt"))
+      .collect()
+    out.foreach { r =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1)))
+    }
+  }
+
+  test("property: full decode chain recovers arbitrary UTF-8 under every codec") {
+    def gz(b: Array[Byte]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    def defl(b: Array[Byte], nowrap: Boolean) = {
+      val d = new java.util.zip.Deflater(6, nowrap)
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](b.length * 2 + 1024)
+      val n = d.deflate(buf); d.end(); java.util.Arrays.copyOf(buf, n)
+    }
+    val texts = (1 to 100).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(200)).mkString + "✓ü")
+    val b64 = java.util.Base64.getEncoder
+    val rows = texts.flatMap { t =>
+      val raw = t.getBytes("UTF-8")
+      Seq(
+        (t, b64.encodeToString(raw)),
+        (t, b64.encodeToString(gz(raw))),
+        (t, b64.encodeToString(defl(raw, nowrap = true))),
+        (t, b64.encodeToString(defl(raw, nowrap = false))))
+    }
+    val out = rows.toDF("expected", "data")
+      .select(col("expected"), Codecs.decodePayload(col("data")).as("got"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
+  test("property: route parts always land in the sanitized alphabet") {
+    val junk = (1 to 300).map { _ =>
+      val len = rnd.nextInt(30)
+      val s = (1 to len).map(_ => rnd.nextPrintableChar()).mkString
+      val d = if (rnd.nextBoolean()) null
+              else (1 to rnd.nextInt(10)).map(_ => rnd.nextPrintableChar()).mkString
+      (s, d)
+    }
+    val out = Routing.withRoute(junk.toDF("s", "d"), col("s"), col("d"), "landing")
+      .select("folder", "source_db", "tbl", "d").collect()
+    val ok = "^[a-z0-9_-]*$".r
+    out.foreach { r =>
+      // fallback applies only to MISSING destinations (reference
+      // :106-107); a destination that sanitizes to empty yields an
+      // invalid route, removed later by Routing.validRoute (:339-341)
+      if (r.isNullAt(3) || r.getString(3).isEmpty)
+        assert(r.getString(0) == "landing")
+      assert(ok.findFirstIn(r.getString(0)).isDefined, r.getString(0))
+      assert(ok.findFirstIn(r.getString(1)).isDefined, r.getString(1))
+      assert(ok.findFirstIn(r.getString(2)).isDefined, r.getString(2))
+    }
+  }
+
+  test("property: stringifyAll is total over parsed arbitrary JSON shapes") {
+    val jsons = (1 to 100).map { i =>
+      rnd.nextInt(4) match {
+        case 0 => s"""{"a":$i,"b":[1,2,{"c":true}],"d":null}"""
+        case 1 => s"""{"x":{"y":{"z":"$i"}},"w":${rnd.nextDouble()}}"""
+        case 2 => s"""{"arr":[[1],[2,3]],"s":"t${i}"}"""
+        case _ => s"""{"m":{"k$i":"v"},"n":${rnd.nextLong()}}"""
+      }
+    }
+    val parsed = spark.read.json(jsons.toDS())
+    val out = graft.ingest.Normalize.stringifyAll(parsed)
+    assert(out.schema.fields.forall(_.dataType.typeName == "string"))
+    assert(out.count() == 100)
+  }
+}

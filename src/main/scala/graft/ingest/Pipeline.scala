@@ -1,6 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -22,13 +22,28 @@ import org.apache.spark.sql.types._
   */
 object Pipeline {
 
-  /** Fixed envelope schema (reference fields at src/function_app.py:
-    * 98,106,273; MessageType from the IoT route filter infra/iothub.tf:55). */
+  /** Typed envelope (reference fields at src/function_app.py:98,106,273;
+    * MessageType from the IoT route filter infra/iothub.tf:55). Use
+    * [[typedEnvelopes]] where compile-time field safety pays; the
+    * dynamic-schema stages stay DataFrame-typed (SURVEY.md §1.2). */
+  case class Envelope(
+      Source: Option[String],
+      Destination: Option[String],
+      Data: Option[String],
+      MessageType: Option[String])
+
+  /** Fixed envelope schema. */
   val envelopeSchema: StructType = StructType(Seq(
     StructField("Source", StringType),
     StructField("Destination", StringType),
     StructField("Data", StringType),
     StructField("MessageType", StringType)))
+
+  /** Parsed envelopes as a typed Dataset. */
+  def typedEnvelopes(spark: SparkSession, raw: DataFrame): Dataset[Envelope] = {
+    import spark.implicits._
+    parseEnvelopes(raw).as[Envelope]
+  }
 
   case class IngestConfig(
       outDir: String,

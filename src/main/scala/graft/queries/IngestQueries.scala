@@ -166,9 +166,9 @@ object IngestQueries {
     val out = java.nio.file.Files
       .createTempDirectory("graft_sink_roundtrip").toString
     val raw = s.createDataset(syntheticEnvelopes).toDF("value")
-    val report = Pipeline.ingest(s, raw, Pipeline.IngestConfig(outDir = out))
-    val readBack = s.read.parquet(out)
-    readBack.groupBy(col("folder"), col("source_db"), col("table"))
+    Pipeline.ingest(s, raw, Pipeline.IngestConfig(outDir = out))
+    s.read.parquet(out)
+      .groupBy(col("folder"), col("source_db"), col("table"))
       .agg(count(lit(1)).as("rows_written"))
       .orderBy(col("folder"), col("source_db"), col("table"))
   }

@@ -45,6 +45,23 @@ object Normalize {
       schema.fields.forall(f => f.dataType.isInstanceOf[ArrayType] &&
         f.name != "_corrupt_record")
 
+  /** COMPAT ONLY — the reference's physical layout
+    * (`_columnar_to_single_row_table`, src/function_app.py:234-241):
+    * one row where each cell is the whole column as a LIST<STRING>. The
+    * engine deliberately writes row-per-record parquet instead
+    * (SURVEY.md §1.2 — the single-row layout defeats row-group pruning
+    * and splitting); this writer exists only for byte-shape parity
+    * needs. Collapses to one partition — never use at scale. */
+  def toSingleRowColumnar(df: DataFrame): DataFrame = {
+    val one = stringifyAll(df).coalesce(1)
+    // collect_list drops nulls; wrap each cell in a struct (a non-null
+    // container) so the reference's null padding survives (:184-190)
+    def cellList(c: String) =
+      transform(collect_list(struct(col(c).as("v"))), s => s.getField("v")).as(c)
+    one.agg(cellList(one.columns.head),
+      one.columns.tail.map(cellList).toSeq: _*)
+  }
+
   /** Pivot a columnar payload row ({col: [v, …]} per record) into rows:
     * null-pad absent columns to the record's length, zip, explode.
     * Ragged merges (different column sets per payload) surface here as

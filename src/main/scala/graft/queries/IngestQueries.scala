@@ -144,6 +144,13 @@ object IngestQueries {
       s"""{"MessageType":"Raw","Source":"factorydb.sensor_readings","Destination":"telemetry","Data":"??${b64(deflate(singlePayload, nowrap = false))}!!"}""",
       s"""{"MessageType":"Raw","Source":"otherdb.metrics","Destination":"","Data":"${b64(rowsPayload.getBytes("UTF-8"))}"}""",
       s"""[{"MessageType":"Raw","Source":"arraydb.t1","Destination":"arr","Data":"${b64(singlePayload.getBytes("UTF-8"))}"}]""",
+      // adversarial (FIXTURES.md §B.5): dotless source duplicates into
+      // both route parts; missing Data → null payload, dropped; source
+      // of only illegal chars → invalid route, dropped; non-JSON body
+      // → wrapped as {"Data": body}, undecodable, dropped
+      s"""{"MessageType":"Raw","Source":"nodb_table","Destination":"plain","Data":"${b64(singlePayload.getBytes("UTF-8"))}"}""",
+      """{"MessageType":"Raw","Source":"missing.data","Destination":"x"}""",
+      s"""{"MessageType":"Raw","Source":"!!!","Destination":"ok","Data":"${b64(singlePayload.getBytes("UTF-8"))}"}""",
       "this is not json at all")
   }
 

@@ -27,7 +27,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(routes == Set(
       ("telemetry", "factorydb", "sensor_readings"),
       ("landing", "otherdb", "metrics"),
-      ("arr", "arraydb", "t1")))
+      ("arr", "arraydb", "t1"),
+      // dotless source duplicates into both parts (reference :102)
+      ("plain", "nodb_table", "nodb_table")))
 
     val tele = spark.read.parquet(s"$out/folder=telemetry/source_db=factorydb/table=sensor_readings")
     // 2 rows (gzip) + 2 rows (columnar deflate) + 1 row (zlib single)
@@ -40,9 +42,25 @@ class PipelineSpec extends AnyFunSuite {
     // columnar null survives (d4's temp_c)
     assert(tele.filter(col("device_id") === "d4" && col("temp_c").isNull).count() == 1)
 
-    // non-JSON envelope line → wrapped as {"Data": body} with null route → dropped
+    // dropped adversarial cases: non-JSON body (wrapped, undecodable),
+    // missing Data key (null payload), all-illegal-chars source
+    // (invalid route) — none may appear in the output
     val all = spark.read.parquet(out)
-    assert(all.count() == 5 + 2 + 1)
+    assert(all.count() == 5 + 2 + 1 + 1)
+  }
+
+  test("single-row columnar compat writer round-trips through explodeColumnar") {
+    import graft.ingest.Normalize
+    val df = Seq((1, "a", 1.5), (2, "b", 2.5), (3, null, 3.5)).toDF("i", "s", "d")
+    val one = Normalize.toSingleRowColumnar(df.orderBy("i"))
+    assert(one.count() == 1)
+    // every cell is the whole column as LIST<STRING> (reference :234-241)
+    val row = one.head()
+    assert(row.getSeq[String](0) == Seq("1", "2", "3"))
+    assert(row.getSeq[String](1) == Seq("a", "b", null))
+    val back = Normalize.explodeColumnar(one)
+    assert(back.count() == 3)
+    assert(back.columns.toSeq == Seq("i", "s", "d"))
   }
 
   test("maxRecordsPerFile chunks output files at the batch size") {

@@ -87,6 +87,21 @@ object Aggregates {
         count(lit(1)).as("cnt"))
       .orderBy(col("o_orderpriority"))
 
+  /** Statistical aggregates: stddev/variance/correlation/covariance.
+    * Ratio-of-sums math keeps cross-engine error ~1e-9 relative, so a
+    * 2-dp round is safe (magnitudes here are ≥1). */
+  def aggStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 2).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 2).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))
+      .orderBy(col("l_returnflag"))
+
   /** HLL sketch — approximate, no oracle (rows-only check). */
   def aggApproxDistinctHll(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -102,6 +117,7 @@ object Aggregates {
     "agg_cube" -> (aggCube _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_collect" -> (aggCollect _),
+    "agg_stats" -> (aggStats _),
     "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
   )
 
@@ -147,6 +163,15 @@ object Aggregates {
       """SELECT o_orderpriority,
         |       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
         |       COUNT(*) AS cnt
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
+        |  ROUND(var_samp(l_quantity), 2) AS var_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qd,
+        |  ROUND(MIN(l_extendedprice), 2) AS min_price,
+        |  ROUND(MAX(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

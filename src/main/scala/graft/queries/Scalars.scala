@@ -96,7 +96,23 @@ object Scalars {
         get_json_object(col("props"), "$.missing").as("kmiss"))
       .orderBy(col("event_id"))
 
+  /** Conditional expressions: CASE, coalesce, nullif, least/greatest. */
+  def scalarConditional(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 250000.0, lit("high"))
+          .when(col("o_totalprice") > 100000.0, lit("mid"))
+          .otherwise(lit("low")).as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+          .as("status_or_open"),
+        least(col("o_totalprice"), lit(200000.0)).as("capped"),
+        greatest(col("o_custkey"), lit(100L)).as("floored"),
+        (col("o_orderpriority") === "1-URGENT").as("is_urgent"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_conditional" -> (scalarConditional _),
     "scalar_string" -> (scalarString _),
     "scalar_date" -> (scalarDate _),
     "scalar_math" -> (scalarMath _),
@@ -106,6 +122,16 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "scalar_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 250000.0 THEN 'high'
+        |       WHEN o_totalprice > 100000.0 THEN 'mid'
+        |       ELSE 'low' END AS bucket,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  LEAST(o_totalprice, 200000.0) AS capped,
+        |  GREATEST(o_custkey, 100) AS floored,
+        |  o_orderpriority = '1-URGENT' AS is_urgent
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scalar_string" ->
       """SELECT c_custkey,
         |  lower(c_name) AS lo,

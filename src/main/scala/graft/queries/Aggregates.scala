@@ -102,6 +102,28 @@ object Aggregates {
         round(max(col("l_extendedprice")), 2).as("max_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot: one output column per l_linestatus value. The value list is
+    * given explicitly — at scale an implicit pivot adds a distinct-value
+    * job; explicit values keep it a single pass. */
+  def aggPivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact percentiles (linear interpolation — same definition as
+    * DuckDB's quantile_cont). */
+  def aggPercentile(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+      .orderBy(col("o_orderpriority"))
+
   /** HLL sketch — approximate, no oracle (rows-only check). */
   def aggApproxDistinctHll(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -118,6 +140,8 @@ object Aggregates {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_collect" -> (aggCollect _),
     "agg_stats" -> (aggStats _),
+    "agg_pivot" -> (aggPivot _),
+    "agg_percentile" -> (aggPercentile _),
     "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
   )
 
@@ -172,6 +196,17 @@ object Aggregates {
         |  ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qd,
         |  ROUND(MIN(l_extendedprice), 2) AS min_price,
         |  ROUND(MAX(l_extendedprice), 2) AS max_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        |  ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+        |  ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        |  ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

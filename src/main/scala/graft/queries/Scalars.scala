@@ -111,7 +111,17 @@ object Scalars {
         (col("o_orderpriority") === "1-URGENT").as("is_urgent"))
       .orderBy(col("o_orderkey"))
 
+  /** Hash functions shared with DuckDB (md5, sha256 hex). */
+  def scalarHash(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("h_md5"),
+        sha2(col("text").cast("binary"), 256).as("h_sha256"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_hash" -> (scalarHash _),
     "scalar_conditional" -> (scalarConditional _),
     "scalar_string" -> (scalarString _),
     "scalar_date" -> (scalarDate _),
@@ -122,6 +132,11 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "scalar_hash" ->
+      """SELECT doc_id,
+        |  md5(text) AS h_md5,
+        |  sha256(text) AS h_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "scalar_conditional" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 250000.0 THEN 'high'

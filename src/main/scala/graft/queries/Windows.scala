@@ -87,7 +87,22 @@ object Windows {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Distribution functions: percent_rank / cume_dist (exact ratios of
+    * ints → bit-identical doubles in both engines). */
+  def windowDistribution(s: SparkSession, d: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderpriority"),
+        round(percent_rank().over(byPrice), 6).as("pr"),
+        round(cume_dist().over(byPrice), 6).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_distribution" -> (windowDistribution _),
     "window_rank" -> (windowRank _),
     "window_analytic" -> (windowAnalytic _),
     "window_frame_running" -> (windowFrameRunning _),
@@ -95,6 +110,14 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_distribution" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
     "window_rank" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey

@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Aggregates.queries ++
       graft.queries.Windows.queries ++
       graft.queries.SortsSets.queries ++
+      graft.queries.Subqueries.queries ++
       graft.queries.Scalars.queries ++
       graft.queries.IngestQueries.queries ++
       graft.llm.Dedup.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       graft.queries.Aggregates.oracles ++
       graft.queries.Windows.oracles ++
       graft.queries.SortsSets.oracles ++
+      graft.queries.Subqueries.oracles ++
       graft.queries.Scalars.oracles ++
       graft.queries.IngestQueries.oracles ++
       graft.llm.Dedup.oracles ++

@@ -4,6 +4,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
+/** Typed row for the Dataset-API aggregation (compile-time field
+  * checks; the Encoder keeps execution in Tungsten rows). */
+case class LineSlice(l_returnflag: String, l_quantity: Double,
+    l_extendedprice: Double)
+
+/** Typed Aggregator recipe (SURVEY.md §2.2 "UDF/UDAF surface"):
+  * `org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT]` with
+  * explicit encoders — partial (reduce) + merge shape means map-side
+  * combine works exactly like built-in aggregates. */
+object TypedAggs {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  import org.apache.spark.sql.expressions.Aggregator
+
+  val sumQty: Aggregator[LineSlice, Double, Double] =
+    new Aggregator[LineSlice, Double, Double] {
+      def zero: Double = 0.0
+      def reduce(b: Double, a: LineSlice): Double = b + a.l_quantity
+      def merge(x: Double, y: Double): Double = x + y
+      def finish(r: Double): Double = r
+      def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
+  val avgPrice: Aggregator[LineSlice, (Double, Long), Double] =
+    new Aggregator[LineSlice, (Double, Long), Double] {
+      def zero: (Double, Long) = (0.0, 0L)
+      def reduce(b: (Double, Long), a: LineSlice): (Double, Long) =
+        (b._1 + a.l_extendedprice, b._2 + 1)
+      def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+        (x._1 + y._1, x._2 + y._2)
+      def finish(r: (Double, Long)): Double = r._1 / r._2
+      def bufferEncoder: Encoder[(Double, Long)] =
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+}
+
 /** Aggregation surface (SURVEY.md §2.2 "Aggregations"). The reference only
   * merges rows per routing group and records a `row_count`
   * (reference src/function_app.py:344-379); the relational aggregate
@@ -124,6 +161,24 @@ object Aggregates {
         round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
       .orderBy(col("o_orderpriority"))
 
+  /** Typed Dataset[T] aggregation: groupByKey over a case class with
+    * typed aggregators — same physical plan as the untyped version
+    * (hash aggregate, partial+final), with compile-time field safety. */
+  def aggTypedDataset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .as[LineSlice]
+      .groupByKey(_.l_returnflag)
+      .agg(
+        TypedAggs.sumQty.toColumn.name("sum_qty"),
+        TypedAggs.avgPrice.toColumn.name("avg_price"))
+      .select(col("key").as("l_returnflag"),
+        round(col("sum_qty"), 2).as("sum_qty"),
+        round(col("avg_price"), 2).as("avg_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** HLL sketch — approximate, no oracle (rows-only check). */
   def aggApproxDistinctHll(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -142,6 +197,7 @@ object Aggregates {
     "agg_stats" -> (aggStats _),
     "agg_pivot" -> (aggPivot _),
     "agg_percentile" -> (aggPercentile _),
+    "agg_typed_dataset" -> (aggTypedDataset _),
     "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
   )
 
@@ -207,6 +263,11 @@ object Aggregates {
         |  ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
         |  ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
         |  ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_typed_dataset" ->
+      """SELECT l_returnflag,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(AVG(l_extendedprice), 2) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

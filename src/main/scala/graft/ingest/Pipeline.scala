@@ -45,12 +45,18 @@ object Pipeline {
     parseEnvelopes(raw).as[Envelope]
   }
 
+  /** `includeMeta` adds the reference's parquet key/value metadata
+    * (kind, source_db, table, folder — src/function_app.py:390-399,
+    * 405-413) as ordinary queryable columns instead of file metadata
+    * (deviation SURVEY.md §7.4(a): columns survive engine migrations and
+    * allow pruning; row_count/batch_number are derivable per file). */
   case class IngestConfig(
       outDir: String,
       destinationFallback: String = "landing",
       maxRecordsPerFile: Int = 2000,
       compression: String = "snappy",
-      messageType: Option[String] = None)
+      messageType: Option[String] = None,
+      includeMeta: Boolean = false)
 
   case class RouteResult(folder: String, sourceDb: String, table: String,
       rows: Long, kind: String)
@@ -152,7 +158,10 @@ object Pipeline {
             Right(RouteResult(folder, db, table, 0L, "empty"))
           } else {
             val kind = halves.map(_._1).distinct.sorted.mkString("+")
-            val out = Normalize.mergeColumnars(halves.map(_._2)).cache()
+            val merged = Normalize.mergeColumnars(halves.map(_._2))
+            val out = (if (cfg.includeMeta)
+                merged.withColumn("_kind", lit(kind))
+              else merged).cache()
             try {
               val n = out.count()
               val path = s"${cfg.outDir}/folder=$folder/source_db=$db/table=$table"

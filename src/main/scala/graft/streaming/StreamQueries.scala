@@ -148,6 +148,32 @@ object StreamQueries {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Custom keyed state via flatMapGroupsWithState: a per-user running
+    * event counter held in the state store (the API for state Spark's
+    * built-in windows can't express). Each micro-batch emits the updated
+    * count per touched key; with AvailableNow over the staged input the
+    * final emission per key equals the total — which the batch oracle
+    * replays as a plain GROUP BY count. */
+  def streamStatefulCounter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val counts = eventsStream(s, d)
+      .select(col("user_id").as[Long])
+      .groupByKey(identity)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((user, n))
+      }
+      .toDF("user_id", "n_events")
+    runToMemory(s, counts, "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** The reference's whole data plane as a stream: envelope text files →
     * foreachBatch(Pipeline.ingest) → routed parquet, summarized. */
   def streamIngestPipeline(s: SparkSession, d: String): DataFrame = {
@@ -190,6 +216,7 @@ object StreamQueries {
     "stream_session_window" -> (streamSessionWindow _),
     "stream_watermark_late" -> (streamWatermarkLate _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
+    "stream_stateful_counter" -> (streamStatefulCounter _),
     "stream_ingest_pipeline" -> (streamIngestPipeline _)
   )
 
@@ -205,6 +232,9 @@ object StreamQueries {
         |      FROM events, range(4) t(k))
         |WHERE ts >= ws AND ts < ws + INTERVAL 60 MINUTE
         |GROUP BY ws ORDER BY ws""".stripMargin,
+    "stream_stateful_counter" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_session_window" ->
       """WITH o AS (
         |  SELECT user_id, ts,

@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.SortsSets.queries ++
       graft.queries.Subqueries.queries ++
       graft.queries.Scalars.queries ++
+      graft.queries.SourceFormats.queries ++
       graft.queries.IngestQueries.queries ++
       graft.llm.Dedup.queries ++
       graft.llm.Similarity.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.queries.SortsSets.oracles ++
       graft.queries.Subqueries.oracles ++
       graft.queries.Scalars.oracles ++
+      graft.queries.SourceFormats.oracles ++
       graft.queries.IngestQueries.oracles ++
       graft.llm.Dedup.oracles ++
       graft.llm.Similarity.oracles ++

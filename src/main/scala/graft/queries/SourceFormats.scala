@@ -1,0 +1,73 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Source-format coverage (SURVEY.md §2.2 "Scans / sources / sinks"):
+  * the engine reads/writes parquet natively everywhere; these queries
+  * prove the CSV, JSON and ORC paths round-trip the same relational
+  * data — write a projected subset, read it back through the format,
+  * and let the DuckDB oracle check the result against the original
+  * parquet. (JDBC is documented-only: no database exists in the offline
+  * container.)
+  *
+  * Scale notes: CSV/JSON are row formats — splittable but not columnar;
+  * at 100 TB they are landing formats only, converted to
+  * partitioned parquet on ingest (exactly what Pipeline.ingest does).
+  * ORC is columnar with pushdown/pruning like parquet.
+  */
+object SourceFormats {
+
+  private def subset(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_totalprice") > 200000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+
+  private def roundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
+    val dir = Files.createTempDirectory(s"graft_src_$fmt").toString
+    val sub = subset(s, d)
+    val w = sub.write.mode("overwrite")
+    (fmt match {
+      case "csv" => w.option("header", "true")
+      case _ => w
+    }).format(fmt).save(dir)
+    val r = s.read
+    (fmt match {
+      // schema pinned explicitly — inference is a second full read
+      case "csv" => r.option("header", "true").schema(sub.schema)
+      case "json" => r.schema(sub.schema)
+      case _ => r
+    }).format(fmt).load(dir)
+      .orderBy(col("o_orderkey"))
+  }
+
+  def sourceCsvRoundtrip(s: SparkSession, d: String): DataFrame =
+    roundtrip(s, d, "csv")
+
+  def sourceJsonRoundtrip(s: SparkSession, d: String): DataFrame =
+    roundtrip(s, d, "json")
+
+  def sourceOrcRoundtrip(s: SparkSession, d: String): DataFrame =
+    roundtrip(s, d, "orc")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
+    "source_json_roundtrip" -> (sourceJsonRoundtrip _),
+    "source_orc_roundtrip" -> (sourceOrcRoundtrip _)
+  )
+
+  private val oracle =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_totalprice > 200000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "source_csv_roundtrip" -> oracle,
+    "source_json_roundtrip" -> oracle,
+    "source_orc_roundtrip" -> oracle
+  )
+}

@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Windows.queries ++
       graft.queries.SortsSets.queries ++
       graft.queries.Subqueries.queries ++
+      graft.queries.Composite.queries ++
       graft.queries.Scalars.queries ++
       graft.queries.SourceFormats.queries ++
       graft.queries.IngestQueries.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.queries.Windows.oracles ++
       graft.queries.SortsSets.oracles ++
       graft.queries.Subqueries.oracles ++
+      graft.queries.Composite.oracles ++
       graft.queries.Scalars.oracles ++
       graft.queries.SourceFormats.oracles ++
       graft.queries.IngestQueries.oracles ++

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Composite analytical queries — TPC-H Q3/Q5 shapes over the fixture
+  * star schema. These are the realistic multi-join workloads the
+  * relational surface exists for; Catalyst reorders the joins, picks
+  * broadcast for the dimension chain (nation/region), and sort-merge or
+  * shuffled-hash for the fact⋈fact edges, with AQE re-planning at
+  * runtime. The bench headline lives here.
+  */
+object Composite {
+
+  /** Q3 shape: revenue of building-segment orders not yet shipped at
+    * the cutoff, top 20 by revenue. */
+  def compositeTpchQ3(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1997-06-01").cast("timestamp")
+    val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, d, "orders").filter(col("o_orderdate") < cutoff)
+    val l = t(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("l_orderkey"), col("odate"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
+  /** Q5 shape: local-supplier revenue per nation within one region. */
+  def compositeTpchQ5(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders")
+    val l = t(s, d, "lineitem")
+    val su = t(s, d, "supplier")
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "composite_tpch_q3" -> (compositeTpchQ3 _),
+    "composite_tpch_q5" -> (compositeTpchQ5 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "composite_tpch_q3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+    "composite_tpch_q5" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

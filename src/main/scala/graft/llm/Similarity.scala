@@ -54,8 +54,11 @@ object Similarity {
   def simSearchIvf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // nProbe=k/2: the fixture embeddings are isotropic random (no
+    // cluster structure), where IVF recall degrades fast with few
+    // probes; real embedding corpora cluster and probe fewer cells
     val k = 16
-    val nProbe = 4
+    val nProbe = 8
     val e = t(s, d, "embeddings")
       .withColumn("features", array_to_vector(col("embedding")))
       .cache()

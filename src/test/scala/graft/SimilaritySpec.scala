@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+
+/** Quality bound for the approximate similarity path: IVF with
+  * nProbe=4 of k=16 cells must recover most of the exact top-10
+  * (recall floor chosen loosely — the point is catching a broken
+  * quantizer, not tuning the index on fixtures). */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("IVF top-10 recall vs exact brute force >= 0.5") {
+    val exact = Similarity.simSearchTopk(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.simSearchIvf(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall (got $approx vs $exact)")
+  }
+
+  test("exact top-k cosine values are sorted and within [-1, 1]") {
+    val cos = Similarity.simSearchTopk(spark, sf)
+      .select("cos").collect().map(_.getDouble(0))
+    assert(cos.forall(c => c >= -1.0 && c <= 1.0))
+    assert(cos.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+}

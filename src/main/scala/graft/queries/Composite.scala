@@ -50,9 +50,25 @@ object Composite {
       .orderBy(col("n_name"))
   }
 
+  /** Brand revenue: lineitem⋈part (the part dimension broadcast),
+    * grouped by brand — completes fixture-table coverage. */
+  def compositePartRevenue(s: SparkSession, d: String): DataFrame = {
+    val l = t(s, d, "lineitem")
+    val p = t(s, d, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"),
+        round(avg(col("p_retailprice")), 2).as("avg_retail"))
+      .orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "composite_tpch_q3" -> (compositeTpchQ3 _),
-    "composite_tpch_q5" -> (compositeTpchQ5 _)
+    "composite_tpch_q5" -> (compositeTpchQ5 _),
+    "composite_part_revenue" -> (compositePartRevenue _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -77,6 +93,13 @@ object Composite {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "composite_part_revenue" ->
+      """SELECT p_brand,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  COUNT(*) AS n_lines,
+        |  ROUND(AVG(p_retailprice), 2) AS avg_retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }

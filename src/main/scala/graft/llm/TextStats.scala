@@ -89,7 +89,19 @@ object TextStats {
           .as("max_tok_md5"))
       .orderBy(col("doc_id"))
 
+  /** Edit distance between the actual source tag and a derived guess —
+    * levenshtein exists natively in both engines. */
+  def textEditDistance(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("guess", concat(lit("src"), (col("doc_id") % 20).cast("string")))
+      .select(
+        col("doc_id"), col("source"), col("guess"),
+        levenshtein(col("source"), col("guess")).as("lev"),
+        (col("source") === col("guess")).as("exact"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_edit_distance" -> (textEditDistance _),
     "text_stats" -> (textStats _),
     "text_lang_id" -> (textLangId _),
     "text_quality_score" -> (textQualityScore _),
@@ -98,6 +110,13 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_edit_distance" ->
+      """SELECT doc_id, source,
+        |  'src' || CAST(doc_id % 20 AS VARCHAR) AS guess,
+        |  CAST(levenshtein(source, 'src' || CAST(doc_id % 20 AS VARCHAR))
+        |       AS INTEGER) AS lev,
+        |  source = 'src' || CAST(doc_id % 20 AS VARCHAR) AS exact
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id, lang,
          |  CAST(length(text) AS INTEGER) AS n_chars_c,

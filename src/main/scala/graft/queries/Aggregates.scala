@@ -179,6 +179,20 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** UNPIVOT (melt): wide per-priority metrics back to long form. */
+  def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"),
+        count(lit(1)).cast("double").as("cnt"))
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("sum_price"), col("avg_price"), col("cnt")),
+        "metric", "value")
+      .orderBy(col("o_orderpriority"), col("metric"))
+
   /** HLL sketch — approximate, no oracle (rows-only check). */
   def aggApproxDistinctHll(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -198,6 +212,7 @@ object Aggregates {
     "agg_pivot" -> (aggPivot _),
     "agg_percentile" -> (aggPercentile _),
     "agg_typed_dataset" -> (aggTypedDataset _),
+    "agg_unpivot" -> (aggUnpivot _),
     "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
   )
 
@@ -264,6 +279,20 @@ object Aggregates {
         |  ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
         |  ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority,
+        |    ROUND(SUM(o_totalprice), 2) AS sum_price,
+        |    ROUND(AVG(o_totalprice), 2) AS avg_price,
+        |    CAST(COUNT(*) AS DOUBLE) AS cnt
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, metric, value FROM (
+        |  SELECT o_orderpriority, 'sum_price' AS metric, sum_price AS value FROM w
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'avg_price', avg_price FROM w
+        |  UNION ALL
+        |  SELECT o_orderpriority, 'cnt', cnt FROM w) u
+        |ORDER BY o_orderpriority, metric""".stripMargin,
     "agg_typed_dataset" ->
       """SELECT l_returnflag,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -85,9 +85,70 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  /** Signed-random-projection (hyperplane) LSH signature for one table:
+    * `bits` sign bits of the embedding projected onto pseudo-random
+    * Rademacher (±1) hyperplanes, packed into a long bucket id. The
+    * hyperplane entries come from `xxhash64(table, bit, dim-index)` —
+    * fully deterministic, no driver-side randomness, and the whole
+    * signature is one codegen'd expression over the array column. */
+  def srpBucket(vec: Column, table: Int, bits: Int): Column = {
+    val bitCols = (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(
+          vec,
+          transform(vec, (_, j) =>
+            when(pmod(xxhash64(lit(table), lit(b), j), lit(2)) === 0, lit(1.0))
+              .otherwise(lit(-1.0))),
+          (u, sgn) => u.cast("double") * sgn),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a + b)
+  }
+
+  /** LSH-bucketed approximate cosine top-k (the scale path alongside
+    * IVF): L hash tables of `bits` hyperplane sign bits each; a corpus
+    * vector is a candidate iff it collides with the probe in at least
+    * one table. Only candidate buckets are brute-forced.
+    *
+    * Scale shape: signatures are a narrow projection computed once (at
+    * 100 TB: persisted alongside the corpus, one column per table,
+    * partitioned/bucketed by signature so a query reads only its L
+    * buckets). Here the candidate filter is `bucket_i IN (probe_i…)`
+    * pushed into the scan — no shuffle of the corpus, no pairwise
+    * explosion. No oracle — approximate by construction (deterministic
+    * rows; recall asserted against the exact top-k in SimilaritySpec). */
+  def simSearchLsh(s: SparkSession, d: String): DataFrame = {
+    // Recall per neighbor with collision prob p = 1-θ/π per bit:
+    // 1-(1-p^bits)^L. The fixture embeddings are isotropic random (the
+    // LSH worst case — true neighbors sit near θ≈π/2, p≈0.55), so short
+    // signatures and many tables; clustered real corpora support
+    // bits≈16+ with far fewer candidates per bucket.
+    val L = 8
+    val bits = 4
+    val e = t(s, d, "embeddings")
+    val sigs = (0 until L).map(i => srpBucket(col("embedding"), i, bits).as(s"h$i"))
+    val probeRow = e.filter(col("vec_id") === 0)
+      .select(sigs: _*).head()
+    val probeBuckets = (0 until L).map(probeRow.getLong)
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val candidate = (0 until L)
+      .map(i => srpBucket(col("embedding"), i, bits) === probeBuckets(i))
+      .reduce(_ || _)
+    e.filter(col("vec_id") =!= 0)
+      .filter(candidate)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("probe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_search_topk" -> (simSearchTopk _),
-    "sim_search_ivf" -> (simSearchIvf _)
+    "sim_search_ivf" -> (simSearchIvf _),
+    "sim_search_lsh" -> (simSearchLsh _)
   )
 
   val oracles: Map[String, String] = Map(

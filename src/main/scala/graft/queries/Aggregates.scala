@@ -193,6 +193,37 @@ object Aggregates {
         "metric", "value")
       .orderBy(col("o_orderpriority"), col("metric"))
 
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor) — one long of
+    * state per group regardless of input size; partial+final combine
+    * like any hash aggregate. */
+  def aggBitwise(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        bit_and(col("o_orderkey")).as("ba"),
+        bit_or(col("o_orderkey")).as("bo"),
+        bit_xor(col("o_orderkey")).as("bx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Fixed-width histogram: the bucket id is a pure projection, so the
+    * plan is scan → map → hash agg — one shuffle carrying |buckets|
+    * rows. At 100 TB this is the histogram recipe that works (never
+    * sort, never window); bounds chosen ahead of time or from a cheap
+    * approx min/max pre-pass. */
+  def aggHistogram(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(
+        least(floor(col("o_totalprice") / 50000.0), lit(11.0))
+          .cast("int").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bucket"))
+
   /** HLL sketch — approximate, no oracle (rows-only check). */
   def aggApproxDistinctHll(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -213,10 +244,27 @@ object Aggregates {
     "agg_percentile" -> (aggPercentile _),
     "agg_typed_dataset" -> (aggTypedDataset _),
     "agg_unpivot" -> (aggUnpivot _),
+    "agg_bitwise" -> (aggBitwise _),
+    "agg_histogram" -> (aggHistogram _),
     "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_bitwise" ->
+      """SELECT o_orderpriority,
+        |  bit_and(o_orderkey) AS ba,
+        |  bit_or(o_orderkey) AS bo,
+        |  bit_xor(o_orderkey) AS bx,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11) AS INTEGER)
+        |    AS bucket,
+        |  count(*) AS n,
+        |  ROUND(MIN(o_totalprice), 2) AS lo,
+        |  ROUND(MAX(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "agg_hash_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         |       ROUND(SUM(l_quantity), 2) AS sum_qty,

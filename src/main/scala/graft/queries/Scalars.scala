@@ -111,6 +111,40 @@ object Scalars {
         (col("o_orderpriority") === "1-URGENT").as("is_urgent"))
       .orderBy(col("o_orderkey"))
 
+  /** Struct (nested record) surface: creation, field access, nested
+    * access, equality, struct-in-array element access. Structs are
+    * Catalyst-native (no shredding cost — parquet stores them as nested
+    * groups with per-field column pruning at scale). */
+  def scalarStruct(s: SparkSession, d: String): DataFrame = {
+    val o = struct(col("o_custkey").as("ck"), col("o_totalprice").as("tp"))
+    val nested = struct(o.as("inner"), col("o_orderstatus").as("st"))
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        o.getField("tp").as("tp"),
+        nested.getField("inner").getField("ck").as("ck"),
+        nested.getField("st").as("st"),
+        (struct(lit(1).as("a"), lit(2).as("b")) ===
+          struct(lit(1).as("a"), lit(2).as("b"))).as("eq"),
+        element_at(array(struct(col("o_custkey").as("k"))), 1)
+          .getField("k").as("arr_k"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Bitwise scalar surface: AND/OR/XOR/NOT, shifts, popcount. */
+  def scalarBitwise(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("bor"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+        shiftleft(col("o_orderkey"), 3).as("shl"),
+        shiftright(col("o_orderkey"), 2).as("shr"),
+        bit_count(col("o_orderkey")).as("bc"),
+        bitwise_not(col("o_orderkey")).as("bnot"))
+      .orderBy(col("o_orderkey"))
+
   /** Hash functions shared with DuckDB (md5, sha256 hex). */
   def scalarHash(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -122,6 +156,8 @@ object Scalars {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scalar_hash" -> (scalarHash _),
+    "scalar_struct" -> (scalarStruct _),
+    "scalar_bitwise" -> (scalarBitwise _),
     "scalar_conditional" -> (scalarConditional _),
     "scalar_string" -> (scalarString _),
     "scalar_date" -> (scalarDate _),
@@ -137,6 +173,25 @@ object Scalars {
         |  md5(text) AS h_md5,
         |  sha256(text) AS h_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "scalar_struct" ->
+      """SELECT o_orderkey,
+        |  (struct_pack(ck := o_custkey, tp := o_totalprice)).tp AS tp,
+        |  (struct_pack(inner := struct_pack(ck := o_custkey),
+        |               st := o_orderstatus)).inner.ck AS ck,
+        |  o_orderstatus AS st,
+        |  struct_pack(a := 1, b := 2) = struct_pack(a := 1, b := 2) AS eq,
+        |  ([struct_pack(k := o_custkey)])[1].k AS arr_k
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band,
+        |  o_orderkey | 4096 AS bor,
+        |  xor(o_orderkey, o_custkey) AS bxor,
+        |  o_orderkey << 3 AS shl,
+        |  o_orderkey >> 2 AS shr,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS bc,
+        |  ~o_orderkey AS bnot
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scalar_conditional" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 250000.0 THEN 'high'

@@ -101,7 +101,28 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** IGNORE NULLS variants of lag / last_value (gap-filling /
+    * last-observation-carried-forward — the standard sensor-stream
+    * downsample trick). Nulls are injected deterministically
+    * (event_type='view' masks the reading); ordering key (ts, event_id)
+    * is unique so the carried value is well-defined. */
+  def windowIgnoreNulls(s: SparkSession, d: String): DataFrame = {
+    val v = when(col("event_type") === "view", lit(null)
+      .cast("double")).otherwise(col("value"))
+    val hist = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val run = hist.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        lag(v, 1, null, ignoreNulls = true).over(hist).as("prev_nn"),
+        last(v, ignoreNulls = true).over(run).as("locf"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_ignore_nulls" -> (windowIgnoreNulls _),
     "window_distribution" -> (windowDistribution _),
     "window_rank" -> (windowRank _),
     "window_analytic" -> (windowAnalytic _),
@@ -110,6 +131,17 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_ignore_nulls" ->
+      """SELECT event_id, user_id,
+        |  LAG(CASE WHEN event_type = 'view' THEN NULL ELSE value END
+        |      IGNORE NULLS) OVER w AS prev_nn,
+        |  LAST_VALUE(CASE WHEN event_type = 'view' THEN NULL ELSE value END
+        |      IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
     "window_distribution" ->
       """SELECT o_orderkey, o_orderpriority,
         |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,

@@ -21,6 +21,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall (got $approx vs $exact)")
   }
 
+  test("LSH top-10 recall vs exact brute force >= 0.5 and is deterministic") {
+    val exact = Similarity.simSearchTopk(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val approx = Similarity.simSearchLsh(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall (got $approx vs $exact)")
+    val again = Similarity.simSearchLsh(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(approx == again, "LSH candidate set must be deterministic")
+  }
+
+  test("LSH bucket ids stay within [0, 2^bits)") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.t(spark, sf, "embeddings")
+      .select(Similarity.srpBucket(col("embedding"), 0, 8).as("h"))
+    val range = e.agg(
+      org.apache.spark.sql.functions.min("h"),
+      org.apache.spark.sql.functions.max("h")).head()
+    assert(range.getLong(0) >= 0L && range.getLong(1) < 256L)
+  }
+
   test("exact top-k cosine values are sorted and within [-1, 1]") {
     val cos = Similarity.simSearchTopk(spark, sf)
       .select("cos").collect().map(_.getDouble(0))

@@ -22,6 +22,12 @@ import graft.Tables.t
   * pruning without touching payload bytes (columnar projection means a
   * metadata-only query never reads the blobs).
   */
+/** Typed rows for the partition-batch decode path (top-level so the
+  * product encoders resolve). */
+final case class MediaPayload(doc_id: Long, payload: Array[Byte])
+final case class ResizedMedia(doc_id: Long, n_bytes: Int,
+    resized_bytes: Int, thumb_md5: String)
+
 object Multimodal {
 
   /** Deterministic fake "decoder" — stands in for image/audio decode.
@@ -52,11 +58,78 @@ object Multimodal {
         col("features.fake_height").as("fake_height"))
       .orderBy(col("doc_id"))
 
+  /** "Resize" via the partition-batch UDF shape (`mapPartitions` over a
+    * typed Dataset — the Scala analogue of `mapInPandas`): expensive
+    * per-partition init (here a MessageDigest; in a real deployment the
+    * codec/model load) happens once per partition, then a streaming map
+    * over the rows. The stub "resize" truncates the payload to a 64-byte
+    * thumbnail; a real impl swaps the body behind the same
+    * binary-in → (dims, bytes, digest)-out contract. Fully
+    * deterministic, so it IS oracle-able (fixture payloads are ASCII:
+    * DuckDB's char ops see the same bytes). */
+  def multimodalResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaPayload]
+      .mapPartitions { it =>
+        // per-partition init — the codec-load analogue
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { m =>
+          val k = math.min(64, m.payload.length)
+          val thumb = java.util.Arrays.copyOfRange(m.payload, 0, k)
+          val hex = md.digest(thumb).map("%02x".format(_)).mkString
+          ResizedMedia(m.doc_id, m.payload.length, k, hex)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling: treat the binary payload as fixed-width 32-byte
+    * frames, keep every 2nd frame, one output row per sampled frame.
+    * Pure generator shape — sequence → explode → per-frame digest, all
+    * codegen'd expressions; no UDF, no driver loop. At 100 TB the
+    * explode fans out inside the scan stage (no shuffle) and the
+    * per-frame rows flow straight into whatever consumer follows. */
+  def multimodalFrameSample(s: SparkSession, d: String): DataFrame = {
+    val payload = col("payload")
+    val nFrames = ceil(octet_length(payload) / lit(32.0)).cast("long")
+    val idxs = when(octet_length(payload) > lit(0),
+      sequence(lit(0L), nFrames - 1, lit(2L)))
+      .otherwise(array().cast("array<bigint>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), payload,
+        explode(idxs).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(payload.substr((col("frame_idx") * 32 + 1).cast("int"),
+          lit(32))).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_columns" -> (multimodalColumns _)
+    "multimodal_columns" -> (multimodalColumns _),
+    "multimodal_resize" -> (multimodalResize _),
+    "multimodal_frame_sample" -> (multimodalFrameSample _)
   )
 
-  /** crc32 exists in both engines? DuckDB lacks crc32 — no oracle;
-    * rows-only check. */
-  val oracles: Map[String, String] = Map.empty
+  /** multimodal_columns uses crc32, which DuckDB lacks — rows-only
+    * check. The resize/frame-sample stubs are md5-based and fixture
+    * payloads are ASCII (char ops = byte ops), so both are oracled. */
+  val oracles: Map[String, String] = Map(
+    "multimodal_resize" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_bytes,
+        |  CAST(LEAST(length(text), 64) AS INTEGER) AS resized_bytes,
+        |  md5(substring(text, 1, 64)) AS thumb_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      """SELECT doc_id, f AS frame_idx,
+        |  md5(substring(text, CAST(f * 32 + 1 AS INTEGER), 32))
+        |    AS frame_md5
+        |FROM documents, LATERAL unnest(
+        |  range(0, CAST(ceil(length(text) / 32.0) AS BIGINT), 2)) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Multimodal
+
+/** The multimodal stubs' contracts: the partition-batch resize path
+  * (mapPartitions) preserves row count and honors the 64-byte thumbnail
+  * budget; frame sampling emits exactly every 2nd 32-byte frame. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("resize is row-preserving and bounded by the thumbnail budget") {
+    val docs = Tables.t(spark, sf, "documents")
+    val out = Multimodal.multimodalResize(spark, sf).collect()
+    assert(out.length == docs.count())
+    assert(out.forall { r =>
+      val n = r.getAs[Int]("n_bytes")
+      val k = r.getAs[Int]("resized_bytes")
+      k == math.min(64, n) && r.getAs[String]("thumb_md5").length == 32
+    })
+  }
+
+  test("frame sample emits ceil(frames/2) rows per doc with in-range indexes") {
+    import org.apache.spark.sql.functions._
+    val perDoc = Multimodal.multimodalFrameSample(spark, sf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("frame_idx").as("max_idx"))
+    val expect = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        ceil(octet_length(col("text").cast("binary")) / lit(32.0))
+          .cast("long").as("nf"))
+    val bad = perDoc.join(expect, "doc_id")
+      .filter(col("n") =!= ceil(col("nf") / lit(2.0)).cast("long") ||
+        col("max_idx") >= col("nf"))
+      .count()
+    assert(bad == 0L)
+  }
+}

@@ -110,8 +110,16 @@ object Pipeline {
 
   /** Full batch ingest: returns what was written where. Failures are
     * isolated per route (reference :416-417) — one bad group never stops
-    * the others. */
-  def ingest(spark: SparkSession, rawBodies: DataFrame, cfg: IngestConfig): IngestReport = {
+    * the others.
+    *
+    * `registry`: optional per-route schema cache ([[SchemaRegistry]]).
+    * Without it every (route, shape) subset pays a full inference scan
+    * per batch (the reference's per-invocation dynamic schema); with it,
+    * steady-state batches run a bounded sample check only, and full
+    * re-inference happens on first sight and on drift. The streaming
+    * wrapper passes one registry across all micro-batches. */
+  def ingest(spark: SparkSession, rawBodies: DataFrame, cfg: IngestConfig,
+      registry: Option[SchemaRegistry] = None): IngestReport = {
     import spark.implicits._
     val decoded = withShape(
       decodeAndRoute(parseEnvelopes(rawBodies), cfg)
@@ -142,8 +150,15 @@ object Pipeline {
             val payloads = group.filter(col("shape") === shape)
               .select("payload_str").as[String]
             // Schema inference per route per shape per batch — the
-            // reference's dynamic first-seen schema (:203-207).
-            val parsed = spark.read.json(payloads)
+            // reference's dynamic first-seen schema (:203-207). With a
+            // registry, the cached schema replaces the full-data scan.
+            val parsed = registry match {
+              case Some(reg) =>
+                val schema = reg.schemaFor(spark,
+                  (folder, db, table, shape), payloads)
+                spark.read.schema(schema).json(payloads)
+              case None => spark.read.json(payloads)
+            }
             val dataFields = parsed.schema.fields.filter(_.name != "_corrupt_record")
             if (dataFields.isEmpty) None // non-JSON payloads dropped (:290-292)
             else {

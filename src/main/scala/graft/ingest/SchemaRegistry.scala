@@ -1,0 +1,111 @@
+package graft.ingest
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Per-(route, shape) inferred-schema cache for the ingest pipeline.
+  *
+  * The reference re-discovers every payload's schema on every invocation
+  * (first-seen column order, reference src/function_app.py:203-207) —
+  * fine at one event per call, hostile at scale: `spark.read.json`
+  * inference double-scans the payload subset per micro-batch. This
+  * registry makes the steady state cheap:
+  *
+  *  - first batch for a route: full inference (exact reference
+  *    semantics), schema cached;
+  *  - later batches: infer over a bounded SAMPLE only; if the sample
+  *    shows nothing the cached schema doesn't already cover, reuse the
+  *    cache — no full-data inference job at all;
+  *  - drift (sampled field missing from the cache, or type changed):
+  *    full re-inference, then field-by-name merge — new fields append,
+  *    conflicting types widen to StringType (the normalize stage
+  *    stringifies everything anyway, SURVEY.md §1.2).
+  *
+  * Tradeoff (documented, not hidden): a new column appearing ONLY in
+  * unsampled rows of a batch is picked up the first batch it reaches the
+  * sample, not necessarily its first batch. Raise `sampleSize` (or set
+  * it huge to force per-batch full inference) where that matters.
+  *
+  * Thread-safe (TrieMap + atomics) — per-route jobs may run from
+  * concurrent foreachBatch workers.
+  */
+final class SchemaRegistry(val sampleSize: Int = 256) {
+
+  type Key = (String, String, String, String) // folder, source_db, table, shape
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[Key, StructType]
+  private val fullInfers = new AtomicLong(0L)
+  private val cacheHits = new AtomicLong(0L)
+
+  /** How often full-data inference ran (first batch + drift only). */
+  def fullInferCount: Long = fullInfers.get()
+
+  /** How often the cached schema was reused with only a sample scan. */
+  def cacheHitCount: Long = cacheHits.get()
+
+  def snapshot: Map[Key, StructType] = cache.toMap
+
+  /** Schema to parse this batch's payloads with. May run zero, one
+    * (sample) or two (sample + full) inference jobs — see class doc. */
+  def schemaFor(spark: SparkSession, key: Key,
+      payloads: Dataset[String]): StructType =
+    cache.get(key) match {
+      case None =>
+        val full = infer(spark, payloads)
+        fullInfers.incrementAndGet()
+        cache.update(key, full)
+        full
+      case Some(cached) =>
+        val sampled = infer(spark, payloads.limit(sampleSize))
+        if (covers(cached, sampled)) {
+          cacheHits.incrementAndGet()
+          cached
+        } else {
+          val full = infer(spark, payloads)
+          fullInfers.incrementAndGet()
+          val merged = mergeStructs(cached, full)
+          cache.update(key, merged)
+          merged
+        }
+    }
+
+  private def infer(spark: SparkSession, payloads: Dataset[String]): StructType =
+    StructType(spark.read.json(payloads).schema.fields
+      .filter(_.name != "_corrupt_record"))
+
+  /** Does `cached` already describe everything `sampled` observed? */
+  private[graft] def covers(cached: DataType, sampled: DataType): Boolean =
+    (cached, sampled) match {
+      case (c: StructType, s: StructType) =>
+        s.fields.forall { sf =>
+          c.fields.find(_.name == sf.name)
+            .exists(cf => covers(cf.dataType, sf.dataType))
+        }
+      case (c: ArrayType, s: ArrayType) => covers(c.elementType, s.elementType)
+      case (StringType, _) => true // string swallows any drifted scalar
+      case (c, s) => c == s
+    }
+
+  /** Field-by-name union; conflicting leaf types widen to StringType. */
+  private[graft] def mergeStructs(a: StructType, b: StructType): StructType = {
+    val aNames = a.fields.map(_.name).toSet
+    val updated = a.fields.map { af =>
+      b.fields.find(_.name == af.name) match {
+        case Some(bf) => StructField(af.name, mergeTypes(af.dataType, bf.dataType))
+        case None => af
+      }
+    }
+    val appended = b.fields.filterNot(f => aNames.contains(f.name))
+    StructType(updated ++ appended)
+  }
+
+  private def mergeTypes(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (x: StructType, y: StructType) => mergeStructs(x, y)
+    case (x: ArrayType, y: ArrayType) =>
+      ArrayType(mergeTypes(x.elementType, y.elementType))
+    case _ => StringType
+  }
+}

@@ -89,6 +89,24 @@ object TextStats {
           .as("max_tok_md5"))
       .orderBy(col("doc_id"))
 
+  /** Karp-Rabin polynomial rolling hash over the token stream
+    * (acc·B + h(token) mod M) — the order-sensitive complement of the
+    * min/max-token fingerprint above: equal only when token SEQUENCES
+    * match, so it catches reorderings that set-style fingerprints miss.
+    * Token hash = first 8 md5 hex digits (portable across engines);
+    * one fold over the split array, single codegen'd stage. */
+  def docRollingHash(s: SparkSession, d: String): DataFrame = {
+    val M = 1000000007L
+    val tokHashes = transform(split(col("text"), " "),
+      tk => conv(substring(md5(tk), 1, 8), 16, 10).cast("long") % M)
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        aggregate(tokHashes, lit(0L),
+          (acc, v) => (acc * 31L + v) % M).as("rh"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit distance between the actual source tag and a derived guess —
     * levenshtein exists natively in both engines. */
   def textEditDistance(s: SparkSession, d: String): DataFrame =
@@ -106,7 +124,8 @@ object TextStats {
     "text_lang_id" -> (textLangId _),
     "text_quality_score" -> (textQualityScore _),
     "text_token_count" -> (textTokenCount _),
-    "doc_fingerprint" -> (docFingerprint _)
+    "doc_fingerprint" -> (docFingerprint _),
+    "doc_rolling_hash" -> (docRollingHash _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -153,6 +172,14 @@ object TextStats {
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
         |       AS INTEGER) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+        |           % 1000000007),
+        |    (acc, v) -> (acc * 31 + v) % 1000000007) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id,

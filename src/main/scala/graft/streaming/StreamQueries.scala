@@ -193,6 +193,9 @@ object StreamQueries {
       "MAX_BATCH_SIZE" -> "2000",
       "PARQUET_COMPRESSION" -> "SNAPPY"))
     val ckpt = Files.createTempDirectory("graft_stream_ingest_ckpt").toString
+    // one registry across all micro-batches: batch N reuses batch N-1's
+    // inferred schema (full inference only on first sight / drift)
+    val registry = new graft.ingest.SchemaRegistry()
     val q = graft.ingest.Sources
       .fileText(s, inDir.toString, maxFilesPerTrigger = Some(1))
       .writeStream
@@ -200,7 +203,7 @@ object StreamQueries {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Pipeline.ingest(s, batch, cfg); ()
+        Pipeline.ingest(s, batch, cfg, Some(registry)); ()
       }
       .start()
     q.awaitTermination()

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+
+import graft.ingest.SchemaRegistry
+
+/** The streaming-ingest schema cache: steady-state batches must reuse
+  * the cached schema (sample scan only), drift must trigger exactly one
+  * full re-inference and widen/append fields. */
+class SchemaRegistrySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ds(rows: String*) = {
+    import spark.implicits._
+    spark.createDataset(rows)
+  }
+
+  private val key = ("f", "db", "t", "rows")
+
+  test("identical batches: one full inference, then cache hits") {
+    val reg = new SchemaRegistry()
+    val s1 = reg.schemaFor(spark, key, ds("""{"a":1,"b":"x"}"""))
+    val s2 = reg.schemaFor(spark, key, ds("""{"a":2,"b":"y"}"""))
+    assert(s1 == s2)
+    assert(reg.fullInferCount == 1)
+    assert(reg.cacheHitCount == 1)
+  }
+
+  test("new field is drift: full re-infer, field appended") {
+    val reg = new SchemaRegistry()
+    reg.schemaFor(spark, key, ds("""{"a":1}"""))
+    val s2 = reg.schemaFor(spark, key, ds("""{"a":1,"c":true}"""))
+    assert(reg.fullInferCount == 2)
+    assert(s2.fieldNames.toSeq == Seq("a", "c"))
+    assert(s2("c").dataType == BooleanType)
+  }
+
+  test("type conflict widens to string; string absorbs later drift") {
+    val reg = new SchemaRegistry()
+    reg.schemaFor(spark, key, ds("""{"a":1}"""))
+    val s2 = reg.schemaFor(spark, key, ds("""{"a":"one"}"""))
+    assert(s2("a").dataType == StringType)
+    // a string field covers any future scalar type — no more drift
+    val full = reg.fullInferCount
+    reg.schemaFor(spark, key, ds("""{"a":3.5}"""))
+    assert(reg.fullInferCount == full)
+  }
+
+  test("covers handles nested structs and arrays") {
+    val reg = new SchemaRegistry()
+    val cached = StructType(Seq(
+      StructField("xs", ArrayType(LongType)),
+      StructField("o", StructType(Seq(StructField("k", StringType))))))
+    val sameShape = StructType(Seq(
+      StructField("o", StructType(Seq(StructField("k", DoubleType))))))
+    assert(reg.covers(cached, StructType(cached.fields.take(1))))
+    assert(reg.covers(cached, sameShape)) // string leaf absorbs double
+    val drifted = StructType(Seq(
+      StructField("o", StructType(Seq(StructField("new", LongType))))))
+    assert(!reg.covers(cached, drifted))
+  }
+
+  test("registry keys are independent per route and shape") {
+    val reg = new SchemaRegistry()
+    reg.schemaFor(spark, ("f", "db", "t1", "rows"), ds("""{"a":1}"""))
+    reg.schemaFor(spark, ("f", "db", "t2", "rows"), ds("""{"b":1}"""))
+    assert(reg.fullInferCount == 2)
+    assert(reg.snapshot.size == 2)
+  }
+}

@@ -113,11 +113,16 @@ object StreamQueries {
             .when(col("tsl") < lit(quartiles(2)), 2)
             .otherwise(3)))
       .drop("tsl")
+    // one partitioned write stages all four arrival buckets (one file
+    // per bucket via repartition on the bucket key), then each file gets
+    // a strictly increasing mtime so maxFilesPerTrigger=1 replays them
+    // as ordered micro-batches
+    val tmp = Files.createTempDirectory("graft_wm_parts")
+    assigned.repartition(4, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
     (0 to 3).foreach { b =>
-      val tmp = Files.createTempDirectory(s"graft_wm_part$b")
-      assigned.filter(col("bucket") === b).drop("bucket")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+      val part = Files.list(tmp.resolve(s"bucket=$b")).toArray
+        .map(_.asInstanceOf[Path])
         .find(_.toString.endsWith(".parquet")).get
       val dst = dir.resolve(f"$b%04d.parquet")
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)

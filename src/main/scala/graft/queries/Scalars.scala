@@ -145,6 +145,18 @@ object Scalars {
         bitwise_not(col("o_orderkey")).as("bnot"))
       .orderBy(col("o_orderkey"))
 
+  /** Regex surface: group extract, first-match extract, match count,
+    * partial-match predicate (both engines return '' on no match). */
+  def scalarRegex(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        regexp_extract(col("text"), "([a-z]+)ing", 1).as("ing_stem"),
+        regexp_extract(col("source"), "[0-9]+", 0).as("src_num"),
+        regexp_count(col("text"), lit("[aeiou]{2,}")).as("n_vruns"),
+        col("text").rlike("data|model").as("has_kw"))
+      .orderBy(col("doc_id"))
+
   /** Hash functions shared with DuckDB (md5, sha256 hex). */
   def scalarHash(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -157,6 +169,7 @@ object Scalars {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scalar_hash" -> (scalarHash _),
     "scalar_struct" -> (scalarStruct _),
+    "scalar_regex" -> (scalarRegex _),
     "scalar_bitwise" -> (scalarBitwise _),
     "scalar_conditional" -> (scalarConditional _),
     "scalar_string" -> (scalarString _),
@@ -172,6 +185,14 @@ object Scalars {
       """SELECT doc_id,
         |  md5(text) AS h_md5,
         |  sha256(text) AS h_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "scalar_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+)ing', 1) AS ing_stem,
+        |  regexp_extract(source, '[0-9]+') AS src_num,
+        |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS INTEGER)
+        |    AS n_vruns,
+        |  regexp_matches(text, 'data|model') AS has_kw
         |FROM documents ORDER BY doc_id""".stripMargin,
     "scalar_struct" ->
       """SELECT o_orderkey,

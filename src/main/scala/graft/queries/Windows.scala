@@ -121,7 +121,24 @@ object Windows {
       .orderBy(col("event_id"))
   }
 
+  /** Top-k rows per group via row_number + filter — Spark rewrites the
+    * rank filter into WindowGroupLimit, which keeps a size-k heap per
+    * key BEFORE the shuffle: the exchange carries ≤ k·|groups| rows,
+    * not the whole table (asserted in PlanSpec). At 100 TB this is the
+    * per-group top-k recipe; a global window would serialize the table
+    * through one task. */
+  def windowTopKPerGroup(s: SparkSession, d: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(byPrice).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_top_k_per_group" -> (windowTopKPerGroup _),
     "window_ignore_nulls" -> (windowIgnoreNulls _),
     "window_distribution" -> (windowDistribution _),
     "window_rank" -> (windowRank _),
@@ -131,6 +148,16 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_top_k_per_group" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
     "window_ignore_nulls" ->
       """SELECT event_id, user_id,
         |  LAG(CASE WHEN event_type = 'view' THEN NULL ELSE value END

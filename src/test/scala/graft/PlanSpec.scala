@@ -50,6 +50,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange"), p)
   }
 
+  test("per-group top-k applies WindowGroupLimit before the shuffle") {
+    val p = plan(graft.queries.Windows.windowTopKPerGroup(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+    // partial limit must run on the scan side of the exchange
+    val partialIdx = p.indexOf("WindowGroupLimit")
+    assert(partialIdx >= 0 && p.indexOf("Partial", partialIdx) >= 0, p)
+  }
+
   test("custom decode expressions constant-fold and stay in codegen") {
     import org.apache.spark.sql.functions._
     // literal input → Catalyst constant-folds the whole chain at plan

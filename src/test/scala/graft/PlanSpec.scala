@@ -58,6 +58,33 @@ class PlanSpec extends AnyFunSuite {
     assert(partialIdx >= 0 && p.indexOf("Partial", partialIdx) >= 0, p)
   }
 
+  test("dynamic partition pruning fires on a partition-keyed join") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    Tables.t(spark, sf, "orders")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim filter is on a NON-key column, so the surviving partition
+    // keys are only known at runtime — static constraint propagation
+    // can't prune, a dynamicpruning subquery must
+    val dim = Tables.t(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(avg(col("o_totalprice")).as("ap"))
+      .filter(col("ap") > 150000.0)
+    val joined = fact.join(broadcast(dim), "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    // the scan's PartitionFilters must carry a dynamicpruning subquery —
+    // at 100 TB this is what turns a full-table scan into one partition
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    val expected = Tables.t(spark, sf, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(avg(col("o_totalprice")).as("ap"), count(lit(1)).as("n"))
+      .filter(col("ap") > 150000.0)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(joined.head().getLong(0) == expected)
+  }
+
   test("custom decode expressions constant-fold and stay in codegen") {
     import org.apache.spark.sql.functions._
     // literal input → Catalyst constant-folds the whole chain at plan

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{TryDecompress, TryUtf8Decode}
+import graft.functions.{JsonShape, TryDecompress, TryUtf8Decode}
 
 /** SparkSessionExtensions entry point — lets any user of the library
   * register the engine's custom SQL functions at session build time:
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("try_utf8_decode"),
       new ExpressionInfo(classOf[TryUtf8Decode].getName, "try_utf8_decode"),
       (exprs: Seq[Expression]) => TryUtf8Decode(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("json_shape"),
+      new ExpressionInfo(classOf[JsonShape].getName, "json_shape"),
+      (exprs: Seq[Expression]) => JsonShape(exprs.head)))
   }
 }

@@ -2,7 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{TryDecompress, TryUtf8Decode}
+import graft.functions.{JsonShape, TryDecompress, TryUtf8Decode}
 
 /** Column builders for the reference's payload decode chain
   * (reference src/function_app.py:118-127 clean_base64, :278 b64decode,
@@ -19,6 +19,8 @@ object Codecs {
       "try_decompress", exprs => TryDecompress(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "try_utf8_decode", exprs => TryUtf8Decode(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "json_shape", exprs => JsonShape(exprs.head), "built-in")
   }
 
   /** Strip characters outside the base64 alphabet and re-pad to a
@@ -51,6 +53,13 @@ object Codecs {
   def tryUtf8Decode(c: Column): Column = {
     import org.apache.spark.sql.GraftBridge
     GraftBridge.column(TryUtf8Decode(GraftBridge.expression(c)))
+  }
+
+  /** Streaming payload-shape classifier ("rows"/"columnar"/"single" —
+    * custom expression, see [[graft.functions.JsonShape]]). */
+  def jsonShape(c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(JsonShape(GraftBridge.expression(c)))
   }
 
   /** Full decode chain: Data string → cleaned base64 → bytes →

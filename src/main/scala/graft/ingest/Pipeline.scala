@@ -98,15 +98,13 @@ object Pipeline {
   /** Per-payload shape classification (reference shape detection
     * src/function_app.py:149-159,284-289): a JSON array is rows; an
     * object whose every top-level value is an array is columnar; any
-    * other object is a single row. */
-  def withShape(decoded: DataFrame): DataFrame = {
-    val asMap = from_json(col("payload_str"), MapType(StringType, StringType))
-    decoded.withColumn("shape",
-      when(col("payload_str").rlike("^\\s*\\["), lit("rows"))
-        .when(asMap.isNotNull && size(map_values(asMap)) > 0 &&
-          forall(map_values(asMap), v => v.rlike("^\\s*\\[")), lit("columnar"))
-        .otherwise(lit("single")))
-  }
+    * other payload is a single row. Uses the streaming [[graft.functions
+    * .JsonShape]] probe — the previous `from_json(MapType)` probe fully
+    * parsed every payload and paid the bad-record exception path for
+    * every rows-shaped one (17 s of a 33 s stage at 50k envelopes,
+    * see PERF.md). */
+  def withShape(decoded: DataFrame): DataFrame =
+    decoded.withColumn("shape", Codecs.jsonShape(col("payload_str")))
 
   /** Full batch ingest: returns what was written where. Failures are
     * isolated per route (reference :416-417) — one bad group never stops
@@ -121,11 +119,18 @@ object Pipeline {
   def ingest(spark: SparkSession, rawBodies: DataFrame, cfg: IngestConfig,
       registry: Option[SchemaRegistry] = None): IngestReport = {
     import spark.implicits._
-    val decoded = withShape(
+    // CACHE FIRST, FILTER ABOVE THE CACHE. A filter placed under the
+    // cache boundary gets pushed beneath the decode projection, where
+    // FilterExec re-derives payload_str per predicate with NO
+    // subexpression sharing — the decode chain (4 regex evaluations
+    // deep) ran ~5x per row before this ordering (IngestProfile:
+    // 29 s -> 8 s for the staging pass at 50k envelopes, see PERF.md).
+    val staged = withShape(
       decodeAndRoute(parseEnvelopes(rawBodies), cfg)
-        .filter(Routing.validRoute && col("payload_str").isNotNull)
         .select("folder", "source_db", "tbl", "payload_str"))
       .cache()
+    val decoded = staged
+      .filter(Routing.validRoute && col("payload_str").isNotNull)
     try {
       // Bounded cardinality: one row per (logical table, payload shape),
       // not per event — a single job discovers the work list, so empty
@@ -136,7 +141,18 @@ object Pipeline {
         .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
         .groupBy { case (f, db, tbl, _) => (f, db, tbl) }
         .view.mapValues(_.map(_._4).toSet).toMap
-      val results = routeShapes.keys.toSeq.sorted.map { case (folder, db, table) =>
+      // Per-route jobs are independent — run them CONCURRENTLY (bounded
+      // pool) so one route's small write doesn't leave the cluster idle;
+      // Spark's scheduler interleaves the jobs' tasks. Error isolation is
+      // unchanged: each future catches its own route's failure.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val routeKeys = routeShapes.keys.toSeq.sorted
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(8, routeKeys.size)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      def processRoute(folder: String, db: String, table: String)
+          : Either[(String, String), RouteResult] =
         try {
           val group = decoded
             .filter(col("folder") === folder && col("source_db") === db &&
@@ -190,10 +206,15 @@ object Pipeline {
         } catch {
           case e: Exception => Left(s"$folder/$db/$table" -> e.toString)
         }
-      }
+      val results =
+        try Await.result(
+          Future.sequence(routeKeys.map { case (f, db, tbl) =>
+            Future(processRoute(f, db, tbl))
+          }), Duration.Inf)
+        finally pool.shutdown()
       IngestReport(
         results.collect { case Right(r) => r },
         results.collect { case Left(f) => f })
-    } finally decoded.unpersist()
+    } finally staged.unpersist()
   }
 }

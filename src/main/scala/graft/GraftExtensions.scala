@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{JsonShape, TryDecompress, TryUtf8Decode}
+import graft.functions.{CleanBase64, JsonShape, TryDecompress, TryUtf8Decode}
 
 /** SparkSessionExtensions entry point — lets any user of the library
   * register the engine's custom SQL functions at session build time:
@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("json_shape"),
       new ExpressionInfo(classOf[JsonShape].getName, "json_shape"),
       (exprs: Seq[Expression]) => JsonShape(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("clean_base64"),
+      new ExpressionInfo(classOf[CleanBase64].getName, "clean_base64"),
+      (exprs: Seq[Expression]) => CleanBase64(exprs.head)))
   }
 }

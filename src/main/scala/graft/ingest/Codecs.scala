@@ -2,7 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{JsonShape, TryDecompress, TryUtf8Decode}
+import graft.functions.{CleanBase64, JsonShape, TryDecompress, TryUtf8Decode}
 
 /** Column builders for the reference's payload decode chain
   * (reference src/function_app.py:118-127 clean_base64, :278 b64decode,
@@ -21,14 +21,18 @@ object Codecs {
       "try_utf8_decode", exprs => TryUtf8Decode(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "json_shape", exprs => JsonShape(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "clean_base64", exprs => CleanBase64(exprs.head), "built-in")
   }
 
   /** Strip characters outside the base64 alphabet and re-pad to a
     * multiple of 4 (reference clean_base64, src/function_app.py:118-127).
-    * Pure built-ins: two regexes + arithmetic padding. */
+    * Custom single-pass expression ([[graft.functions.CleanBase64]]) —
+    * replaced the regexp_replace composition after profiling showed the
+    * regex at ~5 s of a 12 s warm ingest pass (PERF.md). */
   def cleanBase64(c: Column): Column = {
-    val cleaned = regexp_replace(c, "[^A-Za-z0-9+/=]", "")
-    concat(cleaned, repeat(lit("="), (lit(4) - (length(cleaned) % 4)) % 4))
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(CleanBase64(GraftBridge.expression(c)))
   }
 
   /** Base64 payload bytes that cannot possibly decode (a dangling single

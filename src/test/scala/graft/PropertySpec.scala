@@ -29,6 +29,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: CleanBase64 expression == the regex composition it replaced") {
+    val strs = (1 to 300).map { _ =>
+      (1 to rnd.nextInt(200)).map(_ => rnd.nextPrintableChar()).mkString
+    } :+ "" :+ "====" :+ "a" :+ "ab" :+ "abc"
+    val regexVersion = {
+      val cleaned = regexp_replace(col("s"), "[^A-Za-z0-9+/=]", "")
+      concat(cleaned, repeat(lit("="), (lit(4) - (length(cleaned) % 4)) % 4))
+    }
+    val rows = strs.toDF("s")
+      .select(Codecs.cleanBase64(col("s")).as("fast"), regexVersion.as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1), r))
+  }
+
   test("property: full decode chain recovers arbitrary UTF-8 under every codec") {
     def gz(b: Array[Byte]) = {
       val bos = new java.io.ByteArrayOutputStream()

@@ -108,4 +108,44 @@ final class SchemaRegistry(val sampleSize: Int = 256) {
       ArrayType(mergeTypes(x.elementType, y.elementType))
     case _ => StringType
   }
+
+  /** Persist the cache as one JSON object per line: a JSON array key
+    * [folder, db, table, shape] plus the schema as DataType.json. Pair
+    * with [[SchemaRegistry.load]] so a restarted streaming driver
+    * resumes with warm schemas instead of re-inferring every route
+    * (store it next to the checkpoint dir). */
+  def save(path: java.nio.file.Path): Unit = {
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val lines = cache.toSeq.sortBy(_._1).map { case ((f, db, t, sh), st) =>
+      s"""{"key":[${q(f)},${q(db)},${q(t)},${q(sh)}],"schema":${st.json}}"""
+    }
+    java.nio.file.Files.write(path, lines.mkString("\n").getBytes("UTF-8"))
+  }
+}
+
+object SchemaRegistry {
+  /** Rebuild a registry from [[SchemaRegistry!.save]] output; missing
+    * file → empty registry (cold start). */
+  def load(path: java.nio.file.Path, sampleSize: Int = 256): SchemaRegistry = {
+    val reg = new SchemaRegistry(sampleSize)
+    if (java.nio.file.Files.exists(path)) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      java.nio.file.Files.readAllLines(path).forEach { line =>
+        if (line.nonEmpty) {
+          val node = mapper.readTree(line)
+          val k = node.get("key")
+          val st = DataType.fromJson(node.get("schema").toString)
+            .asInstanceOf[StructType]
+          reg.cache.update((k.get(0).asText(), k.get(1).asText(),
+            k.get(2).asText(), k.get(3).asText()), st)
+        }
+      }
+    }
+    reg
+  }
 }

@@ -61,6 +61,23 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(!reg.covers(cached, drifted))
   }
 
+  test("save/load round-trips the cache (streaming driver restart)") {
+    val reg = new SchemaRegistry()
+    reg.schemaFor(spark, ("f", "db", "t \"x\"", "rows"),
+      ds("""{"a":1,"nested":{"k":[true]}}"""))
+    reg.schemaFor(spark, ("g", "db2", "t2", "columnar"),
+      ds("""{"xs":[1.5]}"""))
+    val path = java.nio.file.Files.createTempFile("graft_reg", ".jsonl")
+    reg.save(path)
+    val reloaded = SchemaRegistry.load(path)
+    assert(reloaded.snapshot == reg.snapshot)
+    // warm after reload: same-shape batch is a cache hit, not re-inference
+    reloaded.schemaFor(spark, ("g", "db2", "t2", "columnar"),
+      ds("""{"xs":[2.5]}"""))
+    assert(reloaded.fullInferCount == 0)
+    assert(reloaded.cacheHitCount == 1)
+  }
+
   test("registry keys are independent per route and shape") {
     val reg = new SchemaRegistry()
     reg.schemaFor(spark, ("f", "db", "t1", "rows"), ds("""{"a":1}"""))

@@ -89,6 +89,26 @@ object TextStats {
           .as("max_tok_md5"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-level top-k bigram frequencies: per-doc bigram generation is
+    * a pure array transform inside the scan stage (no shuffle), the
+    * count is one hash aggregate on the bigram key, and top-k is
+    * TakeOrderedAndProject — the n-gram-statistics recipe that holds at
+    * 100 TB (a corpus has bounded distinct n-grams, so the exchange
+    * carries |vocabulary²-observed|, not |tokens|). */
+  def textNgramFreq(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    t(s, d, "documents")
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** Karp-Rabin polynomial rolling hash over the token stream
     * (acc·B + h(token) mod M) — the order-sensitive complement of the
     * min/max-token fingerprint above: equal only when token SEQUENCES
@@ -125,7 +145,8 @@ object TextStats {
     "text_quality_score" -> (textQualityScore _),
     "text_token_count" -> (textTokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
-    "doc_rolling_hash" -> (docRollingHash _)
+    "doc_rolling_hash" -> (docRollingHash _),
+    "text_ngram_freq" -> (textNgramFreq _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -173,6 +194,16 @@ object TextStats {
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
         |       AS INTEGER) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_ngram_freq" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT bigram, count(*) AS n
+        |FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "doc_rolling_hash" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -59,7 +59,37 @@ object SortsSets {
       .except(t(s, d, "orders").select(col("o_custkey").as("k")))
       .orderBy(col("k"))
 
+  /** Pagination: LIMIT + OFFSET over a total order. Spark executes
+    * offset+limit as a single GlobalLimit(offset+k) — fine for page-size
+    * offsets; deep pagination at scale should keyset-paginate on the
+    * sort key instead (documented, not a different operator). */
+  def sortLimitOffset(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .offset(20)
+      .limit(10)
+
+  /** Correlated LATERAL subquery (SQL surface): top-2 customers by
+    * balance per nation. Catalyst decorrelates this into a
+    * window/top-k per key — same physical shape as
+    * `window_top_k_per_group`, exposed through the SQL front door. */
+  def joinLateral(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "nation").createOrReplaceTempView("graft_lat_nation")
+    t(s, d, "customer").createOrReplaceTempView("graft_lat_customer")
+    s.sql(
+      """SELECT n.n_name, top.c_custkey, top.c_acctbal
+        |FROM graft_lat_nation n,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM graft_lat_customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top
+        |ORDER BY n.n_name, top.c_acctbal DESC, top.c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_limit_offset" -> (sortLimitOffset _),
+    "join_lateral" -> (joinLateral _),
     "sort_multi_key" -> (sortMultiKey _),
     "sort_limit_topk" -> (sortLimitTopk _),
     "set_union_by_name" -> (setUnionByName _),
@@ -69,6 +99,18 @@ object SortsSets {
   )
 
   val oracles: Map[String, String] = Map(
+    "sort_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 10 OFFSET 20""".stripMargin,
+    "join_lateral" ->
+      """SELECT n.n_name, top.c_custkey, top.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) top
+        |ORDER BY n.n_name, top.c_acctbal DESC, top.c_custkey""".stripMargin,
     "sort_multi_key" ->
       """SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer

@@ -43,5 +43,7 @@ object Config {
       destinationFallback = opt(env, "DESTINATION_FALLBACK", "landing"),
       maxRecordsPerFile = reqInt(env, "MAX_BATCH_SIZE"),
       compression = opt(env, "PARQUET_COMPRESSION", "snappy").toLowerCase,
-      messageType = env.get("MESSAGE_TYPE_FILTER").filter(_.nonEmpty))
+      messageType = env.get("MESSAGE_TYPE_FILTER").filter(_.nonEmpty),
+      typedMode = env.get("TYPED_MODE").map(_.trim).filter(_.nonEmpty)
+        .fold(false)(_ => reqBool(env, "TYPED_MODE")))
 }

@@ -50,13 +50,20 @@ object Pipeline {
     * 405-413) as ordinary queryable columns instead of file metadata
     * (deviation SURVEY.md §7.4(a): columns survive engine migrations and
     * allow pruning; row_count/batch_number are derivable per file). */
+  /** `typedMode = false` (fidelity, default): every cell stringified
+    * exactly like the reference (SURVEY.md §1.2). `typedMode = true`
+    * (engine mode): keep the inferred types — numbers stay numeric,
+    * booleans boolean, nested values struct/array — for downstream
+    * engines that want pushdown-able typed columns instead of byte
+    * fidelity. Schema-union merge still null-pads either way. */
   case class IngestConfig(
       outDir: String,
       destinationFallback: String = "landing",
       maxRecordsPerFile: Int = 2000,
       compression: String = "snappy",
       messageType: Option[String] = None,
-      includeMeta: Boolean = false)
+      includeMeta: Boolean = false,
+      typedMode: Boolean = false)
 
   case class RouteResult(folder: String, sourceDb: String, table: String,
       rows: Long, kind: String)
@@ -182,7 +189,8 @@ object Pipeline {
               val rows =
                 if (shape == "columnar") Normalize.explodeColumnar(clean)
                 else clean
-              Some(shape -> Normalize.stringifyAll(rows))
+              Some(shape ->
+                (if (cfg.typedMode) rows else Normalize.stringifyAll(rows)))
             }
           }
           if (halves.isEmpty) {

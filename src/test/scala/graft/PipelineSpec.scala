@@ -49,6 +49,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(all.count() == 5 + 2 + 1 + 1)
   }
 
+  test("typed engine mode preserves inferred types instead of stringifying") {
+    val out = Files.createTempDirectory("graft_pipeline_typed").toString
+    val raw = spark.createDataset(IngestQueries.syntheticEnvelopes).toDF("value")
+    val report = Pipeline.ingest(spark, raw,
+      Pipeline.IngestConfig(outDir = out, typedMode = true))
+    assert(report.failed.isEmpty, s"route failures: ${report.failed}")
+    val tele = spark.read.parquet(
+      s"$out/folder=telemetry/source_db=factorydb/table=sensor_readings")
+    val types = tele.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("temp_c") == "double", types)
+    assert(types("ok") == "boolean", types)
+    assert(types("tags").startsWith("array"), types)
+    val d1 = tele.filter(col("device_id") === "d1").head()
+    assert(d1.getAs[Double]("temp_c") == 21.5)
+    assert(d1.getAs[Boolean]("ok"))
+  }
+
   test("single-row columnar compat writer round-trips through explodeColumnar") {
     import graft.ingest.Normalize
     val df = Seq((1, "a", 1.5), (2, "b", 2.5), (3, null, 3.5)).toDF("i", "s", "d")

@@ -180,7 +180,29 @@ object IngestQueries {
       .orderBy(col("folder"), col("source_db"), col("table"))
   }
 
+  /** Ingest → many chunked files → compact → few files, same rows
+    * (no oracle; deterministic: file counts are reported as relations
+    * to avoid task-parallelism-dependent absolute numbers). */
+  def compactRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_compact_rt").toString
+    val envs = (0 until 300).map { i =>
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        s"""{"k":$i,"v":"doc$i"}""".getBytes("UTF-8"))
+      s"""{"MessageType":"Raw","Source":"db.t${i % 3}","Destination":"c","Data":"$b64"}"""
+    }
+    Pipeline.ingest(s, envs.toDF("value"),
+      Pipeline.IngestConfig(outDir = out, maxRecordsPerFile = 10))
+    val reports = graft.ingest.Compact.compactAll(s, out)
+    reports.map(r => (r.path.split("/table=").last, r.rows,
+        r.filesAfter, r.filesBefore > r.filesAfter))
+      .toDF("table", "rows", "files_after", "compacted_smaller")
+      .orderBy(col("table"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compact_roundtrip" -> (compactRoundtrip _),
     "ingest_base64_roundtrip" -> (ingestBase64Roundtrip _),
     "ingest_base64_clean" -> (ingestBase64Clean _),
     "route_resolve" -> (routeResolve _),

@@ -224,6 +224,23 @@ object Aggregates {
         round(max(col("o_totalprice")), 2).as("hi"))
       .orderBy(col("bucket"))
 
+  /** FILTER clause on aggregates + boolean aggregates (SQL surface) —
+    * conditional aggregation without self-joins or CASE pyramids; still
+    * one partial+final hash aggregate. */
+  def aggFilterClause(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("graft_agg_filter")
+    s.sql(
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  ROUND(COALESCE(sum(o_totalprice)
+        |    FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS sum_f,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'P') AS any_pending
+        |FROM graft_agg_filter
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** HLL sketch — approximate, no oracle (rows-only check). */
   def aggApproxDistinctHll(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
@@ -245,11 +262,21 @@ object Aggregates {
     "agg_typed_dataset" -> (aggTypedDataset _),
     "agg_unpivot" -> (aggUnpivot _),
     "agg_bitwise" -> (aggBitwise _),
+    "agg_filter_clause" -> (aggFilterClause _),
     "agg_histogram" -> (aggHistogram _),
     "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_filter_clause" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  ROUND(COALESCE(sum(o_totalprice)
+        |    FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS sum_f,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'P') AS any_pending
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_bitwise" ->
       """SELECT o_orderpriority,
         |  bit_and(o_orderkey) AS ba,

@@ -145,13 +145,36 @@ object Similarity {
       .limit(10)
   }
 
+  /** Per-vector symmetric int8 quantization (max-abs scaling) — the
+    * standard storage/bandwidth reduction for embedding corpora (4x
+    * smaller, dot products upcast on read). Pure array transform inside
+    * the scan stage; the scale factor is recomputed on read as
+    * max-abs/127. */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"),
+      x => abs(x.cast("double"))))
+    t(s, d, "embeddings")
+      .select(
+        col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 127.0 / maxabs).cast("int")).as("q"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_search_topk" -> (simSearchTopk _),
     "sim_search_ivf" -> (simSearchIvf _),
-    "sim_search_lsh" -> (simSearchLsh _)
+    "sim_search_lsh" -> (simSearchLsh _),
+    "embedding_quantize" -> (embeddingQuantize _)
   )
 
   val oracles: Map[String, String] = Map(
+    "embedding_quantize" ->
+      """SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(round(x * 127.0 / list_max(list_transform(
+        |      CAST(embedding AS DOUBLE[]), y -> abs(y)))) AS INTEGER)) AS q
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "sim_search_topk" ->
       """SELECT vec_id, label,
         |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -127,6 +127,25 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction (training-data scrubbing): email and phone patterns
+    * replaced with placeholder tags. The PII-bearing text is synthesized
+    * deterministically from the fixture (it contains none) so the oracle
+    * can replay; a single codegen'd regex stage either way. */
+  def textPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val txt = concat(
+      lit("u"), col("doc_id").cast("string"), lit("@ex.com said "),
+      substring(col("text"), 1, 40), lit(" call 555-01"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(txt,
+            "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+          "\\d{3}-\\d{4,}", "<PHONE>").as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit distance between the actual source tag and a derived guess —
     * levenshtein exists natively in both engines. */
   def textEditDistance(s: SparkSession, d: String): DataFrame =
@@ -146,7 +165,8 @@ object TextStats {
     "text_token_count" -> (textTokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_rolling_hash" -> (docRollingHash _),
-    "text_ngram_freq" -> (textNgramFreq _)
+    "text_ngram_freq" -> (textNgramFreq _),
+    "text_pii_redact" -> (textPiiRedact _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -194,6 +214,18 @@ object TextStats {
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))
         |       AS INTEGER) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |  'u' || doc_id || '@ex.com said ' || substr(text, 1, 40) ||
+        |  ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |    AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g'),
+        |    '\d{3}-\d{4,}', '<PHONE>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -29,6 +29,30 @@ import graft.ingest.Pipeline
   * batch pipeline's properties (bounded route cardinality, per-route
   * isolation, maxRecordsPerFile chunking).
   */
+/** StatefulProcessor for [[StreamQueries.streamTransformWithState]]:
+  * per-key running max in a typed ValueState (Spark 4 arbitrary-state
+  * API — explicit state variables, TTL-capable, RocksDB-backed). */
+class MaxValueProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Double)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var mx: ValueState[Double] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    mx = getHandle.getValueState[Double]("mx", Encoders.scalaDouble,
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+      timerValues: TimerValues): Iterator[(Long, Double)] = {
+    val cur = if (mx.exists()) mx.get() else Double.NegativeInfinity
+    val m = rows.foldLeft(cur)((acc, r) => math.max(acc, r._2))
+    mx.update(m)
+    Iterator((key, m))
+  }
+}
+
 object StreamQueries {
 
   private val eventsDdl =
@@ -179,6 +203,36 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Spark 4's transformWithState (the successor to
+    * flatMapGroupsWithState): per-user running max held in a typed
+    * ValueState via the StatefulProcessor API. Requires the RocksDB
+    * state store provider (set for this query, restored after). With
+    * AvailableNow over the staged input, the final emission per key
+    * equals the batch max — which the oracle replays as GROUP BY max. */
+  def streamTransformWithState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val maxes = eventsStream(s, d)
+        .select(col("user_id").as[Long], col("value").as[Double])
+        .groupByKey(_._1)
+        .transformWithState(new MaxValueProcessor(),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "max_value")
+      runToMemory(s, maxes, "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("max_value")).as("max_value"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(p) => s.conf.set(providerKey, p)
+      case None => s.conf.unset(providerKey)
+    }
+  }
+
   /** The reference's whole data plane as a stream: envelope text files →
     * foreachBatch(Pipeline.ingest) → routed parquet, summarized. */
   def streamIngestPipeline(s: SparkSession, d: String): DataFrame = {
@@ -225,6 +279,7 @@ object StreamQueries {
     "stream_watermark_late" -> (streamWatermarkLate _),
     "stream_dedup_watermark" -> (streamDedupWatermark _),
     "stream_stateful_counter" -> (streamStatefulCounter _),
+    "stream_transform_with_state" -> (streamTransformWithState _),
     "stream_ingest_pipeline" -> (streamIngestPipeline _)
   )
 
@@ -242,6 +297,9 @@ object StreamQueries {
         |GROUP BY ws ORDER BY ws""".stripMargin,
     "stream_stateful_counter" ->
       """SELECT user_id, COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_transform_with_state" ->
+      """SELECT user_id, MAX(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_session_window" ->
       """WITH o AS (

@@ -29,6 +29,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: ingest is total — random envelope soup never throws, valid rows conserved") {
+    def b64(s: String) =
+      java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+    val valid = (0 until 60).map { i =>
+      s"""{"MessageType":"Raw","Source":"fz.t${i % 3}","Destination":"fz","Data":"${b64(s"""{"k":$i}""")}"}"""
+    }
+    val garbage = (0 until 60).map { _ =>
+      (1 to rnd.nextInt(80)).map(_ => rnd.nextPrintableChar()).mkString
+    }
+    val halfBroken = (0 until 60).map { i =>
+      rnd.nextInt(4) match {
+        case 0 => s"""{"Source":"fz.t${i % 3}","Destination":"fz"}""" // no Data
+        case 1 => s"""{"Source":"###","Destination":"fz","Data":"${b64("{}")}"}""" // bad route
+        case 2 => s"""{"Source":"fz.bad","Destination":"fz","Data":"!!not-base64-rows!!"}"""
+        case _ => s"""[{"Source":"fz.t${i % 3}","Destination":"fz","Data":"${b64(s"""{"k":${1000 + i}}""")}"}]"""
+      }
+    }
+    val soup = rnd.shuffle(valid ++ garbage ++ halfBroken)
+    val out = java.nio.file.Files.createTempDirectory("graft_fuzz").toString
+    val report = graft.ingest.Pipeline.ingest(spark, soup.toDF("value"),
+      graft.ingest.Pipeline.IngestConfig(outDir = out))
+    assert(report.failed.isEmpty, report.failed)
+    // every well-formed valid envelope lands exactly once
+    val written = spark.read.parquet(out)
+    val validKeys = written.select(col("k").cast("long")).collect()
+      .map(_.getLong(0)).toSet
+    assert((0 until 60).forall(i => validKeys.contains(i.toLong)))
+    assert(written.count() == report.written.map(_.rows).sum)
+  }
+
   test("property: CleanBase64 expression == the regex composition it replaced") {
     val strs = (1 to 300).map { _ =>
       (1 to rnd.nextInt(200)).map(_ => rnd.nextPrintableChar()).mkString

@@ -157,6 +157,19 @@ object Scalars {
         col("text").rlike("data|model").as("has_kw"))
       .orderBy(col("doc_id"))
 
+  /** Transcendental math (sin/cos/atan2/exp/ln) — rounded to 6 digits
+    * since JVM Math and libm may differ in the final ulp. */
+  def scalarTrig(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey"),
+        round(sin(col("o_totalprice") / 100000.0), 6).as("sn"),
+        round(cos(col("o_totalprice") / 100000.0), 6).as("cs"),
+        round(atan2(col("o_totalprice"), col("o_custkey").cast("double") + 1), 6).as("at2"),
+        round(exp(col("o_totalprice") / 1000000.0), 6).as("ex"),
+        round(log(col("o_totalprice")), 6).as("lg"))
+      .orderBy(col("o_orderkey"))
+
   /** Hash functions shared with DuckDB (md5, sha256 hex). */
   def scalarHash(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -170,6 +183,7 @@ object Scalars {
     "scalar_hash" -> (scalarHash _),
     "scalar_struct" -> (scalarStruct _),
     "scalar_regex" -> (scalarRegex _),
+    "scalar_trig" -> (scalarTrig _),
     "scalar_bitwise" -> (scalarBitwise _),
     "scalar_conditional" -> (scalarConditional _),
     "scalar_string" -> (scalarString _),
@@ -186,6 +200,14 @@ object Scalars {
         |  md5(text) AS h_md5,
         |  sha256(text) AS h_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "scalar_trig" ->
+      """SELECT o_orderkey,
+        |  ROUND(SIN(o_totalprice / 100000.0), 6) AS sn,
+        |  ROUND(COS(o_totalprice / 100000.0), 6) AS cs,
+        |  ROUND(ATAN2(o_totalprice, o_custkey + 1), 6) AS at2,
+        |  ROUND(EXP(o_totalprice / 1000000.0), 6) AS ex,
+        |  ROUND(LN(o_totalprice), 6) AS lg
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scalar_regex" ->
       """SELECT doc_id,
         |  regexp_extract(text, '([a-z]+)ing', 1) AS ing_stem,

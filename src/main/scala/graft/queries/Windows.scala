@@ -87,6 +87,23 @@ object Windows {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** RANGE frame with a time INTERVAL bound (sliding event-time window
+    * per key, expressed relationally — the batch analogue of the
+    * streaming sliding window). SQL-only surface: the DataFrame
+    * `rangeBetween` takes numeric offsets, interval bounds come via the
+    * SQL frame syntax. Order-insensitive aggregates keep it exact. */
+  def windowRangeInterval(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events").createOrReplaceTempView("graft_ev_ri")
+    s.sql(
+      """SELECT event_id,
+        |  COUNT(*) OVER w AS cnt_1h,
+        |  ROUND(MAX(value) OVER w, 2) AS max_1h
+        |FROM graft_ev_ri
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** Distribution functions: percent_rank / cume_dist (exact ratios of
     * ints → bit-identical doubles in both engines). */
   def windowDistribution(s: SparkSession, d: String): DataFrame = {
@@ -139,6 +156,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_top_k_per_group" -> (windowTopKPerGroup _),
+    "window_range_interval" -> (windowRangeInterval _),
     "window_ignore_nulls" -> (windowIgnoreNulls _),
     "window_distribution" -> (windowDistribution _),
     "window_rank" -> (windowRank _),
@@ -148,6 +166,14 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_range_interval" ->
+      """SELECT event_id,
+        |  COUNT(*) OVER w AS cnt_1h,
+        |  ROUND(MAX(value) OVER w, 2) AS max_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "window_top_k_per_group" ->
       """WITH r AS (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

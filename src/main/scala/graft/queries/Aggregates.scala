@@ -224,6 +224,18 @@ object Aggregates {
         round(max(col("o_totalprice")), 2).as("hi"))
       .orderBy(col("bucket"))
 
+  /** Ordered string aggregation (LISTAGG/string_agg shape): collect,
+    * sort numerically, join — deterministic because the order-by key is
+    * explicit, unlike a bare collect_list. */
+  def aggStringConcat(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(col("c_custkey"))),
+          x => x.cast("string"))).as("ids"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+
   /** FILTER clause on aggregates + boolean aggregates (SQL surface) —
     * conditional aggregation without self-joins or CASE pyramids; still
     * one partial+final hash aggregate. */
@@ -263,11 +275,19 @@ object Aggregates {
     "agg_unpivot" -> (aggUnpivot _),
     "agg_bitwise" -> (aggBitwise _),
     "agg_filter_clause" -> (aggFilterClause _),
+    "agg_string_concat" -> (aggStringConcat _),
     "agg_histogram" -> (aggHistogram _),
     "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_string_concat" ->
+      """SELECT c_nationkey,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ','
+        |    ORDER BY c_custkey) AS ids,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     "agg_filter_clause" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,

@@ -7,6 +7,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * SparkSessionExtensions hook (spark.sql.extensions). */
 class ExtensionsSpec extends AnyFunSuite {
 
+  test("all four registered functions resolve and evaluate through SQL") {
+    val spark = TestSpark.spark
+    graft.ingest.Codecs.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  clean_base64('?b?2s=') AS cb,
+        |  json_shape('[1,2]') AS js,
+        |  try_utf8_decode(try_decompress(CAST('ok' AS BINARY))) AS td
+        |""".stripMargin).head()
+    assert(row.getString(0) == "b2s=")
+    assert(row.getString(1) == "rows")
+    assert(row.getString(2) == "ok")
+  }
+
   test("extensions inject both custom functions without error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

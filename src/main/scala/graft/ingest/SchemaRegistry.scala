@@ -31,13 +31,16 @@ import org.apache.spark.sql.types._
   * Thread-safe (TrieMap + atomics) — per-route jobs may run from
   * concurrent foreachBatch workers.
   */
-final class SchemaRegistry(val sampleSize: Int = 256) {
+final class SchemaRegistry(val sampleSize: Int = 256,
+    val driftCheckInterval: Int = 1) {
 
   type Key = (String, String, String, String) // folder, source_db, table, shape
 
   private val cache = scala.collection.concurrent.TrieMap.empty[Key, StructType]
+  private val batchSeq = scala.collection.concurrent.TrieMap.empty[Key, AtomicLong]
   private val fullInfers = new AtomicLong(0L)
   private val cacheHits = new AtomicLong(0L)
+  private val trustHits = new AtomicLong(0L)
 
   /** How often full-data inference ran (first batch + drift only). */
   def fullInferCount: Long = fullInfers.get()
@@ -45,29 +48,46 @@ final class SchemaRegistry(val sampleSize: Int = 256) {
   /** How often the cached schema was reused with only a sample scan. */
   def cacheHitCount: Long = cacheHits.get()
 
+  /** How often the cache was trusted with ZERO jobs (between drift
+    * checks, `driftCheckInterval` > 1). */
+  def trustHitCount: Long = trustHits.get()
+
   def snapshot: Map[Key, StructType] = cache.toMap
 
   /** Schema to parse this batch's payloads with. May run zero, one
-    * (sample) or two (sample + full) inference jobs — see class doc. */
+    * (sample) or two (sample + full) inference jobs — see class doc.
+    * With `driftCheckInterval` = k > 1 only every k-th batch per route
+    * runs the sample drift check; the batches between trust the cache
+    * outright (zero jobs) — the right trade when routes number in the
+    * hundreds and schema change is rare. Drift detection latency grows
+    * to ≤ k batches; raise k only where that is acceptable. */
   def schemaFor(spark: SparkSession, key: Key,
       payloads: Dataset[String]): StructType =
     cache.get(key) match {
       case None =>
         val full = infer(spark, payloads)
         fullInfers.incrementAndGet()
+        batchSeq.getOrElseUpdate(key, new AtomicLong(0L)).incrementAndGet()
         cache.update(key, full)
         full
       case Some(cached) =>
-        val sampled = infer(spark, payloads.limit(sampleSize))
-        if (covers(cached, sampled)) {
-          cacheHits.incrementAndGet()
+        val seq = batchSeq.getOrElseUpdate(key, new AtomicLong(0L))
+          .getAndIncrement()
+        if (driftCheckInterval > 1 && seq % driftCheckInterval != 0) {
+          trustHits.incrementAndGet()
           cached
         } else {
-          val full = infer(spark, payloads)
-          fullInfers.incrementAndGet()
-          val merged = mergeStructs(cached, full)
-          cache.update(key, merged)
-          merged
+          val sampled = infer(spark, payloads.limit(sampleSize))
+          if (covers(cached, sampled)) {
+            cacheHits.incrementAndGet()
+            cached
+          } else {
+            val full = infer(spark, payloads)
+            fullInfers.incrementAndGet()
+            val merged = mergeStructs(cached, full)
+            cache.update(key, merged)
+            merged
+          }
         }
     }
 

@@ -61,6 +61,19 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(!reg.covers(cached, drifted))
   }
 
+  test("driftCheckInterval > 1 trusts the cache between checks") {
+    val reg = new SchemaRegistry(driftCheckInterval = 3)
+    (1 to 7).foreach { i =>
+      reg.schemaFor(spark, key, ds(s"""{"a":$i}"""))
+    }
+    // batch 1: full infer (seq -> 1); batches 2-7 have seq 1..6:
+    // sample checks fire at seq 3 and 6, the cache is trusted at
+    // seq 1, 2, 4, 5 with zero jobs
+    assert(reg.fullInferCount == 1)
+    assert(reg.cacheHitCount == 2)
+    assert(reg.trustHitCount == 4)
+  }
+
   test("save/load round-trips the cache (streaming driver restart)") {
     val reg = new SchemaRegistry()
     reg.schemaFor(spark, ("f", "db", "t \"x\"", "rows"),

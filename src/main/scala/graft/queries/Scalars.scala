@@ -170,6 +170,22 @@ object Scalars {
         round(log(col("o_totalprice")), 6).as("lg"))
       .orderBy(col("o_orderkey"))
 
+  /** URL decomposition via parse_url (host/path/query) — URLs are
+    * synthesized deterministically from fixture columns; the oracle
+    * replays with anchored regexes (DuckDB has no parse_url). */
+  def scalarUrl(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"),
+      lit(".example.com/p/"), col("doc_id").cast("string"),
+      lit("?q="), col("lang"))
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY")).as("query"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hash functions shared with DuckDB (md5, sha256 hex). */
   def scalarHash(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
@@ -184,6 +200,7 @@ object Scalars {
     "scalar_struct" -> (scalarStruct _),
     "scalar_regex" -> (scalarRegex _),
     "scalar_trig" -> (scalarTrig _),
+    "scalar_url" -> (scalarUrl _),
     "scalar_bitwise" -> (scalarBitwise _),
     "scalar_conditional" -> (scalarConditional _),
     "scalar_string" -> (scalarString _),
@@ -200,6 +217,16 @@ object Scalars {
         |  md5(text) AS h_md5,
         |  sha256(text) AS h_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "scalar_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.example.com/p/' || doc_id ||
+        |  '?q=' || lang AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, '\?(.*)$', 1) AS query
+        |FROM u ORDER BY doc_id""".stripMargin,
     "scalar_trig" ->
       """SELECT o_orderkey,
         |  ROUND(SIN(o_totalprice / 100000.0), 6) AS sn,

@@ -150,16 +150,19 @@ object Similarity {
     * smaller, dot products upcast on read). Pure array transform inside
     * the scan stage; the scale factor is recomputed on read as
     * max-abs/127. */
-  def embeddingQuantize(s: SparkSession, d: String): DataFrame = {
-    val maxabs = array_max(transform(col("embedding"),
-      x => abs(x.cast("double"))))
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame =
+    // maxabs is projected first: referenced inside the transform lambda
+    // it would be recomputed per element (O(dim^2) per vector)
     t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))).as("maxabs"))
       .select(
         col("vec_id"),
         transform(col("embedding"),
-          x => round(x.cast("double") * 127.0 / maxabs).cast("int")).as("q"))
+          x => round(x.cast("double") * 127.0 / col("maxabs")).cast("int"))
+          .as("q"))
       .orderBy(col("vec_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_search_topk" -> (simSearchTopk _),

@@ -224,6 +224,23 @@ object Aggregates {
         round(max(col("o_totalprice")), 2).as("hi"))
       .orderBy(col("bucket"))
 
+  /** Two-stage salted aggregation over a hot key (events has only a
+    * handful of event_type values — the classic skewed-reducer shape).
+    * Stage 1 aggregates on (key, salt) spreading each hot key over 8
+    * reducers; stage 2 combines the partials. Exact for additive
+    * aggregates, so the oracle is the plain GROUP BY. */
+  def aggSkewSalted(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("__salt",
+        graft.ingest.Skew.salt(8, col("event_id")))
+      .groupBy(col("event_type"), col("__salt"))
+      .agg(sum(col("value")).as("pv"), count(lit(1)).as("pc"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("pv")).cast("decimal(18,4)"), 2)
+        .cast("double").as("sum_value"),
+        sum(col("pc")).as("n"))
+      .orderBy(col("event_type"))
+
   /** Ordered string aggregation (LISTAGG/string_agg shape): collect,
     * sort numerically, join — deterministic because the order-by key is
     * explicit, unlike a bare collect_list. */
@@ -276,11 +293,18 @@ object Aggregates {
     "agg_bitwise" -> (aggBitwise _),
     "agg_filter_clause" -> (aggFilterClause _),
     "agg_string_concat" -> (aggStringConcat _),
+    "agg_skew_salted" -> (aggSkewSalted _),
     "agg_histogram" -> (aggHistogram _),
     "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_skew_salted" ->
+      """SELECT event_type,
+        |  CAST(ROUND(CAST(SUM(value) AS DECIMAL(18,4)), 2) AS DOUBLE)
+        |    AS sum_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_string_concat" ->
       """SELECT c_nationkey,
         |  string_agg(CAST(c_custkey AS VARCHAR), ','

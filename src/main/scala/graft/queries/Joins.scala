@@ -142,7 +142,29 @@ object Joins {
       .orderBy(col("p_id"))
   }
 
+  /** Deterministically salted equi join (graft.ingest.Skew): the fact
+    * side gets a content-derived salt in [0,8), the dimension side is
+    * replicated 8 ways, the join key becomes (key, salt) — each hot
+    * key's rows spread over 8 reducers. Salting is exact, so the
+    * oracle is the plain join. (AQE's skew split covers sort-merge
+    * joins at runtime; this is the explicit fallback for the cases it
+    * can't reach.) */
+  def joinSkewSalted(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val sup = t(s, d, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    graft.ingest.Skew.saltedJoin(li, sup, "l_suppkey", 8,
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+      .groupBy(col("s_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)"), 2).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> (joinSkewSalted _),
     "join_inner_equi" -> (joinInnerEqui _),
     "join_left_outer" -> (joinLeftOuter _),
     "join_right_outer" -> (joinRightOuter _),
@@ -157,6 +179,13 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_skew_salted" ->
+      """SELECT s_name,
+        |  CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount))
+        |    AS DECIMAL(18,4)), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "join_inner_equi" ->
       """SELECT o_orderkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

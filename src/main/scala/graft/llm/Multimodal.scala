@@ -31,12 +31,16 @@ final case class ResizedMedia(doc_id: Long, n_bytes: Int,
 object Multimodal {
 
   /** Deterministic fake "decoder" — stands in for image/audio decode.
-    * Real impl would be a vectorized UDF over the binary column. */
-  private def fakeDecodeFeatures(bin: org.apache.spark.sql.Column) = struct(
-    octet_length(bin).as("n_bytes"),
-    crc32(bin).as("checksum"),
-    (crc32(bin) % 256).cast("int").as("fake_width"),
-    (crc32(bin) % 192).cast("int").as("fake_height"))
+    * Real impl would be a vectorized UDF over the binary column.
+    * md5-derived values (not crc32) so DuckDB can replay them. */
+  private def fakeDecodeFeatures(bin: org.apache.spark.sql.Column) = {
+    val h = conv(substring(md5(bin), 1, 8), 16, 10).cast("long")
+    struct(
+      octet_length(bin).as("n_bytes"),
+      md5(bin).as("checksum"),
+      (h % 256).cast("int").as("fake_width"),
+      (h % 192).cast("int").as("fake_height"))
+  }
 
   /** Documents re-cast as a multimodal table: text + binary payload +
     * typed metadata, with stubbed decode features and a metadata-only
@@ -114,10 +118,19 @@ object Multimodal {
     "multimodal_frame_sample" -> (multimodalFrameSample _)
   )
 
-  /** multimodal_columns uses crc32, which DuckDB lacks — rows-only
-    * check. The resize/frame-sample stubs are md5-based and fixture
-    * payloads are ASCII (char ops = byte ops), so both are oracled. */
+  /** All three are md5-based and fixture payloads are ASCII (char ops
+    * = byte ops), so every multimodal query is oracled. */
   val oracles: Map[String, String] = Map(
+    "multimodal_columns" ->
+      """SELECT doc_id,
+        |  'text/plain' AS mime,
+        |  CAST(length(text) AS INTEGER) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  CAST(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 256
+        |       AS INTEGER) AS fake_width,
+        |  CAST(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 192
+        |       AS INTEGER) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_bytes,

@@ -301,6 +301,11 @@ object StreamQueries {
     "stream_transform_with_state" ->
       """SELECT user_id, MAX(value) AS max_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // single staged file -> one micro-batch -> every duplicate falls
+    // within the watermark, so the emitted key set is exactly DISTINCT
+    "stream_dedup_watermark" ->
+      """SELECT DISTINCT user_id, event_type
+        |FROM events ORDER BY user_id, event_type""".stripMargin,
     "stream_session_window" ->
       """WITH o AS (
         |  SELECT user_id, ts,

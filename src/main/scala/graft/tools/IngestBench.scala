@@ -66,8 +66,11 @@ object IngestBench {
       _.map(envelope(_, rowsPer, routes))).toDF("value").cache()
     raw.count() // materialize generation outside the timed window
 
-    val registry = new graft.ingest.SchemaRegistry()
-    Seq("cold", "warm").foreach { pass =>
+    // driftCheckInterval=2: pass 2 trusts the cache with ZERO inference
+    // jobs, pass 3 runs the periodic sample drift check — the three
+    // steady-state modes in one run
+    val registry = new graft.ingest.SchemaRegistry(driftCheckInterval = 2)
+    Seq("cold", "warm_trusted", "warm_checked").foreach { pass =>
       val out = java.nio.file.Files
         .createTempDirectory(s"graft_ingest_bench_$pass").toString
       val cfg = graft.ingest.Pipeline.IngestConfig(outDir = out)

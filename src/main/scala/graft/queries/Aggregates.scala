@@ -224,6 +224,18 @@ object Aggregates {
         round(max(col("o_totalprice")), 2).as("hi"))
       .orderBy(col("bucket"))
 
+  /** Arg-extremes (max_by / min_by): the key of the row holding the
+    * extreme value — one pass, no join-back. Deterministic on this
+    * fixture (no per-group price ties at any sf, verified). */
+  def aggArgExtremes(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("bottom_order"),
+        round(max(col("o_totalprice")), 2).as("top_price"))
+      .orderBy(col("o_orderpriority"))
+
   /** Two-stage salted aggregation over a hot key (events has only a
     * handful of event_type values — the classic skewed-reducer shape).
     * Stage 1 aggregates on (key, salt) spreading each hot key over 8
@@ -294,11 +306,19 @@ object Aggregates {
     "agg_filter_clause" -> (aggFilterClause _),
     "agg_string_concat" -> (aggStringConcat _),
     "agg_skew_salted" -> (aggSkewSalted _),
+    "agg_arg_extremes" -> (aggArgExtremes _),
     "agg_histogram" -> (aggHistogram _),
     "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_arg_extremes" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, o_totalprice) AS top_order,
+        |  arg_min(o_orderkey, o_totalprice) AS bottom_order,
+        |  ROUND(MAX(o_totalprice), 2) AS top_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_skew_salted" ->
       """SELECT event_type,
         |  CAST(ROUND(CAST(SUM(value) AS DECIMAL(18,4)), 2) AS DOUBLE)

@@ -149,7 +149,9 @@ object Similarity {
     * standard storage/bandwidth reduction for embedding corpora (4x
     * smaller, dot products upcast on read). Pure array transform inside
     * the scan stage; the scale factor is recomputed on read as
-    * max-abs/127. */
+    * max-abs/127. The quantized vector is emitted comma-joined (scalar
+    * string) because the driver's oracle comparator cannot sort raw
+    * array cells. */
   def embeddingQuantize(s: SparkSession, d: String): DataFrame =
     // maxabs is projected first: referenced inside the transform lambda
     // it would be recomputed per element (O(dim^2) per vector)
@@ -159,9 +161,11 @@ object Similarity {
           x => abs(x.cast("double")))).as("maxabs"))
       .select(
         col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 127.0 / col("maxabs")).cast("int"))
-          .as("q"))
+        array_join(
+          transform(col("embedding"),
+            x => round(x.cast("double") * 127.0 / col("maxabs"))
+              .cast("int").cast("string")),
+          ",").as("q"))
       .orderBy(col("vec_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -174,9 +178,10 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "embedding_quantize" ->
       """SELECT vec_id,
-        |  list_transform(CAST(embedding AS DOUBLE[]),
+        |  array_to_string(list_transform(CAST(embedding AS DOUBLE[]),
         |    x -> CAST(round(x * 127.0 / list_max(list_transform(
-        |      CAST(embedding AS DOUBLE[]), y -> abs(y)))) AS INTEGER)) AS q
+        |      CAST(embedding AS DOUBLE[]), y -> abs(y)))) AS INTEGER)), ',')
+        |    AS q
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "sim_search_topk" ->
       """SELECT vec_id, label,

@@ -115,12 +115,16 @@ object Aggregates {
         |""".stripMargin)
   }
 
-  /** collect_list / collect_set, sorted for determinism. */
+  /** collect_list / collect_set, sorted for determinism. The collected
+    * array is serialized to a comma-joined string so every output column
+    * is a scalar (the driver's oracle comparator sorts pandas columns and
+    * crashes on raw array cells). */
   def aggCollect(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(
-        sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
         count(lit(1)).as("cnt"))
       .orderBy(col("o_orderpriority"))
 
@@ -395,7 +399,8 @@ object Aggregates {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "agg_collect" ->
       """SELECT o_orderpriority,
-        |       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+        |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+        |         AS statuses,
         |       COUNT(*) AS cnt
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_stats" ->

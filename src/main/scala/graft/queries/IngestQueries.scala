@@ -45,17 +45,30 @@ object IngestQueries {
       .orderBy(col("doc_id"))
 
   /** Route resolution (reference resolve_folder_and_table,
-    * src/function_app.py:97-113): keep `[a-zA-Z0-9._-]` in Source, split
-    * on the FIRST dot into (db, table) else duplicate, sanitize all parts,
-    * fall back to a default folder when Destination is empty. Inputs are
-    * synthesized from documents (source/lang) so the oracle can replay. */
+    * src/function_app.py:97-113): strip + keep `[a-zA-Z0-9._-]` in
+    * Source, split on the FIRST dot into (db, table) else duplicate,
+    * `unknown_db`/`unknown_table` for empty parts, sanitize all parts by
+    * `_`-replacing illegal runs, fall back to a default folder when
+    * Destination is empty. Inputs are synthesized from documents
+    * (source/lang) and cycle through the adversarial shapes: all-illegal
+    * Source (→ unknown_db/unknown_table), multi-dot, padded, dotless,
+    * and Destinations with spaces/illegal runs (→ `_`). */
   def routeResolve(s: SparkSession, d: String): DataFrame = {
+    val n5 = (col("doc_id") % 5).cast("string")
     val base = t(s, d, "documents")
       .withColumn("src_raw",
-        concat(col("source"), lit(".Tbl "), (col("doc_id") % 5).cast("string")))
+        when(col("doc_id") % 4 === 0, lit("!!!"))
+          .when(col("doc_id") % 4 === 1,
+            concat(col("source"), lit(".Tbl "), n5))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("  "), col("source"), lit("..Multi.Dot"), n5,
+              lit("  ")))
+          .otherwise(concat(lit("NoDotTable"), n5)))
       .withColumn("dest_raw",
         when(col("doc_id") % 3 === 0, lit(""))
-          .otherwise(concat(lit("Fold-"), col("lang"))))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("My Folder-"), col("lang")))
+          .otherwise(concat(lit("x!!"), col("lang"))))
     Routing.withRoute(base, col("src_raw"), col("dest_raw"), "landing")
       .select(col("doc_id"), col("folder"), col("source_db"), col("tbl"))
       .orderBy(col("doc_id"))
@@ -146,7 +159,8 @@ object IngestQueries {
       s"""[{"MessageType":"Raw","Source":"arraydb.t1","Destination":"arr","Data":"${b64(singlePayload.getBytes("UTF-8"))}"}]""",
       // adversarial (FIXTURES.md §B.5): dotless source duplicates into
       // both route parts; missing Data → null payload, dropped; source
-      // of only illegal chars → invalid route, dropped; non-JSON body
+      // of only illegal chars → routed to unknown_db/unknown_table and
+      // PERSISTED (reference function_app.py:106-111); non-JSON body
       // → wrapped as {"Data": body}, undecodable, dropped
       s"""{"MessageType":"Raw","Source":"nodb_table","Destination":"plain","Data":"${b64(singlePayload.getBytes("UTF-8"))}"}""",
       """{"MessageType":"Raw","Source":"missing.data","Destination":"x"}""",
@@ -237,20 +251,41 @@ object IngestQueries {
     "route_resolve" ->
       """WITH b AS (
         |  SELECT doc_id,
-        |    regexp_replace(source || '.Tbl ' || CAST(doc_id % 5 AS VARCHAR),
-        |                   '[^a-zA-Z0-9._-]', '', 'g') AS kept,
-        |    CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'Fold-' || lang END AS dest
+        |    CASE WHEN doc_id % 4 = 0 THEN '!!!'
+        |         WHEN doc_id % 4 = 1
+        |           THEN source || '.Tbl ' || CAST(doc_id % 5 AS VARCHAR)
+        |         WHEN doc_id % 4 = 2
+        |           THEN '  ' || source || '..Multi.Dot' ||
+        |                CAST(doc_id % 5 AS VARCHAR) || '  '
+        |         ELSE 'NoDotTable' || CAST(doc_id % 5 AS VARCHAR) END AS src,
+        |    CASE WHEN doc_id % 3 = 0 THEN ''
+        |         WHEN doc_id % 3 = 1 THEN 'My Folder-' || lang
+        |         ELSE 'x!!' || lang END AS dest
         |  FROM documents),
-        |c AS (SELECT doc_id, kept, dest, strpos(kept, '.') AS dotpos FROM b)
+        |k AS (
+        |  SELECT doc_id,
+        |    regexp_replace(trim(src), '[^a-zA-Z0-9._-]', '', 'g') AS kept,
+        |    trim(dest) AS dest
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, dest, strpos(kept, '.') AS dotpos,
+        |    CASE WHEN strpos(kept, '.') > 0
+        |      THEN substr(kept, 1, CAST(strpos(kept, '.') - 1 AS INTEGER))
+        |      ELSE kept END AS db_raw,
+        |    CASE WHEN strpos(kept, '.') > 0
+        |      THEN substr(kept, CAST(strpos(kept, '.') + 1 AS INTEGER))
+        |      ELSE kept END AS tbl_raw
+        |  FROM k)
         |SELECT doc_id,
-        |  CASE WHEN dest IS NULL OR dest = '' THEN 'landing'
-        |       ELSE regexp_replace(lower(dest), '[^a-z0-9_-]', '', 'g') END AS folder,
-        |  regexp_replace(lower(CASE WHEN dotpos > 0
-        |      THEN substr(kept, 1, CAST(dotpos - 1 AS INTEGER)) ELSE kept END),
-        |    '[^a-z0-9_-]', '', 'g') AS source_db,
-        |  regexp_replace(lower(CASE WHEN dotpos > 0
-        |      THEN substr(kept, CAST(dotpos + 1 AS INTEGER)) ELSE kept END),
-        |    '[^a-z0-9_-]', '', 'g') AS tbl
+        |  regexp_replace(lower(CASE WHEN dest = '' THEN 'landing'
+        |                            ELSE dest END),
+        |    '[^a-z0-9_-]+', '_', 'g') AS folder,
+        |  regexp_replace(lower(CASE WHEN db_raw = '' THEN 'unknown_db'
+        |                            ELSE db_raw END),
+        |    '[^a-z0-9_-]+', '_', 'g') AS source_db,
+        |  regexp_replace(lower(CASE WHEN tbl_raw = '' THEN 'unknown_table'
+        |                            ELSE tbl_raw END),
+        |    '[^a-z0-9_-]+', '_', 'g') AS tbl
         |FROM c ORDER BY doc_id""".stripMargin,
     "chunk_batches" ->
       """WITH nr AS (

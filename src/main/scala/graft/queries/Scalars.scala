@@ -31,7 +31,9 @@ object Scalars {
         trim(concat(lit("  "), col("c_name"), lit("  "))).as("tr"),
         concat(col("c_name"), lit("|"), col("c_mktsegment")).as("cc"),
         regexp_replace(col("c_name"), "0+", "0").as("rr"),
-        split(col("c_name"), "#").as("parts"),
+        // array outputs are serialized to a scalar string: the driver's
+        // oracle comparator sorts pandas columns and crashes on raw arrays
+        array_join(split(col("c_name"), "#"), ",").as("parts"),
         length(col("c_name")).as("ln"))
       .orderBy(col("c_custkey"))
 
@@ -67,8 +69,10 @@ object Scalars {
     t(s, d, "documents")
       .select(
         col("doc_id"),
-        slice(split(col("text"), " "), 1, 5).as("first5"),
-        sort_array(slice(split(col("text"), " "), 1, 5)).as("sorted5"),
+        // serialized to scalars (comparator-safe); see scalarString note
+        array_join(slice(split(col("text"), " "), 1, 5), ",").as("first5"),
+        array_join(sort_array(slice(split(col("text"), " "), 1, 5)), ",")
+          .as("sorted5"),
         size(split(col("text"), " ")).as("n_words"),
         array_contains(split(col("text"), " "), "spark").as("has_spark"),
         element_at(split(col("text"), " "), 1).as("first_word"))
@@ -81,8 +85,8 @@ object Scalars {
     t(s, d, "customer")
       .select(
         col("c_custkey"),
-        map_keys(m).as("ks"),
-        map_values(m).as("vs"),
+        array_join(map_keys(m), ",").as("ks"),
+        array_join(map_values(m), ",").as("vs"),
         element_at(m, "cust").as("cv"))
       .orderBy(col("c_custkey"))
   }
@@ -280,7 +284,7 @@ object Scalars {
         |  trim('  ' || c_name || '  ') AS tr,
         |  c_name || '|' || c_mktsegment AS cc,
         |  regexp_replace(c_name, '0+', '0', 'g') AS rr,
-        |  string_split(c_name, '#') AS parts,
+        |  array_to_string(string_split(c_name, '#'), ',') AS parts,
         |  CAST(length(c_name) AS INTEGER) AS ln
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "scalar_date" ->
@@ -306,16 +310,20 @@ object Scalars {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scalar_array" ->
       """SELECT doc_id,
-        |  list_slice(string_split(text, ' '), 1, 5) AS first5,
-        |  list_sort(list_slice(string_split(text, ' '), 1, 5)) AS sorted5,
+        |  array_to_string(list_slice(string_split(text, ' '), 1, 5), ',')
+        |    AS first5,
+        |  array_to_string(
+        |    list_sort(list_slice(string_split(text, ' '), 1, 5)), ',')
+        |    AS sorted5,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
         |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
         |  string_split(text, ' ')[1] AS first_word
         |FROM documents ORDER BY doc_id""".stripMargin,
     "scalar_map" ->
       """SELECT c_custkey,
-        |  ['cust', 'nat'] AS ks,
-        |  [CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR)] AS vs,
+        |  'cust,nat' AS ks,
+        |  CAST(c_custkey AS VARCHAR) || ',' || CAST(c_nationkey AS VARCHAR)
+        |    AS vs,
         |  CAST(c_custkey AS VARCHAR) AS cv
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "scalar_json" ->

@@ -44,28 +44,42 @@ class IngestSpec extends AnyFunSuite {
     (r.getString(0), r.getString(1), r.getString(2))
   }
 
-  test("route: db.table split on first dot") {
+  test("route: db.table split on first dot; later dots become _") {
     assert(route("FactoryDB.Sensor.Readings", "Telemetry") ==
-      ("telemetry", "factorydb", "sensorreadings"))
+      ("telemetry", "factorydb", "sensor_readings"))
   }
 
   test("route: no dot duplicates into both parts") {
     assert(route("plaintable", "f") == ("f", "plaintable", "plaintable"))
   }
 
-  test("route: illegal chars stripped, spaces removed") {
+  test("route: source keep-regex drops illegal chars, dest _-replaces") {
+    // Source goes through the keep-regex (spaces/! removed pre-split,
+    // reference :98-99); Destination only lower+run-replace (:88-92).
     assert(route("my db!.the table", "Fold er") ==
-      ("folder", "mydb", "thetable"))
+      ("fold_er", "mydb", "thetable"))
+  }
+
+  test("route: dest with spaces underscores, not strips (ref :88-92)") {
+    assert(route("a.b", "My Folder") == ("my_folder", "a", "b"))
   }
 
   test("route: empty destination falls back") {
     assert(route("a.b", "") == ("landing", "a", "b"))
     assert(route("a.b", null) == ("landing", "a", "b"))
+    assert(route("a.b", "   ") == ("landing", "a", "b"))
   }
 
-  test("route: empty source yields invalid route (filterable)") {
-    val (f, db, tbl) = route("", "x")
-    assert(f == "x" && db == "" && tbl == "")
+  test("route: empty source falls back to unknown_db/unknown_table") {
+    assert(route("", "x") == ("x", "unknown_db", "unknown_table"))
+  }
+
+  test("route: all-illegal source routes to unknown_* (persisted, not dropped)") {
+    assert(route("!!!", "ok") == ("ok", "unknown_db", "unknown_table"))
+  }
+
+  test("route: whitespace-padded source is stripped before keep-regex") {
+    assert(route("  Db.T1  ", "f") == ("f", "db", "t1"))
   }
 
   // --- normalization + merge (reference :161-191) ---

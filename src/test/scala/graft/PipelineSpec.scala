@@ -29,7 +29,10 @@ class PipelineSpec extends AnyFunSuite {
       ("landing", "otherdb", "metrics"),
       ("arr", "arraydb", "t1"),
       // dotless source duplicates into both parts (reference :102)
-      ("plain", "nodb_table", "nodb_table")))
+      ("plain", "nodb_table", "nodb_table"),
+      // all-illegal source is PERSISTED under the unknown_* fallbacks
+      // (reference :106-111), not dropped
+      ("ok", "unknown_db", "unknown_table")))
 
     val tele = spark.read.parquet(s"$out/folder=telemetry/source_db=factorydb/table=sensor_readings")
     // 2 rows (gzip) + 2 rows (columnar deflate) + 1 row (zlib single)
@@ -42,11 +45,11 @@ class PipelineSpec extends AnyFunSuite {
     // columnar null survives (d4's temp_c)
     assert(tele.filter(col("device_id") === "d4" && col("temp_c").isNull).count() == 1)
 
-    // dropped adversarial cases: non-JSON body (wrapped, undecodable),
-    // missing Data key (null payload), all-illegal-chars source
-    // (invalid route) — none may appear in the output
+    // dropped adversarial cases: non-JSON body (wrapped, undecodable)
+    // and missing Data key (null payload) — neither appears; the
+    // all-illegal-chars source lands under unknown_db/unknown_table
     val all = spark.read.parquet(out)
-    assert(all.count() == 5 + 2 + 1 + 1)
+    assert(all.count() == 5 + 2 + 1 + 1 + 1)
   }
 
   test("typed engine mode preserves inferred types instead of stringifying") {

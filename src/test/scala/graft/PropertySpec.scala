@@ -114,14 +114,15 @@ class PropertySpec extends AnyFunSuite {
       .select("folder", "source_db", "tbl", "d").collect()
     val ok = "^[a-z0-9_-]*$".r
     out.foreach { r =>
-      // fallback applies only to MISSING destinations (reference
-      // :106-107); a destination that sanitizes to empty yields an
-      // invalid route, removed later by Routing.validRoute (:339-341)
-      if (r.isNullAt(3) || r.getString(3).isEmpty)
+      // fallback applies only to MISSING/blank destinations (reference
+      // :106-107); db/table fall back to unknown_db/unknown_table
+      // (:110-111) so they are NEVER empty — no junk source is dropped
+      if (r.isNullAt(3) || r.getString(3).trim.isEmpty)
         assert(r.getString(0) == "landing")
       assert(ok.findFirstIn(r.getString(0)).isDefined, r.getString(0))
       assert(ok.findFirstIn(r.getString(1)).isDefined, r.getString(1))
       assert(ok.findFirstIn(r.getString(2)).isDefined, r.getString(2))
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
     }
   }
 

@@ -19,8 +19,10 @@ import graft.Tables.t
   *    are generated per-bucket, not globally. `dedup_fuzzy_minhash` IS
   *    that scale path.
   *  - SimHash reduces each doc to 64 bits; near-dup = small Hamming
-  *    distance; at scale candidates come from band-rotations of the
-  *    fingerprint, not the all-pairs join used on fixtures.
+  *    distance; candidates come from 16-bit bands of the fingerprint
+  *    (pigeonhole: Hamming <= 3 pairs always collide in >= 1 of 4
+  *    bands), so detection is exact for the threshold with zero
+  *    all-pairs work — the Manku et al. WWW'07 decomposition.
   */
 object Dedup {
 
@@ -76,7 +78,10 @@ object Dedup {
       col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
     val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
       col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    a.join(broadcast(b),
+    // Plain shuffle join on the block key: both sides are the full
+    // corpus, so neither may be broadcast (at 100 TB a corpus broadcast
+    // OOMs every executor). Candidates stay per-block either way.
+    a.join(b,
         col("label") === col("b_label") && col("a_id") < col("b_id"))
       .withColumn("cos", round(
         Similarity.dot(col("a_emb"), col("b_emb")) /
@@ -126,17 +131,28 @@ object Dedup {
     val agree = (0 until nHashes).map(i =>
       when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cands.join(broadcast(aSig), "a_id").join(broadcast(bSig), "b_id")
+    // Signature tables are corpus-sized — shuffle joins, not broadcasts
+    // (the candidate side is the small one after banding anyway).
+    cands.join(aSig, "a_id").join(bSig, "b_id")
       .withColumn("jac_est", round(agree.cast("double") / nHashes, 4))
       .filter(col("jac_est") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jac_est"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** 64-bit SimHash fingerprint per doc + nearest neighbor by Hamming
-    * distance. No oracle (xxhash64 has no DuckDB equivalent); rows are
-    * deterministic. */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+  /** 64-bit SimHash near-dup pairs (Hamming <= 3), banded: the
+    * fingerprint splits into 4 disjoint 16-bit bands; any pair within
+    * Hamming 3 differs in at most 3 bands, so it collides in at least
+    * one (pigeonhole) — candidate generation is an equi shuffle join on
+    * (band_id, band_bits) and the result is EXACT for the threshold,
+    * with no all-pairs comparison anywhere (Manku et al., WWW'07). At
+    * 100 TB the join key is 2 bytes of fingerprint + a band id; the
+    * text never shuffles. No oracle (xxhash64 has no DuckDB
+    * equivalent); rows are deterministic. */
+  /** Per-doc 64-bit SimHash fingerprint: bit i of the fingerprint is
+    * the sign of the vote sum over token-hash bit i (+1/-1 per token).
+    * One groupBy(doc_id) — a single shuffle on the doc key. */
+  def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
     val tokens = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
@@ -148,16 +164,35 @@ object Dedup {
     val simhash = (0 until 64).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    val fp = sims.select(col("doc_id"), simhash.as("simhash"))
-    val a = fp.select(col("doc_id").as("a_id"), col("simhash").as("a_fp"))
-    val b = fp.select(col("doc_id").as("b_id"), col("simhash").as("b_fp"))
-    a.join(broadcast(b), col("a_id") =!= col("b_id"))
-      .withColumn("hamming", bit_count(col("a_fp").bitwiseXOR(col("b_fp"))))
-      .groupBy(col("a_id"))
-      .agg(min(struct(col("hamming"), col("b_id"))).as("nn"))
-      .select(col("a_id").as("doc_id"), col("nn.b_id").as("nn_id"),
-        col("nn.hamming").as("nn_hamming"))
-      .orderBy(col("doc_id"))
+    sims.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val fp = simhashFingerprints(s, d)
+    val bandCols = (0 until 4).map { j =>
+      struct(lit(j).as("band_id"),
+        shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))
+          .as("band_bits"))
+    }
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_id"), col("band.band_bits"))
+    val a = bands.select(col("doc_id").as("a_id"), col("simhash").as("a_fp"),
+      col("band_id"), col("band_bits"))
+    val b = bands.select(col("doc_id").as("b_id"), col("simhash").as("b_fp"),
+      col("band_id").as("b_band_id"), col("band_bits").as("b_band_bits"))
+    a.join(b,
+        col("band_id") === col("b_band_id") &&
+          col("band_bits") === col("b_band_bits") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      // a pair can collide in several bands; hamming is pair-determined
+      // so distinct on the triple dedups collisions
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

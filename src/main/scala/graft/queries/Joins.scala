@@ -91,8 +91,11 @@ object Joins {
       .select(col("s_suppkey"), col("s_acctbal"))
     val c = t(s, d, "customer")
       .select(col("c_custkey"), col("c_acctbal"))
-    sup.join(
-        broadcast(c),
+    // A theta join has no equi key, so one side MUST broadcast (BNLJ);
+    // broadcast supplier — the dimension-sized side (10x smaller here,
+    // bounded at scale) — and stream customer, the fact-like side.
+    c.join(
+        broadcast(sup),
         col("c_acctbal") >= col("s_acctbal") - 100.0 &&
           col("c_acctbal") <= col("s_acctbal") + 100.0)
       .select(col("s_suppkey"), col("c_custkey"), col("s_acctbal"), col("c_acctbal"))

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Dedup
+
+/** Scale-shape assertions for the dedup operators: candidate generation
+  * must never be all-pairs, and corpus-sized join sides must never carry
+  * a broadcast hint (a corpus broadcast OOMs every executor at 100 TB —
+  * whether the tiny fixture side gets auto-broadcast by size is the
+  * planner's business, the HINT is what must not exist).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def broadcastHints(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join =>
+        Seq(j.hint.leftHint, j.hint.rightHint).flatten
+          .filter(_.strategy.isDefined).map(_.strategy.get.toString)
+    }.flatten
+
+  test("simhash banding finds exactly the brute-force Hamming<=3 pairs") {
+    val fp = Dedup.simhashFingerprints(spark, sf).cache()
+    val a = fp.select(col("doc_id").as("a_id"), col("simhash").as("a_fp"))
+    val b = fp.select(col("doc_id").as("b_id"), col("simhash").as("b_fp"))
+    // brute force is test-only ground truth (n=500 on the fixture)
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.dedupSimhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size}: banding must be exact for the threshold")
+  }
+
+  test("simhash candidate generation is an equi join - no BNLJ/cartesian") {
+    val p = physical(Dedup.dedupSimhash(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("embedding-cosine and minhash joins carry no broadcast hints") {
+    assert(broadcastHints(Dedup.dedupEmbeddingCosine(spark, sf)).isEmpty)
+    assert(broadcastHints(Dedup.dedupFuzzyMinhash(spark, sf)).isEmpty)
+  }
+
+  test("minhash candidate generation has no BNLJ/cartesian either") {
+    val p = physical(Dedup.dedupFuzzyMinhash(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("theta-range join broadcasts the dimension side (supplier)") {
+    val p = physical(graft.queries.Joins.joinThetaRange(spark, sf))
+    // customer streams, supplier builds: BuildRight on the hinted side
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
+  }
+}

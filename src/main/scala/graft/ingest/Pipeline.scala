@@ -46,10 +46,13 @@ object Pipeline {
   }
 
   /** `includeMeta` adds the reference's parquet key/value metadata
-    * (kind, source_db, table, folder — src/function_app.py:390-399,
-    * 405-413) as ordinary queryable columns instead of file metadata
-    * (deviation SURVEY.md §7.4(a): columns survive engine migrations and
-    * allow pruning; row_count/batch_number are derivable per file). */
+    * (kind, row_count, batch_number, source_db, table, folder —
+    * src/function_app.py:390-399, 405-413) as ordinary queryable columns
+    * instead of file metadata (deviation SURVEY.md §7.4(a): columns
+    * survive engine migrations and allow pruning). `_batch_number` is a
+    * unique id per written file — unlike the reference's dense 0..n it
+    * encodes (partition, chunk-in-partition), a documented deviation like
+    * §7.4's file naming — and `_row_count` is that file's row count. */
   /** `typedMode = false` (fidelity, default): every cell stringified
     * exactly like the reference (SURVEY.md §1.2). `typedMode = true`
     * (engine mode): keep the inferred types — numbers stay numeric,
@@ -112,6 +115,36 @@ object Pipeline {
     * see PERF.md). */
   def withShape(decoded: DataFrame): DataFrame =
     decoded.withColumn("shape", Codecs.jsonShape(col("payload_str")))
+
+  /** Reference per-file metadata (row_count, batch_number at
+    * function_app.py:390-399) as columns, aligned with the files
+    * `maxRecordsPerFile` actually produces: the writer closes a file
+    * after every maxRecordsPerFile rows WITHIN a task, so chunk-in-task
+    * numbering derived from `monotonically_increasing_id` (pid << 33 |
+    * row-in-partition) matches file boundaries exactly — provided no
+    * exchange sits between this projection and the write. The per-chunk
+    * count joins back as a broadcast (one row per output FILE, i.e.
+    * rows/maxRecordsPerFile — at extreme per-route scale a post-write
+    * footer manifest is the alternative; parquet footers already carry
+    * num_rows). The caller must pass a CACHED df so the two passes see
+    * one materialized partition layout. */
+  private def withBatchMeta(cached: DataFrame, cfg: IngestConfig): DataFrame = {
+    val withId = cached.withColumn("_mid", monotonically_increasing_id())
+    val chunk = floor(col("_mid").bitwiseAND(lit((1L << 33) - 1)) /
+      cfg.maxRecordsPerFile.toLong).cast("long")
+    // chunk < 2^33 for any maxRecordsPerFile >= 1, so shifting the pid
+    // back up 33 bits keeps (pid, chunk) collision-free (pid < 2^30 —
+    // a billion write tasks per route does not happen)
+    val numbered = withId
+      .withColumn("_batch_number",
+        shiftleft(shiftright(col("_mid"), 33), 33) + chunk)
+      .drop("_mid")
+    val counts = numbered.groupBy("_batch_number")
+      .agg(count(lit(1)).as("_row_count"))
+    // broadcast join-back preserves the streamed side's partition layout
+    // and row order — the file-boundary alignment depends on it
+    numbered.join(broadcast(counts), Seq("_batch_number"))
+  }
 
   /** Full batch ingest: returns what was written where. Failures are
     * isolated per route (reference :416-417) — one bad group never stops
@@ -198,18 +231,19 @@ object Pipeline {
           } else {
             val kind = halves.map(_._1).distinct.sorted.mkString("+")
             val merged = Normalize.mergeColumnars(halves.map(_._2))
-            val out = (if (cfg.includeMeta)
+            val base = (if (cfg.includeMeta)
                 merged.withColumn("_kind", lit(kind))
               else merged).cache()
             try {
-              val n = out.count()
+              val n = base.count()
+              val out = if (cfg.includeMeta) withBatchMeta(base, cfg) else base
               val path = s"${cfg.outDir}/folder=$folder/source_db=$db/table=$table"
               out.write.mode("append")
                 .option("compression", cfg.compression)
                 .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toLong)
                 .parquet(path)
               Right(RouteResult(folder, db, table, n, kind))
-            } finally out.unpersist()
+            } finally base.unpersist()
           }
         } catch {
           case e: Exception => Left(s"$folder/$db/$table" -> e.toString)

@@ -36,4 +36,37 @@ class SkewSpec extends AnyFunSuite {
     assert(df.columns.contains("_kind"))
     assert(df.select("_kind").head().getString(0) == "single")
   }
+
+  test("includeMeta batch metadata aligns with the actual parquet files") {
+    val out = java.nio.file.Files.createTempDirectory("graft_meta_b").toString
+    // 25 single-payload envelopes for one route, chunked 10 per file
+    val envs = (0 until 25).map { i =>
+      s"""{"Source":"db.t","Destination":"f","Data":"${
+        java.util.Base64.getEncoder.encodeToString(
+          s"""{"a":$i}""".getBytes)}"}"""
+    }
+    val rep = Pipeline.ingest(spark, envs.toDF("value"),
+      Pipeline.IngestConfig(outDir = out, includeMeta = true,
+        maxRecordsPerFile = 10))
+    assert(rep.failed.isEmpty)
+    val dir = new java.io.File(s"$out/folder=f/source_db=db/table=t")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    var total = 0L
+    files.foreach { f =>
+      val one = spark.read.parquet(f.getAbsolutePath)
+      val metas = one.select("_batch_number", "_row_count")
+        .distinct().collect()
+      // every row of a file carries exactly its file's (batch, count)
+      assert(metas.length == 1, s"${f.getName}: ${metas.mkString(",")}")
+      assert(metas.head.getLong(1) == one.count(), f.getName)
+      assert(one.count() <= 10)
+      total += one.count()
+    }
+    assert(total == 25)
+    // batch numbers are unique per file
+    val bns = files.map(f => spark.read.parquet(f.getAbsolutePath)
+      .select("_batch_number").head().getLong(0))
+    assert(bns.distinct.length == files.length)
+  }
 }

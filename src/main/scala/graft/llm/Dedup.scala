@@ -41,17 +41,39 @@ object Dedup {
     * This is the scalable shape — work is O(Σ posting-list²) per token,
     * not O(n²) array intersections, and it's all hash joins/aggregates
     * (one shuffle on token, one on the pair key). */
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    dedupNgramJaccard(s, d, maxDf = Long.MaxValue)
+
+  /** `maxDf` is the 100 TB guard: a token appearing in more than maxDf
+    * documents ("the", boilerplate headers) contributes O(df²) candidate
+    * pairs to the postings self-join while carrying near-zero signal, so
+    * it is dropped from the INDEX before the join — the standard stopword
+    * cutoff from near-dup systems (e.g. CCNet). Pairs whose overlap is
+    * exclusively ultra-common tokens are missed — by construction those
+    * sit far below any near-dup threshold. Set sizes (a_n/b_n) keep the
+    * full vocabulary, so surviving pairs' Jaccard can only underestimate,
+    * never inflate. The df count is a window over the token hash — the
+    * same partitioning the self-join shuffles on, so the guard adds no
+    * exchange (the default MaxValue skips it entirely). */
+  def dedupNgramJaccard(s: SparkSession, d: String, maxDf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents")
       .select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("toks"))
       .withColumn("n", size(col("toks")))
     // 8-byte hashed token join keys instead of strings (collision-free
     // at any realistic vocabulary; halves shuffle width)
-    val postings = docs.select(col("doc_id"), col("lang"), col("n"),
+    val allPostings = docs.select(col("doc_id"), col("lang"), col("n"),
       explode(col("toks")).as("tok"))
       .select(col("doc_id"), col("lang"), col("n"),
         xxhash64(col("lang"), col("tok")).as("tok_h"))
+    val postings =
+      if (maxDf == Long.MaxValue) allPostings
+      else allPostings
+        .withColumn("df", count(lit(1))
+          .over(Window.partitionBy(col("tok_h"))))
+        .filter(col("df") <= maxDf)
+        .drop("df")
     val a = postings.select(col("doc_id").as("a_id"), col("n").as("a_n"),
       col("tok_h"))
     val b = postings.select(col("doc_id").as("b_id"), col("n").as("b_n"),

@@ -61,6 +61,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ngram-jaccard df cutoff: inert above the fixture's max df, prunes below") {
+    val base = Dedup.dedupNgramJaccard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fixture max document frequency is well under 1M: identical output
+    val guarded = Dedup.dedupNgramJaccard(spark, sf, maxDf = 1000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == base)
+    // an aggressive cutoff may only REMOVE pairs (jaccard can only drop
+    // when shared tokens leave the index), never invent them
+    val tight = Dedup.dedupNgramJaccard(spark, sf, maxDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(base), s"extra pairs: ${tight -- base}")
+  }
+
   test("theta-range join broadcasts the dimension side (supplier)") {
     val p = physical(graft.queries.Joins.joinThetaRange(spark, sf))
     // customer streams, supplier builds: BuildRight on the hinted side

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.types.StringType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Sources
+
+/** Contract tests for the generic streaming source slot. The Kafka
+  * connector jar is not in this offline container, so the kafka path
+  * cannot run end-to-end; instead (a) the exact same `stream()` code
+  * path runs with an available format and must yield the envelope
+  * contract (a single string `value` column on a streaming frame), and
+  * (b) the kafka format name must reach Spark's data-source lookup —
+  * proving the slot is live wiring whose only missing piece is the
+  * connector jar, not dead code.
+  */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("stream() yields the envelope contract: one string value column") {
+    val df = Sources.stream(spark, "rate", Map("rowsPerSecond" -> "1"))
+    assert(df.isStreaming)
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("value", StringType)))
+  }
+
+  test("kafka format reaches the data-source lookup (jar-gated, not dead)") {
+    val e = intercept[Exception] {
+      Sources.stream(spark, "kafka", Map(
+        "kafka.bootstrap.servers" -> "broker:9092",
+        "subscribe" -> "envelopes"))
+    }
+    // Spark's resolver error names the format and suggests the deploy
+    // artifact - the failure is the missing connector, nothing upstream
+    val msg = e.getMessage
+    assert(msg != null && msg.toLowerCase.contains("kafka"), msg)
+  }
+
+  test("batch and streaming file sources share one downstream schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.txt"),
+      "{\"Source\":\"db.t\",\"Destination\":\"f\",\"Data\":\"x\"}\n".getBytes)
+    val batch = Sources.fileTextBatch(spark, dir)
+    val stream = Sources.fileText(spark, dir, maxFilesPerTrigger = Some(1))
+    assert(batch.schema == stream.schema)
+    assert(!batch.isStreaming && stream.isStreaming)
+    assert(batch.count() == 1)
+  }
+}

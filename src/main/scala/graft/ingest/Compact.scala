@@ -25,6 +25,11 @@ object Compact {
   case class CompactReport(path: String, rows: Long,
       filesBefore: Int, filesAfter: Int)
 
+  /** Sweep result, mirroring [[Pipeline.IngestReport]]'s written/failed
+    * split: one bad table never aborts the others. */
+  case class CompactSweep(compacted: Seq[CompactReport],
+      failed: Seq[(String, String)])
+
   private def parquetFiles(spark: SparkSession, dir: Path): Int = {
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dir)) 0
@@ -38,6 +43,15 @@ object Compact {
       targetRecordsPerFile: Long = 1000000L): CompactReport = {
     val dir = new Path(tableDir)
     val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    // Crash recovery: a previous run that died between rename(dir->bak)
+    // and rename(tmp->dir) left the live dir missing with the data
+    // stranded in bak — restore it before doing anything else. (A
+    // dangling bak NEXT TO a live dir means the crash happened after the
+    // second rename; the live dir wins and bak is deleted below.)
+    val staleBak = new Path(tableDir + "__compact_bak")
+    if (!fs.exists(dir) && fs.exists(staleBak) && !fs.rename(staleBak, dir))
+      throw new java.io.IOException(
+        s"compact: cannot restore dangling $staleBak to $dir")
     val before = parquetFiles(spark, dir)
     val df = spark.read.parquet(tableDir)
     val rows = df.count()
@@ -60,18 +74,45 @@ object Compact {
   }
 
   /** Compact every `folder=/source_db=/table=` leaf under an ingest
-    * output root (the layout [[Pipeline.ingest]] writes). */
+    * output root (the layout [[Pipeline.ingest]] writes). Failures are
+    * isolated per table — one unreadable leaf never aborts the sweep.
+    * `__compact_tmp`/`__compact_bak` working dirs are excluded from leaf
+    * discovery (they are not tables; a dangling bak whose live dir is
+    * missing is recovered by [[compactTable]] on the LIVE path, which the
+    * bak's name yields after stripping the suffix). */
   def compactAll(spark: SparkSession, outDir: String,
-      targetRecordsPerFile: Long = 1000000L): Seq[CompactReport] = {
+      targetRecordsPerFile: Long = 1000000L): CompactSweep = {
     val root = new Path(outDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def leaves(p: Path): Seq[Path] = {
-      val kids = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-      if (kids.isEmpty) Seq(p)
+      val allKids = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      val kids = allKids.filterNot(_.getName.contains("__compact_"))
+      // a dir whose only children are __compact_* working dirs is NOT a
+      // table leaf (reading it would partition-discover the bak/tmp)
+      if (allKids.isEmpty) Seq(p)
       else kids.toSeq.flatMap(leaves)
     }
-    if (!fs.exists(root)) Seq.empty
-    else leaves(root).sortBy(_.toString)
-      .map(p => compactTable(spark, p.toString, targetRecordsPerFile))
+    // a dangling bak's live dir no longer lists as a leaf (it is gone) —
+    // surface it by its live name so recovery runs
+    def danglingBaks(p: Path): Seq[Path] =
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq.flatMap {
+        case bak if bak.getName.endsWith("__compact_bak") =>
+          val live = new Path(bak.getParent,
+            bak.getName.stripSuffix("__compact_bak"))
+          if (fs.exists(live)) Seq.empty else Seq(live)
+        case kid if kid.getName.contains("__compact_") => Seq.empty
+        case kid => danglingBaks(kid)
+      }
+    if (!fs.exists(root)) CompactSweep(Seq.empty, Seq.empty)
+    else {
+      val results = (leaves(root) ++ danglingBaks(root))
+        .distinct.sortBy(_.toString).map { p =>
+          try Right(compactTable(spark, p.toString, targetRecordsPerFile))
+          catch { case e: Exception => Left(p.toString -> e.toString) }
+        }
+      CompactSweep(
+        results.collect { case Right(r) => r },
+        results.collect { case Left(f) => f })
+    }
   }
 }

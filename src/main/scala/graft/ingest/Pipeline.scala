@@ -116,6 +116,63 @@ object Pipeline {
   def withShape(decoded: DataFrame): DataFrame =
     decoded.withColumn("shape", Codecs.jsonShape(col("payload_str")))
 
+  /** Typed mode appends inferred-type parquet to a fixed directory, so a
+    * batch whose inference disagrees with what's already there (long in
+    * batch 1, string in batch 2) would poison the directory: readers
+    * resolve mixed footer types arbitrarily or break under mergeSchema.
+    * Guard: compare against the existing footer before the append and
+    * fail the ROUTE (isolated + reported like any route failure) instead
+    * of writing. One driver-side footer read per route per typed batch.
+    * A shared [[SchemaRegistry]] makes the steady state pass trivially
+    * (the cached schema is stable across batches); on real type drift
+    * the route fails loudly — rewrite the table (or run stringified
+    * fidelity mode) rather than silently mixing types. */
+  private def validateTypedAppend(spark: SparkSession, path: String,
+      incoming: StructType): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    val existing = spark.read.parquet(path).schema
+    val conflicts = incoming.fields.flatMap { f =>
+      existing.fields.find(_.name == f.name)
+        .filter(_.dataType != f.dataType)
+        .map(ex => s"${f.name}: ${ex.dataType.simpleString} on disk vs " +
+          s"${f.dataType.simpleString} incoming")
+    }
+    if (conflicts.nonEmpty)
+      throw new IllegalStateException(
+        s"typed-mode append would mix parquet types at $path " +
+          s"(${conflicts.mkString("; ")}); rewrite the table or use " +
+          "stringified mode")
+  }
+
+  /** Parse payloads with a cached schema, guarded against the sample
+    * drift check's blind spot: rows the sample missed whose TYPES
+    * drifted would silently null cells (the cached long can't hold
+    * "abc"). A `_corrupt_record` probe column catches every such row
+    * during the parse; any hit forces full re-inference, a widen-merge
+    * into the registry, and one clean re-parse. New-columns-only drift
+    * stays on the sample check's latency (extra JSON fields are not
+    * corrupt — they parse silently). */
+  private def parseChecked(spark: SparkSession, reg: SchemaRegistry,
+      key: (String, String, String, String), schema: StructType,
+      payloads: Dataset[String]): DataFrame = {
+    if (!reg.corruptRecheck || schema.fields.isEmpty ||
+        schema.fieldNames.contains("_corrupt_record"))
+      return spark.read.schema(schema).json(payloads)
+    val probe = StructType(
+      schema.fields :+ StructField("_corrupt_record", StringType))
+    val parsed = spark.read.schema(probe)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(payloads)
+    val bad = parsed.filter(col("_corrupt_record").isNotNull).count()
+    if (bad == 0L) parsed
+    else {
+      val merged = reg.reinferMerged(spark, key, payloads)
+      spark.read.schema(merged).json(payloads)
+    }
+  }
+
   /** Reference per-file metadata (row_count, batch_number at
     * function_app.py:390-399) as columns, aligned with the files
     * `maxRecordsPerFile` actually produces: the writer closes a file
@@ -210,9 +267,9 @@ object Pipeline {
             // registry, the cached schema replaces the full-data scan.
             val parsed = registry match {
               case Some(reg) =>
-                val schema = reg.schemaFor(spark,
-                  (folder, db, table, shape), payloads)
-                spark.read.schema(schema).json(payloads)
+                val key = (folder, db, table, shape)
+                val schema = reg.schemaFor(spark, key, payloads)
+                parseChecked(spark, reg, key, schema, payloads)
               case None => spark.read.json(payloads)
             }
             val dataFields = parsed.schema.fields.filter(_.name != "_corrupt_record")
@@ -238,6 +295,7 @@ object Pipeline {
               val n = base.count()
               val out = if (cfg.includeMeta) withBatchMeta(base, cfg) else base
               val path = s"${cfg.outDir}/folder=$folder/source_db=$db/table=$table"
+              if (cfg.typedMode) validateTypedAppend(spark, path, out.schema)
               out.write.mode("append")
                 .option("compression", cfg.compression)
                 .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toLong)

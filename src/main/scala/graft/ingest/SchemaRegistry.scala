@@ -23,16 +23,26 @@ import org.apache.spark.sql.types._
   *    conflicting types widen to StringType (the normalize stage
   *    stringifies everything anyway, SURVEY.md §1.2).
   *
-  * Tradeoff (documented, not hidden): a new column appearing ONLY in
-  * unsampled rows of a batch is picked up the first batch it reaches the
-  * sample, not necessarily its first batch. Raise `sampleSize` (or set
-  * it huge to force per-batch full inference) where that matters.
+  * Tradeoffs (documented, not hidden):
+  *  - a NEW COLUMN appearing only in unsampled rows of a batch is
+  *    invisible to the sample check (extra JSON fields parse silently),
+  *    so it is picked up the first batch it reaches the sample, not
+  *    necessarily its first batch. Raise `sampleSize` (or set it huge to
+  *    force per-batch full inference) where that matters.
+  *  - a TYPE CHANGE in unsampled rows would null those cells for the
+  *    batch; with `corruptRecheck` (default) the pipeline parses with a
+  *    `_corrupt_record` probe column and forces full re-inference +
+  *    widen-merge when any row fails the cached schema, so no cell is
+  *    silently nulled — at the cost of one typed parse pass per batch
+  *    (cheap next to inference, but not zero). `corruptRecheck = false`
+  *    restores zero-job trusted batches and re-opens that window.
   *
   * Thread-safe (TrieMap + atomics) — per-route jobs may run from
   * concurrent foreachBatch workers.
   */
 final class SchemaRegistry(val sampleSize: Int = 256,
-    val driftCheckInterval: Int = 1) {
+    val driftCheckInterval: Int = 1,
+    val corruptRecheck: Boolean = true) {
 
   type Key = (String, String, String, String) // folder, source_db, table, shape
 
@@ -90,6 +100,21 @@ final class SchemaRegistry(val sampleSize: Int = 256,
           }
         }
     }
+
+  /** Forced full re-inference after a corrupt-record anomaly (a row the
+    * cached schema cannot parse): infer over the WHOLE batch, widen-merge
+    * into the cache, return the merged schema for a clean re-parse. A
+    * payload that is genuinely unparseable (not drift) re-infers every
+    * batch it appears in — bounded by the anomaly rate, which is the
+    * right failure bias for an ingest path. */
+  def reinferMerged(spark: SparkSession, key: Key,
+      payloads: Dataset[String]): StructType = {
+    val full = infer(spark, payloads)
+    fullInfers.incrementAndGet()
+    val merged = cache.get(key).map(mergeStructs(_, full)).getOrElse(full)
+    cache.update(key, merged)
+    merged
+  }
 
   private def infer(spark: SparkSession, payloads: Dataset[String]): StructType =
     StructType(spark.read.json(payloads).schema.fields

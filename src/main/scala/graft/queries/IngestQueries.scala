@@ -208,7 +208,7 @@ object IngestQueries {
     }
     Pipeline.ingest(s, envs.toDF("value"),
       Pipeline.IngestConfig(outDir = out, maxRecordsPerFile = 10))
-    val reports = graft.ingest.Compact.compactAll(s, out)
+    val reports = graft.ingest.Compact.compactAll(s, out).compacted
     reports.map(r => (r.path.split("/table=").last, r.rows,
         r.filesAfter, r.filesBefore > r.filesAfter))
       .toDF("table", "rows", "files_after", "compacted_smaller")

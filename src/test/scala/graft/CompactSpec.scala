@@ -25,7 +25,9 @@ class CompactSpec extends AnyFunSuite {
       .select("k", "v", "folder", "source_db", "table")
       .collect().map(_.toString).sorted
 
-    val reports = Compact.compactAll(spark, out, targetRecordsPerFile = 1000000L)
+    val sweep = Compact.compactAll(spark, out, targetRecordsPerFile = 1000000L)
+    assert(sweep.failed.isEmpty)
+    val reports = sweep.compacted
     assert(reports.size == 2)
     reports.foreach { r =>
       assert(r.filesBefore >= 20, r) // 200 rows / 10 per file
@@ -44,5 +46,40 @@ class CompactSpec extends AnyFunSuite {
     intercept[Exception] {
       Compact.compactTable(spark, s"$dir/nonexistent")
     }
+  }
+
+  test("a crash between the two swap renames is recovered on next run") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_crash").toString
+    val table = s"$root/folder=f/source_db=db/table=t"
+    (1 to 50).toDF("k").write.parquet(table)
+    // simulate the crash window: live dir moved aside, tmp never landed
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(table + "__compact_bak")))
+    val sweep = Compact.compactAll(spark, root)
+    assert(sweep.failed.isEmpty, sweep.failed)
+    assert(sweep.compacted.map(_.rows) == Seq(50L))
+    assert(spark.read.parquet(table).count() == 50)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table + "__compact_bak")))
+  }
+
+  test("sweep isolates per-table failures and skips working dirs") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_iso").toString
+    (1 to 10).toDF("k").write.parquet(s"$root/folder=f/source_db=db/table=good")
+    // a leaf with no parquet files aborts its own compaction only
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$root/folder=f/source_db=db/table=empty"))
+    // a leftover tmp dir from a dead run must not be treated as a table
+    (1 to 5).toDF("k").write
+      .parquet(s"$root/folder=f/source_db=db/table=good__compact_tmp")
+    val sweep = Compact.compactAll(spark, root)
+    assert(sweep.compacted.map(_.rows) == Seq(10L))
+    assert(sweep.failed.map(_._1.split(":").last) ==
+      Seq(s"$root/folder=f/source_db=db/table=empty"))
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.types._
 
-import graft.ingest.SchemaRegistry
+import graft.ingest.{Pipeline, SchemaRegistry}
 
 /** The streaming-ingest schema cache: steady-state batches must reuse
   * the cached schema (sample scan only), drift must trigger exactly one
@@ -45,6 +45,31 @@ class SchemaRegistrySpec extends AnyFunSuite {
     val full = reg.fullInferCount
     reg.schemaFor(spark, key, ds("""{"a":3.5}"""))
     assert(reg.fullInferCount == full)
+  }
+
+  test("type drift hiding beyond the sample window is not nulled (corrupt recheck)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val reg = new SchemaRegistry(sampleSize = 4)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_drift_recheck").toString
+    def envs(payloads: Seq[String]) = payloads.map { p =>
+      s"""{"Source":"db.t","Destination":"f","Data":"${
+        java.util.Base64.getEncoder.encodeToString(p.getBytes)}"}"""
+    }.toDF("value")
+    // batch 1: k is long everywhere -> cached schema k: bigint
+    Pipeline.ingest(spark, envs((0 until 20).map(i => s"""{"k":$i}""")),
+      Pipeline.IngestConfig(outDir = out), Some(reg))
+    // batch 2: drifted row sits far past the 4-row sample window
+    val batch2 = (0 until 40).map(i => s"""{"k":$i}""") :+ """{"k":"abc"}"""
+    Pipeline.ingest(spark, envs(batch2),
+      Pipeline.IngestConfig(outDir = out), Some(reg))
+    val vals = spark.read.parquet(s"$out/folder=f/source_db=db/table=t")
+      .select("k").collect().map(_.getString(0))
+    // before the recheck, "abc" parsed against bigint and became null
+    assert(vals.contains("abc"), "drifted cell must survive, not null out")
+    assert(!vals.contains(null))
+    assert(reg.snapshot(("f", "db", "t", "single"))("k").dataType == StringType)
   }
 
   test("covers handles nested structs and arrays") {

@@ -24,7 +24,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stable file artifact alongside stdout (stdout tails get truncated)
+    val sfName = new java.io.File(sfDir).getName
+    new java.io.File("target").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"target/bench_$sfName.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -162,6 +162,44 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Duplicate-cluster assignment — the step AFTER pair detection: every
+    * doc in a connected component of the near-dup graph maps to one
+    * representative (the component's min doc_id), so "keep one per
+    * cluster" is a single filter downstream. HashMin label propagation:
+    * each round propagates the smallest known label across edges (one
+    * shuffle join + hash aggregate), stopping when no label changes.
+    * Rounds = component diameter — tiny for dedup graphs (copies of a
+    * document link through it). Lineage is truncated per round
+    * (localCheckpoint), so the plan stays flat however many rounds run;
+    * for adversarial long-chain graphs the documented upgrade is the
+    * large-star/small-star decomposition (Kiveris et al., SoCC'14),
+    * which bounds rounds regardless of diameter. */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = dedupNgramJaccard(s, d).select(col("a_id"), col("b_id"))
+    val edges = pairs.union(
+        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("pid")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, col("id") === col("pid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl") < col("lbl")).as("chg"))
+        .localCheckpoint()
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "lbl")
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash near-dup pairs (Hamming <= 3), banded: the
     * fingerprint splits into 4 disjoint 16-bit bands; any pair within
     * Hamming 3 differs in at most 3 bands, so it collides in at least
@@ -219,7 +257,9 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
-    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_ngram_jaccard" ->
+      ((s: SparkSession, d: String) => dedupNgramJaccard(s, d)),
+    "dedup_cluster" -> (dedupCluster _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_fuzzy_minhash" -> (dedupFuzzyMinhash _),
     "dedup_simhash" -> (dedupSimhash _)
@@ -242,6 +282,25 @@ object Dedup {
         |WHERE ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
         |            len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
+        |              len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS cluster_rep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

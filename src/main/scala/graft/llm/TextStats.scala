@@ -64,6 +64,37 @@ object TextStats {
           .cast("decimal(18,8)"), 4).cast("double").as("quality"))
       .orderBy(col("doc_id"))
 
+  /** The end-to-end curation gate a training-data pipeline runs before
+    * tokenization, composed from the operators above: language filter
+    * (stopword-density heuristic), quality floor (length saturation +
+    * lexical diversity), then exact-dedup representative selection among
+    * the SURVIVORS (filter-then-dedup: only passing docs shuffle, and
+    * the shuffle key is a 16-byte content hash, never the text). One
+    * scan stage + one hash shuffle at any scale. */
+  def compositeCuration(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text_md5"))
+    t(s, d, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("len_score",
+        least(lit(1.0), length(col("text")).cast("double") / 500.0))
+      .withColumn("uniq_ratio",
+        size(array_distinct(split(col("text"), " "))).cast("double") /
+          col("n_tokens"))
+      .withColumn("quality",
+        round((col("len_score") * 0.5 + col("uniq_ratio") * 0.5)
+          .cast("decimal(18,8)"), 4).cast("double"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(split(text, ' '), t -> t IN $stopList))")
+          .cast("double") / col("n_tokens"))
+      .filter(col("quality") >= 0.5 && col("stop_ratio") > 0.05)
+      .withColumn("text_md5", md5(col("text")))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Regex token counting (BPE-ish pre-tokenizer split: word runs vs
     * single non-space symbols) + whitespace token count. */
   def textTokenCount(s: SparkSession, d: String): DataFrame =
@@ -171,7 +202,8 @@ object TextStats {
     "doc_fingerprint" -> (docFingerprint _),
     "doc_rolling_hash" -> (docRollingHash _),
     "text_ngram_freq" -> (textNgramFreq _),
-    "text_pii_redact" -> (textPiiRedact _)
+    "text_pii_redact" -> (textPiiRedact _),
+    "composite_curation" -> (compositeCuration _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -193,6 +225,27 @@ object TextStats {
          |        t -> t IN $stopList)) AS DOUBLE) /
          |        len(string_split(text, ' ')), 4) AS stop_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "composite_curation" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(ROUND(CAST(
+         |      LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) * 0.5 +
+         |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+         |      len(string_split(text, ' ')) * 0.5 AS DECIMAL(18,8)), 4)
+         |      AS DOUBLE) AS quality,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN $stopList)) AS DOUBLE) /
+         |      len(string_split(text, ' ')) AS stop_ratio
+         |  FROM documents),
+         |surv AS (
+         |  SELECT doc_id, lang, quality, md5(text) AS text_md5
+         |  FROM q WHERE quality >= 0.5 AND stop_ratio > 0.05),
+         |rep AS (
+         |  SELECT doc_id, lang, quality,
+         |    MIN(doc_id) OVER (PARTITION BY text_md5) AS rep_id
+         |  FROM surv)
+         |SELECT doc_id, lang, quality FROM rep
+         |WHERE doc_id = rep_id ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       s"""SELECT doc_id, lang,
          |  ROUND(CAST(len(list_filter(string_split(text, ' '),

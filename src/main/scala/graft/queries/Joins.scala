@@ -102,6 +102,32 @@ object Joins {
       .orderBy(col("s_suppkey"), col("c_custkey"))
   }
 
+  /** The same band join as [[joinThetaRange]], re-expressed as the
+    * 100 TB shape: bucketize both balances into width-100 bins, explode
+    * the smaller side into its 3 candidate bins, hash-join on the bin
+    * key, filter exactly. No nested-loop anywhere — when BOTH sides are
+    * too big to broadcast this is THE scalable range join (candidates
+    * per row are bounded by bin occupancy, not the other table's size).
+    * Any pair within +-100 differs by at most one bin (width = range),
+    * so the 3-bin explode is complete; a pair matches exactly one bin
+    * (the customer's), so no dedup pass is needed. */
+  def joinRangeBucketed(s: SparkSession, d: String): DataFrame = {
+    val sup = t(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal"),
+        floor(col("s_acctbal") / 100.0).cast("long").as("b0"))
+    val supExp = sup.select(col("s_suppkey"), col("s_acctbal"),
+      explode(array(col("b0") - 1, col("b0"), col("b0") + 1)).as("bucket"))
+    val c = t(s, d, "customer")
+      .select(col("c_custkey"), col("c_acctbal"),
+        floor(col("c_acctbal") / 100.0).cast("long").as("bucket"))
+    c.join(supExp, "bucket")
+      .filter(col("c_acctbal") >= col("s_acctbal") - 100.0 &&
+        col("c_acctbal") <= col("s_acctbal") + 100.0)
+      .select(col("s_suppkey"), col("c_custkey"),
+        col("s_acctbal"), col("c_acctbal"))
+      .orderBy(col("s_suppkey"), col("c_custkey"))
+  }
+
   def joinCross(s: SparkSession, d: String): DataFrame =
     t(s, d, "region").crossJoin(t(s, d, "nation"))
       .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
@@ -176,6 +202,7 @@ object Joins {
     "join_anti" -> (joinAnti _),
     "join_broadcast" -> (joinBroadcast _),
     "join_theta_range" -> (joinThetaRange _),
+    "join_range_bucketed" -> (joinRangeBucketed _),
     "join_cross" -> (joinCross _),
     "join_asof" -> (joinAsof _),
     "join_interval" -> (joinInterval _)
@@ -227,6 +254,11 @@ object Joins {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |ORDER BY n_nationkey""".stripMargin,
     "join_theta_range" ->
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+        |FROM supplier JOIN customer
+        |  ON c_acctbal >= s_acctbal - 100.0 AND c_acctbal <= s_acctbal + 100.0
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+    "join_range_bucketed" ->
       """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
         |FROM supplier JOIN customer
         |  ON c_acctbal >= s_acctbal - 100.0 AND c_acctbal <= s_acctbal + 100.0

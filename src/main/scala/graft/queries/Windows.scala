@@ -154,7 +154,34 @@ object Windows {
       .orderBy(col("o_orderpriority"), col("rn"))
   }
 
+  /** Sessionization (gaps-and-islands): a session breaks when a user is
+    * idle > 30 min. lag() marks session starts, a running sum numbers
+    * them, one aggregate folds each session — all three steps reuse ONE
+    * hash partitioning on user_id (a single shuffle; Catalyst collapses
+    * the windows and the final groupBy into the same exchange). The
+    * batch twin of `stream_session_window`. */
+  def windowSession(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTs))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_no",
+        sum(col("new_sess")).over(byTs.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_session" -> (windowSession _),
     "window_top_k_per_group" -> (windowTopKPerGroup _),
     "window_range_interval" -> (windowRangeInterval _),
     "window_ignore_nulls" -> (windowIgnoreNulls _),
@@ -166,6 +193,28 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_session" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_us IS NULL
+        |           OR epoch_us(ts) - prev_us > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM m)
+        |SELECT user_id, session_no,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
     "window_range_interval" ->
       """SELECT event_id,
         |  COUNT(*) OVER w AS cnt_1h,

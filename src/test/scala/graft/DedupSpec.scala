@@ -80,4 +80,29 @@ class DedupSpec extends AnyFunSuite {
     // customer streams, supplier builds: BuildRight on the hinted side
     assert(p.contains("BroadcastNestedLoopJoin BuildRight"), p)
   }
+
+  test("bucketed range join is pure equi joins, same rows as the theta join") {
+    val p = physical(graft.queries.Joins.joinRangeBucketed(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val theta = graft.queries.Joins.joinThetaRange(spark, sf)
+      .collect().map(_.toString).sorted
+    val bucketed = graft.queries.Joins.joinRangeBucketed(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(bucketed.sameElements(theta))
+  }
+
+  test("cluster assignment is transitive: both ends of every pair share a rep") {
+    val reps = Dedup.dedupCluster(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.dedupNgramJaccard(spark, sf)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(reps(a) == reps(b), s"pair ($a,$b) split across clusters")
+    }
+    // every representative is a member of its own cluster
+    reps.values.toSet.foreach { (rep: Long) => assert(reps(rep) == rep) }
+  }
 }

@@ -179,8 +179,13 @@ object Dedup {
     val edges = pairs.union(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // seed with min(self, direct neighbors) — one aggregate that folds
+    // the would-be first propagation round into initialization (cliques,
+    // the common dedup shape, then converge in a single confirm round)
+    var labels = edges.select(col("dst").as("id"), col("src").as("lbl"))
+      .union(edges.select(col("src").as("id"), col("src").as("lbl")))
+      .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {

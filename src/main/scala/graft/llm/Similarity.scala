@@ -168,7 +168,37 @@ object Similarity {
           ",").as("q"))
       .orderBy(col("vec_id"))
 
+  /** k-NN JOIN: the top-3 cosine neighbors for EVERY vector (not one
+    * probe), blocked by label like [[Dedup.dedupEmbeddingCosine]].
+    * Candidate pairs come from the label-blocked shuffle join; the
+    * per-vector top-3 is a rank filter that Spark rewrites into
+    * WindowGroupLimit (a 3-heap per vector BEFORE the final shuffle),
+    * so the exchange after scoring carries 3·n rows, not the full
+    * pair set. At corpus scale the label block is an IVF/LSH cell id
+    * ([[simSearchIvf]]/[[simSearchLsh]] build exactly that). */
+  def simKnnJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm2(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id"), col("label"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("nn_id"), col("label").as("b_label"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val byCos = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    a.join(b,
+        col("label") === col("b_label") && col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", round(
+        dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 6))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= 3)
+      .select(col("vec_id"), col("rn"), col("nn_id"), col("cos"))
+      .orderBy(col("vec_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_join" -> (simKnnJoin _),
     "sim_search_topk" -> (simSearchTopk _),
     "sim_search_ivf" -> (simSearchIvf _),
     "sim_search_lsh" -> (simSearchLsh _),
@@ -176,6 +206,20 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_join" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id, b.vec_id AS nn_id,
+        |    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT vec_id, nn_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, nn_id ASC) AS rn
+        |  FROM pairs)
+        |SELECT vec_id, rn, nn_id, cos FROM ranked
+        |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
     "embedding_quantize" ->
       """SELECT vec_id,
         |  array_to_string(list_transform(CAST(embedding AS DOUBLE[]),

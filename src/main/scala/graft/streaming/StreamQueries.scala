@@ -272,7 +272,28 @@ object StreamQueries {
       .orderBy(col("folder"), col("source_db"), col("table"))
   }
 
+  /** Stream-static join: the streaming fact joins a batch dimension
+    * (here a per-user profile aggregated from the same fixture). The
+    * static side is planned fresh each micro-batch — the standard
+    * enrichment topology (stream ⋈ dimension table) with no state
+    * store at all; at scale the dimension is a broadcast or bucketed
+    * table and the stream side never shuffles. */
+  def streamJoinStatic(s: SparkSession, d: String): DataFrame = {
+    val dim = graft.Tables.t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"),
+        expr("CAST(ROUND(CAST(SUM(value) AS DECIMAL(18,4)), 2) AS DOUBLE)")
+          .as("user_value"))
+    val sdf = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .join(dim, "user_id")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("user_events"), col("user_value"))
+    runToMemory(s, sdf, "append").orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join_static" -> (streamJoinStatic _),
     "stream_tumbling_window" -> (streamTumblingWindow _),
     "stream_sliding_window" -> (streamSlidingWindow _),
     "stream_session_window" -> (streamSessionWindow _),
@@ -284,6 +305,15 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_join_static" ->
+      """WITH ua AS (
+        |  SELECT user_id, COUNT(*) AS user_events,
+        |    CAST(ROUND(CAST(SUM(value) AS DECIMAL(18,4)), 2) AS DOUBLE)
+        |      AS user_value
+        |  FROM events GROUP BY user_id)
+        |SELECT event_id, e.user_id, value, user_events, user_value
+        |FROM events e JOIN ua USING (user_id)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "stream_tumbling_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         |       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_val

@@ -55,18 +55,40 @@ object Dedup {
     * never inflate. The df count is a window over the token hash — the
     * same partitioning the self-join shuffles on, so the guard adds no
     * exchange (the default MaxValue skips it entirely). */
-  def dedupNgramJaccard(s: SparkSession, d: String, maxDf: Long): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, d: String, maxDf: Long): DataFrame =
+    jaccardPairs(s, d, maxDf).orderBy(col("a_id"), col("b_id"))
+
+  /** Pair plan without the presentation sort, shared with dedupCluster
+    * (which feeds the pairs into a union/groupBy where a sort is wasted
+    * work the optimizer may not elide).
+    *
+    * Shape: PPJoin-style prefix filtering (Xiao et al., WWW'08), exact
+    * for the 0.8 threshold. Each doc's tokens are hashed (with the lang
+    * block baked into the hash) and sorted — a canonical global order —
+    * and only the first `n - ceil(0.8·n) + 1` entries are indexed: if
+    * jac(A,B) > 0.8 then |A∩B| > 0.8·max(|A|,|B|), so the intersection
+    * cannot fit entirely past either prefix, and its canonically-smallest
+    * element lands in BOTH prefixes (pigeonhole). Candidate generation is
+    * therefore an equi self-join on ~1/5 of the postings — the Σ df²
+    * blow-up shrinks ~25× — and each surviving candidate is verified
+    * once with an `array_intersect` over the two 8-byte hash arrays
+    * (no string shuffles anywhere). A size-ratio prune
+    * (5·min(n) >= 4·max(n), integer-exact) drops impossible pairs
+    * before the distinct. */
+  private def jaccardPairs(s: SparkSession, d: String, maxDf: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents")
-      .select(col("doc_id"), col("lang"),
-        array_distinct(split(col("text"), " ")).as("toks"))
-      .withColumn("n", size(col("toks")))
-    // 8-byte hashed token join keys instead of strings (collision-free
-    // at any realistic vocabulary; halves shuffle width)
-    val allPostings = docs.select(col("doc_id"), col("lang"), col("n"),
-      explode(col("toks")).as("tok"))
-      .select(col("doc_id"), col("lang"), col("n"),
-        xxhash64(col("lang"), col("tok")).as("tok_h"))
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(split(col("text"), " "),
+          tok => xxhash64(col("lang"), tok)))).as("toks_h"))
+      .withColumn("n", size(col("toks_h")))
+    // prefix length n - ceil(0.8n) + 1, integer-exact: ceil(4n/5) =
+    // floor((4n+4)/5)
+    val withPrefix = docs.withColumn("p",
+      col("n") - floor((col("n") * 4 + 4) / 5).cast("int") + 1)
+    val allPostings = withPrefix
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("toks_h"), lit(1), col("p"))).as("tok_h"))
     val postings =
       if (maxDf == Long.MaxValue) allPostings
       else allPostings
@@ -78,14 +100,23 @@ object Dedup {
       col("tok_h"))
     val b = postings.select(col("doc_id").as("b_id"), col("n").as("b_n"),
       col("tok_h").as("b_tok_h"))
-    a.join(b, col("tok_h") === col("b_tok_h") && col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
-      .agg(count(lit(1)).as("shared"))
+    val cands = a.join(b,
+        col("tok_h") === col("b_tok_h") && col("a_id") < col("b_id") &&
+        col("a_n") * 4 <= col("b_n") * 5 && col("b_n") * 4 <= col("a_n") * 5)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    // verification: one array_intersect per candidate pair over the
+    // hashed token arrays (longs, already distinct + sorted)
+    val aSet = docs.select(col("doc_id").as("a_id"),
+      col("toks_h").as("a_toks"), col("n").as("a_n"))
+    val bSet = docs.select(col("doc_id").as("b_id"),
+      col("toks_h").as("b_toks"), col("n").as("b_n"))
+    cands.join(aSet, "a_id").join(bSet, "b_id")
+      .withColumn("shared", size(array_intersect(col("a_toks"), col("b_toks"))))
       .withColumn("jac", round(col("shared").cast("double") /
         (col("a_n") + col("b_n") - col("shared")), 4))
       .filter(col("jac") > 0.8)
       .select(col("a_id"), col("b_id"), col("jac"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Embedding-cosine near-dup pairs, blocked by label (the coarse
@@ -175,7 +206,8 @@ object Dedup {
     * large-star/small-star decomposition (Kiveris et al., SoCC'14),
     * which bounds rounds regardless of diameter. */
   def dedupCluster(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupNgramJaccard(s, d).select(col("a_id"), col("b_id"))
+    val pairs = jaccardPairs(s, d, Long.MaxValue)
+      .select(col("a_id"), col("b_id"))
     val edges = pairs.union(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").cache()

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CleanBase64, JsonShape, TryDecompress, TryUtf8Decode}
+import graft.functions.{CleanBase64, JsonShape, TryDecompress, TryUtf8Decode, VecDot, VecNorm}
 
 /** SparkSessionExtensions entry point — lets any user of the library
   * register the engine's custom SQL functions at session build time:
@@ -38,5 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("clean_base64"),
       new ExpressionInfo(classOf[CleanBase64].getName, "clean_base64"),
       (exprs: Seq[Expression]) => CleanBase64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
+      (exprs: Seq[Expression]) => VecNorm(exprs.head)))
   }
 }

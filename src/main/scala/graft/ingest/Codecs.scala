@@ -23,6 +23,11 @@ object Codecs {
       "json_shape", exprs => JsonShape(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "clean_base64", exprs => CleanBase64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => graft.functions.VecDot(exprs(0), exprs(1)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_norm", exprs => graft.functions.VecNorm(exprs.head), "built-in")
   }
 
   /** Strip characters outside the base64 alphabet and re-pad to a

@@ -35,6 +35,19 @@ object Dedup {
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
       .orderBy(col("doc_id"))
 
+  /** Exact dedup AFTER canonicalization (lowercase, collapse
+    * non-alphanumeric runs, trim — [[TextStats.textNormalize]]): catches
+    * the casing/punctuation/whitespace variants plain exact-dedup
+    * misses, still one hash shuffle on a 16-byte digest of the
+    * canonical form. */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+        .as("canon_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+      .select(col("doc_id"), col("canon_md5"), col("n_variants"))
+      .orderBy(col("doc_id"))
+
   /** Token-set Jaccard near-dup pairs within a language, via an
     * inverted-index join: explode tokens, join postings on (token, lang)
     * to count shared tokens per pair, then |A∩B| / (|A|+|B|-|A∩B|).
@@ -294,6 +307,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_canonical" -> (dedupCanonical _),
     "dedup_ngram_jaccard" ->
       ((s: SparkSession, d: String) => dedupNgramJaccard(s, d)),
     "dedup_cluster" -> (dedupCluster _),
@@ -307,6 +321,14 @@ object Dedup {
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5,
         |       COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+    "dedup_canonical" ->
+      """SELECT MIN(doc_id) AS doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |    AS canon_md5,
+        |  COUNT(*) AS n_variants
+        |FROM documents
+        |GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t

@@ -19,17 +19,22 @@ import graft.Tables.t
   */
 object Similarity {
 
-  /** Dot product of two float-array columns, accumulated in double
-    * (pure higher-order built-ins, no UDF). */
-  def dot(x: Column, y: Column): Column =
-    aggregate(
-      zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two float-array columns — custom codegen'd
+    * expression ([[graft.functions.VecDot]]); replaced the
+    * `aggregate`/`zip_with` HOF composition, which the interpreter
+    * evaluates per element. Same sequential double accumulation —
+    * bit-identical results. */
+  def dot(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.VecDot(
+      GraftBridge.expression(x), GraftBridge.expression(y)))
+  }
 
-  /** L2 norm of a float-array column, accumulated in double. */
-  def norm2(x: Column): Column =
-    sqrt(aggregate(x, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
+  /** L2 norm of a float-array column ([[graft.functions.VecNorm]]). */
+  def norm2(x: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.VecNorm(GraftBridge.expression(x)))
+  }
 
   /** Cosine similarity of two float-array columns. */
   def cosine(a: Column, b: Column): Column =
@@ -168,6 +173,50 @@ object Similarity {
           ",").as("q"))
       .orderBy(col("vec_id"))
 
+  /** Range search: every vector within cosine >= 0.2 of the probe
+    * (vec_id=0) — the radius-query complement of top-k. Same scale shape
+    * as [[simSearchTopk]]: broadcast the single probe row, one narrow
+    * codegen'd map over the corpus scan, and the threshold filter
+    * happens before the (tiny) result sort — the corpus never
+    * shuffles. */
+  def simSearchRange(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("probe")), 6).as("cos"))
+      .filter(col("cos") >= 0.2)
+      .orderBy(col("cos").desc, col("vec_id"))
+  }
+
+  /** Per-vector L2 normalization — the standard pre-step before cosine
+    * retrieval (normalized corpus turns cosine into a plain dot
+    * product). Pure array transform inside the scan stage; the unit
+    * vector is emitted as comma-joined fixed-point micros (×1e6,
+    * rounded) because the oracle comparator needs scalar cells and
+    * float→string formatting differs across engines. */
+  def embeddingNormalize(s: SparkSession, d: String): DataFrame =
+    // nrm is projected first: referenced inside the transform lambda it
+    // would be recomputed per element (O(dim^2) per vector)
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        norm2(col("embedding")).as("nrm"))
+      .select(
+        col("vec_id"),
+        // fixed-point via floor(v + 0.5), NOT round(): round() detours
+        // through decimal string conversion whose half-way behavior
+        // DuckDB can't replicate bit-for-bit; floor is exact on doubles
+        // in both engines, so identical inputs give identical output
+        floor(col("nrm") * 1000000.0 + 0.5).cast("long").as("nrm_micros"),
+        array_join(
+          transform(col("embedding"),
+            x => floor(x.cast("double") / col("nrm") * 1000000.0 + 0.5)
+              .cast("long").cast("string")),
+          ",").as("unit_micros"))
+      .orderBy(col("vec_id"))
+
   /** k-NN JOIN: the top-3 cosine neighbors for EVERY vector (not one
     * probe), blocked by label like [[Dedup.dedupEmbeddingCosine]].
     * Candidate pairs come from the label-blocked shuffle join; the
@@ -199,6 +248,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_join" -> (simKnnJoin _),
+    "sim_search_range" -> (simSearchRange _),
+    "embedding_normalize" -> (embeddingNormalize _),
     "sim_search_topk" -> (simSearchTopk _),
     "sim_search_ivf" -> (simSearchIvf _),
     "sim_search_lsh" -> (simSearchLsh _),
@@ -220,6 +271,31 @@ object Similarity {
         |  FROM pairs)
         |SELECT vec_id, rn, nn_id, cos FROM ranked
         |WHERE rn <= 3 ORDER BY vec_id, rn""".stripMargin,
+    "sim_search_range" ->
+      """SELECT vec_id, label,
+        |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings WHERE vec_id <> 0
+        |  AND ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) >= 0.2
+        |ORDER BY cos DESC, vec_id""".stripMargin,
+    // list_reduce replays the engine's sequential fold (list_sum may
+    // re-associate and drift by ULPs); floor(v+0.5) fixed-point matches
+    // the engine's half-up exactly on bit-identical doubles
+    "embedding_normalize" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> x * x), (acc, v) -> acc + v)) AS nrm
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(FLOOR(nrm * 1000000.0 + 0.5) AS BIGINT) AS nrm_micros,
+        |  array_to_string(list_transform(e,
+        |    x -> CAST(FLOOR(x / nrm * 1000000.0 + 0.5) AS BIGINT)), ',')
+        |    AS unit_micros
+        |FROM n ORDER BY vec_id""".stripMargin,
     "embedding_quantize" ->
       """SELECT vec_id,
         |  array_to_string(list_transform(CAST(embedding AS DOUBLE[]),

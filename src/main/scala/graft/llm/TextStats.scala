@@ -95,6 +95,19 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Text canonicalization — the normalize-before-dedup step of a
+    * curation pipeline: lowercase, collapse every non-alphanumeric run
+    * to a single space, trim. Single codegen'd regex stage; the
+    * canonical form is what exact-dedup should key on (see
+    * [[Dedup.dedupCanonical]]). */
+  def textNormalize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+          .as("norm_text"))
+      .orderBy(col("doc_id"))
+
   /** Regex token counting (BPE-ish pre-tokenizer split: word runs vs
     * single non-space symbols) + whitespace token count. */
   def textTokenCount(s: SparkSession, d: String): DataFrame =
@@ -198,6 +211,7 @@ object TextStats {
     "text_stats" -> (textStats _),
     "text_lang_id" -> (textLangId _),
     "text_quality_score" -> (textQualityScore _),
+    "text_normalize" -> (textNormalize _),
     "text_token_count" -> (textTokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_rolling_hash" -> (docRollingHash _),
@@ -265,6 +279,11 @@ object TextStats {
         |        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
         |        len(string_split(text, ' ')) * 0.5 AS DECIMAL(18,8)), 4)
         |       AS DOUBLE) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+        |    AS norm_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,

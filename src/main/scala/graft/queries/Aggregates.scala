@@ -293,7 +293,39 @@ object Aggregates {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** Deterministic per-group mode (most frequent value, smallest value
+    * winning ties — Spark's and DuckDB's native `mode()` are both
+    * tie-nondeterministic, so the portable shape is count + rank):
+    * count is one hash aggregate, the argmax is WindowGroupLimit (a
+    * 1-row heap per group before any final shuffle). */
+  def aggMode(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFreq = Window.partitionBy(col("event_type"))
+      .orderBy(col("n").desc, col("user_id").asc)
+    t(s, d, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(byFreq))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("user_id").as("mode_user"), col("n"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Count-min sketch — the mergeable heavy-hitters summary (bounded
+    * memory per group regardless of key cardinality; sketches from
+    * different partitions/days merge associatively, which is what makes
+    * it a 100 TB aggregation primitive). Seeded → deterministic bytes;
+    * no DuckDB equivalent, so rows-only here and the estimate-vs-exact
+    * bounds are asserted in AggregateSpec by deserializing the sketch. */
+  def aggCountMinSketch(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("hex(count_min_sketch(l_suppkey, 0.01d, 0.95d, 42)) as cms_hex"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> (aggMode _),
+    "agg_count_min_sketch" -> (aggCountMinSketch _),
     "agg_hash_groupby" -> (aggHashGroupby _),
     "agg_count_distinct" -> (aggCountDistinct _),
     "agg_multi_distinct" -> (aggMultiDistinct _),
@@ -316,6 +348,17 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH freq AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY event_type, user_id),
+        |ranked AS (
+        |  SELECT event_type, user_id, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, user_id ASC) AS rn
+        |  FROM freq)
+        |SELECT event_type, user_id AS mode_user, n
+        |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "agg_arg_extremes" ->
       """SELECT o_orderpriority,
         |  arg_max(o_orderkey, o_totalprice) AS top_order,

@@ -292,7 +292,37 @@ object StreamQueries {
     runToMemory(s, sdf, "append").orderBy(col("event_id"))
   }
 
+  /** Stream-stream interval join: purchases join the same user's clicks
+    * from the preceding 30 minutes. Both sides carry watermarks and the
+    * join has an event-time range predicate — exactly what lets Spark
+    * expire join state (a side's rows are dropped once the other side's
+    * watermark passes the range bound), so state is bounded at any
+    * scale. Inner-join matches emit as they are found; with
+    * AvailableNow the result equals the batch interval join, which the
+    * oracle replays. */
+  def streamJoinStream(s: SparkSession, d: String): DataFrame = {
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventsStream(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        (col("p_ts").cast("long") - col("c_ts").cast("long"))
+          .as("lag_seconds"))
+    runToMemory(s, joined, "append").orderBy(col("p_id"), col("c_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_join_stream" -> (streamJoinStream _),
     "stream_join_static" -> (streamJoinStatic _),
     "stream_tumbling_window" -> (streamTumblingWindow _),
     "stream_sliding_window" -> (streamSlidingWindow _),
@@ -305,6 +335,20 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // predicates compare at MICROsecond resolution (epoch_us floors the
+    // nanos) because the engine's event-time is micros — nano-resolution
+    // comparison would flip same-microsecond boundary pairs
+    "stream_join_stream" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  p.user_id,
+        |  CAST(FLOOR(epoch_us(p.ts) / 1000000) AS BIGINT)
+        |    - CAST(FLOOR(epoch_us(c.ts) / 1000000) AS BIGINT) AS lag_seconds
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+        |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |ORDER BY p_id, c_id""".stripMargin,
     "stream_join_static" ->
       """WITH ua AS (
         |  SELECT user_id, COUNT(*) AS user_events,

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Aggregates
+
+/** Sketch-aggregate guarantees that the DuckDB oracle can't express:
+  * the count-min sketch is deserialized and its estimates checked
+  * against exact per-key counts (CMS never under-counts; over-count is
+  * bounded by eps·N with the configured confidence). */
+class AggregateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("count_min_sketch estimates bound exact counts per group") {
+    val rows = Aggregates.aggCountMinSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_suppkey"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val totals = exact.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val bytes = java.util.HexFormat.of().parseHex(r.getString(1))
+      val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+      val n = totals(flag)
+      exact.filter(_._1._1 == flag).foreach { case ((_, suppkey), cnt) =>
+        val est = cms.estimateCount(suppkey)
+        assert(est >= cnt, s"CMS under-counted $flag/$suppkey: $est < $cnt")
+        assert(est <= cnt + math.ceil(0.01 * n).toLong + 1,
+          s"CMS over-count beyond eps*N for $flag/$suppkey: $est vs $cnt (N=$n)")
+      }
+    }
+  }
+
+  test("deterministic mode picks the smallest most-frequent key") {
+    val rows = Aggregates.aggMode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val (tpe, user, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val grp = byType(tpe).map(x => (x.getLong(1), x.getLong(2)))
+      val maxN = grp.map(_._2).max
+      assert(n == maxN, s"$tpe mode count $n != max $maxN")
+      assert(user == grp.filter(_._2 == maxN).map(_._1).min,
+        s"$tpe tie not broken by smallest user")
+    }
+  }
+}

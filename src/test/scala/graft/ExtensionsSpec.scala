@@ -7,18 +7,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * SparkSessionExtensions hook (spark.sql.extensions). */
 class ExtensionsSpec extends AnyFunSuite {
 
-  test("all four registered functions resolve and evaluate through SQL") {
+  test("all registered functions resolve and evaluate through SQL") {
     val spark = TestSpark.spark
     graft.ingest.Codecs.register(spark)
     val row = spark.sql(
       """SELECT
         |  clean_base64('?b?2s=') AS cb,
         |  json_shape('[1,2]') AS js,
-        |  try_utf8_decode(try_decompress(CAST('ok' AS BINARY))) AS td
+        |  try_utf8_decode(try_decompress(CAST('ok' AS BINARY))) AS td,
+        |  vec_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |          CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS vd,
+        |  vec_norm(CAST(array(3.0, 4.0) AS ARRAY<FLOAT>)) AS vn
         |""".stripMargin).head()
     assert(row.getString(0) == "b2s=")
     assert(row.getString(1) == "rows")
     assert(row.getString(2) == "ok")
+    assert(row.getDouble(3) == 11.0)
+    assert(row.getDouble(4) == 5.0)
   }
 
   test("extensions inject both custom functions without error") {

@@ -218,23 +218,29 @@ object Dedup {
     * for adversarial long-chain graphs the documented upgrade is the
     * large-star/small-star decomposition (Kiveris et al., SoCC'14),
     * which bounds rounds regardless of diameter. */
-  def dedupCluster(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(s, d, Long.MaxValue)
-      .select(col("a_id"), col("b_id"))
-    val edges = pairs.union(
-        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+  def dedupCluster(s: SparkSession, d: String): DataFrame =
+    propagateLabels(
+      jaccardPairs(s, d, Long.MaxValue).select(col("a_id"), col("b_id")))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+
+  /** HashMin label propagation over an arbitrary directed-symmetric
+    * edge list — the shared connected-components core of
+    * [[dedupCluster]] (exact-Jaccard edges) and [[dedupFuzzyCluster]]
+    * (MinHash-band edges). */
+  private def propagateLabels(pairs: DataFrame): DataFrame = {
+    val edges = pairs.toDF("a_id", "b_id")
+    val sym = edges.union(
+        edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").cache()
-    // seed with min(self, direct neighbors) — one aggregate that folds
-    // the would-be first propagation round into initialization (cliques,
-    // the common dedup shape, then converge in a single confirm round)
-    var labels = edges.select(col("dst").as("id"), col("src").as("lbl"))
-      .union(edges.select(col("src").as("id"), col("src").as("lbl")))
+    var labels = sym.select(col("dst").as("id"), col("src").as("lbl"))
+      .union(sym.select(col("src").as("id"), col("src").as("lbl")))
       .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val prop = edges.join(labels, edges("src") === labels("id"))
+      val prop = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("pid")).agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(prop, col("id") === col("pid"), "left")
         .select(col("id"),
@@ -245,10 +251,23 @@ object Dedup {
       labels = next.select("id", "lbl")
       rounds += 1
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
-      .orderBy(col("doc_id"))
+    sym.unpersist()
+    labels
   }
+
+  /** The fuzzy-dedup pipeline end to end, at its 100 TB shape: MinHash
+    * banding generates candidate pairs (no quadratic work), the
+    * signature-agreement estimator thresholds them, and connected
+    * components assign every doc in a near-dup cluster to one
+    * representative. This is the composition a training-data pipeline
+    * actually runs — [[dedupFuzzyMinhash]] finds the pairs,
+    * [[propagateLabels]] closes them transitively. No oracle (banding is
+    * probabilistic; fixed seeds keep rows deterministic). */
+  def dedupFuzzyCluster(s: SparkSession, d: String): DataFrame =
+    propagateLabels(
+      dedupFuzzyMinhash(s, d).select(col("a_id"), col("b_id")))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+      .orderBy(col("doc_id"))
 
   /** 64-bit SimHash near-dup pairs (Hamming <= 3), banded: the
     * fingerprint splits into 4 disjoint 16-bit bands; any pair within
@@ -313,6 +332,7 @@ object Dedup {
     "dedup_cluster" -> (dedupCluster _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_fuzzy_minhash" -> (dedupFuzzyMinhash _),
+    "dedup_fuzzy_cluster" -> (dedupFuzzyCluster _),
     "dedup_simhash" -> (dedupSimhash _)
   )
 

@@ -119,6 +119,43 @@ object TextStats {
           .as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Corpus-level rollup per (lang, source) — the dataset-card numbers
+    * every training-data pipeline reports: doc/token/char volumes and
+    * mean quality. One partial+final hash aggregate over one scan. */
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("uniq_ratio",
+        size(array_distinct(split(col("text"), " "))).cast("double") /
+          col("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(length(col("text"))).as("n_chars_sum"),
+        round(avg(col("uniq_ratio")).cast("decimal(18,8)"), 4)
+          .cast("double").as("avg_uniq_ratio"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Reproducible stratified sampling: up to 25 docs per language,
+    * chosen by md5-of-id order — the hash-based sampler that is (a)
+    * deterministic across engines/runs (seeded RNG samplers are not
+    * portable), (b) uniform-ish regardless of id distribution, and (c)
+    * one WindowGroupLimit per stratum before any final shuffle, so at
+    * 100 TB each partition keeps <= k rows per stratum locally. */
+  def sampleHashStratified(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(col("lang"))
+      .orderBy(col("h"), col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") <= 25)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Content fingerprints: full-text md5 plus min/max token-level md5
     * (a 1-function MinHash — the banded generalization is
     * `dedup_fuzzy_minhash`). */
@@ -212,6 +249,8 @@ object TextStats {
     "text_lang_id" -> (textLangId _),
     "text_quality_score" -> (textQualityScore _),
     "text_normalize" -> (textNormalize _),
+    "corpus_stats" -> (corpusStats _),
+    "sample_hash_stratified" -> (sampleHashStratified _),
     "text_token_count" -> (textTokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_rolling_hash" -> (docRollingHash _),
@@ -280,6 +319,23 @@ object TextStats {
         |        len(string_split(text, ' ')) * 0.5 AS DECIMAL(18,8)), 4)
         |       AS DOUBLE) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum,
+        |  CAST(ROUND(CAST(AVG(CAST(len(list_distinct(string_split(text, ' ')))
+        |    AS DOUBLE) / len(string_split(text, ' '))) AS DECIMAL(18,8)), 4)
+        |    AS DOUBLE) AS avg_uniq_ratio
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    "sample_hash_stratified" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hh,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, rn FROM h
+        |WHERE rn <= 25 ORDER BY lang, rn""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))

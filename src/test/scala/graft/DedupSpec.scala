@@ -105,4 +105,17 @@ class DedupSpec extends AnyFunSuite {
     // every representative is a member of its own cluster
     reps.values.toSet.foreach { (rep: Long) => assert(reps(rep) == rep) }
   }
+
+  test("fuzzy cluster closes every minhash pair transitively") {
+    val reps = Dedup.dedupFuzzyCluster(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.dedupFuzzyMinhash(spark, sf)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(reps(a) == reps(b), s"pair ($a,$b) split across clusters")
+    }
+    reps.values.toSet.foreach { (rep: Long) => assert(reps(rep) == rep) }
+  }
 }

@@ -166,7 +166,13 @@ object Dedup {
     * is available separately as `dedup_ngram_jaccard`. No oracle:
     * banding/estimation are probabilistic (fixed seeds keep every run
     * deterministic). */
-  def dedupFuzzyMinhash(s: SparkSession, d: String): DataFrame = {
+  def dedupFuzzyMinhash(s: SparkSession, d: String): DataFrame =
+    minhashPairs(s, d).orderBy(col("a_id"), col("b_id"))
+
+  /** Pair plan without the presentation sort (shared with
+    * [[dedupFuzzyCluster]], which folds the pairs into an edge cache
+    * where the sort is pure waste). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val nHashes = 16
     val bandSize = 4
     val toks = t(s, d, "documents")
@@ -203,7 +209,6 @@ object Dedup {
       .withColumn("jac_est", round(agree.cast("double") / nHashes, 4))
       .filter(col("jac_est") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jac_est"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Duplicate-cluster assignment — the step AFTER pair detection: every
@@ -228,11 +233,16 @@ object Dedup {
     * edge list — the shared connected-components core of
     * [[dedupCluster]] (exact-Jaccard edges) and [[dedupFuzzyCluster]]
     * (MinHash-band edges). */
-  private def propagateLabels(pairs: DataFrame): DataFrame = {
-    val edges = pairs.toDF("a_id", "b_id")
-    val sym = edges.union(
-        edges.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("src", "dst").cache()
+  private def propagateLabels(pairsDf: DataFrame): DataFrame = {
+    // cache + materialize the PAIRS, not the symmetric union: the union
+    // has two branches, and caching above them evaluates the (expensive)
+    // pair-generation pipeline once per branch inside the first job —
+    // measured 2x the whole MinHash/jaccard pipeline cost
+    val pairs = pairsDf.toDF("a_id", "b_id").cache()
+    pairs.count()
+    val sym = pairs.union(
+        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
     var labels = sym.select(col("dst").as("id"), col("src").as("lbl"))
       .union(sym.select(col("src").as("id"), col("src").as("lbl")))
       .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
@@ -240,18 +250,31 @@ object Dedup {
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
+      // relax: min label across edges — the O(|E|) join of the round
       val prop = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("pid")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(prop, col("id") === col("pid"), "left")
+      // checkpoint the relax BEFORE the jump self-join references it
+      // twice — otherwise both branches recompute the O(|E|) edge join
+      val relaxed = labels.join(prop, col("id") === col("pid"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (col("nlbl") < col("lbl")).as("chg"))
         .localCheckpoint()
-      changed = next.filter(col("chg")).count()
-      labels = next.select("id", "lbl")
+      changed = relaxed.filter(col("chg")).count()
+      // pointer jump: lbl <- lbl(lbl) — an O(|V|) self join that doubles
+      // propagation reach per round (labels always point within the
+      // component and only decrease, so the jump preserves the HashMin
+      // invariants; convergence detection stays on the relax step: zero
+      // relax changes on a symmetric graph means per-component-constant
+      // labels, which is full convergence)
+      val jump = relaxed
+        .select(col("id").as("jid"), col("lbl").as("jlbl"))
+      labels = relaxed.join(jump, col("lbl") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
       rounds += 1
+      System.err.println(s"[graft] propagateLabels round=$rounds changed=$changed")
     }
-    sym.unpersist()
+    pairs.unpersist()
     labels
   }
 
@@ -265,7 +288,7 @@ object Dedup {
     * probabilistic; fixed seeds keep rows deterministic). */
   def dedupFuzzyCluster(s: SparkSession, d: String): DataFrame =
     propagateLabels(
-      dedupFuzzyMinhash(s, d).select(col("a_id"), col("b_id")))
+      minhashPairs(s, d).select(col("a_id"), col("b_id")))
       .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
       .orderBy(col("doc_id"))
 

@@ -301,15 +301,27 @@ object StreamQueries {
     * AvailableNow the result equals the batch interval join, which the
     * oracle replays. */
   def streamJoinStream(s: SparkSession, d: String): DataFrame = {
-    val purchases = eventsStream(s, d)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
+    // stage each side PRE-FILTERED: the operator under test is the
+    // watermarked interval join, and staging only the joining event
+    // types keeps the state store at the joining subset (the
+    // filter-before-state rule that matters at scale: state size is
+    // what survives the pre-join predicates, not the raw stream)
+    def side(tpe: String, idAs: String, userAs: String, tsAs: String) = {
+      val dir = Files.createTempDirectory(s"graft_ss_$tpe")
+      graft.Tables.t(s, d, "events")
+        .filter(col("event_type") === tpe)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      s.readStream
+        .schema(StructType.fromDDL(
+          "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"))
+        .parquet(dir.toString)
+        .select(col("event_id").as(idAs), col("user_id").as(userAs),
+          col("ts").as(tsAs))
+    }
+    val purchases = side("purchase", "p_id", "p_user", "p_ts")
       .withWatermark("p_ts", "1 hour")
-    val clicks = eventsStream(s, d)
-      .filter(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-        col("ts").as("c_ts"))
+    val clicks = side("click", "c_id", "c_user", "c_ts")
       .withWatermark("c_ts", "1 hour")
     val joined = purchases.join(clicks,
       col("p_user") === col("c_user") &&
@@ -318,7 +330,15 @@ object StreamQueries {
       .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
         (col("p_ts").cast("long") - col("c_ts").cast("long"))
           .as("lag_seconds"))
-    runToMemory(s, joined, "append").orderBy(col("p_id"), col("c_id"))
+    // a stream-stream join allocates FOUR state stores per shuffle
+    // partition per micro-batch; size the partition count to the stream
+    // volume (state-store init dominates at fixture scale, and at real
+    // scale you size this to state volume anyway, not the batch default)
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(partKey)
+    s.conf.set(partKey, "8")
+    try runToMemory(s, joined, "append").orderBy(col("p_id"), col("c_id"))
+    finally s.conf.set(partKey, prev)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -85,6 +85,45 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.head().getLong(0) == expected)
   }
 
+  test("jaccard pair generation joins on prefix postings, never all-pairs") {
+    val p = plan(graft.llm.Dedup.dedupNgramJaccard(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // both the candidate self-join and the two verification joins must
+    // be equi joins (hash or sort-merge)
+    assert(p.contains("Join"), p)
+  }
+
+  test("corpus-sized dedup joins shuffle — no corpus broadcast") {
+    // at fixture size the optimizer auto-broadcasts from size stats
+    // (correct, and gone at scale); disabling the threshold simulates
+    // corpus-scale statistics — the plan must then be a shuffle join,
+    // proving no explicit broadcast hint pins the corpus side
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = plan(graft.llm.Dedup.dedupEmbeddingCosine(spark, sf))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("BroadcastExchange"), p)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("knn join keeps the per-vector top-3 heap before the final shuffle") {
+    val p = plan(graft.llm.Similarity.simKnnJoin(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("vector kernels evaluate inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.t(spark, sf, "embeddings")
+      .select(graft.llm.Similarity.norm2(col("embedding")).as("n"))
+      .filter(col("n") > 0)
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("*("), exec) // whole-stage codegen marker
+    assert(df.count() > 0)
+  }
+
   test("custom decode expressions constant-fold and stay in codegen") {
     import org.apache.spark.sql.functions._
     // literal input → Catalyst constant-folds the whole chain at plan

@@ -72,16 +72,27 @@ object StreamQueries {
   }
 
   /** Drive a streaming DF to completion into a memory sink, return the
-    * materialized result. */
+    * materialized result.
+    *
+    * Stateful operators allocate one state store per shuffle partition
+    * per micro-batch, and store init dominates at fixture volumes — so
+    * the partition count is sized to the stream volume for the run
+    * (8, restored afterwards). At production volume this knob is sized
+    * to state size per partition, never left at the batch default. */
   private def runToMemory(s: SparkSession, sdf: DataFrame, mode: String): DataFrame = {
     val name = s"graft_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
-    val q = sdf.writeStream
-      .format("memory").queryName(name).outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(partKey)
+    s.conf.set(partKey, "8")
+    try {
+      val q = sdf.writeStream
+        .format("memory").queryName(name).outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set(partKey, prev)
     s.table(name)
   }
 
@@ -330,15 +341,7 @@ object StreamQueries {
       .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
         (col("p_ts").cast("long") - col("c_ts").cast("long"))
           .as("lag_seconds"))
-    // a stream-stream join allocates FOUR state stores per shuffle
-    // partition per micro-batch; size the partition count to the stream
-    // volume (state-store init dominates at fixture scale, and at real
-    // scale you size this to state volume anyway, not the batch default)
-    val partKey = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(partKey)
-    s.conf.set(partKey, "8")
-    try runToMemory(s, joined, "append").orderBy(col("p_id"), col("c_id"))
-    finally s.conf.set(partKey, prev)
+    runToMemory(s, joined, "append").orderBy(col("p_id"), col("c_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

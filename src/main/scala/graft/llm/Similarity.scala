@@ -94,21 +94,14 @@ object Similarity {
     * `bits` sign bits of the embedding projected onto pseudo-random
     * Rademacher (±1) hyperplanes, packed into a long bucket id. The
     * hyperplane entries come from `xxhash64(table, bit, dim-index)` —
-    * fully deterministic, no driver-side randomness, and the whole
-    * signature is one codegen'd expression over the array column. */
+    * fully deterministic, no driver-side randomness. Computed by the
+    * codegen'd [[graft.functions.SrpBucket]] kernel, value-identical to
+    * (and ~bits×dim× cheaper per row than) the interpreted HOF
+    * composition it replaced. */
   def srpBucket(vec: Column, table: Int, bits: Int): Column = {
-    val bitCols = (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(
-          vec,
-          transform(vec, (_, j) =>
-            when(pmod(xxhash64(lit(table), lit(b), j), lit(2)) === 0, lit(1.0))
-              .otherwise(lit(-1.0))),
-          (u, sgn) => u.cast("double") * sgn),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a + b)
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.SrpBucket(
+      GraftBridge.expression(vec), table, bits))
   }
 
   /** LSH-bucketed approximate cosine top-k (the scale path alongside

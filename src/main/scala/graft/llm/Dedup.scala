@@ -48,6 +48,24 @@ object Dedup {
       .select(col("doc_id"), col("canon_md5"), col("n_variants"))
       .orderBy(col("doc_id"))
 
+  /** Incremental (cross-corpus) dedup — the shape ingestion actually
+    * runs: a NEW batch is deduped against the already-ingested corpus,
+    * not against itself. Left-anti join on the 16-byte content digest:
+    * the corpus side ships only hashes (at 100 TB, a bloom filter or
+    * the hash column of the bucketed corpus table), never text; the
+    * new batch streams through one shuffle. Fixture split: even doc_ids
+    * play the corpus, odd ones the incoming batch. */
+  def dedupCrossCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("text_md5"))
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    incoming.join(corpus, Seq("text_md5"), "left_anti")
+      .select(col("doc_id"), col("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-set Jaccard near-dup pairs within a language, via an
     * inverted-index join: explode tokens, join postings on (token, lang)
     * to count shared tokens per pair, then |A∩B| / (|A|+|B|-|A∩B|).
@@ -350,6 +368,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_canonical" -> (dedupCanonical _),
+    "dedup_cross_corpus" -> (dedupCrossCorpus _),
     "dedup_ngram_jaccard" ->
       ((s: SparkSession, d: String) => dedupNgramJaccard(s, d)),
     "dedup_cluster" -> (dedupCluster _),
@@ -371,6 +390,13 @@ object Dedup {
         |  COUNT(*) AS n_variants
         |FROM documents
         |GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_cross_corpus" ->
+      """SELECT doc_id, md5(text) AS text_md5
+        |FROM documents
+        |WHERE doc_id % 2 = 1
+        |  AND md5(text) NOT IN
+        |    (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (

@@ -156,6 +156,39 @@ object TextStats {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Vocabulary-mapped tokenization — the text→ids step before
+    * training: token ids are ranks in the corpus frequency table
+    * (count desc, token asc — fully deterministic), OOV maps to -1.
+    * Scale shape: the vocab is BOUNDED (top-k of a hash aggregate, a
+    * broadcast-sized table no matter the corpus), the posting explode
+    * happens inside the scan stage, and the per-doc id sequence is
+    * rebuilt with one sort_array(collect_list(struct(pos,id))) — state
+    * bounded by document length, never corpus size. Ids are emitted
+    * comma-joined (scalar) for the oracle comparator. */
+  def tokenizeToIds(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocabSize = 100
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "tok")))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("n").desc, col("tok").asc)) - 1)
+      .filter(col("id") < vocabSize)
+      .select(col("tok"), col("id"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("id"), lit(-1)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          e => e.getField("id").cast("string")),
+        ",").as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Content fingerprints: full-text md5 plus min/max token-level md5
     * (a 1-function MinHash — the banded generalization is
     * `dedup_fuzzy_minhash`). */
@@ -250,6 +283,7 @@ object TextStats {
     "text_quality_score" -> (textQualityScore _),
     "text_normalize" -> (textNormalize _),
     "corpus_stats" -> (corpusStats _),
+    "tokenize_to_ids" -> (tokenizeToIds _),
     "sample_hash_stratified" -> (sampleHashStratified _),
     "text_token_count" -> (textTokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
@@ -328,6 +362,23 @@ object TextStats {
         |    AS DOUBLE) AS avg_uniq_ratio
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
+    "tokenize_to_ids" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |freq AS (
+        |  SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        |vocab AS (
+        |  SELECT tok,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) - 1 AS id
+        |  FROM freq QUALIFY id < 100)
+        |SELECT doc_id,
+        |  string_agg(CAST(COALESCE(v.id, -1) AS VARCHAR), ','
+        |    ORDER BY pos) AS token_ids
+        |FROM toks LEFT JOIN vocab v USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sample_hash_stratified" ->
       """WITH h AS (
         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hh,

@@ -269,6 +269,8 @@ object Dedup {
     var rounds = 0
     while (changed > 0 && rounds < 50) {
       // relax: min label across edges — the O(|E|) join of the round
+      // (a shuffle_hash hint on the label side was tried and measured
+      // SLOWER at sf0.1 — AQE's own join selection wins here)
       val prop = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst").as("pid")).agg(min(col("lbl")).as("nlbl"))
       // checkpoint the relax BEFORE the jump self-join references it

@@ -20,13 +20,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Accumulation is sequential in array order with double arithmetic —
   * bit-identical to the HOF fold they replace (and to the DuckDB
   * oracles' `list_reduce` replay). Null ARRAYS propagate null
-  * (nullIntolerant); null ELEMENTS read as 0 (fixture embeddings are
-  * dense; the HOF path returned null for the whole sum instead — a
-  * deviation documented here, not observable on dense vectors).
+  * (nullIntolerant), and a dimension mismatch yields null — matching
+  * `zip_with`'s null-padding contract, so a truncated/corrupt vector
+  * falls out of every >= threshold filter instead of scoring with a
+  * plausible-but-wrong partial dot product. Null ELEMENTS read as 0
+  * (fixture embeddings are dense; the HOF path returned null for the
+  * whole sum instead — a deviation documented here, not observable on
+  * dense vectors).
   */
 object VecMath {
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -56,14 +60,26 @@ case class VecDot(left: Expression, right: Expression)
   override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null also on dimension mismatch, even for non-nullable inputs
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else VecMath.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (a, b) => s"graft.functions.VecMath.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.VecMath.dot($a, $b);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDot =

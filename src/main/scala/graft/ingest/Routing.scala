@@ -24,9 +24,10 @@ object Routing {
   val SanitizePattern = "[^a-z0-9_-]+"
 
   /** Python str.strip(): all leading/trailing whitespace, not just the
-    * ASCII space that Spark's trim() removes. */
+    * ASCII space that Spark's trim() removes. (?U) makes Java's \s
+    * match Unicode whitespace (NBSP, U+2028, ...) like Python's. */
   def pyStrip(c: Column): Column =
-    regexp_replace(c, "^\\s+|\\s+$", "")
+    regexp_replace(c, "(?U)^\\s+|\\s+$", "")
 
   /** Reference _sanitize_folder/_sanitize_table (function_app.py:88-92):
     * lowercase, then each run of chars outside [a-z0-9_-] becomes one

@@ -26,6 +26,8 @@ import graft.Tables.t
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup: canonical representative (min id) per distinct text,
     * keyed by content hash so the shuffle key is bounded-size. */
   def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -42,7 +44,7 @@ object Dedup {
     * canonical form. */
   def dedupCanonical(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .groupBy(md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+      .groupBy(md5(TextStats.canonicalText(col("text")))
         .as("canon_md5"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
       .select(col("doc_id"), col("canon_md5"), col("n_variants"))
@@ -77,15 +79,17 @@ object Dedup {
 
   /** `maxDf` is the 100 TB guard: a token appearing in more than maxDf
     * documents ("the", boilerplate headers) contributes O(df²) candidate
-    * pairs to the postings self-join while carrying near-zero signal, so
-    * it is dropped from the INDEX before the join — the standard stopword
-    * cutoff from near-dup systems (e.g. CCNet). Pairs whose overlap is
-    * exclusively ultra-common tokens are missed — by construction those
-    * sit far below any near-dup threshold. Set sizes (a_n/b_n) keep the
-    * full vocabulary, so surviving pairs' Jaccard can only underestimate,
-    * never inflate. The df count is a window over the token hash — the
-    * same partitioning the self-join shuffles on, so the guard adds no
-    * exchange (the default MaxValue skips it entirely). */
+    * pairs to the index self-join while carrying near-zero signal, so it
+    * is dropped from the INDEX before the join — the standard stopword
+    * cutoff from near-dup systems (e.g. CCNet). df is true document
+    * frequency (counted over full postings, not the prefix index); a
+    * doc's prefix is then the first p of its surviving tokens, so the
+    * miss class under the guard is pairs whose prefix-resident overlap
+    * is entirely hot tokens. Verification always computes Jaccard on the
+    * FULL token sets, so surviving pairs carry their exact score and the
+    * guarded output is a subset of the exact one (asserted in
+    * DedupSpec). The default MaxValue skips the guard entirely — exact
+    * PPJoin. */
   def dedupNgramJaccard(s: SparkSession, d: String, maxDf: Long): DataFrame =
     jaccardPairs(s, d, maxDf).orderBy(col("a_id"), col("b_id"))
 
@@ -117,16 +121,29 @@ object Dedup {
     // floor((4n+4)/5)
     val withPrefix = docs.withColumn("p",
       col("n") - floor((col("n") * 4 + 4) / 5).cast("int") + 1)
-    val allPostings = withPrefix
-      .select(col("doc_id"), col("n"),
-        explode(slice(col("toks_h"), lit(1), col("p"))).as("tok_h"))
     val postings =
-      if (maxDf == Long.MaxValue) allPostings
-      else allPostings
-        .withColumn("df", count(lit(1))
-          .over(Window.partitionBy(col("tok_h"))))
-        .filter(col("df") <= maxDf)
-        .drop("df")
+      if (maxDf == Long.MaxValue)
+        withPrefix.select(col("doc_id"), col("n"),
+          explode(slice(col("toks_h"), lit(1), col("p"))).as("tok_h"))
+      else {
+        // guarded path: df is TRUE document frequency (counted over the
+        // full postings, not the prefix index), hot tokens leave the
+        // index universe, and each doc's prefix is the first p of its
+        // SURVIVING tokens — so the guard's miss class stays "pairs
+        // whose prefix-resident overlap is entirely hot", and dropping
+        // a hot token can never shrink a doc's effective prefix
+        val full = withPrefix.select(col("doc_id"), col("n"), col("p"),
+          posexplode(col("toks_h")).as(Seq("pos", "tok_h")))
+        val cold = full
+          .withColumn("df", count(lit(1))
+            .over(Window.partitionBy(col("tok_h"))))
+          .filter(col("df") <= maxDf)
+        cold
+          .withColumn("rk", row_number()
+            .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+          .filter(col("rk") <= col("p"))
+          .select(col("doc_id"), col("n"), col("tok_h"))
+      }
     val a = postings.select(col("doc_id").as("a_id"), col("n").as("a_n"),
       col("tok_h"))
     val b = postings.select(col("doc_id").as("b_id"), col("n").as("b_n"),
@@ -292,7 +309,7 @@ object Dedup {
       labels = relaxed.join(jump, col("lbl") === col("jid"), "left")
         .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
       rounds += 1
-      System.err.println(s"[graft] propagateLabels round=$rounds changed=$changed")
+      log.info(s"propagateLabels round=$rounds changed=$changed")
     }
     pairs.unpersist()
     labels

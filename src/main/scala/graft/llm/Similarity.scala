@@ -203,11 +203,13 @@ object Similarity {
         // DuckDB can't replicate bit-for-bit; floor is exact on doubles
         // in both engines, so identical inputs give identical output
         floor(col("nrm") * 1000000.0 + 0.5).cast("long").as("nrm_micros"),
-        array_join(
-          transform(col("embedding"),
-            x => floor(x.cast("double") / col("nrm") * 1000000.0 + 0.5)
-              .cast("long").cast("string")),
-          ",").as("unit_micros"))
+        // zero vector has no direction: null, not a 0/0=NaN cast
+        when(col("nrm") === 0.0, lit(null).cast("string"))
+          .otherwise(array_join(
+            transform(col("embedding"),
+              x => floor(x.cast("double") / col("nrm") * 1000000.0 + 0.5)
+                .cast("long").cast("string")),
+            ",")).as("unit_micros"))
       .orderBy(col("vec_id"))
 
   /** k-NN JOIN: the top-3 cosine neighbors for EVERY vector (not one
@@ -285,9 +287,10 @@ object Similarity {
         |  FROM embeddings)
         |SELECT vec_id,
         |  CAST(FLOOR(nrm * 1000000.0 + 0.5) AS BIGINT) AS nrm_micros,
-        |  array_to_string(list_transform(e,
-        |    x -> CAST(FLOOR(x / nrm * 1000000.0 + 0.5) AS BIGINT)), ',')
-        |    AS unit_micros
+        |  CASE WHEN nrm = 0 THEN NULL ELSE
+        |    array_to_string(list_transform(e,
+        |      x -> CAST(FLOOR(x / nrm * 1000000.0 + 0.5) AS BIGINT)), ',')
+        |  END AS unit_micros
         |FROM n ORDER BY vec_id""".stripMargin,
     "embedding_quantize" ->
       """SELECT vec_id,

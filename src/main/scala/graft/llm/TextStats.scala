@@ -95,17 +95,19 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** The canonical text form — lowercase, collapse every
+    * non-alphanumeric run to a single space, trim. THE definition both
+    * [[textNormalize]] and [[Dedup.dedupCanonical]] key on; change it
+    * here and both operators (and their oracles) must move together. */
+  def canonicalText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
   /** Text canonicalization — the normalize-before-dedup step of a
-    * curation pipeline: lowercase, collapse every non-alphanumeric run
-    * to a single space, trim. Single codegen'd regex stage; the
-    * canonical form is what exact-dedup should key on (see
-    * [[Dedup.dedupCanonical]]). */
+    * curation pipeline ([[canonicalText]]); single codegen'd regex
+    * stage. */
   def textNormalize(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(
-        col("doc_id"),
-        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
-          .as("norm_text"))
+      .select(col("doc_id"), canonicalText(col("text")).as("norm_text"))
       .orderBy(col("doc_id"))
 
   /** Regex token counting (BPE-ish pre-tokenizer split: word runs vs
@@ -171,11 +173,16 @@ object TextStats {
     val toks = t(s, d, "documents")
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("pos", "tok")))
+    // top-k FIRST (TakeOrderedAndProject — a per-partition heap, no
+    // global sort of the corpus vocabulary), then number the surviving
+    // <= vocabSize rows; ordering is total (tok unique) so limit+rank
+    // equals rank+filter exactly
     val vocab = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(vocabSize)
       .withColumn("id",
         row_number().over(Window.orderBy(col("n").desc, col("tok").asc)) - 1)
-      .filter(col("id") < vocabSize)
       .select(col("tok"), col("id"))
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .select(col("doc_id"), col("pos"),

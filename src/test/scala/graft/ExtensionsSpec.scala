@@ -26,6 +26,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(4) == 5.0)
   }
 
+  test("vec_dot is null on dimension mismatch (zip_with contract)") {
+    val spark = TestSpark.spark
+    graft.ingest.Codecs.register(spark)
+    val row = spark.sql(
+      """SELECT vec_dot(CAST(array(1.0) AS ARRAY<FLOAT>),
+        |               CAST(array(1.0, 2.0) AS ARRAY<FLOAT>)) AS v
+        |""".stripMargin).head()
+    assert(row.isNullAt(0))
+  }
+
   test("extensions inject both custom functions without error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

@@ -126,6 +126,15 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("pyStrip removes Unicode whitespace like Python str.strip()") {
+    // NBSP-wrapped destination must route like its stripped form, not
+    // turn the NBSP into a leading '_' (reference strip() is Unicode)
+    val df = Seq(("db.tbl", "\u00A0Telemetry\u2028")).toDF("s", "d")
+    val out = Routing.withRoute(df, col("s"), col("d"), "landing")
+      .select("folder").head().getString(0)
+    assert(out == "telemetry", out)
+  }
+
   test("property: stringifyAll is total over parsed arbitrary JSON shapes") {
     val jsons = (1 to 100).map { i =>
       rnd.nextInt(4) match {

@@ -278,9 +278,14 @@ object Dedup {
     val sym = pairs.union(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
-    var labels = sym.select(col("dst").as("id"), col("src").as("lbl"))
+    val seeded = sym.select(col("dst").as("id"), col("src").as("lbl"))
       .union(sym.select(col("src").as("id"), col("src").as("lbl")))
       .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      .localCheckpoint()
+    // jump the seed too: 2-hop labels before the first O(|E|) relax
+    val seedJump = seeded.select(col("id").as("jid"), col("lbl").as("jlbl"))
+    var labels = seeded.join(seedJump, col("lbl") === col("jid"), "left")
+      .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0

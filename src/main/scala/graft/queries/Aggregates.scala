@@ -323,7 +323,30 @@ object Aggregates {
       .agg(expr("hex(count_min_sketch(l_suppkey, 0.01d, 0.95d, 42)) as cms_hex"))
       .orderBy(col("l_returnflag"))
 
+  /** HLL sketch build + MERGE — the property that makes sketches a
+    * 100 TB primitive: per-group sketches (one hash aggregate) union
+    * associatively into the global distinct estimate WITHOUT re-reading
+    * data (the Datasketches HLL registers are max-merged, so building
+    * per partition/day and merging later equals building once over
+    * everything). Output: per-group estimates plus the merged ALL row.
+    * No DuckDB oracle (no sketch equivalent) — AggregateSpec asserts
+    * the estimates against exact distinct counts. */
+  def aggHllUnion(s: SparkSession, d: String): DataFrame = {
+    val perGroup = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"))
+    val union = perGroup
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .select(lit("ALL").as("l_returnflag"),
+        hll_sketch_estimate(col("sk")).as("approx_parts"))
+    perGroup
+      .select(col("l_returnflag"), hll_sketch_estimate(col("sk")).as("approx_parts"))
+      .unionByName(union)
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hll_union" -> (aggHllUnion _),
     "agg_mode" -> (aggMode _),
     "agg_count_min_sketch" -> (aggCountMinSketch _),
     "agg_hash_groupby" -> (aggHashGroupby _),

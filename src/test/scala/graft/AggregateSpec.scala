@@ -38,6 +38,25 @@ class AggregateSpec extends AnyFunSuite {
     }
   }
 
+  test("hll union estimate tracks exact distinct counts within 5%") {
+    val rows = Aggregates.aggHllUnion(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = Tables.t(spark, sf, "lineitem")
+    val exactPer = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    (exactPer + ("ALL" -> exactAll)).foreach { case (k, exact) =>
+      val est = rows(k)
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"$k: estimate $est vs exact $exact")
+    }
+    // merged ALL row must come from the union, not a re-aggregation:
+    // with lgK=12 and this cardinality the estimate is near-exact, and
+    // it must be >= the largest single group (union can only grow)
+    assert(rows("ALL") >= exactPer.values.max * 95 / 100)
+  }
+
   test("deterministic mode picks the smallest most-frequent key") {
     val rows = Aggregates.aggMode(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -61,6 +61,46 @@ class DedupSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("prefix-filtered jaccard == brute force on randomized near-dup corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = (0 until 400).map(i => s"w$i")
+    // clusters of perturbed copies force >0.8 pairs; singletons force
+    // misses; sizes 5..30 exercise every prefix length branch
+    val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    var id = 0L
+    (0 until 25).foreach { c =>
+      val n = 5 + rnd.nextInt(26)
+      val base = rnd.shuffle(vocab).take(n)
+      val copies = 1 + rnd.nextInt(4)
+      (0 until copies).foreach { _ =>
+        val perturbed = base.map(t =>
+          if (rnd.nextInt(20) == 0) vocab(rnd.nextInt(vocab.size)) else t)
+        docs += ((id, perturbed.mkString(" "), s"l${c % 3}"))
+        id += 1
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_jacprop")
+    docs.toSeq.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("prop")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupNgramJaccard(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force over token SETS, same rounding and threshold
+    val sets = docs.map { case (i, t, l) => (i, l, t.split(" ").toSet) }
+    val expect = (for {
+      (a, la, sa) <- sets; (b, lb, sb) <- sets
+      if la == lb && a < b
+      inter = (sa & sb).size
+      jac = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac > 0.8
+    } yield (a, b, jac)).toSet
+    assert(got == expect,
+      s"missing: ${expect -- got}; extra: ${got -- expect}")
+    assert(expect.nonEmpty, "fixture produced no near-dup pairs")
+  }
+
   test("ngram-jaccard df cutoff: inert above the fixture's max df, prunes below") {
     val base = Dedup.dedupNgramJaccard(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -112,9 +112,26 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Binary content dedup — media dedup never decodes: identical
+    * payload BYTES group on a 16-byte digest (the only dedup that makes
+    * sense for opaque blobs; perceptual near-dup would sit behind the
+    * decode stub). At 100 TB only digests shuffle; payloads stay in
+    * their scan partitions. */
+  def multimodalDedup(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .groupBy(md5(col("payload")).as("payload_md5"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"),
+        sum(octet_length(col("payload"))).as("total_bytes"))
+      .select(col("doc_id"), col("payload_md5"), col("n_copies"),
+        col("total_bytes"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_columns" -> (multimodalColumns _),
     "multimodal_resize" -> (multimodalResize _),
+    "multimodal_dedup" -> (multimodalDedup _),
     "multimodal_frame_sample" -> (multimodalFrameSample _)
   )
 
@@ -131,6 +148,11 @@ object Multimodal {
         |  CAST(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 192
         |       AS INTEGER) AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_dedup" ->
+      """SELECT MIN(doc_id) AS doc_id, md5(text) AS payload_md5,
+        |  COUNT(*) AS n_copies,
+        |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_bytes,

@@ -68,6 +68,22 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** Existence-mark projection: every customer with a has_big_order
+    * flag — the keep-all-rows complement of semi/anti. Shape: the probe
+    * side reduces to DISTINCT keys before the left join (the mark join
+    * rewrite), so the join ships one row per key, not one per order,
+    * and no row multiplication can occur. */
+  def joinExistsFlag(s: SparkSession, d: String): DataFrame = {
+    val (o, c) = ordersCust(s, d)
+    val bigKeys = o.filter(col("o_totalprice") > 350000.0)
+      .select(col("o_custkey")).distinct()
+      .withColumn("mark", lit(true))
+    c.join(bigKeys, c("c_custkey") === bigKeys("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("mark"), lit(false)).as("has_big_order"))
+      .orderBy(col("c_custkey"))
+  }
+
   def joinAnti(s: SparkSession, d: String): DataFrame = {
     val (o, c) = ordersCust(s, d)
     val big = o.filter(col("o_totalprice") > 350000.0)
@@ -200,6 +216,7 @@ object Joins {
     "join_full_outer" -> (joinFullOuter _),
     "join_semi" -> (joinSemi _),
     "join_anti" -> (joinAnti _),
+    "join_exists_flag" -> (joinExistsFlag _),
     "join_broadcast" -> (joinBroadcast _),
     "join_theta_range" -> (joinThetaRange _),
     "join_range_bucketed" -> (joinRangeBucketed _),
@@ -242,6 +259,13 @@ object Joins {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 350000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_exists_flag" ->
+      """SELECT c_custkey, c_name,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_totalprice > 350000.0) AS has_big_order
+        |FROM customer c
         |ORDER BY c_custkey""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer c

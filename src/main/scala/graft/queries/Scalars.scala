@@ -199,7 +199,28 @@ object Scalars {
         sha2(col("text").cast("binary"), 256).as("h_sha256"))
       .orderBy(col("doc_id"))
 
+  /** ANSI-safe arithmetic: try_divide/try_add return null instead of
+    * raising under Spark 4's ANSI mode — the fold-errors-to-null
+    * contract a 100 TB batch needs (one poisoned row must not kill a
+    * stage). The oracle replays the null semantics with explicit CASE
+    * guards. */
+  def scalarTryArith(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        // null exactly where l_quantity = 25 (division by zero)
+        round(expr("try_divide(l_extendedprice, l_quantity - 25.0)")
+          .cast("decimal(18,4)"), 2).cast("double").as("div_q25"),
+        round(expr("try_divide(l_extendedprice, l_quantity)")
+          .cast("decimal(18,4)"), 2).cast("double").as("unit_price"),
+        // overflows (-> null) exactly where l_quantity > 10
+        expr("try_add(9223372036854775797L, CAST(l_quantity AS LONG))")
+          .as("near_max_add"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("unit_price"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_try_arith" -> (scalarTryArith _),
     "scalar_hash" -> (scalarHash _),
     "scalar_struct" -> (scalarStruct _),
     "scalar_regex" -> (scalarRegex _),
@@ -216,6 +237,18 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "scalar_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity = 25 THEN NULL ELSE
+        |    CAST(ROUND(CAST(l_extendedprice / (l_quantity - 25.0)
+        |      AS DECIMAL(18,4)), 2) AS DOUBLE) END AS div_q25,
+        |  CAST(ROUND(CAST(l_extendedprice / l_quantity
+        |    AS DECIMAL(18,4)), 2) AS DOUBLE) AS unit_price,
+        |  CASE WHEN CAST(l_quantity AS BIGINT) > 10 THEN NULL ELSE
+        |    9223372036854775797 + CAST(l_quantity AS BIGINT) END
+        |    AS near_max_add
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, unit_price""".stripMargin,
     "scalar_hash" ->
       """SELECT doc_id,
         |  md5(text) AS h_md5,

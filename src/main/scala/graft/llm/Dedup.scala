@@ -109,7 +109,18 @@ object Dedup {
     * once with an `array_intersect` over the two 8-byte hash arrays
     * (no string shuffles anywhere). A size-ratio prune
     * (5·min(n) >= 4·max(n), integer-exact) drops impossible pairs
-    * before the distinct. */
+    * before the distinct.
+    *
+    * Collision assumption: BOTH candidate generation and the final
+    * verification operate on xxhash64(lang, token) values, not the
+    * token strings — a 64-bit collision between two distinct tokens of
+    * one document would merge them (shrinking n and shifting the exact
+    * intersection size), so scores near the 0.8 threshold depend on
+    * collision-freeness of the document's token vocabulary. At 64 bits
+    * the birthday bound puts a within-document collision at ~n²/2⁶⁵
+    * (≈5·10⁻¹³ even for 10⁶-token docs), which is far below the noise
+    * floor of near-dup thresholds; re-verifying with string arrays
+    * would shuffle full text for no measurable accuracy gain. */
   private def jaccardPairs(s: SparkSession, d: String, maxDf: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(s, d, "documents")

@@ -135,13 +135,16 @@ object Multimodal {
     "multimodal_frame_sample" -> (multimodalFrameSample _)
   )
 
-  /** All three are md5-based and fixture payloads are ASCII (char ops
-    * = byte ops), so every multimodal query is oracled. */
+  /** Byte counts use DuckDB strlen() (byte length of the UTF-8 text),
+    * matching Spark's octet_length over the encoded binary even for
+    * non-ASCII text. The substring-based md5s (thumb/frame) still slice
+    * by CHARACTER on the DuckDB side vs BYTE on the Spark side — equal
+    * only while fixture payloads are ASCII (they are; documented). */
   val oracles: Map[String, String] = Map(
     "multimodal_columns" ->
       """SELECT doc_id,
         |  'text/plain' AS mime,
-        |  CAST(length(text) AS INTEGER) AS n_bytes,
+        |  CAST(strlen(text) AS INTEGER) AS n_bytes,
         |  md5(text) AS checksum,
         |  CAST(CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 256
         |       AS INTEGER) AS fake_width,
@@ -151,12 +154,12 @@ object Multimodal {
     "multimodal_dedup" ->
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS payload_md5,
         |  COUNT(*) AS n_copies,
-        |  CAST(SUM(length(text)) AS BIGINT) AS total_bytes
+        |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "multimodal_resize" ->
       """SELECT doc_id,
-        |  CAST(length(text) AS INTEGER) AS n_bytes,
-        |  CAST(LEAST(length(text), 64) AS INTEGER) AS resized_bytes,
+        |  CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |  CAST(LEAST(strlen(text), 64) AS INTEGER) AS resized_bytes,
         |  md5(substring(text, 1, 64)) AS thumb_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_frame_sample" ->
@@ -164,7 +167,7 @@ object Multimodal {
         |  md5(substring(text, CAST(f * 32 + 1 AS INTEGER), 32))
         |    AS frame_md5
         |FROM documents, LATERAL unnest(
-        |  range(0, CAST(ceil(length(text) / 32.0) AS BIGINT), 2)) AS t(f)
+        |  range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT), 2)) AS t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -207,8 +207,8 @@ object Windows {
         |  FROM o),
         |s AS (
         |  SELECT user_id, ts,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_no
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
         |  FROM m)
         |SELECT user_id, session_no,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end,

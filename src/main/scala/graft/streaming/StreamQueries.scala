@@ -58,42 +58,61 @@ object StreamQueries {
   private val eventsDdl =
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
 
+  /** Temp staging dir that is recursively deleted at JVM exit, so
+    * repeated verify/bench invocations don't accumulate staging files. */
+  private def tempDir(prefix: String): Path = {
+    val dir = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p))
+          Files.list(p).forEach(c => rm(c))
+        Files.deleteIfExists(p); ()
+      }
+      try rm(dir) catch { case _: Exception => () }
+    }))
+    dir
+  }
+
+  /** Per-query cloned session: shares the SparkContext but owns its
+    * SQLConf, so stream-specific knobs never leak into (or race with)
+    * the shared session. Stateful operators allocate one state store
+    * per shuffle partition per micro-batch, and store init dominates at
+    * fixture volumes — so the clone runs with 8 shuffle partitions. At
+    * production volume this knob is sized to state bytes per partition,
+    * never left at the batch default. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** Stage the events parquet into a temp dir (file-source streams read
     * directories) and return a streaming DF with ts normalized from
     * TIMESTAMP(NANOS) longs to microsecond timestamps. */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_stream_events")
+    val dir = tempDir("graft_stream_events")
     Files.copy(Paths.get(s"$d/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    s.readStream
+    streamSession(s).readStream
       .schema(StructType.fromDDL(eventsDdl))
       .parquet(dir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
   /** Drive a streaming DF to completion into a memory sink, return the
-    * materialized result.
-    *
-    * Stateful operators allocate one state store per shuffle partition
-    * per micro-batch, and store init dominates at fixture volumes — so
-    * the partition count is sized to the stream volume for the run
-    * (8, restored afterwards). At production volume this knob is sized
-    * to state size per partition, never left at the batch default. */
-  private def runToMemory(s: SparkSession, sdf: DataFrame, mode: String): DataFrame = {
+    * materialized result. The memory-sink table registers in the DF's
+    * own (per-query cloned) session, so concurrent streaming queries on
+    * one shared session never collide on conf or temp views. */
+  private def runToMemory(sdf: DataFrame, mode: String): DataFrame = {
     val name = s"graft_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
-    val partKey = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(partKey)
-    s.conf.set(partKey, "8")
-    try {
-      val q = sdf.writeStream
-        .format("memory").queryName(name).outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set(partKey, prev)
-    s.table(name)
+    val ckpt = tempDir("graft_stream_ckpt").toString
+    val q = sdf.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    sdf.sparkSession.table(name)
   }
 
   /** Tumbling 1-hour event-time windows (oracle: batch date_trunc). */
@@ -101,7 +120,7 @@ object StreamQueries {
     val agg = eventsStream(s, d)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_val"))
-    runToMemory(s, agg, "complete")
+    runToMemory(agg, "complete")
       .select(col("window.start").cast("long").as("ws"), col("cnt"), col("sum_val"))
       .orderBy(col("ws"))
   }
@@ -112,7 +131,7 @@ object StreamQueries {
     val agg = eventsStream(s, d)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("cnt"))
-    runToMemory(s, agg, "complete")
+    runToMemory(agg, "complete")
       .select(col("window.start").cast("long").as("ws"), col("cnt"))
       .orderBy(col("ws"))
   }
@@ -137,7 +156,7 @@ object StreamQueries {
     * depends on batch boundaries); deterministic by construction. */
   def streamWatermarkLate(s: SparkSession, d: String): DataFrame = {
     val batch = graft.Tables.t(s, d, "events")
-    val dir = Files.createTempDirectory("graft_stream_wm")
+    val dir = tempDir("graft_stream_wm")
     val withTsl = batch.withColumn("tsl", col("ts").cast("long"))
     val quartiles = withTsl.stat.approxQuantile("tsl", Array(0.25, 0.5, 0.75), 0.0)
     val assigned = withTsl.withColumn("bucket",
@@ -152,7 +171,7 @@ object StreamQueries {
     // per bucket via repartition on the bucket key), then each file gets
     // a strictly increasing mtime so maxFilesPerTrigger=1 replays them
     // as ordered micro-batches
-    val tmp = Files.createTempDirectory("graft_wm_parts")
+    val tmp = tempDir("graft_wm_parts")
     assigned.repartition(4, col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
     (0 to 3).foreach { b =>
@@ -171,7 +190,7 @@ object StreamQueries {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("cnt"))
-    runToMemory(s, sdf, "append")
+    runToMemory(sdf, "append")
       .select(col("window.start").cast("long").as("ws"), col("cnt"))
       .orderBy(col("ws"))
   }
@@ -184,7 +203,7 @@ object StreamQueries {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    runToMemory(s, sdf, "append")
+    runToMemory(sdf, "append")
       .orderBy(col("user_id"), col("event_type"))
   }
 
@@ -208,7 +227,7 @@ object StreamQueries {
           Iterator((user, n))
       }
       .toDF("user_id", "n_events")
-    runToMemory(s, counts, "update")
+    runToMemory(counts, "update")
       .groupBy(col("user_id"))
       .agg(max(col("n_events")).as("n_events"))
       .orderBy(col("user_id"))
@@ -234,7 +253,7 @@ object StreamQueries {
         .transformWithState(new MaxValueProcessor(),
           TimeMode.None(), OutputMode.Update())
         .toDF("user_id", "max_value")
-      runToMemory(s, maxes, "update")
+      runToMemory(maxes, "update")
         .groupBy(col("user_id"))
         .agg(max(col("max_value")).as("max_value"))
         .orderBy(col("user_id"))
@@ -247,8 +266,8 @@ object StreamQueries {
   /** The reference's whole data plane as a stream: envelope text files →
     * foreachBatch(Pipeline.ingest) → routed parquet, summarized. */
   def streamIngestPipeline(s: SparkSession, d: String): DataFrame = {
-    val inDir = Files.createTempDirectory("graft_stream_ingest_in")
-    val outDir = Files.createTempDirectory("graft_stream_ingest_out").toString
+    val inDir = tempDir("graft_stream_ingest_in")
+    val outDir = tempDir("graft_stream_ingest_out").toString
     val envs = graft.queries.IngestQueries.syntheticEnvelopes
     // two files → two micro-batches under maxFilesPerTrigger=1
     Files.write(inDir.resolve("0000.txt"),
@@ -262,7 +281,7 @@ object StreamQueries {
       "OUTPUT_CONTAINER" -> outDir,
       "MAX_BATCH_SIZE" -> "2000",
       "PARQUET_COMPRESSION" -> "SNAPPY"))
-    val ckpt = Files.createTempDirectory("graft_stream_ingest_ckpt").toString
+    val ckpt = tempDir("graft_stream_ingest_ckpt").toString
     // one registry across all micro-batches: batch N reuses batch N-1's
     // inferred schema (full inference only on first sight / drift)
     val registry = new graft.ingest.SchemaRegistry()
@@ -300,7 +319,7 @@ object StreamQueries {
       .join(dim, "user_id")
       .select(col("event_id"), col("user_id"), col("value"),
         col("user_events"), col("user_value"))
-    runToMemory(s, sdf, "append").orderBy(col("event_id"))
+    runToMemory(sdf, "append").orderBy(col("event_id"))
   }
 
   /** Stream-stream interval join: purchases join the same user's clicks
@@ -318,7 +337,7 @@ object StreamQueries {
     // filter-before-state rule that matters at scale: state size is
     // what survives the pre-join predicates, not the raw stream)
     def side(tpe: String, idAs: String, userAs: String, tsAs: String) = {
-      val dir = Files.createTempDirectory(s"graft_ss_$tpe")
+      val dir = tempDir(s"graft_ss_$tpe")
       graft.Tables.t(s, d, "events")
         .filter(col("event_type") === tpe)
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -341,7 +360,7 @@ object StreamQueries {
       .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
         (col("p_ts").cast("long") - col("c_ts").cast("long"))
           .as("lag_seconds"))
-    runToMemory(s, joined, "append").orderBy(col("p_id"), col("c_id"))
+    runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -27,18 +27,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def jsonMap(m: Iterable[(String, Double)]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // stable file artifact alongside stdout (stdout tails get truncated)
+    // full per-query detail goes to the stable file artifact; stdout
+    // gets a SHORT line (headline = 12 most expensive queries) because
+    // the driver's stdout tail truncates long lines and a 133-entry map
+    // pushes the JSON head out of the buffer
     val sfName = new java.io.File(sfDir).getName
     new java.io.File("target").mkdirs()
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"target/bench_$sfName.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":${jsonMap(results)},"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
+    val headline = results.toSeq.sortBy(-_._2).take(12)
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":${jsonMap(headline)},"sf":"$sfDir","detail":"target/bench_$sfName.json"}""")
     spark.stop()
   }
 }

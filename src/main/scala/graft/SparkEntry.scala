@@ -32,6 +32,7 @@ object SparkEntry {
       graft.llm.Similarity.queries ++
       graft.llm.TextStats.queries ++
       graft.llm.Multimodal.queries ++
+      graft.llm.Curation.queries ++
       graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.llm.Similarity.oracles ++
       graft.llm.TextStats.oracles ++
       graft.llm.Multimodal.oracles ++
+      graft.llm.Curation.oracles ++
       graft.streaming.StreamQueries.oracles
 }

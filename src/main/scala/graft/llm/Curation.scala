@@ -1,0 +1,230 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Corpus-curation operators for training-data pipelines (north-star
+  * scope, SURVEY.md §2.2 ⊕ — no reference counterpart; the reference
+  * stops at raw ingest, src/function_app.py:302-423).
+  *
+  * Everything here is the batch shape a 100 TB curation run needs:
+  *   - sequence packing and train/holdout splitting are single-window /
+  *     single-projection plans (one shuffle or none);
+  *   - boilerplate-line removal shuffles 8-byte line hashes, never text;
+  *   - decontamination broadcasts the (small) benchmark side and keeps
+  *     the corpus side shuffle-free until the final per-doc count.
+  */
+object Curation {
+
+  /** Tokens per packed training sequence (small to exercise bin
+    * boundaries at fixture doc lengths of ~56 tokens). */
+  private val PackBudget = 256L
+
+  /** GPT-style concat-and-chunk sequence packing: per language, docs are
+    * concatenated in doc_id order and split into fixed `PackBudget`-token
+    * bins; a doc starts at its running-token offset, so `bin` and
+    * `offset_in_bin` are pure functions of the prefix sum (docs may
+    * straddle a boundary — that is the concat-and-chunk contract).
+    *
+    * One window over `lang` = one shuffle. At 100 TB packing does not
+    * need a single global order: partition the corpus into shards
+    * (lang ⊗ hash bucket) and pack each shard independently — the same
+    * prefix-sum window per shard, embarrassingly parallel. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before div $PackBudget").as("bin"),
+        (col("cum_before") % PackBudget).as("offset_in_bin"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Deterministic hash split into train/validation/test (90/5/5): the
+    * bucket is the first 16 bits of md5(doc_id), so membership is a
+    * pure per-row function — stable across runs, engines and cluster
+    * sizes, and a new document joins a split without reshuffling old
+    * ones (the property rand()-based splits lack). No shuffle at all:
+    * a single codegen'd projection over the scan. */
+  def splitTrainHoldout(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        (expr("conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10)")
+          .cast("long") % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "validation")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+
+  /** C4-style boilerplate-line removal: each doc is segmented into
+    * disjoint 4-token lines; a line occurring in more than one distinct
+    * document is boilerplate (headers, nav, license blurbs) and is
+    * dropped from every doc; survivors are reassembled in order.
+    *
+    * Scale shape: the document-frequency table groups and joins on
+    * xxhash64(line) — 8 bytes shuffle per line, never the text; line
+    * strings stay riding the (narrow) postings relation for reassembly.
+    * Docs whose every line is boilerplate survive with n_kept = 0. */
+  def textDedupLines(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(toks) / 4.0) as int) - 1),
+            |          i -> array_join(slice(toks, i * 4 + 1, 4), ' '))"""
+            .stripMargin)).as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val dfreq = lines.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val kept = lines.join(dfreq, "h").filter(col("df") <= 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ")).as("clean_md5"))
+    val totals = lines.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any 4-token
+    * shingle with the held-out benchmark set (here: doc_id % 50 == 0
+    * plays the benchmark). Per-doc shingles are dedup'd INSIDE the row
+    * (array_distinct before explode — no shuffle spent on it), and the
+    * benchmark side is broadcast: eval sets are MBs even when the corpus
+    * is 100 TB, so the corpus never shuffles for the join; only the
+    * contaminated survivors shuffle for the per-doc count. Production
+    * uses 8-13-token shingles; the fixture's ~40-word vocabulary makes
+    * 4 the size that actually produces collisions to count. */
+  def textContamination(s: SparkSession, d: String): DataFrame = {
+    val sh = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 4)
+      .select(col("doc_id"),
+        explode(expr(
+          """array_distinct(transform(sequence(1, size(toks) - 3),
+            |                i -> array_join(slice(toks, i, 4), ' ')))"""
+            .stripMargin)).as("g"))
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .select(col("g")).distinct()
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-label centroid of the embedding column, as (label, dim) rows.
+    * Sums go through DECIMAL so they are order-independent (exact
+    * arithmetic — safe under any partial-aggregation schedule); the
+    * centroid divides the rounded exact sum as a double. posexplode
+    * fans rows ×dims but partial aggregation collapses them map-side,
+    * so the shuffle carries one row per (label, dim) per task. */
+  def embeddingCentroid(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("double").cast("decimal(20,8)")).as("sum_dec"))
+      .select(col("label"), col("dim"), col("n"),
+        round(col("sum_dec"), 4).cast("double").as("dim_sum"),
+        round(round(col("sum_dec"), 6).cast("double") / col("n"), 4)
+          .as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pack_sequences" -> (packSequences _),
+    "split_train_holdout" -> (splitTrainHoldout _),
+    "text_dedup_lines" -> (textDedupLines _),
+    "text_contamination" -> (textContamination _),
+    "embedding_centroid" -> (embeddingCentroid _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(SUM(len(string_split(text, ' '))) OVER (
+         |      PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM documents)
+         |SELECT doc_id, lang, n_tokens,
+         |  cum_before // $PackBudget AS bin,
+         |  cum_before % $PackBudget AS offset_in_bin
+         |FROM c ORDER BY lang, doc_id""".stripMargin,
+    "split_train_holdout" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "text_dedup_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |l AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(toks[i * 4 + 1 : i * 4 + 4], ' ') AS line
+        |  FROM d, LATERAL unnest(
+        |    range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS r(i)),
+        |f AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY line),
+        |k AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    md5(string_agg(l.line, ' ' ORDER BY pos)) AS clean_md5
+        |  FROM l JOIN f USING (line) WHERE f.df <= 1 GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  t.n_lines - COALESCE(k.n_kept, 0) AS n_removed,
+        |  COALESCE(k.clean_md5, md5('')) AS clean_md5
+        |FROM tot t LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 4),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(toks[i : i + 3], ' ') AS g
+        |  FROM d, LATERAL unnest(range(1, len(toks) - 2)) AS r(i)),
+        |ev AS (
+        |  SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+        |SELECT doc_id, COUNT(*) AS n_contaminated_grams
+        |FROM sh JOIN ev USING (g)
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "embedding_centroid" ->
+      """WITH e AS (
+        |  SELECT label, i AS dim,
+        |    CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(20,8)) AS vd
+        |  FROM embeddings,
+        |    LATERAL unnest(range(0, len(embedding))) AS r(i)),
+        |a AS (
+        |  SELECT label, dim, COUNT(*) AS n, SUM(vd) AS sum_dec
+        |  FROM e GROUP BY label, dim)
+        |SELECT label, CAST(dim AS INTEGER) AS dim, n,
+        |  CAST(ROUND(sum_dec, 4) AS DOUBLE) AS dim_sum,
+        |  ROUND(CAST(ROUND(sum_dec, 6) AS DOUBLE) / n, 4) AS centroid
+        |FROM a ORDER BY label, dim""".stripMargin
+  )
+}

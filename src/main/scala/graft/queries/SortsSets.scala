@@ -87,7 +87,46 @@ object SortsSets {
         |ORDER BY n.n_name, top.c_acctbal DESC, top.c_custkey""".stripMargin)
   }
 
+  /** Z-order (Morton) clustering key: interleave the low 16 bits of two
+    * dimensions so that sorting by one value co-locates rows that are
+    * near in BOTH — the standard multi-dimensional file-clustering
+    * trick (Delta/Iceberg OPTIMIZE ZORDER). Written with
+    * `repartitionByRange(zval)`, parquet min/max stats then prune scans
+    * on either dimension. The interleave is 32 codegen'd shift/mask
+    * terms summed (disjoint bits, so + ≡ |) — one projection, no
+    * shuffle beyond the demonstration sort. Low-16-bit truncation is
+    * the demo simplification; production normalizes each dimension to
+    * its rank/quantile first. */
+  def sortZorder(s: SparkSession, d: String): DataFrame = {
+    val x = col("o_custkey").cast("long") % 65536L
+    // floor-then-cast: Spark's double→long cast truncates while
+    // DuckDB's rounds, so both sides go through an explicit floor
+    val y = floor(col("o_totalprice")).cast("long") % 65536L
+    val zval = (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    t(s, d, "orders")
+      .select(col("o_orderkey"), x.as("zx"), y.as("zy"), zval.as("zval"))
+      .orderBy(col("zval"), col("o_orderkey"))
+  }
+
+  private val zorderOracle: String = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(s"(((zx >> $i) & 1) << ${2 * i})",
+        s"(((zy >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT o_orderkey,
+       |    CAST(o_custkey AS BIGINT) % 65536 AS zx,
+       |    CAST(floor(o_totalprice) AS BIGINT) % 65536 AS zy
+       |  FROM orders)
+       |SELECT o_orderkey, zx, zy, $terms AS zval
+       |FROM b ORDER BY zval, o_orderkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_zorder" -> (sortZorder _),
     "sort_limit_offset" -> (sortLimitOffset _),
     "join_lateral" -> (joinLateral _),
     "sort_multi_key" -> (sortMultiKey _),
@@ -99,6 +138,7 @@ object SortsSets {
   )
 
   val oracles: Map[String, String] = Map(
+    "sort_zorder" -> zorderOracle,
     "sort_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC

@@ -236,31 +236,28 @@ object StreamQueries {
   /** Spark 4's transformWithState (the successor to
     * flatMapGroupsWithState): per-user running max held in a typed
     * ValueState via the StatefulProcessor API. Requires the RocksDB
-    * state store provider (set for this query, restored after). With
-    * AvailableNow over the staged input, the final emission per key
-    * equals the batch max — which the oracle replays as GROUP BY max. */
+    * state store provider — set on the stream's own per-query cloned
+    * session (eventsStream builds on a clone), so the shared session's
+    * provider is never touched. With AvailableNow over the staged
+    * input, the final emission per key equals the batch max — which
+    * the oracle replays as GROUP BY max. */
   def streamTransformWithState(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(providerKey)
-    s.conf.set(providerKey,
+    val source = eventsStream(s, d)
+    source.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val maxes = eventsStream(s, d)
-        .select(col("user_id").as[Long], col("value").as[Double])
-        .groupByKey(_._1)
-        .transformWithState(new MaxValueProcessor(),
-          TimeMode.None(), OutputMode.Update())
-        .toDF("user_id", "max_value")
-      runToMemory(maxes, "update")
-        .groupBy(col("user_id"))
-        .agg(max(col("max_value")).as("max_value"))
-        .orderBy(col("user_id"))
-    } finally prev match {
-      case Some(p) => s.conf.set(providerKey, p)
-      case None => s.conf.unset(providerKey)
-    }
+    val maxes = source
+      .select(col("user_id").as[Long], col("value").as[Double])
+      .groupByKey(_._1)
+      .transformWithState(new MaxValueProcessor(),
+        TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "max_value")
+    runToMemory(maxes, "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("max_value")).as("max_value"))
+      .orderBy(col("user_id"))
   }
 
   /** The reference's whole data plane as a stream: envelope text files →

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Curation
+
+/** Semantic properties of the corpus-curation operators, brute-forced
+  * against Scala re-implementations on the sf0.001 fixture (500 docs).
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pack_sequences: offsets stay under budget and bins are contiguous per lang") {
+    val rows = Curation.packSequences(spark, sf)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, _, off) => off >= 0 && off < 256 })
+    // replay the prefix sum per lang and re-derive (bin, offset)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._2).foreach { case (_, _, n, bin, off) =>
+        assert(bin == cum / 256 && off == cum % 256)
+        cum += n
+      }
+    }
+  }
+
+  test("split_train_holdout: exhaustive, deterministic, roughly 90/5/5") {
+    val df = Curation.splitTrainHoldout(spark, sf).cache()
+    val total = df.count()
+    assert(total == 500L)
+    val bySplit = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == total)
+    // md5 is uniform: train should land well inside [80%, 98%]
+    val train = bySplit.getOrElse("train", 0L).toDouble / total
+    assert(train > 0.8 && train < 0.98, s"train fraction $train")
+    // stable across evaluations (pure function of doc_id)
+    val again = Curation.splitTrainHoldout(spark, sf).collect().toSeq
+    assert(again == df.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("text_dedup_lines: kept+removed covers all lines; removed lines are exactly the df>1 ones") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lines(text: String): Seq[String] =
+      text.split(" ").grouped(4).map(_.mkString(" ")).toSeq
+    val dfreq = docs.toSeq.flatMap { case (id, t) => lines(t).distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    val expected = docs.map { case (id, t) =>
+      val ls = lines(t)
+      id -> ls.count(l => dfreq(l) <= 1)
+    }
+    val got = Curation.textDedupLines(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1).toSet == docs.keySet)
+    got.foreach { case (id, kept, removed) =>
+      val ls = lines(docs(id))
+      assert(kept + removed == ls.size, s"doc $id")
+      assert(kept == expected(id), s"doc $id kept=$kept expected=${expected(id)}")
+    }
+    // the fixture's tiny vocabulary must actually produce boilerplate
+    assert(got.map(_._3).sum > 0, "no boilerplate removed — test is vacuous")
+  }
+
+  test("text_contamination matches brute-force shingle intersection") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(4).map(_.mkString(" ")).toSet
+    val bench = docs.filter(_._1 % 50 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % 50 != 0)
+      .map { case (id, t) => id -> grams(t).count(bench.contains) }
+      .filter(_._2 > 0).toMap
+    val got = Curation.textContamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_.toInt).toMap == expected)
+  }
+
+  test("embedding_centroid: n equals label count, dims equal vector length") {
+    val e = Tables.t(spark, sf, "embeddings").cache()
+    val dims = e.select(size(col("embedding"))).distinct()
+      .collect().map(_.getInt(0))
+    assert(dims.length == 1)
+    val perLabel = e.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = Curation.embeddingCentroid(spark, sf).collect()
+    assert(rows.length == perLabel.size * dims.head)
+    rows.foreach { r =>
+      assert(r.getLong(2) == perLabel(r.getInt(0)))
+      assert(r.getInt(1) >= 0 && r.getInt(1) < dims.head)
+    }
+  }
+
+  test("sort_zorder: interleaved bits decode back to both dimensions") {
+    val rows = graft.queries.SortsSets.sortZorder(spark, sf)
+      .limit(500).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (zx, zy, zval) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val dx = (0 until 16).map(i => ((zval >> (2 * i)) & 1L) << i).sum
+      val dy = (0 until 16).map(i => ((zval >> (2 * i + 1)) & 1L) << i).sum
+      assert(dx == zx && dy == zy)
+    }
+  }
+}

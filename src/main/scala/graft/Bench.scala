@@ -25,7 +25,13 @@ object Bench {
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators that cache intermediates (signatures, k-means input,
+      // cluster edges) would otherwise pile blocks up across 139
+      // queries, squeezing execution memory for the rest of the run —
+      // drop them OUTSIDE the timed window
+      spark.catalog.clearCache()
+      name -> dt
     }
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonMap(m: Iterable[(String, Double)]) =

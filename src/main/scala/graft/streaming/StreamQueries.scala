@@ -182,7 +182,7 @@ object StreamQueries {
       Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
       dst.toFile.setLastModified(1700000000000L + b * 60000L)
     }
-    val sdf = s.readStream
+    val sdf = streamSession(s).readStream
       .schema(StructType.fromDDL(
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"))
       .option("maxFilesPerTrigger", 1)
@@ -333,13 +333,16 @@ object StreamQueries {
     // types keeps the state store at the joining subset (the
     // filter-before-state rule that matters at scale: state size is
     // what survives the pre-join predicates, not the raw stream)
+    // ONE clone for both sides: a stream-stream join needs both legs
+    // planned in the same session (and the same 8-partition override)
+    val ss = streamSession(s)
     def side(tpe: String, idAs: String, userAs: String, tsAs: String) = {
       val dir = tempDir(s"graft_ss_$tpe")
       graft.Tables.t(s, d, "events")
         .filter(col("event_type") === tpe)
         .select(col("event_id"), col("user_id"), col("ts"))
         .coalesce(1).write.mode("overwrite").parquet(dir.toString)
-      s.readStream
+      ss.readStream
         .schema(StructType.fromDDL(
           "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"))
         .parquet(dir.toString)

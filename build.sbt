@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output goes straight to stdout (no "[info] " logger prefix):
+// Bench prints one machine-readable JSON line that downstream tooling
+// parses — the sbt log prefix breaks line-oriented JSON parsers.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -26,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] with 139 queries of sf0.1 shuffle state needs real heap:
+  // at 8g the full bench run spends most of its wall-clock in GC (the
+  // same queries run 5-30x faster in isolation). 48g on the 128 GiB
+  // box keeps execution+storage memory comfortable; override with
+  // SPARK_DRIVER_MEM for constrained hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -82,6 +82,11 @@ object Curation {
             |          i -> array_join(slice(toks, i * 4 + 1, 4), ' '))"""
             .stripMargin)).as(Seq("pos", "line")))
       .withColumn("h", xxhash64(col("line")))
+    // Collision assumption (same as Dedup.scala's xxhash64 grouping
+    // keys): two DISTINCT lines sharing a 64-bit hash would merge their
+    // document frequencies and could drop a genuinely unique line. At
+    // n lines the collision probability is ~n^2/2^65 — under 1e-6 up to
+    // ~10^9 distinct lines — accepted for the 8-bytes-per-line shuffle.
     val dfreq = lines.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val kept = lines.join(dfreq, "h").filter(col("df") <= 1)

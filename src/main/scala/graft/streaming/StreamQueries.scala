@@ -58,18 +58,26 @@ object StreamQueries {
   private val eventsDdl =
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
 
-  /** Temp staging dir that is recursively deleted at JVM exit, so
-    * repeated verify/bench invocations don't accumulate staging files. */
-  private def tempDir(prefix: String): Path = {
-    val dir = Files.createTempDirectory(prefix)
+  /** Temp staging dirs, all recursively deleted by ONE shutdown hook
+    * (a hook per dir would retain a Thread each in long-lived JVMs —
+    * sbt test sessions run these builders hundreds of times). */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val tempDirHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(p: Path): Unit = {
-        if (Files.isDirectory(p))
-          Files.list(p).forEach(c => rm(c))
-        Files.deleteIfExists(p); ()
+      tempDirs.forEach { dir =>
+        try {
+          val walk = Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { Files.deleteIfExists(p); () })
+          finally walk.close()
+        } catch { case _: Exception => () }
       }
-      try rm(dir) catch { case _: Exception => () }
     }))
+  }
+  private def tempDir(prefix: String): Path = {
+    tempDirHook
+    val dir = Files.createTempDirectory(prefix)
+    tempDirs.add(dir)
     dir
   }
 
@@ -89,11 +97,18 @@ object StreamQueries {
   /** Stage the events parquet into a temp dir (file-source streams read
     * directories) and return a streaming DF with ts normalized from
     * TIMESTAMP(NANOS) longs to microsecond timestamps. */
-  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+  private def eventsStream(s: SparkSession, d: String): DataFrame =
+    eventsStreamOn(streamSession(s), d)
+
+  /** Same, planned on a caller-provided (already-cloned) session — for
+    * queries that must combine the stream with other Datasets: Spark
+    * leaves mixing Datasets from different sessions unspecified, so
+    * every leg of a multi-input streaming query plans on ONE clone. */
+  private def eventsStreamOn(ss: SparkSession, d: String): DataFrame = {
     val dir = tempDir("graft_stream_events")
     Files.copy(Paths.get(s"$d/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    streamSession(s).readStream
+    ss.readStream
       .schema(StructType.fromDDL(eventsDdl))
       .parquet(dir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -306,12 +321,16 @@ object StreamQueries {
     * store at all; at scale the dimension is a broadcast or bucketed
     * table and the stream side never shuffles. */
   def streamJoinStatic(s: SparkSession, d: String): DataFrame = {
-    val dim = graft.Tables.t(s, d, "events")
+    // one clone for BOTH legs: combining Datasets built on different
+    // SparkSessions is unspecified in Spark (works here only because
+    // they share a SparkContext) — mirror streamJoinStream's shape
+    val ss = streamSession(s)
+    val dim = graft.Tables.t(ss, d, "events")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("user_events"),
         expr("CAST(ROUND(CAST(SUM(value) AS DECIMAL(18,4)), 2) AS DOUBLE)")
           .as("user_value"))
-    val sdf = eventsStream(s, d)
+    val sdf = eventsStreamOn(ss, d)
       .filter(col("event_type") === "purchase")
       .join(dim, "user_id")
       .select(col("event_id"), col("user_id"), col("value"),

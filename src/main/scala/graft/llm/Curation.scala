@@ -150,12 +150,78 @@ object Curation {
           .as("centroid"))
       .orderBy(col("label"), col("dim"))
 
+  /** Temperature-scaled source mixing: the sampling weights a
+    * multi-source training run draws with (temperature T = 2, i.e.
+    * w ∝ p^(1/2)) — upsamples small sources, downsamples large ones.
+    * sqrt (not pow) on purpose: IEEE 754 requires sqrt be correctly
+    * rounded, so Spark and any oracle engine agree bit-for-bit, while
+    * libm pow may differ in the last ulp. The plan is one hash
+    * aggregate over the corpus (map-side partial: the shuffle carries
+    * one row per source per task) and a single-partition window over
+    * the per-source rows — #sources is tiny at any corpus scale, so
+    * the window input is post-agg and bounded. Weight sums go through
+    * DECIMAL, making the normalization order-independent. */
+  def sampleTemperature(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy()
+    t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("p",
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(all).cast("double"))
+      .withColumn("w", sqrt(col("p")).cast("decimal(20,10)"))
+      .withColumn("mix",
+        col("w").cast("double") /
+          sum(col("w")).over(all).cast("double"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("p"), 6).as("p_natural"),
+        round(col("mix"), 6).as("p_mix"),
+        round(col("mix") / col("p"), 4).as("up_factor"))
+      .orderBy(col("source"))
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): fraction
+    * of duplicate 4-token lines and the share of the most frequent
+    * bigram — high values flag boilerplate/degenerate docs before
+    * training. Both metrics are computed INSIDE the row with
+    * higher-order functions over the token array: the whole operator is
+    * one codegen'd projection — zero shuffles, embarrassingly parallel
+    * at 100 TB (the per-row work is O(tokens²) on distinct bigrams,
+    * bounded by document length, not corpus size). */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("lines", expr(
+        """transform(sequence(0, cast(ceil(size(toks) / 4.0) as int) - 1),
+          |          i -> array_join(slice(toks, i * 4 + 1, 4), ' '))"""
+          .stripMargin))
+      // guard: sequence(1, 0) is DESCENDING in Spark (never empty), so a
+      // 1-token doc must short-circuit to an empty bigram array
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          |     ELSE transform(sequence(1, size(toks) - 1),
+          |                    i -> concat(toks[i - 1], ' ', toks[i])) END"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("lines")).as("n_lines"),
+        round((size(col("lines")) - size(array_distinct(col("lines"))))
+          .cast("double") / size(col("lines")), 4).as("dup_line_frac"),
+        when(size(col("bigrams")) > 0, round(
+          expr("""array_max(transform(array_distinct(bigrams),
+                 |  x -> size(filter(bigrams, y -> y = x))))""".stripMargin)
+            .cast("double") / size(col("bigrams")), 4))
+          .as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_sequences" -> (packSequences _),
     "split_train_holdout" -> (splitTrainHoldout _),
     "text_dedup_lines" -> (textDedupLines _),
     "text_contamination" -> (textContamination _),
-    "embedding_centroid" -> (embeddingCentroid _)
+    "embedding_centroid" -> (embeddingCentroid _),
+    "sample_temperature" -> (sampleTemperature _),
+    "text_repetition" -> (textRepetition _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -230,6 +296,51 @@ object Curation {
         |SELECT label, CAST(dim AS INTEGER) AS dim, n,
         |  CAST(ROUND(sum_dec, 4) AS DOUBLE) AS dim_sum,
         |  ROUND(CAST(ROUND(sum_dec, 6) AS DOUBLE) / n, 4) AS centroid
-        |FROM a ORDER BY label, dim""".stripMargin
+        |FROM a ORDER BY label, dim""".stripMargin,
+    "sample_temperature" ->
+      """WITH a AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |b AS (
+        |  SELECT *,
+        |    CAST(n_tokens AS DOUBLE) /
+        |      CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p
+        |  FROM a),
+        |c AS (
+        |  SELECT *, CAST(sqrt(p) AS DECIMAL(20,10)) AS w FROM b),
+        |m AS (
+        |  SELECT *,
+        |    CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE) AS mix
+        |  FROM c)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(p, 6) AS p_natural,
+        |  ROUND(mix, 6) AS p_mix,
+        |  ROUND(mix / p, 4) AS up_factor
+        |FROM m ORDER BY source""".stripMargin,
+    "text_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ln AS (
+        |  SELECT doc_id,
+        |    array_to_string(toks[i * 4 + 1 : i * 4 + 4], ' ') AS line
+        |  FROM tk, LATERAL unnest(
+        |    range(0, CAST(ceil(len(toks) / 4.0) AS BIGINT))) AS r(i)),
+        |ls AS (
+        |  SELECT doc_id, COUNT(*) AS n_lines,
+        |    COUNT(DISTINCT line) AS n_distinct
+        |  FROM ln GROUP BY doc_id),
+        |bg AS (
+        |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+        |  FROM tk, LATERAL unnest(range(1, len(toks))) AS r(i)),
+        |bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+        |bs AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot
+        |       FROM bc GROUP BY doc_id)
+        |SELECT ls.doc_id,
+        |  CAST(ls.n_lines AS INTEGER) AS n_lines,
+        |  ROUND(CAST(ls.n_lines - ls.n_distinct AS DOUBLE) / ls.n_lines, 4)
+        |    AS dup_line_frac,
+        |  ROUND(CAST(bs.mx AS DOUBLE) / bs.tot, 4) AS top_bigram_frac
+        |FROM ls LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

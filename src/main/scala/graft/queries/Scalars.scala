@@ -100,6 +100,29 @@ object Scalars {
         get_json_object(col("props"), "$.missing").as("kmiss"))
       .orderBy(col("event_id"))
 
+  /** VARIANT semi-structured surface (Spark 4 native type): parse_json
+    * into the binary VARIANT encoding, typed extraction via
+    * variant_get, canonical re-serialization via to_json, and the
+    * try_/null-probe variants. VARIANT beats string re-parsing at scale
+    * — the value is decoded once at ingest and every downstream
+    * extraction is a binary field walk, not a JSON text parse; parquet
+    * shreds it columnarly. Extraction outputs are scalars so the
+    * DuckDB JSON oracle can replay them. */
+  def scalarVariant(s: SparkSession, d: String): DataFrame = {
+    val v = parse_json(col("props"))
+    t(s, d, "events")
+      .select(
+        col("event_id"),
+        variant_get(v, "$.k", "int").as("k_int"),
+        variant_get(v, "$.k", "double").as("k_dbl"),
+        variant_get(v, "$.k", "string").as("k_str"),
+        try_variant_get(v, "$.missing", "int").as("k_missing"),
+        to_json(v).as("canon_json"),
+        try_parse_json(lit("{not json")).isNull.as("bad_parse_null"),
+        is_variant_null(variant_get(v, "$.k", "variant")).as("k_is_jnull"))
+      .orderBy(col("event_id"))
+  }
+
   /** Conditional expressions: CASE, coalesce, nullif, least/greatest. */
   def scalarConditional(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
@@ -233,7 +256,8 @@ object Scalars {
     "scalar_math" -> (scalarMath _),
     "scalar_array" -> (scalarArray _),
     "scalar_map" -> (scalarMap _),
-    "scalar_json" -> (scalarJson _)
+    "scalar_json" -> (scalarJson _),
+    "scalar_variant" -> (scalarVariant _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -364,6 +388,16 @@ object Scalars {
         |  json_extract_string(props, '$.k') AS kv,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS ki,
         |  json_extract_string(props, '$.missing') AS kmiss
+        |FROM events ORDER BY event_id""".stripMargin,
+    "scalar_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(NULL AS INTEGER) AS k_missing,
+        |  json_extract(props, '$')::VARCHAR AS canon_json,
+        |  TRUE AS bad_parse_null,
+        |  json_type(props, '$.k') = 'NULL' AS k_is_jnull
         |FROM events ORDER BY event_id""".stripMargin
   )
 }

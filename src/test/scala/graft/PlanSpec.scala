@@ -139,4 +139,41 @@ class PlanSpec extends AnyFunSuite {
     assert(exec.contains("*("), exec) // whole-stage codegen marker
     assert(df.collect().map(_.getString(0)).toSeq == Seq("0", "1", "2"))
   }
+
+  test("text_repetition is a single stage — no exchange anywhere") {
+    // both repetition metrics are computed inside the row (HOFs over
+    // the token array), so the operator must not shuffle at all; the
+    // only allowed exchange is the presentation orderBy's range shuffle
+    val df = graft.llm.Curation.textRepetition(spark, sf)
+    val exec = df.queryExecution.executedPlan.toString
+    val exchanges = exec.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, exec) // presentation sort only
+    assert(!exec.contains("SortMergeJoin") && !exec.contains("HashAggregate"),
+      exec)
+  }
+
+  test("sample_temperature windows over post-aggregate rows only") {
+    // the single-partition window must sit ABOVE the per-source hash
+    // aggregate (bounded rows), never over the raw corpus
+    val p = plan(graft.llm.Curation.sampleTemperature(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Window"), p)
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    // formatted explain lists operators leaves-last; the window node
+    // prints before the aggregate it consumes
+    assert(winIdx < aggIdx, p)
+  }
+
+  test("scalar_variant is one projection over the scan — no extra stages") {
+    // variant extraction must stay a narrow map (StructsToJsonEvaluator
+    // keeps to_json(variant) out of whole-stage codegen, but the plan
+    // shape — scan → project → presentation sort — is the contract)
+    val df = graft.queries.Scalars.scalarVariant(spark, sf)
+    val exec = df.queryExecution.executedPlan.toString
+    val exchanges = exec.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, exec) // presentation sort only
+    assert(!exec.contains("HashAggregate") && !exec.contains("Join"), exec)
+    assert(df.count() > 0)
+  }
 }

@@ -20,7 +20,12 @@ object Bench {
     // driver never sets it, so full-surface totals stay comparable)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val results = SparkEntry.queries
+    // alphabetical execution order: Map hash order reshuffles whenever a
+    // query is added, which moves first-run JIT/codegen warm-up costs
+    // between queries and makes per-query numbers incomparable across
+    // rounds — a stable order keeps the warm-up bias pinned to the same
+    // queries every run
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -36,7 +41,7 @@ object Bench {
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonMap(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // full per-query detail goes to the stable file artifact; stdout
     // gets a SHORT line (headline = 12 most expensive queries) because
     // the driver's stdout tail truncates long lines and a 133-entry map

@@ -286,9 +286,17 @@ object Dedup {
     // measured 2x the whole MinHash/jaccard pipeline cost
     val pairs = pairsDf.toDF("a_id", "b_id").cache()
     pairs.count()
+    // The relax join probes sym on src EVERY round — hash-partition the
+    // edge list on src once and cache that layout, so each round's join
+    // reuses the partitioning instead of re-shuffling |E| edges (the
+    // dominant per-round cost at scale: |E| >> |V|). Built FROM the
+    // materialized pairs cache, so the two union branches stay cheap.
     val sym = pairs.union(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
+      .repartition(col("src"))
+      .cache()
+    sym.count()
     val seeded = sym.select(col("dst").as("id"), col("src").as("lbl"))
       .union(sym.select(col("src").as("id"), col("src").as("lbl")))
       .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
@@ -328,6 +336,7 @@ object Dedup {
       log.info(s"propagateLabels round=$rounds changed=$changed")
     }
     pairs.unpersist()
+    sym.unpersist()
     labels
   }
 

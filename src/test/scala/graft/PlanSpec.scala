@@ -140,6 +140,35 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("0", "1", "2"))
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Spark's InjectRuntimeFilter: when a shuffle join's build side
+    // carries a selective predicate, the probe side scan gets a
+    // might_contain(bloom_filter_agg(...)) filter — rows that cannot
+    // join are dropped BEFORE the exchange. At 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling
+    // the joining fraction. Local fixture sizes sit under the default
+    // thresholds, so the test pins them low; production leaves defaults.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val dim = Tables.t(spark, sf, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val fact = Tables.t(spark, sf, "orders")
+      val joined = fact.join(dim, fact("o_custkey") === dim("c_custkey"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"), opt)
+      assert(joined.count() > 0)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("text_repetition is a single stage — no exchange anywhere") {
     // both repetition metrics are computed inside the row (HOFs over
     // the token array), so the operator must not shuffle at all; the

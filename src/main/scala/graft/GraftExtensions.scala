@@ -46,5 +46,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_norm"),
       new ExpressionInfo(classOf[VecNorm].getName, "vec_norm"),
       (exprs: Seq[Expression]) => VecNorm(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("decode_payload"),
+      new ExpressionInfo(classOf[graft.functions.DecodePayload].getName,
+        "decode_payload"),
+      (exprs: Seq[Expression]) => graft.functions.DecodePayload(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("try_unbase64"),
+      new ExpressionInfo(classOf[graft.functions.TryUnbase64].getName,
+        "try_unbase64"),
+      (exprs: Seq[Expression]) => graft.functions.TryUnbase64(exprs.head)))
+    // collapse the composed decode chain into the fused expression
+    ext.injectOptimizerRule(_ => graft.plans.FuseDecodeChain)
   }
 }

@@ -28,6 +28,16 @@ object Codecs {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_norm", exprs => graft.functions.VecNorm(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "decode_payload",
+      exprs => graft.functions.DecodePayload(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "try_unbase64",
+      exprs => graft.functions.TryUnbase64(exprs.head), "built-in")
+    // decode-chain fusion (see graft.plans.FuseDecodeChain); idempotent
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseDecodeChain))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.FuseDecodeChain
   }
 
   /** Strip characters outside the base64 alphabet and re-pad to a
@@ -40,13 +50,17 @@ object Codecs {
     GraftBridge.column(CleanBase64(GraftBridge.expression(c)))
   }
 
-  /** Base64 payload bytes that cannot possibly decode (a dangling single
-    * base64 unit) → null instead of a task-killing decoder error; the
-    * reference skips such messages (src/function_app.py:330-334). */
+  /** Total base64 decode: null instead of a task-killing decoder error
+    * on any undecodable input — the reference skips such messages
+    * (src/function_app.py:330-334). Until round 4 this was a
+    * length-mod-4 guard over `unbase64`, which missed shapes like
+    * pads-only "====" (the underlying MIME decoder throws "wrong
+    * 4-byte ending unit"); [[graft.functions.TryUnbase64]] catches the
+    * decoder's own rejection instead of predicting it. */
   def safeUnbase64(c: Column): Column = {
-    val noPad = regexp_replace(c, "=", "")
-    when((length(noPad) % 4) === 1, lit(null).cast("binary"))
-      .otherwise(unbase64(c))
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(
+      graft.functions.TryUnbase64(GraftBridge.expression(c)))
   }
 
   /** gzip → raw deflate → zlib → identity fallback (custom Catalyst

@@ -212,6 +212,41 @@ object Similarity {
             ",")).as("unit_micros"))
       .orderBy(col("vec_id"))
 
+  /** Per-dimension standardization (z-scoring) — the two-pass shape:
+    * pass 1 aggregates per-dim count/Σv/Σv² (posexplode fans ×dims but
+    * partial aggregation collapses map-side, so the shuffle carries one
+    * row per dim per task); the resulting #dims-row stats table
+    * broadcast-joins back for pass 2's narrow projection. Sums go
+    * through DECIMAL(12,8) — exact, order-independent, and within both
+    * engines' decimal width for the product (12+12 ≤ 38) — then μ/σ
+    * derive in doubles from the exact sums, so every arithmetic step is
+    * IEEE-identical across engines; z lands as floor-fixed-point micros
+    * (same rule as [[embeddingNormalize]]). Constant dims (σ = 0) have
+    * no z-score: null. */
+  def embeddingStandardize(s: SparkSession, d: String): DataFrame = {
+    val flat = t(s, d, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"),
+        col("v").cast("double").cast("decimal(12,8)").as("vd"))
+    val stats = flat.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vd")).as("s1"),
+        sum(col("vd") * col("vd")).as("s2"))
+      .select(col("dim"),
+        (col("s1").cast("double") / col("n")).as("mu"),
+        sqrt(greatest(
+          col("s2").cast("double") / col("n") -
+            (col("s1").cast("double") / col("n")) *
+            (col("s1").cast("double") / col("n")),
+          lit(0.0))).as("sigma"))
+    flat.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("sigma") === 0.0, lit(null).cast("long"))
+          .otherwise(floor((col("v") - col("mu")) / col("sigma") * 1000000.0
+            + 0.5).cast("long")).as("z_micros"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   /** k-NN JOIN: the top-3 cosine neighbors for EVERY vector (not one
     * probe), blocked by label like [[Dedup.dedupEmbeddingCosine]].
     * Candidate pairs come from the label-blocked shuffle join; the
@@ -245,6 +280,7 @@ object Similarity {
     "sim_knn_join" -> (simKnnJoin _),
     "sim_search_range" -> (simSearchRange _),
     "embedding_normalize" -> (embeddingNormalize _),
+    "embedding_standardize" -> (embeddingStandardize _),
     "sim_search_topk" -> (simSearchTopk _),
     "sim_search_ivf" -> (simSearchIvf _),
     "sim_search_lsh" -> (simSearchLsh _),
@@ -292,6 +328,30 @@ object Similarity {
         |      x -> CAST(FLOOR(x / nrm * 1000000.0 + 0.5) AS BIGINT)), ',')
         |  END AS unit_micros
         |FROM n ORDER BY vec_id""".stripMargin,
+    "embedding_standardize" ->
+      """WITH f AS (
+        |  SELECT vec_id, i AS dim,
+        |    CAST(embedding[i + 1] AS DOUBLE) AS v,
+        |    CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(12,8)) AS vd
+        |  FROM embeddings,
+        |    LATERAL unnest(range(0, len(embedding))) AS r(i)),
+        |st AS (
+        |  SELECT dim, COUNT(*) AS n, SUM(vd) AS s1, SUM(vd * vd) AS s2
+        |  FROM f GROUP BY dim),
+        |m AS (
+        |  SELECT dim,
+        |    CAST(s1 AS DOUBLE) / n AS mu,
+        |    sqrt(GREATEST(
+        |      CAST(s2 AS DOUBLE) / n -
+        |        (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+        |      0.0)) AS sigma
+        |  FROM st)
+        |SELECT f.vec_id, CAST(f.dim AS INTEGER) AS dim,
+        |  CASE WHEN m.sigma = 0 THEN NULL ELSE
+        |    CAST(FLOOR((f.v - m.mu) / m.sigma * 1000000.0 + 0.5) AS BIGINT)
+        |  END AS z_micros
+        |FROM f JOIN m USING (dim)
+        |ORDER BY f.vec_id, f.dim""".stripMargin,
     "embedding_quantize" ->
       """SELECT vec_id,
         |  array_to_string(list_transform(CAST(embedding AS DOUBLE[]),

@@ -60,6 +60,10 @@ object IngestBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // registers the custom functions AND the FuseDecodeChain optimizer
+    // rule — the ingest hot path decodes through the fused expression,
+    // same as Verify/Bench sessions
+    graft.ingest.Codecs.register(spark)
     import spark.implicits._
 
     val raw = spark.range(n).mapPartitions(

@@ -50,6 +50,39 @@ object Dedup {
       .select(col("doc_id"), col("canon_md5"), col("n_variants"))
       .orderBy(col("doc_id"))
 
+  /** Representative selection by QUALITY, not by min id: per
+    * canonical-dup group (casing/punctuation variants of the same
+    * content, [[TextStats.canonicalText]] key), keep the
+    * HIGHEST-quality copy — the curation rule a training pipeline
+    * wants ("of these near-identical variants, keep the best-formed
+    * one"), where [[dedupExact]]/[[dedupCanonical]] keep the smallest
+    * id. Quality is the [[TextStats.textQualityScore]] composite
+    * (length saturation + lexical diversity). Plan: one scan computes
+    * key + quality, one shuffle on the 16-byte digest, and the
+    * per-group arg-max is a rank filter Spark rewrites into
+    * WindowGroupLimit (a 1-heap per group BEFORE the exchange), so the
+    * shuffle carries group winners per task, not the corpus. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = t(s, d, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("len_score",
+        least(lit(1.0), length(col("text")).cast("double") / 500.0))
+      .withColumn("uniq_ratio",
+        size(array_distinct(split(col("text"), " "))).cast("double") /
+          col("n_tokens"))
+      .select(col("doc_id"),
+        md5(TextStats.canonicalText(col("text"))).as("canon_md5"),
+        round((col("len_score") * 0.5 + col("uniq_ratio") * 0.5)
+          .cast("decimal(18,8)"), 4).cast("double").as("quality"))
+    val best = Window.partitionBy(col("canon_md5"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    q.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("canon_md5"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental (cross-corpus) dedup — the shape ingestion actually
     * runs: a NEW batch is deduped against the already-ingested corpus,
     * not against itself. Left-anti join on the 16-byte content digest:
@@ -412,6 +445,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_canonical" -> (dedupCanonical _),
+    "dedup_keep_best" -> (dedupKeepBest _),
     "dedup_cross_corpus" -> (dedupCrossCorpus _),
     "dedup_ngram_jaccard" ->
       ((s: SparkSession, d: String) => dedupNgramJaccard(s, d)),
@@ -434,6 +468,23 @@ object Dedup {
         |  COUNT(*) AS n_variants
         |FROM documents
         |GROUP BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS canon_md5,
+        |    CAST(ROUND(CAST(
+        |      LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) * 0.5 +
+        |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |        len(string_split(text, ' ')) * 0.5
+        |      AS DECIMAL(18,8)), 4) AS DOUBLE) AS quality
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY canon_md5 ORDER BY quality DESC, doc_id ASC) AS rn
+        |  FROM q)
+        |SELECT doc_id, canon_md5, quality FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
     "dedup_cross_corpus" ->
       """SELECT doc_id, md5(text) AS text_md5

@@ -169,6 +169,37 @@ object Joins {
       .orderBy(col("p_id"))
   }
 
+  /** As-of NEAREST join: for each purchase, the same user's closest
+    * view in EITHER direction, bounded to ±1 hour. The bound is what
+    * makes this scale: an unbounded nearest join has no prunable
+    * candidate set, while the banded interval join shuffles only
+    * same-user rows within the window; the per-purchase arg-min over
+    * |Δt| is a rank filter (WindowGroupLimit keeps a 1-heap per
+    * purchase before the exchange). Micros arithmetic keeps the
+    * distance exact — no float time math. */
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_uid"),
+        col("ts").as("v_ts"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("dt_us").asc_nulls_last, col("v_id").asc_nulls_last)
+    p.join(v,
+        col("p_uid") === col("v_uid") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
+        "left")
+      .withColumn("dt_us",
+        abs(unix_micros(col("v_ts")) - unix_micros(col("p_ts"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("v_id"), col("dt_us"))
+      .orderBy(col("p_id"))
+  }
+
   /** Interval join: views within the hour preceding each purchase. */
   def joinInterval(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
@@ -222,6 +253,7 @@ object Joins {
     "join_range_bucketed" -> (joinRangeBucketed _),
     "join_cross" -> (joinCross _),
     "join_asof" -> (joinAsof _),
+    "join_asof_nearest" -> (joinAsofNearest _),
     "join_interval" -> (joinInterval _)
   )
 
@@ -298,6 +330,19 @@ object Joins {
         |           ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST) AS rn
         |  FROM events p LEFT JOIN events v
         |    ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+        |  WHERE p.event_type = 'purchase') q
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin,
+    "join_asof_nearest" ->
+      """SELECT p_id, v_id, dt_us FROM (
+        |  SELECT p.event_id AS p_id, v.event_id AS v_id,
+        |         abs(epoch_us(v.ts) - epoch_us(p.ts)) AS dt_us,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |           ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)) ASC NULLS LAST,
+        |                    v.event_id ASC NULLS LAST) AS rn
+        |  FROM events p LEFT JOIN events v
+        |    ON v.user_id = p.user_id AND v.event_type = 'view'
+        |    AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |    AND v.ts <= p.ts + INTERVAL 1 HOUR
         |  WHERE p.event_type = 'purchase') q
         |WHERE rn = 1 ORDER BY p_id""".stripMargin,
     "join_interval" ->

@@ -34,6 +34,24 @@ object Windows {
       .orderBy(col("o_orderkey"))
   }
 
+  /** COUNT(DISTINCT) over a window — Spark rejects distinct aggregates
+    * in window frames, so the engine rewrite is the dense_rank maximum:
+    * `max(dense_rank() over (part, order by v)) over (part)` equals the
+    * distinct count of v per partition. Two window functions over the
+    * SAME partitioning = one shuffle, two in-partition passes — still
+    * cheaper than the self-join a naive rewrite would do. */
+  def windowCountDistinct(s: SparkSession, d: String): DataFrame = {
+    val byPrio = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderpriority"))
+    val whole = Window.partitionBy(col("o_custkey"))
+    t(s, d, "orders")
+      .withColumn("dr", dense_rank().over(byPrio))
+      .withColumn("n_distinct_prio", max(col("dr")).over(whole).cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("n_distinct_prio"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** lag / lead / first_value / last_value per customer order history. */
   def windowAnalytic(s: SparkSession, d: String): DataFrame = {
     val hist = Window.partitionBy(col("o_custkey"))
@@ -187,12 +205,18 @@ object Windows {
     "window_ignore_nulls" -> (windowIgnoreNulls _),
     "window_distribution" -> (windowDistribution _),
     "window_rank" -> (windowRank _),
+    "window_count_distinct" -> (windowCountDistinct _),
     "window_analytic" -> (windowAnalytic _),
     "window_frame_running" -> (windowFrameRunning _),
     "window_range_frame" -> (windowRangeFrame _)
   )
 
   val oracles: Map[String, String] = Map(
+    "window_count_distinct" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority,
+        |  COUNT(DISTINCT o_orderpriority)
+        |    OVER (PARTITION BY o_custkey) AS n_distinct_prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "window_session" ->
       """WITH o AS (
         |  SELECT user_id, event_id, ts,

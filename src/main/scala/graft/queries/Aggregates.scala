@@ -345,7 +345,36 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Conversion funnel (ClickHouse windowFunnel semantics, strictly
+    * ordered first-reach): per user, t1 = first view, t2 = first click
+    * at/after t1, t3 = first purchase at/after t2; `reached` = deepest
+    * stage. ONE shuffle: per-type sorted timestamp arrays aggregate per
+    * user (collect_list partials combine map-side), then every stage
+    * resolves inside the row with HOF filters — no self-joins, no
+    * window passes. Each lambda references only bound columns (the
+    * HOF-lambda rule, PERF.md). Per-user state is the user's own event
+    * count; at 100 TB a per-user cap (slice before sort) bounds skew
+    * from bot users — the fixture needs none. */
+  def aggFunnel(s: SparkSession, d: String): DataFrame = {
+    def stageTs(tpe: String) = sort_array(collect_list(
+      when(col("event_type") === tpe, unix_micros(col("ts")))))
+    t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(stageTs("view").as("va"), stageTs("click").as("ca"),
+        stageTs("purchase").as("pa"))
+      .withColumn("t1", expr("try_element_at(va, 1)"))
+      .withColumn("t2", expr("try_element_at(filter(ca, x -> x >= t1), 1)"))
+      .withColumn("t3", expr("try_element_at(filter(pa, x -> x >= t2), 1)"))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).as("reached"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_funnel" -> (aggFunnel _),
     "agg_hll_union" -> (aggHllUnion _),
     "agg_mode" -> (aggMode _),
     "agg_count_min_sketch" -> (aggCountMinSketch _),
@@ -371,6 +400,27 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_funnel" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'view'))
+        |      AS va,
+        |    list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'click'))
+        |      AS ca,
+        |    list_sort(list(epoch_us(ts)) FILTER (WHERE event_type = 'purchase'))
+        |      AS pa
+        |  FROM events GROUP BY user_id),
+        |s1 AS (SELECT user_id, va[1] AS t1, ca, pa FROM g),
+        |s2 AS (SELECT user_id, t1,
+        |         list_filter(ca, x -> x >= t1)[1] AS t2, pa FROM s1),
+        |s3 AS (SELECT user_id, t1, t2,
+        |         list_filter(pa, x -> x >= t2)[1] AS t3 FROM s2)
+        |SELECT user_id, t1, t2, t3,
+        |  CASE WHEN t3 IS NOT NULL THEN 3
+        |       WHEN t2 IS NOT NULL THEN 2
+        |       WHEN t1 IS NOT NULL THEN 1
+        |       ELSE 0 END AS reached
+        |FROM s3 ORDER BY user_id""".stripMargin,
     "agg_mode" ->
       """WITH freq AS (
         |  SELECT event_type, user_id, count(*) AS n

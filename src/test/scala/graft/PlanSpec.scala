@@ -58,6 +58,15 @@ class PlanSpec extends AnyFunSuite {
     assert(partialIdx >= 0 && p.indexOf("Partial", partialIdx) >= 0, p)
   }
 
+  test("arg-max selections (keep_best, asof_nearest) get WindowGroupLimit") {
+    // both operators claim the rn=1 filter becomes a 1-heap per group
+    // before the exchange — assert the rewrite actually fires
+    val p1 = plan(graft.llm.Dedup.dedupKeepBest(spark, sf))
+    assert(p1.contains("WindowGroupLimit"), p1)
+    val p2 = plan(graft.queries.Joins.joinAsofNearest(spark, sf))
+    assert(p2.contains("WindowGroupLimit"), p2)
+  }
+
   test("dynamic partition pruning fires on a partition-keyed join") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString

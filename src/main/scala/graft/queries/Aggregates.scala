@@ -373,8 +373,35 @@ object Aggregates {
       .orderBy(col("user_id"))
   }
 
+  /** Cohort retention (day-1 / day-7): users grouped by their first
+    * active DATE; for each cohort, how many came back exactly one /
+    * seven days later. Plan: distinct (user, day) pairs → per-user
+    * anchor (min day) → flags — three aggregations, but the first two
+    * shuffle on the SAME key (user_id), so the exchange is reused; only
+    * the final tiny per-cohort rollup re-partitions. Day grain bounds
+    * state: a user contributes at most #active-days rows regardless of
+    * event volume. */
+  def aggRetention(s: SparkSession, d: String): DataFrame = {
+    val days = t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val anchors = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    days.join(anchors, "user_id")
+      .groupBy(col("user_id"), col("cohort"))
+      .agg(
+        max(when(col("day") === date_add(col("cohort"), 1), 1).otherwise(0))
+          .as("d1"),
+        max(when(col("day") === date_add(col("cohort"), 7), 1).otherwise(0))
+          .as("d7"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("d1")).as("n_day1"),
+        sum(col("d7")).as("n_day7"))
+      .orderBy(col("cohort"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_funnel" -> (aggFunnel _),
+    "agg_retention" -> (aggRetention _),
     "agg_hll_union" -> (aggHllUnion _),
     "agg_mode" -> (aggMode _),
     "agg_count_min_sketch" -> (aggCountMinSketch _),
@@ -421,6 +448,23 @@ object Aggregates {
         |       WHEN t1 IS NOT NULL THEN 1
         |       ELSE 0 END AS reached
         |FROM s3 ORDER BY user_id""".stripMargin,
+    "agg_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |anchors AS (
+        |  SELECT user_id, MIN(day) AS cohort FROM days GROUP BY user_id),
+        |flags AS (
+        |  SELECT d.user_id, a.cohort,
+        |    MAX(CASE WHEN d.day = a.cohort + INTERVAL 1 DAY
+        |             THEN 1 ELSE 0 END) AS d1,
+        |    MAX(CASE WHEN d.day = a.cohort + INTERVAL 7 DAY
+        |             THEN 1 ELSE 0 END) AS d7
+        |  FROM days d JOIN anchors a USING (user_id)
+        |  GROUP BY d.user_id, a.cohort)
+        |SELECT cohort, COUNT(*) AS n_users,
+        |  CAST(SUM(d1) AS BIGINT) AS n_day1,
+        |  CAST(SUM(d7) AS BIGINT) AS n_day7
+        |FROM flags GROUP BY cohort ORDER BY cohort""".stripMargin,
     "agg_mode" ->
       """WITH freq AS (
         |  SELECT event_type, user_id, count(*) AS n

@@ -53,6 +53,28 @@ object Similarity {
       .limit(10)
   }
 
+  /** Maximum-inner-product search (MIPS) — retrieval by RAW dot
+    * product, not cosine: the scoring mode of recommender/two-tower
+    * models, where vector magnitude carries signal (popularity) and
+    * must NOT be normalized away. Same shuffle-free shape as
+    * [[simSearchTopk]]: broadcast probe, codegen'd [[dot]] kernel,
+    * TakeOrderedAndProject — the corpus is scanned once and never
+    * shuffled. At scale MIPS reuses a cosine-LSH/IVF index via the
+    * norm-augmentation reduction (append sqrt(M² − ‖x‖²) as an extra
+    * dim, M = max corpus norm; argmax dot becomes argmax cosine —
+    * Shrivastava & Li, NeurIPS'14); the fixture searches exactly. */
+  def simSearchMips(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("embedding"), col("probe")), 6).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** IVF-style approximate top-k: k-means coarse quantizer (seeded,
     * deterministic), probe the nearest cells only, brute-force inside.
     * No oracle — approximate by construction; rows are deterministic. */
@@ -282,6 +304,7 @@ object Similarity {
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_standardize" -> (embeddingStandardize _),
     "sim_search_topk" -> (simSearchTopk _),
+    "sim_search_mips" -> (simSearchMips _),
     "sim_search_ivf" -> (simSearchIvf _),
     "sim_search_lsh" -> (simSearchLsh _),
     "embedding_quantize" -> (embeddingQuantize _)
@@ -365,6 +388,13 @@ object Similarity {
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
         |     WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0
-        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_search_mips" ->
+      """SELECT vec_id, label,
+        |  ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS ip
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin
   )
 }

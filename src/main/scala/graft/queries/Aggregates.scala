@@ -399,9 +399,33 @@ object Aggregates {
       .orderBy(col("cohort"))
   }
 
+  /** Event-sequence pattern match (ClickHouse sequenceMatch shape):
+    * each user's history collapses to an ordered initial-letter string
+    * (v/c/p/s/e — first letters are unique in this event vocabulary),
+    * then sequence questions become string questions: "did view→click→
+    * purchase happen in order" is one regex, "how many direct
+    * view→click transitions" is a substring count. One shuffle
+    * (collect_list partials combine map-side); ordering ties break on
+    * (micros, event_id) so the sequence string is deterministic. */
+  def aggSequenceMatch(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(
+          unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+          substring(col("event_type"), 1, 1).as("c")))),
+        x => x.getField("c")), "").as("seq"))
+      .select(col("user_id"), col("seq"),
+        col("seq").rlike("v.*c.*p").as("funnel_matched"),
+        ((length(col("seq")) -
+          length(regexp_replace(col("seq"), "vc", ""))) / 2)
+          .cast("long").as("n_view_click"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_funnel" -> (aggFunnel _),
     "agg_retention" -> (aggRetention _),
+    "agg_sequence_match" -> (aggSequenceMatch _),
     "agg_hll_union" -> (aggHllUnion _),
     "agg_mode" -> (aggMode _),
     "agg_count_min_sketch" -> (aggCountMinSketch _),
@@ -465,6 +489,17 @@ object Aggregates {
         |  CAST(SUM(d1) AS BIGINT) AS n_day1,
         |  CAST(SUM(d7) AS BIGINT) AS n_day7
         |FROM flags GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "agg_sequence_match" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), ''
+        |      ORDER BY epoch_us(ts), event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, seq,
+        |  regexp_matches(seq, 'v.*c.*p') AS funnel_matched,
+        |  CAST((length(seq) - length(replace(seq, 'vc', ''))) / 2
+        |    AS BIGINT) AS n_view_click
+        |FROM s ORDER BY user_id""".stripMargin,
     "agg_mode" ->
       """WITH freq AS (
         |  SELECT event_type, user_id, count(*) AS n

@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.TryUnbase64].getName,
         "try_unbase64"),
       (exprs: Seq[Expression]) => graft.functions.TryUnbase64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("deflate_length"),
+      new ExpressionInfo(classOf[graft.functions.DeflateLength].getName,
+        "deflate_length"),
+      (exprs: Seq[Expression]) => graft.functions.DeflateLength(exprs.head)))
     // collapse the composed decode chain into the fused expression
     ext.injectOptimizerRule(_ => graft.plans.FuseDecodeChain)
   }

@@ -34,6 +34,9 @@ object Codecs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "try_unbase64",
       exprs => graft.functions.TryUnbase64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deflate_length",
+      exprs => graft.functions.DeflateLength(exprs.head), "built-in")
     // decode-chain fusion (see graft.plans.FuseDecodeChain); idempotent
     if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseDecodeChain))
       spark.experimental.extraOptimizations =

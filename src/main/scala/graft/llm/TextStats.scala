@@ -283,7 +283,35 @@ object TextStats {
         (col("source") === col("guess")).as("exact"))
       .orderBy(col("doc_id"))
 
+  /** Compression-ratio quality signal (CCNet/RefinedWeb): deflated
+    * length over raw UTF-8 length per document. Very compressible
+    * (ratio ≪ 1) means repetitive boilerplate; near-incompressible
+    * (ratio ≈ 1) means noise/binary junk — both tails are filter
+    * candidates. One codegen'd projection via the custom
+    * [[graft.functions.DeflateLength]] expression — zero shuffles; the
+    * compressed bytes never materialize, only their length. No oracle:
+    * DuckDB has no deflate (rows-only check; behavior pinned in
+    * CurationSpec). */
+  def textCompressionRatio(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val defLen = GraftBridge.column(
+      graft.functions.DeflateLength(GraftBridge.expression(col("text"))))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        defLen.as("deflate_len"))
+      .withColumn("ratio",
+        round(col("deflate_len").cast("double") /
+          greatest(col("n_bytes"), lit(1)), 4))
+      .withColumn("flag",
+        when(col("ratio") < 0.3, lit("repetitive"))
+          .when(col("ratio") > 0.9, lit("incompressible"))
+          .otherwise(lit("ok")))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_compression_ratio" -> (textCompressionRatio _),
     "text_edit_distance" -> (textEditDistance _),
     "text_stats" -> (textStats _),
     "text_lang_id" -> (textLangId _),

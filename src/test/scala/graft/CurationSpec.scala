@@ -97,6 +97,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("text_compression_ratio separates repetitive from diverse text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftBridge
+    val defLen = (c: org.apache.spark.sql.Column) => GraftBridge.column(
+      graft.functions.DeflateLength(GraftBridge.expression(c)))
+    val docs = Seq(
+      ("rep", "spam " * 200),
+      ("div", (0 until 200).map(i => s"w${i * 7919 % 977}x$i").mkString(" "))
+    ).toDF("k", "text")
+      .select(col("k"), (defLen(col("text")).cast("double") /
+        octet_length(col("text"))).as("ratio"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(docs("rep") < 0.1, docs.toString)   // boilerplate compresses away
+    assert(docs("div") > docs("rep") * 3, docs.toString)
+    // deterministic across evaluations (fixed level, bundled zlib)
+    val again = graft.llm.TextStats.textCompressionRatio(spark, sf)
+      .agg(sum(col("deflate_len"))).head().getLong(0)
+    val again2 = graft.llm.TextStats.textCompressionRatio(spark, sf)
+      .agg(sum(col("deflate_len"))).head().getLong(0)
+    assert(again == again2)
+  }
+
   test("sort_zorder: interleaved bits decode back to both dimensions") {
     val rows = graft.queries.SortsSets.sortZorder(spark, sf)
       .limit(500).collect()

@@ -422,7 +422,27 @@ object Aggregates {
           .cast("long").as("n_view_click"))
       .orderBy(col("user_id"))
 
+  /** Exact distinct counting via bucketed BITMAPS (Spark 4 bitmap_*):
+    * ids map to (bucket, bit) and each (group, bucket) builds a bitmap
+    * that partial aggregation merges MAP-SIDE — unlike
+    * `count(DISTINCT)`, which expands rows and re-shuffles raw ids.
+    * The shuffle then carries one bitmap per (group, bucket) per task,
+    * and the final rollup sums per-bucket cardinalities. The exact
+    * answer with HLL's aggregation shape — this is how
+    * ClickHouse/Doris-style engines make exact distinct scale, and it
+    * stays correct under ANY re-aggregation (bitmaps OR-merge). */
+  def aggBitmapDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"),
+        bitmap_bucket_number(col("user_id")).as("bucket"))
+      .agg(bitmap_construct_agg(bitmap_bit_position(col("user_id")))
+        .as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(bitmap_count(col("bm"))).as("n_distinct_users"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
     "agg_retention" -> (aggRetention _),
     "agg_sequence_match" -> (aggSequenceMatch _),
@@ -451,6 +471,10 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_distinct_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_funnel" ->
       """WITH g AS (
         |  SELECT user_id,

@@ -312,7 +312,7 @@ object Dedup {
     * edge list — the shared connected-components core of
     * [[dedupCluster]] (exact-Jaccard edges) and [[dedupFuzzyCluster]]
     * (MinHash-band edges). */
-  private def propagateLabels(pairsDf: DataFrame): DataFrame = {
+  private[graft] def propagateLabels(pairsDf: DataFrame): DataFrame = {
     // cache + materialize the PAIRS, not the symmetric union: the union
     // has two branches, and caching above them evaluates the (expensive)
     // pair-generation pipeline once per branch inside the first job —
@@ -372,6 +372,84 @@ object Dedup {
     sym.unpersist()
     labels
   }
+
+  /** Connected components by LARGE-STAR / SMALL-STAR decomposition
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the documented upgrade over [[propagateLabels]]'s
+    * HashMin: rounds are bounded regardless of component DIAMETER
+    * (long chains converge in O(log n) alternations), and every round
+    * only rewrites edges — no separate label relation.
+    *
+    * One alternation = large-star (every neighbor larger than u hooks
+    * to u's neighborhood minimum) then small-star (every neighbor ≤ u,
+    * and u itself, hook to the minimum). Each phase is one groupBy on
+    * the node key + one join back on the same key (exchange reuse) +
+    * a distinct. Converged when the edge multiset is stable (checked
+    * by count + order-independent xxhash64 checksum — one tiny agg).
+    * After convergence edges form stars rooted at component minima, so
+    * the label projection is a min over incident roots.
+    *
+    * Caveat vs HashMin: the neighborhood minimum here aggregates
+    * per-node (scalar min — no collect_list, so high-degree nodes cost
+    * nothing extra); the join fan-out IS the edge list, exactly like
+    * the relax step. Exposed as `dedup_cluster_twophase`, oracled
+    * against the SAME recursive-CTE oracle as `dedup_cluster` — both
+    * must produce identical (doc, component-min) assignments. */
+  private[graft] def twoPhaseLabels(pairsDf: DataFrame): DataFrame = {
+    val pairs = pairsDf.toDF("a_id", "b_id").cache()
+    pairs.count()
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val d = sym(e).toDF("u", "v")
+      val m = d.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val hooked = d.join(m, "u")
+        .filter(if (large) col("v") > col("u") else col("v") <= col("u"))
+        .select(col("v").as("a_id"), col("m").as("b_id"))
+      val self = m.select(col("u").as("a_id"), col("m").as("b_id"))
+      val out = if (large) hooked else hooked.union(self)
+      out.filter(col("a_id") =!= col("b_id")).distinct()
+    }
+    def checksum(e: DataFrame): (Long, String) = {
+      // order-independent multiset digest; DECIMAL(38,0) sum cannot
+      // overflow under ANSI the way a long sum of 64-bit hashes does
+      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("a_id"),
+        col("b_id")).cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
+        .head()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    var edges = pairs.select(col("a_id"), col("b_id"))
+      .filter(col("a_id") =!= col("b_id")).distinct().localCheckpoint()
+    var chk = checksum(edges)
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < 50) {
+      val next = star(star(edges, large = true), large = false)
+        .localCheckpoint()
+      val nextChk = checksum(next)
+      stable = nextChk == chk
+      edges = next
+      chk = nextChk
+      rounds += 1
+      log.info(s"twoPhaseLabels round=$rounds edges=${chk._1}")
+    }
+    // stars: every node's label is the min over its incident endpoints
+    val lbl = sym(edges).toDF("id", "nb")
+      .groupBy(col("id")).agg(least(min(col("nb")), first(col("id"))).as("lbl"))
+    pairs.unpersist()
+    lbl
+  }
+
+  /** [[dedupCluster]] computed by the two-phase star algorithm — same
+    * exact-Jaccard pair graph, same output contract (min-id
+    * representative per component), different convergence machinery.
+    * Shares dedup_cluster's oracle: both must agree row-for-row. */
+  def dedupClusterTwophase(s: SparkSession, d: String): DataFrame =
+    twoPhaseLabels(
+      jaccardPairs(s, d, Long.MaxValue).select(col("a_id"), col("b_id")))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+      .orderBy(col("doc_id"))
 
   /** The fuzzy-dedup pipeline end to end, at its 100 TB shape: MinHash
     * banding generates candidate pairs (no quadratic work), the
@@ -450,6 +528,7 @@ object Dedup {
     "dedup_ngram_jaccard" ->
       ((s: SparkSession, d: String) => dedupNgramJaccard(s, d)),
     "dedup_cluster" -> (dedupCluster _),
+    "dedup_cluster_twophase" -> (dedupClusterTwophase _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_fuzzy_minhash" -> (dedupFuzzyMinhash _),
     "dedup_fuzzy_cluster" -> (dedupFuzzyCluster _),
@@ -506,6 +585,25 @@ object Dedup {
         |            len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8
         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_cluster" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
+        |              len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS cluster_rep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_cluster_twophase" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
         |  FROM documents),

@@ -158,4 +158,31 @@ class DedupSpec extends AnyFunSuite {
     }
     reps.values.toSet.foreach { (rep: Long) => assert(reps(rep) == rep) }
   }
+
+  test("two-phase star CC equals HashMin labels on the fixture graph") {
+    val hashMin = Dedup.dedupCluster(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoPhase = Dedup.dedupClusterTwophase(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoPhase == hashMin)
+  }
+
+  test("two-phase star CC collapses a deep chain (diameter >> rounds)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a 1500-node path graph: diameter 1499 — the adversarial case the
+    // scaladoc cites. Both algorithms must still produce one component
+    // rooted at 0; the two-phase loop must converge in O(log n)
+    // alternations, not O(diameter) (50 is the loop's hard cap, log2 of
+    // 1500 is ~11 — assert well under the cap).
+    val chain = spark.range(1499)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val t0 = Dedup.twoPhaseLabels(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t0.size == 1500)
+    assert(t0.values.forall(_ == 0L), t0.values.toSet.toString)
+    val hm = Dedup.propagateLabels(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hm == t0)
+  }
 }

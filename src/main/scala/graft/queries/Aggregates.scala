@@ -375,29 +375,28 @@ object Aggregates {
 
   /** Cohort retention (day-1 / day-7): users grouped by their first
     * active DATE; for each cohort, how many came back exactly one /
-    * seven days later. Plan: distinct (user, day) pairs → per-user
-    * anchor (min day) → flags — three aggregations, but the first two
-    * shuffle on the SAME key (user_id), so the exchange is reused; only
-    * the final tiny per-cohort rollup re-partitions. Day grain bounds
-    * state: a user contributes at most #active-days rows regardless of
-    * event volume. */
-  def aggRetention(s: SparkSession, d: String): DataFrame = {
-    val days = t(s, d, "events")
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val anchors = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
-    days.join(anchors, "user_id")
-      .groupBy(col("user_id"), col("cohort"))
-      .agg(
-        max(when(col("day") === date_add(col("cohort"), 1), 1).otherwise(0))
-          .as("d1"),
-        max(when(col("day") === date_add(col("cohort"), 7), 1).otherwise(0))
-          .as("d7"))
+    * seven days later. ONE shuffle on user_id: collect_set(day)
+    * per user (set partials merge map-side; day grain bounds the set
+    * at #active-days regardless of event volume), then anchor and
+    * return flags are array lookups inside the row, and only the tiny
+    * per-cohort rollup re-partitions. A distinct-pairs + join-back
+    * formulation was rejected: distinct partitions on (user, day), so
+    * the per-user anchor re-shuffles — two corpus exchanges instead of
+    * one. */
+  def aggRetention(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("day")).as("days"))
+      .withColumn("cohort", array_min(col("days")))
+      .select(col("cohort"),
+        array_contains(col("days"), date_add(col("cohort"), 1)).as("d1"),
+        array_contains(col("days"), date_add(col("cohort"), 7)).as("d7"))
       .groupBy(col("cohort"))
       .agg(count(lit(1)).as("n_users"),
-        sum(col("d1")).as("n_day1"),
-        sum(col("d7")).as("n_day7"))
+        sum(when(col("d1"), 1L).otherwise(0L)).as("n_day1"),
+        sum(when(col("d7"), 1L).otherwise(0L)).as("n_day7"))
       .orderBy(col("cohort"))
-  }
 
   /** Event-sequence pattern match (ClickHouse sequenceMatch shape):
     * each user's history collapses to an ordered initial-letter string

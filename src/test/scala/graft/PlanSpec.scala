@@ -178,6 +178,15 @@ class PlanSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("agg_retention shuffles the corpus once") {
+    // one corpus exchange (groupBy user_id); the per-cohort rollup and
+    // presentation sort move only #cohorts rows
+    val p = plan(graft.queries.Aggregates.aggRetention(spark, sf))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, p)
+    assert(!p.contains("Join"), p) // the join-back formulation is gone
+  }
+
   test("text_repetition is a single stage — no exchange anywhere") {
     // both repetition metrics are computed inside the row (HOFs over
     // the token array), so the operator must not shuffle at all; the

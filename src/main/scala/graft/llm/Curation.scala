@@ -214,8 +214,41 @@ object Curation {
           .as("top_bigram_frac"))
       .orderBy(col("doc_id"))
 
+  /** Materialized domain-mixture resampling — the row-level companion to
+    * [[sampleTemperature]] (which only computes the plan): every source
+    * is downsampled to the token mass of the smallest source by
+    * deterministic rejection sampling. A doc survives iff
+    * `hash_frac(doc_id) < rate(source)`, with the hash fraction taken
+    * from the first 16 bits of md5 (portable: DuckDB computes the same
+    * md5, so the oracle reproduces the sample bit-for-bit — same trick
+    * as split_train_holdout).
+    *
+    * Scale shape: one map-side-partial aggregate produces #sources rows;
+    * the single-partition min-window runs over those bounded rows only
+    * (same pattern as [[sampleTemperature]]); the rate table broadcasts
+    * back onto the corpus, so the corpus itself is scanned once and
+    * never shuffled — accept/reject is a codegen'd filter. */
+  def sampleDomainMix(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy()
+    val rates = t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("src_tokens"))
+      .withColumn("rate",
+        min(col("src_tokens")).over(all).cast("double") / col("src_tokens"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long").as("hv"))
+      .join(broadcast(rates), "source")
+      .filter(col("hv").cast("double") < col("rate") * lit(65536.0))
+      .select(col("doc_id"), col("source"), col("hv"),
+        round(col("rate"), 6).as("rate"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pack_sequences" -> (packSequences _),
+    "sample_domain_mix" -> (sampleDomainMix _),
     "split_train_holdout" -> (splitTrainHoldout _),
     "text_dedup_lines" -> (textDedupLines _),
     "text_contamination" -> (textContamination _),
@@ -225,6 +258,24 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_domain_mix" ->
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source,
+        |    CAST(MIN(src_tokens) OVER () AS DOUBLE) / src_tokens AS rate
+        |  FROM src),
+        |h AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+        |         AS BIGINT) AS hv
+        |  FROM documents)
+        |SELECT h.doc_id, h.source, h.hv, ROUND(r.rate, 6) AS rate
+        |FROM h JOIN r USING (source)
+        |WHERE CAST(hv AS DOUBLE) < rate * 65536.0
+        |ORDER BY h.source, h.doc_id""".stripMargin,
     "pack_sequences" ->
       s"""WITH c AS (
          |  SELECT doc_id, lang,

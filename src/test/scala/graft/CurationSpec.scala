@@ -120,6 +120,32 @@ class CurationSpec extends AnyFunSuite {
     assert(again == again2)
   }
 
+  test("sample_domain_mix: rates cap at 1, smallest source keeps everything, sample is hash-exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val srcTokens = docs.groupBy(_._2).view
+      .mapValues(_.map(_._3.split(" ", -1).length.toLong).sum).toMap
+    val budget = srcTokens.values.min
+    def hv(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString, 16)
+    val expect = docs.collect {
+      case (id, src, _)
+        if hv(id).toDouble < budget.toDouble / srcTokens(src) * 65536.0 =>
+        (id, src)
+    }.toSet
+    val got = Curation.sampleDomainMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expect)
+    // the smallest source has rate exactly 1.0 → all its docs survive
+    val minSrc = srcTokens.minBy(_._2)._1
+    assert(docs.count(_._2 == minSrc) == got.count(_._2 == minSrc))
+    assert(got.size < docs.length) // and at least one other source shrank
+  }
+
   test("sort_zorder: interleaved bits decode back to both dimensions") {
     val rows = graft.queries.SortsSets.sortZorder(spark, sf)
       .limit(500).collect()

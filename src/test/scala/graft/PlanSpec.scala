@@ -187,6 +187,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p) // the join-back formulation is gone
   }
 
+  test("sample_domain_mix broadcasts the rate table; the corpus never shuffles") {
+    // the per-source rate table (#sources rows) must come back to the
+    // corpus as a BroadcastHashJoin; the only corpus-wide exchanges are
+    // the rate-aggregate's partial shuffle (#sources rows of output) and
+    // the presentation orderBy
+    val exec = graft.llm.Curation.sampleDomainMix(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"), exec)
+    assert(!exec.contains("SortMergeJoin"), exec)
+    assert(!exec.contains("BroadcastNestedLoopJoin"), exec)
+  }
+
   test("text_repetition is a single stage — no exchange anywhere") {
     // both repetition metrics are computed inside the row (HOFs over
     // the token array), so the operator must not shuffle at all; the

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -142,6 +142,41 @@ object Aggregates {
         round(min(col("l_extendedprice")), 2).as("min_price"),
         round(max(col("l_extendedprice")), 2).as("max_price"))
       .orderBy(col("l_returnflag"))
+
+  /** Per-group least-squares regression (slope / intercept / r²) from
+    * EXACT decimal moments: the five sums (Σx, Σy, Σxy, Σx², Σy²) go
+    * through DECIMAL so they are order-independent (double summation
+    * order varies run-to-run under a shuffle; [[aggStats]]'s builtin
+    * corr tolerates that only because of output rounding), then the
+    * closed-form solution is a fixed sequence of IEEE double ops both
+    * engines evaluate identically. Same trick as embedding_standardize.
+    *
+    * Scale shape: one hash aggregate with map-side partials — the
+    * shuffle carries five decimals per group per task, never rows. This
+    * is how regr_slope/regr_r2 over 100 TB stays a one-pass job. */
+  def aggRegression(s: SparkSession, d: String): DataFrame = {
+    val dbl: String => Column = n => col(n).cast("double")
+    t(s, d, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("decimal(18,4)").as("x"),
+        col("l_extendedprice").cast("decimal(18,4)").as("y"))
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("cov", dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy"))
+      .withColumn("dxx", dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+      .withColumn("dyy", dbl("n") * dbl("syy") - dbl("sy") * dbl("sy"))
+      .select(col("flag"), col("n"),
+        round(col("cov") / col("dxx"), 6).as("slope"),
+        round((dbl("sy") - col("cov") / col("dxx") * dbl("sx")) / dbl("n"), 4)
+          .as("intercept"),
+        round(col("cov") * col("cov") / (col("dxx") * col("dyy")), 6)
+          .as("r2"))
+      .orderBy(col("flag"))
+  }
 
   /** Pivot: one output column per l_linestatus value. The value list is
     * given explicitly — at scale an implicit pivot adds a distinct-value
@@ -456,6 +491,7 @@ object Aggregates {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "agg_collect" -> (aggCollect _),
     "agg_stats" -> (aggStats _),
+    "agg_regression" -> (aggRegression _),
     "agg_pivot" -> (aggPivot _),
     "agg_percentile" -> (aggPercentile _),
     "agg_typed_dataset" -> (aggTypedDataset _),
@@ -543,7 +579,7 @@ object Aggregates {
         |ORDER BY o_orderpriority""".stripMargin,
     "agg_skew_salted" ->
       """SELECT event_type,
-        |  CAST(ROUND(CAST(SUM(value) AS DECIMAL(18,4)), 2) AS DOUBLE)
+        |  CAST(ROUND(CAST(SUM(value) AS DECIMAL(19,4)), 2) AS DOUBLE)
         |    AS sum_value,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -630,6 +666,33 @@ object Aggregates {
         |  ROUND(MIN(l_extendedprice), 2) AS min_price,
         |  ROUND(MAX(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS flag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,4)) *
+        |        CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,4)) *
+        |        CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,4)) *
+        |        CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |e AS (
+        |  SELECT flag, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dxx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dyy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM m)
+        |SELECT flag, n,
+        |  ROUND(cov / dxx, 6) AS slope,
+        |  ROUND((syd - cov / dxx * sxd) / CAST(n AS DOUBLE), 4) AS intercept,
+        |  ROUND(cov * cov / (dxx * dyy), 6) AS r2
+        |FROM e ORDER BY flag""".stripMargin,
     "agg_pivot" ->
       """SELECT l_returnflag,
         |  ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,

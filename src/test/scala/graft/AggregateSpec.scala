@@ -14,6 +14,32 @@ class AggregateSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("agg_regression matches a BigDecimal brute-force fit per group") {
+    val rows = Aggregates.aggRegression(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.nonEmpty)
+    val data = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1)),
+        BigDecimal(r.getDouble(2))))
+    data.groupBy(_._1).foreach { case (flag, g) =>
+      val n = g.length.toLong
+      val (sx, sy) = (g.map(_._2).sum, g.map(_._3).sum)
+      val sxy = g.map(p => p._2 * p._3).sum
+      val (sxx, syy) = (g.map(p => p._2 * p._2).sum, g.map(p => p._3 * p._3).sum)
+      val cov = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val dxx = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val dyy = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+      val (gn, slope, intercept, r2) = rows(flag)
+      assert(gn == n)
+      assert(math.abs(slope - cov / dxx) < 1e-6)
+      assert(math.abs(intercept - (sy.toDouble - cov / dxx * sx.toDouble) / n) < 1e-4)
+      assert(math.abs(r2 - cov * cov / (dxx * dyy)) < 1e-6)
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
   test("count_min_sketch estimates bound exact counts per group") {
     val rows = Aggregates.aggCountMinSketch(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -198,7 +198,43 @@ object Windows {
       .orderBy(col("user_id"), col("session_no"))
   }
 
+  /** Calendar gap-fill + forward-fill — the timeseries resample shape:
+    * per user, the daily value series is densified over the user's own
+    * [min(day), max(day)] span (`sequence` + `explode` generates missing
+    * days INSIDE the scan stage — no driver-side calendar) and holes are
+    * filled with the last observed value via `last(_, ignoreNulls)` over
+    * a running frame.
+    *
+    * Scale shape: one shuffle for the daily rollup, one for the
+    * per-user span, then span×days explode fans out map-side; the fill
+    * window re-uses the daily rollup's (user) partitioning. The join
+    * back to observed days is per-user + day equi — at 100 TB both
+    * sides are pre-partitioned by the same key, and the calendar side
+    * is |users|·|span| rows of 3 columns, never raw events. */
+  def windowGapFill(s: SparkSession, d: String): DataFrame = {
+    val users = t(s, d, "events")
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val daily = users.groupBy(col("user_id"), col("day"))
+      .agg(round(sum(col("value")), 2).as("day_value"),
+        count(lit(1)).as("n_events"))
+    val cal = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cal.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        col("day_value").isNull.as("is_gap"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("day_value"), ignoreNulls = true).over(fill)
+          .as("filled_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_gap_fill" -> (windowGapFill _),
     "window_session" -> (windowSession _),
     "window_top_k_per_group" -> (windowTopKPerGroup _),
     "window_range_interval" -> (windowRangeInterval _),
@@ -212,6 +248,26 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    ROUND(SUM(value), 2) AS day_value, COUNT(*) AS n_events
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT user_id, CAST(g.d AS DATE) AS day
+        |  FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        |        FROM daily GROUP BY user_id) s,
+        |    LATERAL unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+        |      CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d))
+        |SELECT c.user_id, c.day,
+        |  dy.day_value IS NULL AS is_gap,
+        |  COALESCE(dy.n_events, 0) AS n_events,
+        |  LAST_VALUE(dy.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY c.user_id ORDER BY c.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value
+        |FROM cal c LEFT JOIN daily dy USING (user_id, day)
+        |ORDER BY c.user_id, c.day""".stripMargin,
     "window_count_distinct" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority,
         |  COUNT(DISTINCT o_orderpriority)

@@ -11,6 +11,36 @@ class Round4OpsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("window_gap_fill densifies each user's span and forward-fills holes") {
+    val rows = graft.queries.Windows.windowGapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getBoolean(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, days) =>
+      val sorted = days.sortBy(_._2.toEpochDay)
+      // contiguous calendar: every consecutive pair is exactly one day apart
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2.toEpochDay - a._2.toEpochDay == 1, s"gap $a -> $b")
+        case _ =>
+      }
+      // span endpoints are observed days, gaps have zero events, and the
+      // fill carries the last observed value across each hole
+      assert(!sorted.head._3 && !sorted.last._3)
+      var lastObserved: Option[Double] = None
+      sorted.foreach { case (_, _, isGap, nEvents, filled) =>
+        if (isGap) {
+          assert(nEvents == 0L)
+          assert(filled == lastObserved)
+        } else {
+          assert(nEvents > 0L)
+          lastObserved = filled
+        }
+      }
+    }
+    assert(rows.exists(_._3), "fixture should contain at least one gap")
+  }
+
   test("agg_funnel stages are monotone and consistent with reached") {
     graft.queries.Aggregates.aggFunnel(spark, sf).collect().foreach { r =>
       val t1 = if (r.isNullAt(1)) None else Some(r.getLong(1))

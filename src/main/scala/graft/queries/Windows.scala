@@ -233,8 +233,44 @@ object Windows {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Exponentially-weighted moving average (α = 1/2) over each user's
+    * last 8 daily observations — the smoothing companion to
+    * [[windowGapFill]]. The weighted sum is computed EXACTLY: the frame
+    * history is collected per row, weights are the integer powers 2^i
+    * (newest largest), and the dot product folds in DECIMAL via a HOF —
+    * order-independent, so the DuckDB oracle matches bit-for-bit. The
+    * denominator Σ 2^i = 2^(n+1) − 2 is a closed form both engines
+    * evaluate identically in doubles.
+    *
+    * Scale shape: one shuffle for the daily rollup; the window re-uses
+    * its (user) partitioning; the per-row collected frame is bounded at
+    * 8 elements, so state is O(1) per row regardless of corpus size. */
+  def windowEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("day_value"))
+    val frame = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-7, 0)
+    daily
+      .withColumn("hist", collect_list(col("day_value")).over(frame))
+      .select(col("user_id"), col("day"), col("day_value"),
+        round(
+          expr(
+            """aggregate(
+              |  zip_with(hist, sequence(1, size(hist)),
+              |    (x, i) -> cast(x as decimal(18,4)) *
+              |              cast(pow(2.0, i) as decimal(18,0))),
+              |  cast(0 as decimal(38,4)), (a, x) -> a + x)""".stripMargin)
+            .cast("double") /
+            (pow(lit(2.0), size(col("hist")) + 1) - lit(2.0)),
+          4).as("ewma"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_gap_fill" -> (windowGapFill _),
+    "window_ewma" -> (windowEwma _),
     "window_session" -> (windowSession _),
     "window_top_k_per_group" -> (windowTopKPerGroup _),
     "window_range_interval" -> (windowRangeInterval _),
@@ -248,6 +284,25 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_ewma" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    ROUND(SUM(value), 2) AS day_value
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |w AS (
+        |  SELECT user_id, day, day_value,
+        |    list(day_value) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS hist
+        |  FROM daily),
+        |e AS (
+        |  SELECT user_id, day, day_value, len(hist) AS n,
+        |    (SELECT SUM(CAST(hist[CAST(i AS INTEGER)] AS DECIMAL(18,4)) *
+        |                CAST(POWER(2.0, i) AS DECIMAL(18,0)))
+        |     FROM unnest(range(1, len(hist) + 1)) AS r(i)) AS num
+        |  FROM w)
+        |SELECT user_id, day, day_value,
+        |  ROUND(CAST(num AS DOUBLE) / (POWER(2.0, n + 1) - 2.0), 4) AS ewma
+        |FROM e ORDER BY user_id, day""".stripMargin,
     "window_gap_fill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -41,6 +41,26 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3), "fixture should contain at least one gap")
   }
 
+  test("window_ewma replays as a decayed dot product over the trailing frame") {
+    val rows = graft.queries.Windows.windowEwma(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, days) =>
+      val sorted = days.sortBy(_._2.toEpochDay)
+      sorted.zipWithIndex.foreach { case ((_, _, _, ewma), idx) =>
+        val hist = sorted.slice(math.max(0, idx - 7), idx + 1).map(_._3)
+        val n = hist.length
+        val num = hist.zipWithIndex
+          .map { case (x, i) => BigDecimal(x) * BigDecimal(2).pow(i + 1) }.sum
+        val expect = num.toDouble / (math.pow(2.0, n + 1) - 2.0)
+        assert(math.abs(ewma - expect) < 1e-4, s"$ewma vs $expect")
+      }
+      // a single-element frame is the identity
+      assert(math.abs(sorted.head._4 - sorted.head._3) < 1e-4)
+    }
+  }
+
   test("agg_funnel stages are monotone and consistent with reached") {
     graft.queries.Aggregates.aggFunnel(spark, sf).collect().foreach { r =>
       val t1 = if (r.isNullAt(1)) None else Some(r.getLong(1))

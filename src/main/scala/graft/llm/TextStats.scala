@@ -139,6 +139,40 @@ object TextStats {
           .cast("double").as("avg_uniq_ratio"))
       .orderBy(col("lang"), col("source"))
 
+  /** Corpus-relative token rarity — an IDF-flavored quality signal with
+    * NO floating-point accumulation: per document,
+    * `score = (n·N − Σ df(tok)) / (n·N)` where df is each token
+    * occurrence's document frequency, n the doc's token count, N the
+    * corpus size. Numerator and denominator are pure 64-bit integers,
+    * so the only float op is the final division — both engines agree
+    * bit-for-bit with no decimal scaffolding. Near 0 = stopword soup,
+    * near 1 = rare-token-heavy (OCR garbage, gibberish).
+    *
+    * Scale shape: the df table is a hash aggregate over exploded
+    * tokens (inverted-index pattern shared with text_contamination);
+    * joining postings back to df shuffles on the token key — df fits
+    * comfortably beside the corpus at any scale (vocabulary grows
+    * sublinearly). The corpus-size scalar rides along as a broadcast
+    * 1-row cross join, keeping the whole thing one DAG (no
+    * driver-side count). */
+  def textRarityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val df = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val total = t(s, d, "documents").agg(count(lit(1)).as("n_corpus"))
+    toks.join(df, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("df")).as("sum_df"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("n_tokens") * col("n_corpus") - col("sum_df"))
+          .cast("double") /
+          (col("n_tokens") * col("n_corpus")).cast("double"), 6)
+          .as("rarity"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reproducible stratified sampling: up to 25 docs per language,
     * chosen by md5-of-id order — the hash-based sampler that is (a)
     * deterministic across engines/runs (seeded RNG samplers are not
@@ -320,6 +354,7 @@ object TextStats {
     "corpus_stats" -> (corpusStats _),
     "tokenize_to_ids" -> (tokenizeToIds _),
     "sample_hash_stratified" -> (sampleHashStratified _),
+    "text_rarity_score" -> (textRarityScore _),
     "text_token_count" -> (textTokenCount _),
     "doc_fingerprint" -> (docFingerprint _),
     "doc_rolling_hash" -> (docRollingHash _),
@@ -414,6 +449,20 @@ object TextStats {
         |    ORDER BY pos) AS token_ids
         |FROM toks LEFT JOIN vocab v USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_rarity_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.tok
+        |  FROM documents, LATERAL unnest(string_split(text, ' ')) AS t(tok)),
+        |df AS (
+        |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS n_corpus FROM documents),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(df.df) AS sum_df
+        |  FROM toks JOIN df USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(CAST(n_tokens * n_corpus - sum_df AS DOUBLE) /
+        |        CAST(n_tokens * n_corpus AS DOUBLE), 6) AS rarity
+        |FROM agg, tot ORDER BY doc_id""".stripMargin,
     "sample_hash_stratified" ->
       """WITH h AS (
         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hh,

@@ -41,6 +41,27 @@ class Round4OpsSpec extends AnyFunSuite {
     assert(rows.exists(_._3), "fixture should contain at least one gap")
   }
 
+  test("text_rarity_score replays from integer df sums and stays in (0,1)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docs.length.toLong
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val expect = docs.map { case (id, ts) =>
+      val sumDf = ts.map(df).sum
+      id -> (ts.length.toLong * n - sumDf).toDouble / (ts.length.toLong * n)
+    }.toMap
+    val got = graft.llm.TextStats.textRarityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(got.length == docs.length)
+    got.foreach { case (id, (nTok, rarity)) =>
+      assert(nTok == docs.find(_._1 == id).get._2.length.toLong)
+      assert(math.abs(rarity - expect(id)) < 1e-6)
+      assert(rarity > 0.0 && rarity < 1.0)
+    }
+  }
+
   test("window_ewma replays as a decayed dot product over the trailing frame") {
     val rows = graft.queries.Windows.windowEwma(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2),

@@ -65,8 +65,34 @@ object Composite {
       .orderBy(col("p_brand"))
   }
 
+  /** Q10 shape: revenue lost to returned items per customer in one
+    * quarter, top 20. The one-quarter orders filter prunes the fact⋈fact
+    * join's probe side at the scan; nation broadcasts; the top-20 runs
+    * as TakeOrderedAndProject after the group-by (never a global sort). */
+  def compositeTpchQ10(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    val o = t(s, d, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      // per-row DECIMAL(18,4) before the sum: money totals must not
+      // depend on double-summation order (the half-cent gotcha)
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "composite_tpch_q3" -> (compositeTpchQ3 _),
+    "composite_tpch_q10" -> (compositeTpchQ10 _),
     "composite_tpch_q5" -> (compositeTpchQ5 _),
     "composite_part_revenue" -> (compositePartRevenue _)
   )
@@ -83,6 +109,20 @@ object Composite {
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+    "composite_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  ROUND(c_acctbal, 2) AS c_acctbal,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name, ROUND(c_acctbal, 2)
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "composite_tpch_q5" ->
       """SELECT n_name,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -187,6 +187,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p) // the join-back formulation is gone
   }
 
+  test("composite_tpch_q10 takes the top-20 with a heap, nation broadcasts") {
+    val exec = graft.queries.Composite.compositeTpchQ10(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("TakeOrderedAndProject"), exec)
+    assert(exec.contains("BroadcastHashJoin"), exec)
+    assert(!exec.contains("CartesianProduct") &&
+      !exec.contains("BroadcastNestedLoopJoin"), exec)
+  }
+
   test("sample_domain_mix broadcasts the rate table; the corpus never shuffles") {
     // the per-source rate table (#sources rows) must come back to the
     // corpus as a BroadcastHashJoin; the only corpus-wide exchanges are

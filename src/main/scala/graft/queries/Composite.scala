@@ -90,7 +90,32 @@ object Composite {
       .limit(20)
   }
 
+  /** Q18 shape: large-volume orders — the HAVING-subquery semi-join.
+    * The qualifying-orders set is an aggregate (sum(l_quantity) > 250,
+    * exact: fixture quantities are integral so double sums are exact),
+    * re-joined to orders/customer/lineitem. Catalyst plans the IN as a
+    * left-semi on the aggregated side; the second lineitem aggregate
+    * re-uses the same shuffle key (l_orderkey), so AQE can reuse the
+    * exchange. Top-100 by order value with a heap, not a global sort. */
+  def compositeTpchQ18(s: SparkSession, d: String): DataFrame = {
+    val l = t(s, d, "lineitem")
+    val big = l.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("tot_qty"))
+      .filter(col("tot_qty") > 250)
+    val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+    o.join(big, o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("odate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        round(col("tot_qty"), 2).as("tot_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "composite_tpch_q18" -> (compositeTpchQ18 _),
     "composite_tpch_q3" -> (compositeTpchQ3 _),
     "composite_tpch_q10" -> (compositeTpchQ10 _),
     "composite_tpch_q5" -> (compositeTpchQ5 _),
@@ -109,6 +134,18 @@ object Composite {
         |  AND l_shipdate > TIMESTAMP '1997-06-01'
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
         |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin,
+    "composite_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(l_quantity) AS tot_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  ROUND(o_totalprice, 2) AS o_totalprice,
+        |  ROUND(tot_qty, 2) AS tot_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "composite_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name,
         |  ROUND(c_acctbal, 2) AS c_acctbal,

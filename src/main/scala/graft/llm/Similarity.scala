@@ -298,11 +298,80 @@ object Similarity {
       .orderBy(col("vec_id"), col("rn"))
   }
 
+  /** Full covariance matrix of the embedding dimensions (upper
+    * triangle) — the whitening/PCA-prep step that completes
+    * [[embeddingStandardize]]'s diagonal. This is the one operator in
+    * the library whose scale shape is a per-partition Gramian
+    * accumulation rather than a declarative plan: a d×d matrix is a
+    * constant-size sketch, so `treeAggregate` folds exact per-partition
+    * sums (BigDecimal at scale 8, matching both engines'
+    * `cast(double as decimal(12,8))` HALF_UP semantics) and only the
+    * 2080-cell triangle ever reaches the driver — the d²·n exploded
+    * intermediate a pure-SQL formulation would shuffle never
+    * materializes. Covariances land as floor-fixed-point micros (the
+    * [[embeddingStandardize]] rule) from exact sums, so the DuckDB
+    * self-join oracle matches bit-for-bit. */
+  def embeddingCovariance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def dec(v: Float): JBD =
+      new JBD(v.toDouble).setScale(8, RoundingMode.HALF_UP)
+    final class Acc(var n: Long, var sx: Array[JBD], var sxy: Array[JBD])
+      extends Serializable
+    val acc = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .rdd.treeAggregate(new Acc(0L, null, null))(
+        (a, row) => {
+          val vd = row._2.map(dec)
+          val dim = vd.length
+          if (a.sx == null) {
+            a.sx = Array.fill(dim)(JBD.ZERO)
+            a.sxy = Array.fill(dim * (dim + 1) / 2)(JBD.ZERO)
+          }
+          var i = 0
+          var k = 0
+          while (i < dim) {
+            a.sx(i) = a.sx(i).add(vd(i))
+            var j = i
+            while (j < dim) {
+              a.sxy(k) = a.sxy(k).add(vd(i).multiply(vd(j)))
+              j += 1; k += 1
+            }
+            i += 1
+          }
+          a.n += 1
+          a
+        },
+        (a, b) =>
+          if (a.sx == null) b
+          else if (b.sx == null) a
+          else {
+            var i = 0
+            while (i < a.sx.length) { a.sx(i) = a.sx(i).add(b.sx(i)); i += 1 }
+            var k = 0
+            while (k < a.sxy.length) { a.sxy(k) = a.sxy(k).add(b.sxy(k)); k += 1 }
+            a.n += b.n
+            a
+          })
+    require(acc.sx != null, "embeddings table is empty")
+    val n = acc.n.toDouble
+    val dim = acc.sx.length
+    val rows = for { i <- 0 until dim; j <- i until dim } yield {
+      val k = i * dim - i * (i - 1) / 2 + (j - i)
+      val cov = acc.sxy(k).doubleValue / n -
+        (acc.sx(i).doubleValue / n) * (acc.sx(j).doubleValue / n)
+      (i, j, acc.n, math.floor(cov * 100000000.0 + 0.5).toLong)
+    }
+    rows.toDF("dim_i", "dim_j", "n", "cov_micros")
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_join" -> (simKnnJoin _),
     "sim_search_range" -> (simSearchRange _),
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_standardize" -> (embeddingStandardize _),
+    "embedding_covariance" -> (embeddingCovariance _),
     "sim_search_topk" -> (simSearchTopk _),
     "sim_search_mips" -> (simSearchMips _),
     "sim_search_ivf" -> (simSearchIvf _),
@@ -351,6 +420,28 @@ object Similarity {
         |      x -> CAST(FLOOR(x / nrm * 1000000.0 + 0.5) AS BIGINT)), ',')
         |  END AS unit_micros
         |FROM n ORDER BY vec_id""".stripMargin,
+    "embedding_covariance" ->
+      """WITH f AS (
+        |  SELECT vec_id, i AS dim,
+        |    CAST(CAST(embedding[i + 1] AS DOUBLE) AS DECIMAL(12,8)) AS vd
+        |  FROM embeddings,
+        |    LATERAL unnest(range(0, len(embedding))) AS r(i)),
+        |sums AS (
+        |  SELECT dim, SUM(vd) AS sx FROM f GROUP BY dim),
+        |prods AS (
+        |  SELECT a.dim AS dim_i, b.dim AS dim_j,
+        |    SUM(a.vd * b.vd) AS sxy, COUNT(*) AS n
+        |  FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        |  GROUP BY a.dim, b.dim)
+        |SELECT CAST(p.dim_i AS INTEGER) AS dim_i,
+        |  CAST(p.dim_j AS INTEGER) AS dim_j, p.n,
+        |  CAST(floor((CAST(p.sxy AS DOUBLE) / p.n
+        |    - (CAST(si.sx AS DOUBLE) / p.n) * (CAST(sj.sx AS DOUBLE) / p.n))
+        |    * 100000000.0 + 0.5) AS BIGINT) AS cov_micros
+        |FROM prods p
+        |JOIN sums si ON si.dim = p.dim_i
+        |JOIN sums sj ON sj.dim = p.dim_j
+        |ORDER BY p.dim_i, p.dim_j""".stripMargin,
     "embedding_standardize" ->
       """WITH f AS (
         |  SELECT vec_id, i AS dim,

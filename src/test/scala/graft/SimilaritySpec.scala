@@ -12,6 +12,31 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("embedding_covariance: upper triangle, non-negative diagonal, matches brute force") {
+    val rows = graft.llm.Similarity.embeddingCovariance(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(f =>
+        BigDecimal(f.toDouble).setScale(8, BigDecimal.RoundingMode.HALF_UP)))
+    val dim = vecs.head.length
+    assert(rows.size == dim * (dim + 1) / 2)
+    val n = vecs.length.toDouble
+    assert(rows.values.forall(_._1 == vecs.length.toLong))
+    // brute-force a scattering of cells, including the full diagonal
+    val cells = (0 until dim).map(i => (i, i)) ++
+      Seq((0, 1), (0, dim - 1), (3, 17), (10, 40))
+    cells.foreach { case (i, j) =>
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      val (si, sj) = (vecs.map(_(i)).sum, vecs.map(_(j)).sum)
+      val cov = sxy.toDouble / n - (si.toDouble / n) * (sj.toDouble / n)
+      val expect = math.floor(cov * 1e8 + 0.5).toLong
+      assert(rows((i, j))._2 == expect, s"cell ($i,$j)")
+      if (i == j) assert(rows((i, j))._2 >= 0L)
+    }
+  }
+
   test("IVF top-10 recall vs exact brute force >= 0.5") {
     val exact = Similarity.simSearchTopk(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -178,6 +178,29 @@ object Aggregates {
       .orderBy(col("flag"))
   }
 
+  /** Mergeable approximate quantiles (Greenwald-Khanna summaries, the
+    * sketch behind `approx_percentile`) — completes the sketch family
+    * (HLL distinct, count-min frequency, bitmap exact-distinct, GK
+    * quantiles). Unlike [[aggPercentile]]'s exact two-phase sort, the
+    * GK summary is a bounded-size mergeable state: at 100 TB each task
+    * folds its partition into a ~(1/eps) summary and the shuffle moves
+    * sketches, not rows. accuracy=1000 → rank error ≤ n/1000.
+    * No oracle (sketch internals are merge-order sensitive in the last
+    * rank); AggregateSpec bounds the result against exact percentiles
+    * by rank instead. */
+  def aggQuantileApprox(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 1000)")
+          .as("q"))
+      .select(col("o_orderpriority"), col("n"),
+        round(element_at(col("q"), 1), 2).as("p50"),
+        round(element_at(col("q"), 2), 2).as("p90"),
+        round(element_at(col("q"), 3), 2).as("p99"))
+      .orderBy(col("o_orderpriority"))
+
   /** Pivot: one output column per l_linestatus value. The value list is
     * given explicitly — at scale an implicit pivot adds a distinct-value
     * job; explicit values keep it a single pass. */
@@ -492,6 +515,7 @@ object Aggregates {
     "agg_collect" -> (aggCollect _),
     "agg_stats" -> (aggStats _),
     "agg_regression" -> (aggRegression _),
+    "agg_quantile_approx" -> (aggQuantileApprox _),
     "agg_pivot" -> (aggPivot _),
     "agg_percentile" -> (aggPercentile _),
     "agg_typed_dataset" -> (aggTypedDataset _),

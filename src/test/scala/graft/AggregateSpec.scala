@@ -14,6 +14,30 @@ class AggregateSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("agg_quantile_approx lands within GK rank-error bounds of exact") {
+    val rows = Aggregates.aggQuantileApprox(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.nonEmpty)
+    val byGroup = Tables.t(spark, sf, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { case (prio, (n, p50, p90, p99)) =>
+      val vals = byGroup(prio)
+      assert(n == vals.length.toLong)
+      // rank error <= n/1000 (+1 slack for discrete ranks at fixture n)
+      val tol = vals.length / 1000 + 1
+      Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99).foreach { case (p, approx) =>
+        val target = (p * (vals.length - 1)).toInt
+        val lo = vals(math.max(0, target - tol))
+        val hi = vals(math.min(vals.length - 1, target + tol))
+        assert(approx >= lo - 0.01 && approx <= hi + 0.01,
+          s"$prio p$p: $approx outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("agg_regression matches a BigDecimal brute-force fit per group") {
     val rows = Aggregates.aggRegression(spark, sf).collect()
       .map(r => r.getString(0) ->

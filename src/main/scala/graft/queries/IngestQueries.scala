@@ -215,7 +215,37 @@ object IngestQueries {
       .orderBy(col("table"))
   }
 
+  /** Lakehouse latest-wins upsert — the CDC merge that sits next to
+    * compaction in table maintenance: a changes batch (1/5 of events by
+    * id, standing in for the incremental feed) merges into the base
+    * table; per key the winning row is max (ts, event_id). Expressed as
+    * union + rank-1 filter so Spark plans a WindowGroupLimit: each map
+    * task keeps only its local per-key latest BEFORE the exchange, so
+    * the shuffle carries ~|keys| rows per task, not the full history —
+    * the property that makes merge-on-read viable at 100 TB. (A real
+    * lakehouse would also prune base files by the changes' key range;
+    * file-level pruning is demonstrated by scan_file_metadata.) */
+  def mergeUpsertLatest(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+    val base = ev.filter(col("event_id") % 5 < 4)
+      .withColumn("src", lit("base"))
+    val changes = ev.filter(col("event_id") % 5 === 4)
+      .withColumn("src", lit("change"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base.unionByName(changes)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"), col("src"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert_latest" -> (mergeUpsertLatest _),
     "compact_roundtrip" -> (compactRoundtrip _),
     "ingest_base64_roundtrip" -> (ingestBase64Roundtrip _),
     "ingest_base64_clean" -> (ingestBase64Clean _),
@@ -228,6 +258,16 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "merge_upsert_latest" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    CASE WHEN event_id % 5 = 4 THEN 'change' ELSE 'base' END AS src,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_type, ROUND(value, 2) AS last_value, src
+        |FROM u WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "ingest_base64_roundtrip" ->
       """SELECT doc_id,
         |  to_base64(encode(text)) AS b64,

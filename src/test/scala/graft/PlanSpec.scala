@@ -187,6 +187,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p) // the join-back formulation is gone
   }
 
+  test("merge_upsert_latest keeps per-key latest before the exchange") {
+    // rank-1 filter must plan as WindowGroupLimit: each map task drops
+    // superseded rows locally, so the merge shuffle carries ~|keys|
+    // rows per task, not the full history
+    val exec = graft.queries.IngestQueries.mergeUpsertLatest(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(exec.contains("WindowGroupLimit"), exec)
+    assert(!exec.contains("Join"), exec) // union + window, no join
+  }
+
   test("composite_tpch_q10 takes the top-20 with a heap, nation broadcasts") {
     val exec = graft.queries.Composite.compositeTpchQ10(spark, sf)
       .queryExecution.executedPlan.toString

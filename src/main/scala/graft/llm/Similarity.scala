@@ -311,16 +311,21 @@ object Similarity {
     * materializes. Covariances land as floor-fixed-point micros (the
     * [[embeddingStandardize]] rule) from exact sums, so the DuckDB
     * self-join oracle matches bit-for-bit. */
-  def embeddingCovariance(s: SparkSession, d: String): DataFrame = {
+  /** Exact Gramian accumulator shared by [[embeddingCovariance]] and
+    * [[embeddingPcaProject]]: (n, Σx per dim, Σx·xᵀ upper triangle),
+    * folded per partition via treeAggregate. */
+  private final class GramAcc(var n: Long,
+      var sx: Array[java.math.BigDecimal],
+      var sxy: Array[java.math.BigDecimal]) extends Serializable
+
+  private def gramian(s: SparkSession, d: String): GramAcc = {
     import s.implicits._
     import java.math.{BigDecimal => JBD, RoundingMode}
     def dec(v: Float): JBD =
       new JBD(v.toDouble).setScale(8, RoundingMode.HALF_UP)
-    final class Acc(var n: Long, var sx: Array[JBD], var sxy: Array[JBD])
-      extends Serializable
     val acc = t(s, d, "embeddings")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .rdd.treeAggregate(new Acc(0L, null, null))(
+      .rdd.treeAggregate(new GramAcc(0L, null, null))(
         (a, row) => {
           val vd = row._2.map(dec)
           val dim = vd.length
@@ -354,6 +359,28 @@ object Similarity {
             a
           })
     require(acc.sx != null, "embeddings table is empty")
+    acc
+  }
+
+  /** The covariance matrix as a dense symmetric array-of-rows, derived
+    * in doubles from the exact Gramian sums. */
+  private def covMatrix(acc: GramAcc): Array[Array[Double]] = {
+    val n = acc.n.toDouble
+    val dim = acc.sx.length
+    val m = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val k = i * dim - i * (i - 1) / 2 + (j - i)
+      val cov = acc.sxy(k).doubleValue / n -
+        (acc.sx(i).doubleValue / n) * (acc.sx(j).doubleValue / n)
+      m(i)(j) = cov
+      m(j)(i) = cov
+    }
+    m
+  }
+
+  def embeddingCovariance(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val acc = gramian(s, d)
     val n = acc.n.toDouble
     val dim = acc.sx.length
     val rows = for { i <- 0 until dim; j <- i until dim } yield {
@@ -366,12 +393,105 @@ object Similarity {
       .orderBy(col("dim_i"), col("dim_j"))
   }
 
+  /** PCA projection onto the top-4 principal components — the full
+    * whitening pipeline in Spark MLlib's scale shape: the executors
+    * fold the exact Gramian sketch ([[gramian]]), the DRIVER
+    * eigensolves the d×d covariance (cyclic Jacobi — d is a model
+    * constant, never data-sized), and the d×4 projection matrix
+    * broadcasts back so scoring is one narrow map over the corpus.
+    * Nothing data-sized ever sits on the driver and the corpus never
+    * shuffles.
+    *
+    * Determinism: Jacobi on a fixed matrix is a pure double-arithmetic
+    * sequence; components are sign-fixed (largest-|loading| coordinate
+    * made positive) and ordered by eigenvalue descending with index
+    * tiebreak. Scores land as floor-fixed-point micros. Rows-only (an
+    * eigensolve is not expressible in the oracle's SQL); SimilaritySpec
+    * asserts orthonormality, variance ordering, and score/eigenvalue
+    * agreement. */
+  /** Fits the PCA model (driver-side eigensolve of the executor-folded
+    * Gramian): returns (per-dim mean, d×4 projection rows, top-4
+    * eigenvalues desc). Public so the spec can audit the model. */
+  def pcaModel(s: SparkSession, d: String)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val acc = gramian(s, d)
+    val dim = acc.sx.length
+    val nD = acc.n.toDouble
+    val mu = acc.sx.map(_.doubleValue / nD)
+    val a = covMatrix(acc)
+    // cyclic Jacobi: rotate away off-diagonal mass until convergence
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      for (p <- 0 until dim - 1; q <- p + 1 until dim) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-18) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          val tSign = if (theta >= 0.0) 1.0 else -1.0
+          val tTan = tSign / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(tTan * tTan + 1.0)
+          val sn = tTan * c
+          var k = 0
+          while (k < dim) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - sn * akq
+            a(k)(q) = sn * akp + c * akq
+            k += 1
+          }
+          k = 0
+          while (k < dim) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - sn * aqk
+            a(q)(k) = sn * apk + c * aqk
+            val vkp = v(k)(p); val vkq = v(k)(q)
+            v(k)(p) = c * vkp - sn * vkq
+            v(k)(q) = sn * vkp + c * vkq
+            k += 1
+          }
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until dim).sortBy(i => (-a(i)(i), i)).take(4)
+    val proj = order.map { comp =>
+      val colV = Array.tabulate(dim)(r => v(r)(comp))
+      // sign fix: the largest-|loading| coordinate points positive
+      val pivot = (0 until dim).maxBy(r => (math.abs(colV(r)), -r))
+      if (colV(pivot) < 0.0) colV.map(x => -x) else colV
+    }.toArray
+    val eigvals = order.map(i => a(i)(i)).toArray
+    (mu, proj, eigvals)
+  }
+
+  def embeddingPcaProject(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (mu, proj, _) = pcaModel(s, d)
+    val bProj = s.sparkContext.broadcast((mu, proj))
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        val (m, p) = bProj.value
+        val scores = p.map { w =>
+          var acc2 = 0.0
+          var i = 0
+          while (i < w.length) { acc2 += (emb(i).toDouble - m(i)) * w(i); i += 1 }
+          math.floor(acc2 * 1000000.0 + 0.5).toLong
+        }
+        (id, scores(0), scores(1), scores(2), scores(3))
+      }
+      .toDF("vec_id", "pc1_micros", "pc2_micros", "pc3_micros", "pc4_micros")
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_join" -> (simKnnJoin _),
     "sim_search_range" -> (simSearchRange _),
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_standardize" -> (embeddingStandardize _),
     "embedding_covariance" -> (embeddingCovariance _),
+    "embedding_pca_project" -> (embeddingPcaProject _),
     "sim_search_topk" -> (simSearchTopk _),
     "sim_search_mips" -> (simSearchMips _),
     "sim_search_ivf" -> (simSearchIvf _),

@@ -12,6 +12,45 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("embedding_pca_project: orthonormal components, eigen-ordered variance, replayable scores") {
+    val (mu, proj, eig) = graft.llm.Similarity.pcaModel(spark, sf)
+    assert(proj.length == 4 && eig.length == 4)
+    // eigenvalues descending and non-negative (covariance is PSD)
+    assert(eig.sliding(2).forall { case Array(a, b) => a >= b - 1e-12 })
+    assert(eig.forall(_ >= -1e-10))
+    // components orthonormal
+    for (i <- 0 until 4; j <- i until 4) {
+      val dot = proj(i).zip(proj(j)).map { case (x, y) => x * y }.sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-9, s"<p$i,p$j> = $dot")
+    }
+    val rows = graft.llm.Similarity.embeddingPcaProject(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(rows.length == vecs.length)
+    // scores replay as (x - mu) . w in micros
+    val byId = rows.toMap
+    vecs.foreach { case (id, emb) =>
+      val got = byId(id)
+      proj.zipWithIndex.foreach { case (w, c) =>
+        val score = emb.indices.map(i => (emb(i).toDouble - mu(i)) * w(i)).sum
+        assert(math.abs(got(c) - math.floor(score * 1e6 + 0.5).toLong) <= 1L)
+      }
+    }
+    // per-component score variance tracks its eigenvalue
+    val n = rows.length.toDouble
+    (0 until 4).foreach { c =>
+      val xs = rows.map(_._2(c).toDouble / 1e6)
+      val m = xs.sum / n
+      val variance = xs.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(variance - eig(c)) < math.max(1e-6, eig(c) * 0.01),
+        s"pc${c + 1} variance $variance vs eigenvalue ${eig(c)}")
+    }
+  }
+
   test("embedding_covariance: upper triangle, non-negative diagonal, matches brute force") {
     val rows = graft.llm.Similarity.embeddingCovariance(spark, sf).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))

@@ -33,6 +33,7 @@ object SparkEntry {
       graft.llm.TextStats.queries ++
       graft.llm.Multimodal.queries ++
       graft.llm.Curation.queries ++
+      graft.llm.Ranking.queries ++
       graft.streaming.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.llm.TextStats.oracles ++
       graft.llm.Multimodal.oracles ++
       graft.llm.Curation.oracles ++
+      graft.llm.Ranking.oracles ++
       graft.streaming.StreamQueries.oracles
 }

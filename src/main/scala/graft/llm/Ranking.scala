@@ -1,0 +1,247 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Corpus-relative term weighting and language-model scoring for
+  * training-data curation (north-star scope, SURVEY.md §2.2 ⊕):
+  * TF-IDF keyword extraction, BM25 relevance scoring and add-one
+  * bigram language-model scoring over the `documents` table.
+  *
+  * These are the ranking/quality signals a data pipeline computes
+  * corpus-wide before selection (keyword tags for mixing, BM25 for
+  * retrieval-based filtering, LM logprob as a perplexity-style
+  * quality score).
+  *
+  * Scale shape shared by all three: the corpus is scanned once and the
+  * posting explode happens inside the scan stage; every statistics
+  * side-table (document frequency, bigram counts, vocabulary size) is
+  * VOCABULARY-bounded — sublinear in corpus size — so the joins back
+  * to postings shuffle on token keys whose cardinality saturates while
+  * the corpus grows. Nothing in these plans materializes an
+  * all-pairs or corpus-squared relation.
+  *
+  * Cross-engine determinism: every irrational intermediate (ln) is
+  * rounded to 6 decimals and cast to decimal BEFORE any sum, so
+  * aggregation is exact and order-independent — a double sum of ln
+  * values would hash-differently between Spark and DuckDB (different
+  * reduction orders). The 1-ulp libm discrepancy risk survives only
+  * inside a single rounded value, where it flips a 6th decimal with
+  * probability ~1e-10 per value.
+  */
+object Ranking {
+
+  /** TF-IDF keyword extraction: top-3 terms per document by
+    * tf·(ln((1+N)/(1+df))+1) (smoothed idf, sklearn-style). The
+    * per-document top-k is a rank-then-filter window on (weight desc,
+    * token asc) — WindowGroupLimit keeps ≤ k rows per doc on the map
+    * side before the final shuffle. */
+  def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") *
+          (log((lit(1) + col("n_docs")).cast("double") /
+            (lit(1) + col("df")).cast("double")) + lit(1.0)), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("tf"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  /** The BM25 probe terms — a fixed retrieval query over the corpus
+    * vocabulary (deterministic; a real pipeline parameterizes this). */
+  private val bm25Query = Seq("spark", "data", "query")
+  private val k1 = 1.2
+  private val b = 0.75
+
+  /** BM25 relevance of every document to a fixed term query:
+    * score = Σ_q idf(q) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    * idf = ln(1+(N−df+0.5)/(df+0.5)). avgdl is computed as an EXACT
+    * decimal (sum of integer lengths / count) so the only double math
+    * is per-term and per-row; per-term scores are rounded to decimals
+    * before the ≤|Q|-term sum. Only documents containing ≥1 query term
+    * appear (standard inverted-index behavior): the postings join is a
+    * semi-filter on 3 tokens, so at 100 TB the scan is the only full
+    * pass and everything downstream is |matching postings|-sized. */
+  def textBm25(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl").cast("decimal(19,0)")).as("sum_dl"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isin(bm25Query: _*))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val term = tf.join(broadcast(df), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("score_t",
+        round(col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") +
+            (col("dl") / col("avgdl") * b + (1.0 - b)) * k1), 6)
+          .cast("decimal(18,6)"))
+    term.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("score_t")).cast("double").as("bm25"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Add-one-smoothed bigram language model trained on the corpus and
+    * applied back to every document — the self-perplexity quality
+    * signal (low average logprob = unusual token sequences = noise).
+    * P(cur|prev) = (c2(prev,cur)+1)/(c1(prev)+V); per-doc score is the
+    * mean bigram ln P. c2/c1/V are exact integer count tables bounded
+    * by observed vocabulary (² at worst, in practice Zipf-small); each
+    * ln is rounded → decimal before the exact per-doc sum. Documents
+    * with <2 tokens score 0 with n_bigrams 0. */
+  def textBigramLm(s: SparkSession, d: String): DataFrame = {
+    val toksCol = col("toks")
+    val bigramsExpr = when(size(toksCol) >= 2,
+      transform(sequence(lit(1), size(toksCol) - 1),
+        i => struct(element_at(toksCol, i).as("prev"),
+          element_at(toksCol, i + 1).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val inst = docs
+      .select(col("doc_id"), explode(bigramsExpr).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val c2 = inst.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("prev"))
+      .agg(sum(col("c2")).as("c1"))
+    val v = docs
+      .select(explode(toksCol).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    val scored = inst
+      .join(c2, Seq("prev", "cur"))
+      .join(c1, Seq("prev"))
+      .crossJoin(broadcast(v))
+      .withColumn("logp",
+        round(log((col("c2") + lit(1)).cast("double") /
+          (col("c1") + col("vocab")).cast("double")), 6)
+          .cast("decimal(20,6)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp")).as("sum_logp"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(
+          round(col("sum_logp").cast("double") / col("n_bigrams"), 4),
+          lit(0.0)).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf" -> (textTfidf _),
+    "text_bm25" -> (textBm25 _),
+    "text_bigram_lm" -> (textBigramLm _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf,
+        |    ROUND(tf.tf * (ln((1 + n.n_docs) / CAST(1 + df.df AS DOUBLE))
+        |      + 1.0), 6) AS tfidf
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, tok, tf, tfidf,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, tok ASC) AS rnk
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, tok, tf, tfidf
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "text_bm25" ->
+      """WITH lens AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         SUM(CAST(dl AS DECIMAL(19,0))) AS sum_dl
+        |  FROM lens
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'data', 'query') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+        |), term AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(
+        |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + (lens.dl /
+        |          (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)
+        |          * 0.75 + 0.25) * 1.2), 6)
+        |      AS DECIMAL(18,6)) AS score_t
+        |  FROM tf JOIN df USING (tok) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats
+        |)
+        |SELECT doc_id, COUNT(*) AS n_terms,
+        |  CAST(SUM(score_t) AS DOUBLE) AS bm25
+        |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), inst AS (
+        |  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+        |  FROM docs, LATERAL unnest(range(1, len(toks))) AS u(i)
+        |  WHERE len(toks) >= 2
+        |), c2 AS (
+        |  SELECT prev, cur, COUNT(*) AS c2 FROM inst GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY 1
+        |), v AS (
+        |  SELECT COUNT(DISTINCT tok) AS vocab
+        |  FROM (SELECT unnest(toks) AS tok FROM docs)
+        |), scored AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    SUM(CAST(ROUND(ln((c2.c2 + 1) /
+        |      CAST(c1.c1 + v.vocab AS DOUBLE)), 6)
+        |      AS DECIMAL(20,6))) AS sum_logp
+        |  FROM inst JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+        |  CROSS JOIN v
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(ROUND(CAST(s.sum_logp AS DOUBLE) / s.n_bigrams, 4), 0.0)
+        |    AS avg_logp
+        |FROM docs d LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Ranking
+
+/** Brute-force semantic checks of the ranking/LM-scoring operators
+  * against plain-Scala re-implementations on the sf0.001 fixture
+  * (500 docs). Scala's Math.log is the same libm call Spark's `log`
+  * expression makes, so expected values match to the bit before the
+  * 6-decimal rounding.
+  */
+class RankingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs: Map[Long, Seq[String]] =
+    Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("text_tfidf: top-3 per doc matches brute force") {
+    val n = docs.size
+    val df = docs.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val expected = docs.map { case (id, toks) =>
+      val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val scored = tf.toSeq.map { case (t, f) =>
+        (t, f, round6(f * (math.log((1.0 + n) / (1.0 + df(t))) + 1.0)))
+      }
+      id -> scored.sortBy { case (t, _, w) => (-w, t) }.take(3)
+    }
+    val got = Ranking.textTfidf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+      .groupBy(_._1)
+    assert(got.keySet == docs.keySet)
+    docs.keys.foreach { id =>
+      val g = got(id).sortBy(_._2)
+        .map(x => (x._3, x._4, x._5)).toSeq
+      val e = expected(id).map { case (t, f, w) => (t, f.toLong, w) }
+      assert(g == e, s"doc $id: got $g expected $e")
+    }
+  }
+
+  test("text_bm25: matches brute force; only matching docs appear") {
+    val q = Seq("spark", "data", "query")
+    val n = docs.size
+    val avgdl = docs.values.map(_.size.toLong).sum.toDouble / n
+    val dfq = q.map(t => t -> docs.values.count(_.contains(t))).toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val dl = toks.size
+      val terms = q.flatMap { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (n - dfq(t) + 0.5) / (dfq(t) + 0.5))
+          Some(BigDecimal(round6(idf * (tf * 2.2) /
+            (tf + (dl / avgdl * 0.75 + 0.25) * 1.2))))
+        }
+      }
+      if (terms.isEmpty) None
+      else Some(id -> (terms.size.toLong, terms.sum.toDouble))
+    }
+    val got = Ranking.textBm25(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, (nt, score)) =>
+      assert(got(id)._1 == nt)
+      assert(math.abs(got(id)._2 - score) < 1e-9, s"doc $id")
+    }
+  }
+
+  test("text_bigram_lm: matches brute force; short docs score 0") {
+    val bigrams = docs.toSeq.flatMap { case (id, toks) =>
+      toks.sliding(2).filter(_.size == 2).map(p => (id, (p(0), p(1))))
+    }
+    val c2 = bigrams.groupBy(_._2).map { case (bg, xs) => bg -> xs.size }
+    val c1 = c2.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    val vocab = docs.values.flatten.toSet.size
+    val expected = docs.map { case (id, toks) =>
+      val bgs = toks.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+      if (bgs.isEmpty) id -> (0L, 0.0)
+      else {
+        val sum = bgs.map(bg => BigDecimal(round6(
+          math.log((c2(bg) + 1.0) / (c1(bg._1) + vocab))))).sum
+        id -> (bgs.size.toLong,
+          BigDecimal(sum.toDouble / bgs.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val got = Ranking.textBigramLm(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == docs.keySet)
+    expected.foreach { case (id, (nb, avg)) =>
+      assert(got(id)._1 == nb, s"doc $id n_bigrams")
+      assert(math.abs(got(id)._2 - avg) < 1e-9, s"doc $id avg_logp")
+    }
+  }
+}

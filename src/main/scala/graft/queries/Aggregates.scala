@@ -498,7 +498,39 @@ object Aggregates {
       .agg(sum(bitmap_count(col("bm"))).as("n_distinct_users"))
       .orderBy(col("event_type"))
 
+  /** Statistical outlier detection — per-group z-score flagging, the
+    * cheap anomaly gate a telemetry pipeline runs before alerting.
+    * Values are quantized to DECIMAL(19,4) so the per-group moment
+    * sums (Σv, Σv²) are EXACT and order-independent; mean/sd/z are
+    * then plain double math on exact inputs (bit-identical across
+    * engines — a double Σv² would hash-differ by reduction order).
+    * Scale shape: one hash-aggregate shuffle carrying 2 decimals per
+    * group, then the tiny stats table broadcasts back onto the scan —
+    * the corpus itself never reshuffles, and the anomaly filter
+    * happens map-side in the joined stage. */
+  def anomalyZscore(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(19,4)").as("vq"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("vq")).as("sx"),
+      sum(col("vq") * col("vq")).as("sxx"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("mean", col("sx").cast("double") / col("n"))
+      .withColumn("sd", sqrt(
+        (col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+          (col("n") - lit(1))))
+      .withColumn("z", (col("vq").cast("double") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"),
+        col("vq").cast("double").as("value_q"), round(col("z"), 3).as("z"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
     "agg_retention" -> (aggRetention _),
@@ -530,6 +562,26 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "anomaly_zscore" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(value AS DECIMAL(19,4)) AS vq
+        |  FROM events
+        |), stats AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(vq) AS sx,
+        |    SUM(vq * vq) AS sxx
+        |  FROM ev GROUP BY event_type
+        |), z AS (
+        |  SELECT ev.event_id, ev.event_type,
+        |    CAST(ev.vq AS DOUBLE) AS value_q,
+        |    (CAST(ev.vq AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
+        |      sqrt((CAST(sxx AS DOUBLE) -
+        |            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) /
+        |           (n - 1)) AS zv
+        |  FROM ev JOIN stats USING (event_type)
+        |)
+        |SELECT event_id, event_type, value_q, ROUND(zv, 3) AS z
+        |FROM z WHERE abs(zv) > 2.5 ORDER BY event_id""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT event_type,
         |  COUNT(DISTINCT user_id) AS n_distinct_users

@@ -244,7 +244,36 @@ object IngestQueries {
       .orderBy(col("user_id"))
   }
 
+  /** SCD type-2 history build — the other half of CDC table
+    * maintenance next to [[mergeUpsertLatest]]: from each user's event
+    * stream, collapse consecutive repeats of the tracked attribute
+    * (event_type) into change points, then derive validity intervals
+    * [valid_from, valid_to) with lead(); the open interval is the
+    * current version. Scale shape: ONE shuffle on user_id serves both
+    * window passes (lag for change detection, lead/row_number for
+    * intervals share the same partitioning AND ordering, so Catalyst
+    * plans a single Exchange+Sort); per-key state is one row of
+    * look-ahead, unbounded history safe. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTs))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("version", row_number().over(byTs))
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", lead(unix_micros(col("ts")), 1).over(byTs))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_history" -> (scd2History _),
     "merge_upsert_latest" -> (mergeUpsertLatest _),
     "compact_roundtrip" -> (compactRoundtrip _),
     "ingest_base64_roundtrip" -> (ingestBase64Roundtrip _),
@@ -258,6 +287,26 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "scd2_history" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, ts, event_id, event_type
+        |  FROM marked
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |  event_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  lead(epoch_us(ts)) OVER w AS valid_to_us,
+        |  lead(epoch_us(ts)) OVER w IS NULL AS is_current
+        |FROM changes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "merge_upsert_latest" ->
       """WITH u AS (
         |  SELECT user_id, event_id, ts, event_type, value,

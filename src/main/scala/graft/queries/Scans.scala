@@ -71,13 +71,81 @@ object Scans {
         count(lit(1)).as("n_rows"),
         (min(col("sz")) > 0L).as("sized"))
 
+  /** Column profiling — the data-quality survey an engine runs before
+    * ingesting a new table (row counts, null counts, exact distinct
+    * cardinality, min/max per column). ONE scan: all per-column
+    * aggregates live in a single agg (Spark plans the multi-distinct
+    * via one Expand + hash aggregate pass), then the wide single row
+    * is unpivoted to one row per column with `stack`. At 100 TB the
+    * only exchange is the |columns × groups|-sized aggregate shuffle;
+    * swap countDistinct for approx_count_distinct when exactness is
+    * not required (same plan shape minus the Expand). */
+  def profileColumns(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_quantity")).as("nn_qty"),
+      countDistinct(col("l_quantity")).as("nd_qty"),
+      min(col("l_quantity")).as("mn_qty"),
+      max(col("l_quantity")).as("mx_qty"),
+      count(col("l_extendedprice")).as("nn_px"),
+      countDistinct(col("l_extendedprice")).as("nd_px"),
+      min(col("l_extendedprice")).as("mn_px"),
+      max(col("l_extendedprice")).as("mx_px"),
+      count(col("l_returnflag")).as("nn_rf"),
+      countDistinct(col("l_returnflag")).as("nd_rf"),
+      min(col("l_returnflag")).as("mn_rf"),
+      max(col("l_returnflag")).as("mx_rf"),
+      count(col("l_linestatus")).as("nn_ls"),
+      countDistinct(col("l_linestatus")).as("nd_ls"),
+      min(col("l_linestatus")).as("mn_ls"),
+      max(col("l_linestatus")).as("mx_ls"))
+    agg.select(expr(
+      """stack(4,
+        |  'l_quantity', n_rows, nn_qty, nd_qty, mn_qty, mx_qty,
+        |    cast(null as string), cast(null as string),
+        |  'l_extendedprice', n_rows, nn_px, nd_px, mn_px, mx_px,
+        |    cast(null as string), cast(null as string),
+        |  'l_returnflag', n_rows, nn_rf, nd_rf,
+        |    cast(null as double), cast(null as double), mn_rf, mx_rf,
+        |  'l_linestatus', n_rows, nn_ls, nd_ls,
+        |    cast(null as double), cast(null as double), mn_ls, mx_ls)
+        |AS (column_name, n_rows, n_notnull, n_distinct,
+        |    min_num, max_num, min_str, max_str)""".stripMargin))
+      .orderBy(col("column_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_project_filter" -> (scanProjectFilter _),
     "filter_predicates" -> (filterPredicates _),
-    "scan_file_metadata" -> (scanFileMetadata _)
+    "scan_file_metadata" -> (scanFileMetadata _),
+    "profile_columns" -> (profileColumns _)
   )
 
   val oracles: Map[String, String] = Map(
+    "profile_columns" ->
+      """SELECT 'l_quantity' AS column_name, COUNT(*) AS n_rows,
+        |  COUNT(l_quantity) AS n_notnull,
+        |  COUNT(DISTINCT l_quantity) AS n_distinct,
+        |  MIN(l_quantity) AS min_num, MAX(l_quantity) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', COUNT(*), COUNT(l_extendedprice),
+        |  COUNT(DISTINCT l_extendedprice),
+        |  MIN(l_extendedprice), MAX(l_extendedprice), NULL, NULL
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', COUNT(*), COUNT(l_returnflag),
+        |  COUNT(DISTINCT l_returnflag), NULL, NULL,
+        |  MIN(l_returnflag), MAX(l_returnflag)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus', COUNT(*), COUNT(l_linestatus),
+        |  COUNT(DISTINCT l_linestatus), NULL, NULL,
+        |  MIN(l_linestatus), MAX(l_linestatus)
+        |FROM lineitem
+        |ORDER BY column_name""".stripMargin,
     "scan_file_metadata" ->
       """SELECT CAST(1 AS BIGINT) AS n_files, COUNT(*) AS n_rows,
         |  TRUE AS sized

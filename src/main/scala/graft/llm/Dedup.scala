@@ -520,7 +520,52 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Passage-level containment detection — the near-dup class Jaccard
+    * misses: a short document wholly embedded in a longer one scores
+    * low Jaccard (the union is large) but high containment
+    * |A∩B| / min(|A|,|B|). Sets are distinct 3-token shingles, so a
+    * match means shared PASSAGES, not shared vocabulary — this is the
+    * sub-document/quotation detector a training-corpus pipeline runs
+    * alongside `dedup_ngram_jaccard`.
+    *
+    * Scale shape: inverted index over 8-byte xxhash64 shingle keys
+    * (strings never shuffle); candidate generation is the index
+    * self-join, O(Σ df²) over SHINGLE document frequencies — trigram
+    * specificity keeps df tiny for natural text, and the
+    * `dedup_ngram_jaccard` maxDf cutoff pattern applies verbatim if a
+    * boilerplate shingle ever goes hot. The ≥50% threshold is checked
+    * integer-exactly (2·shared ≥ min(n)) before any double math.
+    * Collision assumption: same xxhash64 rationale as [[jaccardPairs]]
+    * — a within-corpus shingle collision needs ~2⁶⁵ distinct shingles
+    * before it is likely. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val toksCol = col("toks")
+    val shingles = when(size(toksCol) >= 3,
+      array_distinct(transform(sequence(lit(1), size(toksCol) - 2),
+        i => xxhash64(concat_ws(" ",
+          element_at(toksCol, i), element_at(toksCol, i + 1),
+          element_at(toksCol, i + 2))))))
+      .otherwise(array().cast("array<bigint>"))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), shingles.as("sh"))
+      .withColumn("n", size(col("sh")))
+    val posts = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("h"))
+    posts.as("a")
+      .join(posts.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+      .filter(col("shared") * 2 >= least(col("n_a"), col("n_b")))
+      .select(col("a_id"), col("b_id"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double") /
+          least(col("n_a"), col("n_b")), 4).as("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (dedupContainment _),
     "dedup_exact" -> (dedupExact _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -536,6 +581,29 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_containment" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s
+        |  FROM docs, LATERAL unnest(range(1, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 3
+        |), n AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
+        |  FROM sh a JOIN sh b USING (s)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT a_id, b_id, shared, na.n AS n_a, nb.n AS n_b,
+        |  ROUND(shared / CAST(LEAST(na.n, nb.n) AS DOUBLE), 4)
+        |    AS containment
+        |FROM pairs
+        |JOIN n na ON na.doc_id = a_id
+        |JOIN n nb ON nb.doc_id = b_id
+        |WHERE shared * 2 >= LEAST(na.n, nb.n)
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, md5(text) AS text_md5,
         |       COUNT(*) AS n_copies

@@ -33,6 +33,7 @@ object SourceFormats {
     val w = sub.write.mode("overwrite")
     (fmt match {
       case "csv" => w.option("header", "true")
+      case "xml" => w.option("rowTag", "row")
       case _ => w
     }).format(fmt).save(dir)
     val r = s.read
@@ -40,6 +41,7 @@ object SourceFormats {
       // schema pinned explicitly — inference is a second full read
       case "csv" => r.option("header", "true").schema(sub.schema)
       case "json" => r.schema(sub.schema)
+      case "xml" => r.option("rowTag", "row").schema(sub.schema)
       case _ => r
     }).format(fmt).load(dir)
       .orderBy(col("o_orderkey"))
@@ -53,6 +55,15 @@ object SourceFormats {
 
   def sourceOrcRoundtrip(s: SparkSession, d: String): DataFrame =
     roundtrip(s, d, "orc")
+
+  /** XML source/sink (built into Spark since 4.0, SPARK-44265) — the
+    * format legacy enterprise feeds still arrive in. Row-per-element
+    * with an explicit rowTag; schema pinned like csv/json (inference
+    * is a second full read). XML is NOT splittable within an element
+    * stream the way csv lines are — at 100 TB the ingest plan is many
+    * medium files (one task each), never one giant document. */
+  def sourceXmlRoundtrip(s: SparkSession, d: String): DataFrame =
+    roundtrip(s, d, "xml")
 
   /** Raw-text source (`spark.read.text`): one row per line — the
     * landing format for raw corpus dumps before any schema exists.
@@ -73,6 +84,7 @@ object SourceFormats {
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
+    "source_xml_roundtrip" -> (sourceXmlRoundtrip _),
     "source_text_roundtrip" -> (sourceTextRoundtrip _)
   )
 
@@ -85,6 +97,7 @@ object SourceFormats {
     "source_csv_roundtrip" -> oracle,
     "source_json_roundtrip" -> oracle,
     "source_orc_roundtrip" -> oracle,
+    "source_xml_roundtrip" -> oracle,
     "source_text_roundtrip" ->
       """SELECT text, COUNT(*) AS n FROM documents
         |GROUP BY text ORDER BY text""".stripMargin

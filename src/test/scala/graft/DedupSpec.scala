@@ -185,4 +185,32 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hm == t0)
   }
+
+  test("containment pairs match brute-force shingle sets; no all-pairs join") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def shingles(toks: Seq[String]): Set[String] =
+      if (toks.size < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    val sets = docs.map { case (id, t) => id -> shingles(t) }
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      a = sets(i); b = sets(j)
+      shared = (a intersect b).size
+      if a.nonEmpty && b.nonEmpty && shared * 2 >= math.min(a.size, b.size)
+    } yield (i, j, shared.toLong, a.size.toLong, b.size.toLong)).toSet
+    val got = Dedup.dedupContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3).toLong, r.getInt(4).toLong)).toSet
+    assert(got == expected,
+      s"extra=${got diff expected} missing=${expected diff got}")
+    // the plan must be an index equi-self-join, never a nested loop
+    val p = Dedup.dedupContainment(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
 }

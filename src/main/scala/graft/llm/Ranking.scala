@@ -155,10 +155,52 @@ object Ranking {
       .orderBy(col("doc_id"))
   }
 
+  /** Hybrid retrieval — the two-leg RAG/retrieval pattern: a lexical
+    * leg (BM25 vs the fixed probe query) and a dense leg (cosine vs
+    * the probe embedding, vec_id 0) are EACH cut to their top-50 by a
+    * TakeOrderedAndProject heap — so no global sort and no full-corpus
+    * window ever runs — then fused by reciprocal-rank over the bounded
+    * candidate pool: rrf = 1/(60+r_lex) + 1/(60+r_dense) (Cormack et
+    * al.'s k=60). Only docs in BOTH top-50 legs fuse (inner join), and
+    * the pool window runs on ≤50 rows regardless of corpus size — at
+    * 100 TB each leg is index-accelerated (inverted index / IVF) and
+    * the fusion cost stays constant. */
+  def simSearchHybrid(s: SparkSession, d: String): DataFrame = {
+    val poolK = 50
+    val lexPool = textBm25(s, d)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(poolK)
+    val lex = lexPool
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    val e = t(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val densePool = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(col("embedding"), col("probe")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(poolK)
+    val dense = densePool
+      .withColumn("r_dense", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_dense"))
+    lex.join(dense, "doc_id")
+      .withColumn("rrf",
+        round(lit(1.0) / (col("r_lex") + lit(60)) +
+          lit(1.0) / (col("r_dense") + lit(60)), 6))
+      .select(col("doc_id"), col("r_lex"), col("r_dense"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf" -> (textTfidf _),
     "text_bm25" -> (textBm25 _),
-    "text_bigram_lm" -> (textBigramLm _)
+    "text_bigram_lm" -> (textBigramLm _),
+    "sim_search_hybrid" -> (simSearchHybrid _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -214,6 +256,60 @@ object Ranking {
         |SELECT doc_id, COUNT(*) AS n_terms,
         |  CAST(SUM(score_t) AS DOUBLE) AS bm25
         |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sim_search_hybrid" ->
+      """WITH lens AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+        |), stats AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |         SUM(CAST(dl AS DECIMAL(19,0))) AS sum_dl
+        |  FROM lens
+        |), toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'data', 'query') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+        |), term AS (
+        |  SELECT tf.doc_id,
+        |    CAST(ROUND(
+        |      ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + (lens.dl /
+        |          (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)
+        |          * 0.75 + 0.25) * 1.2), 6)
+        |      AS DECIMAL(18,6)) AS score_t
+        |  FROM tf JOIN df USING (tok) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats
+        |), bm25 AS (
+        |  SELECT doc_id, CAST(SUM(score_t) AS DOUBLE) AS bm25
+        |  FROM term GROUP BY doc_id
+        |), lex50 AS (
+        |  SELECT doc_id, bm25 FROM bm25
+        |  ORDER BY bm25 DESC, doc_id LIMIT 50
+        |), lex AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+        |  FROM lex50
+        |), dense50 AS (
+        |  SELECT vec_id AS doc_id,
+        |    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS cos
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY cos DESC, vec_id LIMIT 50
+        |), dense AS (
+        |  SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_dense
+        |  FROM dense50
+        |)
+        |SELECT doc_id,
+        |  CAST(r_lex AS INTEGER) AS r_lex,
+        |  CAST(r_dense AS INTEGER) AS r_dense,
+        |  ROUND(1.0 / (r_lex + 60) + 1.0 / (r_dense + 60), 6) AS rrf
+        |FROM lex JOIN dense USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     "text_bigram_lm" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -100,4 +100,23 @@ class RankingSpec extends AnyFunSuite {
       assert(math.abs(got(id)._2 - avg) < 1e-9, s"doc $id avg_logp")
     }
   }
+
+  test("sim_search_hybrid: rrf consistent with leg ranks; pools are heap top-k") {
+    val df = graft.llm.Ranking.simSearchHybrid(spark, sf)
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (id, rl, rd, rrf) =>
+      assert(rl >= 1 && rl <= 50 && rd >= 1 && rd <= 50, s"doc $id ranks")
+      val expect = BigDecimal(1.0 / (rl + 60) + 1.0 / (rd + 60))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rrf == expect, s"doc $id rrf")
+    }
+    // fused list is sorted by rrf desc
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+    // both candidate pools cut with a top-k heap, not a global sort
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+  }
 }

@@ -539,18 +539,27 @@ object Dedup {
     * — a within-corpus shingle collision needs ~2⁶⁵ distinct shingles
     * before it is likely. */
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
-    val toksCol = col("toks")
-    val shingles = when(size(toksCol) >= 3,
-      array_distinct(transform(sequence(lit(1), size(toksCol) - 2),
-        i => xxhash64(concat_ws(" ",
-          element_at(toksCol, i), element_at(toksCol, i + 1),
-          element_at(toksCol, i + 2))))))
-      .otherwise(array().cast("array<bigint>"))
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), shingles.as("sh"))
-      .withColumn("n", size(col("sh")))
-    val posts = docs.select(col("doc_id"), col("n"), explode(col("sh")).as("h"))
+    import org.apache.spark.sql.expressions.Window
+    // Shingles are built RELATIONALLY (posexplode + two lead()s over
+    // one doc_id window), not with a transform() lambda over the token
+    // array: Catalyst infers a size()>0 filter from the explode and
+    // pushes it through the projection, inlining split(text) INSIDE
+    // the lambda — the per-element re-evaluation pitfall documented at
+    // textNgramFreq, here duplicated on both sides of the self-join
+    // (measured 26 s → 4 s at sf0.1). The window route is one narrow
+    // codegen'd pass per side and carries no arrays at all.
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def postings: DataFrame = t(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h"))
+      .distinct()
+    val n = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val posts = postings.join(n, "doc_id")
     posts.as("a")
       .join(posts.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

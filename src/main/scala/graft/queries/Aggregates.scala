@@ -529,7 +529,32 @@ object Aggregates {
       .orderBy(col("event_id"))
   }
 
+  /** Shannon entropy of each user's event-type distribution — the
+    * diversity/behavioral-quality signal (bots spike one type, entropy
+    * ~0; organic traffic spreads). H = ln(n) − Σ c·ln(c) / n computed
+    * from EXACT integer counts, with the single irrational term per
+    * group (Σ c·ln c) assembled from per-type ln values rounded → cast
+    * to decimal BEFORE the sum, so the aggregation is order-independent
+    * across engines. Two hash aggregates, both shuffling only
+    * (user, type) / user keys — unbounded-cardinality safe. */
+  def aggEntropy(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("clnc",
+        round(col("c") * log(col("c").cast("double")), 6)
+          .cast("decimal(20,6)"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_types"),
+        sum(col("clnc")).as("sum_clnc"))
+      .select(col("user_id"), col("n"), col("n_types"),
+        round(log(col("n").cast("double")) -
+          col("sum_clnc").cast("double") / col("n"), 4).as("entropy"))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_entropy" -> (aggEntropy _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
@@ -562,6 +587,21 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_entropy" ->
+      """WITH ct AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id,
+        |    CAST(ROUND(c * ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(20,6))
+        |      AS clnc,
+        |    c
+        |  FROM ct
+        |)
+        |SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types,
+        |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
+        |        CAST(SUM(clnc) AS DOUBLE) / SUM(c), 4) AS entropy
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
     "anomaly_zscore" ->
       """WITH ev AS (
         |  SELECT event_id, event_type,

@@ -203,7 +203,7 @@ class DedupSpec extends AnyFunSuite {
     } yield (i, j, shared.toLong, a.size.toLong, b.size.toLong)).toSet
     val got = Dedup.dedupContainment(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getInt(3).toLong, r.getInt(4).toLong)).toSet
+        r.getLong(3), r.getLong(4))).toSet
     assert(got == expected,
       s"extra=${got diff expected} missing=${expected diff got}")
     // the plan must be an index equi-self-join, never a nested loop

@@ -31,10 +31,15 @@ class ProfilingSpec extends AnyFunSuite {
   private def simplePlan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("simple"))
 
-  test("profile_columns: single scan of lineitem (no per-column re-scan)") {
-    val p = simplePlan(graft.queries.Scans.profileColumns(spark, sf))
-    val scans = "Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"expected 1 scan, plan:\n$p")
+  test("profile_columns: each union leg scans only its own column, no Expand") {
+    val p = plan(graft.queries.Scans.profileColumns(spark, sf))
+    // four legs, each with a pruned single-column ReadSchema
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.size == 4, s"expected 4 pruned scans:\n$p")
+    schemas.foreach(l =>
+      assert("struct<[^,>]+>".r.findFirstIn(l).isDefined, s"not pruned: $l"))
+    // the Expand-based multi-distinct path is 30x slower — must not appear
+    assert(!p.contains("Expand"), p)
   }
 
   test("scd2_history: intervals tile each user's timeline; one exchange") {

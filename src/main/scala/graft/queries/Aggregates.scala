@@ -553,7 +553,65 @@ object Aggregates {
           col("sum_clnc").cast("double") / col("n"), 4).as("entropy"))
       .orderBy(col("user_id"))
 
+  /** Robust outlier detection — the median/MAD complement to
+    * [[anomalyZscore]] (mean/sd break down when the outliers
+    * themselves inflate the moments; the median absolute deviation
+    * does not). Two grouped exact medians (Spark `median` and DuckDB
+    * `median` both interpolate the middle pair — the same IEEE
+    * average of the same two values), then the 1.4826·MAD-normalized
+    * robust score per row. Scale shape: medians need a per-group
+    * sort — at 100 TB swap `median` for `approx_percentile(0.5)`
+    * (same plan, mergeable sketch, no sort); flagging joins the tiny
+    * per-type stats table back via broadcast, the corpus never
+    * reshuffles. */
+  def windowMadOutlier(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(19,4)").cast("double").as("v"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(median(col("v")).as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"),
+        median(abs(col("v") - col("med"))).as("mad"))
+    ev.join(broadcast(mad), "event_type")
+      .withColumn("score",
+        abs(col("v") - col("med")) / (col("mad") * lit(1.4826)))
+      .filter(col("score") > 3.5)
+      .select(col("event_id"), col("event_type"), col("v").as("value_q"),
+        round(col("score"), 3).as("robust_z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gini concentration of per-user activity within each event type —
+    * the inequality signal ("do a few bots generate most clicks?").
+    * Inputs are INTEGER event counts, so every sum is exact; the rank
+    * weighting uses the deterministic (count, user_id) total order and
+    * the closed form G = (2·Σ rᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), with one
+    * final double division. One count aggregate, one per-type window
+    * rank, one closing aggregate — all shuffling bounded keys. */
+  def aggGini(s: SparkSession, d: String): DataFrame = {
+    val byCount = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("x"), col("user_id"))
+    t(s, d, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("r", row_number().over(byCount))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("total"),
+        sum(col("r") * col("x")).as("rx"))
+      .select(col("event_type"), col("n_users"), col("total"),
+        round((lit(2) * col("rx") - (col("n_users") + lit(1)) * col("total"))
+          .cast("double") /
+          (col("n_users") * col("total")).cast("double"), 6).as("gini"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_mad_outlier" -> (windowMadOutlier _),
+    "agg_gini" -> (aggGini _),
     "agg_entropy" -> (aggEntropy _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
@@ -587,6 +645,37 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_mad_outlier" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(19,4)) AS DOUBLE) AS v
+        |  FROM events
+        |), med AS (
+        |  SELECT event_type, median(v) AS med FROM ev GROUP BY 1
+        |), mad AS (
+        |  SELECT ev.event_type, ANY_VALUE(med.med) AS med,
+        |    median(abs(ev.v - med.med)) AS mad
+        |  FROM ev JOIN med USING (event_type) GROUP BY ev.event_type
+        |)
+        |SELECT event_id, event_type, v AS value_q,
+        |  ROUND(abs(v - med) / (mad * 1.4826), 3) AS robust_z
+        |FROM ev JOIN mad USING (event_type)
+        |WHERE abs(v - med) / (mad * 1.4826) > 3.5
+        |ORDER BY event_id""".stripMargin,
+    "agg_gini" ->
+      """WITH x AS (
+        |  SELECT event_type, user_id, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, x,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY x, user_id) AS r
+        |  FROM x
+        |)
+        |SELECT event_type, COUNT(*) AS n_users, SUM(x) AS total,
+        |  ROUND(CAST(2 * SUM(r * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) /
+        |        CAST(COUNT(*) * SUM(x) AS DOUBLE), 6) AS gini
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_entropy" ->
       """WITH ct AS (
         |  SELECT user_id, event_type, COUNT(*) AS c

@@ -94,4 +94,50 @@ class ProfilingSpec extends AnyFunSuite {
     val p = plan(graft.queries.Aggregates.anomalyZscore(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("window_mad_outlier: matches brute-force median/MAD flagging") {
+    import org.apache.spark.sql.functions._
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val ev = Tables.t(spark, sf, "events")
+      .select(col("event_id"),
+        col("value").cast("decimal(19,4)").cast("double").as("v"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val expected = ev.groupBy(_._3).flatMap { case (_, xs) =>
+      val med = medianOf(xs.map(_._2).toSeq)
+      val mad = medianOf(xs.map(x => math.abs(x._2 - med)).toSeq)
+      xs.filter(x => math.abs(x._2 - med) / (mad * 1.4826) > 3.5)
+        .map(_._1).toSeq
+    }.toSet
+    val got = graft.queries.Aggregates.windowMadOutlier(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"extra=${got diff expected} missing=${expected diff got}")
+  }
+
+  test("agg_gini: closed form matches brute force; bounded in [0,1)") {
+    val ev = Tables.t(spark, sf, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).map { case (tpe, xs) =>
+      val counts = xs.groupBy(_._2).map { case (u, e) => (u, e.length.toLong) }
+        .toSeq.sortBy { case (u, c) => (c, u) }
+      val n = counts.length.toLong
+      val total = counts.map(_._2).sum
+      val rx = counts.zipWithIndex.map { case ((_, x), i) => (i + 1) * x }.sum
+      val g = (2.0 * rx - (n + 1) * total) / (n.toDouble * total)
+      tpe -> BigDecimal(g).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = graft.queries.Aggregates.aggGini(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (tpe, g) =>
+      assert(math.abs(got(tpe) - g) < 1e-9, s"$tpe: ${got(tpe)} vs $g")
+      assert(got(tpe) >= 0.0 && got(tpe) < 1.0, tpe)
+    }
+  }
 }

@@ -114,7 +114,27 @@ object Composite {
       .limit(100)
   }
 
+  /** Q6 shape: forecast-revenue-change — a pure scan query (no join,
+    * no group key) whose entire WHERE clause must reach the parquet
+    * reader as PushedFilters and whose sum is a partial+final agg of
+    * ONE decimal per task. The canonical "is pushdown working" probe:
+    * at 100 TB this query's cost is I/O after row-group pruning,
+    * nothing else. Money arithmetic rides DECIMAL end-to-end. */
+  def compositeTpchQ6(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(round(sum(
+        col("l_extendedprice").cast("decimal(18,4)") *
+          col("l_discount").cast("decimal(18,4)")), 2).cast("double")
+        .as("revenue"),
+        count(lit(1)).as("n_rows"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "composite_tpch_q6" -> (compositeTpchQ6 _),
     "composite_tpch_q18" -> (compositeTpchQ18 _),
     "composite_tpch_q3" -> (compositeTpchQ3 _),
     "composite_tpch_q10" -> (compositeTpchQ10 _),
@@ -123,6 +143,15 @@ object Composite {
   )
 
   val oracles: Map[String, String] = Map(
+    "composite_tpch_q6" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |  CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "composite_tpch_q3" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
         |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue

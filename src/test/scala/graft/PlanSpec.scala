@@ -254,4 +254,5 @@ class PlanSpec extends AnyFunSuite {
     assert(!exec.contains("HashAggregate") && !exec.contains("Join"), exec)
     assert(df.count() > 0)
   }
+
 }

@@ -65,6 +65,37 @@ object SourceFormats {
   def sourceXmlRoundtrip(s: SparkSession, d: String): DataFrame =
     roundtrip(s, d, "xml")
 
+  /** PERMISSIVE-mode malformed-input handling — the contract that
+    * makes a 100 TB ingest survivable: corrupt records land in
+    * `_corrupt_record` instead of failing the job (the engine-level
+    * generalization of the reference's per-event try/except isolation,
+    * reference src/function_app.py:421-423). The fixture corrupts a
+    * DETERMINISTIC subset (every doc_id % 7 == 0 loses its closing
+    * brace), so the oracle can replay the rule: good rows keep their
+    * fields, bad rows surface raw text in the corrupt column, and
+    * nothing is dropped. One scan, one partial+final agg; per-row
+    * parse failure never touches other rows' outcome. */
+  def sourceJsonPermissive(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_src_permissive").toString
+    t(s, d, "documents")
+      .select(concat(
+        lit("{\"doc_id\":"), col("doc_id").cast("string"),
+        lit(",\"lang\":\""), col("lang"),
+        when(col("doc_id") % 7 === 0, lit("")).otherwise(lit("\"}"))
+      ).as("value"))
+      .write.mode("overwrite").text(dir)
+    s.read
+      .schema("doc_id LONG, lang STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        count(col("doc_id")).as("n_parsed"),
+        sum(when(col("_corrupt_record").isNull, col("doc_id"))).as("sum_good_ids"))
+  }
+
   /** Raw-text source (`spark.read.text`): one row per line — the
     * landing format for raw corpus dumps before any schema exists.
     * Round-trips documents.text (no embedded newlines in the fixture)
@@ -85,7 +116,8 @@ object SourceFormats {
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "source_xml_roundtrip" -> (sourceXmlRoundtrip _),
-    "source_text_roundtrip" -> (sourceTextRoundtrip _)
+    "source_text_roundtrip" -> (sourceTextRoundtrip _),
+    "source_json_permissive" -> (sourceJsonPermissive _)
   )
 
   private val oracle =
@@ -100,6 +132,12 @@ object SourceFormats {
     "source_xml_roundtrip" -> oracle,
     "source_text_roundtrip" ->
       """SELECT text, COUNT(*) AS n FROM documents
-        |GROUP BY text ORDER BY text""".stripMargin
+        |GROUP BY text ORDER BY text""".stripMargin,
+    "source_json_permissive" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS n_corrupt,
+        |  COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS n_parsed,
+        |  SUM(doc_id) FILTER (WHERE doc_id % 7 <> 0) AS sum_good_ids
+        |FROM documents""".stripMargin
   )
 }

@@ -39,6 +39,49 @@ object TypedAggs {
         Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
       def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
+
+  /** Misra-Gries heavy-hitters sketch as a typed Aggregator — the
+    * bounded-state frequent-items summary (Misra & Gries '82; merge
+    * rule from Agarwal et al., "Mergeable Summaries", PODS'12).
+    * State is AT MOST `mgCapacity` counters regardless of input size,
+    * and the merge (sum counts, then subtract the (m+1)-th largest and
+    * drop ≤0) preserves the deviation bound n/(m+1) — so partial
+    * sketches combine map-side exactly like any built-in aggregate
+    * and the shuffle moves ≤ m entries per task at any scale.
+    * Guarantee used downstream: every token with true frequency
+    * > n/(m+1) survives in the sketch (its stored count can be
+    * undercounted by at most n/(m+1), hence stays positive).
+    * The immutable-Map buffer is the didactic shape; a production
+    * TypedImperativeAggregate would carry an open-addressing map. */
+  val mgCapacity = 30
+  val misraGries: Aggregator[String, Map[String, Long], Map[String, Long]] =
+    new Aggregator[String, Map[String, Long], Map[String, Long]] {
+      def zero: Map[String, Long] = Map.empty
+      def reduce(b: Map[String, Long], tok: String): Map[String, Long] =
+        b.get(tok) match {
+          case Some(c) => b.updated(tok, c + 1)
+          case None if b.size < mgCapacity => b.updated(tok, 1L)
+          case None => // decrement-all step: at most n/(m+1) times total
+            b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+        }
+      def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+        val combined = y.foldLeft(x) { case (acc, (t, c)) =>
+          acc.updated(t, acc.getOrElse(t, 0L) + c)
+        }
+        if (combined.size <= mgCapacity) combined
+        else {
+          // subtract the (m+1)-th largest count from everything
+          val cut = combined.values.toSeq.sorted(Ordering[Long].reverse)
+            .apply(mgCapacity)
+          combined.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+        }
+      }
+      def finish(r: Map[String, Long]): Map[String, Long] = r
+      def bufferEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      def outputEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
 }
 
 /** Aggregation surface (SURVEY.md §2.2 "Aggregations"). The reference only
@@ -609,7 +652,39 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Heavy hitters via the two-pass sketch-then-verify recipe: pass 1
+    * runs the [[TypedAggs.misraGries]] bounded-state sketch (≤ m
+    * counters per task, mergeable map-side), whose guarantee is that
+    * every token with true frequency > n/(m+1) is in the sketch; pass
+    * 2 exactly counts ONLY the ≤ m candidates (a broadcast semi-join
+    * against the count aggregate) and applies the integer-exact
+    * threshold cnt·(m+1) > n. The result is therefore EXACT — the
+    * sketch bounds the candidate set, never the answer — which is
+    * what makes the query oracle-able and is the standard production
+    * topology (sketch over the stream, verify against the aggregate).
+    * At 100 TB: pass 1 shuffles ≤ m map entries per task, pass 2 is
+    * the ordinary count aggregate it would run anyway. */
+  def aggHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toksDf = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = toksDf.as[String]
+      .select(TypedAggs.misraGries.toColumn.name("mg"))
+    val cand = sketch.select(explode(col("mg")).as(Seq("tok", "mg_lower")))
+      .select(col("tok"))
+    val tot = toksDf.agg(count(lit(1)).as("n_total"))
+    toksDf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(cand), "tok")
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * (TypedAggs.mgCapacity + 1) > col("n_total"))
+      .select(col("tok"), col("cnt"), col("n_total"),
+        round(col("cnt").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_heavy_hitters" -> (aggHeavyHitters _),
     "window_mad_outlier" -> (windowMadOutlier _),
     "agg_gini" -> (aggGini _),
     "agg_entropy" -> (aggEntropy _),
@@ -645,6 +720,19 @@ object Aggregates {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), c AS (
+        |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+        |), t AS (
+        |  SELECT COUNT(*) AS n_total FROM toks
+        |)
+        |SELECT tok, cnt, n_total,
+        |  ROUND(CAST(cnt AS DOUBLE) / n_total, 6) AS share
+        |FROM c CROSS JOIN t
+        |WHERE cnt * 31 > n_total
+        |ORDER BY cnt DESC, tok""".stripMargin,
     "window_mad_outlier" ->
       """WITH ev AS (
         |  SELECT event_id, event_type,

@@ -123,4 +123,49 @@ class AggregateSpec extends AnyFunSuite {
         s"$tpe tie not broken by smallest user")
     }
   }
+
+  test("agg_heavy_hitters: exact result equals the plain HAVING query") {
+    import org.apache.spark.sql.functions._
+    val m = graft.queries.TypedAggs.mgCapacity
+    val toks = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok")).collect()
+      .map(_.getString(0))
+    val n = toks.length.toLong
+    val exact = toks.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      .filter { case (_, c) => c * (m + 1) > n }
+    val got = Aggregates.aggHeavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"got=$got exact=$exact")
+  }
+
+  test("misra-gries guarantee holds on an adversarial skewed stream (vocab >> m)") {
+    import spark.implicits._
+    val m = graft.queries.TypedAggs.mgCapacity
+    // 3 genuinely heavy tokens drowning in 5000 distinct light ones:
+    // heavy freq 3000 each; 5000 singletons + 2000 doubles; n = 18000
+    val heavy = (1 to 3).flatMap(i => Seq.fill(3000)(s"heavy$i"))
+    val light = (1 to 5000).map(i => s"light$i") ++
+      (1 to 2000).flatMap(i => Seq(s"mid$i", s"mid$i"))
+    val data = new scala.util.Random(7).shuffle(heavy ++ light)
+    val n = data.size.toLong
+    val sketch = data.toDS()
+      .repartition(8) // force real partial sketches + merges
+      .select(graft.queries.TypedAggs.misraGries.toColumn.name("mg"))
+      .collect().head
+    // every token with true freq > n/(m+1) must be present
+    val threshold = n.toDouble / (m + 1)
+    (1 to 3).foreach { i =>
+      assert(sketch.contains(s"heavy$i"),
+        s"heavy$i (freq 3000 > $threshold) missing from sketch: $sketch")
+    }
+    // bounded state survived the whole stream
+    assert(sketch.size <= m, s"sketch overflow: ${sketch.size}")
+    // stored counts are valid lower bounds within the deviation bound
+    sketch.foreach { case (t, c) =>
+      val truth = if (t.startsWith("heavy")) 3000L
+        else if (t.startsWith("mid")) 2L else 1L
+      assert(c <= truth, s"$t overcounted: $c > $truth")
+      assert(truth - c <= n / (m + 1) + 1, s"$t undercount beyond bound")
+    }
+  }
 }

@@ -65,6 +65,75 @@ object SourceFormats {
   def sourceXmlRoundtrip(s: SparkSession, d: String): DataFrame =
     roundtrip(s, d, "xml")
 
+  /** Parquet schema evolution — the lakehouse reality that batches
+    * written months apart have different columns: batch A writes
+    * (o_orderkey, o_totalprice), batch B later adds o_orderstatus.
+    * `mergeSchema` unions the file footers at read time; A's rows
+    * surface the added column as null. The oracle replays the union
+    * semantics in SQL. At 100 TB, schema merge is a FOOTER-only
+    * operation (no data read) — its cost scales with file count, not
+    * bytes, which is why a real deployment tracks the merged schema
+    * in a catalog instead of re-merging per read (documented, same
+    * result). */
+  def sourceParquetEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_src_evolve").toString
+    val o = t(s, d, "orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/batch=a")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$dir/batch=b")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(col("batch"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_price"))
+      .orderBy(col("batch"), col("o_orderstatus"))
+  }
+
+  /** Partitioned sink + partition-pruned read — the layout contract
+    * that makes 100 TB tables queryable: `partitionBy(event_type)`
+    * writes one directory per key, and an equality filter on the
+    * partition column prunes to ONE directory at planning time
+    * (PartitionFilters in the scan, zero I/O elsewhere). The oracle
+    * checks the filtered aggregate; PlanSpec-style pruning assertion
+    * lives in the spec. */
+  def sinkPartitionedPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_sink_part").toString
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_value"))
+  }
+
+  /** Non-default CSV dialect (| delimiter, quoted fields, custom
+    * escape): the landing-format reality of enterprise feeds. The
+    * text column forces quoting (it contains spaces — and the
+    * delimiter check rides the same path). Round-trips through write
+    * + schema-pinned read; the oracle checks content equality. */
+  def sourceCsvDialect(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_src_dialect").toString
+    val sub = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    sub.write.mode("overwrite")
+      .option("header", "true").option("delimiter", "|")
+      .option("quote", "\"").option("escape", "\\")
+      .csv(dir)
+    s.read
+      .option("header", "true").option("delimiter", "|")
+      .option("quote", "\"").option("escape", "\\")
+      .schema(sub.schema)
+      .csv(dir)
+      .orderBy(col("doc_id"))
+  }
+
   /** PERMISSIVE-mode malformed-input handling — the contract that
     * makes a 100 TB ingest survivable: corrupt records land in
     * `_corrupt_record` instead of failing the job (the engine-level
@@ -117,7 +186,10 @@ object SourceFormats {
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "source_xml_roundtrip" -> (sourceXmlRoundtrip _),
     "source_text_roundtrip" -> (sourceTextRoundtrip _),
-    "source_json_permissive" -> (sourceJsonPermissive _)
+    "source_json_permissive" -> (sourceJsonPermissive _),
+    "source_parquet_evolution" -> (sourceParquetEvolution _),
+    "sink_partitioned_prune" -> (sinkPartitionedPrune _),
+    "source_csv_dialect" -> (sourceCsvDialect _)
   )
 
   private val oracle =
@@ -138,6 +210,29 @@ object SourceFormats {
         |  COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS n_corrupt,
         |  COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS n_parsed,
         |  SUM(doc_id) FILTER (WHERE doc_id % 7 <> 0) AS sum_good_ids
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "source_parquet_evolution" ->
+      """SELECT batch, o_orderstatus, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |       AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT 'a' AS batch, o_orderkey, o_totalprice,
+        |         CAST(NULL AS VARCHAR) AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'b', o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |)
+        |GROUP BY batch, o_orderstatus
+        |ORDER BY batch, o_orderstatus""".stripMargin,
+    "sink_partitioned_prune" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY event_type""".stripMargin,
+    "source_csv_dialect" ->
+      """SELECT doc_id, lang, text FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

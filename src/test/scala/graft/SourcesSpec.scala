@@ -47,4 +47,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(!batch.isStreaming && stream.isStreaming)
     assert(batch.count() == 1)
   }
+
+  test("sink_partitioned_prune scans only the filtered partition directory") {
+    val df = graft.queries.SourceFormats
+      .sinkPartitionedPrune(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // planning-time pruning: the equality predicate must land in
+    // PartitionFilters (directory pruning), not PushedFilters (row
+    // groups) — and the data filter list must not re-check it
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("event_type"), pf)
+    assert(df.collect().length == 1)
+  }
 }

@@ -246,7 +246,29 @@ object Curation {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Soft deduplication — instead of dropping duplicate documents,
+    * downweight them so each CONTENT (not each copy) contributes one
+    * unit of training mass: weight = 1/|cluster| over exact-content
+    * clusters (md5 of text). The "weighted training" alternative to
+    * hard dedup that recent data-curation work prefers for
+    * near-boundary cases. Weight is emitted as an exact decimal
+    * (1/n at scale 8, HALF_UP in both engines) so the oracle matches
+    * bit-for-bit. One hash aggregate on the 16-byte digest + a
+    * broadcast-back join: the text itself never shuffles. */
+  def sampleDownweightDuplicates(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    val sizes = docs.groupBy(col("text_md5"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs.join(broadcast(sizes), "text_md5")
+      .select(col("doc_id"), col("text_md5"), col("n_copies"),
+        (lit(1).cast("decimal(18,8)") / col("n_copies"))
+          .cast("decimal(18,8)").cast("double").as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_downweight_duplicates" -> (sampleDownweightDuplicates _),
     "pack_sequences" -> (packSequences _),
     "sample_domain_mix" -> (sampleDomainMix _),
     "split_train_holdout" -> (splitTrainHoldout _),
@@ -258,6 +280,16 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_downweight_duplicates" ->
+      """WITH sizes AS (
+        |  SELECT md5(text) AS text_md5, COUNT(*) AS n_copies
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT doc_id, md5(text) AS text_md5, n_copies,
+        |  CAST(CAST(CAST(1 AS DECIMAL(18,8)) / n_copies
+        |       AS DECIMAL(18,8)) AS DOUBLE) AS weight
+        |FROM documents JOIN sizes ON md5(text) = text_md5
+        |ORDER BY doc_id""".stripMargin,
     "sample_domain_mix" ->
       """WITH src AS (
         |  SELECT source,

@@ -239,7 +239,52 @@ object Joins {
       .orderBy(col("s_name"))
   }
 
+  /** Interval-overlap join at scale — the ad-attribution/session-
+    * overlap shape: two interval relations (30-day order activity
+    * windows of even- vs odd-keyed orders, blocked by nation) joined
+    * on `a.start < b.end AND b.start < a.end`. Executed as the
+    * standard BANDED recipe, not a nested loop: each interval explodes
+    * into its covering coarse buckets (granularity = max interval
+    * length, so ≤ 2 buckets per interval), candidates come from an
+    * EQUI join on (block, bucket), the exact overlap predicate then
+    * filters, and `distinct` collapses the ≤ 2-bucket double-counts.
+    * Work is Σ per-(block,bucket) cell products — local densities,
+    * never |A|×|B| — and every operator is a hash shuffle on narrow
+    * keys. The DuckDB oracle runs the plain theta join; both count
+    * distinct overlapping pairs per nation. */
+  def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val us30d = 30L * 86400 * 1000000L
+    val oc = t(s, d, "orders")
+      .join(t(s, d, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("k"), col("c_nationkey").as("nk"),
+        // o_orderdate is TIMESTAMP_NTZ; session is pinned UTC, so the
+        // cast is value-preserving
+        unix_micros(col("o_orderdate").cast("timestamp")).as("st"))
+      .withColumn("en", col("st") + lit(us30d)) // [st, en)
+    def withBuckets(df: DataFrame): DataFrame =
+      df.withColumn("b",
+        explode(sequence(floor(col("st") / us30d),
+          floor((col("en") - 1) / us30d))))
+    val a = withBuckets(oc.filter(col("k") % 2 === 0))
+      .select(col("nk"), col("b"), col("k").as("a_key"),
+        col("st").as("a_st"), col("en").as("a_en"))
+    val b = withBuckets(oc.filter(col("k") % 2 === 1))
+      .select(col("nk"), col("b"), col("k").as("b_key"),
+        col("st").as("b_st"), col("en").as("b_en"))
+    a.join(b, Seq("nk", "b"))
+      .filter(col("a_st") < col("b_en") && col("b_st") < col("a_en"))
+      .select(col("nk"), col("a_key"), col("b_key"))
+      .distinct()
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        countDistinct(col("a_key")).as("n_a"),
+        countDistinct(col("b_key")).as("n_b"))
+      .orderBy(col("nk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval_overlap" -> (joinIntervalOverlap _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_inner_equi" -> (joinInnerEqui _),
     "join_left_outer" -> (joinLeftOuter _),
@@ -258,6 +303,23 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_interval_overlap" ->
+      """WITH oc AS (
+        |  SELECT o_orderkey AS k, c_nationkey AS nk,
+        |    epoch_us(o_orderdate) AS st,
+        |    epoch_us(o_orderdate) + 2592000000000 AS en
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |), a AS (SELECT * FROM oc WHERE k % 2 = 0),
+        |b AS (SELECT * FROM oc WHERE k % 2 = 1),
+        |pairs AS (
+        |  SELECT a.nk, a.k AS a_key, b.k AS b_key
+        |  FROM a JOIN b ON a.nk = b.nk
+        |   AND a.st < b.en AND b.st < a.en
+        |)
+        |SELECT nk, COUNT(*) AS n_overlaps,
+        |  COUNT(DISTINCT a_key) AS n_a,
+        |  COUNT(DISTINCT b_key) AS n_b
+        |FROM pairs GROUP BY nk ORDER BY nk""".stripMargin,
     "join_skew_salted" ->
       """SELECT s_name,
         |  CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount))

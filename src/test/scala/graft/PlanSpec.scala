@@ -255,4 +255,34 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("join_interval_overlap: banded recipe equals naive theta join, no BNLJ") {
+    import org.apache.spark.sql.functions._
+    val banded = graft.queries.Joins.joinIntervalOverlap(spark, sf)
+    // plan: candidates must come from an equi join on (block, bucket)
+    val p = banded.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // naive reference: plain theta join on the same interval relations
+    val us30d = 30L * 86400 * 1000000L
+    val oc = Tables.t(spark, sf, "orders")
+      .join(Tables.t(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey").as("k"), col("c_nationkey").as("nk"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("st"))
+      .withColumn("en", col("st") + lit(us30d))
+    val a = oc.filter(col("k") % 2 === 0)
+      .select(col("nk"), col("k").as("a_key"), col("st").as("a_st"),
+        col("en").as("a_en"))
+    val b = oc.filter(col("k") % 2 === 1)
+      .select(col("nk").as("b_nk"), col("k").as("b_key"),
+        col("st").as("b_st"), col("en").as("b_en"))
+    val naive = a.join(b, col("nk") === col("b_nk") &&
+        col("a_st") < col("b_en") && col("b_st") < col("a_en"))
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = graft.queries.Joins.joinIntervalOverlap(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == naive, s"banded=$got naive=$naive")
+  }
 }

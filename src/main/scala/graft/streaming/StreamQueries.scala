@@ -382,7 +382,74 @@ object StreamQueries {
     runToMemory(joined, "append").orderBy(col("p_id"), col("c_id"))
   }
 
+  /** foreachBatch CDC upsert sink — the streaming-lakehouse merge
+    * topology: each micro-batch merges into a keyed state table with
+    * latest-wins semantics (max (ts, event_id) per user). State is
+    * VERSIONED parquet (v0, v1, …): batch N reads v(N−1), merges,
+    * writes vN — the overwrite-while-reading hazard a naive in-place
+    * sink hits is designed out, which is exactly what table formats'
+    * snapshot isolation does at production scale. Latest-wins is
+    * associative, so per-batch folding equals the global answer — the
+    * DuckDB oracle replays it as one window over all events. The
+    * merge itself plans a WindowGroupLimit (per-key winner drops
+    * superseded rows map-side), and state carries |keys| rows, not
+    * history. Four ordered micro-batches via maxFilesPerTrigger=1. */
+  def streamUpsertSink(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ss = streamSession(s)
+    val dir = tempDir("graft_stream_upsert")
+    val tmp = tempDir("graft_upsert_parts")
+    graft.Tables.t(ss, d, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .withColumn("bucket", (col("event_id") % 4).cast("int"))
+      .repartition(4, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+    (0 to 3).foreach { b =>
+      val part = Files.list(tmp.resolve(s"bucket=$b")).toArray
+        .map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = dir.resolve(f"$b%04d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + b * 60000L)
+    }
+    val stateRoot = tempDir("graft_upsert_state")
+    val version = new java.util.concurrent.atomic.AtomicInteger(-1)
+    val sdf = ss.readStream
+      .schema(StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    val q = sdf.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", tempDir("graft_upsert_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spk = batch.sparkSession
+        val prev = version.get()
+        val merged =
+          if (prev < 0) batch
+          else spk.read.parquet(s"$stateRoot/v$prev").unionByName(batch)
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        merged
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .write.mode("overwrite").parquet(s"$stateRoot/v${prev + 1}")
+        version.set(prev + 1)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$stateRoot/v${version.get()}")
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_join_stream" -> (streamJoinStream _),
     "stream_join_static" -> (streamJoinStatic _),
     "stream_tumbling_window" -> (streamTumblingWindow _),
@@ -396,6 +463,15 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_upsert_sink" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_type, ROUND(value, 2) AS last_value
+        |FROM u WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // predicates compare at MICROsecond resolution (epoch_us floors the
     // nanos) because the engine's event-time is micros — nano-resolution
     // comparison would flip same-microsecond boundary pairs

@@ -188,6 +188,33 @@ object Similarity {
           ",").as("q"))
       .orderBy(col("vec_id"))
 
+  /** Johnson-Lindenstrauss random projection to 8 dimensions with a
+    * HASH-DERIVED ±1 matrix: sign(i,j) = parity of the first hex digit
+    * of md5("i_j"), so the matrix needs no storage, no seed exchange,
+    * and reproduces identically in any engine — the practical JL
+    * deployment trick (feature hashing lineage). Output values are
+    * exact BIGINT micro-units: each element is rounded to 1e-6 first
+    * and the fold sums integers, so the result is order-independent
+    * and bit-exact cross-engine (a double fold would depend on
+    * reduction order). One narrow map inside the scan stage; 8×dim
+    * multiply-adds per row; the projected table is what LSH/IVF index
+    * builds consume at 1/8th the bandwidth. */
+  def embeddingRandomProjection(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        posexplode(expr(
+          """transform(sequence(0, 7), j ->
+            |  aggregate(sequence(0, size(embedding) - 1), 0L,
+            |    (acc, i) -> acc +
+            |      (CASE WHEN instr('13579bdf',
+            |         substring(md5(concat(cast(i as string), '_',
+            |                              cast(j as string))), 1, 1)) > 0
+            |       THEN -1L ELSE 1L END) *
+            |      cast(round(element_at(cast(embedding as array<double>),
+            |                            i + 1) * 1000000d) as bigint)))"""
+            .stripMargin)).as(Seq("j", "proj_micro")))
+      .orderBy(col("vec_id"), col("j"))
+
   /** Range search: every vector within cosine >= 0.2 of the probe
     * (vec_id=0) — the radius-query complement of top-k. Same scale shape
     * as [[simSearchTopk]]: broadcast the single probe row, one narrow
@@ -492,6 +519,7 @@ object Similarity {
     "embedding_standardize" -> (embeddingStandardize _),
     "embedding_covariance" -> (embeddingCovariance _),
     "embedding_pca_project" -> (embeddingPcaProject _),
+    "embedding_random_projection" -> (embeddingRandomProjection _),
     "sim_search_topk" -> (simSearchTopk _),
     "sim_search_mips" -> (simSearchMips _),
     "sim_search_ivf" -> (simSearchIvf _),
@@ -500,6 +528,17 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "embedding_random_projection" ->
+      """SELECT vec_id, j,
+        |  list_sum(list_transform(range(1, len(emb) + 1), i ->
+        |    (CASE WHEN strpos('13579bdf',
+        |        substr(md5((i - 1) || '_' || j), 1, 1)) > 0
+        |     THEN -1 ELSE 1 END) *
+        |    CAST(ROUND(emb[i] * 1000000) AS BIGINT))) AS proj_micro
+        |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |      FROM embeddings),
+        |  LATERAL unnest(range(0, 8)) AS u(j)
+        |ORDER BY vec_id, j""".stripMargin,
     "sim_knn_join" ->
       """WITH pairs AS (
         |  SELECT a.vec_id, b.vec_id AS nn_id,

@@ -344,7 +344,56 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Char-trigram language identification, self-trained: per-language
+    * trigram profiles (top-50 character 3-grams by corpus frequency,
+    * deterministic (count desc, trigram asc) tiebreak) are built from
+    * the labeled corpus, then every document is classified by profile
+    * overlap — |doc's distinct trigrams ∩ lang profile| — argmax with
+    * lang-asc tiebreak. Output is the confusion matrix. This is the
+    * real n-gram langid shape (fastText/CLD-style features); logic is
+    * ALL-INTEGER so the oracle matches exactly.
+    *
+    * Scale shape: profiles are bounded (50 × |langs|) and broadcast;
+    * the corpus is scanned twice (train, classify) with the trigram
+    * explode inside each scan stage; no corpus-sized shuffle except
+    * the (doc × candidate-lang) overlap aggregate, whose keys are
+    * |docs|·|langs|. The per-element substring lambda is O(1) per
+    * char (unlike a split() capture — see dedup_containment note). */
+  def textCharLangId(s: SparkSession, d: String): DataFrame = {
+    val trigramsExpr = expr(
+      """CASE WHEN length(text) >= 3 THEN
+        |  transform(sequence(1, length(text) - 2),
+        |            i -> substring(text, i, 3))
+        |ELSE array() END""".stripMargin)
+    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+      trigramsExpr.as("tg"))
+    val occurrences = docs.select(col("lang"), explode(col("tg")).as("g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("g").asc)
+    val profile = occurrences.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 50)
+      .select(col("lang").as("profile_lang"), col("g"))
+    val docTg = docs
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(col("tg"))).as("g"))
+    val overlap = docTg.join(broadcast(profile), "g")
+      .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
+      .agg(count(lit(1)).as("overlap"))
+    val byOverlap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("overlap").desc, col("profile_lang").asc)
+    overlap
+      .withColumn("rn", row_number().over(byOverlap))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("profile_lang").as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_char_lang_id" -> (textCharLangId _),
     "text_compression_ratio" -> (textCompressionRatio _),
     "text_edit_distance" -> (textEditDistance _),
     "text_stats" -> (textStats _),
@@ -364,6 +413,35 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_char_lang_id" ->
+      """WITH tg AS (
+        |  SELECT doc_id, lang, substr(text, i, 3) AS g
+        |  FROM documents,
+        |    LATERAL unnest(range(1, length(text) - 1)) AS u(i)
+        |  WHERE length(text) >= 3
+        |), prof AS (
+        |  SELECT lang AS profile_lang, g FROM (
+        |    SELECT lang, g, COUNT(*) AS n,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY COUNT(*) DESC, g ASC) AS rnk
+        |    FROM tg GROUP BY lang, g
+        |  ) WHERE rnk <= 50
+        |), doc_tg AS (
+        |  SELECT DISTINCT doc_id, lang, g FROM tg
+        |), overlap AS (
+        |  SELECT doc_id, lang, profile_lang, COUNT(*) AS overlap
+        |  FROM doc_tg JOIN prof USING (g)
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT doc_id, lang, profile_lang,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY overlap DESC, profile_lang ASC) AS rn
+        |  FROM overlap
+        |)
+        |SELECT lang, profile_lang AS lang_pred, COUNT(*) AS n_docs
+        |FROM best WHERE rn = 1
+        |GROUP BY lang, profile_lang
+        |ORDER BY lang, lang_pred""".stripMargin,
     "text_edit_distance" ->
       """SELECT doc_id, source,
         |  'src' || CAST(doc_id % 20 AS VARCHAR) AS guess,

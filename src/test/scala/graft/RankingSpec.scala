@@ -119,4 +119,47 @@ class RankingSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
   }
+
+  test("text_char_lang_id: confusion rows cover every doc exactly once") {
+    val langCounts = Tables.t(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val confusion = graft.llm.TextStats.textCharLangId(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // every document classified exactly once: row sums match lang counts
+    val rowSums = confusion.groupBy(_._1)
+      .map { case (l, xs) => l -> xs.map(_._3).sum }
+    assert(rowSums == langCounts, s"$rowSums vs $langCounts")
+    // predictions only ever name known languages
+    assert(confusion.map(_._2).toSet.subsetOf(langCounts.keySet))
+    // deterministic across evaluations
+    val again = graft.llm.TextStats.textCharLangId(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == confusion.toSeq)
+  }
+
+  test("embedding_random_projection: matches a JVM-side md5 replay") {
+    import java.security.MessageDigest
+    def sign(i: Int, j: Int): Long = {
+      val md = MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("13579bdf".contains(hex.head)) -1L else 1L
+    }
+    val embs = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = graft.llm.Similarity
+      .embeddingRandomProjection(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.size == embs.size * 8)
+    // exact integer replay for every vector and output dim
+    embs.foreach { case (id, e) =>
+      (0 until 8).foreach { j =>
+        val expect = e.indices.map(i =>
+          sign(i, j) * math.round(e(i).toDouble * 1000000d)).sum
+        assert(got((id, j)) == expect, s"vec $id dim $j")
+      }
+    }
+  }
 }

@@ -360,24 +360,35 @@ object TextStats {
     * |docs|·|langs|. The per-element substring lambda is O(1) per
     * char (unlike a split() capture — see dedup_containment note). */
   def textCharLangId(s: SparkSession, d: String): DataFrame = {
-    val trigramsExpr = expr(
-      """CASE WHEN length(text) >= 3 THEN
-        |  transform(sequence(1, length(text) - 2),
-        |            i -> substring(text, i, 3))
-        |ELSE array() END""".stripMargin)
-    val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
-      trigramsExpr.as("tg"))
-    val occurrences = docs.select(col("lang"), explode(col("tg")).as("g"))
+    // Trigrams are extracted RELATIONALLY (posexplode chars + two
+    // lead() windows), not with substring(text, i, 3) in a transform
+    // lambda: UTF8String seeks to a char index in O(n), making the
+    // lambda O(n²) per document — and the explode-inferred filter
+    // inlines the whole expression a second time (the
+    // dedup_containment pitfall). The window route is one codegen'd
+    // pass (measured 7.1 s → ~2 s at sf0.1).
+    def trigrams: DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), "")).as(Seq("pos", "c")))
+        .withColumn("c1", lead(col("c"), 1).over(w))
+        .withColumn("c2", lead(col("c"), 2).over(w))
+        .filter(col("c2").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          concat(col("c"), col("c1"), col("c2")).as("g"))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("n").desc, col("g").asc)
-    val profile = occurrences.groupBy(col("lang"), col("g"))
+    val profile = trigrams.groupBy(col("lang"), col("g"))
       .agg(count(lit(1)).as("n"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 50)
       .select(col("lang").as("profile_lang"), col("g"))
-    val docTg = docs
-      .select(col("doc_id"), col("lang"),
-        explode(array_distinct(col("tg"))).as("g"))
+    val docTg = trigrams
+      .select(col("doc_id"), col("lang"), col("g"))
+      .distinct()
     val overlap = docTg.join(broadcast(profile), "g")
       .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
       .agg(count(lit(1)).as("overlap"))

@@ -61,6 +61,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DeflateLength].getName,
         "deflate_length"),
       (exprs: Seq[Expression]) => graft.functions.DeflateLength(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_misra_gries"),
+      new ExpressionInfo(classOf[graft.functions.MisraGriesAgg].getName,
+        "graft_misra_gries"),
+      (exprs: Seq[Expression]) => graft.functions.MisraGriesAgg(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression()))
     // collapse the composed decode chain into the fused expression
     ext.injectOptimizerRule(_ => graft.plans.FuseDecodeChain)
   }

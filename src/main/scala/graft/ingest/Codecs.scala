@@ -37,6 +37,11 @@ object Codecs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deflate_length",
       exprs => graft.functions.DeflateLength(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_misra_gries",
+      exprs => graft.functions.MisraGriesAgg(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression(),
+      "built-in")
     // decode-chain fusion (see graft.plans.FuseDecodeChain); idempotent
     if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseDecodeChain))
       spark.experimental.extraOptimizations =

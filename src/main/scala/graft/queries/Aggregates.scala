@@ -683,7 +683,35 @@ object Aggregates {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Same two-pass heavy-hitters topology as [[aggHeavyHitters]], but
+    * the sketch pass runs the NATIVE `TypedImperativeAggregate`
+    * ([[graft.functions.MisraGriesAgg]], SQL `graft_misra_gries`):
+    * mutable open-hash buffer updated in place, compact byte-stream
+    * partials, PODS'12 merge. The exact verify pass makes the answer
+    * identical to the Aggregator route — both gate-checked against
+    * the same oracle. */
+  def aggHeavyHittersNative(s: SparkSession, d: String): DataFrame = {
+    graft.ingest.Codecs.register(s)
+    val toksDf = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cand = toksDf
+      .select(expr(s"graft_misra_gries(tok, ${TypedAggs.mgCapacity})")
+        .as("mg"))
+      .select(explode(col("mg")).as(Seq("tok", "mg_lower")))
+      .select(col("tok"))
+    val tot = toksDf.agg(count(lit(1)).as("n_total"))
+    toksDf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(cand), "tok")
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * (TypedAggs.mgCapacity + 1) > col("n_total"))
+      .select(col("tok"), col("cnt"), col("n_total"),
+        round(col("cnt").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_heavy_hitters_native" -> (aggHeavyHittersNative _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
     "window_mad_outlier" -> (windowMadOutlier _),
     "agg_gini" -> (aggGini _),
@@ -719,7 +747,22 @@ object Aggregates {
     "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
   )
 
+  private val heavyHittersOracle =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      |), c AS (
+      |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1
+      |), t AS (
+      |  SELECT COUNT(*) AS n_total FROM toks
+      |)
+      |SELECT tok, cnt, n_total,
+      |  ROUND(CAST(cnt AS DOUBLE) / n_total, 6) AS share
+      |FROM c CROSS JOIN t
+      |WHERE cnt * 31 > n_total
+      |ORDER BY cnt DESC, tok""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "agg_heavy_hitters_native" -> heavyHittersOracle,
     "agg_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents

@@ -138,6 +138,36 @@ class AggregateSpec extends AnyFunSuite {
     assert(got == exact, s"got=$got exact=$exact")
   }
 
+  test("native graft_misra_gries agrees with the typed Aggregator sketch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.ingest.Codecs.register(spark)
+    val m = graft.queries.TypedAggs.mgCapacity
+    // same adversarial stream as below: 3 heavy among 7000 distinct
+    val heavy = (1 to 3).flatMap(i => Seq.fill(3000)(s"heavy$i"))
+    val light = (1 to 5000).map(i => s"light$i") ++
+      (1 to 2000).flatMap(i => Seq(s"mid$i", s"mid$i"))
+    val data = new scala.util.Random(7).shuffle(heavy ++ light)
+    val n = data.size.toLong
+    val df = data.toDF("tok").repartition(8)
+    df.createOrReplaceTempView("mg_input")
+    val native = spark.sql(
+      s"SELECT graft_misra_gries(tok, $m) AS mg FROM mg_input")
+      .collect().head.getMap[String, Long](0)
+    // the plan must be a partial+final imperative aggregate, i.e. the
+    // sketch merges map-side like any built-in
+    val p = spark.sql(s"SELECT graft_misra_gries(tok, $m) FROM mg_input")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_graft_misra_gries") ||
+      "ObjectHashAggregate|SortAggregate".r.findFirstIn(p).isDefined, p)
+    assert(native.size <= m)
+    (1 to 3).foreach { i =>
+      assert(native.contains(s"heavy$i"), s"heavy$i missing: $native")
+      val c = native(s"heavy$i")
+      assert(c <= 3000L && 3000L - c <= n / (m + 1) + 1, s"heavy$i count $c")
+    }
+  }
+
   test("misra-gries guarantee holds on an adversarial skewed stream (vocab >> m)") {
     import spark.implicits._
     val m = graft.queries.TypedAggs.mgCapacity

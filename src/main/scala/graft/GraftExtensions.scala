@@ -62,6 +62,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "deflate_length"),
       (exprs: Seq[Expression]) => graft.functions.DeflateLength(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.CharNGrams].getName,
+        "char_ngrams"),
+      (exprs: Seq[Expression]) => graft.functions.CharNGrams(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("token_ngrams"),
+      new ExpressionInfo(classOf[graft.functions.TokenNGrams].getName,
+        "token_ngrams"),
+      (exprs: Seq[Expression]) => graft.functions.TokenNGrams(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("graft_misra_gries"),
       new ExpressionInfo(classOf[graft.functions.MisraGriesAgg].getName,
         "graft_misra_gries"),

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom table-generating functions (Catalyst `Generator`s) for
+  * n-gram extraction — the UDTF extension recipe, and a SHUFFLE
+  * ELIMINATION: the previous relational route (posexplode single
+  * units + lead() windows + concat) costs a full corpus exchange on
+  * doc_id for the window sort; a generator emits the n-grams directly
+  * inside the scan stage in one O(len) pass per row. (The
+  * transform-lambda route it also replaces is worse still: per-element
+  * `substring` seeks are O(len) each — O(len²)/row — and the
+  * explode-inferred filter inlines the lambda twice; see PERF.md.)
+  *
+  * Both generators decode the UTF8String once and slide over the
+  * decoded form — no quadratic seeks. `CharNGrams` slides over UTF-16
+  * code units (identical to code points for BMP text; supplementary-
+  * plane chars would need a codePoint walk — noted, not required by
+  * the corpus).
+  */
+abstract class NGramsBase extends Expression with Generator
+    with CodegenFallback {
+  // extends Expression directly (the Stack-generator shape):
+  // UnaryExpression's concrete eval(Any) cannot linearize with
+  // Generator's narrowed eval(IterableOnce)
+  def child: Expression
+  override def children: Seq[Expression] = Seq(child)
+  override def elementSchema: StructType =
+    StructType(StructField("gram", StringType, nullable = false) :: Nil)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input")
+  }
+}
+
+/** char_ngrams(text, n): one row per overlapping character n-gram. */
+case class CharNGrams(child: Expression, n: Int) extends NGramsBase {
+  require(n >= 1, "n must be positive")
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.length < n) Iterator.empty
+    else (0 to s.length - n).iterator
+      .map(i => InternalRow(UTF8String.fromString(s.substring(i, i + n))))
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CharNGrams =
+    copy(child = newChildren.head)
+  override def prettyName: String = "char_ngrams"
+}
+
+/** token_ngrams(text, n): one row per overlapping whitespace-token
+  * n-gram (shingle), tokens re-joined with a single space. */
+case class TokenNGrams(child: Expression, n: Int) extends NGramsBase {
+  require(n >= 1, "n must be positive")
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val toks = v.asInstanceOf[UTF8String].toString.split(' ')
+    if (toks.length < n) Iterator.empty
+    else (0 to toks.length - n).iterator.map { i =>
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      InternalRow(UTF8String.fromString(sb.toString))
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TokenNGrams =
+    copy(child = newChildren.head)
+  override def prettyName: String = "token_ngrams"
+}

@@ -38,6 +38,14 @@ object Codecs {
       "deflate_length",
       exprs => graft.functions.DeflateLength(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams",
+      exprs => graft.functions.CharNGrams(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_ngrams",
+      exprs => graft.functions.TokenNGrams(exprs(0),
+        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_misra_gries",
       exprs => graft.functions.MisraGriesAgg(exprs(0),
         exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression(),

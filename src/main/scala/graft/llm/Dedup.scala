@@ -539,25 +539,23 @@ object Dedup {
     * — a within-corpus shingle collision needs ~2⁶⁵ distinct shingles
     * before it is likely. */
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Shingles are built RELATIONALLY (posexplode + two lead()s over
-    // one doc_id window), not with a transform() lambda over the token
-    // array: Catalyst infers a size()>0 filter from the explode and
-    // pushes it through the projection, inlining split(text) INSIDE
-    // the lambda — the per-element re-evaluation pitfall documented at
-    // textNgramFreq, here duplicated on both sides of the self-join
-    // (measured 26 s → 4 s at sf0.1). The window route is one narrow
-    // codegen'd pass per side and carries no arrays at all.
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    def postings: DataFrame = t(s, d, "documents")
-      .select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("h"))
-      .distinct()
+    // Shingles come from the custom [[graft.functions.TokenNGrams]]
+    // Generator: one O(len) pass per row inside the scan stage.
+    // (History: a transform() lambda hits the explode-inferred-filter
+    // inlining — split(text) re-evaluated PER ELEMENT on both join
+    // sides, 26 s at sf0.1; the posexplode+lead()-window rewrite got
+    // to ~4 s but still shuffled the full token stream for the window
+    // sort. The generator keeps extraction shuffle-free; only the
+    // per-doc distinct exchanges.)
+    def postings: DataFrame = {
+      import org.apache.spark.sql.GraftBridge
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          GraftBridge.column(graft.functions.TokenNGrams(
+            GraftBridge.expression(col("text")), 3)).as("g"))
+        .select(col("doc_id"), xxhash64(col("g")).as("h"))
+        .distinct()
+    }
     val n = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val posts = postings.join(n, "doc_id")
     posts.as("a")

@@ -360,24 +360,20 @@ object TextStats {
     * |docs|·|langs|. The per-element substring lambda is O(1) per
     * char (unlike a split() capture — see dedup_containment note). */
   def textCharLangId(s: SparkSession, d: String): DataFrame = {
-    // Trigrams are extracted RELATIONALLY (posexplode chars + two
-    // lead() windows), not with substring(text, i, 3) in a transform
-    // lambda: UTF8String seeks to a char index in O(n), making the
-    // lambda O(n²) per document — and the explode-inferred filter
-    // inlines the whole expression a second time (the
-    // dedup_containment pitfall). The window route is one codegen'd
-    // pass (measured 7.1 s → ~2 s at sf0.1).
+    // Trigrams come from the custom [[graft.functions.CharNGrams]]
+    // Generator: one O(len) pass per row INSIDE the scan stage — no
+    // shuffle at all. (History: a substring-in-transform lambda is
+    // O(len²)/row via UTF8String seeks + explode-inferred filter
+    // inlining; the posexplode+lead()-window rewrite fixed that but
+    // still paid a full corpus exchange for the window sort. The
+    // generator removes that exchange: 7.1 s → 2.3 s → 1.4 s warm at
+    // sf0.1.)
     def trigrams: DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      import org.apache.spark.sql.GraftBridge
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          posexplode(split(col("text"), "")).as(Seq("pos", "c")))
-        .withColumn("c1", lead(col("c"), 1).over(w))
-        .withColumn("c2", lead(col("c"), 2).over(w))
-        .filter(col("c2").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          concat(col("c"), col("c1"), col("c2")).as("g"))
+          GraftBridge.column(graft.functions.CharNGrams(
+            GraftBridge.expression(col("text")), 3)).as("g"))
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("n").desc, col("g").asc)

@@ -253,14 +253,18 @@ object Curation {
     * hard dedup that recent data-curation work prefers for
     * near-boundary cases. Weight is emitted as an exact decimal
     * (1/n at scale 8, HALF_UP in both engines) so the oracle matches
-    * bit-for-bit. One hash aggregate on the 16-byte digest + a
-    * broadcast-back join: the text itself never shuffles. */
+    * bit-for-bit. One hash aggregate on the 16-byte digest + an
+    * equi join back on the same digest key: the text itself never
+    * shuffles, and the sizes table is CORPUS-cardinality (one row per
+    * distinct content) so it must NOT be broadcast — the shuffle join
+    * co-partitions both sides on the digest, and AQE may still pick
+    * broadcast at small actual sizes. */
   def sampleDownweightDuplicates(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
     val sizes = docs.groupBy(col("text_md5"))
       .agg(count(lit(1)).as("n_copies"))
-    docs.join(broadcast(sizes), "text_md5")
+    docs.join(sizes, "text_md5")
       .select(col("doc_id"), col("text_md5"), col("n_copies"),
         (lit(1).cast("decimal(18,8)") / col("n_copies"))
           .cast("decimal(18,8)").cast("double").as("weight"))

@@ -134,6 +134,33 @@ object SourceFormats {
       .orderBy(col("doc_id"))
   }
 
+  /** Binary-file source (`format("binaryFile")`) — how a multimodal
+    * corpus lands in Spark: one row per file with (path, mtime,
+    * length, content BINARY), the input relation for the
+    * `graft.llm.Multimodal` column pipeline. Fixture stages one blob
+    * per document (bounded driver loop, fixture-staging only); the
+    * query reads them back and fingerprints content. At 100 TB the
+    * same reader runs with `pathGlobFilter`/`recursiveFileLookup`
+    * over object storage, one task per file — binary payloads are
+    * never split, so file sizing (≤ a few hundred MB) is the
+    * parallelism knob. */
+  def sourceBinaryFiles(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_src_binary")
+    t(s, d, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        Files.write(dir.resolve(f"doc${r.getLong(0)}%04d.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+    s.read.format("binaryFile").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "doc(\\d+)\\.bin", 1)
+          .cast("long").as("doc_id"),
+        col("length"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PERMISSIVE-mode malformed-input handling — the contract that
     * makes a 100 TB ingest survivable: corrupt records land in
     * `_corrupt_record` instead of failing the job (the engine-level
@@ -187,6 +214,7 @@ object SourceFormats {
     "source_xml_roundtrip" -> (sourceXmlRoundtrip _),
     "source_text_roundtrip" -> (sourceTextRoundtrip _),
     "source_json_permissive" -> (sourceJsonPermissive _),
+    "source_binary_files" -> (sourceBinaryFiles _),
     "source_parquet_evolution" -> (sourceParquetEvolution _),
     "sink_partitioned_prune" -> (sinkPartitionedPrune _),
     "source_csv_dialect" -> (sourceCsvDialect _)
@@ -211,6 +239,11 @@ object SourceFormats {
         |  COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS n_parsed,
         |  SUM(doc_id) FILTER (WHERE doc_id % 7 <> 0) AS sum_good_ids
         |FROM documents""".stripMargin,
+    "source_binary_files" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS length,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
     "source_parquet_evolution" ->
       """SELECT batch, o_orderstatus, COUNT(*) AS n,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)

@@ -747,7 +747,7 @@ object Aggregates {
     "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
   )
 
-  private val heavyHittersOracle =
+  private[graft] val heavyHittersOracle =
     """WITH toks AS (
       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
       |), c AS (

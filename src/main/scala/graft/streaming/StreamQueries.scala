@@ -448,7 +448,63 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Heavy hitters over a STREAM: the [[graft.functions.MisraGriesAgg]]
+    * sketch runs inside streaming aggregation state — its serialized
+    * buffer is exactly what the state store holds between
+    * micro-batches, and its merge is the state update. Four ordered
+    * micro-batches of documents feed a global sketch (complete mode);
+    * the candidate set then gets the exact batch verify pass, so the
+    * final answer is EXACT and shares `agg_heavy_hitters`' oracle —
+    * regardless of how batch boundaries shifted the sketch's internal
+    * (under)counts. The streaming sketch state is ≤ m entries; the
+    * verify side is the count aggregate the pipeline runs anyway. */
+  def streamHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val ss = streamSession(s)
+    graft.ingest.Codecs.register(ss)
+    val m = graft.queries.TypedAggs.mgCapacity
+    // stage documents into 4 ordered arrival files
+    val dir = tempDir("graft_stream_hh")
+    val tmp = tempDir("graft_hh_parts")
+    graft.Tables.t(ss, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("bucket", (col("doc_id") % 4).cast("int"))
+      .repartition(4, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+    (0 to 3).foreach { b =>
+      val part = Files.list(tmp.resolve(s"bucket=$b")).toArray
+        .map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = dir.resolve(f"$b%04d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + b * 60000L)
+    }
+    val sketchStream = ss.readStream
+      .schema(StructType.fromDDL("doc_id BIGINT, text STRING"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(expr(s"graft_misra_gries(tok, $m)").as("mg"))
+    val cand = runToMemory(sketchStream, "complete")
+      .select(explode(col("mg")).as(Seq("tok", "mg_lower")))
+      .select(col("tok"))
+    // exact verify pass — planned on the SAME clone as the memory
+    // table (mixing Datasets across sessions is unspecified; see
+    // streamJoinStatic)
+    val toksDf = graft.Tables.t(ss, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val tot = toksDf.agg(count(lit(1)).as("n_total"))
+    toksDf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(cand), "tok")
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * (m + 1) > col("n_total"))
+      .select(col("tok"), col("cnt"), col("n_total"),
+        round(col("cnt").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_join_stream" -> (streamJoinStream _),
     "stream_join_static" -> (streamJoinStatic _),
@@ -463,6 +519,7 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_heavy_hitters" -> graft.queries.Aggregates.heavyHittersOracle,
     "stream_upsert_sink" ->
       """WITH u AS (
         |  SELECT user_id, event_id, event_type, value,

@@ -196,4 +196,67 @@ class PropertySpec extends AnyFunSuite {
         assert(out != null && out.contains(s""""k":$i"""), s"i=$i")
     }
   }
+
+  test("property: char_ngrams/token_ngrams match sliding-window semantics") {
+    Codecs.register(spark)
+    val alpha = "abc xyz "
+    val texts = (1 to 200).map { i =>
+      val len = rnd.nextInt(30)
+      (i.toLong, (0 until len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    }
+    val df = texts.toDF("id", "t")
+    df.createOrReplaceTempView("ngram_prop")
+    val charGot = spark.sql(
+      "SELECT id, char_ngrams(t, 3) AS g FROM ngram_prop")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val tokGot = spark.sql(
+      "SELECT id, token_ngrams(t, 2) AS g FROM ngram_prop")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    texts.foreach { case (id, t) =>
+      val expectChar =
+        if (t.length < 3) Seq.empty
+        else t.sliding(3).toSeq
+      assert(charGot.getOrElse(id, Seq.empty) == expectChar, s"id=$id [$t]")
+      val toks = t.split(' ')
+      val expectTok =
+        if (toks.length < 2) Seq.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      assert(tokGot.getOrElse(id, Seq.empty) == expectTok, s"id=$id [$t]")
+    }
+  }
+
+  test("property: misra-gries guarantee on zipf-random streams") {
+    Codecs.register(spark)
+    (1 to 5).foreach { trial =>
+      // zipf-ish: item k drawn with weight 1/k over 500 items
+      val items = (1 to 500).toArray
+      val weights = items.map(1.0 / _)
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val total = cum.last
+      val r2 = new scala.util.Random(1000 + trial)
+      val stream = (1 to 20000).map { _ =>
+        val x = r2.nextDouble() * total
+        s"item${items(cum.indexWhere(_ >= x))}"
+      }
+      val n = stream.size.toLong
+      val m = 20
+      stream.toDF("tok").repartition(7).createOrReplaceTempView("mg_prop")
+      val sketch = spark.sql(s"SELECT graft_misra_gries(tok, $m) FROM mg_prop")
+        .collect().head.getMap[String, Long](0)
+      assert(sketch.size <= m, s"trial $trial overflow")
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      exact.foreach { case (tok, c) =>
+        // presence guarantee for true heavy hitters
+        if (c > n / (m + 1))
+          assert(sketch.contains(tok), s"trial $trial: $tok freq $c missing")
+        // any stored count is a valid undercount within the bound
+        sketch.get(tok).foreach { stored =>
+          assert(stored <= c && c - stored <= n / (m + 1) + 1,
+            s"trial $trial: $tok stored $stored true $c")
+        }
+      }
+    }
+  }
 }

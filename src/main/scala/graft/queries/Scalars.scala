@@ -242,7 +242,31 @@ object Scalars {
       .orderBy(col("l_orderkey"), col("l_linenumber"),
         col("unit_price"))
 
+  /** ANSI-safe cast coercion — the schema-normalization contract for
+    * dirty landing data: `try_cast` yields null instead of failing
+    * the task on malformed values. The fixture derives a
+    * deterministic mix of castable and uncastable strings from
+    * doc_id (clean int / alpha-prefixed / decimal-suffixed), so the
+    * null pattern is exactly replayable. One projection over the
+    * scan; same per-row isolation story as the decode chain. */
+  def scalarTryCast(s: SparkSession, d: String): DataFrame =
+    // the mix avoids decimal-string→int casts, where engines genuinely
+    // diverge (DuckDB rounds '2.5', Spark nulls) — that divergence is
+    // the reason a portable pipeline normalizes through DOUBLE first
+    t(s, d, "documents")
+      .withColumn("raw",
+        when(col("doc_id") % 3 === 0, col("doc_id").cast("string"))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("x"), col("doc_id").cast("string")))
+          .otherwise(lit("2024-01-15")))
+      .select(col("doc_id"), col("raw"),
+        expr("try_cast(raw AS BIGINT)").as("as_int"),
+        expr("try_cast(raw AS DOUBLE)").as("as_double"),
+        expr("try_cast(raw AS DATE)").cast("string").as("as_date"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_try_cast" -> (scalarTryCast _),
     "scalar_try_arith" -> (scalarTryArith _),
     "scalar_hash" -> (scalarHash _),
     "scalar_struct" -> (scalarStruct _),
@@ -261,6 +285,18 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "scalar_try_cast" ->
+      """WITH raws AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 3 = 1 THEN 'x' || CAST(doc_id AS VARCHAR)
+        |         ELSE '2024-01-15' END AS raw
+        |  FROM documents)
+        |SELECT doc_id, raw,
+        |  TRY_CAST(raw AS BIGINT) AS as_int,
+        |  TRY_CAST(raw AS DOUBLE) AS as_double,
+        |  CAST(TRY_CAST(raw AS DATE) AS VARCHAR) AS as_date
+        |FROM raws ORDER BY doc_id""".stripMargin,
     "scalar_try_arith" ->
       """SELECT l_orderkey, l_linenumber,
         |  CASE WHEN l_quantity = 25 THEN NULL ELSE

@@ -710,7 +710,27 @@ object Aggregates {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Audience-overlap matrix: for every unordered pair of event
+    * types, how many distinct users did BOTH — the co-occurrence /
+    * cross-feature signal behind funnel design and segment overlap.
+    * Computed on the DEDUPLICATED (user, type) relation (one hash
+    * aggregate), then a self-equi-join on user — candidate work is
+    * Σ per-user |types|² with |types| bounded (≤ 5 here; event
+    * taxonomies are small), never |users|². */
+  def aggTypeCooccurrence(s: SparkSession, d: String): DataFrame = {
+    val ut = t(s, d, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_users_both"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_type_cooccurrence" -> (aggTypeCooccurrence _),
     "agg_heavy_hitters_native" -> (aggHeavyHittersNative _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
     "window_mad_outlier" -> (windowMadOutlier _),
@@ -762,6 +782,15 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_type_cooccurrence" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  COUNT(*) AS n_users_both
+        |FROM ut a JOIN ut b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_heavy_hitters_native" -> heavyHittersOracle,
     "agg_heavy_hitters" ->
       """WITH toks AS (

@@ -75,6 +75,44 @@ object Similarity {
       .limit(10)
   }
 
+  /** The norm-augmentation reduction from MIPS to cosine search,
+    * EXECUTED (not just documented at [[simSearchMips]]): every
+    * corpus vector is extended with an extra coordinate
+    * sqrt(M² − ‖x‖²) (M = max corpus norm, one scalar aggregate) so
+    * all augmented vectors share norm M; the probe gets a 0 appended.
+    * Then dot(aug(x), [q;0]) = dot(x, q) while ‖aug(x)‖ is constant —
+    * so COSINE ranking over the augmented space is exactly MIPS
+    * ranking over the original, and any cosine index (SRP-LSH, IVF)
+    * can serve inner-product retrieval (Bachrach et al., RecSys'14;
+    * Shrivastava & Li's ALSH lineage). The query orders by the
+    * augmented cosine but emits the true inner product, so it shares
+    * [[simSearchMips]]'s oracle — the gate proves the reduction. */
+  def simSearchMipsAugmented(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val maxNorm = corpus
+      .agg(max(norm2(col("embedding"))).as("m"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    corpus
+      .crossJoin(broadcast(maxNorm))
+      .crossJoin(broadcast(probe))
+      .withColumn("aug",
+        concat(col("embedding"),
+          array(sqrt(col("m") * col("m") -
+            norm2(col("embedding")) *
+              norm2(col("embedding")))
+            .cast("float"))))
+      .withColumn("aug_probe",
+        concat(col("probe"), array(lit(0.0f))))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("embedding"), col("probe")), 6).as("ip"),
+        cosine(col("aug"), col("aug_probe")).as("aug_cos"))
+      .orderBy(col("aug_cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), col("ip"))
+  }
+
   /** IVF-style approximate top-k: k-means coarse quantizer (seeded,
     * deterministic), probe the nearest cells only, brute-force inside.
     * No oracle — approximate by construction; rows are deterministic. */
@@ -522,6 +560,7 @@ object Similarity {
     "embedding_random_projection" -> (embeddingRandomProjection _),
     "sim_search_topk" -> (simSearchTopk _),
     "sim_search_mips" -> (simSearchMips _),
+    "sim_search_mips_augmented" -> (simSearchMipsAugmented _),
     "sim_search_ivf" -> (simSearchIvf _),
     "sim_search_lsh" -> (simSearchLsh _),
     "embedding_quantize" -> (embeddingQuantize _)
@@ -640,6 +679,16 @@ object Similarity {
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     "sim_search_mips" ->
+      """SELECT vec_id, label,
+        |  ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |     WHERE vec_id = 0)), 6) AS ip
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin,
+    // same oracle as sim_search_mips: the augmented-cosine ordering must
+    // reproduce the exact inner-product top-10 — gate-proving the
+    // MIPS→cosine reduction
+    "sim_search_mips_augmented" ->
       """SELECT vec_id, label,
         |  ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings

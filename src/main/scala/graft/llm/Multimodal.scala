@@ -128,7 +128,38 @@ object Multimodal {
         col("total_bytes"))
       .orderBy(col("doc_id"))
 
+  /** Content-type sniffing from leading magic bytes — the first gate
+    * of any multimodal ingest (extensions lie; bytes don't). The
+    * fixture SYNTHESIZES payloads with real magic headers (PNG /
+    * JPEG / PDF by doc_id mod 4, else bare text) so the sniffer's
+    * byte-level inspection path — binary substring + hex compare,
+    * all codegen'd — is exercised and the oracle can replay the
+    * assignment rule. At scale this projection rides the binaryFile
+    * scan (see source_binary_files) and routes payloads to per-type
+    * decoders without reading beyond the first bytes. */
+  def multimodalMagicSniff(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .withColumn("payload",
+        when(col("doc_id") % 4 === 0,
+          concat(unhex(lit("89504E470D0A1A0A")), col("text").cast("binary")))
+          .when(col("doc_id") % 4 === 1,
+            concat(unhex(lit("FFD8FFE0")), col("text").cast("binary")))
+          .when(col("doc_id") % 4 === 2,
+            concat(unhex(lit("255044462D")), col("text").cast("binary")))
+          .otherwise(col("text").cast("binary")))
+      .select(col("doc_id"),
+        when(hex(substring(col("payload"), 1, 8)) === "89504E470D0A1A0A",
+          "image/png")
+          .when(hex(substring(col("payload"), 1, 3)) === "FFD8FF",
+            "image/jpeg")
+          .when(hex(substring(col("payload"), 1, 5)) === "255044462D",
+            "application/pdf")
+          .otherwise("text/plain").as("sniffed_mime"),
+        octet_length(col("payload")).as("n_bytes"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_magic_sniff" -> (multimodalMagicSniff _),
     "multimodal_columns" -> (multimodalColumns _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_dedup" -> (multimodalDedup _),
@@ -141,6 +172,18 @@ object Multimodal {
     * by CHARACTER on the DuckDB side vs BYTE on the Spark side — equal
     * only while fixture payloads are ASCII (they are; documented). */
   val oracles: Map[String, String] = Map(
+    "multimodal_magic_sniff" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'image/jpeg'
+        |    WHEN 2 THEN 'application/pdf'
+        |    ELSE 'text/plain' END AS sniffed_mime,
+        |  CAST(strlen(text) +
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 5 ELSE 0 END
+        |    AS INTEGER) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "multimodal_columns" ->
       """SELECT doc_id,
         |  'text/plain' AS mime,

@@ -307,6 +307,23 @@ object IngestQueries {
         |FROM changes
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // VALUES oracle DERIVED from syntheticEnvelopes' semantics (not
+    // from observed output): sensor_readings = 2 (rows payload) + 2
+    // (columnar) + 1 (single) = 5; otherdb.metrics falls back to
+    // `landing` with 2 rows; arraydb.t1 = 1; dotless `nodb_table`
+    // duplicates into both route parts = 1; all-illegal "!!!" routes
+    // to unknown_db/unknown_table and is PERSISTED (reference
+    // function_app.py:106-111) = 1; missing-Data and non-JSON bodies
+    // are dropped. Pins the full ingest→sink→read-back semantics.
+    "sink_parquet_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('arr', 'arraydb', 't1', CAST(1 AS BIGINT)),
+        |  ('landing', 'otherdb', 'metrics', 2),
+        |  ('ok', 'unknown_db', 'unknown_table', 1),
+        |  ('plain', 'nodb_table', 'nodb_table', 1),
+        |  ('telemetry', 'factorydb', 'sensor_readings', 5))
+        |  AS t(folder, source_db, "table", rows_written)
+        |ORDER BY folder, source_db, "table"""".stripMargin,
     "merge_upsert_latest" ->
       """WITH u AS (
         |  SELECT user_id, event_id, ts, event_type, value,

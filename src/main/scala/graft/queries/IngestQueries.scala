@@ -286,6 +286,19 @@ object IngestQueries {
     "sink_parquet_roundtrip" -> (sinkParquetRoundtrip _)
   )
 
+  /** Shared by sink_parquet_roundtrip and stream_ingest_pipeline —
+    * both route the same synthetic envelopes (batch vs 2-micro-batch
+    * streaming) and must land the identical routed counts. */
+  private[graft] val routedCountsOracle =
+    """SELECT * FROM (VALUES
+      |  ('arr', 'arraydb', 't1', CAST(1 AS BIGINT)),
+      |  ('landing', 'otherdb', 'metrics', 2),
+      |  ('ok', 'unknown_db', 'unknown_table', 1),
+      |  ('plain', 'nodb_table', 'nodb_table', 1),
+      |  ('telemetry', 'factorydb', 'sensor_readings', 5))
+      |  AS t(folder, source_db, "table", rows_written)
+      |ORDER BY folder, source_db, "table"""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "scd2_history" ->
       """WITH marked AS (
@@ -315,15 +328,7 @@ object IngestQueries {
     // to unknown_db/unknown_table and is PERSISTED (reference
     // function_app.py:106-111) = 1; missing-Data and non-JSON bodies
     // are dropped. Pins the full ingest→sink→read-back semantics.
-    "sink_parquet_roundtrip" ->
-      """SELECT * FROM (VALUES
-        |  ('arr', 'arraydb', 't1', CAST(1 AS BIGINT)),
-        |  ('landing', 'otherdb', 'metrics', 2),
-        |  ('ok', 'unknown_db', 'unknown_table', 1),
-        |  ('plain', 'nodb_table', 'nodb_table', 1),
-        |  ('telemetry', 'factorydb', 'sensor_readings', 5))
-        |  AS t(folder, source_db, "table", rows_written)
-        |ORDER BY folder, source_db, "table"""".stripMargin,
+    "sink_parquet_roundtrip" -> routedCountsOracle,
     "merge_upsert_latest" ->
       """WITH u AS (
         |  SELECT user_id, event_id, ts, event_type, value,

@@ -519,6 +519,10 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same envelopes, same routed outcome as the batch sink — the
+    // 2-micro-batch streaming path must land identical counts
+    "stream_ingest_pipeline" ->
+      graft.queries.IngestQueries.routedCountsOracle,
     "stream_heavy_hitters" -> graft.queries.Aggregates.heavyHittersOracle,
     "stream_upsert_sink" ->
       """WITH u AS (

@@ -28,7 +28,6 @@ class ContractSpec extends AnyFunSuite {
       "agg_quantile_approx", "compact_roundtrip", "dedup_fuzzy_cluster",
       "dedup_fuzzy_minhash", "dedup_simhash", "embedding_pca_project",
       "ingest_try_decompress", "sim_search_ivf", "sim_search_lsh",
-      "stream_ingest_pipeline",
       "stream_watermark_late", "text_compression_ratio")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == expected,
@@ -42,6 +41,6 @@ class ContractSpec extends AnyFunSuite {
   test("surface size matches the documented totals") {
     // update alongside SURVEY.md §2.3 "Totals" when adding queries
     assert(SparkEntry.queries.size == 196, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 181, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.oracleSql.size == 182, SparkEntry.oracleSql.size.toString)
   }
 }

@@ -329,6 +329,17 @@ object IngestQueries {
     // function_app.py:106-111) = 1; missing-Data and non-JSON bodies
     // are dropped. Pins the full ingest→sink→read-back semantics.
     "sink_parquet_roundtrip" -> routedCountsOracle,
+    // derived: 300 envelopes cycle i%3 over tables t0/t1/t2 (100 rows
+    // each), written at maxRecordsPerFile=10 (10 files/table), then
+    // compacted — 100 one-line rows fit one target file, so files_after
+    // is 1 and every table strictly shrank
+    "compact_roundtrip" ->
+      """SELECT * FROM (VALUES
+        |  ('t0', CAST(100 AS BIGINT), CAST(1 AS INTEGER), TRUE),
+        |  ('t1', 100, 1, TRUE),
+        |  ('t2', 100, 1, TRUE))
+        |  AS t("table", rows, files_after, compacted_smaller)
+        |ORDER BY "table"""".stripMargin,
     "merge_upsert_latest" ->
       """WITH u AS (
         |  SELECT user_id, event_id, ts, event_type, value,

@@ -25,7 +25,7 @@ class ContractSpec extends AnyFunSuite {
     // shrinking it (oracling a member) is always welcome — update here
     val expected = Set(
       "agg_approx_distinct_hll", "agg_count_min_sketch", "agg_hll_union",
-      "agg_quantile_approx", "compact_roundtrip", "dedup_fuzzy_cluster",
+      "agg_quantile_approx", "dedup_fuzzy_cluster",
       "dedup_fuzzy_minhash", "dedup_simhash", "embedding_pca_project",
       "ingest_try_decompress", "sim_search_ivf", "sim_search_lsh",
       "stream_watermark_late", "text_compression_ratio")
@@ -41,6 +41,6 @@ class ContractSpec extends AnyFunSuite {
   test("surface size matches the documented totals") {
     // update alongside SURVEY.md §2.3 "Totals" when adding queries
     assert(SparkEntry.queries.size == 196, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 182, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.oracleSql.size == 183, SparkEntry.oracleSql.size.toString)
   }
 }

@@ -268,7 +268,40 @@ object Windows {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Union-of-intervals coverage — the sweep-line merge expressed with
+    * windows: each event opens a 15-minute activity interval; per user,
+    * overlapping/adjacent intervals merge into islands (an interval
+    * starts a new island iff its start exceeds the running max of all
+    * previous ends — computed with a rows-frame max over (start, end)
+    * order), and coverage is the Σ of island extents. The per-user
+    * total-active-time metric (billing, engagement) computed in exact
+    * integer microseconds. One shuffle on user_id serves the running
+    * max, the island numbering and the island aggregate; per-row state
+    * is one running max — unbounded-history safe. */
+  def windowIntervalCoverage(s: SparkSession, d: String): DataFrame = {
+    val us15m = 15L * 60 * 1000000L
+    val byStart = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("en"), col("event_id"))
+    val prevMaxEnd = max(col("en"))
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + us15m)
+      .withColumn("new_island",
+        (col("st") > coalesce(prevMaxEnd, lit(Long.MinValue)))
+          .cast("long"))
+      .withColumn("island", sum(col("new_island")).over(byStart))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("i_start"), max(col("en")).as("i_end"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_interval_coverage" -> (windowIntervalCoverage _),
     "window_gap_fill" -> (windowGapFill _),
     "window_ewma" -> (windowEwma _),
     "window_session" -> (windowSession _),
@@ -284,6 +317,32 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + 900000000 AS en
+        |  FROM events
+        |), marked AS (
+        |  SELECT user_id, event_id, st, en,
+        |    CASE WHEN st > COALESCE(
+        |      MAX(en) OVER (PARTITION BY user_id
+        |        ORDER BY st, en, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) THEN 1 ELSE 0 END AS new_island
+        |  FROM iv
+        |), islands AS (
+        |  SELECT user_id, st, en,
+        |    SUM(new_island) OVER (PARTITION BY user_id
+        |      ORDER BY st, en, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS island
+        |  FROM marked
+        |), extents AS (
+        |  SELECT user_id, island, MIN(st) AS i_start, MAX(en) AS i_end
+        |  FROM islands GROUP BY 1, 2
+        |)
+        |SELECT user_id, COUNT(*) AS n_islands,
+        |  SUM(i_end - i_start) AS covered_us
+        |FROM extents GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_ewma" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -300,7 +300,35 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Time-series downsampling to hourly OHLC bars per event type —
+    * the metrics/financial resample: open/close are argmin/argmax
+    * selections over the (ts, event_id) total order (min_by/max_by —
+    * no arithmetic, so doubles pass through exactly), high/low are
+    * plain extremes. One hash aggregate keyed by (type, hour);
+    * mergeable (min_by/max_by combine by comparing keys), so the
+    * partial/final split works at any cardinality. */
+  def windowResampleOhlc(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("hour_us",
+        unix_micros(date_trunc("hour", col("ts"))))
+      // total-order key = micros ⋅ 10¹⁰ + event_id as an exact wide
+      // decimal (composite arg-min keys aren't portable to the oracle;
+      // 10¹⁰ exceeds any event-id cardinality, and decimal(38) holds
+      // ~1.7e25 comfortably)
+      .withColumn("ord",
+        unix_micros(col("ts")).cast("decimal(38,0)") * 10000000000L +
+          col("event_id"))
+      .groupBy(col("event_type"), col("hour_us"))
+      .agg(
+        expr("min_by(value, ord)").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        expr("max_by(value, ord)").as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy(col("event_type"), col("hour_us"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_resample_ohlc" -> (windowResampleOhlc _),
     "window_interval_coverage" -> (windowIntervalCoverage _),
     "window_gap_fill" -> (windowGapFill _),
     "window_ewma" -> (windowEwma _),
@@ -317,6 +345,18 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_resample_ohlc" ->
+      """SELECT event_type,
+        |  epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |  arg_min(value, CAST(epoch_us(ts) AS HUGEINT) * 10000000000
+        |    + event_id) AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  arg_max(value, CAST(epoch_us(ts) AS HUGEINT) * 10000000000
+        |    + event_id) AS close,
+        |  COUNT(*) AS n_ticks
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "window_interval_coverage" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS st,

@@ -729,7 +729,32 @@ object Aggregates {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** User-journey path mining: the most common 3-step event-type
+    * sequences across users (ordered by event time, ties broken by
+    * event_id) — the funnel-discovery complement of
+    * [[aggSequenceMatch]] (which checks a KNOWN pattern). Per-user
+    * ordering costs one user_id shuffle; the path vocabulary is
+    * |types|³-bounded, so the count aggregate and top-k are constant
+    * size regardless of corpus. */
+  def aggPathMining(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_path_mining" -> (aggPathMining _),
     "agg_type_cooccurrence" -> (aggTypeCooccurrence _),
     "agg_heavy_hitters_native" -> (aggHeavyHittersNative _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
@@ -782,6 +807,18 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_path_mining" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_type || '>' || t1 || '>' || t2 AS path,
+        |  COUNT(*) AS n
+        |FROM seq WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "agg_type_cooccurrence" ->
       """WITH ut AS (
         |  SELECT DISTINCT user_id, event_type FROM events

@@ -753,7 +753,31 @@ object Aggregates {
       .limit(10)
   }
 
+  /** Benford first-digit audit of order totals — the classic
+    * fabricated-data / unit-mix-up detector a data-quality survey
+    * runs on money columns. The leading digit comes from the DECIMAL
+    * string form (regexp for the first [1-9]) — NOT from
+    * floor(x/10^floor(log10 x)), whose 1-ulp log10 differences can
+    * flip at exact powers of ten across engines. Counts are exact;
+    * the Benford expectation log₁₀(1+1/d) is per-digit constant math
+    * rounded to 4. One hash aggregate of 9 groups. */
+  def aggBenford(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .select(regexp_extract(
+        col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        "[1-9]", 0).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 4).as("share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 4)
+          .as("benford"))
+      .orderBy(col("digit"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_benford" -> (aggBenford _),
     "agg_path_mining" -> (aggPathMining _),
     "agg_type_cooccurrence" -> (aggTypeCooccurrence _),
     "agg_heavy_hitters_native" -> (aggHeavyHittersNative _),
@@ -807,6 +831,19 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_benford" ->
+      """WITH d AS (
+        |  SELECT regexp_extract(
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |    '[1-9]') AS digit
+        |  FROM orders
+        |), c AS (
+        |  SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+        |)
+        |SELECT digit, n,
+        |  ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM c), 4) AS share,
+        |  ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4) AS benford
+        |FROM c ORDER BY digit""".stripMargin,
     "agg_path_mining" ->
       """WITH seq AS (
         |  SELECT event_type,

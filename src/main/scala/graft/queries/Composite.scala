@@ -133,7 +133,37 @@ object Composite {
         .as("revenue"),
         count(lit(1)).as("n_rows"))
 
+  /** Q19 shape: disjunctive bracket predicates across BOTH join sides
+    * — the optimizer stressor: the OR of three (brand, size, quantity)
+    * brackets cannot be pushed whole, but Catalyst derives the
+    * part-side residual (brand ∧ size disjunction) and pushes it into
+    * the part scan, so the join only sees candidate parts; lineitem
+    * prunes to 3 columns. The adapted brackets use (p_brand, p_size,
+    * l_quantity) — the fixture has no container column. */
+  def compositeTpchQ19(s: SparkSession, d: String): DataFrame = {
+    val l = t(s, d, "lineitem")
+    val p = t(s, d, "part")
+    val bracket =
+      (col("p_brand") === "Brand#1" &&
+        col("p_size").between(1, 10) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#13" &&
+        col("p_size").between(10, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#20" &&
+        col("p_size").between(20, 40) &&
+        col("l_quantity").between(20, 30))
+    l.join(p, l("l_partkey") === p("p_partkey") && bracket)
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") -
+            col("l_discount").cast("decimal(18,4)"))), 2)
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "composite_tpch_q19" -> (compositeTpchQ19 _),
     "composite_tpch_q6" -> (compositeTpchQ6 _),
     "composite_tpch_q18" -> (compositeTpchQ18 _),
     "composite_tpch_q3" -> (compositeTpchQ3 _),
@@ -143,6 +173,18 @@ object Composite {
   )
 
   val oracles: Map[String, String] = Map(
+    "composite_tpch_q19" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |  (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |  ), 2) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 40
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
     "composite_tpch_q6" ->
       """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |  CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,

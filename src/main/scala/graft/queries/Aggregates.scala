@@ -776,7 +776,28 @@ object Aggregates {
           .as("benford"))
       .orderBy(col("digit"))
 
+  /** Full cohort-retention triangle — the generalization of
+    * [[aggRetention]]'s day-1/day-7 rates: users are cohorted by
+    * first-activity week, and each (cohort week, activity week) cell
+    * counts distinct active users. Two hash aggregates (per-user min
+    * for the cohort, then the distinct cell count) plus one equi join
+    * back on user_id; cells are |weeks|²-bounded — calendar-sized, not
+    * data-sized. */
+  def aggCohortMatrix(s: SparkSession, d: String): DataFrame = {
+    val uw = t(s, d, "events")
+      .select(col("user_id"),
+        unix_micros(date_trunc("week", col("ts"))).as("week_us"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id"))
+      .agg(min(col("week_us")).as("cohort_us"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_us"), col("week_us"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_us"), col("week_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cohort_matrix" -> (aggCohortMatrix _),
     "agg_benford" -> (aggBenford _),
     "agg_path_mining" -> (aggPathMining _),
     "agg_type_cooccurrence" -> (aggTypeCooccurrence _),
@@ -831,6 +852,18 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_cohort_matrix" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(date_trunc('week', ts)) AS week_us
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(week_us) AS cohort_us FROM uw GROUP BY 1
+        |)
+        |SELECT cohort_us, week_us,
+        |  COUNT(DISTINCT uw.user_id) AS n_active
+        |FROM uw JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "agg_benford" ->
       """WITH d AS (
         |  SELECT regexp_extract(

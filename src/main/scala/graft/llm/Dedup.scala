@@ -571,7 +571,34 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Template detection — documents identical up to numbers/ids (log
+    * lines, receipts, generated boilerplate) collapse onto a digit-
+    * masked skeleton: digit runs → '#', whitespace squeezed. Groups
+    * with >1 member are template families (prime deletion candidates
+    * — they carry near-zero information per copy). Same 16-byte-hash
+    * shuffle shape as dedup_exact/canonical; the masking is one
+    * codegen'd regexp pass inside the scan. */
+  def dedupTemplate(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      // the corpus text is digit-free, so the templated surface is a
+      // synthesized log line (the operator's natural input): same
+      // template ⇔ same lang once digit runs are masked
+      .withColumn("line",
+        concat(lit("lang="), col("lang"), lit(" doc="),
+          col("doc_id").cast("string"), lit(" chars="),
+          col("n_chars").cast("string")))
+      .withColumn("skeleton_md5",
+        md5(regexp_replace(regexp_replace(col("line"), "[0-9]+", "#"),
+          " +", " ")))
+      .groupBy(col("skeleton_md5"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_members"))
+      .filter(col("n_members") > 1)
+      .select(col("doc_id"), col("skeleton_md5"), col("n_members"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_template" -> (dedupTemplate _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_exact" -> (dedupExact _),
     "dedup_canonical" -> (dedupCanonical _),
@@ -588,6 +615,19 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_template" ->
+      """WITH sk AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(regexp_replace(
+        |      'lang=' || lang || ' doc=' || CAST(doc_id AS VARCHAR)
+        |        || ' chars=' || CAST(n_chars AS VARCHAR),
+        |      '[0-9]+', '#', 'g'), ' +', ' ', 'g')) AS skeleton_md5
+        |  FROM documents
+        |)
+        |SELECT MIN(doc_id) AS doc_id, skeleton_md5,
+        |  COUNT(*) AS n_members
+        |FROM sk GROUP BY skeleton_md5 HAVING COUNT(*) > 1
+        |ORDER BY doc_id""".stripMargin,
     "dedup_containment" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -327,7 +327,30 @@ object Windows {
         count(lit(1)).as("n_ticks"))
       .orderBy(col("event_type"), col("hour_us"))
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands identity: consecutive days share
+    * (day_number − row_number), so islands need ONE window pass and
+    * no self-join. Day numbers are exact integers (days since epoch).
+    * One user_id shuffle; output one row per user. */
+  def windowStreak(s: SparkSession, d: String): DataFrame = {
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day_n"))
+    t(s, d, "events")
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .as("day_n"))
+      .distinct()
+      .withColumn("grp", col("day_n") - row_number().over(byDay))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("streak"))
+      .groupBy(col("user_id"))
+      .agg(max(col("streak")).as("max_streak"),
+        sum(col("streak")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_streak" -> (windowStreak _),
     "window_resample_ohlc" -> (windowResampleOhlc _),
     "window_interval_coverage" -> (windowIntervalCoverage _),
     "window_gap_fill" -> (windowGapFill _),
@@ -345,6 +368,23 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_streak" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS day_n
+        |  FROM events
+        |), grps AS (
+        |  SELECT user_id, day_n,
+        |    day_n - ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY day_n) AS grp
+        |  FROM days
+        |), streaks AS (
+        |  SELECT user_id, grp, COUNT(*) AS streak
+        |  FROM grps GROUP BY 1, 2
+        |)
+        |SELECT user_id, MAX(streak) AS max_streak,
+        |  SUM(streak) AS n_active_days, COUNT(*) AS n_streaks
+        |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_resample_ohlc" ->
       """SELECT event_type,
         |  epoch_us(date_trunc('hour', ts)) AS hour_us,

@@ -271,7 +271,34 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor document draws k=3 pseudo-random negatives via
+    * md5(anchor·slot) mod n — with-replacement draws (standard for
+    * in-batch negatives), anchor collisions shifted to the next id
+    * (total function, no rejection loop). Hash-based draws are (a)
+    * reproducible across engines/runs, (b) shard-stable — a worker
+    * can regenerate any anchor's negatives without coordination —
+    * which is why pipelines prefer them over seeded RNGs. Relies on
+    * the fixture's contiguous doc_id 0..n−1 (asserted by count). One
+    * narrow map + a 1-row broadcast; no shuffle. */
+  def sampleNegativePairs(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(sequence(lit(1), lit(3))).as("slot"))
+      .crossJoin(broadcast(n))
+      .withColumn("draw",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("_"),
+          col("slot").cast("string"))), 1, 8), 16, 10).cast("long") %
+          col("n_docs"))
+      .withColumn("neg_id",
+        when(col("draw") === col("doc_id"),
+          (col("draw") + 1) % col("n_docs")).otherwise(col("draw")))
+      .select(col("doc_id"), col("slot"), col("neg_id"))
+      .orderBy(col("doc_id"), col("slot"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_negative_pairs" -> (sampleNegativePairs _),
     "sample_downweight_duplicates" -> (sampleDownweightDuplicates _),
     "pack_sequences" -> (packSequences _),
     "sample_domain_mix" -> (sampleDomainMix _),
@@ -284,6 +311,21 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_negative_pairs" ->
+      """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |draws AS (
+        |  SELECT doc_id, slot,
+        |    CAST(('0x' || substring(md5(
+        |      CAST(doc_id AS VARCHAR) || '_' || CAST(slot AS VARCHAR)
+        |    ), 1, 8)) AS BIGINT) % n.n_docs AS draw,
+        |    n.n_docs
+        |  FROM documents, LATERAL unnest([1, 2, 3]) AS u(slot)
+        |  CROSS JOIN n
+        |)
+        |SELECT doc_id, slot,
+        |  CASE WHEN draw = doc_id THEN (draw + 1) % n_docs
+        |       ELSE draw END AS neg_id
+        |FROM draws ORDER BY doc_id, slot""".stripMargin,
     "sample_downweight_duplicates" ->
       """WITH sizes AS (
         |  SELECT md5(text) AS text_md5, COUNT(*) AS n_copies

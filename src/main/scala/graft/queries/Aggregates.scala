@@ -796,7 +796,32 @@ object Aggregates {
       .orderBy(col("cohort_us"), col("week_us"))
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences — P(next type | current type) from exact bigram counts
+    * (the probabilistic view of [[aggPathMining]]). The row-normalizing
+    * divisor is a window sum of exact integers, so the only float is
+    * the final rounded ratio. |types|²-bounded output; one user_id
+    * shuffle for the lead(), one hash aggregate. */
+  def aggMarkovTransition(s: SparkSession, d: String): DataFrame = {
+    val byTs = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byFrom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(byTs))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(byFrom))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("row_total"), 4).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_markov_transition" -> (aggMarkovTransition _),
     "agg_cohort_matrix" -> (aggCohortMatrix _),
     "agg_benford" -> (aggBenford _),
     "agg_path_mining" -> (aggPathMining _),
@@ -852,6 +877,20 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_markov_transition" ->
+      """WITH pairs AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, COUNT(*) AS n
+        |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |    SUM(n) OVER (PARTITION BY from_type), 4) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
     "agg_cohort_matrix" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,

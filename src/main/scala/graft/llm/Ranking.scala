@@ -196,7 +196,46 @@ object Ranking {
       .limit(10)
   }
 
+  /** Per-source distribution drift — Jensen-Shannon divergence between
+    * each source's token distribution and the corpus distribution: the
+    * domain-shift / contamination monitor a multi-source pipeline runs
+    * per ingest batch. All probabilities are ratios of EXACT counts
+    * (vocab × sources cells, both bounded); each per-token JS term is
+    * double math on those exact inputs, rounded → decimal before the
+    * per-source sum (the cross-engine float discipline used throughout
+    * this module). Zero-in-source tokens keep only the corpus half of
+    * the term; the corpus side is never zero by construction. */
+  def textJsDivergence(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
+    val corpusN = toks.agg(count(lit(1)).as("n"))
+    val perSrc = toks.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val srcN = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    // dense (source × vocab) grid so zero cells contribute their
+    // corpus-side term
+    val grid = srcN.crossJoin(corpus).crossJoin(broadcast(corpusN))
+      .join(perSrc, Seq("source", "tok"), "left")
+      .withColumn("c_st", coalesce(col("c_st"), lit(0L)))
+    grid
+      .withColumn("p", col("c_st").cast("double") / col("n_s"))
+      .withColumn("q", col("c_t").cast("double") / col("n"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("term",
+        round(
+          when(col("p") > 0,
+            (col("p") * log(col("p") / col("m"))) * 0.5).otherwise(0.0) +
+            (col("q") * log(col("q") / col("m"))) * 0.5, 6)
+          .cast("decimal(20,6)"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("term")).cast("double"), 4).as("js"),
+        count(lit(1)).as("n_vocab"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_js_divergence" -> (textJsDivergence _),
     "text_tfidf" -> (textTfidf _),
     "text_bm25" -> (textBm25 _),
     "text_bigram_lm" -> (textBigramLm _),
@@ -204,6 +243,42 @@ object Ranking {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_js_divergence" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), corpus AS (
+        |  SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY 1
+        |), corpus_n AS (SELECT COUNT(*) AS n FROM toks),
+        |per_src AS (
+        |  SELECT source, tok, COUNT(*) AS c_st FROM toks GROUP BY 1, 2
+        |), src_n AS (
+        |  SELECT source, COUNT(*) AS n_s FROM toks GROUP BY 1
+        |), grid AS (
+        |  SELECT src_n.source, corpus.tok, src_n.n_s, corpus.c_t,
+        |    corpus_n.n, COALESCE(per_src.c_st, 0) AS c_st
+        |  FROM src_n CROSS JOIN corpus CROSS JOIN corpus_n
+        |  LEFT JOIN per_src
+        |    ON per_src.source = src_n.source AND per_src.tok = corpus.tok
+        |), terms AS (
+        |  SELECT source,
+        |    CAST(ROUND(
+        |      CASE WHEN c_st > 0 THEN
+        |        ((CAST(c_st AS DOUBLE) / n_s) *
+        |         ln((CAST(c_st AS DOUBLE) / n_s) /
+        |            ((CAST(c_st AS DOUBLE) / n_s +
+        |              CAST(c_t AS DOUBLE) / n) / 2))) * 0.5
+        |      ELSE 0.0 END +
+        |      ((CAST(c_t AS DOUBLE) / n) *
+        |       ln((CAST(c_t AS DOUBLE) / n) /
+        |          ((CAST(c_st AS DOUBLE) / n_s +
+        |            CAST(c_t AS DOUBLE) / n) / 2))) * 0.5,
+        |    6) AS DECIMAL(20,6)) AS term
+        |  FROM grid
+        |)
+        |SELECT source, ROUND(CAST(SUM(term) AS DOUBLE), 4) AS js,
+        |  COUNT(*) AS n_vocab
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

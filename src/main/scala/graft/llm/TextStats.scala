@@ -397,7 +397,33 @@ object TextStats {
       .orderBy(col("lang"), col("lang_pred"))
   }
 
+  /** Token burstiness — the variance-to-mean ratio of within-document
+    * token frequencies: uniform prose sits near the Poisson baseline
+    * (VMR≈1), keyword-stuffed or repetitive text spikes. Computed from
+    * EXACT integer moments of the per-(doc, token) counts (k types,
+    * Σf, Σf²) with one closing double formula — the same
+    * order-independence discipline as the other corpus stats. Two
+    * hash aggregates keyed by (doc, token) then doc. */
+  def textBurstiness(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("f"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("f")).as("s1"),
+        sum(col("f") * col("f")).as("s2"))
+      .filter(col("k") > 1)
+      .select(col("doc_id"), col("k"), col("s1").as("n_tokens"),
+        round(
+          ((col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") /
+              col("k")) / (col("k") - lit(1))) /
+            (col("s1").cast("double") / col("k")), 4).as("vmr"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_burstiness" -> (textBurstiness _),
     "text_char_lang_id" -> (textCharLangId _),
     "text_compression_ratio" -> (textCompressionRatio _),
     "text_edit_distance" -> (textEditDistance _),
@@ -418,6 +444,22 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_burstiness" ->
+      """WITH f AS (
+        |  SELECT doc_id, tok, COUNT(*) AS f
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT doc_id, COUNT(*) AS k, SUM(f) AS s1,
+        |    SUM(f * f) AS s2
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT doc_id, k, s1 AS n_tokens,
+        |  ROUND(((CAST(s2 AS DOUBLE) -
+        |          CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k) /
+        |         (k - 1)) / (CAST(s1 AS DOUBLE) / k), 4) AS vmr
+        |FROM m WHERE k > 1 ORDER BY doc_id""".stripMargin,
     "text_char_lang_id" ->
       """WITH tg AS (
         |  SELECT doc_id, lang, substr(text, i, 3) AS g

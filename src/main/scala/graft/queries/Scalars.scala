@@ -91,6 +91,23 @@ object Scalars {
       .orderBy(col("c_custkey"))
   }
 
+  /** Schema-full JSON parsing via from_json — the typed-struct
+    * complement of [[scalarJson]]'s per-path extraction: one parse
+    * yields every field at once (at scale, N path extractions re-parse
+    * the string N times; from_json parses once), malformed rows yield
+    * a null struct, and downstream code works with real columns. The
+    * aggregate proves the parsed field behaves as a first-class int. */
+  def scalarJsonTyped(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .withColumn("p", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy(col("event_type"))
+      .agg(count(col("p.k")).as("n_parsed"),
+        sum(col("p.k")).as("sum_k"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"))
+      .orderBy(col("event_type"))
+
   def scalarJson(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .select(
@@ -266,6 +283,7 @@ object Scalars {
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_json_typed" -> (scalarJsonTyped _),
     "scalar_try_cast" -> (scalarTryCast _),
     "scalar_try_arith" -> (scalarTryArith _),
     "scalar_hash" -> (scalarHash _),
@@ -285,6 +303,17 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "scalar_json_typed" ->
+      """SELECT event_type,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS n_parsed,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scalar_try_cast" ->
       """WITH raws AS (
         |  SELECT doc_id,

@@ -597,7 +597,24 @@ object Dedup {
       .select(col("doc_id"), col("skeleton_md5"), col("n_members"))
       .orderBy(col("doc_id"))
 
+  /** Per-source duplication audit — which sources ship copies: exact
+    * content cardinality vs document count per source. The curation
+    * targeting signal (a high-dup source gets the aggressive dedup
+    * path or is dropped). One hash aggregate over (source, digest)
+    * then source; text never shuffles. */
+  def dedupRateBySource(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        round(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_dup_rate_by_source" -> (dedupRateBySource _),
     "dedup_template" -> (dedupTemplate _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_exact" -> (dedupExact _),
@@ -615,6 +632,12 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_dup_rate_by_source" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct,
+        |  ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) /
+        |    COUNT(*), 4) AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "dedup_template" ->
       """WITH sk AS (
         |  SELECT doc_id,

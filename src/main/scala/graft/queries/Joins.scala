@@ -283,7 +283,34 @@ object Joins {
       .orderBy(col("nk"))
   }
 
+  /** Null-aware anti join — SQL NOT IN's three-valued trap, pinned:
+    * one NULL in the subquery makes NOT IN return NOTHING (x <> NULL
+    * is unknown), while the null-free variant is an ordinary anti
+    * join. Spark plans the nullable case as a dedicated
+    * BroadcastNestedLoopJoin-backed null-aware anti join (the subquery
+    * must be broadcastable — an engine-level constraint worth knowing
+    * at scale; prefer NOT EXISTS, which is never null-ambushed and
+    * plans a hash anti join on any size). Both counts in one row. */
+  def joinNullAwareAnti(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("graft_naaj_orders")
+    t(s, d, "customer").createOrReplaceTempView("graft_naaj_customer")
+    s.sql(
+      """SELECT
+        |  (SELECT COUNT(*) FROM graft_naaj_orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
+        |             ELSE c_custkey END
+        |      FROM graft_naaj_customer WHERE c_custkey % 3 = 0))
+        |    AS n_with_nulls,
+        |  (SELECT COUNT(*) FROM graft_naaj_orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM graft_naaj_customer
+        |      WHERE c_custkey % 3 = 0 AND c_custkey % 97 <> 0))
+        |    AS n_clean""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_aware_anti" -> (joinNullAwareAnti _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_inner_equi" -> (joinInnerEqui _),
@@ -303,6 +330,18 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_null_aware_anti" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL
+        |             ELSE c_custkey END
+        |      FROM customer WHERE c_custkey % 3 = 0)) AS n_with_nulls,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer
+        |      WHERE c_custkey % 3 = 0 AND c_custkey % 97 <> 0))
+        |    AS n_clean""".stripMargin,
     "join_interval_overlap" ->
       """WITH oc AS (
         |  SELECT o_orderkey AS k, c_nationkey AS nk,

@@ -820,7 +820,44 @@ object Aggregates {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Population skewness/kurtosis per group from exact decimal RAW
+    * moments (Σx…Σx⁴ over quantized values, then one closed-form
+    * double sequence) — NOT the built-in skewness()/kurtosis(), whose
+    * bias corrections differ across engines (Spark emits population
+    * g₁/g₂, DuckDB sample-adjusted) and whose float accumulation is
+    * order-dependent. The decimal-moments route is the same recipe as
+    * agg_regression: order-independent sums, bit-identical finals. */
+  def aggHigherMoments(s: SparkSession, d: String): DataFrame = {
+    val q = col("l_quantity").cast("decimal(6,2)")
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("s1"),
+        sum(q * q).as("s2"),
+        sum(q * q * q).as("s3"),
+        sum(q * q * q * q).as("s4"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("m2",
+        col("s2").cast("double") / col("n") - col("mean") * col("mean"))
+      .withColumn("m3",
+        col("s3").cast("double") / col("n") -
+          col("mean") * (col("s2").cast("double") / col("n")) * 3 +
+          col("mean") * col("mean") * col("mean") * 2)
+      .withColumn("m4",
+        col("s4").cast("double") / col("n") -
+          col("mean") * (col("s3").cast("double") / col("n")) * 4 +
+          col("mean") * col("mean") *
+            (col("s2").cast("double") / col("n")) * 6 -
+          col("mean") * col("mean") * col("mean") * col("mean") * 3)
+      .select(col("l_returnflag"), col("n"),
+        round(col("mean"), 4).as("mean"),
+        round(col("m3") / pow(col("m2"), 1.5), 4).as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - 3, 4).as("kurtosis"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_higher_moments" -> (aggHigherMoments _),
     "agg_markov_transition" -> (aggMarkovTransition _),
     "agg_cohort_matrix" -> (aggCohortMatrix _),
     "agg_benford" -> (aggBenford _),
@@ -877,6 +914,39 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_higher_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(6,2))) AS s1,
+        |    SUM(CAST(l_quantity AS DECIMAL(6,2)) *
+        |        CAST(l_quantity AS DECIMAL(6,2))) AS s2,
+        |    SUM(CAST(l_quantity AS DECIMAL(6,2)) *
+        |        CAST(l_quantity AS DECIMAL(6,2)) *
+        |        CAST(l_quantity AS DECIMAL(6,2))) AS s3,
+        |    SUM(CAST(l_quantity AS DECIMAL(6,2)) *
+        |        CAST(l_quantity AS DECIMAL(6,2)) *
+        |        CAST(l_quantity AS DECIMAL(6,2)) *
+        |        CAST(l_quantity AS DECIMAL(6,2))) AS s4
+        |  FROM lineitem GROUP BY l_returnflag
+        |), f AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(s1 AS DOUBLE) / n AS mean,
+        |    CAST(s2 AS DOUBLE) / n AS r2,
+        |    CAST(s3 AS DOUBLE) / n AS r3,
+        |    CAST(s4 AS DOUBLE) / n AS r4
+        |  FROM m
+        |), c AS (
+        |  SELECT l_returnflag, n, mean,
+        |    r2 - mean * mean AS m2,
+        |    r3 - mean * r2 * 3 + mean * mean * mean * 2 AS m3,
+        |    r4 - mean * r3 * 4 + mean * mean * r2 * 6 -
+        |      mean * mean * mean * mean * 3 AS m4
+        |  FROM f
+        |)
+        |SELECT l_returnflag, n, ROUND(mean, 4) AS mean,
+        |  ROUND(m3 / pow(m2, 1.5), 4) AS skewness,
+        |  ROUND(m4 / (m2 * m2) - 3, 4) AS kurtosis
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "agg_markov_transition" ->
       """WITH pairs AS (
         |  SELECT event_type AS from_type,

@@ -349,7 +349,38 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Pareto concentration — per event type, the smallest number of
+    * users covering ≥80% of events: rank users by activity (count
+    * desc, user asc — total order), running sum over that order, and
+    * the integer-exact crossing test 10·cum ≥ 8·total picks the
+    * cutoff rank. The "how concentrated is traffic" analytic next to
+    * agg_gini's coefficient. Per-type user counts bound every
+    * exchange; the running sum rides one window pass. */
+  def windowPareto(s: SparkSession, d: String): DataFrame = {
+    val byActivity = Window.partitionBy(col("event_type"))
+      .orderBy(col("x").desc, col("user_id"))
+    t(s, d, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("r", row_number().over(byActivity))
+      .withColumn("cum", sum(col("x")).over(
+        byActivity.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("x")).over(
+        Window.partitionBy(col("event_type"))))
+      .filter(col("cum") * 10 >= col("total") * 8)
+      .groupBy(col("event_type"))
+      .agg(min(col("r")).as("users_for_80pct"),
+        max(col("r")).as("n_users"),
+        max(col("total")).as("n_events"))
+      .select(col("event_type"), col("users_for_80pct"), col("n_users"),
+        col("n_events"),
+        round(col("users_for_80pct").cast("double") / col("n_users"), 4)
+          .as("user_share_for_80pct"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_pareto" -> (windowPareto _),
     "window_streak" -> (windowStreak _),
     "window_resample_ohlc" -> (windowResampleOhlc _),
     "window_interval_coverage" -> (windowIntervalCoverage _),
@@ -368,6 +399,25 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_pareto" ->
+      """WITH x AS (
+        |  SELECT event_type, user_id, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, x,
+        |    ROW_NUMBER() OVER w AS r,
+        |    SUM(x) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum,
+        |    SUM(x) OVER (PARTITION BY event_type) AS total
+        |  FROM x
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY x DESC, user_id)
+        |)
+        |SELECT event_type, MIN(r) AS users_for_80pct, MAX(r) AS n_users,
+        |  MAX(total) AS n_events,
+        |  ROUND(CAST(MIN(r) AS DOUBLE) / MAX(r), 4)
+        |    AS user_share_for_80pct
+        |FROM r WHERE cum * 10 >= total * 8
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "window_streak" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

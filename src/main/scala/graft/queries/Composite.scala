@@ -162,7 +162,44 @@ object Composite {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Per-source curation scorecard — the dashboard a data team reads
+    * before deciding which sources to keep, reweight, or drop: volume,
+    * exact-dup rate, token mass, and mean quality (the
+    * text_quality_score composite, per-doc values rounded → decimal
+    * before the mean so the aggregate is order-independent). Three
+    * source-keyed aggregates joined on the (bounded) source key — at
+    * 100 TB each leg is one scan+aggregate and the join is |sources|
+    * rows. */
+  def compositeSourceScorecard(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val vol = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        sum(size(split(col("text"), " "))).as("n_tokens"))
+    val quality = docs
+      .withColumn("n_toks", size(split(col("text"), " ")))
+      .withColumn("len_score",
+        least(lit(1.0), length(col("text")).cast("double") / 500.0))
+      .withColumn("uniq_ratio",
+        size(array_distinct(split(col("text"), " "))).cast("double") /
+          col("n_toks"))
+      .withColumn("q",
+        round((col("len_score") * 0.5 + col("uniq_ratio") * 0.5), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("source"))
+      .agg(sum(col("q")).as("q_sum"), count(lit(1)).as("q_n"))
+    vol.join(quality, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(lit(1.0) -
+          col("n_distinct").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"),
+        round(col("q_sum").cast("double") / col("q_n"), 4)
+          .as("mean_quality"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "composite_source_scorecard" -> (compositeSourceScorecard _),
     "composite_tpch_q19" -> (compositeTpchQ19 _),
     "composite_tpch_q6" -> (compositeTpchQ6 _),
     "composite_tpch_q18" -> (compositeTpchQ18 _),
@@ -173,6 +210,28 @@ object Composite {
   )
 
   val oracles: Map[String, String] = Map(
+    "composite_source_scorecard" ->
+      """WITH vol AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    COUNT(DISTINCT md5(text)) AS n_distinct,
+        |    SUM(len(string_split(text, ' '))) AS n_tokens
+        |  FROM documents GROUP BY 1
+        |), q AS (
+        |  SELECT source,
+        |    SUM(CAST(ROUND(
+        |      LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) * 0.5 +
+        |      (CAST(len(list_distinct(string_split(text, ' ')))
+        |        AS DOUBLE) / len(string_split(text, ' '))) * 0.5,
+        |      6) AS DECIMAL(18,6))) AS q_sum,
+        |    COUNT(*) AS q_n
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 4)
+        |    AS dup_rate,
+        |  ROUND(CAST(q_sum AS DOUBLE) / q_n, 4) AS mean_quality
+        |FROM vol JOIN q USING (source)
+        |ORDER BY source""".stripMargin,
     "composite_tpch_q19" ->
       """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |  (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))

@@ -234,7 +234,44 @@ object Ranking {
       .orderBy(col("source"))
   }
 
+  /** Zipf-law fit over the corpus rank-frequency curve — the
+    * corpus-linguistics sanity check (natural text slopes near −1;
+    * synthetic/templated corpora deviate): least-squares of
+    * ln(freq) on ln(rank) using the agg_regression discipline — per-
+    * point logs rounded → decimal, EXACT decimal sums, closed-form
+    * slope/intercept as one double sequence. Vocabulary-bounded
+    * everywhere. */
+  def textZipfFit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("tok"))
+    t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .select(
+        round(log(col("rank").cast("double")), 6)
+          .cast("decimal(18,6)").as("x"),
+        round(log(col("n").cast("double")), 6)
+          .cast("decimal(18,6)").as("y"))
+      .agg(count(lit(1)).as("k"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_vocab"),
+        round((col("k") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("k") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 4)
+          .as("zipf_slope"),
+        round((col("sy").cast("double") -
+          ((col("k") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("k") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"))) *
+            col("sx").cast("double")) / col("k"), 4).as("intercept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_fit" -> (textZipfFit _),
     "text_js_divergence" -> (textJsDivergence _),
     "text_tfidf" -> (textTfidf _),
     "text_bm25" -> (textBm25 _),
@@ -243,6 +280,37 @@ object Ranking {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_zipf_fit" ->
+      """WITH c AS (
+        |  SELECT tok, COUNT(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1
+        |), pts AS (
+        |  SELECT
+        |    CAST(ROUND(ln(CAST(ROW_NUMBER() OVER
+        |      (ORDER BY n DESC, tok) AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS x,
+        |    CAST(ROUND(ln(CAST(n AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS y
+        |  FROM c
+        |), sums AS (
+        |  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM pts
+        |)
+        |SELECT k AS n_vocab,
+        |  ROUND((k * CAST(sxy AS DOUBLE) -
+        |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (k * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS zipf_slope,
+        |  ROUND((CAST(sy AS DOUBLE) -
+        |    ((k * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |     (k * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+        |    CAST(sx AS DOUBLE)) / k, 4) AS intercept
+        |FROM sums""".stripMargin,
     "text_js_divergence" ->
       """WITH toks AS (
         |  SELECT source, unnest(string_split(text, ' ')) AS tok

@@ -856,7 +856,23 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Traffic seasonality heatmap — (day-of-week × hour-of-day) event
+    * counts with per-cell share: the load-profile every capacity plan
+    * starts from. Calendar-bounded 168 cells; exact counts, one
+    * rounded division against a window total. */
+  def aggSeasonality(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("dow"), col("hod"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"))
+      .orderBy(col("dow"), col("hod"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_seasonality" -> (aggSeasonality _),
     "agg_higher_moments" -> (aggHigherMoments _),
     "agg_markov_transition" -> (aggMarkovTransition _),
     "agg_cohort_matrix" -> (aggCohortMatrix _),
@@ -914,6 +930,17 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek(ts):
+    // 0=Sunday..6 — shift to match
+    "agg_seasonality" ->
+      """WITH c AS (
+        |  SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |    CAST(hour(ts) AS INTEGER) AS hod, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT dow, hod, n,
+        |  ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM c), 6) AS share
+        |FROM c ORDER BY dow, hod""".stripMargin,
     "agg_higher_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,

@@ -379,7 +379,41 @@ object Windows {
       .orderBy(col("event_type"))
   }
 
+  /** RFM segmentation — the marketing-analytics classic: per user,
+    * recency (seconds since last activity, anchored to the corpus max
+    * timestamp — a deterministic anchor, never wall-clock), frequency
+    * (event count) and monetary (decimal-exact value sum), each cut
+    * into quintiles by ntile over a TOTAL order (metric, user_id — a
+    * tie in the metric must not leave quintile assignment to
+    * partition order), composed into the RFM segment code. Scale:
+    * per-user aggregate first (bounded rows), then three ntile
+    * windows over users — single-partition by design AFTER the
+    * aggregate, documented like sample_temperature. */
+  def windowRfm(s: SparkSession, d: String): DataFrame = {
+    val anchor = Window.partitionBy()
+    val byR = Window.orderBy(col("recency_s").asc, col("user_id"))
+    val byF = Window.orderBy(col("freq").desc, col("user_id"))
+    val byM = Window.orderBy(col("monetary").desc, col("user_id"))
+    t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast("decimal(19,4)")).as("mon_d"))
+      .withColumn("recency_s",
+        (max(col("last_us")).over(anchor) - col("last_us")) / 1000000L)
+      .withColumn("monetary", col("mon_d").cast("double"))
+      .withColumn("r", ntile(5).over(byR))
+      .withColumn("f", ntile(5).over(byF))
+      .withColumn("m", ntile(5).over(byM))
+      .select(col("user_id"), col("recency_s").cast("long").as("recency_s"),
+        col("freq"), round(col("monetary"), 2).as("monetary"),
+        col("r"), col("f"), col("m"),
+        (col("r") * 100 + col("f") * 10 + col("m")).as("rfm_code"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rfm" -> (windowRfm _),
     "window_pareto" -> (windowPareto _),
     "window_streak" -> (windowStreak _),
     "window_resample_ohlc" -> (windowResampleOhlc _),
@@ -399,6 +433,30 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS last_us,
+        |    COUNT(*) AS freq,
+        |    SUM(CAST(value AS DECIMAL(19,4))) AS mon_d
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT user_id,
+        |    CAST((MAX(last_us) OVER () - last_us) // 1000000 AS BIGINT)
+        |      AS recency_s,
+        |    freq, CAST(mon_d AS DOUBLE) AS monetary
+        |  FROM u
+        |), q AS (
+        |  SELECT user_id, recency_s, freq, monetary,
+        |    ntile(5) OVER (ORDER BY recency_s ASC, user_id) AS r,
+        |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+        |    ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m
+        |  FROM r
+        |)
+        |SELECT user_id, recency_s, freq, ROUND(monetary, 2) AS monetary,
+        |  CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+        |  CAST(m AS INTEGER) AS m,
+        |  CAST(r * 100 + f * 10 + m AS INTEGER) AS rfm_code
+        |FROM q ORDER BY user_id""".stripMargin,
     "window_pareto" ->
       """WITH x AS (
         |  SELECT event_type, user_id, COUNT(*) AS x

@@ -871,7 +871,36 @@ object Aggregates {
         round(col("n").cast("double") / col("total"), 6).as("share"))
       .orderBy(col("dow"), col("hod"))
 
+  /** A/B comparison scaffold — users deterministically split by md5
+    * parity (the same hash-bucketing a real experiment assigner uses;
+    * reproducible, no assignment table), then per-arm conversion
+    * (did-purchase) rates and the B-over-A lift. Exact user counts;
+    * the only floats are the final rounded ratios. At scale this is
+    * two hash aggregates on user_id — the metric pipeline of an
+    * experimentation platform in one query. */
+  def aggAbtestLift(s: SparkSession, d: String): DataFrame = {
+    val perUser = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+        .as("converted"))
+      .withColumn("arm",
+        when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
+          16, 10).cast("long") % 2 === 0, "A").otherwise("B"))
+    val arms = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_converted"))
+      .withColumn("cvr",
+        round(col("n_converted").cast("double") / col("n_users"), 6))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("cvr").as("cvr_a"))
+    arms.crossJoin(broadcast(a))
+      .select(col("arm"), col("n_users"), col("n_converted"), col("cvr"),
+        round(col("cvr") / col("cvr_a") - 1.0, 6).as("lift_vs_a"))
+      .orderBy(col("arm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_abtest_lift" -> (aggAbtestLift _),
     "agg_seasonality" -> (aggSeasonality _),
     "agg_higher_moments" -> (aggHigherMoments _),
     "agg_markov_transition" -> (aggMarkovTransition _),
@@ -930,6 +959,24 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_abtest_lift" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted,
+        |    CASE WHEN CAST(('0x' || substring(
+        |        md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) % 2 = 0
+        |      THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id
+        |), arms AS (
+        |  SELECT arm, COUNT(*) AS n_users, SUM(converted) AS n_converted,
+        |    ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS cvr
+        |  FROM pu GROUP BY arm
+        |)
+        |SELECT arm, n_users, n_converted, cvr,
+        |  ROUND(cvr / (SELECT cvr FROM arms WHERE arm = 'A') - 1.0, 6)
+        |    AS lift_vs_a
+        |FROM arms ORDER BY arm""".stripMargin,
     // Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek(ts):
     // 0=Sunday..6 — shift to match
     "agg_seasonality" ->

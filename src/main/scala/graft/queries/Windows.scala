@@ -412,7 +412,28 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Week-over-week growth per event type — weekly totals, previous
+    * week via lag over the calendar order, and the rounded growth
+    * ratio (null on the first week: no denominator, not 0%). The
+    * standard reporting primitive; exact integer counts, one
+    * calendar-bounded window. */
+  def windowWowGrowth(s: SparkSession, d: String): DataFrame = {
+    val byWeek = Window.partitionBy(col("event_type"))
+      .orderBy(col("week_us"))
+    t(s, d, "events")
+      .select(col("event_type"),
+        unix_micros(date_trunc("week", col("ts"))).as("week_us"))
+      .groupBy(col("event_type"), col("week_us"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(byWeek))
+      .select(col("event_type"), col("week_us"), col("n"), col("prev_n"),
+        round(col("n").cast("double") / col("prev_n") - 1.0, 4)
+          .as("wow_growth"))
+      .orderBy(col("event_type"), col("week_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_wow_growth" -> (windowWowGrowth _),
     "window_rfm" -> (windowRfm _),
     "window_pareto" -> (windowPareto _),
     "window_streak" -> (windowStreak _),
@@ -433,6 +454,20 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_wow_growth" ->
+      """WITH w AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('week', ts)) AS week_us,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, week_us, n,
+        |  lag(n) OVER (PARTITION BY event_type ORDER BY week_us)
+        |    AS prev_n,
+        |  ROUND(CAST(n AS DOUBLE) /
+        |    lag(n) OVER (PARTITION BY event_type ORDER BY week_us)
+        |    - 1.0, 4) AS wow_growth
+        |FROM w ORDER BY event_type, week_us""".stripMargin,
     "window_rfm" ->
       """WITH u AS (
         |  SELECT user_id, MAX(epoch_us(ts)) AS last_us,

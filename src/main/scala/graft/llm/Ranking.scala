@@ -270,7 +270,40 @@ object Ranking {
             col("sx").cast("double")) / col("k"), 4).as("intercept"))
   }
 
+  /** PMI collocation mining — token pairs that co-occur in documents
+    * far more than independence predicts: pmi = ln(n·c_xy/(c_x·c_y))
+    * over document-level co-occurrence, the classic phrase/collocation
+    * detector. All counts exact (per-doc distinct tokens, pair counts
+    * from the doc-keyed self-join — work is Σ per-doc |vocab|², never
+    * corpus²); the single ln rounds to 4. A min-support floor keeps
+    * rare-pair noise out. Top-15 by (pmi, pair). */
+  def textPmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val docToks = t(s, d, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+        .as("tok"))
+    val df = docToks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    docToks.as("a")
+      .join(docToks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .join(broadcast(df.withColumnRenamed("tok", "tok_a")
+        .withColumnRenamed("c", "c_a")), "tok_a")
+      .join(broadcast(df.withColumnRenamed("tok", "tok_b")
+        .withColumnRenamed("c", "c_b")), "tok_b")
+      .crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("n_docs") /
+          (col("c_a").cast("double") * col("c_b"))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(15)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pmi_collocations" -> (textPmiCollocations _),
     "text_zipf_fit" -> (textZipfFit _),
     "text_js_divergence" -> (textJsDivergence _),
     "text_tfidf" -> (textTfidf _),
@@ -280,6 +313,28 @@ object Ranking {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_pmi_collocations" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |), df AS (
+        |  SELECT tok, COUNT(*) AS c FROM dt GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+        |  FROM dt a JOIN dt b
+        |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |)
+        |SELECT tok_a, tok_b, c_ab,
+        |  ROUND(ln(CAST(c_ab AS DOUBLE) * n.n_docs /
+        |    (CAST(da.c AS DOUBLE) * db.c)), 4) AS pmi
+        |FROM pairs
+        |JOIN df da ON da.tok = tok_a
+        |JOIN df db ON db.tok = tok_b
+        |CROSS JOIN n
+        |ORDER BY pmi DESC, tok_a, tok_b LIMIT 15""".stripMargin,
     "text_zipf_fit" ->
       """WITH c AS (
         |  SELECT tok, COUNT(*) AS n

@@ -432,7 +432,36 @@ object Windows {
       .orderBy(col("event_type"), col("week_us"))
   }
 
+  /** Alert debouncing — collapse event storms to one emission per
+    * burst, GAP semantics: emit the first event of every
+    * 30-minute-gap island (one lag() pass, no iterative state). Note
+    * the distinction from THROTTLE semantics ("emit when ≥30 min
+    * since last emitted"), which re-emits inside a slowly drifting
+    * burst and is inherently sequential — that variant needs
+    * flatMapGroupsWithState (see stream_stateful_counter for the
+    * recipe). Gap debounce is what alerting pipelines usually mean
+    * by "collapse the storm"; one user_id shuffle. */
+  def windowDebounce(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000L
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byTs))
+      .withColumn("new_burst",
+        (col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("new_burst")).as("n_emitted"))
+      .select(col("user_id"), col("n_events"), col("n_emitted"),
+        (col("n_events") - col("n_emitted")).as("n_suppressed"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_debounce" -> (windowDebounce _),
     "window_wow_growth" -> (windowWowGrowth _),
     "window_rfm" -> (windowRfm _),
     "window_pareto" -> (windowPareto _),
@@ -454,6 +483,21 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_debounce" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events
+        |)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  SUM(CASE WHEN prev_us IS NULL
+        |       OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |    AS n_emitted,
+        |  COUNT(*) - SUM(CASE WHEN prev_us IS NULL
+        |       OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |    AS n_suppressed
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_wow_growth" ->
       """WITH w AS (
         |  SELECT event_type,

@@ -53,6 +53,44 @@ class MaxValueProcessor
   }
 }
 
+/** StatefulProcessor for [[StreamQueries.streamThrottleState]]:
+  * THROTTLE-semantics debouncing ("emit only when ≥30 min past the
+  * last EMITTED event") — the recurrence whose next output depends on
+  * the previous OUTPUT, not the previous input, so no window/lag
+  * composition can express it (contrast window_debounce's gap
+  * semantics): it needs carried keyed state. Within a batch, rows are
+  * sorted by (ts, event_id) before the fold; across batches the
+  * staged input is time-partitioned, so the fold replays the global
+  * event-time order. */
+class ThrottleProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, Long)] {
+  import org.apache.spark.sql.Encoders
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  private val gapUs = 30L * 60 * 1000000L
+  @transient private var lastEmitted: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    lastEmitted = getHandle.getValueState[Long]("last_emitted",
+      Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long)] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+    var last = if (lastEmitted.exists()) lastEmitted.get() else Long.MinValue
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { case (_, tsUs, eventId) =>
+      if (last == Long.MinValue || tsUs - last >= gapUs) {
+        out += ((key, eventId))
+        last = tsUs
+      }
+    }
+    lastEmitted.update(last)
+    out.iterator
+  }
+}
+
 object StreamQueries {
 
   private val eventsDdl =
@@ -503,7 +541,65 @@ object StreamQueries {
       .orderBy(col("cnt").desc, col("tok"))
   }
 
+  /** Throttle-semantics debouncing over a 4-batch time-partitioned
+    * stream via [[ThrottleProcessor]] (transformWithState). See the
+    * processor scaladoc: the emit decision depends on the previous
+    * EMISSION, so this is the genuinely sequential variant that
+    * window_debounce's gap semantics cannot reproduce — the
+    * demonstration that custom keyed state earns its place. No oracle
+    * (the recurrence has no closed SQL form); StreamRecoverySpec-style
+    * determinism comes from time-quartile staging + in-batch sorting,
+    * and ThrottleSpec replays the rule in Scala for an exact match. */
+  def streamThrottleState(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val ss = streamSession(s)
+    // stage by time quartile so batch order = event-time order
+    val batch = graft.Tables.t(ss, d, "events")
+    val dir = tempDir("graft_stream_throttle")
+    val withTsl = batch.withColumn("tsl", col("ts").cast("long"))
+    val quartiles = withTsl.stat
+      .approxQuantile("tsl", Array(0.25, 0.5, 0.75), 0.0)
+    val assigned = withTsl.withColumn("bucket",
+      when(col("tsl") < lit(quartiles(0)), 0)
+        .when(col("tsl") < lit(quartiles(1)), 1)
+        .when(col("tsl") < lit(quartiles(2)), 2)
+        .otherwise(3))
+      .drop("tsl")
+    val tmp = tempDir("graft_throttle_parts")
+    assigned.repartition(4, col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+    (0 to 3).foreach { b =>
+      val part = Files.list(tmp.resolve(s"bucket=$b")).toArray
+        .map(_.asInstanceOf[Path])
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = dir.resolve(f"$b%04d.parquet")
+      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + b * 60000L)
+    }
+    ss.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val emitted = ss.readStream
+      .schema(StructType.fromDDL(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .select(col("user_id").as[Long],
+        unix_micros(col("ts")).as[Long],
+        col("event_id").as[Long])
+      .groupByKey(_._1)
+      .transformWithState(new ThrottleProcessor(),
+        TimeMode.None(), OutputMode.Append())
+      .toDF("user_id", "event_id")
+    runToMemory(emitted, "append")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_emitted"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_throttle_state" -> (streamThrottleState _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "stream_upsert_sink" -> (streamUpsertSink _),
     "stream_join_stream" -> (streamJoinStream _),

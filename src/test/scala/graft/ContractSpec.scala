@@ -28,7 +28,8 @@ class ContractSpec extends AnyFunSuite {
       "agg_quantile_approx", "dedup_fuzzy_cluster",
       "dedup_fuzzy_minhash", "dedup_simhash", "embedding_pca_project",
       "ingest_try_decompress", "sim_search_ivf", "sim_search_lsh",
-      "stream_watermark_late", "text_compression_ratio")
+      "stream_throttle_state", "stream_watermark_late",
+      "text_compression_ratio")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == expected,
       s"unexpected rows-only: ${actual -- expected}; newly oracled: ${expected -- actual}")
@@ -40,7 +41,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("surface size matches the documented totals") {
     // update alongside SURVEY.md §2.3 "Totals" when adding queries
-    assert(SparkEntry.queries.size == 221, SparkEntry.queries.size.toString)
+    assert(SparkEntry.queries.size == 222, SparkEntry.queries.size.toString)
     assert(SparkEntry.oracleSql.size == 208, SparkEntry.oracleSql.size.toString)
   }
 }

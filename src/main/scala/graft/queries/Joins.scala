@@ -309,7 +309,35 @@ object Joins {
         |    AS n_clean""".stripMargin)
   }
 
+  /** Fuzzy record linkage — match corrupted identifiers (here: each
+    * source name with its last character dropped) back to the clean
+    * registry under edit distance ≤ 1. The scale recipe: BLOCK first
+    * (candidates must share a length band — each probe explodes into
+    * its two admissible lengths and equi-joins on length), THEN verify
+    * with levenshtein on the candidates only. Work is Σ per-block
+    * |probes|·|registry| — block sizes, never the full cross product;
+    * richer blockers (first-char, phonetic, q-gram) drop in as extra
+    * equi-join keys. */
+  def joinFuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val registry = t(s, d, "documents")
+      .select(col("source")).distinct()
+    val probes = registry
+      .select(expr("substring(source, 1, length(source) - 1)")
+        .as("corrupt"))
+      .distinct()
+    val probeB = probes.withColumn("blen",
+      explode(array(length(col("corrupt")), length(col("corrupt")) + 1)))
+    val regB = registry.withColumn("blen", length(col("source")))
+    probeB.join(regB, "blen")
+      .withColumn("lev", levenshtein(col("corrupt"), col("source")))
+      .filter(col("lev") <= 1)
+      .select(col("corrupt"), col("source"), col("lev"))
+      .distinct()
+      .orderBy(col("corrupt"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy_match" -> (joinFuzzyMatch _),
     "join_null_aware_anti" -> (joinNullAwareAnti _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
     "join_skew_salted" -> (joinSkewSalted _),
@@ -330,6 +358,20 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_fuzzy_match" ->
+      """WITH registry AS (
+        |  SELECT DISTINCT source FROM documents
+        |), probes AS (
+        |  SELECT DISTINCT substr(source, 1, length(source) - 1)
+        |    AS corrupt
+        |  FROM registry
+        |)
+        |SELECT DISTINCT corrupt, source,
+        |  CAST(levenshtein(corrupt, source) AS INTEGER) AS lev
+        |FROM probes JOIN registry
+        |  ON length(source) IN (length(corrupt), length(corrupt) + 1)
+        |WHERE levenshtein(corrupt, source) <= 1
+        |ORDER BY corrupt, source""".stripMargin,
     "join_null_aware_anti" ->
       """SELECT
         |  (SELECT COUNT(*) FROM orders

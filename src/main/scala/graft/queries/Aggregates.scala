@@ -899,7 +899,33 @@ object Aggregates {
       .orderBy(col("arm"))
   }
 
+  /** Time-to-conversion — seconds from each user's FIRST view to
+    * their FIRST purchase (counted only when the purchase follows):
+    * the latency metric behind funnel SLAs. Exact integer micro
+    * deltas; the summary row carries count, min/max, and a mean from
+    * the exact sum with one rounded division. Two min-aggregates on
+    * user_id and a join — unbounded-user safe. */
+  def aggTimeToConvert(s: SparkSession, d: String): DataFrame = {
+    val firstOf = (tpe: String) =>
+      t(s, d, "events").filter(col("event_type") === tpe)
+        .groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as(s"first_$tpe"))
+    firstOf("view").join(firstOf("purchase"), "user_id")
+      .filter(col("first_purchase") > col("first_view"))
+      .withColumn("delta_s",
+        ((col("first_purchase") - col("first_view")) / 1000000L)
+          .cast("long"))
+      .agg(count(lit(1)).as("n_converted"),
+        min(col("delta_s")).as("min_s"),
+        max(col("delta_s")).as("max_s"),
+        sum(col("delta_s")).as("sum_s"))
+      .select(col("n_converted"), col("min_s"), col("max_s"),
+        round(col("sum_s").cast("double") / col("n_converted"), 2)
+          .as("mean_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_time_to_convert" -> (aggTimeToConvert _),
     "agg_abtest_lift" -> (aggAbtestLift _),
     "agg_seasonality" -> (aggSeasonality _),
     "agg_higher_moments" -> (aggHigherMoments _),
@@ -959,6 +985,22 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "agg_time_to_convert" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS first_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), p AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS first_purchase
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |), d AS (
+        |  SELECT (first_purchase - first_view) // 1000000 AS delta_s
+        |  FROM v JOIN p USING (user_id)
+        |  WHERE first_purchase > first_view
+        |)
+        |SELECT COUNT(*) AS n_converted, MIN(delta_s) AS min_s,
+        |  MAX(delta_s) AS max_s,
+        |  ROUND(CAST(SUM(delta_s) AS DOUBLE) / COUNT(*), 2) AS mean_s
+        |FROM d""".stripMargin,
     "agg_abtest_lift" ->
       """WITH pu AS (
         |  SELECT user_id,

@@ -59,6 +59,24 @@ object SortsSets {
       .except(t(s, d, "orders").select(col("o_custkey").as("k")))
       .orderBy(col("k"))
 
+  /** Symmetric difference — members of exactly one side, with the side
+    * tagged: customers who never ordered ∪ order-custkeys missing from
+    * the customer table. Composed as two anti-directional EXCEPTs
+    * (each a hash aggregate + anti join in the plan) unioned; at scale
+    * both legs shuffle once on the key. */
+  def setSymmetricDiff(s: SparkSession, d: String): DataFrame = {
+    // overlapping deterministic subsets (every customer has orders in
+    // the fixture, so the raw key sets coincide — the %7/%5 slices
+    // leave both exclusive sides non-empty)
+    val c = t(s, d, "customer").select(col("c_custkey").as("k"))
+      .filter(col("k") % 7 === 0)
+    val o = t(s, d, "orders").select(col("o_custkey").as("k"))
+      .filter(col("k") % 5 === 0)
+    c.except(o).withColumn("side", lit("customer_only"))
+      .unionByName(o.except(c).withColumn("side", lit("orders_only")))
+      .orderBy(col("k"), col("side"))
+  }
+
   /** Pagination: LIMIT + OFFSET over a total order. Spark executes
     * offset+limit as a single GlobalLimit(offset+k) — fine for page-size
     * offsets; deep pagination at scale should keyset-paginate on the
@@ -134,10 +152,20 @@ object SortsSets {
     "set_union_by_name" -> (setUnionByName _),
     "set_union_distinct" -> (setUnionDistinct _),
     "set_intersect" -> (setIntersect _),
-    "set_except" -> (setExcept _)
+    "set_except" -> (setExcept _),
+    "set_symmetric_diff" -> (setSymmetricDiff _)
   )
 
   val oracles: Map[String, String] = Map(
+    "set_symmetric_diff" ->
+      """SELECT k, 'customer_only' AS side FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_custkey % 5 = 0)
+        |UNION ALL
+        |SELECT k, 'orders_only' FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_custkey % 5 = 0
+        |  EXCEPT SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+        |ORDER BY k, side""".stripMargin,
     "sort_zorder" -> zorderOracle,
     "sort_limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders

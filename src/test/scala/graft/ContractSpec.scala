@@ -41,7 +41,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("surface size matches the documented totals") {
     // update alongside SURVEY.md §2.3 "Totals" when adding queries
-    assert(SparkEntry.queries.size == 224, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 210, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size == 225, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size == 211, SparkEntry.oracleSql.size.toString)
   }
 }

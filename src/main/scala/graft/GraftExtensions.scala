@@ -65,20 +65,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[graft.functions.CharNGrams].getName,
         "char_ngrams"),
-      (exprs: Seq[Expression]) => graft.functions.CharNGrams(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => {
+        graft.functions.FunctionArgs.requireArity("char_ngrams", exprs, 2)
+        graft.functions.CharNGrams(exprs(0),
+          graft.functions.FunctionArgs.intLiteral(
+            "char_ngrams", "n", exprs(1)))
+      }))
     ext.injectFunction((
       FunctionIdentifier("token_ngrams"),
       new ExpressionInfo(classOf[graft.functions.TokenNGrams].getName,
         "token_ngrams"),
-      (exprs: Seq[Expression]) => graft.functions.TokenNGrams(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => {
+        graft.functions.FunctionArgs.requireArity("token_ngrams", exprs, 2)
+        graft.functions.TokenNGrams(exprs(0),
+          graft.functions.FunctionArgs.intLiteral(
+            "token_ngrams", "n", exprs(1)))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_misra_gries"),
       new ExpressionInfo(classOf[graft.functions.MisraGriesAgg].getName,
         "graft_misra_gries"),
-      (exprs: Seq[Expression]) => graft.functions.MisraGriesAgg(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression()))
+      (exprs: Seq[Expression]) => {
+        graft.functions.FunctionArgs.requireArity(
+          "graft_misra_gries", exprs, 2)
+        graft.functions.MisraGriesAgg(exprs(0),
+          graft.functions.FunctionArgs.intLiteral(
+            "graft_misra_gries", "k", exprs(1))).toAggregateExpression()
+      }))
     // collapse the composed decode chain into the fused expression
     ext.injectOptimizerRule(_ => graft.plans.FuseDecodeChain)
   }

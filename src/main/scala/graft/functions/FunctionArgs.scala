@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Argument validation for the SQL-registered custom functions that
+  * take a compile-time integer parameter (`char_ngrams`, `token_ngrams`,
+  * `graft_misra_gries`). Before round 5 registration evaluated
+  * `exprs(1).eval(null).asInstanceOf[Int]` unguarded, so a missing
+  * argument, a non-literal, or a LONG literal surfaced as an opaque
+  * `IndexOutOfBoundsException`/`ClassCastException` at analysis time;
+  * these raise the standard Spark error classes instead.
+  */
+object FunctionArgs {
+
+  /** Require exactly `n` arguments, else the standard WRONG_NUM_ARGS. */
+  def requireArity(fn: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$fn`",
+          "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** Extract a foldable integral literal as Int — any integral width is
+    * accepted (`2L` works where `2` does), matching how built-in
+    * parameterized functions read their static arguments. */
+  def intLiteral(fn: String, param: String, e: Expression): Int = {
+    def bad(): Nothing =
+      throw new AnalysisException(
+        "NON_FOLDABLE_ARGUMENT",
+        Map(
+          "funcName" -> s"`$fn`",
+          "paramName" -> s"`$param`",
+          "paramType" -> "\"INT\""))
+    val integral = e.dataType match {
+      case IntegerType | LongType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (!e.foldable || !integral) bad()
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case _ => bad() // foldable NULL literal
+    }
+  }
+}

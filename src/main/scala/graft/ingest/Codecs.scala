@@ -39,17 +39,29 @@ object Codecs {
       exprs => graft.functions.DeflateLength(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams",
-      exprs => graft.functions.CharNGrams(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+      exprs => {
+        graft.functions.FunctionArgs.requireArity("char_ngrams", exprs, 2)
+        graft.functions.CharNGrams(exprs(0),
+          graft.functions.FunctionArgs.intLiteral(
+            "char_ngrams", "n", exprs(1)))
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_ngrams",
-      exprs => graft.functions.TokenNGrams(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]), "built-in")
+      exprs => {
+        graft.functions.FunctionArgs.requireArity("token_ngrams", exprs, 2)
+        graft.functions.TokenNGrams(exprs(0),
+          graft.functions.FunctionArgs.intLiteral(
+            "token_ngrams", "n", exprs(1)))
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_misra_gries",
-      exprs => graft.functions.MisraGriesAgg(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Int]).toAggregateExpression(),
-      "built-in")
+      exprs => {
+        graft.functions.FunctionArgs.requireArity(
+          "graft_misra_gries", exprs, 2)
+        graft.functions.MisraGriesAgg(exprs(0),
+          graft.functions.FunctionArgs.intLiteral(
+            "graft_misra_gries", "k", exprs(1))).toAggregateExpression()
+      }, "built-in")
     // decode-chain fusion (see graft.plans.FuseDecodeChain); idempotent
     if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseDecodeChain))
       spark.experimental.extraOptimizations =

@@ -30,11 +30,20 @@ object Sources {
   def fileTextBatch(spark: SparkSession, dir: String): DataFrame =
     spark.read.text(dir).select(col("value"))
 
+  /** Normalize a Kafka-wire-shaped frame (binary `value` plus key/
+    * topic/partition/offset metadata columns) to the envelope contract.
+    * This is the ONE projection between `format("kafka").load()` and
+    * [[Pipeline.parseEnvelopes]], factored out so tests can drive it
+    * with a `MemoryStream` carrying Kafka's wire schema — the
+    * connector-jar-gated branch and the tested branch share every
+    * downstream instruction (see SourcesSpec "kafka wire schema"). */
+  def fromWire(wire: DataFrame): DataFrame =
+    wire.selectExpr("CAST(value AS STRING) AS value")
+
   /** Generic streaming source by format name, cast to the envelope
     * contract. Use `format = "kafka"` with the connector on the
     * classpath; `options` carries bootstrap servers/topic etc. */
   def stream(spark: SparkSession, format: String,
       options: Map[String, String]): DataFrame =
-    spark.readStream.format(format).options(options).load()
-      .selectExpr("CAST(value AS STRING) AS value")
+    fromWire(spark.readStream.format(format).options(options).load())
 }

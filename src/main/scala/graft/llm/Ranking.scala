@@ -290,10 +290,15 @@ object Ranking {
       .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= 5)
-      .join(broadcast(df.withColumnRenamed("tok", "tok_a")
-        .withColumnRenamed("c", "c_a")), "tok_a")
-      .join(broadcast(df.withColumnRenamed("tok", "tok_b")
-        .withColumnRenamed("c", "c_b")), "tok_b")
+      // The unigram df table is vocabulary-sized and vocabulary grows
+      // with the corpus (Heaps' law) — broadcasting it is unbounded at
+      // 100 TB. Plain shuffle equi-joins instead: the pair side is
+      // min-support-floored (tiny), so the shuffle is cheap, and AQE
+      // may still choose broadcast when df genuinely fits.
+      .join(df.withColumnRenamed("tok", "tok_a")
+        .withColumnRenamed("c", "c_a"), "tok_a")
+      .join(df.withColumnRenamed("tok", "tok_b")
+        .withColumnRenamed("c", "c_b"), "tok_b")
       .crossJoin(broadcast(n))
       .select(col("tok_a"), col("tok_b"), col("c_ab"),
         round(log(col("c_ab").cast("double") * col("n_docs") /

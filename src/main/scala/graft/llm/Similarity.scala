@@ -237,21 +237,78 @@ object Similarity {
     * reduction order). One narrow map inside the scan stage; 8×dim
     * multiply-adds per row; the projected table is what LSH/IVF index
     * builds consume at 1/8th the bandwidth. */
-  def embeddingRandomProjection(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings")
+  def embeddingRandomProjection(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    // The sign matrix is a pure function of (i, j): computing it inside
+    // the row expression costs 8×dim md5 string hashes PER ROW for a
+    // matrix that is constant across the corpus. Materialize the 8×dim
+    // ±1 rows once driver-side and ship them as array literals; each
+    // row then pays only 8×dim integer multiply-adds.
+    val dim = e.limit(1).select(size(col("embedding")))
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    def sign(i: Int, j: Int): Long = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${j}".getBytes("UTF-8"))
+      val firstHex = "%02x".format(digest(0)).charAt(0)
+      if ("13579bdf".contains(firstHex)) -1L else 1L
+    }
+    val projections = (0 until 8).map { j =>
+      val signs = typedLit((0 until dim).map(i => sign(i, j)))
+      aggregate(
+        zip_with(col("micro"), signs, (m, sg) => m * sg),
+        lit(0L), (acc, x) => acc + x)
+    }
+    // micro is projected first so the 8 folds share one quantization
+    // pass (CollapseProject keeps non-cheap multi-referenced lambdas
+    // in their own projection — the embeddingQuantize pattern).
+    e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000d).cast("bigint"))
+          .as("micro"))
       .select(col("vec_id"),
-        posexplode(expr(
-          """transform(sequence(0, 7), j ->
-            |  aggregate(sequence(0, size(embedding) - 1), 0L,
-            |    (acc, i) -> acc +
-            |      (CASE WHEN instr('13579bdf',
-            |         substring(md5(concat(cast(i as string), '_',
-            |                              cast(j as string))), 1, 1)) > 0
-            |       THEN -1L ELSE 1L END) *
-            |      cast(round(element_at(cast(embedding as array<double>),
-            |                            i + 1) * 1000000d) as bigint)))"""
-            .stripMargin)).as(Seq("j", "proj_micro")))
+        posexplode(array(projections: _*)).as(Seq("j", "proj_micro")))
       .orderBy(col("vec_id"), col("j"))
+  }
+
+  /** One k-means/IVF ASSIGNMENT pass against deterministic seed
+    * centroids (the k=8 lowest vec_ids) — the primitive an IVF index
+    * build iterates: centroids are MODEL state (k×dim, driver-held and
+    * shipped as literals — the legitimate small side, unlike a corpus
+    * broadcast), the corpus gets one narrow codegen'd map computing all
+    * k distances per row with NO shuffle and NO per-vector explode
+    * (exploding k rows per vector would shuffle k×n rows just to
+    * reduce them back). Distances are exact integer micro²-units
+    * (elements quantized to 1e-6 first, like
+    * [[embeddingRandomProjection]]), so argmin ties and values
+    * reproduce bit-for-bit in any engine; argmin tiebreak is lowest
+    * cell id via lexicographic struct min. */
+  def embeddingKmeansAssign(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding"))
+      .collect()
+      // HALF_UP like Spark's/DuckDB's round — math.round would round
+      // negative halves toward +inf and skew centroid cells
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+      .sortBy(_._1)
+    val cells = centroids.map { case (cell, cm) =>
+      val d2 = aggregate(
+        zip_with(col("micro"), typedLit(cm.toSeq),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(cell).as("cell"))
+    }
+    e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000d).cast("bigint"))
+          .as("micro"))
+      .select(col("vec_id"), array_min(array(cells: _*)).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.d2").as("d2_micro"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Range search: every vector within cosine >= 0.2 of the probe
     * (vec_id=0) — the radius-query complement of top-k. Same scale shape
@@ -563,17 +620,44 @@ object Similarity {
     "sim_search_mips_augmented" -> (simSearchMipsAugmented _),
     "sim_search_ivf" -> (simSearchIvf _),
     "sim_search_lsh" -> (simSearchLsh _),
-    "embedding_quantize" -> (embeddingQuantize _)
+    "embedding_quantize" -> (embeddingQuantize _),
+    "embedding_kmeans_assign" -> (embeddingKmeansAssign _)
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer micro²-unit L2 distances; argmin tiebreak lowest
+    // cell — identical quantization on both sides
+    "embedding_kmeans_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS m
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, m AS cm
+        |  FROM e WHERE vec_id < 8
+        |), dists AS (
+        |  SELECT e.vec_id, c.cell,
+        |    CAST(list_sum(list_transform(range(1, len(e.m) + 1),
+        |      i -> (e.m[i] - c.cm[i]) * (e.m[i] - c.cm[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e CROSS JOIN c
+        |), r AS (
+        |  SELECT vec_id, cell, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, cell) AS rn
+        |  FROM dists
+        |)
+        |SELECT vec_id, cell, d2 AS d2_micro
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "embedding_random_projection" ->
       """SELECT vec_id, j,
-        |  list_sum(list_transform(range(1, len(emb) + 1), i ->
+        |  CAST(list_sum(list_transform(range(1, len(emb) + 1), i ->
         |    (CASE WHEN strpos('13579bdf',
         |        substr(md5((i - 1) || '_' || j), 1, 1)) > 0
         |     THEN -1 ELSE 1 END) *
-        |    CAST(ROUND(emb[i] * 1000000) AS BIGINT))) AS proj_micro
+        |    CAST(ROUND(emb[i] * 1000000) AS BIGINT))) AS BIGINT)
+        |    AS proj_micro
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |      FROM embeddings),
         |  LATERAL unnest(range(0, 8)) AS u(j)

@@ -315,16 +315,53 @@ object TextStats {
         (col("source") === col("guess")).as("exact"))
       .orderBy(col("doc_id"))
 
-  /** Compression-ratio quality signal (CCNet/RefinedWeb): deflated
-    * length over raw UTF-8 length per document. Very compressible
+  /** Compression-ratio quality signal (CCNet/RefinedWeb): estimated
+    * compressed-size fraction per document. Very compressible
     * (ratio ≪ 1) means repetitive boilerplate; near-incompressible
     * (ratio ≈ 1) means noise/binary junk — both tails are filter
-    * candidates. One codegen'd projection via the custom
-    * [[graft.functions.DeflateLength]] expression — zero shuffles; the
-    * compressed bytes never materialize, only their length. No oracle:
-    * DuckDB has no deflate (rows-only check; behavior pinned in
-    * CurationSpec). */
+    * candidates. Since round 5 the QUERY reports the zeroth-order
+    * entropy estimate H₀/8 bits-per-byte (the information-theoretic
+    * floor any byte-level coder approaches), which is exact-integer
+    * derivable and therefore ORACLED — the agg_entropy rounding
+    * discipline (per-(doc,char) round-then-decimal before the sum)
+    * makes the irrational terms order-independent cross-engine. The
+    * true deflate-length variant stays available as
+    * [[textDeflateRatio]] (spec-covered; DuckDB has no deflate, so it
+    * cannot gate). */
   def textCompressionRatio(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        explode(split(col("text"), "")).as("ch"))
+      // Spark's split uses Java limit -1, which keeps the zero-width
+      // trailing match as an empty element; DuckDB's char split has no
+      // such artifact — drop it so both engines count |text| chars
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("n_bytes"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("n_bytes"), col("c"),
+        round(col("c") * log(col("c").cast("double")), 6)
+          .cast("decimal(20,6)").as("clnc"))
+    counts.groupBy(col("doc_id"), col("n_bytes"))
+      .agg(sum(col("c")).cast("long").as("n_chars"),
+        sum(col("clnc")).as("sclnc"))
+      .select(col("doc_id"), col("n_bytes"), col("n_chars"),
+        round((log(col("n_chars").cast("double")) -
+          col("sclnc").cast("double") / col("n_chars")) /
+          lit(8 * math.log(2.0)), 4).as("est_ratio"))
+      .withColumn("flag",
+        when(col("est_ratio") < 0.3, lit("repetitive"))
+          .when(col("est_ratio") > 0.9, lit("incompressible"))
+          .otherwise(lit("ok")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** True deflate compression ratio via the custom
+    * [[graft.functions.DeflateLength]] expression — one codegen'd
+    * projection, zero shuffles; the compressed bytes never materialize,
+    * only their length. Library surface + CurationSpec coverage (no
+    * oracle possible: DuckDB has no deflate). */
+  def textDeflateRatio(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val defLen = GraftBridge.column(
       graft.functions.DeflateLength(GraftBridge.expression(col("text"))))
@@ -444,6 +481,35 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    // zeroth-order entropy estimate — agg_entropy's exact-integer
+    // rounding discipline (round per term, decimal sum) keeps the
+    // irrational parts order-independent across engines
+    "text_compression_ratio" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    unnest(string_split(text, '')) AS ch
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, n_bytes, ch, COUNT(*) AS c
+        |  FROM ch GROUP BY 1, 2, 3
+        |), t AS (
+        |  SELECT doc_id, n_bytes, c,
+        |    CAST(ROUND(c * ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(20,6))
+        |      AS clnc
+        |  FROM f
+        |), m AS (
+        |  SELECT doc_id, n_bytes, CAST(SUM(c) AS BIGINT) AS n_chars,
+        |    ROUND((ln(CAST(SUM(c) AS DOUBLE)) -
+        |           CAST(SUM(clnc) AS DOUBLE) / SUM(c)) / (8 * ln(2)), 4)
+        |      AS est_ratio
+        |  FROM t GROUP BY 1, 2
+        |)
+        |SELECT doc_id, n_bytes, n_chars, est_ratio,
+        |  CASE WHEN est_ratio < 0.3 THEN 'repetitive'
+        |       WHEN est_ratio > 0.9 THEN 'incompressible'
+        |       ELSE 'ok' END AS flag
+        |FROM m ORDER BY doc_id""".stripMargin,
     "text_burstiness" ->
       """WITH f AS (
         |  SELECT doc_id, tok, COUNT(*) AS f
@@ -455,7 +521,7 @@ object TextStats {
         |    SUM(f * f) AS s2
         |  FROM f GROUP BY 1
         |)
-        |SELECT doc_id, k, s1 AS n_tokens,
+        |SELECT doc_id, k, CAST(s1 AS BIGINT) AS n_tokens,
         |  ROUND(((CAST(s2 AS DOUBLE) -
         |          CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / k) /
         |         (k - 1)) / (CAST(s1 AS DOUBLE) / k), 4) AS vmr

@@ -227,22 +227,57 @@ object Aggregates {
     * quantiles). Unlike [[aggPercentile]]'s exact two-phase sort, the
     * GK summary is a bounded-size mergeable state: at 100 TB each task
     * folds its partition into a ~(1/eps) summary and the shuffle moves
-    * sketches, not rows. accuracy=1000 → rank error ≤ n/1000.
-    * No oracle (sketch internals are merge-order sensitive in the last
-    * rank); AggregateSpec bounds the result against exact percentiles
-    * by rank instead. */
+    * sketches, not rows. accuracy=1e6 → rank error ≤ n/1e6, which is
+    * < 1 rank at gate scale, so the sketch answers the EXACT discrete
+    * percentile there and the query is ORACLED against quantile_disc
+    * (round 5; was accuracy=1000 rows-only). The sketch path — bounded
+    * memory, merge on shuffle — is unchanged; AggregateSpec still
+    * bounds the result by rank against exact percentiles. */
   def aggQuantileApprox(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n"),
-        expr("approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 1000)")
+        expr("approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 1000000)")
           .as("q"))
       .select(col("o_orderpriority"), col("n"),
         round(element_at(col("q"), 1), 2).as("p50"),
         round(element_at(col("q"), 2), 2).as("p90"),
         round(element_at(col("q"), 3), 2).as("p99"))
       .orderBy(col("o_orderpriority"))
+
+  /** Chi-square independence test between event type and day-of-week —
+    * the data-drift / feature-dependence screen: χ² = Σ (O−E)²/E over
+    * the contingency cells, computed from EXACT integer marginals via
+    * the cross-multiplied identity (N·n − r·c)² / (N·r·c) so no
+    * fractional expected value is ever materialized; each cell's term
+    * rounds to 6 then sums in DECIMAL (the order-independence
+    * discipline). Cells are |types|×7 — bounded — so the three
+    * marginal aggregates and the final join all stay tiny after one
+    * (type, dow) hash aggregate over the data. */
+  def aggChi2Independence(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "events")
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("n")).as("r"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("n")).as("c"))
+    val nTot = cells.agg(sum(col("n")).as("nn"))
+    val dof = cells.agg(((countDistinct(col("event_type")) - 1) *
+      (countDistinct(col("dow")) - 1)).as("dof"))
+    cells.join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "dow")
+      .crossJoin(broadcast(nTot))
+      .withColumn("diff",
+        (col("nn") * col("n") - col("r") * col("c")).cast("double"))
+      .withColumn("term",
+        round(col("diff") * col("diff") /
+          (col("nn").cast("double") * col("r") * col("c")), 6)
+          .cast("decimal(20,6)"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("term")).as("t"))
+      .crossJoin(broadcast(dof))
+      .select(col("n_cells"), col("dof"),
+        round(col("t").cast("double"), 4).as("chi2"))
+  }
 
   /** Pivot: one output column per l_linestatus value. The value list is
     * given explicitly — at scale an implicit pivot adds a distinct-value
@@ -560,11 +595,17 @@ object Aggregates {
       sum(col("vq")).as("sx"),
       sum(col("vq") * col("vq")).as("sxx"))
     ev.join(broadcast(stats), "event_type")
+      // Degenerate-group guards pinned identically in the oracle: a
+      // single-row group has n-1 = 0 and a constant group has sd = 0;
+      // cross-engine /0.0 semantics differ (NULL vs inf), so both
+      // emit no outliers by definition.
+      .filter(col("n") > 1)
       .withColumn("mean", col("sx").cast("double") / col("n"))
       .withColumn("sd", sqrt(
         (col("sxx").cast("double") -
           col("sx").cast("double") * col("sx").cast("double") / col("n")) /
           (col("n") - lit(1))))
+      .filter(col("sd") > 0)
       .withColumn("z", (col("vq").cast("double") - col("mean")) / col("sd"))
       .filter(abs(col("z")) > 2.5)
       .select(col("event_id"), col("event_type"),
@@ -618,6 +659,11 @@ object Aggregates {
       .agg(first(col("med")).as("med"),
         median(abs(col("v") - col("med"))).as("mad"))
     ev.join(broadcast(mad), "event_type")
+      // A group where >half the values equal the median has MAD = 0;
+      // Spark's x/0.0 and DuckDB's diverge (NULL-dropped vs inf-
+      // flagged), so pin the semantics: degenerate groups emit no
+      // outliers. Same filter in the oracle SQL.
+      .filter(col("mad") > 0)
       .withColumn("score",
         abs(col("v") - col("med")) / (col("mad") * lit(1.4826)))
       .filter(col("score") > 3.5)
@@ -939,6 +985,7 @@ object Aggregates {
     "window_mad_outlier" -> (windowMadOutlier _),
     "agg_gini" -> (aggGini _),
     "agg_entropy" -> (aggEntropy _),
+    "agg_chi2_independence" -> (aggChi2Independence _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
@@ -1011,7 +1058,8 @@ object Aggregates {
         |      THEN 'A' ELSE 'B' END AS arm
         |  FROM events GROUP BY user_id
         |), arms AS (
-        |  SELECT arm, COUNT(*) AS n_users, SUM(converted) AS n_converted,
+        |  SELECT arm, COUNT(*) AS n_users,
+        |    CAST(SUM(converted) AS BIGINT) AS n_converted,
         |    ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS cvr
         |  FROM pu GROUP BY arm
         |)
@@ -1152,8 +1200,43 @@ object Aggregates {
         |SELECT event_id, event_type, v AS value_q,
         |  ROUND(abs(v - med) / (mad * 1.4826), 3) AS robust_z
         |FROM ev JOIN mad USING (event_type)
-        |WHERE abs(v - med) / (mad * 1.4826) > 3.5
+        |WHERE mad > 0 AND abs(v - med) / (mad * 1.4826) > 3.5
         |ORDER BY event_id""".stripMargin,
+    // Spark dayofweek = DuckDB dayofweek+1 (agg_seasonality precedent);
+    // cross-multiplied χ² identity from exact BIGINT marginals, per-cell
+    // round-6 → DECIMAL sum for order independence
+    "agg_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS r
+        |  FROM cells GROUP BY 1
+        |), ct AS (
+        |  SELECT dow, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1
+        |), tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+        |terms AS (
+        |  SELECT CAST(ROUND(
+        |    CAST(nn * n - r * c AS DOUBLE) *
+        |    CAST(nn * n - r * c AS DOUBLE) /
+        |    (CAST(nn AS DOUBLE) * r * c), 6) AS DECIMAL(20,6)) AS term
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+        |  CROSS JOIN tt
+        |)
+        |SELECT COUNT(*) AS n_cells,
+        |  (SELECT (COUNT(DISTINCT event_type) - 1) *
+        |          (COUNT(DISTINCT dow) - 1) FROM cells) AS dof,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 4) AS chi2
+        |FROM terms""".stripMargin,
+    // exact at gate scale: rank error n/1e6 < 1, and Spark's GK rank
+    // ceil(p·n) coincides with quantile_disc's discrete convention
+    "agg_quantile_approx" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  ROUND(quantile_disc(o_totalprice, 0.5), 2) AS p50,
+        |  ROUND(quantile_disc(o_totalprice, 0.9), 2) AS p90,
+        |  ROUND(quantile_disc(o_totalprice, 0.99), 2) AS p99
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "agg_gini" ->
       """WITH x AS (
         |  SELECT event_type, user_id, COUNT(*) AS x
@@ -1164,7 +1247,8 @@ object Aggregates {
         |                       ORDER BY x, user_id) AS r
         |  FROM x
         |)
-        |SELECT event_type, COUNT(*) AS n_users, SUM(x) AS total,
+        |SELECT event_type, COUNT(*) AS n_users,
+        |  CAST(SUM(x) AS BIGINT) AS total,
         |  ROUND(CAST(2 * SUM(r * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) /
         |        CAST(COUNT(*) * SUM(x) AS DOUBLE), 6) AS gini
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1179,7 +1263,7 @@ object Aggregates {
         |    c
         |  FROM ct
         |)
-        |SELECT user_id, SUM(c) AS n, COUNT(*) AS n_types,
+        |SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_types,
         |  ROUND(ln(CAST(SUM(c) AS DOUBLE)) -
         |        CAST(SUM(clnc) AS DOUBLE) / SUM(c), 4) AS entropy
         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -1198,11 +1282,16 @@ object Aggregates {
         |    (CAST(ev.vq AS DOUBLE) - CAST(sx AS DOUBLE) / n) /
         |      sqrt((CAST(sxx AS DOUBLE) -
         |            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) /
-        |           (n - 1)) AS zv
+        |           (n - 1)) AS zv,
+        |    sqrt((CAST(sxx AS DOUBLE) -
+        |          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) /
+        |         (n - 1)) AS sd
         |  FROM ev JOIN stats USING (event_type)
+        |  WHERE n > 1
         |)
         |SELECT event_id, event_type, value_q, ROUND(zv, 3) AS z
-        |FROM z WHERE abs(zv) > 2.5 ORDER BY event_id""".stripMargin,
+        |FROM z WHERE sd > 0 AND abs(zv) > 2.5
+        |ORDER BY event_id""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT event_type,
         |  COUNT(DISTINCT user_id) AS n_distinct_users

@@ -214,7 +214,7 @@ object Composite {
       """WITH vol AS (
         |  SELECT source, COUNT(*) AS n_docs,
         |    COUNT(DISTINCT md5(text)) AS n_distinct,
-        |    SUM(len(string_split(text, ' '))) AS n_tokens
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY 1
         |), q AS (
         |  SELECT source,

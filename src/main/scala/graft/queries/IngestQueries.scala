@@ -168,8 +168,13 @@ object IngestQueries {
       "this is not json at all")
   }
 
-  /** Decode-chain round-trip through the custom TryDecompress expression
-    * (no oracle — binary fallback semantics aren't SQL-expressible). */
+  /** Decode-chain round-trip through the custom TryDecompress expression.
+    * Oracled since round 5 via a semantics-derived VALUES relation (the
+    * routedCountsOracle pattern): every expected row follows from
+    * FIXTURES.md §B and the reference's decode semantics — each
+    * compressed variant (gzip / raw-deflate / zlib-with-junk) decodes
+    * back to its known constant payload, plain base64 passes through,
+    * and missing-Data / non-JSON bodies yield NULL payloads. */
   def ingestTryDecompress(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val raw = s.createDataset(syntheticEnvelopes).toDF("value")
@@ -300,6 +305,34 @@ object IngestQueries {
       |ORDER BY folder, source_db, "table"""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // semantics-derived expectation (NOT an engine dump): decode chain
+    // per FIXTURES.md §B — gzip(rows), raw-deflate(columnar), junk-
+    // wrapped zlib(single), plain b64; missing Data and non-JSON wrap
+    // decode to NULL; routes per reference function_app.py:88-113
+    "ingest_try_decompress" ->
+      """SELECT * FROM (VALUES
+        |  ('arraydb.t1', 'arr', 'arraydb', 't1',
+        |   '{"device_id":"d5","temp_c":19.0}'),
+        |  ('otherdb.metrics', 'landing', 'otherdb', 'metrics',
+        |   '[{"device_id":"d1","temp_c":21.5,"ok":true,"tags":["a","b"]},{"device_id":"d2","temp_c":22.0,"ok":false,"tags":[]}]'),
+        |  (CAST(NULL AS VARCHAR), 'landing', 'unknown_db',
+        |   'unknown_table', CAST(NULL AS VARCHAR)),
+        |  ('!!!', 'ok', 'unknown_db', 'unknown_table',
+        |   '{"device_id":"d5","temp_c":19.0}'),
+        |  ('nodb_table', 'plain', 'nodb_table', 'nodb_table',
+        |   '{"device_id":"d5","temp_c":19.0}'),
+        |  ('factorydb.sensor_readings', 'telemetry', 'factorydb',
+        |   'sensor_readings',
+        |   '[{"device_id":"d1","temp_c":21.5,"ok":true,"tags":["a","b"]},{"device_id":"d2","temp_c":22.0,"ok":false,"tags":[]}]'),
+        |  ('factorydb.sensor_readings', 'telemetry', 'factorydb',
+        |   'sensor_readings', '{"device_id":"d5","temp_c":19.0}'),
+        |  ('factorydb.sensor_readings', 'telemetry', 'factorydb',
+        |   'sensor_readings',
+        |   '{"device_id":["d3","d4"],"temp_c":[20.0,null]}'),
+        |  ('missing.data', 'x', 'missing', 'data',
+        |   CAST(NULL AS VARCHAR)))
+        |  AS t("Source", folder, source_db, tbl, payload_str)
+        |ORDER BY folder, source_db, tbl, payload_str""".stripMargin,
     "scd2_history" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id, event_type,

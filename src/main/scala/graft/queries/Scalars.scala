@@ -307,8 +307,8 @@ object Scalars {
       """SELECT event_type,
         |  COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER))
         |    AS n_parsed,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
-        |    AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER))
         |    AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))

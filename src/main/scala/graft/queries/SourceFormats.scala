@@ -237,7 +237,8 @@ object SourceFormats {
       """SELECT COUNT(*) AS n_rows,
         |  COUNT(*) FILTER (WHERE doc_id % 7 = 0) AS n_corrupt,
         |  COUNT(*) FILTER (WHERE doc_id % 7 <> 0) AS n_parsed,
-        |  SUM(doc_id) FILTER (WHERE doc_id % 7 <> 0) AS sum_good_ids
+        |  CAST(SUM(doc_id) FILTER (WHERE doc_id % 7 <> 0) AS BIGINT)
+        |    AS sum_good_ids
         |FROM documents""".stripMargin,
     "source_binary_files" ->
       """SELECT doc_id,

@@ -349,6 +349,46 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** CUSUM drift detection — per event type, the classic cumulative-sum
+    * change detector over the daily count series: S_i = max(0,
+    * S_{i-1} + (x_i − μ)), alarm at the day where S peaks. The
+    * recurrence is ALL-INTEGER by scaling through n_days (S·n = max(0,
+    * S·n + (n·x_i − total))), so engines agree bit-for-bit. The series
+    * is calendar-bounded (days in the corpus window), so the per-group
+    * collect is bounded state, not data-sized — the same bounded-fold
+    * contract as window_ewma; everything before it is one hash
+    * aggregate on (type, day). DuckDB replays the fold as a recursive
+    * CTE. */
+  def windowCusum(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("total"), count(lit(1)).as("n_days"))
+    daily.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("n_days"), col("total"),
+        struct(col("day"), (col("n_days") * col("x") - col("total"))
+          .as("dev")).as("e"))
+      .groupBy(col("event_type"), col("n_days"), col("total"))
+      .agg(sort_array(collect_list(col("e"))).as("series"))
+      .withColumn("fold", aggregate(
+        col("series"),
+        struct(lit(0L).as("s"), lit(-1L).as("smax"),
+          lit(null).cast("date").as("dmax")),
+        (acc, e) => {
+          val sNext = greatest(lit(0L), acc.getField("s") + e.getField("dev"))
+          struct(sNext.as("s"),
+            when(sNext > acc.getField("smax"), sNext)
+              .otherwise(acc.getField("smax")).as("smax"),
+            when(sNext > acc.getField("smax"), e.getField("day"))
+              .otherwise(acc.getField("dmax")).as("dmax"))
+        }))
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("fold.smax").as("max_cusum_scaled"),
+        col("fold.dmax").cast("string").as("alarm_day"))
+      .orderBy(col("event_type"))
+  }
+
   /** Pareto concentration — per event type, the smallest number of
     * users covering ≥80% of events: rank users by activity (count
     * desc, user asc — total order), running sum over that order, and
@@ -462,6 +502,7 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_debounce" -> (windowDebounce _),
+    "window_cusum" -> (windowCusum _),
     "window_wow_growth" -> (windowWowGrowth _),
     "window_rfm" -> (windowRfm _),
     "window_pareto" -> (windowPareto _),
@@ -483,6 +524,41 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // replays the integer CUSUM fold as a recursive CTE; dev and total
+    // pass through BIGINT casts (DuckDB SUM -> HUGEINT)
+    "window_cusum" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, SUM(x) AS total, COUNT(*) AS n_days
+        |  FROM daily GROUP BY 1
+        |), ser AS (
+        |  SELECT d.event_type, d.day,
+        |    CAST(t.n_days * d.x - t.total AS BIGINT) AS dev,
+        |    ROW_NUMBER() OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day) AS rn
+        |  FROM daily d JOIN tot t USING (event_type)
+        |), st(event_type, rn, s, smax, dmax) AS (
+        |  SELECT event_type, 0, CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+        |    CAST(NULL AS DATE)
+        |  FROM tot
+        |  UNION ALL
+        |  SELECT e.event_type, e.rn,
+        |    GREATEST(CAST(0 AS BIGINT), s.s + e.dev),
+        |    CASE WHEN GREATEST(CAST(0 AS BIGINT), s.s + e.dev) > s.smax
+        |         THEN GREATEST(CAST(0 AS BIGINT), s.s + e.dev)
+        |         ELSE s.smax END,
+        |    CASE WHEN GREATEST(CAST(0 AS BIGINT), s.s + e.dev) > s.smax
+        |         THEN e.day ELSE s.dmax END
+        |  FROM st s JOIN ser e ON e.event_type = s.event_type
+        |    AND e.rn = s.rn + 1
+        |)
+        |SELECT s.event_type, t.n_days, CAST(t.total AS BIGINT) AS total,
+        |  s.smax AS max_cusum_scaled, CAST(s.dmax AS VARCHAR) AS alarm_day
+        |FROM st s JOIN tot t USING (event_type)
+        |WHERE s.rn = t.n_days
+        |ORDER BY s.event_type""".stripMargin,
     "window_debounce" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -491,12 +567,12 @@ object Windows {
         |  FROM events
         |)
         |SELECT user_id, COUNT(*) AS n_events,
-        |  SUM(CASE WHEN prev_us IS NULL
+        |  CAST(SUM(CASE WHEN prev_us IS NULL
         |       OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-        |    AS n_emitted,
-        |  COUNT(*) - SUM(CASE WHEN prev_us IS NULL
+        |    AS BIGINT) AS n_emitted,
+        |  CAST(COUNT(*) - SUM(CASE WHEN prev_us IS NULL
         |       OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-        |    AS n_suppressed
+        |    AS BIGINT) AS n_suppressed
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_wow_growth" ->
       """WITH w AS (
@@ -550,7 +626,7 @@ object Windows {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY x DESC, user_id)
         |)
         |SELECT event_type, MIN(r) AS users_for_80pct, MAX(r) AS n_users,
-        |  MAX(total) AS n_events,
+        |  CAST(MAX(total) AS BIGINT) AS n_events,
         |  ROUND(CAST(MIN(r) AS DOUBLE) / MAX(r), 4)
         |    AS user_share_for_80pct
         |FROM r WHERE cum * 10 >= total * 8
@@ -570,7 +646,8 @@ object Windows {
         |  FROM grps GROUP BY 1, 2
         |)
         |SELECT user_id, MAX(streak) AS max_streak,
-        |  SUM(streak) AS n_active_days, COUNT(*) AS n_streaks
+        |  CAST(SUM(streak) AS BIGINT) AS n_active_days,
+        |  COUNT(*) AS n_streaks
         |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_resample_ohlc" ->
       """SELECT event_type,
@@ -608,7 +685,7 @@ object Windows {
         |  FROM islands GROUP BY 1, 2
         |)
         |SELECT user_id, COUNT(*) AS n_islands,
-        |  SUM(i_end - i_start) AS covered_us
+        |  CAST(SUM(i_end - i_start) AS BIGINT) AS covered_us
         |FROM extents GROUP BY user_id ORDER BY user_id""".stripMargin,
     "window_ewma" ->
       """WITH daily AS (

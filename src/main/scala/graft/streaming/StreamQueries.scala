@@ -205,8 +205,10 @@ object StreamQueries {
     * event_id % 97 == 0 are routed to the last file, arriving later than
     * the 10-minute watermark allows → dropped as late (reference has no
     * such semantics — engine addition). Append mode: only windows closed
-    * by the final watermark are emitted. No oracle (watermark emission
-    * depends on batch boundaries); deterministic by construction. */
+    * by the final watermark are emitted. Deterministic by construction,
+    * and since round 5 ORACLED: the staged batch boundaries are exact
+    * quantiles, so the watermark at every trigger is computable in SQL
+    * (see the oracle comment for the two-trigger watermark lag). */
   def streamWatermarkLate(s: SparkSession, d: String): DataFrame = {
     val batch = graft.Tables.t(s, d, "events")
     val dir = tempDir("graft_stream_wm")
@@ -546,8 +548,9 @@ object StreamQueries {
     * processor scaladoc: the emit decision depends on the previous
     * EMISSION, so this is the genuinely sequential variant that
     * window_debounce's gap semantics cannot reproduce — the
-    * demonstration that custom keyed state earns its place. No oracle
-    * (the recurrence has no closed SQL form); StreamRecoverySpec-style
+    * demonstration that custom keyed state earns its place. Oracled
+    * since round 5: the recurrence has no closed WINDOW form, but a
+    * recursive CTE replays the exact per-user fold (see the oracle);
     * determinism comes from time-quartile staging + in-batch sorting,
     * and ThrottleSpec replays the rule in Scala for an exact match. */
   def streamThrottleState(s: SparkSession, d: String): DataFrame = {
@@ -619,7 +622,56 @@ object StreamQueries {
     // 2-micro-batch streaming path must land identical counts
     "stream_ingest_pipeline" ->
       graft.queries.IngestQueries.routedCountsOracle,
+    // Replays the engine's watermark arithmetic in SQL. The staging is
+    // 4 time-quartile micro-batches with event_id%97 rows forced into
+    // the last; two empirically-pinned Spark semantics: (1) the late-
+    // row filter in batch N uses the watermark committed at batch
+    // start, which reflects max event time through batch N-2 (one
+    // trigger to report the max + one to commit it) — so batch 3 drops
+    // %97 rows behind max(batches 0..1) - 10min, i.e. the q50 cut, NOT
+    // q75; (2) append mode emits a window only once the FINAL watermark
+    // (max over all data - 10min) passes its end. quantile_disc
+    // matches approxQuantile(..., 0.0) exactly on this data.
+    "stream_watermark_late" ->
+      """WITH t AS (SELECT event_id, epoch_us(ts) AS tsu FROM events),
+        |qs AS (SELECT quantile_disc(tsu, 0.50) AS q50 FROM t),
+        |wm3 AS (SELECT MAX(tsu) - 600000000 AS wm
+        |        FROM t, qs WHERE tsu < qs.q50 AND event_id % 97 <> 0),
+        |accepted AS (SELECT tsu FROM t, wm3
+        |             WHERE event_id % 97 <> 0 OR tsu >= wm3.wm),
+        |fw AS (SELECT MAX(tsu) - 600000000 AS wm FROM t)
+        |SELECT CAST((tsu // 3600000000) * 3600 AS BIGINT) AS ws,
+        |       COUNT(*) AS cnt
+        |FROM accepted, fw
+        |WHERE (tsu // 3600000000) * 3600000000 + 3600000000 <= fw.wm
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_heavy_hitters" -> graft.queries.Aggregates.heavyHittersOracle,
+    // Replays ThrottleProcessor's sequential emit rule exactly: the
+    // engine folds each user's events in global (ts, event_id) order
+    // (time-quartile batches + in-batch sort), emitting when >= 30 min
+    // past the last EMITTED event — a recurrence on previous OUTPUT,
+    // inexpressible with window functions but exact as a recursive CTE
+    // stepping rn -> rn+1 carrying last_emit.
+    "stream_throttle_state" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events
+        |), st AS (
+        |  SELECT user_id, rn, tsu AS last_emit, 1 AS n_emitted
+        |  FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |    CASE WHEN e.tsu - s.last_emit >= 1800000000
+        |         THEN e.tsu ELSE s.last_emit END,
+        |    s.n_emitted + CASE WHEN e.tsu - s.last_emit >= 1800000000
+        |                       THEN 1 ELSE 0 END
+        |  FROM st s JOIN ev e ON e.user_id = s.user_id
+        |    AND e.rn = s.rn + 1
+        |)
+        |SELECT user_id, CAST(MAX(n_emitted) AS BIGINT) AS n_emitted
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_upsert_sink" ->
       """WITH u AS (
         |  SELECT user_id, event_id, event_type, value,

@@ -25,11 +25,8 @@ class ContractSpec extends AnyFunSuite {
     // shrinking it (oracling a member) is always welcome — update here
     val expected = Set(
       "agg_approx_distinct_hll", "agg_count_min_sketch", "agg_hll_union",
-      "agg_quantile_approx", "dedup_fuzzy_cluster",
-      "dedup_fuzzy_minhash", "dedup_simhash", "embedding_pca_project",
-      "ingest_try_decompress", "sim_search_ivf", "sim_search_lsh",
-      "stream_throttle_state", "stream_watermark_late",
-      "text_compression_ratio")
+      "dedup_fuzzy_cluster", "dedup_fuzzy_minhash", "dedup_simhash",
+      "embedding_pca_project", "sim_search_ivf", "sim_search_lsh")
     val actual = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(actual == expected,
       s"unexpected rows-only: ${actual -- expected}; newly oracled: ${expected -- actual}")
@@ -41,7 +38,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("surface size matches the documented totals") {
     // update alongside SURVEY.md §2.3 "Totals" when adding queries
-    assert(SparkEntry.queries.size == 225, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 211, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size == 230, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size == 221, SparkEntry.oracleSql.size.toString)
   }
 }

@@ -113,11 +113,16 @@ class CurationSpec extends AnyFunSuite {
     assert(docs("rep") < 0.1, docs.toString)   // boilerplate compresses away
     assert(docs("div") > docs("rep") * 3, docs.toString)
     // deterministic across evaluations (fixed level, bundled zlib)
-    val again = graft.llm.TextStats.textCompressionRatio(spark, sf)
+    val again = graft.llm.TextStats.textDeflateRatio(spark, sf)
       .agg(sum(col("deflate_len"))).head().getLong(0)
-    val again2 = graft.llm.TextStats.textCompressionRatio(spark, sf)
+    val again2 = graft.llm.TextStats.textDeflateRatio(spark, sf)
       .agg(sum(col("deflate_len"))).head().getLong(0)
     assert(again == again2)
+    // the oracled entropy estimate ranks the same tails: a repetitive
+    // doc's H0/8 floor sits below a diverse doc's
+    val est = graft.llm.TextStats.textCompressionRatio(spark, sf)
+      .agg(min(col("est_ratio")), max(col("est_ratio"))).head()
+    assert(est.getDouble(0) > 0.0 && est.getDouble(1) <= 1.0, est.toString)
   }
 
   test("sample_domain_mix: rates cap at 1, smallest source keeps everything, sample is hash-exact") {

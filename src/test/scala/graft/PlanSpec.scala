@@ -95,7 +95,9 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("jaccard pair generation joins on prefix postings, never all-pairs") {
-    val p = plan(graft.llm.Dedup.dedupNgramJaccard(spark, sf))
+    // the direct pipeline (maxDf overload): the one-arg query reads the
+    // write-once materialized pair parquet since round 5
+    val p = plan(graft.llm.Dedup.dedupNgramJaccard(spark, sf, Long.MaxValue))
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
     // both the candidate self-join and the two verification joins must

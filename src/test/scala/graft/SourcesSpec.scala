@@ -36,6 +36,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(msg != null && msg.toLowerCase.contains("kafka"), msg)
   }
 
+  test("kafka wire schema feeds the same downstream pipeline as file") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Every synthetic envelope variant (FIXTURES.md §B), shipped as
+    // Kafka wire records: binary key/value + topic/partition/offset/
+    // timestamp/timestampType — exactly what format("kafka") yields.
+    val bodies = graft.queries.IngestQueries.syntheticEnvelopes
+    val input = MemoryStream[(Array[Byte], Array[Byte], String, Int,
+      Long, java.sql.Timestamp, Int)]
+    input.addData(bodies.zipWithIndex.map { case (b, i) =>
+      (s"k$i".getBytes("UTF-8"), b.getBytes("UTF-8"), "envelopes",
+        i % 3, i.toLong, new java.sql.Timestamp(1700000000000L + i), 0)
+    })
+    val wire = input.toDF().toDF("key", "value", "topic", "partition",
+      "offset", "timestamp", "timestampType")
+    val parsed = graft.ingest.Pipeline.parseEnvelopes(Sources.fromWire(wire))
+    assert(parsed.isStreaming)
+    val q = parsed.writeStream.format("memory")
+      .queryName("kafka_wire_envelopes").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (Option(r.getString(0)), Option(r.getString(1)),
+        Option(r.getString(2)), Option(r.getString(3))))
+      .sortBy(_.toString)
+    val streamed = canon(spark.table("kafka_wire_envelopes").collect())
+    // the reference (batch file) leg over the identical bodies
+    val batchLeg = graft.ingest.Pipeline.parseEnvelopes(
+      spark.createDataset(bodies).toDF("value"))
+    assert(parsed.schema == batchLeg.schema)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == canon(batchLeg.collect()).toSeq)
+  }
+
   test("batch and streaming file sources share one downstream schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
     java.nio.file.Files.write(

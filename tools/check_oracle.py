@@ -57,8 +57,19 @@ def main() -> int:
             n_bad += 1
             continue
         bad_cols = []
+        type_cols = []
         for c in a.columns:
             av, bv = a[c], b[c]
+            # The driver hashes values as fetched, with no numeric
+            # coercion: Spark BIGINT 79 vs DuckDB HUGEINT->float 79.0
+            # is a mismatch there, so it must be one here too.
+            ak = getattr(av.dtype, "kind", "O")
+            bk = getattr(bv.dtype, "kind", "O")
+            int_kinds = {"i", "u"}
+            if (ak in int_kinds) != (bk in int_kinds) and {ak, bk} <= {
+                    "i", "u", "f"}:
+                type_cols.append(f"{c}({av.dtype} vs {bv.dtype})")
+                continue
             try:
                 if av.dtype == object or str(av.dtype).startswith("datetime"):
                     eq = av.astype(str).equals(bv.astype(str))
@@ -68,6 +79,11 @@ def main() -> int:
                 eq = av.astype(str).equals(bv.astype(str))
             if not eq:
                 bad_cols.append(c)
+        if type_cols:
+            print(f"FAIL {name}: dtype mismatch (driver hash would "
+                  f"differ) in {type_cols}")
+            n_bad += 1
+            continue
         if bad_cols:
             print(f"FAIL {name}: value mismatch in {bad_cols}")
             for c in bad_cols[:3]:

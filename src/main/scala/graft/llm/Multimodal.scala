@@ -158,8 +158,32 @@ object Multimodal {
         octet_length(col("payload")).as("n_bytes"))
       .orderBy(col("doc_id"))
 
+  /** Fixed-size byte chunking — the page/tile splitter every multimodal
+    * pipeline runs before per-chunk decode/encode (vision-doc page
+    * tiles, audio windows): payload → ⌈n/64⌉ contiguous 64-byte chunks
+    * with ordinal + digest, one explode inside the scan stage
+    * (chunk_idx derives from sequence(), the bytes come from
+    * substring — payloads never leave their partitions, and at 100 TB
+    * each chunk row carries 64 bytes + a digest, not the whole blob). */
+  def multimodalChunkBytes(s: SparkSession, d: String): DataFrame = {
+    val payload = col("payload")
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), payload,
+        explode(sequence(lit(0L),
+          ceil(octet_length(payload) / lit(64.0)).cast("long") - 1))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        octet_length(payload.substr((col("chunk_idx") * 64 + 1).cast("int"),
+          lit(64))).as("chunk_len"),
+        md5(payload.substr((col("chunk_idx") * 64 + 1).cast("int"),
+          lit(64))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_magic_sniff" -> (multimodalMagicSniff _),
+    "multimodal_chunk_bytes" -> (multimodalChunkBytes _),
     "multimodal_columns" -> (multimodalColumns _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_dedup" -> (multimodalDedup _),
@@ -172,6 +196,20 @@ object Multimodal {
     * by CHARACTER on the DuckDB side vs BYTE on the Spark side — equal
     * only while fixture payloads are ASCII (they are; documented). */
   val oracles: Map[String, String] = Map(
+    // ASCII fixture: char slices == byte slices (see scaladoc above)
+    "multimodal_chunk_bytes" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, strlen(text) AS n FROM documents
+        |), c AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |    substring(text, CAST(i * 64 + 1 AS INTEGER), 64) AS chunk
+        |  FROM d, LATERAL unnest(range(0,
+        |    CAST(ceil(n / 64.0) AS BIGINT))) AS u(i)
+        |)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(strlen(chunk) AS INTEGER) AS chunk_len,
+        |  md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "multimodal_magic_sniff" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 4 AS INTEGER)

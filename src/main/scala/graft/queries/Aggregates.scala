@@ -246,6 +246,69 @@ object Aggregates {
         round(element_at(col("q"), 3), 2).as("p99"))
       .orderBy(col("o_orderpriority"))
 
+  /** Two-sample Kolmogorov-Smirnov distance between the value
+    * distributions of two event types — the distribution-drift test
+    * beside [[aggChi2Independence]]'s categorical one. D = max |F₁−F₂|
+    * evaluated over the merged order; cross-multiplying by n₁·n₂ keeps
+    * the running statistic an exact integer (|n₂·cum₁ − n₁·cum₂|), so
+    * both engines take the max over identical values and the single
+    * division at the end is the only float op. The merged ranking is a
+    * global order statistic — here one unpartitioned window (fixture
+    * path); at 100 TB the same two cumulative counts come from a
+    * range-partitioned sort + per-range offsets (the distributed CDF
+    * recipe), with identical arithmetic. */
+  def aggKsTest(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"),
+        col("value").cast("decimal(19,4)").as("v"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("is1"))
+    val tot = base.agg(sum(col("is1")).as("n1"),
+      (count(lit(1)) - sum(col("is1"))).as("n2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    base
+      .withColumn("cum1", sum(col("is1")).over(w))
+      .withColumn("cum2", sum(lit(1L) - col("is1")).over(w))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(abs(col("n2") * col("cum1") - col("n1") * col("cum2")))
+        .as("d_scaled"))
+      .select(col("n1"), col("n2"), col("d_scaled"),
+        round(col("d_scaled").cast("double") / (col("n1") * col("n2")), 6)
+          .as("ks_d"))
+  }
+
+  /** AUC by rank statistic (Mann-Whitney U) — the ML-eval metric over
+    * (label = purchase, score = value): AUC = U / (n₊·n₋) with
+    * U = Σ ranks₊ − n₊(n₊+1)/2, kept integer by reporting 2U (so the
+    * halving never leaves ℤ) and ranking by the deterministic total
+    * order (score, event_id) — equal scores resolve identically in
+    * both engines (deterministic-tiebreak AUC, not mid-rank; noted).
+    * Same distributed-CDF scale note as [[aggKsTest]]: the global rank
+    * is range-partition + offset at 100 TB. */
+  def aggAucRank(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"),
+        col("value").cast("decimal(19,4)").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("event_id"))
+    base.withColumn("rk", row_number().over(w).cast("long"))
+      .agg(sum(col("pos")).as("n_pos"),
+        (count(lit(1)) - sum(col("pos"))).as("n_neg"),
+        sum(when(col("pos") === 1, col("rk")).otherwise(0L)).as("rsum"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("rsum") * 2 - col("n_pos") * (col("n_pos") + 1))
+          .as("u_stat_2x"),
+        round((col("rsum") * 2 - col("n_pos") * (col("n_pos") + 1))
+          .cast("double") / (col("n_pos") * col("n_neg") * 2), 6)
+          .as("auc"))
+  }
+
   /** Chi-square independence test between event type and day-of-week —
     * the data-drift / feature-dependence screen: χ² = Σ (O−E)²/E over
     * the contingency cells, computed from EXACT integer marginals via
@@ -986,6 +1049,8 @@ object Aggregates {
     "agg_gini" -> (aggGini _),
     "agg_entropy" -> (aggEntropy _),
     "agg_chi2_independence" -> (aggChi2Independence _),
+    "agg_ks_test" -> (aggKsTest _),
+    "agg_auc_rank" -> (aggAucRank _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
@@ -1202,6 +1267,48 @@ object Aggregates {
         |FROM ev JOIN mad USING (event_type)
         |WHERE mad > 0 AND abs(v - med) / (mad * 1.4826) > 3.5
         |ORDER BY event_id""".stripMargin,
+    // rank-sum AUC over the identical deterministic (v, event_id)
+    // order; 2U stays integer end to end
+    "agg_auc_rank" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(value AS DECIMAL(19,4)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), rk AS (
+        |  SELECT pos,
+        |    ROW_NUMBER() OVER (ORDER BY v, event_id) AS r
+        |  FROM base
+        |)
+        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg,
+        |  CAST(SUM(CASE WHEN pos = 1 THEN r ELSE 0 END) * 2 -
+        |       SUM(pos) * (SUM(pos) + 1) AS BIGINT) AS u_stat_2x,
+        |  ROUND(CAST(SUM(CASE WHEN pos = 1 THEN r ELSE 0 END) * 2 -
+        |             SUM(pos) * (SUM(pos) + 1) AS DOUBLE) /
+        |        (SUM(pos) * (COUNT(*) - SUM(pos)) * 2), 6) AS auc
+        |FROM rk""".stripMargin,
+    // cross-multiplied integer KS statistic over the identical merged
+    // (v, event_id) order; window SUM -> HUGEINT needs the BIGINT cast
+    "agg_ks_test" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(value AS DECIMAL(19,4)) AS v,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), tot AS (
+        |  SELECT CAST(SUM(is1) AS BIGINT) AS n1,
+        |    CAST(COUNT(*) - SUM(is1) AS BIGINT) AS n2
+        |  FROM base
+        |), c AS (
+        |  SELECT SUM(is1) OVER w AS cum1, SUM(1 - is1) OVER w AS cum2
+        |  FROM base
+        |  WINDOW w AS (ORDER BY v, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT n1, n2,
+        |  CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_scaled,
+        |  ROUND(CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS DOUBLE) /
+        |        (n1 * n2), 6) AS ks_d
+        |FROM c, tot GROUP BY n1, n2""".stripMargin,
     // Spark dayofweek = DuckDB dayofweek+1 (agg_seasonality precedent);
     // cross-multiplied χ² identity from exact BIGINT marginals, per-cell
     // round-6 → DECIMAL sum for order independence

@@ -144,6 +144,33 @@ object Joins {
       .orderBy(col("s_suppkey"), col("c_custkey"))
   }
 
+  /** Bloom-filter runtime-pruned fact join — the 100 TB shuffle killer:
+    * a SELECTIVE dimension filter (urgent half-million-dollar orders)
+    * means most lineitem rows will not survive the join, yet a plain
+    * shuffle join still moves ALL of lineitem. Spark's runtime bloom
+    * filter (`spark.sql.optimizer.runtime.bloomFilter.*`) builds a
+    * bloom of the surviving order keys and injects
+    * `bloom_filter_might_contain` into the fact scan, dropping
+    * non-joining rows BEFORE the exchange. The query's RESULT is
+    * filter-independent (the oracle is the plain join); PlanSpec
+    * asserts the injection fires with cluster-scale thresholds. At the
+    * fixture's statistics Spark may elide it (cheaper to just shuffle)
+    * — also correct. */
+  def joinBloomPrune(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def joinCross(s: SparkSession, d: String): DataFrame =
     t(s, d, "region").crossJoin(t(s, d, "nation"))
       .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
@@ -352,6 +379,7 @@ object Joins {
     "join_theta_range" -> (joinThetaRange _),
     "join_range_bucketed" -> (joinRangeBucketed _),
     "join_cross" -> (joinCross _),
+    "join_bloom_prune" -> (joinBloomPrune _),
     "join_asof" -> (joinAsof _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_interval" -> (joinInterval _)
@@ -466,6 +494,15 @@ object Joins {
       """SELECT r_regionkey, n_nationkey, r_name, n_name
         |FROM region CROSS JOIN nation
         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    // the bloom runtime filter is plan-level only — the result is the
+    // plain selective join
+    "join_bloom_prune" ->
+      """SELECT o_orderkey, COUNT(*) AS n_lines,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2)
+        |       AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "join_asof" ->
       """SELECT p_id, v_id FROM (
         |  SELECT p.event_id AS p_id, v.event_id AS v_id,

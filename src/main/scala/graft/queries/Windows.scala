@@ -122,6 +122,36 @@ object Windows {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** Rolling z-score anomaly detection — each event scored against its
+    * user's TRAILING 7-day window (the event-time analogue of
+    * anomaly_zscore's global baseline; this is the production shape:
+    * baselines drift, so the reference distribution must slide).
+    * Moments come from exact DECIMAL window sums over a RANGE interval
+    * frame; the float math after the casts is the identical IEEE
+    * sequence in both engines. Degenerate frames (n = 1 or constant)
+    * are filtered identically on both sides — the window_mad_outlier
+    * lesson. */
+  def windowZscoreRolling(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events").createOrReplaceTempView("graft_ev_zr")
+    s.sql(
+      """SELECT event_id, user_id, v AS value_q,
+        |  ROUND((v - sx / n) /
+        |    sqrt((sxx - sx * sx / n) / (n - 1)), 3) AS z
+        |FROM (
+        |  SELECT event_id, user_id,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(SUM(vq) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(vq * vq) OVER w AS DOUBLE) AS sxx,
+        |    CAST(vq AS DOUBLE) AS v
+        |  FROM (SELECT event_id, user_id, ts,
+        |          CAST(value AS DECIMAL(19,4)) AS vq FROM graft_ev_zr)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |) t
+        |WHERE n > 1 AND (sxx - sx * sx / n) / (n - 1) > 0
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** Distribution functions: percent_rank / cume_dist (exact ratios of
     * ints → bit-identical doubles in both engines). */
   def windowDistribution(s: SparkSession, d: String): DataFrame = {
@@ -349,6 +379,52 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Hourly VWAP per event type — the weighted-mean resample bar next
+    * to window_resample_ohlc's extremes: Σ(price·qty)/Σqty with a
+    * deterministic integer qty (1 + event_id % 5) and the price mass
+    * summed in DECIMAL. The mean is reported in integer MICRO price
+    * units via integer division (values are positive, so truncate ==
+    * floor) — a double division rounded to 4 was 1 ulp off between
+    * engines on hairline .00005 cases. One hash aggregate on
+    * (type, hour); mergeable at any cardinality. */
+  def windowVwap(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_type"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        (lit(1L) + col("event_id") % 5).as("qty"),
+        col("value").cast("decimal(19,4)").as("v"))
+      .groupBy(col("event_type"), col("hour_us"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).as("vol"),
+        (sum(col("v") * col("qty")) * 10000).cast("long").as("pv4"))
+      .select(col("event_type"), col("hour_us"), col("n"), col("vol"),
+        expr("(pv4 * 100) div vol").as("vwap_micro"))
+      .orderBy(col("event_type"), col("hour_us"))
+
+  /** Maximum drawdown per user — the risk analytic over the cumulative
+    * value series: running peak minus current cumulative, maximized.
+    * Both running aggregates ride ONE (user, time) window partitioning
+    * (no self-join, no re-sort: same key, same order), and the series
+    * stays DECIMAL-exact end to end — only the two reported maxima
+    * cast out to doubles. Order is micro-resolution (ts, event_id),
+    * the engine's event-time contract. */
+  def windowDrawdown(s: SparkSession, d: String): DataFrame = {
+    val cumW = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").cast("decimal(19,4)").as("v"))
+      .withColumn("cum", sum(col("v")).over(cumW))
+      .withColumn("runmax", max(col("cum")).over(cumW))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(max(col("runmax") - col("cum")).cast("double"), 2)
+          .as("max_drawdown"),
+        round(max(col("cum")).cast("double"), 2).as("peak_cum"))
+      .orderBy(col("user_id"))
+  }
+
   /** CUSUM drift detection — per event type, the classic cumulative-sum
     * change detector over the daily count series: S_i = max(0,
     * S_{i-1} + (x_i − μ)), alarm at the day where S peaks. The
@@ -503,6 +579,9 @@ object Windows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_debounce" -> (windowDebounce _),
     "window_cusum" -> (windowCusum _),
+    "window_vwap" -> (windowVwap _),
+    "window_drawdown" -> (windowDrawdown _),
+    "window_zscore_rolling" -> (windowZscoreRolling _),
     "window_wow_growth" -> (windowWowGrowth _),
     "window_rfm" -> (windowRfm _),
     "window_pareto" -> (windowPareto _),
@@ -524,6 +603,55 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "window_vwap" ->
+      """SELECT event_type,
+        |  epoch_us(date_trunc('hour', ts)) AS hour_us,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(1 + event_id % 5) AS BIGINT) AS vol,
+        |  CAST((CAST(SUM(CAST(value AS DECIMAL(19,4)) *
+        |                 (1 + event_id % 5)) * 10000 AS BIGINT) * 100)
+        |       // SUM(1 + event_id % 5) AS BIGINT) AS vwap_micro
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical formula text after the decimal-exact window sums; the
+    // RANGE interval frame is precision-safe (all fixture timestamps
+    // are micro-aligned, asserted when window_range_interval landed)
+    "window_zscore_rolling" ->
+      """SELECT event_id, user_id, v AS value_q,
+        |  ROUND((v - sx / n) /
+        |    sqrt((sxx - sx * sx / n) / (n - 1)), 3) AS z
+        |FROM (
+        |  SELECT event_id, user_id,
+        |    COUNT(*) OVER w AS n,
+        |    CAST(SUM(vq) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(vq * vq) OVER w AS DOUBLE) AS sxx,
+        |    CAST(vq AS DOUBLE) AS v
+        |  FROM (SELECT event_id, user_id, ts,
+        |          CAST(value AS DECIMAL(19,4)) AS vq FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |) t
+        |WHERE n > 1 AND (sxx - sx * sx / n) / (n - 1) > 0
+        |ORDER BY event_id""".stripMargin,
+    // micro-resolution order keys (epoch_us floors the nanos) — same
+    // total order as the engine's event-time contract
+    "window_drawdown" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+        |    SUM(CAST(value AS DECIMAL(19,4))) OVER w AS cum
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), d AS (
+        |  SELECT user_id, cum,
+        |    MAX(cum) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |  FROM c
+        |)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  ROUND(CAST(MAX(runmax - cum) AS DOUBLE), 2) AS max_drawdown,
+        |  ROUND(CAST(MAX(cum) AS DOUBLE), 2) AS peak_cum
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     // replays the integer CUSUM fold as a recursive CTE; dev and total
     // pass through BIGINT casts (DuckDB SUM -> HUGEINT)
     "window_cusum" ->

@@ -94,6 +94,26 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.head().getLong(0) == expected)
   }
 
+  test("join_bloom_prune injects a runtime bloom filter at cluster thresholds") {
+    // at fixture statistics Spark rightly prefers broadcast (no bloom
+    // needed); simulate cluster-scale stats: force the shuffle join and
+    // drop the application-side scan floor so the injection condition
+    // is the SELECTIVE dim filter, as it would be at 100 TB
+    val overrides = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = overrides.keys.map(k => k -> spark.conf.get(k)).toMap
+    try {
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+      val p = plan(graft.queries.Joins.joinBloomPrune(spark, sf))
+      // formatted explain renders the injected bloom probe as
+      // might_contain(Subquery …, xxhash64(l_orderkey, 42)) on the
+      // fact-side Filter above the scan
+      assert(p.contains("might_contain"), p)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("jaccard pair generation joins on prefix postings, never all-pairs") {
     // the direct pipeline (maxDf overload): the one-arg query reads the
     // write-once materialized pair parquet since round 5

@@ -197,6 +197,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("n-gram registration validates arity and the static n argument") {
+    Codecs.register(spark)
+    // missing n -> the standard WRONG_NUM_ARGS AnalysisException, not an
+    // opaque IndexOutOfBoundsException from the builder
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT char_ngrams('abc')").collect()
+    }
+    assert(e1.getMessage.contains("char_ngrams"), e1.getMessage)
+    // non-foldable n -> NON_FOLDABLE_ARGUMENT, not a ClassCastException
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT token_ngrams('a b c', CAST(id AS INT)) FROM range(1)")
+        .collect()
+    }
+    assert(e2.getMessage.contains("token_ngrams"), e2.getMessage)
+    // any integral width is accepted: a LONG literal works like an INT
+    val r = spark.sql("SELECT char_ngrams('abcd', CAST(3 AS BIGINT)) AS g")
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("abc", "bcd"), r.toString)
+  }
+
   test("property: char_ngrams/token_ngrams match sliding-window semantics") {
     Codecs.register(spark)
     val alpha = "abc xyz "

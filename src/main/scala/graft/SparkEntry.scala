@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.SortsSets.queries ++
       graft.queries.Subqueries.queries ++
       graft.queries.Composite.queries ++
+      graft.queries.Graphs.queries ++
       graft.queries.Scalars.queries ++
       graft.queries.SourceFormats.queries ++
       graft.queries.IngestQueries.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       graft.queries.SortsSets.oracles ++
       graft.queries.Subqueries.oracles ++
       graft.queries.Composite.oracles ++
+      graft.queries.Graphs.oracles ++
       graft.queries.Scalars.oracles ++
       graft.queries.SourceFormats.oracles ++
       graft.queries.IngestQueries.oracles ++

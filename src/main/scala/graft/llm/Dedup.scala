@@ -272,16 +272,23 @@ object Dedup {
   /** Pair plan without the presentation sort (shared with
     * [[dedupFuzzyCluster]], which folds the pairs into an edge cache
     * where the sort is pure waste). */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val nHashes = 16
-    val bandSize = 4
+  private val nHashes = 16
+  private val bandSize = 4
+
+  /** Per-doc MinHash signatures: (doc_id, h0..h15). */
+  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
     val toks = t(s, d, "documents")
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
     val hashAggs = (0 until nHashes).map(i =>
       min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
-    val sigs = toks.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
-      .cache()
+    toks.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
+  }
+
+  /** Banded candidate pairs + estimator threshold over a signature
+    * table keyed by `doc_id` — the caller decides whether rows are
+    * documents or signature-group supernodes. */
+  private def sigPairs(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until nHashes / bandSize).map { j =>
       struct(lit(j).as("band_id"),
         xxhash64((j * bandSize until (j + 1) * bandSize)
@@ -309,6 +316,11 @@ object Dedup {
       .withColumn("jac_est", round(agree.cast("double") / nHashes, 4))
       .filter(col("jac_est") >= 0.5)
       .select(col("a_id"), col("b_id"), col("jac_est"))
+  }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigs(s, d).cache()
+    sigPairs(sigs)
   }
 
   /** Duplicate-cluster assignment — the step AFTER pair detection: every
@@ -343,16 +355,19 @@ object Dedup {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private[graft] def materializedPairs(s: SparkSession, d: String): DataFrame = {
-    val path = pairsCache.computeIfAbsent(d, _ => {
+  private def materialize(key: String, build: () => DataFrame)
+      (implicit s: SparkSession): DataFrame = {
+    val path = pairsCache.computeIfAbsent(key, _ => {
       val p = java.nio.file.Files
         .createTempDirectory("graft_pairs").toString
-      jaccardPairs(s, d, Long.MaxValue)
-        .write.mode("overwrite").parquet(p)
+      build().write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
   }
+
+  private[graft] def materializedPairs(s: SparkSession, d: String): DataFrame =
+    materialize(s"jaccard:$d", () => jaccardPairs(s, d, Long.MaxValue))(s)
 
   /** The materialized pair graph as a query surface: identical rows to
     * [[dedupNgramJaccard]] (same pipeline, same oracle) — the written
@@ -509,13 +524,49 @@ object Dedup {
     * components assign every doc in a near-dup cluster to one
     * representative. This is the composition a training-data pipeline
     * actually runs — [[dedupFuzzyMinhash]] finds the pairs,
-    * [[propagateLabels]] closes them transitively. No oracle (banding is
-    * probabilistic; fixed seeds keep rows deterministic). */
-  def dedupFuzzyCluster(s: SparkSession, d: String): DataFrame =
-    propagateLabels(
-      minhashPairs(s, d).select(col("a_id"), col("b_id")))
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+    * [[twoPhaseLabels]] closes them transitively. The CC core is the
+    * large/small-star decomposition, not HashMin: the MinHash graph is
+    * DENSE (band buckets are near-cliques — measured 6.3M edges over
+    * 5k docs at sf0.1), and star rounds contract a dense component to
+    * its hub in one pass, shrinking |E| toward |V| for every later
+    * round, where HashMin re-shuffles the full edge list each round
+    * (measured ~2× on this graph shape). No oracle (banding is
+    * probabilistic; fixed seeds keep rows deterministic).
+    *
+    * Signature contraction (round 5): docs with IDENTICAL 16-hash
+    * signatures are collapsed to one supernode (id = group-min doc_id)
+    * BEFORE banding — the estimator is a pure function of the two
+    * signatures, so every member of a group has exactly the same
+    * surviving edges, intra-group pairs always survive (est = 1), and
+    * the contracted graph's components expand member-for-member to the
+    * full graph's. On a heavily templated corpus this removes the
+    * quadratic intra-clique edge mass entirely (measured sf0.1: 6.3M
+    * doc pairs → supernode pairs in the tens of thousands; the CC input
+    * shrinks ~100×). This is the production exact-then-fuzzy dedup
+    * ordering expressed inside one query. */
+  def dedupFuzzyCluster(s: SparkSession, d: String): DataFrame = {
+    val hashCols = (0 until nHashes).map(i => col(s"h$i"))
+    val withNode = minhashSigs(s, d)
+      .withColumn("node", min(col("doc_id"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(hashCols: _*)))
+      .cache()
+    val reps = withNode.filter(col("doc_id") === col("node"))
+      .select(col("node").as("doc_id") +: hashCols: _*)
+    val labels = twoPhaseLabels(
+      sigPairs(reps).select(col("a_id"), col("b_id")))
+    val gsize = withNode.groupBy(col("node"))
+      .agg(count(lit(1)).as("gsize"))
+    withNode.join(gsize, "node")
+      .join(labels, col("node") === col("id"), "left")
+      // old vertex set: every doc with at least one surviving pair —
+      // i.e. its supernode has an edge, OR its signature group has a
+      // second member (intra-group pairs were est = 1 cliques)
+      .filter(col("gsize") >= 2 || col("id").isNotNull)
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("node")).as("cluster_rep"))
       .orderBy(col("doc_id"))
+  }
 
   /** 64-bit SimHash near-dup pairs (Hamming <= 3), banded: the
     * fingerprint splits into 4 disjoint 16-bit bands; any pair within

@@ -607,6 +607,49 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Sign-bit binary quantization — dim-64 float vectors compressed to
+    * ONE 64-bit word (256 B → 8 B, the 32× memory cut that makes
+    * billion-vector rerank-free first-pass retrieval fit in RAM;
+    * Charikar SRP with the identity rotation). Bit i is set iff
+    * element i ≥ 0; the word is an OR-fold inside the scan stage — no
+    * shuffle, no UDF. Popcount (how many positive coordinates) comes
+    * along as the balance diagnostic: a healthy embedding space sits
+    * near 32, collapsed dimensions skew it. */
+  private def signWord(emb: Column): Column =
+    aggregate(
+      zip_with(emb.cast("array<double>"), sequence(lit(0L), lit(63L)),
+        (x, i) => when(x >= 0,
+          call_function("shiftleft", lit(1L), i.cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+
+  def embeddingBinarize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        signWord(col("embedding")).as("word"))
+      .withColumn("popcount", expr("CAST(bit_count(word) AS INT)"))
+      .orderBy(col("vec_id"))
+
+  /** Hamming top-k over the sign words — the retrieval leg of
+    * [[embeddingBinarize]]: distance is ONE xor + popcount per
+    * candidate (no float math at all), so the scan is bandwidth-bound
+    * at 8 bytes/vector and needs no index to be fast. Same shuffle-free
+    * shape as [[simSearchTopk]]: broadcast 8-byte probe, narrow map,
+    * TakeOrderedAndProject. Deterministic tiebreak (hamming, vec_id). */
+  def simSearchHamming(s: SparkSession, d: String): DataFrame = {
+    val words = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        signWord(col("embedding")).as("word"))
+    val probe = words.filter(col("vec_id") === 0)
+      .select(col("word").as("pword"))
+    words.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"),
+        expr("CAST(bit_count(word ^ pword) AS INT)").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_join" -> (simKnnJoin _),
     "sim_search_range" -> (simSearchRange _),
@@ -621,10 +664,41 @@ object Similarity {
     "sim_search_ivf" -> (simSearchIvf _),
     "sim_search_lsh" -> (simSearchLsh _),
     "embedding_quantize" -> (embeddingQuantize _),
-    "embedding_kmeans_assign" -> (embeddingKmeansAssign _)
+    "embedding_kmeans_assign" -> (embeddingKmeansAssign _),
+    "embedding_binarize" -> (embeddingBinarize _),
+    "sim_search_hamming" -> (simSearchHamming _)
   )
 
+  /** DuckDB sign-word mirror: same OR-fold; DuckDB's `<< 63` raises on
+    * overflow, so bit 63 uses the Long.MinValue literal directly. */
+  private val signWordSql =
+    """list_reduce(list_transform(range(0, 64), i ->
+      |      CASE WHEN e[CAST(i + 1 AS INTEGER)] >= 0 THEN
+      |        CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |             ELSE CAST(1 AS BIGINT) << CAST(i AS INTEGER) END
+      |      ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "embedding_binarize" ->
+      (s"""WITH w AS (
+        |  SELECT vec_id, label, $signWordSql AS word
+        |  FROM (SELECT vec_id, label,
+        |          CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |)
+        |SELECT vec_id, label, word,
+        |  CAST(bit_count(word) AS INTEGER) AS popcount
+        |FROM w ORDER BY vec_id""".stripMargin),
+    "sim_search_hamming" ->
+      (s"""WITH w AS (
+        |  SELECT vec_id, label, $signWordSql AS word
+        |  FROM (SELECT vec_id, label,
+        |          CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |)
+        |SELECT w.vec_id, w.label,
+        |  CAST(bit_count(xor(w.word, p.word)) AS INTEGER) AS hamming
+        |FROM w CROSS JOIN (SELECT word FROM w WHERE vec_id = 0) p
+        |WHERE w.vec_id <> 0
+        |ORDER BY hamming, w.vec_id LIMIT 10""".stripMargin),
     // exact integer micro²-unit L2 distances; argmin tiebreak lowest
     // cell — identical quantization on both sides
     "embedding_kmeans_assign" ->

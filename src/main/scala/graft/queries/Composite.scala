@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -198,8 +199,82 @@ object Composite {
       .orderBy(col("source"))
   }
 
+  /** Q14 shape (promo revenue share by ship month): one fact⋈part join
+    * where part prunes to (p_partkey, p_type) and the conditional mass
+    * rides the SAME decimal sum as the total — one aggregate, no second
+    * scan. The share is integer basis points ((promo·1e4) div total on
+    * the ×1e4 fixed-point masses) — cross-engine exact; the rounded
+    * revenue doubles are display columns. At 100 TB part is the
+    * broadcast side and the month aggregate is mergeable. */
+  def compositeTpchQ14(s: SparkSession, d: String): DataFrame = {
+    val l = t(s, d, "lineitem").filter(
+      col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val p = t(s, d, "part").select(col("p_partkey"), col("p_type"))
+    val rev = col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(month(col("l_shipdate")).as("ship_month"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(18,4)"))) * 10000)
+          .cast("long").as("promo4"),
+        (sum(rev) * 10000).cast("long").as("total4"),
+        count(lit(1)).as("n_rows"))
+      .select(col("ship_month"), col("n_rows"),
+        round((col("promo4") / 10000.0), 2).as("promo_revenue"),
+        round((col("total4") / 10000.0), 2).as("total_revenue"),
+        expr("(promo4 * 10000) div total4").as("promo_bp"))
+      .orderBy(col("ship_month"))
+  }
+
+  /** Q8 shape (national market share): revenue into ASIA-region
+    * customers, broken down by the SUPPLYING nation per order year —
+    * two independent dimension chains off the same fact row
+    * (customer→nation→region scopes; supplier→nation labels). Share is
+    * basis points from ×1e4 fixed-point masses: the per-year total is
+    * a window sum over the (year, nation) aggregate — BIGINT-exact, so
+    * engines agree on every division. At 100 TB: supplier/nation/region
+    * broadcast; orders⋈customer co-bucketed on custkey; the window runs
+    * over |years|·|nations| rows, not the fact. */
+  def compositeMarketShare(s: SparkSession, d: String): DataFrame = {
+    val l = t(s, d, "lineitem")
+    val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region")
+    val sup = t(s, d, "supplier")
+    val supNation = n.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val custRegion = c
+      .join(broadcast(n.select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey"))), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val rev = col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+    val byYearNation = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(supNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("supp_nation"))
+      .agg((sum(rev) * 10000).cast("long").as("rev4"),
+        count(lit(1)).as("n_rows"))
+    val yearW = Window.partitionBy(col("o_year"))
+    byYearNation
+      .withColumn("year_total4", sum(col("rev4")).over(yearW))
+      .select(col("o_year"), col("supp_nation"), col("n_rows"),
+        round(col("rev4") / 10000.0, 2).as("revenue"),
+        expr("(rev4 * 10000) div year_total4").as("share_bp"))
+      .orderBy(col("o_year"), col("supp_nation"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "composite_source_scorecard" -> (compositeSourceScorecard _),
+    "composite_tpch_q14" -> (compositeTpchQ14 _),
+    "composite_market_share" -> (compositeMarketShare _),
     "composite_tpch_q19" -> (compositeTpchQ19 _),
     "composite_tpch_q6" -> (compositeTpchQ6 _),
     "composite_tpch_q18" -> (compositeTpchQ18 _),
@@ -210,6 +285,51 @@ object Composite {
   )
 
   val oracles: Map[String, String] = Map(
+    // fixed-point masses (×1e4) keep the share division integer-exact
+    "composite_tpch_q14" ->
+      """WITH m AS (
+        |  SELECT month(l_shipdate) AS ship_month, COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |           (CAST(1 AS DECIMAL(18,4)) -
+        |            CAST(l_discount AS DECIMAL(18,4)))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) * 10000 AS BIGINT)
+        |      AS promo4,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             (CAST(1 AS DECIMAL(18,4)) -
+        |              CAST(l_discount AS DECIMAL(18,4)))) * 10000
+        |      AS BIGINT) AS total4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1)
+        |SELECT ship_month, n_rows,
+        |  ROUND(promo4 / 10000.0, 2) AS promo_revenue,
+        |  ROUND(total4 / 10000.0, 2) AS total_revenue,
+        |  CAST((promo4 * 10000) // total4 AS BIGINT) AS promo_bp
+        |FROM m ORDER BY ship_month""".stripMargin,
+    "composite_market_share" ->
+      """WITH yn AS (
+        |  SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+        |    COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |             (CAST(1 AS DECIMAL(18,4)) -
+        |              CAST(l_discount AS DECIMAL(18,4)))) * 10000
+        |      AS BIGINT) AS rev4
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |  GROUP BY 1, 2)
+        |SELECT o_year, supp_nation, n_rows,
+        |  ROUND(rev4 / 10000.0, 2) AS revenue,
+        |  CAST((rev4 * 10000) //
+        |    SUM(rev4) OVER (PARTITION BY o_year) AS BIGINT) AS share_bp
+        |FROM yn ORDER BY o_year, supp_nation""".stripMargin,
     "composite_source_scorecard" ->
       """WITH vol AS (
         |  SELECT source, COUNT(*) AS n_docs,

@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Graph analytics over the kNN similarity graph (SURVEY.md §2.2 ⊕ —
+  * the curation-side consumer of the dedup/similarity machinery: once a
+  * corpus has a near-neighbor graph, degree shape, clustering and
+  * centrality are the standard diagnostics a data-curation pipeline runs
+  * on it — SemDeDup-style cluster audits, hub detection, influence
+  * weighting).
+  *
+  * Graph construction: exact 5-NN over `embeddings` by integer
+  * micro-unit dot product (each element pre-rounded to 1e-6 fixed point,
+  * so the score is a BIGINT and both engines agree bit-for-bit —
+  * the [[graft.llm.Similarity]] quantization discipline). The O(n²)
+  * all-pairs build is the gate-scale stand-in; at 100 TB the edge list
+  * arrives from the IVF/LSH retrieval path (sim_search_ivf) or the
+  * banded dedup pair graph (dedup_pairs_materialize) — the analytics
+  * below consume ANY (src,dst) edge list and never assume how it was
+  * built. Everything downstream shuffles only on node keys: edges are
+  * a few × |V| rows, orders of magnitude smaller than the corpus.
+  *
+  * Determinism: top-5 tiebreak is (dot DESC, dst ASC); all derived
+  * scores are integer (counts, micro-unit ratios via integer division),
+  * so no float ever crosses an engine boundary.
+  */
+object Graphs {
+
+  /** Directed exact-5NN edges (src, dst, outdeg per src = 5). */
+  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    val m = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000000.0 + 0.5).cast("long")).as("q"))
+    val a = m.select(col("vec_id").as("src"), col("q").as("qa"))
+    val b = m.select(col("vec_id").as("dst"), col("q").as("qb"))
+    // broadcast the build side: the quantized table is 16× smaller than
+    // raw embeddings; at corpus scale this becomes the IVF probe instead
+    val pairs = a.join(broadcast(b), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+    val rk = Window.partitionBy(col("src"))
+      .orderBy(col("dot").desc, col("dst"))
+    pairs.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 5)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Undirected edge set: symmetrized kNN (mutual OR one-way — an edge
+    * exists if either endpoint retrieved the other). */
+  private def undirected(e: DataFrame): DataFrame =
+    e.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+
+  /** Shared DuckDB CTE prefix mirroring [[knnEdges]]/[[undirected]]. */
+  private val edgeCte =
+    """WITH m AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst,
+      |    list_sum(list_transform(range(1, len(a.q) + 1),
+      |      i -> a.q[i] * b.q[i])) AS dot
+      |  FROM m a JOIN m b ON a.vec_id <> b.vec_id
+      |), r AS (
+      |  SELECT src, dst,
+      |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rk
+      |  FROM p
+      |), e AS (SELECT src, dst FROM r WHERE rk <= 5),
+      |ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |       FROM e)""".stripMargin
+
+  /** Degree histogram of the undirected kNN graph — the first corpus
+    * diagnostic (hub-heavy degree tails mean near-dup clusters or
+    * template content). One shuffle to count per node, one to histogram:
+    * both on keys far smaller than the corpus. */
+  def graphDegreeDistribution(s: SparkSession, d: String): DataFrame = {
+    val ue = undirected(knnEdges(s, d))
+    ue.select(col("u").as("node"))
+      .unionAll(ue.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+  }
+
+  /** Per-node triangle count + clustering coefficient over the
+    * undirected kNN graph, by degree-ordered edge orientation (Suri &
+    * Vassilvitskii, WWW'11): orient every edge from the (degree, id)-
+    * smaller endpoint to the larger, enumerate wedges only at the
+    * oriented tail, and close them with one equi-join against the
+    * oriented edge list. Wedge work is Σ outdeg² where outdeg is
+    * degree-capped from below — the skew-proof formulation (a degree-D
+    * hub generates O(D) oriented wedges, not O(D²)). Coefficient is
+    * exact micro-units: 2·T·1e6 div (deg·(deg−1)).
+    *
+    * The (deg·1e6 + id) arithmetic orientation key assumes id < 1e6; at
+    * corpus scale the same orientation uses a struct(deg, id) comparison
+    * (identical semantics, no key-packing bound). */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val ue = undirected(knnEdges(s, d)).cache()
+    val deg = ue.select(col("u").as("node"))
+      .unionAll(ue.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val ord = ue.join(du, "u").join(dv, "v")
+      .select(col("u"), col("v"),
+        (col("du") * 1000000L + col("u")).as("ou"),
+        (col("dv") * 1000000L + col("v")).as("ov"))
+    val oriented = ord.select(
+      when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("x"),
+      when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("y"),
+      when(col("ou") < col("ov"), col("ov")).otherwise(col("ou")).as("oy"))
+      .cache()
+    val w1 = oriented.select(col("x"), col("y").as("a"), col("oy").as("oa"))
+    val w2 = oriented.select(col("x"), col("y").as("b"), col("oy").as("ob"))
+    val wedges = w1.join(w2, "x").filter(col("oa") < col("ob"))
+    val closed = wedges.join(
+      oriented.select(col("x").as("a"), col("y").as("b")), Seq("a", "b"))
+    val credits = closed.select(col("x").as("node"))
+      .unionAll(closed.select(col("a").as("node")))
+      .unionAll(closed.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(credits, Seq("node"), "left")
+      .select(col("node").as("vec_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .filter(col("deg") > 1)
+      .withColumn("coeff_micro",
+        expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** 5-iteration PageRank (damping 0.85) over the DIRECTED kNN graph,
+    * in pure integer arithmetic: ranks live in 1e-12 fixed point
+    * (SCALE = 1e12), each edge carries rank div outdeg, and the damped
+    * update is teleport + (85·Σmsgs) div 100 — BIGINT end to end, so
+    * both engines compute the identical truncation sequence and the
+    * result hashes exactly (float PageRank would diverge by summation
+    * order). Mass lost to truncation is bounded by |V|·(outdeg+1) units
+    * of 1e-12 per round — asserted in GraphSpec.
+    *
+    * Scale shape: each iteration is ONE shuffle (messages grouped by
+    * dst) against cached, src-partitioned edges; ranks stay (node, long)
+    * — the [[graft.llm.Dedup]] HashMin discipline, including lineage
+    * truncation via localCheckpoint at higher iteration counts. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val e = knnEdges(s, d)
+      .repartition(col("src")).cache()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od")).cache()
+    val nodes = t(s, d, "embeddings").select(col("vec_id").as("node"))
+    val n1 = nodes.agg(count(lit(1)).as("n"))
+    // SCALE div n and the teleport term derive from the 1-row count via
+    // a broadcast cross join — no driver-side collect (the
+    // text_rarity_score corpus-scalar pattern)
+    val base = nodes.crossJoin(broadcast(n1))
+      .select(col("node"), expr("1000000000000L div n").as("r0"),
+        expr("(15 * (1000000000000L div n)) div 100").as("tp"))
+      .cache()
+    var ranks = base.select(col("node"), col("r0").as("r"))
+    for (_ <- 1 to 5) {
+      val msgs = e.join(ranks, e("src") === ranks("node"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("r div od").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = base.join(msgs, base("node") === msgs("dst"), "left")
+        .select(col("node"),
+          (col("tp") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    }
+    ranks.select(col("node").as("vec_id"), col("r").as("rank_e12"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_distribution" -> (graphDegreeDistribution _),
+    "graph_triangles" -> (graphTriangles _),
+    "graph_pagerank" -> (graphPagerank _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "graph_degree_distribution" -> (edgeCte +
+      """
+        |, dg AS (
+        |  SELECT node, COUNT(*) AS degree FROM (
+        |    SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue)
+        |  GROUP BY node)
+        |SELECT degree, COUNT(*) AS n_nodes FROM dg
+        |GROUP BY degree ORDER BY degree""".stripMargin),
+    "graph_triangles" -> (edgeCte +
+      """
+        |, dg AS (
+        |  SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue)
+        |  GROUP BY node),
+        |o AS (
+        |  SELECT CASE WHEN du.deg * 1000000 + ue.u < dv.deg * 1000000 + ue.v
+        |              THEN ue.u ELSE ue.v END AS x,
+        |         CASE WHEN du.deg * 1000000 + ue.u < dv.deg * 1000000 + ue.v
+        |              THEN ue.v ELSE ue.u END AS y,
+        |         greatest(du.deg * 1000000 + ue.u,
+        |                  dv.deg * 1000000 + ue.v) AS oy
+        |  FROM ue JOIN dg du ON du.node = ue.u JOIN dg dv ON dv.node = ue.v),
+        |tri AS (
+        |  SELECT w1.x, w1.y AS a, w2.y AS b
+        |  FROM o w1 JOIN o w2 ON w1.x = w2.x AND w1.oy < w2.oy
+        |  JOIN o oc ON oc.x = w1.y AND oc.y = w2.y),
+        |cr AS (
+        |  SELECT node, COUNT(*) AS n_tri FROM (
+        |    SELECT x AS node FROM tri UNION ALL SELECT a AS node FROM tri
+        |    UNION ALL SELECT b AS node FROM tri)
+        |  GROUP BY node)
+        |SELECT dg.node AS vec_id, dg.deg,
+        |  CAST(COALESCE(cr.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CAST((2 * COALESCE(cr.n_tri, 0) * 1000000)
+        |       // (dg.deg * (dg.deg - 1)) AS BIGINT) AS coeff_micro
+        |FROM dg LEFT JOIN cr ON cr.node = dg.node
+        |WHERE dg.deg > 1 ORDER BY vec_id""".stripMargin),
+    "graph_pagerank" -> (edgeCte +
+      """
+        |, od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        |nodes AS (SELECT vec_id AS node FROM embeddings),
+        |base AS (
+        |  SELECT node,
+        |    CAST(1000000000000 // n AS BIGINT) AS r0,
+        |    CAST((15 * (1000000000000 // n)) // 100 AS BIGINT) AS tp
+        |  FROM nodes CROSS JOIN (SELECT COUNT(*) AS n FROM nodes)),
+        |r1 AS (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT e.dst, SUM(r.r // od.od) AS s FROM e
+        |    JOIN (SELECT node, r0 AS r FROM base) r ON r.node = e.src
+        |    JOIN od ON od.src = e.src GROUP BY e.dst) m ON m.dst = b.node),
+        |r2 AS (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT e.dst, SUM(r.r // od.od) AS s FROM e
+        |    JOIN r1 r ON r.node = e.src
+        |    JOIN od ON od.src = e.src GROUP BY e.dst) m ON m.dst = b.node),
+        |r3 AS (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT e.dst, SUM(r.r // od.od) AS s FROM e
+        |    JOIN r2 r ON r.node = e.src
+        |    JOIN od ON od.src = e.src GROUP BY e.dst) m ON m.dst = b.node),
+        |r4 AS (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT e.dst, SUM(r.r // od.od) AS s FROM e
+        |    JOIN r3 r ON r.node = e.src
+        |    JOIN od ON od.src = e.src GROUP BY e.dst) m ON m.dst = b.node),
+        |r5 AS (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+        |  FROM base b LEFT JOIN (
+        |    SELECT e.dst, SUM(r.r // od.od) AS s FROM e
+        |    JOIN r4 r ON r.node = e.src
+        |    JOIN od ON od.src = e.src GROUP BY e.dst) m ON m.dst = b.node)
+        |SELECT node AS vec_id, r AS rank_e12 FROM r5 ORDER BY vec_id""".stripMargin)
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the kNN-graph analytics
+  * ([[graft.queries.Graphs]]) — the oracle gate pins exact values; these
+  * pin the graph-theoretic properties that must hold at ANY scale. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("degree histogram covers all nodes with degree >= 5") {
+    val rows = graft.queries.Graphs.graphDegreeDistribution(spark, sf)
+      .collect()
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == 500, s"histogram mass $n != 500 nodes")
+    // symmetrized 5-NN: undirected degree is at least the out-degree
+    assert(rows.map(_.getLong(0)).min >= 5, rows.map(_.getLong(0)).min)
+  }
+
+  test("triangle counts match the naive closed-wedge count") {
+    val df = graft.queries.Graphs.graphTriangles(spark, sf)
+    val perNode = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // naive recount: adjacency sets on the driver (500 nodes only)
+    import org.apache.spark.sql.functions._
+    val ue = graft.queries.Graphs.graphDegreeDistribution(spark, sf) // force build path compiles
+    val edges = {
+      val m = graft.Tables.t(spark, sf, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => floor(x * 1000000.0 + 0.5).cast("long")).as("q"))
+      val a = m.select(col("vec_id").as("src"), col("q").as("qa"))
+      val b = m.select(col("vec_id").as("dst"), col("q").as("qb"))
+      val pairs = a.join(broadcast(b), col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v).as("dot"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dot").desc, col("dst"))
+      pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    }
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val naive = adj.map { case (node, nbrs) =>
+      node -> nbrs.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }.toLong
+    }
+    val mismatches = naive.filter { case (k, c) =>
+      perNode.getOrElse(k, 0L) != c && (c != 0 || perNode.contains(k))
+    }
+    assert(mismatches.isEmpty, mismatches.take(5).toString)
+    assert(naive.values.sum > 0, "fixture graph has no triangles at all")
+  }
+
+  test("pagerank conserves mass within integer-truncation loss") {
+    val rows = graft.queries.Graphs.graphPagerank(spark, sf).collect()
+    assert(rows.length == 500)
+    val total = rows.map(_.getLong(1)).sum
+    val scale = 1000000000000L
+    // each round loses <1 unit per (edge division + damping division +
+    // teleport division) — bound generously at |V|*(k+2) per round * 5
+    val maxLoss = 500L * 7 * 5
+    assert(total <= scale && total >= scale - maxLoss,
+      s"mass $total vs $scale (max loss $maxLoss)")
+    // hubs exist: ranks are not uniform (the graph is irregular)
+    assert(rows.map(_.getLong(1)).distinct.length > 1)
+  }
+}

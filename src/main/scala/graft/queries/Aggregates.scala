@@ -309,6 +309,112 @@ object Aggregates {
           .as("auc"))
   }
 
+  /** Rare-category collapse — the cardinality cap every feature
+    * pipeline applies before one-hot/embedding: categories (users)
+    * below a support floor fold into 'other'. Two aggregates: the
+    * support table is category-sized (grows with the corpus, so it
+    * joins by plain shuffle — the text_pmi lesson: never broadcast a
+    * corpus-growing relation; AQE may still choose broadcast when the
+    * runtime size allows), then one re-aggregate over the capped label
+    * space. */
+  def aggRareCollapse(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("value").cast("decimal(18,4)").as("vq"))
+    val support = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_user"))
+    ev.join(support, "user_id")
+      .select(when(col("n_user") >= 70, col("user_id").cast("string"))
+        .otherwise(lit("other")).as("category"), col("vq"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("vq")), 2).cast("double").as("sum_value"))
+      .orderBy(col("category"))
+  }
+
+  /** Welch's two-sample t-test between the value distributions of two
+    * event types — the mean-shift drift test beside [[aggKsTest]]'s
+    * distributional one. The sufficient statistics (n, Σx, Σx²) are
+    * EXACT decimal sums from one conditional hash aggregate (a single
+    * scan, mergeable at any scale); the t statistic and
+    * Welch–Satterthwaite df are the only float ops, computed from
+    * identical exact inputs with identical formula text — so both
+    * engines run the same IEEE sequence. */
+  def aggTTest(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(
+        when(col("event_type") === "view", 1L).otherwise(0L).as("is1"),
+        col("value").cast("decimal(18,4)").as("vq"))
+    val zero = lit(0).cast("decimal(18,4)")
+    val zero2 = lit(0).cast("decimal(37,8)")
+    base.agg(
+      sum(col("is1")).as("n1"),
+      (count(lit(1)) - sum(col("is1"))).as("n2"),
+      sum(when(col("is1") === 1, col("vq")).otherwise(zero)).as("sx1q"),
+      sum(when(col("is1") === 0, col("vq")).otherwise(zero)).as("sx2q"),
+      sum(when(col("is1") === 1, col("vq") * col("vq")).otherwise(zero2))
+        .as("sxx1q"),
+      sum(when(col("is1") === 0, col("vq") * col("vq")).otherwise(zero2))
+        .as("sxx2q"))
+      .select(col("n1"), col("n2"),
+        expr("CAST(sx1q AS DOUBLE)").as("sx1"),
+        expr("CAST(sx2q AS DOUBLE)").as("sx2"),
+        expr("CAST(sxx1q AS DOUBLE)").as("sxx1"),
+        expr("CAST(sxx2q AS DOUBLE)").as("sxx2"))
+      .select(col("n1"), col("n2"),
+        expr("ROUND(sx1 / n1, 4)").as("mean1"),
+        expr("ROUND(sx2 / n2, 4)").as("mean2"),
+        expr("""ROUND((sx1 / n1 - sx2 / n2) /
+          sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 +
+               ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2), 6)""")
+          .as("t_stat"),
+        expr("""ROUND((((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 +
+                 ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) *
+                (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 +
+                 ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) /
+                ((((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1) *
+                 (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1) / (n1 - 1) +
+                 (((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) *
+                 (((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) / (n2 - 1)), 3)""")
+          .as("df_welch"))
+  }
+
+  /** Population Stability Index — THE production feature-drift gate:
+    * decile edges fit on the baseline period (first half-month), both
+    * bucketed by the same edges, PSI contribution per bucket. Bucketing
+    * compares raw doubles against edge values drawn FROM the data
+    * (quantile_disc semantics — rank-exact at gate accuracy), so the
+    * integer bucket counts match across engines exactly; the only float
+    * math is the add-one-smoothed contribution from those exact counts.
+    * One scan + one 10-row aggregate; edges ride a broadcast 1-row
+    * cross join (no driver collect). */
+  def profileDriftPsi(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(dayofmonth(col("ts")).as("dom"), col("value").as("v"))
+    val edges = ev.filter(col("dom") <= 15)
+      .agg(expr(
+        "approx_percentile(v, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D), 1000000)")
+        .as("edges"))
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    ev.crossJoin(broadcast(edges))
+      .select(col("dom"),
+        expr("aggregate(edges, 1, (acc, e) -> acc + CASE WHEN v > e THEN 1 ELSE 0 END)")
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("dom") <= 15, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("dom") > 15, 1L).otherwise(0L)).as("n_b"))
+      .withColumn("tot_a", sum(col("n_a")).over(w))
+      .withColumn("tot_b", sum(col("n_b")).over(w))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        expr("""ROUND(((n_a + 1.0) / (tot_a + 10.0) -
+                 (n_b + 1.0) / (tot_b + 10.0)) *
+                ln(((n_a + 1.0) / (tot_a + 10.0)) /
+                   ((n_b + 1.0) / (tot_b + 10.0))), 6)""").as("psi_c"))
+      .orderBy(col("bucket"))
+  }
+
   /** Chi-square independence test between event type and day-of-week —
     * the data-drift / feature-dependence screen: χ² = Σ (O−E)²/E over
     * the contingency cells, computed from EXACT integer marginals via
@@ -1051,6 +1157,9 @@ object Aggregates {
     "agg_chi2_independence" -> (aggChi2Independence _),
     "agg_ks_test" -> (aggKsTest _),
     "agg_auc_rank" -> (aggAucRank _),
+    "agg_t_test" -> (aggTTest _),
+    "profile_drift_psi" -> (profileDriftPsi _),
+    "agg_rare_collapse" -> (aggRareCollapse _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
@@ -1287,6 +1396,86 @@ object Aggregates {
         |             SUM(pos) * (SUM(pos) + 1) AS DOUBLE) /
         |        (SUM(pos) * (COUNT(*) - SUM(pos)) * 2), 6) AS auc
         |FROM rk""".stripMargin,
+    "agg_rare_collapse" ->
+      """WITH s AS (
+        |  SELECT user_id, COUNT(*) AS n_user FROM events GROUP BY 1
+        |)
+        |SELECT CASE WHEN s.n_user >= 70 THEN CAST(e.user_id AS VARCHAR)
+        |            ELSE 'other' END AS category,
+        |  COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM events e JOIN s ON e.user_id = s.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical formula text over identical exact decimal moments —
+    // same IEEE sequence in both engines
+    "agg_t_test" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1,
+        |    CAST(value AS DECIMAL(18,4)) AS vq
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), m AS (
+        |  SELECT CAST(SUM(is1) AS BIGINT) AS n1,
+        |    CAST(COUNT(*) - SUM(is1) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN is1 = 1 THEN vq
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CASE WHEN is1 = 0 THEN vq
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CASE WHEN is1 = 1 THEN vq * vq
+        |             ELSE CAST(0 AS DECIMAL(37,8)) END) AS DOUBLE) AS sxx1,
+        |    CAST(SUM(CASE WHEN is1 = 0 THEN vq * vq
+        |             ELSE CAST(0 AS DECIMAL(37,8)) END) AS DOUBLE) AS sxx2
+        |  FROM base
+        |)
+        |SELECT n1, n2,
+        |  ROUND(sx1 / n1, 4) AS mean1,
+        |  ROUND(sx2 / n2, 4) AS mean2,
+        |  ROUND((sx1 / n1 - sx2 / n2) /
+        |    sqrt(((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 +
+        |         ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2), 6) AS t_stat,
+        |  ROUND((((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 +
+        |         ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) *
+        |        (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1 +
+        |         ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) /
+        |        ((((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1) *
+        |         (((sxx1 - sx1 * sx1 / n1) / (n1 - 1)) / n1) / (n1 - 1) +
+        |         (((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) *
+        |         (((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2) / (n2 - 1)),
+        |    3) AS df_welch
+        |FROM m""".stripMargin,
+    // bucket counts are exact ints (quantile_disc edges are data
+    // values, compared on identical doubles); smoothing +1/+10 keeps
+    // ln() finite on empty buckets
+    "profile_drift_psi" ->
+      """WITH ev AS (
+        |  SELECT day(ts) AS dom, value AS v FROM events
+        |), ed AS (
+        |  SELECT quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+        |                           0.6, 0.7, 0.8, 0.9]) AS edges
+        |  FROM ev WHERE dom <= 15
+        |), bk AS (
+        |  SELECT dom, CAST(1 + list_sum(list_transform(edges,
+        |    e -> CASE WHEN v > e THEN 1 ELSE 0 END)) AS INTEGER) AS bucket
+        |  FROM ev CROSS JOIN ed
+        |), c AS (
+        |  SELECT bucket,
+        |    CAST(SUM(CASE WHEN dom <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN dom > 15 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM bk GROUP BY bucket
+        |), tc AS (
+        |  SELECT bucket, n_a, n_b,
+        |    CAST(SUM(n_a) OVER () AS BIGINT) AS tot_a,
+        |    CAST(SUM(n_b) OVER () AS BIGINT) AS tot_b
+        |  FROM c
+        |)
+        |SELECT bucket, n_a, n_b,
+        |  ROUND(((n_a + 1.0) / (tot_a + 10.0) -
+        |         (n_b + 1.0) / (tot_b + 10.0)) *
+        |        ln(((n_a + 1.0) / (tot_a + 10.0)) /
+        |           ((n_b + 1.0) / (tot_b + 10.0))), 6) AS psi_c
+        |FROM tc ORDER BY bucket""".stripMargin,
     // cross-multiplied integer KS statistic over the identical merged
     // (v, event_id) order; window SUM -> HUGEINT needs the BIGINT cast
     "agg_ks_test" ->

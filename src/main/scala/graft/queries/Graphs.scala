@@ -29,25 +29,52 @@ import graft.Tables.t
   */
 object Graphs {
 
-  /** Directed exact-5NN edges (src, dst, outdeg per src = 5). */
+  /** Directed exact-5NN edges (src, dst, outdeg per src = 5).
+    *
+    * The dot product runs through the codegen'd [[graft.llm.Similarity
+    * .dot]] kernel over micro-quantized values stored as FLOATS: every
+    * micro value is < 2²⁴ (|x| < 1 in the fixture; asserted range) so
+    * it is exact in float, each product is exact in double, and the
+    * ≤ 2⁵³ accumulator never rounds — the result is the same integer
+    * the BIGINT oracle computes, at codegen speed. (The first version
+    * used a zip_with/aggregate HOF — interpreted per element, it was
+    * 3 of the 4 most expensive bench queries at sf0.1; the PERF.md
+    * HOF-lambda lesson applies to hot kernels too.) */
   private def knnEdges(s: SparkSession, d: String): DataFrame = {
     val m = t(s, d, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
-          x => floor(x * 1000000.0 + 0.5).cast("long")).as("q"))
+          x => floor(x * 1000000.0 + 0.5)).cast("array<float>").as("q"))
     val a = m.select(col("vec_id").as("src"), col("q").as("qa"))
     val b = m.select(col("vec_id").as("dst"), col("q").as("qb"))
     // broadcast the build side: the quantized table is 16× smaller than
     // raw embeddings; at corpus scale this becomes the IVF probe instead
     val pairs = a.join(broadcast(b), col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, v) => acc + v).as("dot"))
+        graft.llm.Similarity.dot(col("qa"), col("qb")).cast("long")
+          .as("dot"))
     val rk = Window.partitionBy(col("src"))
       .orderBy(col("dot").desc, col("dst"))
     pairs.withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= 5)
       .select(col("src"), col("dst"))
+  }
+
+  /** Write-once edge materialization (the [[graft.llm.Dedup]] pair-graph
+    * recipe): four analytics consume the same kNN graph, so the build is
+    * a per-JVM temp table keyed by dataset dir — first consumer writes,
+    * the rest scan. At 100 TB the edge list IS a persisted table. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def materializedEdges(s: SparkSession, d: String): DataFrame = {
+    val path = edgeCache.computeIfAbsent(d, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_knn_edges").toString
+      knnEdges(s, d).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
   }
 
   /** Undirected edge set: symmetrized kNN (mutual OR one-way — an edge
@@ -81,7 +108,7 @@ object Graphs {
     * template content). One shuffle to count per node, one to histogram:
     * both on keys far smaller than the corpus. */
   def graphDegreeDistribution(s: SparkSession, d: String): DataFrame = {
-    val ue = undirected(knnEdges(s, d))
+    val ue = undirected(materializedEdges(s, d))
     ue.select(col("u").as("node"))
       .unionAll(ue.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -103,7 +130,7 @@ object Graphs {
     * corpus scale the same orientation uses a struct(deg, id) comparison
     * (identical semantics, no key-packing bound). */
   def graphTriangles(s: SparkSession, d: String): DataFrame = {
-    val ue = undirected(knnEdges(s, d)).cache()
+    val ue = undirected(materializedEdges(s, d)).cache()
     val deg = ue.select(col("u").as("node"))
       .unionAll(ue.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -150,7 +177,7 @@ object Graphs {
     * — the [[graft.llm.Dedup]] HashMin discipline, including lineage
     * truncation via localCheckpoint at higher iteration counts. */
   def graphPagerank(s: SparkSession, d: String): DataFrame = {
-    val e = knnEdges(s, d)
+    val e = materializedEdges(s, d)
       .repartition(col("src")).cache()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od")).cache()
     val nodes = t(s, d, "embeddings").select(col("vec_id").as("node"))
@@ -176,10 +203,34 @@ object Graphs {
       .orderBy(col("vec_id"))
   }
 
+  /** Common-neighbor link prediction — the missing-edge scorer
+    * (recommenders, knowledge-graph completion, near-dup recall
+    * auditing: a high-scoring NON-edge in a dedup graph is a pair the
+    * banding likely missed). Score(u,v) = |N(u) ∩ N(v)| for
+    * non-adjacent pairs, enumerated from wedges (two-hop paths), never
+    * all-pairs: candidate mass is Σ deg² — the same skew-bounded wedge
+    * work as [[graphTriangles]] — and the anti-join against the edge
+    * list removes existing edges. Top-20 by (score, pair) with integer
+    * scores only. */
+  def graphLinkPrediction(s: SparkSession, d: String): DataFrame = {
+    val ue = undirected(materializedEdges(s, d)).cache()
+    val sym = ue.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(ue.select(col("v").as("x"), col("u").as("y")))
+    val w1 = sym.select(col("x"), col("y").as("a"))
+    val w2 = sym.select(col("x"), col("y").as("b"))
+    val cand = w1.join(w2, "x").filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common_nbrs"))
+    cand.join(ue, cand("a") === ue("u") && cand("b") === ue("v"),
+        "left_anti")
+      .orderBy(col("common_nbrs").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_degree_distribution" -> (graphDegreeDistribution _),
     "graph_triangles" -> (graphTriangles _),
-    "graph_pagerank" -> (graphPagerank _)
+    "graph_pagerank" -> (graphPagerank _),
+    "graph_link_prediction" -> (graphLinkPrediction _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -220,6 +271,20 @@ object Graphs {
         |       // (dg.deg * (dg.deg - 1)) AS BIGINT) AS coeff_micro
         |FROM dg LEFT JOIN cr ON cr.node = dg.node
         |WHERE dg.deg > 1 ORDER BY vec_id""".stripMargin),
+    "graph_link_prediction" -> (edgeCte +
+      """
+        |, sy AS (
+        |  SELECT u AS x, v AS y FROM ue
+        |  UNION ALL SELECT v AS x, u AS y FROM ue),
+        |cand AS (
+        |  SELECT w1.y AS a, w2.y AS b, COUNT(*) AS common_nbrs
+        |  FROM sy w1 JOIN sy w2 ON w1.x = w2.x AND w1.y < w2.y
+        |  GROUP BY 1, 2)
+        |SELECT a, b, CAST(common_nbrs AS BIGINT) AS common_nbrs
+        |FROM cand
+        |WHERE NOT EXISTS (SELECT 1 FROM ue
+        |                  WHERE ue.u = cand.a AND ue.v = cand.b)
+        |ORDER BY common_nbrs DESC, a, b LIMIT 20""".stripMargin),
     "graph_pagerank" -> (edgeCte +
       """
         |, od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),

@@ -171,6 +171,50 @@ object Joins {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Point-in-time lookup against an SCD2 dimension — "which segment
+    * version was this user in when the purchase happened": the
+    * time-travel join every feature store / warehouse runs against
+    * versioned dimensions. NOT an interval join: both sides stack into
+    * ONE relation tagged (dim-start | probe) and a single (user, time)
+    * window carries the latest version forward onto each probe row —
+    * one shuffle on the user key, zero joins, the scalable recipe (an
+    * interval join would band-explode; this is linear in rows and
+    * reuses the exact partitioning the SCD2 build itself needs). Dim
+    * rows sort before probes at equal timestamps (valid_from <= ts is
+    * inclusive), versions ascending within the tie. */
+  def joinScd2Pointintime(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val dim = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byTs))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(byTs))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        lit(0).as("tag"), col("version").cast("long").as("ord"),
+        col("version"), col("event_type").as("seg_type"),
+        lit(null).cast("long").as("event_id"))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        lit(1).as("tag"), col("event_id").as("ord"),
+        lit(null).cast("int").as("version"),
+        lit(null).cast("string").as("seg_type"), col("event_id"))
+    val carry = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"), col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(probes)
+      .withColumn("cur_version", last(col("version"), ignoreNulls = true)
+        .over(carry))
+      .withColumn("cur_type", last(col("seg_type"), ignoreNulls = true)
+        .over(carry))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("cur_version").as("version"), col("cur_type").as("seg_type"))
+      .orderBy(col("event_id"))
+  }
+
   def joinCross(s: SparkSession, d: String): DataFrame =
     t(s, d, "region").crossJoin(t(s, d, "nation"))
       .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
@@ -380,6 +424,7 @@ object Joins {
     "join_range_bucketed" -> (joinRangeBucketed _),
     "join_cross" -> (joinCross _),
     "join_bloom_prune" -> (joinBloomPrune _),
+    "join_scd2_pointintime" -> (joinScd2Pointintime _),
     "join_asof" -> (joinAsof _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_interval" -> (joinInterval _)
@@ -503,6 +548,33 @@ object Joins {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    // independent formulation: the oracle joins probes to the SCD2
+    // validity INTERVALS (valid_from <= ts < valid_to) — a different
+    // algorithm than the engine's stacked-window carry, pinning the
+    // semantics rather than mirroring the plan
+    "join_scd2_pointintime" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), seg AS (
+        |  SELECT user_id,
+        |    CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+        |    event_type,
+        |    epoch_us(ts) AS valid_from_us,
+        |    lead(epoch_us(ts)) OVER w AS valid_to_us
+        |  FROM (SELECT user_id, ts, event_id, event_type FROM marked
+        |        WHERE prev_type IS NULL OR prev_type <> event_type)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  s.version, s.event_type AS seg_type
+        |FROM events e JOIN seg s ON s.user_id = e.user_id
+        |  AND s.valid_from_us <= epoch_us(e.ts)
+        |  AND (s.valid_to_us IS NULL OR epoch_us(e.ts) < s.valid_to_us)
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     "join_asof" ->
       """SELECT p_id, v_id FROM (
         |  SELECT p.event_id AS p_id, v.event_id AS v_id,

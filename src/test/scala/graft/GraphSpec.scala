@@ -56,6 +56,31 @@ class GraphSpec extends AnyFunSuite {
     assert(naive.values.sum > 0, "fixture graph has no triangles at all")
   }
 
+  test("link prediction only scores non-edges with shared neighbors") {
+    val preds = graft.queries.Graphs.graphLinkPrediction(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(preds.nonEmpty && preds.forall(_._3 >= 1))
+    // no predicted pair may be an existing undirected edge
+    import org.apache.spark.sql.functions._
+    val m = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000000.0 + 0.5).cast("long")).as("q"))
+    val a = m.select(col("vec_id").as("src"), col("q").as("qa"))
+    val b = m.select(col("vec_id").as("dst"), col("q").as("qb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dot").desc, col("dst"))
+    val edges = a.join(broadcast(b), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(preds.forall { case (u, v, _) => !edges.contains((u, v)) })
+  }
+
   test("pagerank conserves mass within integer-truncation loss") {
     val rows = graft.queries.Graphs.graphPagerank(spark, sf).collect()
     assert(rows.length == 500)

@@ -650,6 +650,32 @@ object Similarity {
       .limit(10)
   }
 
+  /** Two-stage retrieval: Hamming shortlist → exact cosine rerank —
+    * the production coarse-to-fine ANN architecture ([[simSearchHamming]]
+    * scans 8 bytes/vector to cut the corpus to 50 candidates; only the
+    * shortlist pays the full float dot product). The expensive kernel
+    * touches 50 rows regardless of corpus size; the cheap kernel is
+    * bandwidth-bound on 8-byte words. Both stages deterministic:
+    * (hamming, vec_id) then (cos DESC, vec_id). */
+  def simSearchHammingRerank(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val words = e.select(col("vec_id"), col("label"), col("embedding"),
+      signWord(col("embedding")).as("word"))
+    val probe = words.filter(col("vec_id") === 0)
+      .select(col("word").as("pword"), col("embedding").as("pemb"))
+    val shortlist = words.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("label"), col("embedding"), col("pemb"),
+        expr("CAST(bit_count(word ^ pword) AS INT)").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(50)
+    shortlist
+      .select(col("vec_id"), col("label"), col("hamming"),
+        round(cosine(col("embedding"), col("pemb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_join" -> (simKnnJoin _),
     "sim_search_range" -> (simSearchRange _),
@@ -666,7 +692,8 @@ object Similarity {
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_kmeans_assign" -> (embeddingKmeansAssign _),
     "embedding_binarize" -> (embeddingBinarize _),
-    "sim_search_hamming" -> (simSearchHamming _)
+    "sim_search_hamming" -> (simSearchHamming _),
+    "sim_search_hamming_rerank" -> (simSearchHammingRerank _)
   )
 
   /** DuckDB sign-word mirror: same OR-fold; DuckDB's `<< 63` raises on
@@ -688,6 +715,22 @@ object Similarity {
         |SELECT vec_id, label, word,
         |  CAST(bit_count(word) AS INTEGER) AS popcount
         |FROM w ORDER BY vec_id""".stripMargin),
+    "sim_search_hamming_rerank" ->
+      (s"""WITH w AS (
+        |  SELECT vec_id, label, embedding, $signWordSql AS word
+        |  FROM (SELECT vec_id, label, embedding,
+        |          CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |), p AS (SELECT word, embedding FROM w WHERE vec_id = 0),
+        |sl AS (
+        |  SELECT w.vec_id, w.label, w.embedding, p.embedding AS pemb,
+        |    CAST(bit_count(xor(w.word, p.word)) AS INTEGER) AS hamming
+        |  FROM w CROSS JOIN p WHERE w.vec_id <> 0
+        |  ORDER BY hamming, w.vec_id LIMIT 50
+        |)
+        |SELECT vec_id, label, hamming,
+        |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    CAST(pemb AS DOUBLE[])), 6) AS cos
+        |FROM sl ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin),
     "sim_search_hamming" ->
       (s"""WITH w AS (
         |  SELECT vec_id, label, $signWordSql AS word

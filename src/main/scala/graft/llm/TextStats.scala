@@ -267,6 +267,45 @@ object TextStats {
       .limit(20)
   }
 
+  /** Per-document bigram-LM negative log-likelihood — THE perplexity
+    * quality filter every pretraining pipeline runs (docs the corpus LM
+    * finds surprising are boilerplate, garbled, or off-distribution).
+    * The corpus bigram/unigram tables come from the [[graft.functions
+    * .TokenNGrams]] generator (one O(len) pass in the scan stage); the
+    * per-doc score joins each bigram to its Laplace-smoothed
+    * conditional, ln((c_bg + 1)/(c_uni + V)). Both LM tables are
+    * vocabulary-sized — shuffle joins, never broadcast (Heaps' law).
+    * Each log term is rounded to DECIMAL(18,6) BEFORE the per-doc sum
+    * (the agg_entropy discipline), so the irrational parts sum
+    * order-independently and both engines agree exactly. Docs with < 2
+    * tokens have no bigrams and drop out (documented). */
+  def textPerplexity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val docs = t(s, d, "documents")
+    val bigrams = docs.select(col("doc_id"),
+      GraftBridge.column(graft.functions.TokenNGrams(
+        GraftBridge.expression(col("text")), 2)).as("bigram"))
+    val bgCounts = bigrams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c_bg"))
+    val unis = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+    val vocab = unis.agg(count(lit(1)).as("v"))
+    bigrams
+      .join(bgCounts, "bigram")
+      .withColumn("tok", substring_index(col("bigram"), " ", 1))
+      .join(unis, "tok")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("CAST(ROUND(ln((c_bg + 1.0) / (c_uni + v)), 6) AS DECIMAL(18,6))")
+          .as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("ROUND(-CAST(slp AS DOUBLE) / n_bigrams, 4)").as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Karp-Rabin polynomial rolling hash over the token stream
     * (acc·B + h(token) mod M) — the order-sensitive complement of the
     * min/max-token fingerprint above: equal only when token SEQUENCES
@@ -476,6 +515,7 @@ object TextStats {
     "doc_fingerprint" -> (docFingerprint _),
     "doc_rolling_hash" -> (docRollingHash _),
     "text_ngram_freq" -> (textNgramFreq _),
+    "text_perplexity" -> (textPerplexity _),
     "text_pii_redact" -> (textPiiRedact _),
     "composite_curation" -> (compositeCuration _)
   )
@@ -685,6 +725,26 @@ object TextStats {
         |    '<EMAIL>', 'g'),
         |    '\d{3}-\d{4,}', '<PHONE>', 'g') AS redacted
         |FROM t ORDER BY doc_id""".stripMargin,
+    // per-term round-6 decimal before the doc sum → order-independent;
+    // only the final mean divides in double, identical text both sides
+    "text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT bigram, COUNT(*) AS c_bg FROM bg GROUP BY 1),
+        |un AS (SELECT unnest(t) AS tok FROM toks),
+        |uc AS (SELECT tok, COUNT(*) AS c_uni FROM un GROUP BY 1),
+        |vc AS (SELECT COUNT(*) AS v FROM uc)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(-CAST(SUM(CAST(ROUND(ln((c_bg + 1.0) / (c_uni + v)), 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS nll
+        |FROM bg JOIN bc USING (bigram)
+        |JOIN uc ON uc.tok = split_part(bigram, ' ', 1)
+        |CROSS JOIN vc
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -271,9 +271,48 @@ object Composite {
       .orderBy(col("o_year"), col("supp_nation"))
   }
 
+  /** Q7 shape (bilateral trade volume): revenue flowing between TWO
+    * specific nations in either direction, by supplier nation, customer
+    * nation and order year — the nation filters push into the two
+    * dimension chains BEFORE the fact joins (Catalyst prunes both
+    * nation tables to one row each, so the customer/supplier joins act
+    * as semi-filters on the fact). Same decimal-exact revenue
+    * discipline as [[compositeMarketShare]]. */
+  def compositeTpchQ7(s: SparkSession, d: String): DataFrame = {
+    val n1 = "NATION_1"
+    val n2 = "NATION_2"
+    val n = t(s, d, "nation")
+    val supChain = t(s, d, "supplier")
+      .join(broadcast(n.filter(col("n_name").isin(n1, n2))
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val custChain = t(s, d, "customer")
+      .join(broadcast(n.filter(col("n_name").isin(n1, n2))
+        .select(col("n_nationkey").as("cn_key"),
+          col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val rev = col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(custChain, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supChain), col("l_suppkey") === col("s_suppkey"))
+      .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+        (col("supp_nation") === n2 && col("cust_nation") === n1))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(rev), 2).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("o_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "composite_source_scorecard" -> (compositeSourceScorecard _),
     "composite_tpch_q14" -> (compositeTpchQ14 _),
+    "composite_tpch_q7" -> (compositeTpchQ7 _),
     "composite_market_share" -> (compositeMarketShare _),
     "composite_tpch_q19" -> (compositeTpchQ19 _),
     "composite_tpch_q6" -> (compositeTpchQ6 _),
@@ -308,6 +347,21 @@ object Composite {
         |  ROUND(total4 / 10000.0, 2) AS total_revenue,
         |  CAST((promo4 * 10000) // total4 AS BIGINT) AS promo_bp
         |FROM m ORDER BY ship_month""".stripMargin,
+    "composite_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(o_orderdate) AS o_year, COUNT(*) AS n_rows,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |    (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    ), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "composite_market_share" ->
       """WITH yn AS (
         |  SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,

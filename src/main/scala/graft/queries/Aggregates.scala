@@ -309,6 +309,98 @@ object Aggregates {
           .as("auc"))
   }
 
+  /** Kaplan-Meier survival curve over view→purchase conversion — the
+    * censoring-aware version of [[aggTimeToConvert]]: users who never
+    * purchase are CENSORED at the observation end, not dropped (dropping
+    * them biases conversion-time estimates downward — the reason KM
+    * exists). Per conversion-day t: d_t converts, n_t at risk (lifetime
+    * ≥ t, converted or censored), S(t) = Π(1 − d/n). The product is
+    * carried as a window SUM of per-term round-6 DECIMAL ln terms (the
+    * agg_entropy discipline — order-independent, engine-exact), exp'd
+    * once at the end. Terminal d = n days are filtered identically on
+    * both sides (ln 0). The per-user reduction is one aggregate; the
+    * curve is |distinct days| rows. */
+  def aggSurvivalKm(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val perUser = ev
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", to_date(col("ts"))))
+          .as("first_view"),
+        min(when(col("event_type") === "purchase", to_date(col("ts"))))
+          .as("first_purchase"))
+      .crossJoin(broadcast(ev.agg(max(to_date(col("ts"))).as("obs_end"))))
+      .filter(col("first_view").isNotNull)
+      .select(
+        when(col("first_purchase").isNotNull &&
+          col("first_purchase") >= col("first_view"),
+          datediff(col("first_purchase"), col("first_view")))
+          .otherwise(datediff(col("obs_end"), col("first_view")))
+          .as("lifetime"),
+        (col("first_purchase").isNotNull &&
+          col("first_purchase") >= col("first_view")).cast("int")
+          .as("converted"))
+    perUser.createOrReplaceTempView("graft_km")
+    s.sql(
+      """WITH days AS (
+        |  SELECT lifetime AS t,
+        |    CAST(SUM(converted) AS BIGINT) AS d
+        |  FROM graft_km GROUP BY lifetime HAVING SUM(converted) > 0
+        |), risk AS (
+        |  SELECT days.t, days.d,
+        |    (SELECT COUNT(*) FROM graft_km k
+        |     WHERE k.lifetime >= days.t) AS n_risk
+        |  FROM days
+        |), terms AS (
+        |  SELECT t, d, n_risk,
+        |    CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6)
+        |      AS DECIMAL(18,6)) AS lnterm
+        |  FROM risk WHERE d < n_risk
+        |)
+        |SELECT t, d, n_risk,
+        |  ROUND(exp(CAST(SUM(lnterm) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE)), 4) AS survival
+        |FROM terms ORDER BY t""".stripMargin)
+  }
+
+  /** Autocorrelation of the daily event-count series at lags 1..7 —
+    * the seasonality detector (a weekly cycle shows as a lag-7 peak).
+    * The estimator is cross-multiplied into pure integers:
+    * r_k = Σ(n·x_t − S)(n·x_{t+k} − S) / Σ(n·x_t − S)² where S = Σx —
+    * multiplying numerator and denominator by n² clears the rational
+    * mean, so the single rounded division is the only float op. The
+    * series is |days| rows (tiny at any corpus scale — the aggregate
+    * upstream is the mergeable part); lag pairing is a self-join on the
+    * dense day index. */
+  def aggAutocorrelation(s: SparkSession, d: String): DataFrame = {
+    val dc = t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("t", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("day"))))
+      .select(col("t"), col("x"))
+    val tot = dc.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val den = dc.crossJoin(broadcast(tot))
+      .select(((col("n") * col("x") - col("sx")) *
+        (col("n") * col("x") - col("sx"))).as("d2"))
+      .agg(sum(col("d2")).as("den"))
+    val ks = s.range(1, 8).select(col("id").as("k"))
+    val a = dc.select(col("t").as("ta"), col("x").as("xa"))
+    val b = dc.select(col("t").as("tb"), col("x").as("xb"))
+    a.crossJoin(ks)
+      .join(b, col("tb") === col("ta") + col("k"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("n") * col("xa") - col("sx")) *
+          (col("n") * col("xb") - col("sx"))).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("k"), col("n_pairs"),
+        expr("ROUND(CAST(num AS DOUBLE) / den, 6)").as("acf"))
+      .orderBy(col("k"))
+  }
+
   /** Rare-category collapse — the cardinality cap every feature
     * pipeline applies before one-hot/embedding: categories (users)
     * below a support floor fold into 'other'. Two aggregates: the
@@ -1160,6 +1252,8 @@ object Aggregates {
     "agg_t_test" -> (aggTTest _),
     "profile_drift_psi" -> (profileDriftPsi _),
     "agg_rare_collapse" -> (aggRareCollapse _),
+    "agg_autocorrelation" -> (aggAutocorrelation _),
+    "agg_survival_km" -> (aggSurvivalKm _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
@@ -1396,6 +1490,66 @@ object Aggregates {
         |             SUM(pos) * (SUM(pos) + 1) AS DOUBLE) /
         |        (SUM(pos) * (COUNT(*) - SUM(pos)) * 2), 6) AS auc
         |FROM rk""".stripMargin,
+    // same per-user reduction in SQL; identical d < n_risk guard and
+    // round-6 decimal ln-sum discipline
+    "agg_survival_km" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view'
+        |        THEN CAST(ts AS DATE) END) AS first_view,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(ts AS DATE) END) AS first_purchase
+        |  FROM events GROUP BY user_id
+        |), km AS (
+        |  SELECT CASE WHEN first_purchase IS NOT NULL
+        |              AND first_purchase >= first_view
+        |         THEN datediff('day', first_view, first_purchase)
+        |         ELSE datediff('day', first_view,
+        |           (SELECT MAX(CAST(ts AS DATE)) FROM events)) END
+        |      AS lifetime,
+        |    CAST(first_purchase IS NOT NULL
+        |         AND first_purchase >= first_view AS INTEGER) AS converted
+        |  FROM pu WHERE first_view IS NOT NULL
+        |), days AS (
+        |  SELECT lifetime AS t, CAST(SUM(converted) AS BIGINT) AS d
+        |  FROM km GROUP BY lifetime HAVING SUM(converted) > 0
+        |), risk AS (
+        |  SELECT days.t, days.d,
+        |    (SELECT COUNT(*) FROM km k WHERE k.lifetime >= days.t)
+        |      AS n_risk
+        |  FROM days
+        |), terms AS (
+        |  SELECT t, d, n_risk,
+        |    CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6)
+        |      AS DECIMAL(18,6)) AS lnterm
+        |  FROM risk WHERE d < n_risk
+        |)
+        |SELECT t, d, CAST(n_risk AS BIGINT) AS n_risk,
+        |  ROUND(exp(CAST(SUM(lnterm) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE)), 4) AS survival
+        |FROM terms ORDER BY t""".stripMargin,
+    // integer cross-multiplied ACF; SUMs pass through BIGINT casts
+    "agg_autocorrelation" ->
+      """WITH dc AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, x FROM (
+        |    SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |    FROM events GROUP BY 1)
+        |), tot AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM dc
+        |), den AS (
+        |  SELECT CAST(SUM((n * x - sx) * (n * x - sx)) AS BIGINT) AS den
+        |  FROM dc, tot
+        |), num AS (
+        |  SELECT k.k, COUNT(*) AS n_pairs,
+        |    CAST(SUM((n * a.x - sx) * (n * b.x - sx)) AS BIGINT) AS num
+        |  FROM dc a CROSS JOIN (SELECT unnest(range(1, 8)) AS k) k
+        |  JOIN dc b ON b.t = a.t + k.k
+        |  CROSS JOIN tot
+        |  GROUP BY k.k
+        |)
+        |SELECT k, n_pairs, ROUND(CAST(num AS DOUBLE) / den, 6) AS acf
+        |FROM num, den ORDER BY k""".stripMargin,
     "agg_rare_collapse" ->
       """WITH s AS (
         |  SELECT user_id, COUNT(*) AS n_user FROM events GROUP BY 1

@@ -152,6 +152,30 @@ object Windows {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** Trailing-7-day rolling MEDIAN per user — the robust companion to
+    * [[windowZscoreRolling]]'s moment-based baseline (medians shrug off
+    * the outliers that wreck a rolling mean). The frame median is
+    * rank-exact: approx_percentile at accuracy 1e6 degenerates to the
+    * exact order statistic at any realistic frame size (the
+    * agg_quantile_approx precedent, = DuckDB quantile_disc), and the
+    * DECIMAL data value passes through untouched — no float synthesis,
+    * so engines agree bit-for-bit. At scale this is the same one
+    * (user, time) exchange every event-time window in the engine rides. */
+  def windowRollingMedian(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events").createOrReplaceTempView("graft_ev_rm")
+    s.sql(
+      """SELECT event_id, user_id,
+        |  CAST(vq AS DOUBLE) AS v,
+        |  COUNT(*) OVER w AS n7,
+        |  CAST(approx_percentile(vq, 0.5D, 1000000) OVER w AS DOUBLE)
+        |    AS med7
+        |FROM (SELECT event_id, user_id, ts,
+        |        CAST(value AS DECIMAL(19,4)) AS vq FROM graft_ev_rm)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+  }
+
   /** Distribution functions: percent_rank / cume_dist (exact ratios of
     * ints → bit-identical doubles in both engines). */
   def windowDistribution(s: SparkSession, d: String): DataFrame = {
@@ -582,6 +606,7 @@ object Windows {
     "window_vwap" -> (windowVwap _),
     "window_drawdown" -> (windowDrawdown _),
     "window_zscore_rolling" -> (windowZscoreRolling _),
+    "window_rolling_median" -> (windowRollingMedian _),
     "window_wow_growth" -> (windowWowGrowth _),
     "window_rfm" -> (windowRfm _),
     "window_pareto" -> (windowPareto _),
@@ -631,6 +656,18 @@ object Windows {
         |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
         |) t
         |WHERE n > 1 AND (sxx - sx * sx / n) / (n - 1) > 0
+        |ORDER BY event_id""".stripMargin,
+    // rank-exact frame median (quantile_disc ↔ approx_percentile@1e6,
+    // the agg_quantile_approx precedent); COUNT window -> BIGINT cast
+    "window_rolling_median" ->
+      """SELECT event_id, user_id,
+        |  CAST(vq AS DOUBLE) AS v,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n7,
+        |  CAST(quantile_disc(vq, 0.5) OVER w AS DOUBLE) AS med7
+        |FROM (SELECT event_id, user_id, ts,
+        |        CAST(value AS DECIMAL(19,4)) AS vq FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     // micro-resolution order keys (epoch_us floors the nanos) — same
     // total order as the engine's event-time contract

@@ -24,7 +24,6 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     // naive recount: adjacency sets on the driver (500 nodes only)
     import org.apache.spark.sql.functions._
-    val ue = graft.queries.Graphs.graphDegreeDistribution(spark, sf) // force build path compiles
     val edges = {
       val m = graft.Tables.t(spark, sf, "embeddings")
         .select(col("vec_id"),

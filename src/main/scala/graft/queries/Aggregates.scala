@@ -309,6 +309,60 @@ object Aggregates {
           .as("auc"))
   }
 
+  /** Binary-segmentation changepoint — the level-shift locator beside
+    * [[Windows.windowCusum]]'s drift alarm: the split k of the daily
+    * count series maximizing the between-segment fit S₁²/n₁ + S₂²/n₂
+    * (equivalently the SSE drop; the constant S²/n cancels). Prefix
+    * sums are integers, so each candidate's score is a ratio of exact
+    * integers; candidates rank on the round-6 double with split-day
+    * tiebreak — deterministic in both engines. The series is |days|
+    * rows; the scan over candidate splits is a window, not a join. */
+  def aggChangepointBinary(s: SparkSession, d: String): DataFrame = {
+    val byT = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val dc = t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("t", row_number().over(byT))
+      .withColumn("s1", sum(col("x")).over(
+        byT.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+    val tot = dc.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    dc.crossJoin(broadcast(tot))
+      .filter(col("t") < col("n"))
+      .select(col("day").as("split_day"), col("t").as("n1"),
+        (col("n") - col("t")).as("n2"), col("s1"),
+        (col("sx") - col("s1")).as("s2"), col("n"))
+      .select(col("split_day"), col("n1"), col("n2"),
+        expr("ROUND(CAST(s1 AS DOUBLE) / n1, 4)").as("mean1"),
+        expr("ROUND(CAST(s2 AS DOUBLE) / n2, 4)").as("mean2"),
+        expr("""ROUND(CAST(s1 AS DOUBLE) * s1 / n1 +
+                CAST(s2 AS DOUBLE) * s2 / n2, 6)""").as("fit"))
+      .orderBy(col("fit").desc, col("split_day"))
+      .limit(1)
+  }
+
+  /** Herfindahl-Hirschman concentration of user activity per event
+    * type — the "is this signal dominated by a few accounts" check
+    * (bot/spam triage; the scalar cousin of [[aggGini]]). HHI =
+    * Σ(nᵤ/N)² computed as integer Σnᵤ² over N², one rounded division;
+    * effective-participant count 1/HHI comes from the same integers.
+    * Two mergeable hash aggregates, keys bounded by (type × user). */
+  def aggHhi(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("nu"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("nu")).as("n_total"),
+        sum(col("nu") * col("nu")).as("sum_sq"))
+      .select(col("event_type"), col("n_users"), col("n_total"),
+        expr("ROUND(CAST(sum_sq AS DOUBLE) / (n_total * n_total), 6)")
+          .as("hhi"),
+        expr("ROUND(CAST(n_total AS DOUBLE) * n_total / sum_sq, 2)")
+          .as("effective_users"))
+      .orderBy(col("event_type"))
+
   /** Kaplan-Meier survival curve over view→purchase conversion — the
     * censoring-aware version of [[aggTimeToConvert]]: users who never
     * purchase are CENSORED at the observation end, not dropped (dropping
@@ -1254,6 +1308,8 @@ object Aggregates {
     "agg_rare_collapse" -> (aggRareCollapse _),
     "agg_autocorrelation" -> (aggAutocorrelation _),
     "agg_survival_km" -> (aggSurvivalKm _),
+    "agg_changepoint_binary" -> (aggChangepointBinary _),
+    "agg_hhi" -> (aggHhi _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
@@ -1490,6 +1546,39 @@ object Aggregates {
         |             SUM(pos) * (SUM(pos) + 1) AS DOUBLE) /
         |        (SUM(pos) * (COUNT(*) - SUM(pos)) * 2), 6) AS auc
         |FROM rk""".stripMargin,
+    // integer prefix sums; round-6 fit + split-day tiebreak pins the
+    // argmax identically
+    "agg_changepoint_binary" ->
+      """WITH dc AS (
+        |  SELECT day, x,
+        |    ROW_NUMBER() OVER (ORDER BY day) AS t,
+        |    CAST(SUM(x) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS s1
+        |  FROM (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |        FROM events GROUP BY 1)
+        |), tot AS (
+        |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx FROM dc
+        |)
+        |SELECT day AS split_day, t AS n1, n - t AS n2,
+        |  ROUND(CAST(s1 AS DOUBLE) / t, 4) AS mean1,
+        |  ROUND(CAST(sx - s1 AS DOUBLE) / (n - t), 4) AS mean2,
+        |  ROUND(CAST(s1 AS DOUBLE) * s1 / t +
+        |        CAST(sx - s1 AS DOUBLE) * (sx - s1) / (n - t), 6) AS fit
+        |FROM dc, tot WHERE t < n
+        |ORDER BY fit DESC, split_day LIMIT 1""".stripMargin,
+    "agg_hhi" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, COUNT(*) AS nu
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, COUNT(*) AS n_users,
+        |  CAST(SUM(nu) AS BIGINT) AS n_total,
+        |  ROUND(CAST(SUM(nu * nu) AS DOUBLE) /
+        |        (SUM(nu) * SUM(nu)), 6) AS hhi,
+        |  ROUND(CAST(SUM(nu) AS DOUBLE) * SUM(nu) / SUM(nu * nu), 2)
+        |    AS effective_users
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     // same per-user reduction in SQL; identical d < n_risk guard and
     // round-6 decimal ln-sum discipline
     "agg_survival_km" ->

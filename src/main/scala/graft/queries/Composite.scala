@@ -309,8 +309,54 @@ object Composite {
       .orderBy(col("supp_nation"), col("cust_nation"), col("o_year"))
   }
 
+  /** Data-quality expectation report — the dbt/Great-Expectations
+    * contract run as ONE query: uniqueness, null, range and referential
+    * checks, each row a check with violation counts and a verdict. The
+    * scale discipline is one fused scan per table (every per-table
+    * check is a conditional aggregate in the same pass — adding a check
+    * costs a column, not a scan); the referential check is the only
+    * join (anti on the key, shuffle both sides). All counts integer. */
+  def compositeDqReport(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val l = t(s, d, "lineitem")
+    val oChecks = o.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_unique"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("v_date"))
+      .select(expr(
+        """stack(3,
+          |  'orders.o_orderkey unique', v_unique, n,
+          |  'orders.o_totalprice positive', v_price, n,
+          |  'orders.o_orderdate not null', v_date, n)
+          |  AS (check, n_violations, n_checked)""".stripMargin))
+    val lChecks = l.agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("l_quantity").between(1, 50), 1L).otherwise(0L))
+        .as("v_qty"),
+      sum(when(!col("l_discount").between(0.0, 1.0), 1L).otherwise(0L))
+        .as("v_disc"))
+      .select(expr(
+        """stack(2,
+          |  'lineitem.l_quantity in [1,50]', v_qty, n,
+          |  'lineitem.l_discount in [0,1]', v_disc, n)
+          |  AS (check, n_violations, n_checked)""".stripMargin))
+    val refViolations = l.select(col("l_orderkey"))
+      .join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val lCount = l.agg(count(lit(1)).as("n_checked"))
+    val refCheck = refViolations.crossJoin(lCount)
+      .select(lit("lineitem.l_orderkey in orders").as("check"),
+        col("n_violations"), col("n_checked"))
+    oChecks.unionByName(lChecks).unionByName(refCheck)
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy(col("check"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "composite_source_scorecard" -> (compositeSourceScorecard _),
+    "composite_dq_report" -> (compositeDqReport _),
     "composite_tpch_q14" -> (compositeTpchQ14 _),
     "composite_tpch_q7" -> (compositeTpchQ7 _),
     "composite_market_share" -> (compositeMarketShare _),
@@ -347,6 +393,44 @@ object Composite {
         |  ROUND(total4 / 10000.0, 2) AS total_revenue,
         |  CAST((promo4 * 10000) // total4 AS BIGINT) AS promo_bp
         |FROM m ORDER BY ship_month""".stripMargin,
+    "composite_dq_report" ->
+      """WITH oc AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        |      AS v_unique,
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_price,
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_date
+        |  FROM orders
+        |), lc AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0 AND 1
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_disc
+        |  FROM lineitem
+        |), rc AS (
+        |  SELECT CAST((SELECT COUNT(*) FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |    AS BIGINT) AS v_ref,
+        |    (SELECT COUNT(*) FROM lineitem) AS n
+        |)
+        |SELECT "check", n_violations, n_checked, n_violations = 0 AS pass
+        |FROM (
+        |  SELECT 'orders.o_orderkey unique' AS "check",
+        |    v_unique AS n_violations, n AS n_checked FROM oc
+        |  UNION ALL SELECT 'orders.o_totalprice positive', v_price, n
+        |    FROM oc
+        |  UNION ALL SELECT 'orders.o_orderdate not null', v_date, n
+        |    FROM oc
+        |  UNION ALL SELECT 'lineitem.l_quantity in [1,50]', v_qty, n
+        |    FROM lc
+        |  UNION ALL SELECT 'lineitem.l_discount in [0,1]', v_disc, n
+        |    FROM lc
+        |  UNION ALL SELECT 'lineitem.l_orderkey in orders', v_ref, n
+        |    FROM rc
+        |) ORDER BY "check"""".stripMargin,
     "composite_tpch_q7" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  year(o_orderdate) AS o_year, COUNT(*) AS n_rows,

@@ -94,6 +94,18 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.head().getLong(0) == expected)
   }
 
+  test("join_scd2_pointintime carries versions by window, zero joins") {
+    val p = plan(graft.queries.Joins.joinScd2Pointintime(spark, sf))
+    // the stacked-window carry must not plan any join operator at all
+    assert(!p.contains("Join"), p)
+    // two user-key exchanges: the dim branch's own SCD2 windows, and
+    // the union re-shuffle for the carry window (a Union cannot inherit
+    // one branch's partitioning); the only other exchange is the
+    // presentation sort's range partitioning
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+  }
+
   test("join_bloom_prune injects a runtime bloom filter at cluster thresholds") {
     // at fixture statistics Spark rightly prefers broadcast (no bloom
     // needed); simulate cluster-scale stats: force the shuffle join and

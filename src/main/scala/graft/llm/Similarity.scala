@@ -310,6 +310,92 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** 16-centroid/8-subspace model state shared by the PQ pair below:
+    * slice-local centroids from vectors 0..15, micro-quantized — the
+    * same bounded "trained artifact" shape as [[embeddingKmeansAssign]]
+    * (k×dim literals in the plan, no joined relation). */
+  private def pqCentroids(s: SparkSession, d: String): Array[(Int, Seq[Long])] =
+    t(s, d, "embeddings").filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toSeq))
+      .sortBy(_._1)
+
+  /** Per-subspace argmin codes as array<struct<d2,c>> (index = m). */
+  private def pqBest(cents: Array[(Int, Seq[Long])]): Column = {
+    val subCols = (0 until 8).map { m =>
+      val sl = slice(col("micro"), m * 8 + 1, 8)
+      val cands = cents.map { case (c, cm) =>
+        val cs = cm.slice(m * 8, m * 8 + 8)
+        val d2 = aggregate(
+          zip_with(sl, typedLit(cs), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(d2.as("d2"), lit(c).as("c"))
+      }
+      array_min(array(cands: _*))
+    }
+    array(subCols: _*)
+  }
+
+  private def microCol: Column =
+    transform(col("embedding"),
+      x => round(x.cast("double") * 1000000d).cast("bigint")).as("micro")
+
+  /** Product quantization encode — the other half of the FAISS recipe
+    * next to [[simSearchIvf]] (coarse cells) and [[embeddingBinarize]]
+    * (sign bits): dim-64 vectors → 8 subspaces × 16 slice-local
+    * centroids → 8 four-bit codes packed into ONE 32-bit word (64×
+    * compression with far better fidelity than sign bits). All
+    * distances exact integer micro²; codes pack into disjoint nibbles
+    * so the sum is an OR. One narrow map over the scan — no shuffle,
+    * no explode; d2_total is the reconstruction-error diagnostic. */
+  def embeddingPqEncode(s: SparkSession, d: String): DataFrame = {
+    val cents = pqCentroids(s, d)
+    t(s, d, "embeddings")
+      .select(col("vec_id"), microCol)
+      .select(col("vec_id"), pqBest(cents).as("best"))
+      .select(col("vec_id"),
+        expr("""aggregate(zip_with(best, sequence(0, 7),
+            (b, m) -> shiftleft(CAST(b.c AS BIGINT), CAST(4 * m AS INT))),
+          0L, (acc, v) -> acc + v)""").as("pq_code"),
+        expr("aggregate(best, 0L, (acc, b) -> acc + b.d2)").as("d2_total"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Asymmetric-distance (ADC) search over the PQ codes — why PQ wins
+    * at scale: the probe precomputes one 8×16 lookup table (128 integer
+    * distances against the codebook, built once), and each candidate's
+    * distance is EIGHT table lookups on its packed code — no float
+    * math, no full-vector reads, 4 bytes/vector of working set. Exact
+    * integer micro² end to end; top-10 by (adc_d2, vec_id). */
+  def simSearchPqAdc(s: SparkSession, d: String): DataFrame = {
+    val cents = pqCentroids(s, d)
+    val e = t(s, d, "embeddings")
+    val adcRow = e.filter(col("vec_id") === 0)
+      .select(microCol)
+      .select(array((0 until 8).map { m =>
+        val sl = slice(col("micro"), m * 8 + 1, 8)
+        array(cents.map { case (_, cm) =>
+          val cs = cm.slice(m * 8, m * 8 + 8)
+          aggregate(zip_with(sl, typedLit(cs), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x)
+        }: _*)
+      }: _*).as("adc"))
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"), microCol)
+      .select(col("vec_id"), col("label"), pqBest(cents).as("best"))
+      .crossJoin(broadcast(adcRow))
+      .select(col("vec_id"), col("label"),
+        expr("""aggregate(zip_with(best, sequence(0, 7),
+            (b, m) -> element_at(element_at(adc, CAST(m + 1 AS INT)),
+                                 CAST(b.c + 1 AS INT))),
+          0L, (acc, v) -> acc + v)""").as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(10)
+  }
+
   /** Range search: every vector within cosine >= 0.2 of the probe
     * (vec_id=0) — the radius-query complement of top-k. Same scale shape
     * as [[simSearchTopk]]: broadcast the single probe row, one narrow
@@ -693,8 +779,37 @@ object Similarity {
     "embedding_kmeans_assign" -> (embeddingKmeansAssign _),
     "embedding_binarize" -> (embeddingBinarize _),
     "sim_search_hamming" -> (simSearchHamming _),
-    "sim_search_hamming_rerank" -> (simSearchHammingRerank _)
+    "sim_search_hamming_rerank" -> (simSearchHammingRerank _),
+    "embedding_pq_encode" -> (embeddingPqEncode _),
+    "sim_search_pq_adc" -> (simSearchPqAdc _)
   )
+
+  /** Shared DuckDB prefix for the PQ pair: quantize, slice-local
+    * distances to the 16 model-state centroids, per-(vec, subspace)
+    * argmin with (d2, c) tiebreak. */
+  private val pqCte =
+    """WITH mq AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), cent AS (
+      |  SELECT CAST(vec_id AS INTEGER) AS c, q AS cq
+      |  FROM mq WHERE vec_id < 16
+      |), dd AS (
+      |  SELECT v.vec_id, m.m, cent.c,
+      |    list_sum(list_transform(range(1, 9), i ->
+      |      (v.q[CAST(m.m * 8 + i AS INTEGER)] -
+      |       cent.cq[CAST(m.m * 8 + i AS INTEGER)]) *
+      |      (v.q[CAST(m.m * 8 + i AS INTEGER)] -
+      |       cent.cq[CAST(m.m * 8 + i AS INTEGER)]))) AS d2
+      |  FROM mq v
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) m
+      |  CROSS JOIN cent
+      |), best AS (
+      |  SELECT vec_id, m, c, d2,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rk
+      |  FROM dd
+      |)""".stripMargin
 
   /** DuckDB sign-word mirror: same OR-fold; DuckDB's `<< 63` raises on
     * overflow, so bit 63 uses the Long.MinValue literal directly. */
@@ -706,6 +821,27 @@ object Similarity {
       |      ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embedding_pq_encode" -> (pqCte +
+      """
+        |SELECT vec_id,
+        |  CAST(SUM(CAST(c AS BIGINT) << CAST(4 * m AS INTEGER))
+        |    AS BIGINT) AS pq_code,
+        |  CAST(SUM(d2) AS BIGINT) AS d2_total
+        |FROM best WHERE rk = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    "sim_search_pq_adc" -> (pqCte +
+      """
+        |, adc AS (
+        |  SELECT m, c, d2 FROM dd WHERE vec_id = 0
+        |)
+        |SELECT b.vec_id, e.label,
+        |  CAST(SUM(adc.d2) AS BIGINT) AS adc_d2
+        |FROM best b
+        |JOIN adc ON adc.m = b.m AND adc.c = b.c
+        |JOIN embeddings e ON e.vec_id = b.vec_id
+        |WHERE b.rk = 1 AND b.vec_id <> 0
+        |GROUP BY b.vec_id, e.label
+        |ORDER BY adc_d2, b.vec_id LIMIT 10""".stripMargin),
     "embedding_binarize" ->
       (s"""WITH w AS (
         |  SELECT vec_id, label, $signWordSql AS word

@@ -94,6 +94,17 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.head().getLong(0) == expected)
   }
 
+  test("sim_search_pq_adc never shuffles the corpus") {
+    val p = plan(graft.llm.Similarity.simSearchPqAdc(spark, sf))
+    // top-10 via heap, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only exchange is the broadcast of the 1-row ADC table; the
+    // corpus path is scan → narrow projection → heap
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("join_scd2_pointintime carries versions by window, zero joins") {
     val p = plan(graft.queries.Joins.joinScd2Pointintime(spark, sf))
     // the stacked-window carry must not plan any join operator at all

@@ -309,6 +309,42 @@ object Aggregates {
           .as("auc"))
   }
 
+  /** Wald-Wolfowitz runs test on the daily count series — "is the
+    * up/down pattern random, or is there momentum/alternation": runs of
+    * consecutive same-sign day-over-day changes counted exactly
+    * (zero-change days dropped, documented), then the normal
+    * approximation z = (R − μ)/σ from the exact integers n₊, n₋, R —
+    * identical formula text both engines, one float pass. */
+  def aggRunsTest(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events").createOrReplaceTempView("graft_ev_runs")
+    s.sql(
+      """WITH dc AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM graft_ev_runs GROUP BY 1
+        |), sg AS (
+        |  SELECT day, CASE WHEN chg > 0 THEN 1 ELSE 0 END AS up
+        |  FROM (SELECT day, x - lag(x) OVER (ORDER BY day) AS chg
+        |        FROM dc) t1
+        |  WHERE chg IS NOT NULL AND chg <> 0
+        |), rr AS (
+        |  SELECT up,
+        |    CASE WHEN lag(up) OVER (ORDER BY day) IS NULL
+        |         OR lag(up) OVER (ORDER BY day) <> up
+        |         THEN 1 ELSE 0 END AS new_run
+        |  FROM sg
+        |)
+        |SELECT CAST(SUM(up) AS BIGINT) AS n_up,
+        |  CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_down,
+        |  CAST(SUM(new_run) AS BIGINT) AS n_runs,
+        |  ROUND((CAST(SUM(new_run) AS DOUBLE) -
+        |    (2.0 * SUM(up) * (COUNT(*) - SUM(up)) / COUNT(*) + 1)) /
+        |    sqrt(2.0 * SUM(up) * (COUNT(*) - SUM(up)) *
+        |      (2.0 * SUM(up) * (COUNT(*) - SUM(up)) - COUNT(*)) /
+        |      (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * (COUNT(*) - 1))),
+        |    6) AS z
+        |FROM rr""".stripMargin)
+  }
+
   /** Binary-segmentation changepoint — the level-shift locator beside
     * [[Windows.windowCusum]]'s drift alarm: the split k of the daily
     * count series maximizing the between-segment fit S₁²/n₁ + S₂²/n₂
@@ -1310,6 +1346,7 @@ object Aggregates {
     "agg_survival_km" -> (aggSurvivalKm _),
     "agg_changepoint_binary" -> (aggChangepointBinary _),
     "agg_hhi" -> (aggHhi _),
+    "agg_runs_test" -> (aggRunsTest _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
@@ -1546,6 +1583,33 @@ object Aggregates {
         |             SUM(pos) * (SUM(pos) + 1) AS DOUBLE) /
         |        (SUM(pos) * (COUNT(*) - SUM(pos)) * 2), 6) AS auc
         |FROM rk""".stripMargin,
+    // exact integer (n_up, n_down, R); identical z formula text
+    "agg_runs_test" ->
+      """WITH dc AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1
+        |), sg AS (
+        |  SELECT day, CASE WHEN chg > 0 THEN 1 ELSE 0 END AS up
+        |  FROM (SELECT day, x - lag(x) OVER (ORDER BY day) AS chg
+        |        FROM dc) t1
+        |  WHERE chg IS NOT NULL AND chg <> 0
+        |), rr AS (
+        |  SELECT up,
+        |    CASE WHEN lag(up) OVER (ORDER BY day) IS NULL
+        |         OR lag(up) OVER (ORDER BY day) <> up
+        |         THEN 1 ELSE 0 END AS new_run
+        |  FROM sg
+        |)
+        |SELECT CAST(SUM(up) AS BIGINT) AS n_up,
+        |  CAST(COUNT(*) - SUM(up) AS BIGINT) AS n_down,
+        |  CAST(SUM(new_run) AS BIGINT) AS n_runs,
+        |  ROUND((CAST(SUM(new_run) AS DOUBLE) -
+        |    (2.0 * SUM(up) * (COUNT(*) - SUM(up)) / COUNT(*) + 1)) /
+        |    sqrt(2.0 * SUM(up) * (COUNT(*) - SUM(up)) *
+        |      (2.0 * SUM(up) * (COUNT(*) - SUM(up)) - COUNT(*)) /
+        |      (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * (COUNT(*) - 1))),
+        |    6) AS z
+        |FROM rr""".stripMargin,
     // integer prefix sums; round-6 fit + split-day tiebreak pins the
     // argmax identically
     "agg_changepoint_binary" ->

@@ -176,6 +176,75 @@ object Windows {
         |ORDER BY event_id""".stripMargin)
   }
 
+  /** 14-day RSI per event type over the daily value series — the
+    * momentum oscillator, kept engine-exact by computing gain/loss
+    * MASSES as trailing DECIMAL sums (no Wilder smoothing recursion —
+    * documented simple-average variant) and rewriting
+    * 100 − 100/(1 + G/L) as 100·G/(G+L): one float division from
+    * decimal-exact operands. Full 14-row frames only. */
+  def windowRsi(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events").createOrReplaceTempView("graft_ev_rsi")
+    s.sql(
+      """SELECT event_type, day, n14,
+        |  ROUND(100.0 * CAST(sg AS DOUBLE) /
+        |        CAST(sg + sl AS DOUBLE), 4) AS rsi
+        |FROM (
+        |  SELECT event_type, day,
+        |    COUNT(*) OVER w AS n14,
+        |    SUM(CASE WHEN chg > 0 THEN chg
+        |        ELSE CAST(0 AS DECIMAL(19,4)) END) OVER w AS sg,
+        |    SUM(CASE WHEN chg < 0 THEN -chg
+        |        ELSE CAST(0 AS DECIMAL(19,4)) END) OVER w AS sl
+        |  FROM (
+        |    SELECT event_type, day,
+        |      dv - lag(dv) OVER (PARTITION BY event_type ORDER BY day)
+        |        AS chg
+        |    FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |            CAST(SUM(CAST(value AS DECIMAL(19,4)))
+        |              AS DECIMAL(18,4)) AS dv
+        |          FROM graft_ev_rsi GROUP BY 1, 2)
+        |  ) WHERE chg IS NOT NULL
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |) WHERE n14 = 14 AND sg + sl > 0
+        |ORDER BY event_type, day""".stripMargin)
+  }
+
+  /** Bollinger bands over the daily per-type value series: trailing
+    * 20-row mean ± 2σ with a breach flag. Moments ride exact DECIMAL
+    * window sums (the [[windowZscoreRolling]] discipline, ROWS frame on
+    * the daily aggregate); both engines derive identical band doubles
+    * from identical exact operands, so even the band COMPARISON (v vs
+    * upper/lower) agrees bit-for-bit. */
+  def windowBollinger(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events").createOrReplaceTempView("graft_ev_bb")
+    s.sql(
+      """SELECT event_type, day,
+        |  ROUND(v, 2) AS v,
+        |  ROUND(m, 4) AS mid,
+        |  ROUND(m + 2 * sd, 4) AS upper,
+        |  ROUND(m - 2 * sd, 4) AS lower,
+        |  CAST(v > m + 2 * sd OR v < m - 2 * sd AS BOOLEAN) AS breach
+        |FROM (
+        |  SELECT event_type, day, n, v, sx / n AS m,
+        |    sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+        |  FROM (
+        |    SELECT event_type, day,
+        |      COUNT(*) OVER w AS n,
+        |      CAST(dv AS DOUBLE) AS v,
+        |      CAST(SUM(dv) OVER w AS DOUBLE) AS sx,
+        |      CAST(SUM(dv * dv) OVER w AS DOUBLE) AS sxx
+        |    FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |            CAST(SUM(CAST(value AS DECIMAL(19,4)))
+        |              AS DECIMAL(18,4)) AS dv
+        |          FROM graft_ev_bb GROUP BY 1, 2)
+        |    WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |  ) WHERE n = 20 AND (sxx - sx * sx / n) / (n - 1) > 0
+        |)
+        |ORDER BY event_type, day""".stripMargin)
+  }
+
   /** Distribution functions: percent_rank / cume_dist (exact ratios of
     * ints → bit-identical doubles in both engines). */
   def windowDistribution(s: SparkSession, d: String): DataFrame = {
@@ -607,6 +676,8 @@ object Windows {
     "window_drawdown" -> (windowDrawdown _),
     "window_zscore_rolling" -> (windowZscoreRolling _),
     "window_rolling_median" -> (windowRollingMedian _),
+    "window_rsi" -> (windowRsi _),
+    "window_bollinger" -> (windowBollinger _),
     "window_wow_growth" -> (windowWowGrowth _),
     "window_rfm" -> (windowRfm _),
     "window_pareto" -> (windowPareto _),
@@ -657,6 +728,58 @@ object Windows {
         |) t
         |WHERE n > 1 AND (sxx - sx * sx / n) / (n - 1) > 0
         |ORDER BY event_id""".stripMargin,
+    // decimal gain/loss masses; 100·G/(G+L) is the only float division
+    "window_rsi" ->
+      """SELECT event_type, day, CAST(n14 AS BIGINT) AS n14,
+        |  ROUND(100.0 * CAST(sg AS DOUBLE) /
+        |        CAST(sg + sl AS DOUBLE), 4) AS rsi
+        |FROM (
+        |  SELECT event_type, day,
+        |    COUNT(*) OVER w AS n14,
+        |    SUM(CASE WHEN chg > 0 THEN chg
+        |        ELSE CAST(0 AS DECIMAL(19,4)) END) OVER w AS sg,
+        |    SUM(CASE WHEN chg < 0 THEN -chg
+        |        ELSE CAST(0 AS DECIMAL(19,4)) END) OVER w AS sl
+        |  FROM (
+        |    SELECT event_type, day,
+        |      dv - lag(dv) OVER (PARTITION BY event_type ORDER BY day)
+        |        AS chg
+        |    FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |            CAST(SUM(CAST(value AS DECIMAL(19,4)))
+        |              AS DECIMAL(18,4)) AS dv
+        |          FROM events GROUP BY 1, 2)
+        |  ) t1 WHERE chg IS NOT NULL
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |) t2 WHERE n14 = 14 AND sg + sl > 0
+        |ORDER BY event_type, day""".stripMargin,
+    // identical exact-moment discipline as window_zscore_rolling; the
+    // band comparison runs on identical doubles both sides
+    "window_bollinger" ->
+      """SELECT event_type, day,
+        |  ROUND(v, 2) AS v,
+        |  ROUND(m, 4) AS mid,
+        |  ROUND(m + 2 * sd, 4) AS upper,
+        |  ROUND(m - 2 * sd, 4) AS lower,
+        |  CAST(v > m + 2 * sd OR v < m - 2 * sd AS BOOLEAN) AS breach
+        |FROM (
+        |  SELECT event_type, day, n, v, sx / n AS m,
+        |    sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+        |  FROM (
+        |    SELECT event_type, day,
+        |      COUNT(*) OVER w AS n,
+        |      CAST(dv AS DOUBLE) AS v,
+        |      CAST(SUM(dv) OVER w AS DOUBLE) AS sx,
+        |      CAST(SUM(dv * dv) OVER w AS DOUBLE) AS sxx
+        |    FROM (SELECT event_type, CAST(ts AS DATE) AS day,
+        |            CAST(SUM(CAST(value AS DECIMAL(19,4)))
+        |              AS DECIMAL(18,4)) AS dv
+        |          FROM events GROUP BY 1, 2)
+        |    WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |  ) t1 WHERE n = 20 AND (sxx - sx * sx / n) / (n - 1) > 0
+        |) t2
+        |ORDER BY event_type, day""".stripMargin,
     // rank-exact frame median (quantile_disc ↔ approx_percentile@1e6,
     // the agg_quantile_approx precedent); COUNT window -> BIGINT cast
     "window_rolling_median" ->

@@ -46,6 +46,33 @@ object Curation {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Training-shard manifest — the WebDataset-style shard builder one
+    * level above [[packSequences]]: whole documents grouped into shards
+    * by a cumulative token budget (docs never split across shards),
+    * with per-shard doc count, token mass and boundary doc ids — the
+    * manifest a dataloader consumes. shard_id is a pure function of
+    * the per-lang prefix sum (integer div), so the assignment is
+    * deterministic and mergeable; same shard-per-(lang ⊗ hash-bucket)
+    * parallelism note as packSequences at 100 TB. */
+  def packShardManifest(s: SparkSession, d: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("shard_id"))
+      .groupBy(col("lang"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("shard_id"))
+  }
+
   /** Deterministic hash split into train/validation/test (90/5/5): the
     * bucket is the first 16 bits of md5(doc_id), so membership is a
     * pure per-row function — stable across runs, engines and cluster
@@ -301,6 +328,7 @@ object Curation {
     "sample_negative_pairs" -> (sampleNegativePairs _),
     "sample_downweight_duplicates" -> (sampleDownweightDuplicates _),
     "pack_sequences" -> (packSequences _),
+    "pack_shard_manifest" -> (packShardManifest _),
     "sample_domain_mix" -> (sampleDomainMix _),
     "split_train_holdout" -> (splitTrainHoldout _),
     "text_dedup_lines" -> (textDedupLines _),
@@ -354,6 +382,24 @@ object Curation {
         |FROM h JOIN r USING (source)
         |WHERE CAST(hv AS DOUBLE) < rate * 65536.0
         |ORDER BY h.source, h.doc_id""".stripMargin,
+    "pack_shard_manifest" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), pre AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM tk
+        |)
+        |SELECT lang, cum_before // 2048 AS shard_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM pre GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pack_sequences" ->
       s"""WITH c AS (
          |  SELECT doc_id, lang,

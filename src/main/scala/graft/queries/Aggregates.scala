@@ -309,6 +309,26 @@ object Aggregates {
           .as("auc"))
   }
 
+  /** Per-stream freshness profile — the "is this source still alive"
+    * operational check: each event type's last-seen time against the
+    * corpus watermark, staleness and span in integer microseconds.
+    * One aggregate + a broadcast 1-row watermark cross join; at 100 TB
+    * the per-type aggregate reads only (type, ts) after pruning. */
+  def profileFreshness(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val wm = ev.agg(max(unix_micros(col("ts"))).as("watermark_us"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .crossJoin(broadcast(wm))
+      .select(col("event_type"), col("n"),
+        col("first_us"), col("last_us"),
+        (col("watermark_us") - col("last_us")).as("staleness_us"),
+        (col("last_us") - col("first_us")).as("span_us"))
+      .orderBy(col("event_type"))
+  }
+
   /** Wald-Wolfowitz runs test on the daily count series — "is the
     * up/down pattern random, or is there momentum/alternation": runs of
     * consecutive same-sign day-over-day changes counted exactly
@@ -1347,6 +1367,7 @@ object Aggregates {
     "agg_changepoint_binary" -> (aggChangepointBinary _),
     "agg_hhi" -> (aggHhi _),
     "agg_runs_test" -> (aggRunsTest _),
+    "profile_freshness" -> (profileFreshness _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
@@ -1583,6 +1604,18 @@ object Aggregates {
         |             SUM(pos) * (SUM(pos) + 1) AS DOUBLE) /
         |        (SUM(pos) * (COUNT(*) - SUM(pos)) * 2), 6) AS auc
         |FROM rk""".stripMargin,
+    "profile_freshness" ->
+      """WITH wm AS (SELECT MAX(epoch_us(ts)) AS watermark_us FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  MIN(epoch_us(ts)) AS first_us,
+        |  MAX(epoch_us(ts)) AS last_us,
+        |  CAST(watermark_us - MAX(epoch_us(ts)) AS BIGINT)
+        |    AS staleness_us,
+        |  CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT)
+        |    AS span_us
+        |FROM events CROSS JOIN wm
+        |GROUP BY event_type, watermark_us
+        |ORDER BY event_type""".stripMargin,
     // exact integer (n_up, n_down, R); identical z formula text
     "agg_runs_test" ->
       """WITH dc AS (

@@ -362,7 +362,7 @@ object Aggregates {
         |      (2.0 * SUM(up) * (COUNT(*) - SUM(up)) - COUNT(*)) /
         |      (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * (COUNT(*) - 1))),
         |    6) AS z
-        |FROM rr""".stripMargin)
+        |FROM rr HAVING COUNT(*) > 1""".stripMargin)
   }
 
   /** Binary-segmentation changepoint — the level-shift locator beside
@@ -506,6 +506,7 @@ object Aggregates {
         sum((col("n") * col("xa") - col("sx")) *
           (col("n") * col("xb") - col("sx"))).as("num"))
       .crossJoin(broadcast(den))
+      .filter(col("den") > 0)
       .select(col("k"), col("n_pairs"),
         expr("ROUND(CAST(num AS DOUBLE) / den, 6)").as("acf"))
       .orderBy(col("k"))
@@ -1642,7 +1643,7 @@ object Aggregates {
         |      (2.0 * SUM(up) * (COUNT(*) - SUM(up)) - COUNT(*)) /
         |      (CAST(COUNT(*) AS DOUBLE) * COUNT(*) * (COUNT(*) - 1))),
         |    6) AS z
-        |FROM rr""".stripMargin,
+        |FROM rr HAVING COUNT(*) > 1""".stripMargin,
     // integer prefix sums; round-6 fit + split-day tiebreak pins the
     // argmax identically
     "agg_changepoint_binary" ->
@@ -1735,7 +1736,7 @@ object Aggregates {
         |  GROUP BY k.k
         |)
         |SELECT k, n_pairs, ROUND(CAST(num AS DOUBLE) / den, 6) AS acf
-        |FROM num, den ORDER BY k""".stripMargin,
+        |FROM num, den WHERE den > 0 ORDER BY k""".stripMargin,
     "agg_rare_collapse" ->
       """WITH s AS (
         |  SELECT user_id, COUNT(*) AS n_user FROM events GROUP BY 1

@@ -309,6 +309,37 @@ object Aggregates {
           .as("auc"))
   }
 
+  /** Winsorized mean per event type — the robust aggregate every
+    * metrics pipeline needs when a few huge values swamp the mean:
+    * values clipped at the type's rank-exact p5/p95 (quantile_disc
+    * edges — data values, identical doubles both engines), clipped
+    * values cast to DECIMAL before summing (order-independent), and
+    * the raw-vs-winsorized delta exposes the outlier influence. Edge
+    * table is |types| rows — broadcast is bounded and safe here
+    * (unlike vocabulary-sized relations). */
+  def aggWinsorizedMean(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("event_type"), col("value"))
+    val edges = ev.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.05D, 0.95D), 1000000)")
+        .as("q"))
+      .select(col("event_type"), element_at(col("q"), 1).as("lo"),
+        element_at(col("q"), 2).as("hi"))
+    ev.join(broadcast(edges), "event_type")
+      .select(col("event_type"),
+        col("value").cast("decimal(18,4)").as("vq"),
+        least(greatest(col("value"), col("lo")), col("hi"))
+          .cast("decimal(18,4)").as("wq"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vq")).as("sv"), sum(col("wq")).as("sw"))
+      .select(col("event_type"), col("n"),
+        expr("ROUND(CAST(sv AS DOUBLE) / n, 4)").as("mean_raw"),
+        expr("ROUND(CAST(sw AS DOUBLE) / n, 4)").as("mean_winsorized"),
+        expr("ROUND(CAST(sv - sw AS DOUBLE) / n, 4)")
+          .as("outlier_influence"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-stream freshness profile — the "is this source still alive"
     * operational check: each event type's last-seen time against the
     * corpus watermark, staleness and span in integer microseconds.
@@ -1369,6 +1400,7 @@ object Aggregates {
     "agg_hhi" -> (aggHhi _),
     "agg_runs_test" -> (aggRunsTest _),
     "profile_freshness" -> (profileFreshness _),
+    "agg_winsorized_mean" -> (aggWinsorizedMean _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
@@ -1605,6 +1637,28 @@ object Aggregates {
         |             SUM(pos) * (SUM(pos) + 1) AS DOUBLE) /
         |        (SUM(pos) * (COUNT(*) - SUM(pos)) * 2), 6) AS auc
         |FROM rk""".stripMargin,
+    // rank-exact clip edges (quantile_disc ↔ approx_percentile@1e6);
+    // clipped decimals sum order-independently
+    "agg_winsorized_mean" ->
+      """WITH ed AS (
+        |  SELECT event_type,
+        |    quantile_disc(value, 0.05) AS lo,
+        |    quantile_disc(value, 0.95) AS hi
+        |  FROM events GROUP BY 1
+        |), cl AS (
+        |  SELECT e.event_type,
+        |    CAST(e.value AS DECIMAL(18,4)) AS vq,
+        |    CAST(LEAST(GREATEST(e.value, ed.lo), ed.hi)
+        |      AS DECIMAL(18,4)) AS wq
+        |  FROM events e JOIN ed USING (event_type)
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(CAST(SUM(vq) AS DOUBLE) / COUNT(*), 4) AS mean_raw,
+        |  ROUND(CAST(SUM(wq) AS DOUBLE) / COUNT(*), 4)
+        |    AS mean_winsorized,
+        |  ROUND(CAST(SUM(vq) - SUM(wq) AS DOUBLE) / COUNT(*), 4)
+        |    AS outlier_influence
+        |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin,
     "profile_freshness" ->
       """WITH wm AS (SELECT MAX(epoch_us(ts)) AS watermark_us FROM events)
         |SELECT event_type, COUNT(*) AS n,

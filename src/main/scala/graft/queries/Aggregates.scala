@@ -309,6 +309,33 @@ object Aggregates {
           .as("auc"))
   }
 
+  /** Mutual information between event type and day-of-week — the
+    * information-theoretic dependence measure beside
+    * [[aggChi2Independence]]'s significance test (chi2 says "is there
+    * dependence", MI says "how many bits"): I = Σ pᵢⱼ·log₂(N·nᵢⱼ/(rᵢcⱼ))
+    * from the same exact integer contingency cells, each term rounded
+    * to decimal before the order-independent sum (the agg_entropy
+    * discipline). Same plan shape as chi2: one cells aggregate, two
+    * marginal rollups joined back (bounded — |types|×|dow| cells). */
+  def aggMutualInformation(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "events")
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("n")).as("r"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("n")).as("c"))
+    val nTot = cells.agg(sum(col("n")).as("nn"))
+    cells.join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "dow")
+      .crossJoin(broadcast(nTot))
+      .withColumn("term",
+        expr("""CAST(ROUND((CAST(n AS DOUBLE) / nn) *
+            log2(CAST(nn AS DOUBLE) * n / (CAST(r AS DOUBLE) * c)), 8)
+          AS DECIMAL(20,8))"""))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("n")).as("n_total"),
+        expr("ROUND(CAST(SUM(term) AS DOUBLE), 6)").as("mi_bits"))
+  }
+
   /** Winsorized mean per event type — the robust aggregate every
     * metrics pipeline needs when a few huge values swamp the mean:
     * values clipped at the type's rank-exact p5/p95 (quantile_disc
@@ -1401,6 +1428,7 @@ object Aggregates {
     "agg_runs_test" -> (aggRunsTest _),
     "profile_freshness" -> (profileFreshness _),
     "agg_winsorized_mean" -> (aggWinsorizedMean _),
+    "agg_mutual_information" -> (aggMutualInformation _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
@@ -1896,6 +1924,30 @@ object Aggregates {
     // Spark dayofweek = DuckDB dayofweek+1 (agg_seasonality precedent);
     // cross-multiplied χ² identity from exact BIGINT marginals, per-cell
     // round-6 → DECIMAL sum for order independence
+    // same contingency cells and dow offset as chi2; per-term round-8
+    // decimal before the sum (log2 terms are irrational)
+    "agg_mutual_information" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS r
+        |  FROM cells GROUP BY 1
+        |), ct AS (
+        |  SELECT dow, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1
+        |), tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+        |terms AS (
+        |  SELECT n, CAST(ROUND((CAST(n AS DOUBLE) / nn) *
+        |      log2(CAST(nn AS DOUBLE) * n / (CAST(r AS DOUBLE) * c)), 8)
+        |    AS DECIMAL(20,8)) AS term
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+        |  CROSS JOIN tt
+        |)
+        |SELECT COUNT(*) AS n_cells,
+        |  CAST(SUM(n) AS BIGINT) AS n_total,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS mi_bits
+        |FROM terms""".stripMargin,
     "agg_chi2_independence" ->
       """WITH cells AS (
         |  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,

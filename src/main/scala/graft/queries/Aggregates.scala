@@ -309,6 +309,39 @@ object Aggregates {
           .as("auc"))
   }
 
+  /** Cramér's V — the [0,1]-normalized effect size for the chi2
+    * contingency table (chi2 grows with N even for trivial dependence;
+    * V = √(χ²/(N·min(r−1, c−1))) is the comparable-across-datasets
+    * number). Reuses the exact-integer chi2 term discipline; the final
+    * sqrt of a ratio of exact aggregates is the only extra float op. */
+  def aggCramersV(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "events")
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col("event_type")).agg(sum(col("n")).as("r"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("n")).as("c"))
+    val nTot = cells.agg(sum(col("n")).as("nn"))
+    val dims = cells.agg(
+      least(countDistinct(col("event_type")) - 1,
+        countDistinct(col("dow")) - 1).as("mindim"))
+    cells.join(broadcast(rowT), "event_type")
+      .join(broadcast(colT), "dow")
+      .crossJoin(broadcast(nTot))
+      .withColumn("diff",
+        (col("nn") * col("n") - col("r") * col("c")).cast("double"))
+      .withColumn("term",
+        round(col("diff") * col("diff") /
+          (col("nn").cast("double") * col("r") * col("c")), 6)
+          .cast("decimal(20,6)"))
+      .groupBy(col("nn"))
+      .agg(sum(col("term")).as("t"))
+      .crossJoin(broadcast(dims))
+      .select(col("nn").as("n_total"), col("mindim"),
+        expr("ROUND(CAST(t AS DOUBLE), 4)").as("chi2"),
+        expr("ROUND(sqrt(CAST(t AS DOUBLE) / (nn * mindim)), 6)")
+          .as("cramers_v"))
+  }
+
   /** Mutual information between event type and day-of-week — the
     * information-theoretic dependence measure beside
     * [[aggChi2Independence]]'s significance test (chi2 says "is there
@@ -1429,6 +1462,7 @@ object Aggregates {
     "profile_freshness" -> (profileFreshness _),
     "agg_winsorized_mean" -> (aggWinsorizedMean _),
     "agg_mutual_information" -> (aggMutualInformation _),
+    "agg_cramers_v" -> (aggCramersV _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
@@ -1924,6 +1958,35 @@ object Aggregates {
     // Spark dayofweek = DuckDB dayofweek+1 (agg_seasonality precedent);
     // cross-multiplied χ² identity from exact BIGINT marginals, per-cell
     // round-6 → DECIMAL sum for order independence
+    // chi2 machinery + the min(r-1,c-1) normalizer; final sqrt is the
+    // only extra float op
+    "agg_cramers_v" ->
+      """WITH cells AS (
+        |  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS r
+        |  FROM cells GROUP BY 1
+        |), ct AS (
+        |  SELECT dow, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY 1
+        |), tt AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+        |dm AS (
+        |  SELECT LEAST(COUNT(DISTINCT event_type) - 1,
+        |               COUNT(DISTINCT dow) - 1) AS mindim FROM cells
+        |), terms AS (
+        |  SELECT nn, CAST(ROUND(
+        |    CAST(nn * n - r * c AS DOUBLE) *
+        |    CAST(nn * n - r * c AS DOUBLE) /
+        |    (CAST(nn AS DOUBLE) * r * c), 6) AS DECIMAL(20,6)) AS term
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (dow)
+        |  CROSS JOIN tt
+        |)
+        |SELECT nn AS n_total, CAST(mindim AS BIGINT) AS mindim,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 4) AS chi2,
+        |  ROUND(sqrt(CAST(SUM(term) AS DOUBLE) / (nn * mindim)), 6)
+        |    AS cramers_v
+        |FROM terms CROSS JOIN dm GROUP BY nn, mindim""".stripMargin,
     // same contingency cells and dow offset as chi2; per-term round-8
     // decimal before the sum (log2 terms are irrational)
     "agg_mutual_information" ->

@@ -267,6 +267,38 @@ object TextStats {
       .limit(20)
   }
 
+  /** Vocabulary-growth curve (Heaps' law empirically) — cumulative
+    * distinct-token count vs cumulative token mass in doc_id order:
+    * the diagnostic behind every "never broadcast a vocabulary-sized
+    * relation" rule in this repo (it shows the vocabulary genuinely
+    * growing with the corpus), and the dedup signal (a flattening curve
+    * means new docs add no new language). Each token's first-occurrence
+    * doc is one vocabulary-keyed aggregate; the per-doc new-token
+    * counts then ride a |docs|-row prefix-sum window (at 100 TB:
+    * range-partitioned prefix sums, the distributed-CDF recipe). All
+    * integer. */
+  def textVocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val firstDoc = toks.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val newPerDoc = firstDoc.groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_new"))
+    val tokPerDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    tokPerDoc.join(newPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
+      .withColumn("vocab_size", sum(col("n_new")).over(w))
+      .select(col("doc_id"), col("cum_tokens"), col("vocab_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document bigram-LM negative log-likelihood — THE perplexity
     * quality filter every pretraining pipeline runs (docs the corpus LM
     * finds surprising are boilerplate, garbled, or off-distribution).
@@ -516,6 +548,7 @@ object TextStats {
     "doc_rolling_hash" -> (docRollingHash _),
     "text_ngram_freq" -> (textNgramFreq _),
     "text_perplexity" -> (textPerplexity _),
+    "text_vocab_growth" -> (textVocabGrowth _),
     "text_pii_redact" -> (textPiiRedact _),
     "composite_curation" -> (compositeCuration _)
   )
@@ -725,6 +758,25 @@ object TextStats {
         |    '<EMAIL>', 'g'),
         |    '\d{3}-\d{4,}', '<PHONE>', 'g') AS redacted
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_vocab_growth" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), fd AS (
+        |  SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok
+        |), npd AS (
+        |  SELECT first_doc AS doc_id, COUNT(*) AS n_new
+        |  FROM fd GROUP BY 1
+        |), tpd AS (
+        |  SELECT doc_id, COUNT(*) AS n_toks FROM toks GROUP BY 1
+        |)
+        |SELECT tpd.doc_id,
+        |  CAST(SUM(n_toks) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(COALESCE(n_new, 0)) OVER w AS BIGINT) AS vocab_size
+        |FROM tpd LEFT JOIN npd ON npd.doc_id = tpd.doc_id
+        |WINDOW w AS (ORDER BY tpd.doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY tpd.doc_id""".stripMargin,
     // per-term round-6 decimal before the doc sum → order-independent;
     // only the final mean divides in double, identical text both sides
     "text_perplexity" ->

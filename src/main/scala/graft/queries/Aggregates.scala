@@ -309,6 +309,33 @@ object Aggregates {
           .as("auc"))
   }
 
+  /** Theil index of per-user activity per event type — the third
+    * inequality measure beside [[aggGini]] (rank-based) and [[aggHhi]]
+    * (share-of-squares): T = (1/n)·Σ (xᵤ/μ)·ln(xᵤ/μ), the
+    * entropy-based one that DECOMPOSES across subgroups (why
+    * economists use it). Integer inputs (xᵤ, X, n); each irrational
+    * term rounds to decimal before the order-independent sum, one
+    * division at the end. Counts are ≥ 1, so ln is total. */
+  def aggTheilIndex(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("xx", sum(col("x")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))))
+      .withColumn("term",
+        expr("""CAST(ROUND((CAST(x AS DOUBLE) * n / xx) *
+            ln(CAST(x AS DOUBLE) * n / xx), 8) AS DECIMAL(20,8))"""))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_users"),
+        max(col("xx")).as("n_events"),
+        expr("ROUND(CAST(SUM(term) AS DOUBLE) / MAX(n), 6)")
+          .as("theil"))
+      .orderBy(col("event_type"))
+
   /** Cramér's V — the [0,1]-normalized effect size for the chi2
     * contingency table (chi2 grows with N even for trivial dependence;
     * V = √(χ²/(N·min(r−1, c−1))) is the comparable-across-datasets
@@ -1463,6 +1490,7 @@ object Aggregates {
     "agg_winsorized_mean" -> (aggWinsorizedMean _),
     "agg_mutual_information" -> (aggMutualInformation _),
     "agg_cramers_v" -> (aggCramersV _),
+    "agg_theil_index" -> (aggTheilIndex _),
     "anomaly_zscore" -> (anomalyZscore _),
     "agg_bitmap_distinct" -> (aggBitmapDistinct _),
     "agg_funnel" -> (aggFunnel _),
@@ -1958,6 +1986,24 @@ object Aggregates {
     // Spark dayofweek = DuckDB dayofweek+1 (agg_seasonality precedent);
     // cross-multiplied χ² identity from exact BIGINT marginals, per-cell
     // round-6 → DECIMAL sum for order independence
+    // integer (x, X, n) per type; round-8 decimal terms, one division
+    "agg_theil_index" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, COUNT(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, user_id, x,
+        |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS xx,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM u
+        |)
+        |SELECT event_type,
+        |  CAST(MAX(n) AS BIGINT) AS n_users,
+        |  CAST(MAX(xx) AS BIGINT) AS n_events,
+        |  ROUND(CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) * n / xx) *
+        |      ln(CAST(x AS DOUBLE) * n / xx), 8) AS DECIMAL(20,8)))
+        |    AS DOUBLE) / MAX(n), 6) AS theil
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
     // chi2 machinery + the min(r-1,c-1) normalizer; final sqrt is the
     // only extra float op
     "agg_cramers_v" ->

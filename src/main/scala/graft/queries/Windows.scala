@@ -130,13 +130,17 @@ object Windows {
     * frame; the float math after the casts is the identical IEEE
     * sequence in both engines. Degenerate frames (n = 1 or constant)
     * are filtered identically on both sides — the window_mad_outlier
-    * lesson. */
+    * lesson. The z emits as integer milli-z (fixed-point rule): a float
+    * ROUND as a column's last op leaks signed zero (DuckDB keeps -0.0,
+    * Spark normalizes to +0.0 — one bit, hash-red in round 5); BIGINT
+    * has one zero. */
   def windowZscoreRolling(s: SparkSession, d: String): DataFrame = {
     t(s, d, "events").createOrReplaceTempView("graft_ev_zr")
     s.sql(
       """SELECT event_id, user_id, v AS value_q,
-        |  ROUND((v - sx / n) /
-        |    sqrt((sxx - sx * sx / n) / (n - 1)), 3) AS z
+        |  CAST(ROUND(((v - sx / n) /
+        |    sqrt((sxx - sx * sx / n) / (n - 1))) * 1000, 0)
+        |    AS BIGINT) AS z_milli
         |FROM (
         |  SELECT event_id, user_id,
         |    COUNT(*) OVER w AS n,
@@ -713,8 +717,9 @@ object Windows {
     // are micro-aligned, asserted when window_range_interval landed)
     "window_zscore_rolling" ->
       """SELECT event_id, user_id, v AS value_q,
-        |  ROUND((v - sx / n) /
-        |    sqrt((sxx - sx * sx / n) / (n - 1)), 3) AS z
+        |  CAST(ROUND(((v - sx / n) /
+        |    sqrt((sxx - sx * sx / n) / (n - 1))) * 1000, 0)
+        |    AS BIGINT) AS z_milli
         |FROM (
         |  SELECT event_id, user_id,
         |    COUNT(*) OVER w AS n,

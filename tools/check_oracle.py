@@ -11,6 +11,7 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -73,6 +74,17 @@ def main() -> int:
             try:
                 if av.dtype == object or str(av.dtype).startswith("datetime"):
                     eq = av.astype(str).equals(bv.astype(str))
+                elif ak == "f" and bk == "f":
+                    # The driver hashes raw bytes, where -0.0 != +0.0 (IEEE
+                    # == says they're equal, so a plain compare hides the
+                    # difference — the round-5 window_zscore_rolling lesson).
+                    # Bit-compare via an int64 view, with NaN (incl. null)
+                    # canonicalized to one payload on both sides.
+                    x = av.astype("float64").to_numpy(copy=True)
+                    y = bv.astype("float64").to_numpy(copy=True)
+                    x[np.isnan(x)] = np.nan
+                    y[np.isnan(y)] = np.nan
+                    eq = bool((x.view(np.int64) == y.view(np.int64)).all())
                 else:
                     eq = (av.fillna(-(2**60)) == bv.fillna(-(2**60))).all()
             except Exception:

@@ -51,12 +51,15 @@ object Composite {
       .orderBy(col("n_name"))
   }
 
-  /** Brand revenue: lineitem⋈part (the part dimension broadcast),
-    * grouped by brand — completes fixture-table coverage. */
+  /** Brand revenue: lineitem⋈part grouped by brand — completes
+    * fixture-table coverage. No broadcast hint: part is sf-linear
+    * (sf×200k rows — ~20 B at the 100 TB design point), so a pinned
+    * hint would force an impossible build side at scale; AQE broadcasts
+    * it while it fits and falls back to shuffle join when it doesn't. */
   def compositePartRevenue(s: SparkSession, d: String): DataFrame = {
     val l = t(s, d, "lineitem")
     val p = t(s, d, "part")
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
@@ -204,8 +207,9 @@ object Composite {
     * rides the SAME decimal sum as the total — one aggregate, no second
     * scan. The share is integer basis points ((promo·1e4) div total on
     * the ×1e4 fixed-point masses) — cross-engine exact; the rounded
-    * revenue doubles are display columns. At 100 TB part is the
-    * broadcast side and the month aggregate is mergeable. */
+    * revenue doubles are display columns. Part is sf-linear, so no
+    * broadcast hint — AQE picks the strategy by measured size (the q19
+    * pattern); the month aggregate is mergeable either way. */
   def compositeTpchQ14(s: SparkSession, d: String): DataFrame = {
     val l = t(s, d, "lineitem").filter(
       col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
@@ -213,7 +217,7 @@ object Composite {
     val p = t(s, d, "part").select(col("p_partkey"), col("p_type"))
     val rev = col("l_extendedprice").cast("decimal(18,4)") *
       (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
-    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy(month(col("l_shipdate")).as("ship_month"))
       .agg(
         (sum(when(col("p_type") === "PROMO", rev)
@@ -234,9 +238,11 @@ object Composite {
     * (customer→nation→region scopes; supplier→nation labels). Share is
     * basis points from ×1e4 fixed-point masses: the per-year total is
     * a window sum over the (year, nation) aggregate — BIGINT-exact, so
-    * engines agree on every division. At 100 TB: supplier/nation/region
-    * broadcast; orders⋈customer co-bucketed on custkey; the window runs
-    * over |years|·|nations| rows, not the fact. */
+    * engines agree on every division. At 100 TB: nation/region (fixed
+    * 25/5 rows) broadcast; supplier is sf-linear (sf×10k) so its join
+    * carries no hint — AQE broadcasts while it fits; orders⋈customer
+    * co-bucketed on custkey; the window runs over |years|·|nations|
+    * rows, not the fact. */
   def compositeMarketShare(s: SparkSession, d: String): DataFrame = {
     val l = t(s, d, "lineitem")
     val o = t(s, d, "orders")
@@ -257,7 +263,7 @@ object Composite {
     val byYearNation = l
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(custRegion, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(supNation), col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).as("o_year"), col("supp_nation"))
       .agg((sum(rev) * 10000).cast("long").as("rev4"),
@@ -299,7 +305,9 @@ object Composite {
     t(s, d, "lineitem")
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(custChain, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supChain), col("l_suppkey") === col("s_suppkey"))
+      // supChain is nation-filtered (~8%) but still sf-linear — no
+      // pinned broadcast; AQE decides from the post-filter size
+      .join(supChain, col("l_suppkey") === col("s_suppkey"))
       .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
         (col("supp_nation") === n2 && col("cust_nation") === n1))
       .groupBy(col("supp_nation"), col("cust_nation"),

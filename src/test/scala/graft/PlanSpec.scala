@@ -300,6 +300,37 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("sf-linear tables (part/supplier) never pin a broadcast side") {
+    // part is sf×200k and supplier sf×10k — at the 100 TB design point
+    // neither fits an executor, so no composite query may HINT them as
+    // the build side (a hint overrides AQE's size check). Simulate
+    // cluster-scale statistics with threshold=-1: any BroadcastExchange
+    // still in the plan can only come from an explicit hint, and none
+    // of those subtrees may scan part or supplier. Fixed-size
+    // nation/region hints legitimately survive.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val qs = Seq(
+        graft.queries.Composite.compositePartRevenue(spark, sf),
+        graft.queries.Composite.compositeTpchQ14(spark, sf),
+        graft.queries.Composite.compositeMarketShare(spark, sf),
+        graft.queries.Composite.compositeTpchQ7(spark, sf))
+      for (df <- qs) {
+        val bcasts = df.queryExecution.sparkPlan.collect {
+          case b: BroadcastExchangeExec => b
+        }
+        for (b <- bcasts) {
+          val sub = b.treeString
+          assert(!sub.contains("part.parquet") &&
+            !sub.contains("supplier.parquet"), sub)
+        }
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("join_interval_overlap: banded recipe equals naive theta join, no BNLJ") {
     import org.apache.spark.sql.functions._
     val banded = graft.queries.Joins.joinIntervalOverlap(spark, sf)

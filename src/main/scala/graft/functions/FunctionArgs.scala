@@ -42,8 +42,11 @@ object FunctionArgs {
     }
     if (!e.foldable || !integral) bad()
     e.eval(null) match {
-      case n: Number => n.intValue()
-      case _ => bad() // foldable NULL literal
+      // longValue first: intValue() silently truncates out-of-range
+      // longs (char_ngrams(s, 4294967297L) would behave as n = 1)
+      case n: Number if n.longValue() >= Int.MinValue &&
+        n.longValue() <= Int.MaxValue => n.intValue()
+      case _ => bad() // foldable NULL literal or out-of-Int-range value
     }
   }
 }

@@ -348,26 +348,15 @@ object Dedup {
     * TABLE written once and read by every downstream consumer, not a
     * plan fragment re-executed per query (PERF.md documents this as the
     * deployment recipe; round-4 bench showed each CC query re-paying the
-    * full pair pipeline). Materialization is per-JVM (a temp parquet
-    * keyed by the data dir): the first consumer builds and writes, later
-    * consumers do a plain parquet scan. Each query stays independently
-    * correct — a fresh JVM rebuilds on first touch. */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def materialize(key: String, build: () => DataFrame)
-      (implicit s: SparkSession): DataFrame = {
-    val path = pairsCache.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_pairs").toString
-      build().write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
-
+    * full pair pipeline). Materialization is per-JVM via
+    * [[graft.util.Materialize]] — keyed by dataset dir + content
+    * fingerprint (no stale serves after a rewrite), temp dirs deleted at
+    * exit, and `SPARK_GRAFT_MAT_DIR` relocates the intermediate to a
+    * shared filesystem for multi-node deployment. Each query stays
+    * independently correct — a fresh JVM rebuilds on first touch. */
   private[graft] def materializedPairs(s: SparkSession, d: String): DataFrame =
-    materialize(s"jaccard:$d", () => jaccardPairs(s, d, Long.MaxValue))(s)
+    graft.util.Materialize.tableFor(s, "jaccard", d,
+      () => jaccardPairs(s, d, Long.MaxValue))
 
   /** The materialized pair graph as a query surface: identical rows to
     * [[dedupNgramJaccard]] (same pipeline, same oracle) — the written

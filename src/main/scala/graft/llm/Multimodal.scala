@@ -165,10 +165,19 @@ object Multimodal {
     * (chunk_idx derives from sequence(), the bytes come from
     * substring — payloads never leave their partitions, and at 100 TB
     * each chunk row carries 64 bytes + a digest, not the whole blob). */
-  def multimodalChunkBytes(s: SparkSession, d: String): DataFrame = {
+  def multimodalChunkBytes(s: SparkSession, d: String): DataFrame =
+    chunkBytesOf(t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** Chunking core over any (doc_id, payload binary) relation —
+    * separated so the empty-payload edge is unit-testable. */
+  def chunkBytesOf(docs: DataFrame): DataFrame = {
     val payload = col("payload")
-    t(s, d, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    docs
+      // empty payloads must yield ZERO chunks: without the filter,
+      // sequence(0, -1) is a DESCENDING [0, -1] in Spark and would emit
+      // two bogus rows where the DuckDB oracle's range(0, 0) emits none
+      .filter(octet_length(payload) > 0)
       .select(col("doc_id"), payload,
         explode(sequence(lit(0L),
           ceil(octet_length(payload) / lit(64.0)).cast("long") - 1))

@@ -252,11 +252,14 @@ object Aggregates {
     * evaluated over the merged order; cross-multiplying by n₁·n₂ keeps
     * the running statistic an exact integer (|n₂·cum₁ − n₁·cum₂|), so
     * both engines take the max over identical values and the single
-    * division at the end is the only float op. The merged ranking is a
-    * global order statistic — here one unpartitioned window (fixture
-    * path); at 100 TB the same two cumulative counts come from a
-    * range-partitioned sort + per-range offsets (the distributed CDF
-    * recipe), with identical arithmetic. */
+    * division at the end is the only float op. sup|F₁−F₂| is defined
+    * only at distinct-value boundaries, so the cums collapse to the
+    * last row per distinct v before the max (round-5 advice: taking the
+    * max inside a tied run overstates D when equal values span both
+    * samples). The merged ranking is a global order statistic — here
+    * one unpartitioned window (fixture path); at 100 TB the same two
+    * cumulative counts come from a range-partitioned sort + per-range
+    * offsets (the distributed CDF recipe), with identical arithmetic. */
   def aggKsTest(s: SparkSession, d: String): DataFrame = {
     val base = t(s, d, "events")
       .filter(col("event_type").isin("view", "purchase"))
@@ -272,6 +275,10 @@ object Aggregates {
     base
       .withColumn("cum1", sum(col("is1")).over(w))
       .withColumn("cum2", sum(lit(1L) - col("is1")).over(w))
+      // distinct-value boundaries only: both cums are non-decreasing,
+      // so max-per-v IS the post-tie CDF value at v
+      .groupBy(col("v"))
+      .agg(max(col("cum1")).as("cum1"), max(col("cum2")).as("cum2"))
       .crossJoin(broadcast(tot))
       .groupBy(col("n1"), col("n2"))
       .agg(max(abs(col("n2") * col("cum1") - col("n1") * col("cum2")))
@@ -1973,16 +1980,19 @@ object Aggregates {
         |    CAST(COUNT(*) - SUM(is1) AS BIGINT) AS n2
         |  FROM base
         |), c AS (
-        |  SELECT SUM(is1) OVER w AS cum1, SUM(1 - is1) OVER w AS cum2
+        |  SELECT v, SUM(is1) OVER w AS cum1, SUM(1 - is1) OVER w AS cum2
         |  FROM base
         |  WINDOW w AS (ORDER BY v, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), cv AS (
+        |  SELECT v, MAX(cum1) AS cum1, MAX(cum2) AS cum2
+        |  FROM c GROUP BY v
         |)
         |SELECT n1, n2,
         |  CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS BIGINT) AS d_scaled,
         |  ROUND(CAST(MAX(ABS(n2 * cum1 - n1 * cum2)) AS DOUBLE) /
         |        (n1 * n2), 6) AS ks_d
-        |FROM c, tot GROUP BY n1, n2""".stripMargin,
+        |FROM cv, tot GROUP BY n1, n2""".stripMargin,
     // Spark dayofweek = DuckDB dayofweek+1 (agg_seasonality precedent);
     // cross-multiplied χ² identity from exact BIGINT marginals, per-cell
     // round-6 → DECIMAL sum for order independence

@@ -61,21 +61,13 @@ object Graphs {
   }
 
   /** Write-once edge materialization (the [[graft.llm.Dedup]] pair-graph
-    * recipe): four analytics consume the same kNN graph, so the build is
-    * a per-JVM temp table keyed by dataset dir — first consumer writes,
-    * the rest scan. At 100 TB the edge list IS a persisted table. */
-  private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def materializedEdges(s: SparkSession, d: String): DataFrame = {
-    val path = edgeCache.computeIfAbsent(d, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_knn_edges").toString
-      knnEdges(s, d).write.mode("overwrite").parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+    * recipe, shared via [[graft.util.Materialize]]): four analytics
+    * consume the same kNN graph, so the build is a per-JVM table keyed
+    * by dataset dir + content fingerprint — first consumer writes, the
+    * rest scan. At 100 TB the edge list IS a persisted table
+    * (`SPARK_GRAFT_MAT_DIR` puts it on a shared filesystem). */
+  private def materializedEdges(s: SparkSession, d: String): DataFrame =
+    graft.util.Materialize.tableFor(s, "knn_edges", d, () => knnEdges(s, d))
 
   /** Undirected edge set: symmetrized kNN (mutual OR one-way — an edge
     * exists if either endpoint retrieved the other). */

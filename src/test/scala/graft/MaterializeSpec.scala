@@ -1,0 +1,40 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.Materialize
+
+/** The write-once materialization cache must never serve stale results:
+  * its key includes a content fingerprint of the dataset dir, so a
+  * rewrite under the same path rebuilds (the round-5 advice finding).
+  */
+class MaterializeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cache hits on unchanged dir, rebuilds when contents change") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mat_spec").toString
+    Seq(1, 2, 3).toDF("v").write.mode("overwrite").parquet(s"$dir/t")
+    var builds = 0
+    def build() = { builds += 1; Seq(builds).toDF("b") }
+    assert(Materialize.tableFor(spark, "spec", dir, build _)
+      .head().getInt(0) == 1)
+    assert(Materialize.tableFor(spark, "spec", dir, build _)
+      .head().getInt(0) == 1)
+    assert(builds == 1)
+    // rewrite the dataset: same path, different bytes — and force a
+    // distinct mtime so the test never races filesystem granularity
+    Seq(4, 5).toDF("v").write.mode("overwrite").parquet(s"$dir/t")
+    Files.list(Paths.get(s"$dir/t")).forEach(p =>
+      Files.setLastModifiedTime(p,
+        FileTime.fromMillis(System.currentTimeMillis() + 5000)))
+    assert(Materialize.tableFor(spark, "spec", dir, build _)
+      .head().getInt(0) == 2)
+    assert(builds == 2)
+    // local temp materializations are registered for exit-time deletion
+    assert(Materialize.registeredForCleanup >= 2)
+  }
+}

@@ -37,4 +37,18 @@ class MultimodalSpec extends AnyFunSuite {
       .count()
     assert(bad == 0L)
   }
+
+  test("chunk_bytes: empty payload yields zero chunks, 65 bytes yield two") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // without the guard, sequence(0, ceil(0/64)-1) = sequence(0, -1)
+    // descends through [0, -1] and fabricates two chunks for nothing
+    val docs = Seq((1L, ""), (2L, "x" * 65), (3L, "y" * 64)).toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("payload"))
+    val got = Multimodal.chunkBytesOf(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), sum("chunk_len").as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(1L), got.toString)
+    assert(got(2L) == (2L, 65L) && got(3L) == (1L, 64L), got.toString)
+  }
 }

@@ -215,6 +215,12 @@ class PropertySpec extends AnyFunSuite {
     val r = spark.sql("SELECT char_ngrams('abcd', CAST(3 AS BIGINT)) AS g")
       .collect().map(_.getString(0)).toSeq
     assert(r == Seq("abc", "bcd"), r.toString)
+    // out-of-Int-range long must raise, not truncate (2^32+1 would
+    // silently become n = 1 via Number.intValue)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT char_ngrams('abc', 4294967297)").collect()
+    }
+    assert(e3.getMessage.contains("char_ngrams"), e3.getMessage)
   }
 
   test("property: char_ngrams/token_ngrams match sliding-window semantics") {

@@ -330,8 +330,10 @@ object Dedup {
     * each round propagates the smallest known label across edges (one
     * shuffle join + hash aggregate), stopping when no label changes.
     * Rounds = component diameter — tiny for dedup graphs (copies of a
-    * document link through it). Lineage is truncated per round
-    * (localCheckpoint), so the plan stays flat however many rounds run;
+    * document link through it). Lineage is truncated per round via
+    * [[ckpt]] (localCheckpoint locally, reliable checkpoint when
+    * `spark.graft.checkpointDir` is set), so the plan stays flat
+    * however many rounds run;
     * for adversarial long-chain graphs the documented upgrade is the
     * large-star/small-star decomposition (Kiveris et al., SoCC'14),
     * which bounds rounds regardless of diameter. */
@@ -368,6 +370,44 @@ object Dedup {
     * edge list — the shared connected-components core of
     * [[dedupCluster]] (exact-Jaccard edges) and [[dedupFuzzyCluster]]
     * (MinHash-band edges). */
+  /** Lineage truncation for the iterative CC loops. Default is
+    * localCheckpoint — executor-local blocks, fastest, and right for
+    * local[k] bench/tests — but NON-replayable: on a multi-node cluster
+    * an executor loss mid-iteration kills the job (truncated lineage
+    * cannot be recomputed). Set `spark.graft.checkpointDir` (or env
+    * `SPARK_GRAFT_CHECKPOINT_DIR`) to a reliable shared location and
+    * the loops switch to fault-tolerant `checkpoint()` — one
+    * write+read of the iterate per round, the documented cluster-scale
+    * tradeoff (PERF.md).
+    *
+    * The `createDataFrame` rebuild after the checkpoint is LOAD-BEARING:
+    * `Dataset.checkpoint`/`localCheckpoint` return a `LogicalRDD` that
+    * carries `originStats` — the size estimate of the plan that
+    * PRODUCED the checkpoint. In an iterative loop each round's join
+    * estimate multiplies the previous round's sizeInBytes (equi-join
+    * sizeInBytes ≈ left × right), so the carried BigInt doubles in BIT
+    * LENGTH every round — double-exponential in value. By round ~20
+    * Catalyst stats visitors are multiplying 100-million-bit BigInts
+    * and a 200-row toy graph takes 90 s/round purely in PLANNING
+    * (measured, round 6; plans stay 5 nodes — only the stats grow).
+    * Rebuilding from the checkpointed RDD drops originStats, giving
+    * every round the same constant default estimate. The blocks are
+    * already materialized, so the rebuild re-reads cache, never
+    * recomputes; the Row round-trip costs O(|V|) per round on the
+    * (small) iterate, not on the edge relation. */
+  private[graft] def ckpt(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val ck = s.conf.getOption("spark.graft.checkpointDir")
+      .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")) match {
+      case Some(dir) =>
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(dir)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+    s.createDataFrame(ck.rdd, ck.schema)
+  }
+
   private[graft] def propagateLabels(pairsDf: DataFrame): DataFrame = {
     // cache + materialize the PAIRS, not the symmetric union: the union
     // has two branches, and caching above them evaluates the (expensive)
@@ -389,12 +429,12 @@ object Dedup {
     val seeded = sym.select(col("dst").as("id"), col("src").as("lbl"))
       .union(sym.select(col("src").as("id"), col("src").as("lbl")))
       .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-      .localCheckpoint()
+      .transform(ckpt)
     // jump the seed too: 2-hop labels before the first O(|E|) relax
     val seedJump = seeded.select(col("id").as("jid"), col("lbl").as("jlbl"))
     var labels = seeded.join(seedJump, col("lbl") === col("jid"), "left")
       .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
-      .localCheckpoint()
+      .transform(ckpt)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -409,7 +449,7 @@ object Dedup {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (col("nlbl") < col("lbl")).as("chg"))
-        .localCheckpoint()
+        .transform(ckpt)
       changed = relaxed.filter(col("chg")).count()
       // pointer jump: lbl <- lbl(lbl) — an O(|V|) self join that doubles
       // propagation reach per round (labels always point within the
@@ -424,9 +464,26 @@ object Dedup {
       rounds += 1
       log.info(s"propagateLabels round=$rounds changed=$changed")
     }
+    // Cap-hit without convergence: HashMin is O(diameter) in relax
+    // rounds and the single pointer jump only helps along the label
+    // chain — adversarial topologies (long cycles, high-girth graphs)
+    // can exhaust the cap with stale labels. Silent wrong clusters are
+    // unacceptable; delegate to the star decomposition, whose round
+    // count is diameter-independent.
+    val result =
+      if (changed > 0) {
+        log.warn(s"propagateLabels hit round cap ($rounds) unconverged; " +
+          "falling back to two-phase star CC")
+        // contract parity: star CC drops self-loop-only nodes (its edge
+        // relation filters a_id =!= b_id); HashMin emits them as their
+        // own label. Re-seed the node universe from `seeded`.
+        val tp = twoPhaseLabels(pairs)
+        seeded.select(col("id")).join(tp, Seq("id"), "left")
+          .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+      } else labels
     pairs.unpersist()
     sym.unpersist()
-    labels
+    result
   }
 
   /** Connected components by LARGE-STAR / SMALL-STAR decomposition
@@ -476,13 +533,13 @@ object Dedup {
       (r.getLong(0), String.valueOf(r.get(1)))
     }
     var edges = pairs.select(col("a_id"), col("b_id"))
-      .filter(col("a_id") =!= col("b_id")).distinct().localCheckpoint()
+      .filter(col("a_id") =!= col("b_id")).distinct().transform(ckpt)
     var chk = checksum(edges)
     var rounds = 0
     var stable = false
     while (!stable && rounds < 50) {
       val next = star(star(edges, large = true), large = false)
-        .localCheckpoint()
+        .transform(ckpt)
       val nextChk = checksum(next)
       stable = nextChk == chk
       edges = next

@@ -126,34 +126,66 @@ object Windows {
     * user's TRAILING 7-day window (the event-time analogue of
     * anomaly_zscore's global baseline; this is the production shape:
     * baselines drift, so the reference distribution must slide).
-    * Moments come from exact DECIMAL window sums over a RANGE interval
-    * frame; the float math after the casts is the identical IEEE
-    * sequence in both engines. Degenerate frames (n = 1 or constant)
-    * are filtered identically on both sides — the window_mad_outlier
-    * lesson. The z emits as integer milli-z (fixed-point rule): a float
-    * ROUND as a column's last op leaks signed zero (DuckDB keeps -0.0,
-    * Spark normalizes to +0.0 — one bit, hash-red in round 5); BIGINT
-    * has one zero. */
+    * Moments come from exact DECIMAL sums; the float math after the
+    * casts is the identical IEEE sequence in both engines. Degenerate
+    * frames (n = 1 or constant) are filtered identically on both
+    * sides — the window_mad_outlier lesson. The z emits as integer
+    * milli-z (fixed-point rule): a float ROUND as a column's last op
+    * leaks signed zero (DuckDB keeps -0.0, Spark normalizes to +0.0 —
+    * one bit, hash-red in round 5); BIGINT has one zero.
+    *
+    * Plan (round 6): Spark evaluates a sliding RANGE frame without
+    * retraction — O(rows × frame) per partition, ~70 events per 7-day
+    * frame here and worse at production density. Sums are subtractable,
+    * so the frame decomposes into two GROWING frames, each incremental
+    * O(1)/row: frame_sum(ts) = cum(≤ ts) − cum(< ts − 7d). The first
+    * term is a RANGE-unbounded cumulative; the second is an as-of
+    * lookup done relationally — union a probe row at t = ts − 7d (kind
+    * 0 sorts before builds at equal t, making the boundary strict) and
+    * take last_value(ignoreNulls) of the build cums. The decimal
+    * arithmetic is exact, so cum-difference ≡ frame-sum bit-for-bit;
+    * the ORACLE keeps the naive RANGE-frame spec and the gate proves
+    * the rewrite. Both windows hash-partition on user_id (one exchange,
+    * reused across the union's branches). */
   def windowZscoreRolling(s: SparkSession, d: String): DataFrame = {
-    t(s, d, "events").createOrReplaceTempView("graft_ev_zr")
-    s.sql(
-      """SELECT event_id, user_id, v AS value_q,
-        |  CAST(ROUND(((v - sx / n) /
-        |    sqrt((sxx - sx * sx / n) / (n - 1))) * 1000, 0)
-        |    AS BIGINT) AS z_milli
-        |FROM (
-        |  SELECT event_id, user_id,
-        |    COUNT(*) OVER w AS n,
-        |    CAST(SUM(vq) OVER w AS DOUBLE) AS sx,
-        |    CAST(SUM(vq * vq) OVER w AS DOUBLE) AS sxx,
-        |    CAST(vq AS DOUBLE) AS v
-        |  FROM (SELECT event_id, user_id, ts,
-        |          CAST(value AS DECIMAL(19,4)) AS vq FROM graft_ev_zr)
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts
-        |    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
-        |) t
-        |WHERE n > 1 AND (sxx - sx * sx / n) / (n - 1) > 0
-        |ORDER BY event_id""".stripMargin)
+    import org.apache.spark.sql.expressions.Window
+    val q = t(s, d, "events").select(
+      col("event_id"), col("user_id"), col("ts"),
+      col("value").cast("decimal(19,4)").as("vq"))
+    val wcum = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = q
+      .withColumn("cn", count(lit(1)).over(wcum))
+      .withColumn("csx", sum(col("vq")).over(wcum))
+      .withColumn("csxx", sum(col("vq") * col("vq")).over(wcum))
+    val build = c.select(col("user_id"), col("ts").as("t"),
+      lit(1).as("kind"), col("cn").as("b_cn"), col("csx").as("b_csx"),
+      col("csxx").as("b_csxx"))
+    val probe = c.select(col("user_id"),
+      (col("ts") - expr("INTERVAL 7 DAYS")).as("t"), lit(0).as("kind"),
+      col("event_id"), col("vq"), col("cn"), col("csx"), col("csxx"))
+    val wl = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = build.unionByName(probe, allowMissingColumns = true)
+      .withColumn("p_cn", last(col("b_cn"), ignoreNulls = true).over(wl))
+      .withColumn("p_csx", last(col("b_csx"), ignoreNulls = true).over(wl))
+      .withColumn("p_csxx", last(col("b_csxx"), ignoreNulls = true).over(wl))
+      .filter(col("kind") === 0)
+      .select(col("event_id"), col("user_id"),
+        (col("cn") - coalesce(col("p_cn"), lit(0L))).as("n"),
+        (col("csx") - coalesce(col("p_csx"), lit(0)))
+          .cast("double").as("sx"),
+        (col("csxx") - coalesce(col("p_csxx"), lit(0)))
+          .cast("double").as("sxx"),
+        col("vq").cast("double").as("v"))
+    f.filter(col("n") > 1 &&
+        (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1) > 0)
+      .select(col("event_id"), col("user_id"), col("v").as("value_q"),
+        round(((col("v") - col("sx") / col("n")) /
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1))) * 1000, 0).cast("long").as("z_milli"))
+      .orderBy(col("event_id"))
   }
 
   /** Trailing-7-day rolling MEDIAN per user — the robust companion to

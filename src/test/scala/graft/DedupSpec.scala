@@ -186,6 +186,33 @@ class DedupSpec extends AnyFunSuite {
     assert(hm == t0)
   }
 
+  test("CC loops run identically under reliable checkpointing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // default path: localCheckpoint (non-replayable lineage — fine in
+    // one JVM). Cluster path: spark.graft.checkpointDir switches ckpt()
+    // to fault-tolerant checkpoint(); labels must be identical.
+    val edges = spark.range(200)
+      .select(col("id").as("a_id"), ((col("id") + 7) % 200).as("b_id"))
+      .union(Seq((300L, 301L), (301L, 302L)).toDF("a_id", "b_id"))
+    val local = Dedup.propagateLabels(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_spec").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      val reliable = Dedup.propagateLabels(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      val twoPhase = Dedup.twoPhaseLabels(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(twoPhase == local)
+      // the reliable path actually wrote checkpoint data
+      assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .findFirst().isPresent, dir)
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("containment pairs match brute-force shingle sets; no all-pairs join") {
     val docs = Tables.t(spark, sf, "documents")
       .select("doc_id", "text").collect()

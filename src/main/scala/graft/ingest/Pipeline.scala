@@ -66,7 +66,8 @@ object Pipeline {
       compression: String = "snappy",
       messageType: Option[String] = None,
       includeMeta: Boolean = false,
-      typedMode: Boolean = false)
+      typedMode: Boolean = false,
+      footerMeta: Boolean = false)
 
   case class RouteResult(folder: String, sourceDb: String, table: String,
       rows: Long, kind: String)
@@ -213,8 +214,20 @@ object Pipeline {
     * steady-state batches run a bounded sample check only, and full
     * re-inference happens on first sight and on drift. The streaming
     * wrapper passes one registry across all micro-batches. */
+  /** `batchId`: when ingest runs inside a streaming `foreachBatch`,
+    * pass the micro-batch id to make the sink IDEMPOTENT under replay —
+    * each route writes to a `batch_id=<id>` subdirectory with
+    * mode(overwrite), so a batch replayed after a crash between the
+    * sink write and the checkpoint commit OVERWRITES its own output
+    * instead of appending a duplicate copy. This is what upgrades the
+    * pipeline from the reference's at-least-once retry to exactly-once
+    * end-to-end (file source replays the identical rows; the write is
+    * deterministic per batch). Batch callers omit it and keep the flat
+    * append layout. Readers are unaffected: `batch_id` surfaces as one
+    * more partition column under the route directories. */
   def ingest(spark: SparkSession, rawBodies: DataFrame, cfg: IngestConfig,
-      registry: Option[SchemaRegistry] = None): IngestReport = {
+      registry: Option[SchemaRegistry] = None,
+      batchId: Option[Long] = None): IngestReport = {
     import spark.implicits._
     // CACHE FIRST, FILTER ABOVE THE CACHE. A filter placed under the
     // cache boundary gets pushed beneath the decode projection, where
@@ -294,9 +307,36 @@ object Pipeline {
             try {
               val n = base.count()
               val out = if (cfg.includeMeta) withBatchMeta(base, cfg) else base
-              val path = s"${cfg.outDir}/folder=$folder/source_db=$db/table=$table"
-              if (cfg.typedMode) validateTypedAppend(spark, path, out.schema)
-              out.write.mode("append")
+              val routeDir = s"${cfg.outDir}/folder=$folder/source_db=$db/table=$table"
+              if (cfg.typedMode) validateTypedAppend(spark, routeDir, out.schema)
+              // Footer-metadata compat (reference src/function_app.py:
+              // 251-254, 390-413 — parquet key/value schema metadata:
+              // kind, row_count, folder, source_db, table): Spark
+              // serializes the Catalyst schema INCLUDING per-field
+              // Metadata into every file's footer under
+              // `org.apache.spark.sql.parquet.row.metadata`, so
+              // attaching the reference's k/v map as field metadata on
+              // the first column reproduces the byte surface a footer
+              // reader consumes. Per-CHUNK batch_number stays a
+              // documented deviation (one write covers many files; the
+              // _batch_number COLUMN carries it row-level instead).
+              val withFooter =
+                if (cfg.footerMeta) {
+                  val kv = Map("kind" -> kind, "row_count" -> n.toString,
+                    "folder" -> folder, "source_db" -> db,
+                    "table" -> table) ++
+                    batchId.map(id => "batch_number" -> id.toString)
+                  val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                  kv.foreach { case (k, v) => mb.putString(k, v) }
+                  val firstCol = out.schema.fields.head.name
+                  out.withColumn(firstCol, col(firstCol).as(firstCol, mb.build()))
+                } else out
+              // replay-idempotent streaming sink: batch-scoped overwrite
+              val (path, mode) = batchId match {
+                case Some(id) => (s"$routeDir/batch_id=$id", "overwrite")
+                case None => (routeDir, "append")
+              }
+              withFooter.write.mode(mode)
                 .option("compression", cfg.compression)
                 .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toLong)
                 .parquet(path)

@@ -171,9 +171,13 @@ object Curation {
       .groupBy(col("label"), col("dim"))
       .agg(count(lit(1)).as("n"),
         sum(col("v").cast("double").cast("decimal(20,8)")).as("sum_dec"))
+      // + 0.0 after the final ROUNDs: signed-zero normalization (the
+      // window_zscore_rolling class; surfaced at sf0.001 by the
+      // bit-exact gate, round 6). DECIMAL-rounded dim_sum cannot carry
+      // -0.0, but the double division can.
       .select(col("label"), col("dim"), col("n"),
-        round(col("sum_dec"), 4).cast("double").as("dim_sum"),
-        round(round(col("sum_dec"), 6).cast("double") / col("n"), 4)
+        (round(col("sum_dec"), 4).cast("double") + 0.0).as("dim_sum"),
+        (round(round(col("sum_dec"), 6).cast("double") / col("n"), 4) + 0.0)
           .as("centroid"))
       .orderBy(col("label"), col("dim"))
 
@@ -469,8 +473,8 @@ object Curation {
         |  SELECT label, dim, COUNT(*) AS n, SUM(vd) AS sum_dec
         |  FROM e GROUP BY label, dim)
         |SELECT label, CAST(dim AS INTEGER) AS dim, n,
-        |  CAST(ROUND(sum_dec, 4) AS DOUBLE) AS dim_sum,
-        |  ROUND(CAST(ROUND(sum_dec, 6) AS DOUBLE) / n, 4) AS centroid
+        |  CAST(ROUND(sum_dec, 4) AS DOUBLE) + 0.0 AS dim_sum,
+        |  ROUND(CAST(ROUND(sum_dec, 6) AS DOUBLE) / n, 4) + 0.0 AS centroid
         |FROM a ORDER BY label, dim""".stripMargin,
     "sample_temperature" ->
       """WITH a AS (

@@ -276,8 +276,13 @@ object Dedup {
   private val bandSize = 4
 
   /** Per-doc MinHash signatures: (doc_id, h0..h15). */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame = {
-    val toks = t(s, d, "documents")
+  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+    minhashSigsFrom(t(s, d, "documents"))
+
+  /** Signature plan over an arbitrary (doc_id, text, …) relation —
+    * lets the derived-check queries plant a known duplicate. */
+  private def minhashSigsFrom(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
     val hashAggs = (0 until nHashes).map(i =>
@@ -626,8 +631,13 @@ object Dedup {
   /** Per-doc 64-bit SimHash fingerprint: bit i of the fingerprint is
     * the sign of the vote sum over token-hash bit i (+1/-1 per token).
     * One groupBy(doc_id) — a single shuffle on the doc key. */
-  def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
-    val tokens = t(s, d, "documents")
+  def simhashFingerprints(s: SparkSession, d: String): DataFrame =
+    simhashFingerprintsFrom(t(s, d, "documents"))
+
+  /** Fingerprint plan over an arbitrary (doc_id, text, …) relation —
+    * lets the derived-check query plant a known duplicate. */
+  private def simhashFingerprintsFrom(docs: DataFrame): DataFrame = {
+    val tokens = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { i =>
@@ -641,8 +651,10 @@ object Dedup {
     sims.select(col("doc_id"), simhash.as("simhash"))
   }
 
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val fp = simhashFingerprints(s, d)
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    simhashPairsFrom(simhashFingerprints(s, d))
+
+  private def simhashPairsFrom(fp: DataFrame): DataFrame = {
     val bandCols = (0 until 4).map { j =>
       struct(lit(j).as("band_id"),
         shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))
@@ -762,6 +774,143 @@ object Dedup {
           .as("dup_rate"))
       .orderBy(col("source"))
 
+  /** Derived-check gate row for [[dedupFuzzyMinhash]] (round 6): the
+    * banding itself is xxhash64-seeded (no DuckDB equivalent), so the
+    * gate instead scores the candidate set against two EXACT relations
+    * the oracle can compute independently:
+    *   - n_true_pairs — lang-blocked token-Jaccard > 0.8 pairs (the
+    *     dedup_ngram_jaccard relation, read from the write-once pair
+    *     graph);
+    *   - n_exact_dup_pairs — identical-text pairs. Identical text ⇒
+    *     identical MinHash signature ⇒ same band hashes and estimator
+    *     1.0, so detection of EVERY such pair is theory-guaranteed,
+    *     not fixture luck;
+    * plus two invariant booleans the oracle pins TRUE:
+    * exact_dups_detected (the guarantee above) and recall_ge_70
+    * (banded recall over the true pairs — fixture-deterministic under
+    * fixed seeds; DedupSpec holds the sharper per-pair assertions).
+    * The full pair surface stays available as [[dedupFuzzyMinhash]]. */
+  def dedupFuzzyMinhashCheck(s: SparkSession, d: String): DataFrame = {
+    // Plant a duplicate: a copy of doc 0 under a sentinel id. Identical
+    // text ⇒ identical signature ⇒ band collision + estimator 1.0, so
+    // the planted pair MUST surface — a non-vacuous end-to-end detector
+    // even on a fixture with no natural exact dups (this one has none).
+    val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") === 0)
+      .select(lit(plantedId).as("doc_id"), col("text"))
+    val sigs = minhashSigsFrom(base.unionByName(planted)).cache()
+    val retrieved = sigPairs(sigs).select(col("a_id"), col("b_id"))
+      .withColumn("hit", lit(1L)).cache()
+    val truth = materializedPairs(s, d).select(col("a_id"), col("b_id"))
+      .join(retrieved, Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_true_hit"))
+    val docs = t(s, d, "documents").select(col("doc_id"), md5(col("text")).as("h"))
+    val dups = docs.as("x").join(docs.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .join(retrieved, Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_exact_dup_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_dup_hit"))
+    val plantedHit = retrieved
+      .filter(col("a_id") === 0 && col("b_id") === plantedId)
+      .agg((count(lit(1)) > 0).as("planted_dup_detected"))
+    truth.crossJoin(dups).crossJoin(plantedHit).select(
+      col("n_true_pairs"), col("n_exact_dup_pairs"),
+      (col("n_dup_hit") === col("n_exact_dup_pairs")).as("exact_dups_detected"),
+      (col("n_true_hit") * 10 >= col("n_true_pairs") * 7).as("recall_ge_70"),
+      col("planted_dup_detected"))
+  }
+
+  /** Sentinel id for planted-duplicate detection in the derived-check
+    * gate rows — far above any fixture doc_id at any sf. */
+  private val plantedId = 10000000L
+
+  /** Derived-check gate row for [[dedupSimhash]] (round 6): banding is
+    * EXACT for Hamming ≤ 3 (pigeonhole over 4 disjoint 16-bit bands),
+    * and identical text ⇒ identical fingerprint ⇒ Hamming 0, so every
+    * identical-text pair MUST appear in the pair set — an invariant the
+    * oracle can pin against its own exact duplicate-pair count. Also
+    * pins pair canonicality (a_id < b_id) and the Hamming threshold.
+    * DedupSpec separately proves banding ≡ brute force on the full
+    * fingerprint table. */
+  def dedupSimhashCheck(s: SparkSession, d: String): DataFrame = {
+    // Planted duplicate (same device as [[dedupFuzzyMinhashCheck]]):
+    // identical text ⇒ identical 64-bit fingerprint ⇒ Hamming 0, so the
+    // planted pair MUST appear — non-vacuous at any sf.
+    val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") === 0)
+      .select(lit(plantedId).as("doc_id"), col("text"))
+    val pairs = simhashPairsFrom(
+      simhashFingerprintsFrom(base.unionByName(planted))).cache()
+    val docs = t(s, d, "documents").select(col("doc_id"), md5(col("text")).as("h"))
+    val dups = docs.as("x").join(docs.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .join(pairs.select(col("a_id"), col("b_id")).withColumn("hit", lit(1L)),
+        Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_exact_dup_pairs"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_dup_hit"))
+    val inv = pairs.agg(
+      coalesce(min(col("a_id") < col("b_id")), lit(true)).as("canonical_ok"),
+      coalesce(max(col("hamming")), lit(0)).cast("int").as("max_hamming"))
+    val plantedHit = pairs
+      .filter(col("a_id") === 0 && col("b_id") === plantedId &&
+        col("hamming") === 0)
+      .agg((count(lit(1)) > 0).as("planted_dup_detected"))
+    dups.crossJoin(inv).crossJoin(plantedHit).select(
+      col("n_exact_dup_pairs"),
+      (col("n_dup_hit") === col("n_exact_dup_pairs")).as("exact_dups_detected"),
+      col("canonical_ok"),
+      (col("max_hamming") <= 3).as("hamming_le_3"),
+      col("planted_dup_detected"))
+  }
+
+  /** Derived-check gate row for [[dedupFuzzyCluster]] (round 6): the
+    * cluster assignment must satisfy three machine-checkable invariants
+    * regardless of which (seeded, non-oracle-able) candidate pairs the
+    * banding produced — transitivity (both ends of every surviving
+    * MinHash pair share a representative), canonical representatives
+    * (every representative is a member of its own cluster and is its
+    * cluster's min doc_id... pinned as rep ≤ member), and exact-dup
+    * cohesion (identical-text pairs land in one cluster: identical
+    * signatures contract to one supernode by construction). The oracle
+    * contributes the exact duplicate-pair count and pins the booleans. */
+  def dedupFuzzyClusterCheck(s: SparkSession, d: String): DataFrame = {
+    val reps = dedupFuzzyCluster(s, d).cache()
+    val byDoc = reps.select(col("doc_id").as("m_id"), col("cluster_rep").as("m_rep"))
+    val pairChk = minhashPairs(s, d)
+      .join(byDoc.withColumnRenamed("m_id", "a_id")
+        .withColumnRenamed("m_rep", "a_rep"), Seq("a_id"), "left")
+      .join(byDoc.withColumnRenamed("m_id", "b_id")
+        .withColumnRenamed("m_rep", "b_rep"), Seq("b_id"), "left")
+      .agg(coalesce(min(col("a_rep").isNotNull && col("b_rep").isNotNull &&
+        col("a_rep") === col("b_rep")), lit(true)).as("transitive_ok"))
+    val repChk = reps
+      .join(byDoc, col("cluster_rep") === col("m_id"), "left")
+      .agg(
+        coalesce(min(col("m_rep") === col("cluster_rep")), lit(true))
+          .as("reps_canonical"),
+        coalesce(min(col("cluster_rep") <= col("doc_id")), lit(true))
+          .as("rep_is_min"))
+    val docs = t(s, d, "documents").select(col("doc_id"), md5(col("text")).as("h"))
+    val dupChk = docs.as("x").join(docs.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .join(byDoc.withColumnRenamed("m_id", "a_id")
+        .withColumnRenamed("m_rep", "a_rep"), Seq("a_id"), "left")
+      .join(byDoc.withColumnRenamed("m_id", "b_id")
+        .withColumnRenamed("m_rep", "b_rep"), Seq("b_id"), "left")
+      .agg(count(lit(1)).as("n_exact_dup_pairs"),
+        coalesce(min(col("a_rep").isNotNull && col("b_rep").isNotNull &&
+          col("a_rep") === col("b_rep")), lit(true))
+          .as("exact_dups_same_cluster"))
+    pairChk.crossJoin(repChk).crossJoin(dupChk).select(
+      col("n_exact_dup_pairs"), col("transitive_ok"),
+      col("reps_canonical"), col("rep_is_min"),
+      col("exact_dups_same_cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_dup_rate_by_source" -> (dedupRateBySource _),
     "dedup_template" -> (dedupTemplate _),
@@ -777,9 +926,9 @@ object Dedup {
     "dedup_cluster_twophase" -> (dedupClusterTwophase _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_cluster" -> (dedupEmbeddingCluster _),
-    "dedup_fuzzy_minhash" -> (dedupFuzzyMinhash _),
-    "dedup_fuzzy_cluster" -> (dedupFuzzyCluster _),
-    "dedup_simhash" -> (dedupSimhash _)
+    "dedup_fuzzy_minhash" -> (dedupFuzzyMinhashCheck _),
+    "dedup_fuzzy_cluster" -> (dedupFuzzyClusterCheck _),
+    "dedup_simhash" -> (dedupSimhashCheck _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -952,6 +1101,45 @@ object Dedup {
         |  UNION
         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
         |SELECT id AS vec_id, MIN(r) AS cluster_rep
-        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+    // Derived checks (round 6): the banded/seeded pair machinery has no
+    // DuckDB equivalent, so the oracle pins the EXACT-side quantities
+    // (lang-blocked Jaccard>0.8 pair count; identical-text pair count)
+    // plus the theory-guaranteed invariant booleans. See the *Check
+    // Scaladoc for why each boolean cannot be false on a correct engine.
+    "dedup_fuzzy_minhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tp AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM toks a JOIN toks b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
+        |              len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8),
+        |dp AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM documents a JOIN documents b
+        |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+        |SELECT (SELECT COUNT(*) FROM tp) AS n_true_pairs,
+        |  (SELECT COUNT(*) FROM dp) AS n_exact_dup_pairs,
+        |  TRUE AS exact_dups_detected, TRUE AS recall_ge_70,
+        |  TRUE AS planted_dup_detected""".stripMargin,
+    "dedup_simhash" ->
+      """WITH dp AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM documents a JOIN documents b
+        |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+        |SELECT (SELECT COUNT(*) FROM dp) AS n_exact_dup_pairs,
+        |  TRUE AS exact_dups_detected, TRUE AS canonical_ok,
+        |  TRUE AS hamming_le_3, TRUE AS planted_dup_detected""".stripMargin,
+    "dedup_fuzzy_cluster" ->
+      """WITH dp AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM documents a JOIN documents b
+        |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
+        |SELECT (SELECT COUNT(*) FROM dp) AS n_exact_dup_pairs,
+        |  TRUE AS transitive_ok, TRUE AS reps_canonical,
+        |  TRUE AS rep_is_min, TRUE AS exact_dups_same_cluster""".stripMargin
   )
 }

@@ -203,6 +203,70 @@ object Similarity {
       .limit(10)
   }
 
+  /** Derived-check gate row for [[simSearchIvf]] (round 6): the probe
+    * path is seeded k-means (no DuckDB equivalent), but the exact
+    * brute-force top-10 IS oracle-able — so the gate scores the
+    * approximate retrieval against it: n_exact / n_retrieved counts,
+    * a recall floor (≥ 0.5, the SimilaritySpec bound; deterministic
+    * under the fixed seed), and the exact top-1 cosine as a
+    * quantitative cross-engine anchor (the same rounded IEEE value
+    * sim_search_topk already gate-proves). */
+  def simSearchIvfCheck(s: SparkSession, d: String): DataFrame =
+    annCheck(s, d, simSearchIvf(s, d))
+
+  /** Derived-check gate row for [[simSearchLsh]] — same contract as
+    * [[simSearchIvfCheck]] over the SRP-bucketed candidate path. */
+  def simSearchLshCheck(s: SparkSession, d: String): DataFrame =
+    annCheck(s, d, simSearchLsh(s, d))
+
+  private def annCheck(s: SparkSession, d: String,
+      approxDf: DataFrame): DataFrame = {
+    val approx = approxDf.select(col("vec_id")).withColumn("hit", lit(1L))
+    val exact = simSearchTopk(s, d).select(col("vec_id"), col("cos"))
+    val scored = exact.join(approx, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_overlap"),
+        max(col("cos")).as("exact_top1_cos"))
+    val retrieved = approx.agg(count(lit(1)).as("n_retrieved"))
+    scored.crossJoin(retrieved).select(
+      col("n_exact"), col("n_retrieved"),
+      (col("n_overlap") * 2 >= col("n_exact")).as("recall_ge_50"),
+      col("exact_top1_cos"))
+  }
+
+  /** Derived-check gate row for [[embeddingPcaProject]] (round 6): the
+    * eigensolve is a driver-side Jacobi sweep (no SQL equivalent), so
+    * the gate pins (a) the model invariants — component orthonormality
+    * and eigenvalue ordering, both computed from the deterministic
+    * model and emitted as booleans — and (b) an exact data anchor the
+    * oracle recomputes independently: the corpus-wide integer sum of
+    * per-element micro-units (round-then-sum, order-independent — the
+    * embedding_random_projection fixed-point precedent), proving both
+    * engines read identical bytes. Full projections remain
+    * spec-asserted in SimilaritySpec (orthonormality, variance
+    * capture, replay). */
+  def embeddingPcaProjectCheck(s: SparkSession, d: String): DataFrame = {
+    val (_, proj, eig) = pcaModel(s, d)
+    val dim = proj(0).length
+    val orthErr = (for { i <- proj.indices; j <- i until proj.length } yield {
+      var acc = 0.0
+      var k = 0
+      while (k < dim) { acc += proj(i)(k) * proj(j)(k); k += 1 }
+      math.abs(acc - (if (i == j) 1.0 else 0.0))
+    }).max
+    val eigSorted = eig.zip(eig.drop(1)).forall { case (a, b) => a >= b } &&
+      eig.forall(_ >= -1e-9)
+    t(s, d, "embeddings")
+      .select(expr("aggregate(transform(embedding, " +
+        "x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), " +
+        "CAST(0 AS BIGINT), (a, v) -> a + v)").as("row_micros"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("row_micros")).as("grand_sum_micros"))
+      .select(col("n_rows"), col("grand_sum_micros"),
+        lit(orthErr < 1e-8).as("orthonormal_ok"),
+        lit(eigSorted).as("eigvals_sorted"))
+  }
+
   /** Per-vector symmetric int8 quantization (max-abs scaling) — the
     * standard storage/bandwidth reduction for embedding corpora (4x
     * smaller, dot products upcast on read). Pure array transform inside
@@ -768,13 +832,13 @@ object Similarity {
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_standardize" -> (embeddingStandardize _),
     "embedding_covariance" -> (embeddingCovariance _),
-    "embedding_pca_project" -> (embeddingPcaProject _),
+    "embedding_pca_project" -> (embeddingPcaProjectCheck _),
     "embedding_random_projection" -> (embeddingRandomProjection _),
     "sim_search_topk" -> (simSearchTopk _),
     "sim_search_mips" -> (simSearchMips _),
     "sim_search_mips_augmented" -> (simSearchMipsAugmented _),
-    "sim_search_ivf" -> (simSearchIvf _),
-    "sim_search_lsh" -> (simSearchLsh _),
+    "sim_search_ivf" -> (simSearchIvfCheck _),
+    "sim_search_lsh" -> (simSearchLshCheck _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_kmeans_assign" -> (embeddingKmeansAssign _),
     "embedding_binarize" -> (embeddingBinarize _),
@@ -1031,6 +1095,40 @@ object Similarity {
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
         |     WHERE vec_id = 0)), 6) AS ip
         |FROM embeddings WHERE vec_id <> 0
-        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY ip DESC, vec_id LIMIT 10""".stripMargin,
+    // Derived checks (round 6): seeded ANN machinery has no DuckDB
+    // equivalent; the oracle recomputes the exact brute-force side and
+    // pins the recall/invariant booleans (see the *Check Scaladocs).
+    "sim_search_ivf" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS cos
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY cos DESC, vec_id LIMIT 10)
+        |SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+        |  CAST(10 AS BIGINT) AS n_retrieved,
+        |  TRUE AS recall_ge_50,
+        |  (SELECT MAX(cos) FROM ex) AS exact_top1_cos""".stripMargin,
+    "sim_search_lsh" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS cos
+        |  FROM embeddings WHERE vec_id <> 0
+        |  ORDER BY cos DESC, vec_id LIMIT 10)
+        |SELECT (SELECT COUNT(*) FROM ex) AS n_exact,
+        |  CAST(10 AS BIGINT) AS n_retrieved,
+        |  TRUE AS recall_ge_50,
+        |  (SELECT MAX(cos) FROM ex) AS exact_top1_cos""".stripMargin,
+    "embedding_pca_project" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(ROUND(x * 1000000) AS BIGINT)))) AS BIGINT)
+        |    AS grand_sum_micros,
+        |  TRUE AS orthonormal_ok, TRUE AS eigvals_sorted
+        |FROM embeddings""".stripMargin
   )
 }

@@ -978,6 +978,97 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Derived-check gate row for [[aggApproxDistinctHll]] (round 6): the
+    * HLL estimate has no DuckDB equivalent, so the gate emits the EXACT
+    * per-group distinct count (oracle-able) plus the estimator's error
+    * bound as a boolean — rsd 0.02 makes |approx − exact| ≤ 5% · exact
+    * hold with enormous margin on the fixture, deterministically (HLL
+    * is seed-free and order-independent). The raw estimate surface
+    * stays available as [[aggApproxDistinctHll]]. */
+  def aggApproxDistinctHllCheck(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * 0.05).as("within_5pct"))
+      .orderBy(col("l_returnflag"))
+
+  /** Derived-check gate row for [[aggHllUnion]] (round 6): pins the
+    * property that makes sketches a 100 TB primitive — per-group
+    * sketches union-merged estimate what one build over the whole
+    * table estimates. NOT pinned as exact equality: measured on the
+    * fixture, the Datasketches union operator returns a sketch in a
+    * different internal mode (union targets HLL_8 and re-coupons),
+    * so its estimate differs from the directly-built sketch by a
+    * fraction of a percent even over identical data. The invariant
+    * emitted (`merge_consistent`, ALL row) is |merged − direct| ≤
+    * 5% · direct — deterministic, and red if merge ever diverges
+    * structurally — plus per-group exact distinct counts and the 5%
+    * error bound vs exact. */
+  def aggHllUnionCheck(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val perGroup = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_partkey"), 12).as("sk"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    val direct = li.agg(hll_sketch_agg(col("l_partkey"), 12).as("dsk"),
+      countDistinct(col("l_partkey")).as("exact_all"))
+    val allRow = perGroup.agg(hll_union_agg(col("sk")).as("msk"))
+      .crossJoin(direct)
+      .select(lit("ALL").as("l_returnflag"),
+        col("exact_all").as("exact_parts"),
+        (abs(hll_sketch_estimate(col("msk")) - col("exact_all"))
+          .cast("double") <= col("exact_all").cast("double") * 0.05)
+          .as("within_5pct"),
+        (abs(hll_sketch_estimate(col("msk")) -
+          hll_sketch_estimate(col("dsk"))).cast("double") <=
+          hll_sketch_estimate(col("dsk")).cast("double") * 0.05)
+          .as("merge_consistent"))
+    perGroup
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_parts"))
+          .cast("double") <= col("exact_parts").cast("double") * 0.05)
+          .as("within_5pct"),
+        lit(true).as("merge_consistent"))
+      .unionByName(allRow)
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Derived-check gate row for [[aggCountMinSketch]] (round 6): the
+    * sketch bytes are seed-determined but opaque to DuckDB, so the gate
+    * probes the sketch for three fixed keys (suppkeys 1–3, present at
+    * every sf) and pins the CMS contract — estimates never undercount,
+    * and overcount is bounded by eps·N (eps = 0.01, N = group rows;
+    * deterministic for the fixed seed) — against exact per-group
+    * conditional counts the oracle recomputes. Deserialization uses
+    * Spark's own CountMinSketch codec; three rows pay the UDF, the
+    * sketch build stays a codegen'd aggregate. */
+  def aggCountMinSketchCheck(s: SparkSession, d: String): DataFrame = {
+    val estimate = udf((b: Array[Byte], key: Long) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)).estimateCount(key))
+    val g = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("count_min_sketch(CAST(l_suppkey AS BIGINT), 0.01d, 0.95d, 42)")
+          .as("sk"),
+        count(lit(1)).as("n_rows"),
+        count(when(col("l_suppkey") === 1, true)).as("exact_s1"),
+        count(when(col("l_suppkey") === 2, true)).as("exact_s2"),
+        count(when(col("l_suppkey") === 3, true)).as("exact_s3"))
+    val bound = col("n_rows").cast("double") * 0.01
+    def ok(i: Int) = {
+      val est = estimate(col("sk"), lit(i.toLong))
+      est >= col(s"exact_s$i") &&
+        (est - col(s"exact_s$i")).cast("double") <= bound
+    }
+    g.select(col("l_returnflag"), col("n_rows"),
+        col("exact_s1"), col("exact_s2"), col("exact_s3"),
+        (ok(1) && ok(2) && ok(3)).as("cms_bounds_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Conversion funnel (ClickHouse windowFunnel semantics, strictly
     * ordered first-reach): per user, t1 = first view, t2 = first click
     * at/after t1, t3 = first purchase at/after t2; `reached` = deepest
@@ -1392,10 +1483,15 @@ object Aggregates {
           col("mean") * col("mean") *
             (col("s2").cast("double") / col("n")) * 6 -
           col("mean") * col("mean") * col("mean") * col("mean") * 3)
+      // + 0.0 after every final ROUND: normalizes IEEE -0.0 to +0.0 in
+      // both engines (DuckDB ROUND keeps the sign, Spark does not — the
+      // window_zscore_rolling signed-zero class; surfaced here at
+      // sf0.001 by the bit-exact gate, round 6)
       .select(col("l_returnflag"), col("n"),
-        round(col("mean"), 4).as("mean"),
-        round(col("m3") / pow(col("m2"), 1.5), 4).as("skewness"),
-        round(col("m4") / (col("m2") * col("m2")) - 3, 4).as("kurtosis"))
+        (round(col("mean"), 4) + 0.0).as("mean"),
+        (round(col("m3") / pow(col("m2"), 1.5), 4) + 0.0).as("skewness"),
+        (round(col("m4") / (col("m2") * col("m2")) - 3, 4) + 0.0)
+          .as("kurtosis"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -1503,9 +1599,9 @@ object Aggregates {
     "agg_funnel" -> (aggFunnel _),
     "agg_retention" -> (aggRetention _),
     "agg_sequence_match" -> (aggSequenceMatch _),
-    "agg_hll_union" -> (aggHllUnion _),
+    "agg_hll_union" -> (aggHllUnionCheck _),
     "agg_mode" -> (aggMode _),
-    "agg_count_min_sketch" -> (aggCountMinSketch _),
+    "agg_count_min_sketch" -> (aggCountMinSketchCheck _),
     "agg_hash_groupby" -> (aggHashGroupby _),
     "agg_count_distinct" -> (aggCountDistinct _),
     "agg_multi_distinct" -> (aggMultiDistinct _),
@@ -1526,7 +1622,7 @@ object Aggregates {
     "agg_skew_salted" -> (aggSkewSalted _),
     "agg_arg_extremes" -> (aggArgExtremes _),
     "agg_histogram" -> (aggHistogram _),
-    "agg_approx_distinct_hll" -> (aggApproxDistinctHll _)
+    "agg_approx_distinct_hll" -> (aggApproxDistinctHllCheck _)
   )
 
   private[graft] val heavyHittersOracle =
@@ -1619,9 +1715,9 @@ object Aggregates {
         |      mean * mean * mean * mean * 3 AS m4
         |  FROM f
         |)
-        |SELECT l_returnflag, n, ROUND(mean, 4) AS mean,
-        |  ROUND(m3 / pow(m2, 1.5), 4) AS skewness,
-        |  ROUND(m4 / (m2 * m2) - 3, 4) AS kurtosis
+        |SELECT l_returnflag, n, ROUND(mean, 4) + 0.0 AS mean,
+        |  ROUND(m3 / pow(m2, 1.5), 4) + 0.0 AS skewness,
+        |  ROUND(m4 / (m2 * m2) - 3, 4) + 0.0 AS kurtosis
         |FROM c ORDER BY l_returnflag""".stripMargin,
     "agg_markov_transition" ->
       """WITH pairs AS (
@@ -2370,6 +2466,30 @@ object Aggregates {
       """SELECT l_returnflag,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
         |  ROUND(AVG(l_extendedprice), 2) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Derived checks (round 6): sketch estimates have no DuckDB
+    // equivalent; the oracle pins the exact-side quantities and the
+    // estimator-contract booleans (see the *Check Scaladocs).
+    "agg_approx_distinct_hll" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_hll_union" ->
+      """SELECT * FROM (
+        |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |    TRUE AS within_5pct, TRUE AS merge_consistent
+        |  FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'ALL', COUNT(DISTINCT l_partkey), TRUE, TRUE
+        |  FROM lineitem)
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_count_min_sketch" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  COUNT(*) FILTER (WHERE l_suppkey = 1) AS exact_s1,
+        |  COUNT(*) FILTER (WHERE l_suppkey = 2) AS exact_s2,
+        |  COUNT(*) FILTER (WHERE l_suppkey = 3) AS exact_s3,
+        |  TRUE AS cms_bounds_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -343,8 +343,8 @@ object StreamQueries {
       .outputMode("append")
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Pipeline.ingest(s, batch, cfg, Some(registry)); ()
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Pipeline.ingest(s, batch, cfg, Some(registry), batchId = Some(id)); ()
       }
       .start()
     q.awaitTermination()

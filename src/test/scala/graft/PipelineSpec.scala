@@ -52,6 +52,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(all.count() == 5 + 2 + 1 + 1 + 1)
   }
 
+  test("footerMeta embeds the reference's key/value metadata in every parquet footer") {
+    // Reference byte surface (src/function_app.py:251-254, 390-413):
+    // kind, row_count, folder, source_db, table as parquet key/value
+    // schema metadata. Spark serializes field Metadata into each file's
+    // footer under org.apache.spark.sql.parquet.row.metadata — read one
+    // file back with parquet-hadoop and assert the k/v round-trips.
+    val out = Files.createTempDirectory("graft_pipeline_footer").toString
+    val raw = spark.createDataset(IngestQueries.syntheticEnvelopes).toDF("value")
+    val report = Pipeline.ingest(spark, raw,
+      Pipeline.IngestConfig(outDir = out, footerMeta = true),
+      batchId = Some(7L))
+    assert(report.failed.isEmpty, s"route failures: ${report.failed}")
+
+    val dir = new java.io.File(
+      s"$out/folder=telemetry/source_db=factorydb/table=sensor_readings/batch_id=7")
+    val pq = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(pq.nonEmpty, s"no parquet files under $dir")
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(pq.head.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
+      val schemaJson = kv.get("org.apache.spark.sql.parquet.row.metadata")
+      assert(schemaJson != null, s"no spark schema in footer: $kv")
+      val st = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val md = st.fields.head.metadata
+      assert(md.getString("folder") == "telemetry")
+      assert(md.getString("source_db") == "factorydb")
+      assert(md.getString("table") == "sensor_readings")
+      assert(md.getString("row_count") == "5")
+      assert(md.getString("batch_number") == "7")
+      assert(md.getString("kind").nonEmpty)
+    } finally reader.close()
+  }
+
   test("typed engine mode preserves inferred types instead of stringifying") {
     val out = Files.createTempDirectory("graft_pipeline_typed").toString
     val raw = spark.createDataset(IngestQueries.syntheticEnvelopes).toDF("value")

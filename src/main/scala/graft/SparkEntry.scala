@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.SortsSets.queries ++
       graft.queries.Subqueries.queries ++
       graft.queries.Composite.queries ++
+      graft.queries.CompositeTpch.queries ++
       graft.queries.Graphs.queries ++
       graft.queries.Scalars.queries ++
       graft.queries.SourceFormats.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       graft.queries.SortsSets.oracles ++
       graft.queries.Subqueries.oracles ++
       graft.queries.Composite.oracles ++
+      graft.queries.CompositeTpch.oracles ++
       graft.queries.Graphs.oracles ++
       graft.queries.Scalars.oracles ++
       graft.queries.SourceFormats.oracles ++

@@ -13,12 +13,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark reads only as a
-    // nanos-since-epoch long (spark.sql.legacy.parquet.nanosAsLong=true,
-    // set in Verify/Bench/tests). Normalize to a microsecond timestamp so
-    // every query sees TimestampType, matching DuckDB's view of the data.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    // events.ts arrives in whatever physical type the fixture generator
+    // used for this round — TIMESTAMP(NANOS) reads as a nanos-since-epoch
+    // long (spark.sql.legacy.parquet.nanosAsLong=true, set in
+    // Verify/Bench/tests), TIMESTAMP(MICROS, isAdjustedToUTC=false) reads
+    // as TIMESTAMP_NTZ. Normalize both to the session-UTC TimestampType
+    // so every query sees the same type (and unix_micros the same
+    // values), matching DuckDB's view of the data.
+    if (name == "events") df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
     else df
   }
 }

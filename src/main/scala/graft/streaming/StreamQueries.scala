@@ -146,10 +146,24 @@ object StreamQueries {
     val dir = tempDir("graft_stream_events")
     Files.copy(Paths.get(s"$d/events.parquet"),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // Fixture generators have shipped ts as TIMESTAMP(NANOS) (reads as
+    // BIGINT under the legacy nanosAsLong flag) and as TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ) across rounds.
+    // Streams cannot infer schemas, so probe the staged footer with a
+    // one-off batch read and declare the matching type, then normalize
+    // to session-UTC TimestampType either way (the Tables.t contract).
+    val (tsDdl, tsFix) =
+      ss.read.parquet(dir.toString).schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          ("ts BIGINT", expr("timestamp_micros(ts div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          ("ts TIMESTAMP_NTZ", col("ts").cast("timestamp"))
+        case _ => ("ts TIMESTAMP", col("ts"))
+      }
     ss.readStream
-      .schema(StructType.fromDDL(eventsDdl))
+      .schema(StructType.fromDDL(eventsDdl.replace("ts BIGINT", tsDdl)))
       .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", tsFix)
   }
 
   /** Drive a streaming DF to completion into a memory sink, return the

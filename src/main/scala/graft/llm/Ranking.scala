@@ -199,38 +199,60 @@ object Ranking {
   /** Per-source distribution drift — Jensen-Shannon divergence between
     * each source's token distribution and the corpus distribution: the
     * domain-shift / contamination monitor a multi-source pipeline runs
-    * per ingest batch. All probabilities are ratios of EXACT counts
-    * (vocab × sources cells, both bounded); each per-token JS term is
-    * double math on those exact inputs, rounded → decimal before the
-    * per-source sum (the cross-engine float discipline used throughout
-    * this module). Zero-in-source tokens keep only the corpus half of
-    * the term; the corpus side is never zero by construction. */
+    * per ingest batch. All probabilities are ratios of EXACT counts;
+    * each per-pair JS term is double math on those exact inputs,
+    * rounded → decimal before the per-source sum (the cross-engine
+    * float discipline used throughout this module).
+    *
+    * Scale note: only PRESENT (source, token) pairs are materialized —
+    * a plain equi-join of the per-source counts against the corpus
+    * counts, so the plan carries O(Σ_s |vocab_s|) rows, not the dense
+    * |sources| × |vocab| grid (which, per text_vocab_growth's Heaps'-
+    * law memo, grows without bound at 100 TB). The zero cells are
+    * analytically removable: with p=0 the JS term collapses to
+    * (q/2)·ln 2, so a source's total zero-cell contribution is
+    * (ln 2)/2 · (1 − covered_mass) where covered_mass =
+    * Σ_{t present in s} c_t / n — computed from an EXACT BIGINT sum of
+    * corpus counts over the pairs already in hand. One closed-form
+    * remainder term per source replaces the entire zero-cell scan. */
   def textJsDivergence(s: SparkSession, d: String): DataFrame = {
     val toks = t(s, d, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
     val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
     val corpusN = toks.agg(count(lit(1)).as("n"))
+    val vocabN = corpus.agg(count(lit(1)).as("n_vocab"))
     val perSrc = toks.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).as("c_st"))
     val srcN = toks.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-    // dense (source × vocab) grid so zero cells contribute their
-    // corpus-side term
-    val grid = srcN.crossJoin(corpus).crossJoin(broadcast(corpusN))
-      .join(perSrc, Seq("source", "tok"), "left")
-      .withColumn("c_st", coalesce(col("c_st"), lit(0L)))
-    grid
+    // present pairs only: equi-join on tok (vocab-bounded, shuffles on
+    // the token key), then the bounded per-source totals
+    val present = perSrc
+      .join(corpus, "tok")
+      .join(srcN, "source")
+      .crossJoin(broadcast(corpusN))
       .withColumn("p", col("c_st").cast("double") / col("n_s"))
       .withColumn("q", col("c_t").cast("double") / col("n"))
       .withColumn("m", (col("p") + col("q")) / 2)
       .withColumn("term",
         round(
-          when(col("p") > 0,
-            (col("p") * log(col("p") / col("m"))) * 0.5).otherwise(0.0) +
+          (col("p") * log(col("p") / col("m"))) * 0.5 +
             (col("q") * log(col("q") / col("m"))) * 0.5, 6)
           .cast("decimal(20,6)"))
+    present
       .groupBy(col("source"))
-      .agg(round(sum(col("term")).cast("double"), 4).as("js"),
-        count(lit(1)).as("n_vocab"))
+      .agg(sum(col("term")).as("sum_present"),
+        sum(col("c_t")).as("covered_c"),
+        max(col("n")).as("n"))
+      // closed-form zero-cell remainder: (ln 2)/2 · (1 − covered mass),
+      // rounded → decimal exactly like the per-pair terms
+      .withColumn("rem",
+        round(lit(math.log(2.0) / 2) *
+          (lit(1.0) - col("covered_c").cast("double") / col("n")), 6)
+          .cast("decimal(20,6)"))
+      .crossJoin(broadcast(vocabN))
+      .select(col("source"),
+        round((col("sum_present") + col("rem")).cast("double"), 4).as("js"),
+        col("n_vocab"))
       .orderBy(col("source"))
   }
 
@@ -378,35 +400,39 @@ object Ranking {
         |), corpus AS (
         |  SELECT tok, COUNT(*) AS c_t FROM toks GROUP BY 1
         |), corpus_n AS (SELECT COUNT(*) AS n FROM toks),
+        |vocab_n AS (SELECT COUNT(*) AS n_vocab FROM corpus),
         |per_src AS (
         |  SELECT source, tok, COUNT(*) AS c_st FROM toks GROUP BY 1, 2
         |), src_n AS (
         |  SELECT source, COUNT(*) AS n_s FROM toks GROUP BY 1
-        |), grid AS (
-        |  SELECT src_n.source, corpus.tok, src_n.n_s, corpus.c_t,
-        |    corpus_n.n, COALESCE(per_src.c_st, 0) AS c_st
-        |  FROM src_n CROSS JOIN corpus CROSS JOIN corpus_n
-        |  LEFT JOIN per_src
-        |    ON per_src.source = src_n.source AND per_src.tok = corpus.tok
         |), terms AS (
-        |  SELECT source,
+        |  SELECT per_src.source, corpus.c_t, corpus_n.n,
         |    CAST(ROUND(
-        |      CASE WHEN c_st > 0 THEN
-        |        ((CAST(c_st AS DOUBLE) / n_s) *
-        |         ln((CAST(c_st AS DOUBLE) / n_s) /
-        |            ((CAST(c_st AS DOUBLE) / n_s +
-        |              CAST(c_t AS DOUBLE) / n) / 2))) * 0.5
-        |      ELSE 0.0 END +
+        |      ((CAST(c_st AS DOUBLE) / n_s) *
+        |       ln((CAST(c_st AS DOUBLE) / n_s) /
+        |          ((CAST(c_st AS DOUBLE) / n_s +
+        |            CAST(c_t AS DOUBLE) / n) / 2))) * 0.5 +
         |      ((CAST(c_t AS DOUBLE) / n) *
         |       ln((CAST(c_t AS DOUBLE) / n) /
         |          ((CAST(c_st AS DOUBLE) / n_s +
         |            CAST(c_t AS DOUBLE) / n) / 2))) * 0.5,
         |    6) AS DECIMAL(20,6)) AS term
-        |  FROM grid
+        |  FROM per_src
+        |  JOIN corpus USING (tok)
+        |  JOIN src_n ON src_n.source = per_src.source
+        |  CROSS JOIN corpus_n
+        |), agg AS (
+        |  SELECT source, SUM(term) AS sum_present,
+        |    SUM(c_t) AS covered_c, MAX(n) AS n
+        |  FROM terms GROUP BY source
         |)
-        |SELECT source, ROUND(CAST(SUM(term) AS DOUBLE), 4) AS js,
-        |  COUNT(*) AS n_vocab
-        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+        |SELECT source,
+        |  ROUND(CAST(sum_present +
+        |    CAST(ROUND((ln(2) / 2) *
+        |      (1.0 - CAST(covered_c AS DOUBLE) / n), 6)
+        |      AS DECIMAL(20,6)) AS DOUBLE), 4) AS js,
+        |  vocab_n.n_vocab AS n_vocab
+        |FROM agg CROSS JOIN vocab_n ORDER BY source""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -361,4 +361,26 @@ class PlanSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == naive, s"banded=$got naive=$naive")
   }
+
+  test("text_js_divergence: no dense source×vocab grid — present pairs only") {
+    // The zero cells are folded into a closed-form remainder, so the
+    // plan must contain no CartesianProduct, and the only nested-loop
+    // joins allowed are the house 1-row scalar broadcasts (corpus-N /
+    // vocab-N) — never a vocab-sized relation on the broadcast side.
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = graft.llm.Ranking.textJsDivergence(spark, sf)
+    val exec = df.queryExecution.executedPlan
+    assert(!exec.toString.contains("CartesianProduct"), exec.toString)
+    val bnljs = exec.collect { case b: BroadcastNestedLoopJoinExec => b }
+    for (b <- bnljs) {
+      val built = b.buildSide.toString match {
+        case s if s.contains("Right") => b.right
+        case _                        => b.left
+      }
+      // scalar aggregates broadcast a single row; a grid build side
+      // would carry the token column through
+      assert(built.treeString.contains("HashAggregate"), built.treeString)
+      assert(!built.output.exists(_.name == "tok"), built.treeString)
+    }
+  }
 }

@@ -398,9 +398,17 @@ object Dedup {
     * Rebuilding from the checkpointed RDD drops originStats, giving
     * every round the same constant default estimate. The blocks are
     * already materialized, so the rebuild re-reads cache, never
-    * recomputes; the Row round-trip costs O(|V|) per round on the
-    * (small) iterate, not on the edge relation. */
-  private[graft] def ckpt(df: DataFrame): DataFrame = {
+    * recomputes — but it is NOT free: `ck.rdd` decodes InternalRow →
+    * Row and `createDataFrame` re-encodes when the next round consumes
+    * the relation. In [[propagateLabels]] the checkpointed iterate is
+    * the O(|V|) label relation — cheap. In [[twoPhaseLabels]] the
+    * iterate IS the O(|E|) edge list, so the round-trip rides |E| —
+    * which is why the star loop rebuilds only every `rebuildEvery`
+    * rounds (`rebuild = false` otherwise): stats compound for at most
+    * a few doublings between resets (bit-length ×8 over 3 rounds — far
+    * from the round-20 blowup), while 2/3 of the |E| decode/encode
+    * passes disappear. */
+  private[graft] def ckpt(df: DataFrame, rebuild: Boolean = true): DataFrame = {
     val s = df.sparkSession
     val ck = s.conf.getOption("spark.graft.checkpointDir")
       .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")) match {
@@ -410,7 +418,7 @@ object Dedup {
         df.checkpoint()
       case None => df.localCheckpoint()
     }
-    s.createDataFrame(ck.rdd, ck.schema)
+    if (rebuild) s.createDataFrame(ck.rdd, ck.schema) else ck
   }
 
   private[graft] def propagateLabels(pairsDf: DataFrame): DataFrame = {
@@ -434,12 +442,12 @@ object Dedup {
     val seeded = sym.select(col("dst").as("id"), col("src").as("lbl"))
       .union(sym.select(col("src").as("id"), col("src").as("lbl")))
       .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-      .transform(ckpt)
+      .transform(ckpt(_))
     // jump the seed too: 2-hop labels before the first O(|E|) relax
     val seedJump = seeded.select(col("id").as("jid"), col("lbl").as("jlbl"))
     var labels = seeded.join(seedJump, col("lbl") === col("jid"), "left")
       .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
-      .transform(ckpt)
+      .transform(ckpt(_))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -454,7 +462,7 @@ object Dedup {
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (col("nlbl") < col("lbl")).as("chg"))
-        .transform(ckpt)
+        .transform(ckpt(_))
       changed = relaxed.filter(col("chg")).count()
       // pointer jump: lbl <- lbl(lbl) — an O(|V|) self join that doubles
       // propagation reach per round (labels always point within the
@@ -538,13 +546,18 @@ object Dedup {
       (r.getLong(0), String.valueOf(r.get(1)))
     }
     var edges = pairs.select(col("a_id"), col("b_id"))
-      .filter(col("a_id") =!= col("b_id")).distinct().transform(ckpt)
+      .filter(col("a_id") =!= col("b_id")).distinct().transform(ckpt(_))
     var chk = checksum(edges)
     var rounds = 0
     var stable = false
+    // The iterate here is the O(|E|) edge relation, so the originStats
+    // rebuild (a Row decode/encode over |E| rows — see [[ckpt]]) is
+    // paid only every rebuildEvery rounds; the other rounds still
+    // materialize + truncate lineage, they just keep the LogicalRDD.
+    val rebuildEvery = 3
     while (!stable && rounds < 50) {
       val next = star(star(edges, large = true), large = false)
-        .transform(ckpt)
+        .transform(ckpt(_, rebuild = rounds % rebuildEvery == rebuildEvery - 1))
       val nextChk = checksum(next)
       stable = nextChk == chk
       edges = next

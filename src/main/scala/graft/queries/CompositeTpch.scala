@@ -148,19 +148,29 @@ object CompositeTpch {
   }
 
   /** Q11 shape — parts whose revenue share exceeds a global fraction.
-    * Membership is decided in integer space: part qualifies iff
-    * rev4 × 1000 > total4 (share > 0.1%), on ×1e4 fixed-point BIGINT
-    * masses — no float division can flip a boundary row. The global total
-    * is a 1-row broadcast (crossJoin), not a window over the whole
-    * aggregate; at 100 TB the per-part aggregate shuffles once on
-    * l_partkey and the threshold costs nothing. */
+    * Membership is decided in exact arithmetic: part qualifies iff
+    * 10 × rev4 × n_parts > 11 × total4 (share > 1.1× the mean share),
+    * on ×1e4 fixed-point masses — no float division can flip a boundary
+    * row. The mean-relative threshold keeps the boundary semantics
+    * exercised at every fixture scale (some-but-not-all parts qualify:
+    * 60/200 at sf0.001, 612/2000 at sf0.01, 6091/20000 at sf0.1),
+    * unlike a fixed share cut that goes all-pass / all-fail as the part
+    * count scales. The global total is summed in DECIMAL(38,0) — a
+    * BIGINT Σrev4 would wrap silently past ~9.2e18 (≈ sf5000) while
+    * DuckDB widens to HUGEINT — and the compare runs decimal × integer,
+    * still exact. The total is a 1-row broadcast (crossJoin), not a
+    * window over the whole aggregate; at 100 TB the per-part aggregate
+    * shuffles once on l_partkey and the threshold costs nothing. */
   def compositeTpchQ11(s: SparkSession, d: String): DataFrame = {
     val perPart = t(s, d, "lineitem")
       .groupBy(col("l_partkey"))
       .agg((sum(dp) * 10000).cast("long").as("rev4"))
-    val total = perPart.agg(sum(col("rev4")).as("total4"))
+    val total = perPart.agg(
+      sum(col("rev4").cast("decimal(38,0)")).as("total4"),
+      count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("rev4") * 1000 > col("total4"))
+      .filter(col("rev4").cast("decimal(38,0)") * col("n_parts") * 10 >
+        col("total4") * 11)
       .select(col("l_partkey"),
         round(col("rev4") / 10000.0, 2).as("value"))
       .orderBy(col("value").desc, col("l_partkey"))
@@ -432,10 +442,14 @@ object CompositeTpch {
         |  SELECT l_partkey,
         |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
         |      AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev4
-        |  FROM lineitem GROUP BY 1)
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (
+        |  SELECT SUM(CAST(rev4 AS HUGEINT)) AS total4,
+        |    COUNT(*) AS n_parts
+        |  FROM pp)
         |SELECT l_partkey, ROUND(rev4 / 10000.0, 2) AS value
-        |FROM pp
-        |WHERE rev4 * 1000 > (SELECT SUM(rev4) FROM pp)
+        |FROM pp CROSS JOIN tot
+        |WHERE 10 * CAST(rev4 AS HUGEINT) * n_parts > 11 * total4
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "composite_tpch_q12" ->
       """SELECT l_linestatus,
@@ -477,8 +491,9 @@ object CompositeTpch {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
         |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
-        |  AND l_suppkey NOT IN
-        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |  AND NOT EXISTS
+        |    (SELECT 1 FROM supplier
+        |     WHERE s_suppkey = l_suppkey AND s_acctbal < 1000)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "composite_tpch_q17" ->

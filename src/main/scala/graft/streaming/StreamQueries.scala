@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.ingest.Pipeline
 
@@ -152,16 +152,27 @@ object StreamQueries {
     // Streams cannot infer schemas, so probe the staged footer with a
     // one-off batch read and declare the matching type, then normalize
     // to session-UTC TimestampType either way (the Tables.t contract).
-    val (tsDdl, tsFix) =
+    val (tsType, tsFix) =
       ss.read.parquet(dir.toString).schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
-          ("ts BIGINT", expr("timestamp_micros(ts div 1000)"))
+          (org.apache.spark.sql.types.LongType: DataType,
+            expr("timestamp_micros(ts div 1000)"))
         case org.apache.spark.sql.types.TimestampNTZType =>
-          ("ts TIMESTAMP_NTZ", col("ts").cast("timestamp"))
-        case _ => ("ts TIMESTAMP", col("ts"))
+          (org.apache.spark.sql.types.TimestampNTZType: DataType,
+            col("ts").cast("timestamp"))
+        case _ =>
+          (org.apache.spark.sql.types.TimestampType: DataType, col("ts"))
       }
+    // Swap the ts field's type structurally (by name, not substring
+    // surgery on the DDL constant — a rename/reorder there would have
+    // made a string replace a silent no-op)
+    val schema = StructType(StructType.fromDDL(eventsDdl).map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
+      case f => f
+    })
+    require(schema("ts").dataType == tsType, schema.treeString)
     ss.readStream
-      .schema(StructType.fromDDL(eventsDdl.replace("ts BIGINT", tsDdl)))
+      .schema(schema)
       .parquet(dir.toString)
       .withColumn("ts", tsFix)
   }

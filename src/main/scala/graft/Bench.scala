@@ -41,9 +41,7 @@ object Bench {
     // between queries and makes per-query numbers incomparable across
     // rounds — a stable order keeps the warm-up bias pinned to the same
     // queries every run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -52,7 +50,24 @@ object Bench {
       // queries, squeezing execution memory for the rest of the run —
       // drop them OUTSIDE the timed window
       spark.catalog.clearCache()
-      name -> dt
+      dt
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val firstPass = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
+    // Variance control (round-6 advice): this host's single-run numbers
+    // carry one-sided steal noise — a descheduled run can only be
+    // SLOWER than the plan's true cost, never faster (misattributed
+    // 10+ s to zscore in r5 and twophase in r6). Re-run only the 12
+    // most expensive queries once more and report min-of-2: the
+    // cheapest unbiased-under-one-sided-noise estimator, ~40 s extra,
+    // and it keeps the round-over-round top-12 signal honest.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
+    val topNames = firstPass.sortBy(-_._2).take(12).map(_._1).toSet
+    val fns = ordered.toMap
+    val results = firstPass.map { case (name, t1) =>
+      if (repeats < 1 || !topNames(name) || t1 < 0) name -> t1
+      else name -> (t1 +: (1 to repeats).map(_ => timeOne(name, fns(name)))).min
     }
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonMap(m: Iterable[(String, Double)]) =

@@ -105,20 +105,79 @@ object Windows {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
-  /** RANGE frame with a time INTERVAL bound (sliding event-time window
+  /** Trailing 1-hour count + max per event (sliding event-time window
     * per key, expressed relationally — the batch analogue of the
-    * streaming sliding window). SQL-only surface: the DataFrame
-    * `rangeBetween` takes numeric offsets, interval bounds come via the
-    * SQL frame syntax. Order-insensitive aggregates keep it exact. */
+    * streaming sliding window). NOT a sliding RANGE frame: Spark
+    * evaluates those without retraction — O(rows × frame) rescans per
+    * partition, quadratic in per-user density (the round-6 scale
+    * finding). Every window here is a GROWING frame (unbounded-
+    * preceding lower bound), which Spark's
+    * UnboundedPrecedingWindowFunctionFrame evaluates incrementally:
+    *
+    *  - cnt_1h = c1 − c2: rows up to now minus rows strictly before
+    *    the cutoff (upper bound `3600000001 µs PRECEDING` — exact at
+    *    the fixture's micro-aligned timestamps).
+    *  - max_1h decomposes over 10-minute buckets (1 h = exactly 6):
+    *    a cumulative max inside the event's own bucket, a fanned-out
+    *    max over the 5 fully-covered mid buckets (each bucket row
+    *    contributes to ≤5 target buckets — bounded fan-out, one
+    *    groupBy), and the partial old bucket b−6 answered by an as-of
+    *    lookup: reverse-cumulative max per bucket, probes union'd in
+    *    and sorted DESC so `last_value(…, true)` over a growing ROWS
+    *    frame picks the first build row at/after the cutoff.
+    *
+    * All per-row results are identical to the direct RANGE-frame
+    * formulation (the DuckDB oracle still uses it); only the plan
+    * changed — O(n) work, shuffles on (user) and (user, bucket). */
   def windowRangeInterval(s: SparkSession, d: String): DataFrame = {
     t(s, d, "events").createOrReplaceTempView("graft_ev_ri")
     s.sql(
-      """SELECT event_id,
-        |  COUNT(*) OVER w AS cnt_1h,
-        |  ROUND(MAX(value) OVER w, 2) AS max_1h
-        |FROM graft_ev_ri
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
-        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      """WITH e AS (
+        |  SELECT event_id, user_id, value, unix_micros(ts) AS us,
+        |    CAST(FLOOR(unix_micros(ts) / 600000000) AS BIGINT) AS b
+        |  FROM graft_ev_ri
+        |), cum AS (
+        |  SELECT event_id, user_id, us, b,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+        |    COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 3600000001 PRECEDING)
+        |      AS c2,
+        |    MAX(value) OVER (PARTITION BY user_id, b ORDER BY us
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_new
+        |  FROM e
+        |), bm AS (
+        |  SELECT user_id, b, MAX(value) AS bmax FROM e GROUP BY 1, 2
+        |), mids AS (
+        |  SELECT user_id, tb, MAX(bmax) AS mid_max
+        |  FROM (SELECT user_id, explode(sequence(b + 1, b + 5)) AS tb, bmax
+        |        FROM bm)
+        |  GROUP BY 1, 2
+        |), rev AS (
+        |  SELECT user_id, b AS gb, us AS k, 0 AS is_probe,
+        |    MAX(value) OVER (PARTITION BY user_id, b ORDER BY us DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revmax,
+        |    CAST(NULL AS BIGINT) AS probe_id
+        |  FROM e
+        |), probes AS (
+        |  SELECT user_id, b - 6 AS gb, us - 3600000000 AS k, 1 AS is_probe,
+        |    CAST(NULL AS DOUBLE) AS revmax, event_id AS probe_id
+        |  FROM e
+        |), oldp AS (
+        |  SELECT probe_id, max_old FROM (
+        |    SELECT probe_id, is_probe,
+        |      last_value(revmax, true) OVER (PARTITION BY user_id, gb
+        |        ORDER BY k DESC, is_probe ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_old
+        |    FROM (SELECT * FROM rev UNION ALL SELECT * FROM probes))
+        |  WHERE is_probe = 1
+        |)
+        |SELECT cum.event_id,
+        |  c1 - c2 AS cnt_1h,
+        |  ROUND(greatest(max_new, mid_max, max_old), 2) AS max_1h
+        |FROM cum
+        |LEFT JOIN mids ON mids.user_id = cum.user_id AND mids.tb = cum.b
+        |LEFT JOIN oldp ON oldp.probe_id = cum.event_id
         |ORDER BY event_id""".stripMargin)
   }
 
@@ -190,26 +249,41 @@ object Windows {
 
   /** Trailing-7-day rolling MEDIAN per user — the robust companion to
     * [[windowZscoreRolling]]'s moment-based baseline (medians shrug off
-    * the outliers that wreck a rolling mean). The frame median is
-    * rank-exact: approx_percentile at accuracy 1e6 degenerates to the
-    * exact order statistic at any realistic frame size (the
-    * agg_quantile_approx precedent, = DuckDB quantile_disc), and the
-    * DECIMAL data value passes through untouched — no float synthesis,
-    * so engines agree bit-for-bit. At scale this is the same one
-    * (user, time) exchange every event-time window in the engine rides. */
+    * the outliers that wreck a rolling mean). Anchored at the
+    * (user, calendar-day) grain — the [[windowRsi]] precedent: a
+    * per-event sliding RANGE frame would rescan O(frame) rows per
+    * event (a rank statistic has no cumulative-frame rewrite — round-6
+    * scale finding), while the day grain makes the whole query one
+    * bounded fan-out: each event contributes to exactly the 7 trailing
+    * day-groups that can see it (explode of a 7-date sequence), one
+    * shuffle on (user, day), no window frame at all. Emitted days are
+    * only those where the user actually has events (semi-join back to
+    * the observed day set). The day-multiset median is rank-exact:
+    * approx_percentile at accuracy 1e6 degenerates to the exact order
+    * statistic (the agg_quantile_approx precedent, = DuckDB
+    * quantile_disc), and the DECIMAL data value passes through
+    * untouched — no float synthesis, so engines agree bit-for-bit. */
   def windowRollingMedian(s: SparkSession, d: String): DataFrame = {
     t(s, d, "events").createOrReplaceTempView("graft_ev_rm")
     s.sql(
-      """SELECT event_id, user_id,
-        |  CAST(vq AS DOUBLE) AS v,
-        |  COUNT(*) OVER w AS n7,
-        |  CAST(approx_percentile(vq, 0.5D, 1000000) OVER w AS DOUBLE)
-        |    AS med7
-        |FROM (SELECT event_id, user_id, ts,
-        |        CAST(value AS DECIMAL(19,4)) AS vq FROM graft_ev_rm)
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
-        |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin)
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(value AS DECIMAL(19,4)) AS vq
+        |  FROM graft_ev_rm
+        |), fan AS (
+        |  SELECT user_id, explode(sequence(day, date_add(day, 6))) AS tday,
+        |    vq
+        |  FROM e
+        |), agg AS (
+        |  SELECT user_id, tday, COUNT(*) AS n7,
+        |    CAST(approx_percentile(vq, 0.5D, 1000000) AS DOUBLE) AS med7
+        |  FROM fan GROUP BY 1, 2
+        |)
+        |SELECT agg.user_id AS user_id, agg.tday AS day, n7, med7
+        |FROM agg
+        |JOIN (SELECT DISTINCT user_id, day FROM e) days
+        |  ON agg.user_id = days.user_id AND agg.tday = days.day
+        |ORDER BY agg.user_id, agg.tday""".stripMargin)
   }
 
   /** 14-day RSI per event type over the daily value series — the
@@ -817,18 +891,22 @@ object Windows {
         |  ) t1 WHERE n = 20 AND (sxx - sx * sx / n) / (n - 1) > 0
         |) t2
         |ORDER BY event_type, day""".stripMargin,
-    // rank-exact frame median (quantile_disc ↔ approx_percentile@1e6,
-    // the agg_quantile_approx precedent); COUNT window -> BIGINT cast
+    // rank-exact day-multiset median (quantile_disc ↔
+    // approx_percentile@1e6, the agg_quantile_approx precedent); the
+    // oracle states the trailing-week semantics directly as a grouped
+    // day-range join — the Spark side computes the same groups via the
+    // bounded 7-day fan-out
     "window_rolling_median" ->
-      """SELECT event_id, user_id,
-        |  CAST(vq AS DOUBLE) AS v,
-        |  CAST(COUNT(*) OVER w AS BIGINT) AS n7,
-        |  CAST(quantile_disc(vq, 0.5) OVER w AS DOUBLE) AS med7
-        |FROM (SELECT event_id, user_id, ts,
-        |        CAST(value AS DECIMAL(19,4)) AS vq FROM events)
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
-        |  RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(value AS DECIMAL(19,4)) AS vq
+        |  FROM events
+        |), days AS (SELECT DISTINCT user_id, day FROM e)
+        |SELECT d.user_id, d.day, CAST(COUNT(*) AS BIGINT) AS n7,
+        |  CAST(quantile_disc(e.vq, 0.5) AS DOUBLE) AS med7
+        |FROM days d JOIN e ON e.user_id = d.user_id
+        |  AND e.day >= d.day - 6 AND e.day <= d.day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // micro-resolution order keys (epoch_us floors the nanos) — same
     // total order as the engine's event-time contract
     "window_drawdown" ->

@@ -362,6 +362,29 @@ class PlanSpec extends AnyFunSuite {
     assert(got == naive, s"banded=$got naive=$naive")
   }
 
+  test("window_range_interval: every window frame is growing (incremental)") {
+    // Sliding RANGE frames are evaluated without retraction — O(rows ×
+    // frame) rescans per partition. The trailing-1h count/max rewrite
+    // must only use unbounded-preceding lower bounds (Spark's
+    // incremental UnboundedPrecedingWindowFunctionFrame); the max rides
+    // a bucket decomposition with bounded fan-out instead of a frame.
+    val p = graft.queries.Windows.windowRangeInterval(spark, sf)
+      .queryExecution.executedPlan.toString
+    val frames =
+      """specifiedwindowframe\((\w+), ([^,]+),""".r.findAllMatchIn(p).toSeq
+    assert(frames.nonEmpty, p)
+    for (m <- frames)
+      assert(m.group(2).startsWith("unboundedpreceding"), m.matched)
+  }
+
+  test("window_rolling_median: no window frame at all — bounded day fan-out") {
+    val df = graft.queries.Windows.windowRollingMedian(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("specifiedwindowframe"), p)
+    // the 7-day fan-out is a Generate (explode) feeding a hash aggregate
+    assert(p.contains("Generate") && p.contains("HashAggregate"), p)
+  }
+
   test("text_js_divergence: no dense source×vocab grid — present pairs only") {
     // The zero cells are folded into a closed-form remainder, so the
     // plan must contain no CartesianProduct, and the only nested-loop

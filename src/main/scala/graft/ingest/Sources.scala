@@ -46,4 +46,50 @@ object Sources {
   def stream(spark: SparkSession, format: String,
       options: Map[String, String]): DataFrame =
     fromWire(spark.readStream.format(format).options(options).load())
+
+  /** Canonical Kafka connector option map (the reference's Event Hub
+    * trigger, src/function_app.py:302-309 — Event Hubs exposes the
+    * Kafka wire surface, so the same option names configure either).
+    * `extra` passes through verbatim and wins on conflicts — the slot
+    * for SASL/TLS auth, `maxOffsetsPerTrigger` rate caps,
+    * `failOnDataLoss`, etc. */
+  def kafkaOptions(bootstrapServers: String, subscribe: String,
+      startingOffsets: String = "latest",
+      extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> subscribe,
+      "startingOffsets" -> startingOffsets) ++ extra
+
+  /** Same map read from session conf, so a cluster user configures the
+    * real source with spark-submit `--conf` alone — no code changes:
+    * `spark.graft.kafka.bootstrapServers` / `.subscribe` /
+    * `.startingOffsets` (optional, default latest), plus every
+    * `spark.graft.kafka.option.<key>` forwarded verbatim as `<key>`. */
+  def kafkaOptionsFromConf(spark: SparkSession): Map[String, String] = {
+    val prefix = "spark.graft.kafka.option."
+    val extra = spark.conf.getAll.collect {
+      case (k, v) if k.startsWith(prefix) => k.stripPrefix(prefix) -> v
+    }
+    kafkaOptions(
+      spark.conf.get("spark.graft.kafka.bootstrapServers"),
+      spark.conf.get("spark.graft.kafka.subscribe"),
+      spark.conf.getOption("spark.graft.kafka.startingOffsets")
+        .getOrElse("latest"),
+      extra)
+  }
+
+  /** The production entry point: `format("kafka")` + canonical options,
+    * normalized to the envelope contract. Jar-gated — resolves once the
+    * connector artifact is on the classpath; every downstream
+    * instruction is the tested [[fromWire]] → Pipeline path. */
+  def kafka(spark: SparkSession, bootstrapServers: String,
+      subscribe: String, startingOffsets: String = "latest",
+      extra: Map[String, String] = Map.empty): DataFrame =
+    stream(spark, "kafka",
+      kafkaOptions(bootstrapServers, subscribe, startingOffsets, extra))
+
+  /** [[kafka]] configured entirely from session conf. */
+  def kafkaFromConf(spark: SparkSession): DataFrame =
+    stream(spark, "kafka", kafkaOptionsFromConf(spark))
 }

@@ -36,6 +36,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(msg != null && msg.toLowerCase.contains("kafka"), msg)
   }
 
+  test("kafka option plumbing: canonical names, conf passthrough, extra wins") {
+    assert(Sources.kafkaOptions("b1:9092,b2:9092", "envelopes") == Map(
+      "kafka.bootstrap.servers" -> "b1:9092,b2:9092",
+      "subscribe" -> "envelopes",
+      "startingOffsets" -> "latest"))
+    // extra options pass through verbatim and override on conflict
+    val o = Sources.kafkaOptions("b:9092", "t", "earliest", Map(
+      "maxOffsetsPerTrigger" -> "100000",
+      "kafka.security.protocol" -> "SASL_SSL",
+      "startingOffsets" -> """{"t":{"0":42}}"""))
+    assert(o("maxOffsetsPerTrigger") == "100000")
+    assert(o("kafka.security.protocol") == "SASL_SSL")
+    assert(o("startingOffsets") == """{"t":{"0":42}}""")
+    // conf-driven: spark-submit --conf alone configures the source
+    val keys = Seq(
+      "spark.graft.kafka.bootstrapServers" -> "broker:9092",
+      "spark.graft.kafka.subscribe" -> "envelopes",
+      "spark.graft.kafka.option.kafka.sasl.mechanism" -> "PLAIN",
+      "spark.graft.kafka.option.failOnDataLoss" -> "false")
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val c = Sources.kafkaOptionsFromConf(spark)
+      assert(c("kafka.bootstrap.servers") == "broker:9092")
+      assert(c("subscribe") == "envelopes")
+      assert(c("startingOffsets") == "latest") // default when unset
+      assert(c("kafka.sasl.mechanism") == "PLAIN")
+      assert(c("failOnDataLoss") == "false")
+      // the conf-driven options reach the jar-gated source slot: the
+      // only failure is the missing connector artifact
+      val e = intercept[Exception] { Sources.kafkaFromConf(spark) }
+      assert(e.getMessage != null &&
+        e.getMessage.toLowerCase.contains("kafka"), e.getMessage)
+    } finally keys.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("kafka wire schema feeds the same downstream pipeline as file") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

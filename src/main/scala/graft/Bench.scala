@@ -27,7 +27,18 @@ object Bench {
       (s: SparkSession) => graft.llm.Dedup.dedupNgramJaccard(s, warmSf),
       (s: SparkSession) => graft.llm.Dedup.dedupFuzzyMinhash(s, warmSf),
       (s: SparkSession) => graft.llm.Dedup.dedupEmbeddingCosine(s, warmSf),
-      (s: SparkSession) => graft.streaming.StreamQueries.streamTumblingWindow(s, warmSf)
+      (s: SparkSession) => graft.streaming.StreamQueries.streamTumblingWindow(s, warmSf),
+      // the streaming machinery families each pay a multi-second
+      // first-touch cost (foreachBatch + Pipeline/SchemaRegistry class
+      // graph, sketch-in-state aggregation, the RocksDB provider,
+      // stream-stream join state) — measured 10.6 s cold vs 1.8 s warm
+      // for the ingest pipeline at sf0.1. Touch each once at sf0.001 so
+      // the timed pass measures steady-state trigger + state cost, not
+      // whichever family alphabetically runs first.
+      (s: SparkSession) => graft.streaming.StreamQueries.streamIngestPipeline(s, warmSf),
+      (s: SparkSession) => graft.streaming.StreamQueries.streamHeavyHitters(s, warmSf),
+      (s: SparkSession) => graft.streaming.StreamQueries.streamTransformWithState(s, warmSf),
+      (s: SparkSession) => graft.streaming.StreamQueries.streamJoinStream(s, warmSf)
     ).foreach { f =>
       try { f(spark).count(); () } catch { case _: Throwable => () }
       spark.catalog.clearCache()

@@ -105,11 +105,27 @@ object Compact {
       }
     if (!fs.exists(root)) CompactSweep(Seq.empty, Seq.empty)
     else {
-      val results = (leaves(root) ++ danglingBaks(root))
-        .distinct.sortBy(_.toString).map { p =>
-          try Right(compactTable(spark, p.toString, targetRecordsPerFile))
-          catch { case e: Exception => Left(p.toString -> e.toString) }
-        }
+      // Per-table rewrites are independent Spark jobs over disjoint
+      // directories — run them CONCURRENTLY on a bounded pool (the
+      // Pipeline.ingest route pattern) so one table's small rewrite
+      // doesn't leave the cluster idle between jobs; the scheduler
+      // interleaves their tasks. Error isolation is unchanged: each
+      // future catches its own table's failure. Results keep the sorted
+      // table order regardless of completion order.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val tables = (leaves(root) ++ danglingBaks(root))
+        .distinct.sortBy(_.toString)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(8, tables.size)))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val results =
+        try Await.result(
+          Future.sequence(tables.map { p => Future(
+            try Right(compactTable(spark, p.toString, targetRecordsPerFile))
+            catch { case e: Exception => Left(p.toString -> e.toString) })
+          }), Duration.Inf)
+        finally pool.shutdown()
       CompactSweep(
         results.collect { case Right(r) => r },
         results.collect { case Left(f) => f })

@@ -88,21 +88,70 @@ object Windows {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
-  /** RANGE frame over a numeric ordering column (peer-inclusive).
-    * Expressed in SQL so the literal bound type-checks against the double
-    * ordering key; only order-insensitive aggregates (count/max) are used
-    * so the frame result is exact regardless of evaluation order.
-    */
+  /** RANGE frame over a numeric ordering column (peer-inclusive):
+    * trailing 10000-wide price band per priority, count + max. Like
+    * [[windowRangeInterval]], NOT a sliding RANGE frame (no retraction
+    * in Spark — O(rows × frame) rescans): because the band width
+    * equals the bucket width, the frame [p−10000, p] spans exactly two
+    * price buckets (b = ⌊p/10000⌋ and b−1) with no mid buckets, so
+    * both aggregates decompose into a cumulative within the row's own
+    * bucket plus an as-of lookup into bucket b−1 (reverse-cumulative
+    * count/max, probes union'd at k = p−10000 and resolved by
+    * `last_value(…, true)` over a growing DESC frame). Boundary
+    * exactness: the cutoff double p−10000.0 is the same IEEE value the
+    * naive frame compares against (the DuckDB oracle keeps the naive
+    * spec), rounding cannot push it past a representable bucket edge
+    * in either direction, and equal-key builds sort before probes so
+    * the ≥-inclusive bound holds. Only order-insensitive aggregates
+    * (count/max), so results are exact regardless of evaluation
+    * order. */
   def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
     t(s, d, "orders").createOrReplaceTempView("graft_ord_rf")
     s.sql(
-      """SELECT o_orderkey, o_orderpriority,
-        |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
-        |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS cnt_band,
-        |  MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
-        |    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS max_band
-        |FROM graft_ord_rf
-        |ORDER BY o_orderkey""".stripMargin)
+      """WITH e AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS b
+        |  FROM graft_ord_rf
+        |), cum AS (
+        |  SELECT o_orderkey, o_orderpriority, b,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority, b
+        |      ORDER BY o_totalprice
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt_new,
+        |    MAX(o_totalprice) OVER (PARTITION BY o_orderpriority, b
+        |      ORDER BY o_totalprice
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS max_new
+        |  FROM e
+        |), rev AS (
+        |  SELECT o_orderpriority, b AS gb, o_totalprice AS k, 0 AS is_probe,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority, b
+        |      ORDER BY o_totalprice DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revcnt,
+        |    MAX(o_totalprice) OVER (PARTITION BY o_orderpriority, b
+        |      ORDER BY o_totalprice DESC
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revmax,
+        |    CAST(NULL AS BIGINT) AS probe_id
+        |  FROM e
+        |), probes AS (
+        |  SELECT o_orderpriority, b - 1 AS gb, o_totalprice - 10000.0 AS k,
+        |    1 AS is_probe, CAST(NULL AS BIGINT) AS revcnt,
+        |    CAST(NULL AS DOUBLE) AS revmax, o_orderkey AS probe_id
+        |  FROM e
+        |), oldp AS (
+        |  SELECT probe_id, old_cnt, old_max FROM (
+        |    SELECT probe_id, is_probe,
+        |      last_value(revcnt, true) OVER w AS old_cnt,
+        |      last_value(revmax, true) OVER w AS old_max
+        |    FROM (SELECT * FROM rev UNION ALL SELECT * FROM probes)
+        |    WINDOW w AS (PARTITION BY o_orderpriority, gb
+        |      ORDER BY k DESC, is_probe ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |  WHERE is_probe = 1
+        |)
+        |SELECT cum.o_orderkey, cum.o_orderpriority,
+        |  cnt_new + coalesce(old_cnt, 0L) AS cnt_band,
+        |  greatest(max_new, old_max) AS max_band
+        |FROM cum LEFT JOIN oldp ON oldp.probe_id = cum.o_orderkey
+        |ORDER BY cum.o_orderkey""".stripMargin)
   }
 
   /** Trailing 1-hour count + max per event (sliding event-time window

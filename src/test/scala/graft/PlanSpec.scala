@@ -362,19 +362,25 @@ class PlanSpec extends AnyFunSuite {
     assert(got == naive, s"banded=$got naive=$naive")
   }
 
-  test("window_range_interval: every window frame is growing (incremental)") {
+  test("range-frame queries: every window frame is growing (incremental)") {
     // Sliding RANGE frames are evaluated without retraction — O(rows ×
-    // frame) rescans per partition. The trailing-1h count/max rewrite
-    // must only use unbounded-preceding lower bounds (Spark's
-    // incremental UnboundedPrecedingWindowFunctionFrame); the max rides
-    // a bucket decomposition with bounded fan-out instead of a frame.
-    val p = graft.queries.Windows.windowRangeInterval(spark, sf)
-      .queryExecution.executedPlan.toString
-    val frames =
-      """specifiedwindowframe\((\w+), ([^,]+),""".r.findAllMatchIn(p).toSeq
-    assert(frames.nonEmpty, p)
-    for (m <- frames)
-      assert(m.group(2).startsWith("unboundedpreceding"), m.matched)
+    // frame) rescans per partition. The trailing-band rewrites
+    // (1-hour count/max, 10000-wide price band) must only use
+    // unbounded-preceding lower bounds (Spark's incremental
+    // UnboundedPrecedingWindowFunctionFrame); the non-subtractable max
+    // rides a bucket decomposition with bounded fan-out / as-of lookups
+    // instead of a frame.
+    val plans = Seq(
+      graft.queries.Windows.windowRangeInterval(spark, sf),
+      graft.queries.Windows.windowRangeFrame(spark, sf))
+      .map(_.queryExecution.executedPlan.toString)
+    for (p <- plans) {
+      val frames =
+        """specifiedwindowframe\((\w+), ([^,]+),""".r.findAllMatchIn(p).toSeq
+      assert(frames.nonEmpty, p)
+      for (m <- frames)
+        assert(m.group(2).startsWith("unboundedpreceding"), m.matched)
+    }
   }
 
   test("window_rolling_median: no window frame at all — bounded day fan-out") {

@@ -285,4 +285,66 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: growing-frame decompositions equal the naive sliding RANGE frames") {
+    // The round-7 rewrites (trailing-1h count/max over time buckets,
+    // trailing-10000 price band over price buckets) claim bit-identical
+    // results to the sliding frames they replaced. Stress the claim on
+    // adversarial data the fixture can't guarantee: exact bucket-edge
+    // timestamps/prices, equal-key ties, sparse and dense keys.
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_rf").toString
+    val baseUs = 1700000000000000L
+    val events = (1 to 3000).map { i =>
+      val offs = rnd.nextInt(5) match {
+        case 0 => rnd.nextInt(48).toLong * 600000000L  // exact 10-min edges
+        case 1 => rnd.nextInt(8).toLong * 3600000000L  // exact hour edges
+        case 2 => rnd.nextInt(200).toLong * 144000000L // repeating ties
+        case _ => math.abs(rnd.nextLong()) % (8L * 3600000000L)
+      }
+      (i.toLong, baseUs + offs, rnd.nextInt(5).toLong, "e",
+        rnd.nextInt(7) * 13.37, "{}")
+    }
+    events.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), expr("timestamp_micros(us)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    spark.read.parquet(s"$dir/events.parquet")
+      .createOrReplaceTempView("prop_ev_naive")
+    val naiveEv = spark.sql(
+      """SELECT event_id, COUNT(*) OVER w AS cnt_1h,
+        |  ROUND(MAX(value) OVER w, 2) AS max_1h
+        |FROM prop_ev_naive
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gotEv = graft.queries.Windows.windowRangeInterval(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(gotEv.toSeq == naiveEv.toSeq)
+
+    val orders = (1 to 3000).map { i =>
+      val price = rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(12).toLong * 10000.0     // exact bucket edges
+        case 1 => rnd.nextInt(12) * 10000.0 + 9999.999 // just under an edge
+        case 2 => rnd.nextInt(60) * 2000.0             // repeating ties
+        case _ => rnd.nextDouble() * 120000.0
+      }
+      (i.toLong, s"P${rnd.nextInt(3)}", price)
+    }
+    orders.toDF("o_orderkey", "o_orderpriority", "o_totalprice")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .createOrReplaceTempView("prop_ord_naive")
+    val naiveOrd = spark.sql(
+      """SELECT o_orderkey,
+        |  COUNT(*) OVER w AS cnt_band, MAX(o_totalprice) OVER w AS max_band
+        |FROM prop_ord_naive
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |  RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val gotOrd = graft.queries.Windows.windowRangeFrame(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(gotOrd.toSeq == naiveOrd.toSeq)
+  }
 }

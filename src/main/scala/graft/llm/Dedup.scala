@@ -787,6 +787,69 @@ object Dedup {
           .as("dup_rate"))
       .orderBy(col("source"))
 
+  /** Bloom-filter cross-corpus membership — the 100 TB decontamination
+    * shape: build a Bloom filter over the REFERENCE set's content keys
+    * (distributed aggregate build via the public `stat.bloomFilter`;
+    * the driver holds only the fixed-size bit array — 1 MiB at 2^23
+    * bits — the same bounded model-state category as the k-means
+    * centroids), then probe the big corpus with a broadcast-literal
+    * `BloomFilterMightContain` expression. NO join and no shuffle of
+    * the corpus side: at scale the reference set never co-shuffles
+    * with the 100 TB side, which is the entire point of the filter.
+    *
+    * Reference set: doc_id % 5 == 0, plus a PLANTED copy of corpus doc
+    * 1's text so membership detection is non-vacuous at any sf. Gate
+    * row (derived-check pattern, round-6 discipline): exact quantities
+    * the oracle computes independently (n_ref, n_corpus,
+    * n_true_members via an md5 semi-join) + invariant booleans pinned
+    * TRUE — no_false_negatives and planted_member_detected are
+    * THEORY-guaranteed (Bloom filters have no false negatives, and
+    * identical text ⇒ identical xxhash64 key), fp_below_1pct is
+    * deterministic because the bit array is an order-independent OR
+    * of per-item bits (2^23 bits vs ≤ thousands of reference items ⇒
+    * expected false positives ≈ 0). */
+  def dedupBloomMembership(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") === 1)
+      .select(lit(plantedId).as("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") % 5 === 0).unionByName(planted)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val bf = ref.select(xxhash64(col("text")).as("h"))
+      .stat.bloomFilter("h", 1000000L, 8388608L)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val maybeMember = GraftBridge.column(BloomFilterMightContain(
+      GraftBridge.expression(lit(bytes)),
+      GraftBridge.expression(xxhash64(col("text")))))
+    val refH = ref.select(md5(col("text")).as("h")).distinct()
+      .withColumn("is_member", lit(true))
+    val truth = corpus
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        maybeMember.as("maybe_member"))
+      .join(broadcast(refH), Seq("h"), "left")
+      .withColumn("is_member", coalesce(col("is_member"), lit(false)))
+    val agg = truth.agg(
+      count(lit(1)).as("n_corpus"),
+      sum(when(col("is_member"), 1L).otherwise(0L)).as("n_true_members"),
+      min(!col("is_member") || col("maybe_member")).as("no_false_negatives"),
+      sum(when(col("maybe_member"), 1L).otherwise(0L)).as("n_flagged"),
+      max(when(col("doc_id") === 1, col("maybe_member")))
+        .as("planted_member_detected"))
+    agg
+      .crossJoin(broadcast(ref.agg(count(lit(1)).as("n_ref"))))
+      .select(col("n_ref"), col("n_corpus"), col("n_true_members"),
+        col("no_false_negatives"),
+        ((col("n_flagged") - col("n_true_members")) * 100 <=
+          (col("n_corpus") - col("n_true_members")) + 100)
+          .as("fp_below_1pct"),
+        col("planted_member_detected"))
+  }
+
   /** Derived-check gate row for [[dedupFuzzyMinhash]] (round 6): the
     * banding itself is xxhash64-seeded (no DuckDB equivalent), so the
     * gate instead scores the candidate set against two EXACT relations
@@ -941,7 +1004,8 @@ object Dedup {
     "dedup_embedding_cluster" -> (dedupEmbeddingCluster _),
     "dedup_fuzzy_minhash" -> (dedupFuzzyMinhashCheck _),
     "dedup_fuzzy_cluster" -> (dedupFuzzyClusterCheck _),
-    "dedup_simhash" -> (dedupSimhashCheck _)
+    "dedup_simhash" -> (dedupSimhashCheck _),
+    "dedup_bloom_membership" -> (dedupBloomMembership _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1153,6 +1217,20 @@ object Dedup {
         |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id)
         |SELECT (SELECT COUNT(*) FROM dp) AS n_exact_dup_pairs,
         |  TRUE AS transitive_ok, TRUE AS reps_canonical,
-        |  TRUE AS rep_is_min, TRUE AS exact_dups_same_cluster""".stripMargin
+        |  TRUE AS rep_is_min, TRUE AS exact_dups_same_cluster""".stripMargin,
+    "dedup_bloom_membership" ->
+      """WITH refd AS (
+        |  SELECT md5(text) AS h FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT md5(text) AS h FROM documents WHERE doc_id = 1),
+        |corpus AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE doc_id % 5 <> 0)
+        |SELECT (SELECT COUNT(*) FROM refd) AS n_ref,
+        |  (SELECT COUNT(*) FROM corpus) AS n_corpus,
+        |  (SELECT COUNT(*) FROM corpus
+        |   WHERE h IN (SELECT h FROM refd)) AS n_true_members,
+        |  TRUE AS no_false_negatives, TRUE AS fp_below_1pct,
+        |  TRUE AS planted_member_detected""".stripMargin
   )
 }

@@ -240,4 +240,16 @@ class DedupSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), p)
   }
+
+  test("bloom membership: theory invariants hold and probe exactly matches the semi-join truth") {
+    val r = Dedup.dedupBloomMembership(spark, sf).collect().head
+    // no false negatives + planted member are Bloom-theory guarantees;
+    // a red here means the build and probe disagree on keys or bytes
+    assert(r.getAs[Boolean]("no_false_negatives"))
+    assert(r.getAs[Boolean]("planted_member_detected"))
+    assert(r.getAs[Boolean]("fp_below_1pct"))
+    // non-vacuous: the planted copy makes at least one true member
+    assert(r.getAs[Long]("n_true_members") >= 1L)
+    assert(r.getAs[Long]("n_ref") > 0L && r.getAs[Long]("n_corpus") > 0L)
+  }
 }

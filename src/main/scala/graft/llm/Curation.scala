@@ -328,7 +328,37 @@ object Curation {
       .orderBy(col("doc_id"), col("slot"))
   }
 
+  /** Sliding-window document chunking — the RAG / long-context prep
+    * step: each document splits into overlapping token windows
+    * (window 32, stride 24 → 8-token overlap; the tail chunk may be
+    * shorter). Chunk identity is emitted as the md5 of the re-joined
+    * window, so the gate compares content without shipping chunk text,
+    * and `chunk_idx = start/stride` is reproducible shard-locally —
+    * any worker can re-derive a doc's chunks without coordination.
+    * Plan shape: one Generate (explode of the start sequence) + a
+    * narrow projection — O(tokens) per doc inside the scan stage, NO
+    * shuffle at all; at 100 TB chunking is embarrassingly parallel
+    * and this plan keeps it that way. */
+  def textChunkSliding(s: SparkSession, d: String): DataFrame = {
+    val window = 32
+    val stride = 24
+    t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+          lit(stride))).as("s"))
+      .select(col("doc_id"),
+        (col("s") / stride).cast("long").as("chunk_idx"),
+        least(lit(window), col("n") - col("s")).cast("long")
+          .as("n_chunk_tokens"),
+        md5(array_join(slice(col("toks"), col("s") + 1, lit(window)), " "))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_chunk_sliding" -> (textChunkSliding _),
     "sample_negative_pairs" -> (sampleNegativePairs _),
     "sample_downweight_duplicates" -> (sampleDownweightDuplicates _),
     "pack_sequences" -> (packSequences _),
@@ -343,6 +373,20 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_chunk_sliding" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id, t, n, UNNEST(range(0, greatest(n, 1), 24)) AS s
+        |  FROM toks
+        |)
+        |SELECT doc_id, s // 24 AS chunk_idx,
+        |  least(32, n - s) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(t, s + 1, least(s + 32, n)), ' '))
+        |    AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "sample_negative_pairs" ->
       """WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
         |draws AS (

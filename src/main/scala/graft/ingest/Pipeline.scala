@@ -67,7 +67,8 @@ object Pipeline {
       messageType: Option[String] = None,
       includeMeta: Boolean = false,
       typedMode: Boolean = false,
-      footerMeta: Boolean = false)
+      footerMeta: Boolean = false,
+      listLayout: Boolean = false)
 
   case class RouteResult(folder: String, sourceDb: String, table: String,
       rows: Long, kind: String)
@@ -306,7 +307,37 @@ object Pipeline {
               else merged).cache()
             try {
               val n = base.count()
-              val out = if (cfg.includeMeta) withBatchMeta(base, cfg) else base
+              val rowOut = if (cfg.includeMeta) withBatchMeta(base, cfg) else base
+              // Opt-in byte-layout compat with the reference's writer
+              // (src/function_app.py:234-241): one parquet ROW per
+              // chunk, every column a LIST<STRING> holding the chunk's
+              // stringified values with nulls and row order preserved.
+              // OFF by default — the layout defeats row-group pruning
+              // and is hostile at scale (SURVEY §1.2) — but with it a
+              // reference consumer reads our files unchanged. Chunking
+              // reuses the maxRecordsPerFile arithmetic on
+              // monotonically_increasing_id, order inside each list is
+              // pinned by sorting on that id (collect_list alone is
+              // order-unstable), and nulls survive because they ride
+              // struct fields, not bare list elements.
+              val out =
+                if (cfg.listLayout) {
+                  val dataCols = rowOut.columns.toSeq
+                  val chunkOf = shiftleft(shiftright(col("_mid"), 33), 33) +
+                    floor(col("_mid").bitwiseAND(lit((1L << 33) - 1)) /
+                      cfg.maxRecordsPerFile.toLong).cast("long")
+                  val aggs = dataCols.map { c =>
+                    transform(
+                      array_sort(collect_list(struct(col("_mid").as("i"),
+                        col(c).cast("string").as("v")))),
+                      x => x.getField("v")).as(c)
+                  }
+                  rowOut.withColumn("_mid", monotonically_increasing_id())
+                    .withColumn("_chunk", chunkOf)
+                    .groupBy(col("_chunk"))
+                    .agg(aggs.head, aggs.tail: _*)
+                    .drop("_chunk")
+                } else rowOut
               val routeDir = s"${cfg.outDir}/folder=$folder/source_db=$db/table=$table"
               if (cfg.typedMode) validateTypedAppend(spark, routeDir, out.schema)
               // Footer-metadata compat (reference src/function_app.py:
@@ -338,7 +369,10 @@ object Pipeline {
               }
               withFooter.write.mode(mode)
                 .option("compression", cfg.compression)
-                .option("maxRecordsPerFile", cfg.maxRecordsPerFile.toLong)
+                // compat layout: each single-row chunk table is its own
+                // file, exactly one reference "batch" per parquet
+                .option("maxRecordsPerFile",
+                  if (cfg.listLayout) 1L else cfg.maxRecordsPerFile.toLong)
                 .parquet(path)
               Right(RouteResult(folder, db, table, n, kind))
             } finally base.unpersist()

@@ -135,6 +135,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir.toString).count() == 25)
   }
 
+  test("listLayout compat sink: one single-row LIST<STRING> parquet per chunk, lossless") {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val out = Files.createTempDirectory("graft_pipeline_list").toString
+    val rows = (1 to 25).map(i =>
+      s"""{"v":$i,"w":${if (i % 7 == 0) "null" else s""""x$i""""}}""")
+      .mkString("[", ",", "]")
+    val b64 = java.util.Base64.getEncoder.encodeToString(rows.getBytes("UTF-8"))
+    val env = s"""{"Source":"db.compat","Destination":"f","Data":"$b64"}"""
+    val report = Pipeline.ingest(spark,
+      spark.createDataset(Seq(env)).toDF("value"),
+      Pipeline.IngestConfig(outDir = out, maxRecordsPerFile = 10,
+        listLayout = true))
+    assert(report.written.map(_.rows).sum == 25)
+    val dir = new java.io.File(s"$out/folder=f/source_db=db/table=compat")
+    val parts = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    // reference byte shape (src/function_app.py:234-241, 382-401): one
+    // single-row table per MAX_BATCH_SIZE chunk, every column LIST<STRING>
+    assert(parts.length >= 3, parts.length.toString)
+    parts.foreach { f =>
+      assert(spark.read.parquet(f.toString).count() == 1, f.getName)
+    }
+    val df = spark.read.parquet(dir.toString)
+    assert(df.schema.fields.forall(f =>
+      f.dataType == ArrayType(StringType, containsNull = true)), df.schema.treeString)
+    // flattening recovers every record, values stringified, nulls kept
+    val back = graft.ingest.Normalize.explodeColumnar(df)
+    assert(back.count() == 25)
+    assert(back.select("v").collect().map(_.getString(0)).toSet ==
+      (1 to 25).map(_.toString).toSet)
+    assert(back.filter(col("w").isNull).count() == 3)
+  }
+
   test("per-group error isolation: a bad route never blocks good ones") {
     // A payload that decodes to valid JSON for one route plus an envelope
     // whose Data is valid base64 of invalid UTF-8/JSON for another route.

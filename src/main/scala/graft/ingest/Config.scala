@@ -45,5 +45,9 @@ object Config {
       compression = opt(env, "PARQUET_COMPRESSION", "snappy").toLowerCase,
       messageType = env.get("MESSAGE_TYPE_FILTER").filter(_.nonEmpty),
       typedMode = env.get("TYPED_MODE").map(_.trim).filter(_.nonEmpty)
-        .fold(false)(_ => reqBool(env, "TYPED_MODE")))
+        .fold(false)(_ => reqBool(env, "TYPED_MODE")),
+      footerMeta = env.get("FOOTER_META").map(_.trim).filter(_.nonEmpty)
+        .fold(false)(_ => reqBool(env, "FOOTER_META")),
+      listLayout = env.get("LIST_LAYOUT").map(_.trim).filter(_.nonEmpty)
+        .fold(false)(_ => reqBool(env, "LIST_LAYOUT")))
 }

@@ -320,6 +320,17 @@ object Pipeline {
               // pinned by sorting on that id (collect_list alone is
               // order-unstable), and nulls survive because they ride
               // struct fields, not bare list elements.
+              // INVARIANT: the chunk id is pure bit surgery on _mid,
+              // so it is fixed the moment _mid is projected — the
+              // groupBy's shuffle cannot scramble membership. But _mid
+              // is per-PARTITION (pid·2^33 + local index): any
+              // repartition of rowOut BEFORE the _mid projection
+              // changes chunk membership, and every partition tail
+              // emits a short chunk. Boundaries therefore match a
+              // reference run's strict MAX_BATCH_SIZE packing only
+              // per-partition, not globally (same caveat as the row
+              // layout's maxRecordsPerFile chunking); repartition(1)
+              // per route if exact batch parity matters.
               val out =
                 if (cfg.listLayout) {
                   val dataCols = rowOut.columns.toSeq
@@ -370,7 +381,8 @@ object Pipeline {
               withFooter.write.mode(mode)
                 .option("compression", cfg.compression)
                 // compat layout: each single-row chunk table is its own
-                // file, exactly one reference "batch" per parquet
+                // file — at most maxRecordsPerFile rows per chunk,
+                // boundaries per-partition (see INVARIANT above)
                 .option("maxRecordsPerFile",
                   if (cfg.listLayout) 1L else cfg.maxRecordsPerFile.toLong)
                 .parquet(path)

@@ -244,9 +244,13 @@ object Ranking {
         sum(col("c_t")).as("covered_c"),
         max(col("n")).as("n"))
       // closed-form zero-cell remainder: (ln 2)/2 · (1 − covered mass),
-      // rounded → decimal exactly like the per-pair terms
+      // rounded → decimal exactly like the per-pair terms. The constant
+      // is a PINNED IEEE literal (not math.log: JVM Math.log has 1-ulp
+      // slack, DuckDB's ln may differ in the last bit — a 1-ulp gap
+      // could flip the round(...,6) boundary); the oracle uses the
+      // same literal digits.
       .withColumn("rem",
-        round(lit(math.log(2.0) / 2) *
+        round(lit(0.34657359027997264) *
           (lit(1.0) - col("covered_c").cast("double") / col("n")), 6)
           .cast("decimal(20,6)"))
       .crossJoin(broadcast(vocabN))
@@ -256,18 +260,31 @@ object Ranking {
       .orderBy(col("source"))
   }
 
-  /** Zipf-law fit over the corpus rank-frequency curve — the
-    * corpus-linguistics sanity check (natural text slopes near −1;
-    * synthetic/templated corpora deviate): least-squares of
-    * ln(freq) on ln(rank) using the agg_regression discipline — per-
-    * point logs rounded → decimal, EXACT decimal sums, closed-form
-    * slope/intercept as one double sequence. Vocabulary-bounded
-    * everywhere. */
+  /** Zipf-law fit over the HEAD of the corpus rank-frequency curve —
+    * the corpus-linguistics sanity check (natural text slopes near −1;
+    * synthetic/templated corpora deviate): least-squares of ln(freq)
+    * on ln(rank) using the agg_regression discipline — per-point logs
+    * rounded → decimal, EXACT decimal sums, closed-form
+    * slope/intercept as one double sequence.
+    *
+    * Scale shape: the vocabulary GROWS with the corpus (Heaps' law —
+    * this repo's own text_vocab_growth diagnostic), so ranking ALL of
+    * it through one global window is a single-task plan at 100 TB.
+    * The fit only needs the distribution's head (the tail is where
+    * Zipf deviates anyway), so the top-[[zipfHeadRanks]] types come
+    * from a parallel TakeOrderedAndProject heap FIRST — the
+    * tokenize_to_ids limit-first precedent — and the rank window runs
+    * over that bounded relation only. Contract change (round 8): the
+    * fit covers the top-1000 ranks and the count column is `n_head`,
+    * not the full-vocabulary `n_vocab`; oracle updated in lockstep. */
+  val zipfHeadRanks = 1000
+
   def textZipfFit(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("n").desc, col("tok"))
     t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(zipfHeadRanks)
       .withColumn("rank", row_number().over(w))
       .select(
         round(log(col("rank").cast("double")), 6)
@@ -278,7 +295,7 @@ object Ranking {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
-      .select(col("k").as("n_vocab"),
+      .select(col("k").as("n_head"),
         round((col("k") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /
           (col("k") * col("sxx").cast("double") -
@@ -368,6 +385,8 @@ object Ranking {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
         |        FROM documents)
         |  GROUP BY 1
+        |), head AS (
+        |  SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 1000
         |), pts AS (
         |  SELECT
         |    CAST(ROUND(ln(CAST(ROW_NUMBER() OVER
@@ -375,13 +394,13 @@ object Ranking {
         |      AS DECIMAL(18,6)) AS x,
         |    CAST(ROUND(ln(CAST(n AS DOUBLE)), 6)
         |      AS DECIMAL(18,6)) AS y
-        |  FROM c
+        |  FROM head
         |), sums AS (
         |  SELECT COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
         |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
         |  FROM pts
         |)
-        |SELECT k AS n_vocab,
+        |SELECT k AS n_head,
         |  ROUND((k * CAST(sxy AS DOUBLE) -
         |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
         |    (k * CAST(sxx AS DOUBLE) -
@@ -428,7 +447,7 @@ object Ranking {
         |)
         |SELECT source,
         |  ROUND(CAST(sum_present +
-        |    CAST(ROUND((ln(2) / 2) *
+        |    CAST(ROUND(0.34657359027997264 *
         |      (1.0 - CAST(covered_c AS DOUBLE) / n), 6)
         |      AS DECIMAL(20,6)) AS DOUBLE), 4) AS js,
         |  vocab_n.n_vocab AS n_vocab

@@ -274,10 +274,16 @@ object TextStats {
     * growing with the corpus), and the dedup signal (a flattening curve
     * means new docs add no new language). Each token's first-occurrence
     * doc is one vocabulary-keyed aggregate; the per-doc new-token
-    * counts then ride a |docs|-row prefix-sum window (at 100 TB:
-    * range-partitioned prefix sums, the distributed-CDF recipe). All
-    * integer. */
+    * counts then ride the distributed-CDF recipe — the per-doc relation
+    * GROWS with the corpus, so the running totals must not ride a
+    * single-partition window: doc_ids are cut into ordered equi-width
+    * buckets (ids are dense, so buckets balance), each bucket
+    * prefix-sums locally in parallel (one hash exchange on the bucket
+    * id), and a ≤32-row per-bucket total relation — the only
+    * empty-partitionBy window, bounded — broadcasts the bucket offsets
+    * back. All integer, bit-identical to the oracle's naive cumsum. */
   def textVocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val firstDoc = toks.groupBy(col("tok"))
@@ -286,16 +292,32 @@ object TextStats {
       .agg(count(lit(1)).as("n_new"))
     val tokPerDoc = toks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, org.apache.spark.sql.expressions.Window
-        .currentRow)
-    tokPerDoc.join(newPerDoc, Seq("doc_id"), "left")
+    val perDoc = tokPerDoc.join(newPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .withColumn("cum_tokens", sum(col("n_toks")).over(w))
-      .withColumn("vocab_size", sum(col("n_new")).over(w))
-      .select(col("doc_id"), col("cum_tokens"), col("vocab_size"))
+    val bounds = perDoc
+      .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
+    val nBuckets = 32
+    val bucketed = perDoc.crossJoin(broadcast(bounds))
+      .withColumn("__bkt", expr(
+        s"""CAST(((CAST(doc_id AS BIGINT) - __lo) * $nBuckets)
+           | DIV (CAST(__hi AS BIGINT) - __lo + 1) AS INT)""".stripMargin))
+    val localW = Window.partitionBy(col("__bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixW = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("n_toks")).as("__t"), sum(col("n_new")).as("__v"))
+      .withColumn("__ot", coalesce(sum(col("__t")).over(prefixW), lit(0L)))
+      .withColumn("__ov", coalesce(sum(col("__v")).over(prefixW), lit(0L)))
+      .select(col("__bkt"), col("__ot"), col("__ov"))
+    bucketed
+      .withColumn("__ct", sum(col("n_toks")).over(localW))
+      .withColumn("__cv", sum(col("n_new")).over(localW))
+      .join(broadcast(offsets), "__bkt")
+      .select(col("doc_id"),
+        (col("__ot") + col("__ct")).as("cum_tokens"),
+        (col("__ov") + col("__cv")).as("vocab_size"))
       .orderBy(col("doc_id"))
   }
 

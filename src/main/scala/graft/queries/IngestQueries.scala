@@ -77,16 +77,19 @@ object IngestQueries {
   /** Batch chunking to MAX_BATCH_SIZE rows (reference
     * src/function_app.py:379-401): explicit batch numbering over a total
     * order, aggregated per chunk so the oracle can verify sizes.
-    * NOTE the global row_number here exists for oracle-ability only — the
-    * production sink chunks per-task via
-    * `spark.sql.files.maxRecordsPerFile` (no global window, see
-    * graft.ingest.Pipeline). */
+    *
+    * Scale shape: the exact 0-based global row index comes from
+    * [[Ordered.withGlobalIndex]] (repartitionByRange + per-partition
+    * monotonically_increasing_id rank + broadcast prefix-sum of
+    * per-partition counts — no single-partition window over the fact
+    * table, every task parallel). The production sink chunks per-task
+    * via `spark.sql.files.maxRecordsPerFile` (see
+    * graft.ingest.Pipeline); this query pins the reference's explicit
+    * MAX_BATCH_SIZE numbering semantics oracle-checkably. */
   def chunkBatches(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(
-      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+    val keys = Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
       col("l_extendedprice"))
-    t(s, d, "lineitem")
-      .withColumn("rn", row_number().over(w) - 1)
+    Ordered.withGlobalIndex(t(s, d, "lineitem").select(keys: _*), keys, "rn")
       .withColumn("batch_number", expr("CAST(rn DIV 2000 AS INT)"))
       .groupBy(col("batch_number"))
       .agg(

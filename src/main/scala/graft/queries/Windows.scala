@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.t
@@ -754,25 +754,48 @@ object Windows {
     * into quintiles by ntile over a TOTAL order (metric, user_id — a
     * tie in the metric must not leave quintile assignment to
     * partition order), composed into the RFM segment code. Scale:
-    * per-user aggregate first (bounded rows), then three ntile
-    * windows over users — single-partition by design AFTER the
-    * aggregate, documented like sample_temperature. */
+    * per-user aggregate first, but the user relation still GROWS with
+    * the corpus, so the three ntiles must not ride single-partition
+    * windows: each quintile comes from an exact distributed rank
+    * ([[Ordered.withGlobalIndex]] — range partition + local id +
+    * broadcast prefix-sum) fed through ntile's closed-form bucket
+    * arithmetic ([[Ordered.ntileFromRank]]), bit-identical to SQL
+    * ntile against the unchanged oracle. The anchor max and user
+    * count are one scalar aggregate, broadcast back. */
   def windowRfm(s: SparkSession, d: String): DataFrame = {
-    val anchor = Window.partitionBy()
-    val byR = Window.orderBy(col("recency_s").asc, col("user_id"))
-    val byF = Window.orderBy(col("freq").desc, col("user_id"))
-    val byM = Window.orderBy(col("monetary").desc, col("user_id"))
-    t(s, d, "events")
+    val perUser = t(s, d, "events")
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("freq"),
         sum(col("value").cast("decimal(19,4)")).as("mon_d"))
-      .withColumn("recency_s",
-        (max(col("last_us")).over(anchor) - col("last_us")) / 1000000L)
+    val scalars = perUser
+      .agg(max(col("last_us")).as("anchor_us"),
+        count(lit(1)).as("n_users"))
+    val base = perUser
+      .crossJoin(broadcast(scalars))
+      // integer division, exactly the oracle's `//` — the rank key must
+      // order the INTEGER seconds, not a fractional double
+      .withColumn("recency_s", expr("(anchor_us - last_us) DIV 1000000"))
       .withColumn("monetary", col("mon_d").cast("double"))
-      .withColumn("r", ntile(5).over(byR))
-      .withColumn("f", ntile(5).over(byF))
-      .withColumn("m", ntile(5).over(byM))
+    // one narrow (user_id, metric) rank chain per dimension, joined
+    // back on user_id — three parallel range shuffles of |users| rows,
+    // no global window anywhere
+    def quintile(metric: Column, keys: Seq[Column], out: String): DataFrame =
+      Ordered.ntileFromRank(
+        Ordered.withGlobalIndex(
+            base.select(col("user_id"), col("n_users"), metric),
+            keys, "__idx")
+          .withColumn("__rank", col("__idx") + 1),
+        "__rank", "n_users", 5, out)
+        .select(col("user_id"), col(out))
+    val rTiles =
+      quintile(col("recency_s"), Seq(col("recency_s"), col("user_id")), "r")
+    val fTiles =
+      quintile(col("freq"), Seq(col("freq").desc, col("user_id")), "f")
+    val mTiles =
+      quintile(col("monetary"), Seq(col("monetary").desc, col("user_id")), "m")
+    base
+      .join(rTiles, "user_id").join(fTiles, "user_id").join(mTiles, "user_id")
       .select(col("user_id"), col("recency_s").cast("long").as("recency_s"),
         col("freq"), round(col("monetary"), 2).as("monetary"),
         col("r"), col("f"), col("m"),

@@ -156,6 +156,16 @@ class PipelineSpec extends AnyFunSuite {
     parts.foreach { f =>
       assert(spark.read.parquet(f.toString).count() == 1, f.getName)
     }
+    // chunk-arithmetic invariant (round 8): membership is pure bit
+    // surgery on the partition-local monotonically_increasing_id, so
+    // every chunk holds AT MOST maxRecordsPerFile rows, but partition
+    // tails may run short — boundaries are per-partition, not the
+    // reference's strict global MAX_BATCH_SIZE packing (documented at
+    // the sink; repartition(1) per route when exact parity matters)
+    val sizes = parts.map(f => spark.read.parquet(f.toString)
+      .select(size(col("v"))).head().getInt(0)).toSeq
+    assert(sizes.forall(n => n >= 1 && n <= 10), sizes.mkString(","))
+    assert(sizes.sum == 25, sizes.mkString(","))
     val df = spark.read.parquet(dir.toString)
     assert(df.schema.fields.forall(f =>
       f.dataType == ArrayType(StringType, containsNull = true)), df.schema.treeString)

@@ -391,6 +391,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate") && p.contains("HashAggregate"), p)
   }
 
+  test("empty-partitionBy windows only ever see bounded relations") {
+    // The round-7 verdict's scale-killer class: a Window with no
+    // partitionBy serializes its whole input through ONE task, so it
+    // may only sit above something that bounds cardinality regardless
+    // of corpus size — an aggregate over a fixed bucket/partition-id
+    // domain (the prefix-sum offsets of the zipWithIndex
+    // decomposition) or a limit/top-k head. The four queries below
+    // each used to window the raw corpus-growing relation; assert the
+    // rewrite holds for every global WindowExec in their plans.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val dfs = Seq(
+      "chunk_batches" -> graft.queries.IngestQueries.chunkBatches(spark, sf),
+      "window_rfm" -> graft.queries.Windows.windowRfm(spark, sf),
+      "text_vocab_growth" -> graft.llm.TextStats.textVocabGrowth(spark, sf),
+      "text_zipf_fit" -> graft.llm.Ranking.textZipfFit(spark, sf))
+    for ((name, df) <- dfs) {
+      val globals = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      for (w <- globals) {
+        val sub = w.child.treeString
+        assert(sub.contains("HashAggregate") ||
+          sub.contains("TakeOrderedAndProject") || sub.contains("Limit"),
+          s"$name has a global window over an unbounded input:\n${w.treeString}")
+      }
+    }
+  }
+
   test("text_js_divergence: no dense source×vocab grid — present pairs only") {
     // The zero cells are folded into a closed-form remainder, so the
     // plan must contain no CartesianProduct, and the only nested-loop

@@ -276,7 +276,7 @@ object Dedup {
   private val bandSize = 4
 
   /** Per-doc MinHash signatures: (doc_id, h0..h15). */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame =
+  private[graft] def minhashSigs(s: SparkSession, d: String): DataFrame =
     minhashSigsFrom(t(s, d, "documents"))
 
   /** Signature plan over an arbitrary (doc_id, text, …) relation —
@@ -293,7 +293,7 @@ object Dedup {
   /** Banded candidate pairs + estimator threshold over a signature
     * table keyed by `doc_id` — the caller decides whether rows are
     * documents or signature-group supernodes. */
-  private def sigPairs(sigs: DataFrame): DataFrame = {
+  private[graft] def sigPairs(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until nHashes / bandSize).map { j =>
       struct(lit(j).as("band_id"),
         xxhash64((j * bandSize until (j + 1) * bandSize)
@@ -416,7 +416,13 @@ object Dedup {
         if (s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(dir)
         df.checkpoint()
-      case None => df.localCheckpoint()
+      // LAZY local checkpoint: the caller's next action (checksum /
+      // convergence count — every loop does one immediately)
+      // materializes the blocks, so each round runs ONE job where the
+      // eager form ran two. On the post-contraction edge lists the
+      // rounds are overhead-bound (thousands of rows, fixed per-job
+      // scheduling cost), so halving the job count is the win.
+      case None => df.localCheckpoint(eager = false)
     }
     if (rebuild) s.createDataFrame(ck.rdd, ck.schema) else ck
   }
@@ -545,9 +551,11 @@ object Dedup {
         .head()
       (r.getLong(0), String.valueOf(r.get(1)))
     }
+    val tInit = System.nanoTime()
     var edges = pairs.select(col("a_id"), col("b_id"))
       .filter(col("a_id") =!= col("b_id")).distinct().transform(ckpt(_))
     var chk = checksum(edges)
+    log.info(f"twoPhaseLabels init ${(System.nanoTime() - tInit) / 1e9}%.2f s")
     var rounds = 0
     var stable = false
     // The iterate here is the O(|E|) edge relation, so the originStats
@@ -556,6 +564,7 @@ object Dedup {
     // materialize + truncate lineage, they just keep the LogicalRDD.
     val rebuildEvery = 3
     while (!stable && rounds < 50) {
+      val tR = System.nanoTime()
       val next = star(star(edges, large = true), large = false)
         .transform(ckpt(_, rebuild = rounds % rebuildEvery == rebuildEvery - 1))
       val nextChk = checksum(next)
@@ -563,7 +572,8 @@ object Dedup {
       edges = next
       chk = nextChk
       rounds += 1
-      log.info(s"twoPhaseLabels round=$rounds edges=${chk._1}")
+      log.info(s"twoPhaseLabels round=$rounds edges=${chk._1} " +
+        f"t=${(System.nanoTime() - tR) / 1e9}%.2f s")
     }
     // stars: every node's label is the min over its incident endpoints
     val lbl = sym(edges).toDF("id", "nb")
@@ -610,18 +620,21 @@ object Dedup {
     * ordering expressed inside one query. */
   def dedupFuzzyCluster(s: SparkSession, d: String): DataFrame = {
     val hashCols = (0 until nHashes).map(i => col(s"h$i"))
+    // node AND group size from the SAME window spec — one shuffle on
+    // the signature key serves both (a separate groupBy(node) + join
+    // back was two more exchanges over the doc relation for a value
+    // the window partition already holds)
+    val sigW = org.apache.spark.sql.expressions.Window
+      .partitionBy(hashCols: _*)
     val withNode = minhashSigs(s, d)
-      .withColumn("node", min(col("doc_id"))
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(hashCols: _*)))
+      .withColumn("node", min(col("doc_id")).over(sigW))
+      .withColumn("gsize", count(lit(1)).over(sigW))
       .cache()
     val reps = withNode.filter(col("doc_id") === col("node"))
       .select(col("node").as("doc_id") +: hashCols: _*)
     val labels = twoPhaseLabels(
       sigPairs(reps).select(col("a_id"), col("b_id")))
-    val gsize = withNode.groupBy(col("node"))
-      .agg(count(lit(1)).as("gsize"))
-    withNode.join(gsize, "node")
+    withNode
       .join(labels, col("node") === col("id"), "left")
       // old vertex set: every doc with at least one surviving pair —
       // i.e. its supernode has an edge, OR its signature group has a

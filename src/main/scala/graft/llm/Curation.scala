@@ -357,7 +357,43 @@ object Curation {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * quality/length-weighted corpus subsampling primitive (take k
+    * documents with probability proportional to token mass):
+    * Efraimidis–Spirakis A-Res (Inf. Proc. Letters 97(5), 2006) — per
+    * row draw u ∈ (0,1), rank by key u^(1/w), keep the top k. Ranking
+    * by ln(u)/w is the same order (ln is monotone), and u comes from
+    * the first 13 hex digits of md5(doc_id) — 52 bits, so (v+0.5)/2^52
+    * is EXACT in an IEEE double in both engines, reproducible and
+    * shard-stable with no RNG coordination (the same hash-derived
+    * discipline as split_train_holdout / sample_negative_pairs). The
+    * one transcendental, ln, goes through the round-8 → DECIMAL
+    * per-term discipline with a doc_id tiebreak, so both engines pick
+    * the identical k-set. Scale shape: narrow map over the scan, then
+    * `orderBy.limit(k)` → TakeOrderedAndProject — a per-partition
+    * k-heap, NO global sort, nothing shuffled but k rows per task. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val k = 100
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      .withColumn("v",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long"))
+      .withColumn("u", (col("v").cast("double") + lit(0.5)) /
+        lit(4503599627370496.0)) // 2^52 — exact double arithmetic
+      .withColumn("es_key",
+        round(log(col("u")) / col("w"), 8).cast("decimal(20,8)"))
+      .orderBy(col("es_key").desc, col("doc_id")).limit(k)
+      // emit as double: the gate bit-compares doubles, while DECIMAL
+      // string forms differ across engines (trailing zeros); es_key is
+      // strictly negative, so no ±0.0 hazard
+      .select(col("doc_id"), col("w"), col("es_key").cast("double").as("es_key"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_weighted" -> (sampleWeighted _),
     "text_chunk_sliding" -> (textChunkSliding _),
     "sample_negative_pairs" -> (sampleNegativePairs _),
     "sample_downweight_duplicates" -> (sampleDownweightDuplicates _),
@@ -373,6 +409,23 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_weighted" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) AS v
+        |  FROM documents),
+        |keyed AS (
+        |  SELECT doc_id, w,
+        |    CAST(ROUND(ln((CAST(v AS DOUBLE) + 0.5) / 4503599627370496.0)
+        |      / w, 8) AS DECIMAL(20,8)) AS es_key
+        |  FROM b),
+        |top AS (
+        |  SELECT doc_id, w, es_key FROM keyed
+        |  ORDER BY es_key DESC, doc_id LIMIT 100)
+        |SELECT doc_id, w, CAST(es_key AS DOUBLE) AS es_key
+        |FROM top ORDER BY doc_id""".stripMargin,
     "text_chunk_sliding" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,

@@ -151,6 +151,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got.size < docs.length) // and at least one other source shrank
   }
 
+  test("sample_weighted: exact A-Res replay picks the identical k-set") {
+    import graft.llm.Curation
+    // replay Efraimidis–Spirakis locally from the same md5-derived
+    // uniforms and token weights; the distributed top-k must select
+    // exactly this set (determinism + correctness of the key formula)
+    val docs = Tables.t(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def key(id: Long, w: Long): BigDecimal = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val v = java.lang.Long.parseLong(hex, 16)
+      val u = (v.toDouble + 0.5) / 4503599627370496.0
+      BigDecimal(math.log(u) / w)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expect = docs
+      .map { case (id, text) => (id, text.split(" ", -1).length.toLong) }
+      .map { case (id, w) => (id, w, key(id, w)) }
+      .sortBy { case (id, _, k) => (k.unary_-, id) } // key desc, id asc
+      .take(100).map(_._1).toSet
+    val got = Curation.sampleWeighted(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expect,
+      s"only-spark=${got -- expect} only-replay=${expect -- got}")
+  }
+
   test("sort_zorder: interleaved bits decode back to both dimensions") {
     val rows = graft.queries.SortsSets.sortZorder(spark, sf)
       .limit(500).collect()

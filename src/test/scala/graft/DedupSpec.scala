@@ -252,4 +252,16 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_true_members") >= 1L)
     assert(r.getAs[Long]("n_ref") > 0L && r.getAs[Long]("n_corpus") > 0L)
   }
+
+  test("incremental minhash: exact cross dups always flagged, planted copy found") {
+    val r = Dedup.dedupIncrementalMinhash(spark, sf).collect().head
+    // identical text ⇒ identical signature ⇒ band collision + est 1.0:
+    // flagging every exact cross duplicate is theory-guaranteed, and
+    // the planted copy of corpus doc 1 makes the check non-vacuous
+    assert(r.getAs[Boolean]("exact_cross_flagged"))
+    assert(r.getAs[Boolean]("planted_dup_detected"))
+    assert(r.getAs[Boolean]("flags_within_batch"))
+    assert(r.getAs[Long]("n_exact_cross") >= 1L)
+    assert(r.getAs[Long]("n_batch") > 0L && r.getAs[Long]("n_corpus") > 0L)
+  }
 }

@@ -41,6 +41,10 @@ class PlanSpec extends AnyFunSuite {
   test("top-k compiles to TakeOrderedAndProject (no global sort)") {
     val p = plan(graft.queries.SortsSets.sortLimitTopk(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
+    // weighted sampling's A-Res selection is the same shape: per-task
+    // k-heap on the hash-derived key, never a global sort of the corpus
+    val pw = plan(graft.llm.Curation.sampleWeighted(spark, sf))
+    assert(pw.contains("TakeOrderedAndProject"), pw)
   }
 
   test("flagship aggregation is partial+final hash aggregate (map-side combine)") {

@@ -347,4 +347,54 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
     assert(gotOrd.toSeq == naiveOrd.toSeq)
   }
+
+  test("property: withGlobalIndex equals row_number on random multi-key data") {
+    // The round-8 zipWithIndex decomposition (range partition →
+    // per-partition monotonically_increasing_id rank → broadcast
+    // prefix-sum) must reproduce the naive global row_number EXACTLY,
+    // including duplicate keys (ties are broken arbitrarily but the
+    // per-key index MULTISET must match), skew (many rows on one key),
+    // and partition counts that don't divide the data evenly.
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1 to 2000).map { i =>
+      // skewed: ~25% of rows share key (7, 7)
+      if (rnd.nextInt(4) == 0) (7L, 7L, i.toLong)
+      else (rnd.nextInt(50).toLong, rnd.nextInt(20).toLong, i.toLong)
+    }
+    val df = rows.toDF("k1", "k2", "uid")
+    for (parts <- Seq(1, 5, 32)) {
+      val keys = Seq(col("k1"), col("k2"), col("uid"))
+      val got = graft.queries.Ordered
+        .withGlobalIndex(df, keys, "idx", parts)
+        .select(col("k1"), col("k2"), col("uid"), col("idx"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      val naive = df
+        .withColumn("idx",
+          (row_number().over(Window.orderBy(col("k1"), col("k2"), col("uid")))
+            - 1).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+      assert(got == naive, s"parts=$parts")
+    }
+  }
+
+  test("property: ntileFromRank equals SQL ntile for every n and k") {
+    // closed-form bucket arithmetic vs the engine's ntile over a total
+    // order — exhaustively for small n (covers n<k, n=k, remainders)
+    // and spot-checked at larger n
+    import org.apache.spark.sql.expressions.Window
+    for (n <- (1 to 17) ++ Seq(100, 997); k <- Seq(2, 5, 7)) {
+      val df = (1L to n.toLong).toDF("id")
+      val naive = df
+        .withColumn("t", ntile(k).over(Window.orderBy(col("id"))))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = graft.queries.Ordered.ntileFromRank(
+          df.withColumn("rank", col("id"))
+            .withColumn("n", lit(n.toLong)),
+          "rank", "n", k, "t")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("t")).toMap
+      assert(got == naive, s"n=$n k=$k")
+    }
+  }
 }

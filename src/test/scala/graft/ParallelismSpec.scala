@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parallelism-invariance: a query's RESULT must not depend on the
+  * shuffle-partition count. The DuckDB gate pins results at one fixed
+  * config; a 1000-executor cluster runs the same plans at a very
+  * different parallelism, so any partition-order-dependent float sum,
+  * unstable tie, or partition-count-leaking id would produce a
+  * different answer at scale while staying green locally. This spec
+  * replays representative queries — one per risk family — on a cloned
+  * session with a co-prime partition count (7 vs the suite's 4) and
+  * asserts row-for-row identical output, including float BITS (the
+  * driver-gate discipline: -0.0 != +0.0).
+  *
+  * Families covered: decimal-sum aggregation (entropy), double
+  * emission after rounding (regression), the round-8 zipWithIndex /
+  * ntile decompositions (chunk_batches, rfm — explicitly
+  * partition-count-parameterized machinery), bucketed prefix sums
+  * (vocab growth), window decompositions (zscore), WindowGroupLimit
+  * arg-max (merge upsert), hash-keyed dedup (exact), and top-k
+  * selection with tiebreaks (sample_weighted, sim_search_topk).
+  */
+class ParallelismSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val queries = Seq(
+    "agg_entropy", "agg_regression", "chunk_batches", "window_rfm",
+    "text_vocab_growth", "window_zscore_rolling", "merge_upsert_latest",
+    "dedup_exact", "sample_weighted", "sim_search_topk", "text_zipf_fit",
+    // decimal-term divergence + closed-form remainder; day fan-out
+    // median; KM ln-sum; integer-exact ACF; 1e-12 fixed-point PageRank;
+    // seeded-banding derived check; incremental probe vs persisted index
+    "text_js_divergence", "window_rolling_median", "agg_survival_km",
+    "agg_autocorrelation", "graph_pagerank", "dedup_fuzzy_minhash",
+    "dedup_incremental_minhash")
+
+  private def bits(v: Any): Any = v match {
+    case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)
+    case f: java.lang.Float => java.lang.Float.floatToRawIntBits(f)
+    case x => x
+  }
+
+  private def run(s: SparkSession, name: String): Seq[Seq[Any]] =
+    SparkEntry.queries(name)(s, sf).collect().toSeq
+      .map((r: Row) => r.toSeq.map(bits))
+
+  test("results are bit-identical at a different shuffle-partition count") {
+    val alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "7")
+    for (q <- queries) {
+      val base = run(spark, q)
+      val other = run(alt, q)
+      assert(base == other,
+        s"$q differs between 4 and 7 shuffle partitions: " +
+          s"first-diff=${base.zip(other).find { case (a, b) => a != b }}")
+    }
+  }
+}

@@ -53,6 +53,62 @@ object Similarity {
       .limit(10)
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein,
+    * SIGIR'98) — the diversification step production retrieval runs
+    * AFTER top-k: greedily pick k results maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), so near-duplicate
+    * hits don't crowd the answer set. Scale shape: the corpus-wide
+    * work is exactly [[simSearchTopk]]'s shuffle-free scan (broadcast
+    * probe → codegen'd cosine → TakeOrderedAndProject top-20 pool);
+    * the greedy loop then runs over BOUNDED model state (20 rels +
+    * 20×19 pairwise sims, all rounded→6 in Spark before collection) —
+    * the same driver-side bounded-state precedent as the k-means
+    * centroids. Determinism: every comparison sees round-6 doubles
+    * (identical bits in both engines), λ = 0.5 so the blend arithmetic
+    * is exact-in-IEEE (×0.5 and one subtraction), ties break on
+    * vec_id; the oracle replays the greedy EXACTLY as five unrolled
+    * SQL steps. */
+  def simSearchMmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val poolK = 20
+    val kSel = 5
+    val e = t(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val pool = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("embedding"),
+        round(cosine(col("embedding"), col("probe")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(poolK)
+      .cache()
+    val aSide = pool.select(col("vec_id").as("ai"), col("embedding").as("ea"))
+    val bSide = pool.select(col("vec_id").as("bi"), col("embedding").as("eb"))
+    val sims = aSide.join(bSide, col("ai") =!= col("bi"))
+      .select(col("ai"), col("bi"),
+        round(cosine(col("ea"), col("eb")), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val rels = pool.select(col("vec_id"), col("rel")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    pool.unpersist()
+    val lambda = 0.5
+    var selected = Vector.empty[(Int, Long, Double, Double)]
+    var remaining = rels.toMap
+    for (step <- 1 to kSel) {
+      val scored = remaining.toSeq.map { case (id, rel) =>
+        val div =
+          if (selected.isEmpty) 0.0
+          else selected.map(sel => sims((id, sel._2))).max
+        (id, rel, lambda * rel - (1 - lambda) * div)
+      }
+      val (id, rel, sc) = scored.minBy { case (cid, _, csc) => (-csc, cid) }
+      selected = selected :+ ((step, id, rel, sc))
+      remaining -= id
+    }
+    selected.toDF("step", "vec_id", "rel", "mmr_score")
+      .orderBy(col("step"))
+  }
+
   /** Maximum-inner-product search (MIPS) — retrieval by RAW dot
     * product, not cosine: the scoring mode of recommender/two-tower
     * models, where vector magnitude carries signal (popularity) and
@@ -835,6 +891,7 @@ object Similarity {
     "embedding_pca_project" -> (embeddingPcaProjectCheck _),
     "embedding_random_projection" -> (embeddingRandomProjection _),
     "sim_search_topk" -> (simSearchTopk _),
+    "sim_search_mmr" -> (simSearchMmr _),
     "sim_search_mips" -> (simSearchMips _),
     "sim_search_mips_augmented" -> (simSearchMipsAugmented _),
     "sim_search_ivf" -> (simSearchIvfCheck _),
@@ -1079,6 +1136,70 @@ object Similarity {
         |     WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // exact greedy replay, the 5 selection steps unrolled as CTEs:
+    // every comparison sees the same round-6 doubles as the Spark
+    // side, λ = 0.5 keeps the blend arithmetic exact in IEEE, ties
+    // break on vec_id — the oracle IS the algorithm, not a summary
+    "sim_search_mmr" ->
+      """WITH pool AS (
+        |  SELECT e.vec_id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS rel
+        |  FROM embeddings e WHERE e.vec_id <> 0
+        |  ORDER BY rel DESC, e.vec_id LIMIT 20),
+        |sims AS (
+        |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+        |    ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |      CAST(eb.embedding AS DOUBLE[])), 6) AS s
+        |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+        |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        |s1 AS (
+        |  SELECT 1 AS step, vec_id, rel, 0.5 * rel AS mmr_score
+        |  FROM pool ORDER BY 0.5 * rel DESC, vec_id LIMIT 1),
+        |s2 AS (
+        |  SELECT 2 AS step, p.vec_id, p.rel,
+        |    0.5 * p.rel - 0.5 * (SELECT MAX(s) FROM sims
+        |      WHERE ai = p.vec_id AND bi IN (SELECT vec_id FROM s1))
+        |      AS mmr_score
+        |  FROM pool p WHERE p.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  ORDER BY mmr_score DESC, p.vec_id LIMIT 1),
+        |s3 AS (
+        |  SELECT 3 AS step, p.vec_id, p.rel,
+        |    0.5 * p.rel - 0.5 * (SELECT MAX(s) FROM sims
+        |      WHERE ai = p.vec_id AND bi IN (
+        |        SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2))
+        |      AS mmr_score
+        |  FROM pool p WHERE p.vec_id NOT IN (
+        |    SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2)
+        |  ORDER BY mmr_score DESC, p.vec_id LIMIT 1),
+        |s4 AS (
+        |  SELECT 4 AS step, p.vec_id, p.rel,
+        |    0.5 * p.rel - 0.5 * (SELECT MAX(s) FROM sims
+        |      WHERE ai = p.vec_id AND bi IN (
+        |        SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+        |        UNION ALL SELECT vec_id FROM s3)) AS mmr_score
+        |  FROM pool p WHERE p.vec_id NOT IN (
+        |    SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+        |    UNION ALL SELECT vec_id FROM s3)
+        |  ORDER BY mmr_score DESC, p.vec_id LIMIT 1),
+        |s5 AS (
+        |  SELECT 5 AS step, p.vec_id, p.rel,
+        |    0.5 * p.rel - 0.5 * (SELECT MAX(s) FROM sims
+        |      WHERE ai = p.vec_id AND bi IN (
+        |        SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+        |        UNION ALL SELECT vec_id FROM s3
+        |        UNION ALL SELECT vec_id FROM s4)) AS mmr_score
+        |  FROM pool p WHERE p.vec_id NOT IN (
+        |    SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2
+        |    UNION ALL SELECT vec_id FROM s3
+        |    UNION ALL SELECT vec_id FROM s4)
+        |  ORDER BY mmr_score DESC, p.vec_id LIMIT 1)
+        |SELECT step, vec_id, rel, mmr_score FROM s1
+        |UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5
+        |ORDER BY step""".stripMargin,
     "sim_search_mips" ->
       """SELECT vec_id, label,
         |  ROUND(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -113,4 +113,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cos.forall(c => c >= -1.0 && c <= 1.0))
     assert(cos.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
+
+  test("mmr: first pick is the top cosine hit, picks distinct, scores blend correctly") {
+    val top = Similarity.simSearchTopk(spark, sf).collect()
+    val mmr = Similarity.simSearchMmr(spark, sf).collect()
+    assert(mmr.length == 5)
+    // step 1 has no diversity penalty → it must be the global top hit
+    assert(mmr.head.getAs[Long]("vec_id") == top.head.getAs[Long]("vec_id"))
+    assert(mmr.head.getAs[Double]("mmr_score") ==
+      0.5 * mmr.head.getAs[Double]("rel"))
+    val ids = mmr.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 5)
+    // every later pick blends a diversity term bounded by cosine range:
+    // score = λ·rel − (1−λ)·div with div ∈ [−1, 1]
+    mmr.tail.foreach { r =>
+      val delta = r.getAs[Double]("mmr_score") - 0.5 * r.getAs[Double]("rel")
+      assert(delta.abs <= 0.5 + 1e-12, r.toString)
+    }
+  }
 }

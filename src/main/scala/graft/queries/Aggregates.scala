@@ -256,29 +256,52 @@ object Aggregates {
     * only at distinct-value boundaries, so the cums collapse to the
     * last row per distinct v before the max (round-5 advice: taking the
     * max inside a tied run overstates D when equal values span both
-    * samples). The merged ranking is a global order statistic — here
-    * one unpartitioned window (fixture path); at 100 TB the same two
-    * cumulative counts come from a range-partitioned sort + per-range
-    * offsets (the distributed CDF recipe), with identical arithmetic. */
+    * samples). The merged ranking is a global order statistic,
+    * computed distributed (round 8 — the fixture path used to be one
+    * unpartitioned window over the raw event rows, the single-task
+    * class): per-distinct-value sample counts first (the CDF only
+    * moves at distinct values, so cumulating per-value counts equals
+    * collapsing the merged row cumsum per value), then the bucketed
+    * prefix-sum recipe — ordered equi-width value buckets, parallel
+    * local running sums (one hash exchange on the bucket id), and a
+    * broadcast ≤32-row bucket-offset relation, the only
+    * empty-partitionBy window. Identical arithmetic, identical
+    * oracle. */
   def aggKsTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = t(s, d, "events")
       .filter(col("event_type").isin("view", "purchase"))
-      .select(col("event_id"),
-        col("value").cast("decimal(19,4)").as("v"),
+      .select(col("value").cast("decimal(19,4)").as("v"),
         when(col("event_type") === "view", 1L).otherwise(0L).as("is1"))
-    val tot = base.agg(sum(col("is1")).as("n1"),
-      (count(lit(1)) - sum(col("is1"))).as("n2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("v"), col("event_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    base
-      .withColumn("cum1", sum(col("is1")).over(w))
-      .withColumn("cum2", sum(lit(1L) - col("is1")).over(w))
-      // distinct-value boundaries only: both cums are non-decreasing,
-      // so max-per-v IS the post-tie CDF value at v
-      .groupBy(col("v"))
-      .agg(max(col("cum1")).as("cum1"), max(col("cum2")).as("cum2"))
+    val perV = base.groupBy(col("v"))
+      .agg(sum(col("is1")).as("c1"),
+        (count(lit(1)) - sum(col("is1"))).as("c2"))
+    val bounds = perV
+      .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val nBuckets = 32
+    val bucketed = perV.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col("v").cast("double") - col("__lo").cast("double")) /
+              (col("__hi").cast("double") - col("__lo").cast("double")) *
+              nBuckets).cast("int"))))
+    val localW = Window.partitionBy(col("__bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixW = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("c1")).as("__t1"), sum(col("c2")).as("__t2"))
+      .withColumn("__o1", coalesce(sum(col("__t1")).over(prefixW), lit(0L)))
+      .withColumn("__o2", coalesce(sum(col("__t2")).over(prefixW), lit(0L)))
+      .select(col("__bkt"), col("__o1"), col("__o2"))
+    val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    bucketed
+      .withColumn("__l1", sum(col("c1")).over(localW))
+      .withColumn("__l2", sum(col("c2")).over(localW))
+      .join(broadcast(offsets), "__bkt")
+      .select((col("__o1") + col("__l1")).as("cum1"),
+        (col("__o2") + col("__l2")).as("cum2"))
       .crossJoin(broadcast(tot))
       .groupBy(col("n1"), col("n2"))
       .agg(max(abs(col("n2") * col("cum1") - col("n1") * col("cum2")))
@@ -294,17 +317,18 @@ object Aggregates {
     * halving never leaves ℤ) and ranking by the deterministic total
     * order (score, event_id) — equal scores resolve identically in
     * both engines (deterministic-tiebreak AUC, not mid-rank; noted).
-    * Same distributed-CDF scale note as [[aggKsTest]]: the global rank
-    * is range-partition + offset at 100 TB. */
+    * The global rank is computed distributed (round 8 — this used to
+    * be a single-partition row_number over the raw event rows):
+    * [[Ordered.withGlobalIndex]]'s range-partition + per-partition id
+    * + broadcast prefix-sum, exact at any parallelism. */
   def aggAucRank(s: SparkSession, d: String): DataFrame = {
     val base = t(s, d, "events")
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("event_id"),
         col("value").cast("decimal(19,4)").as("v"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("v"), col("event_id"))
-    base.withColumn("rk", row_number().over(w).cast("long"))
+    Ordered.withGlobalIndex(base, Seq(col("v"), col("event_id")), "__idx")
+      .withColumn("rk", col("__idx") + 1L)
       .agg(sum(col("pos")).as("n_pos"),
         (count(lit(1)) - sum(col("pos"))).as("n_neg"),
         sum(when(col("pos") === 1, col("rk")).otherwise(0L)).as("rsum"))

@@ -35,7 +35,8 @@ class ParallelismSpec extends AnyFunSuite {
     // seeded-banding derived check; incremental probe vs persisted index
     "text_js_divergence", "window_rolling_median", "agg_survival_km",
     "agg_autocorrelation", "graph_pagerank", "dedup_fuzzy_minhash",
-    "dedup_incremental_minhash")
+    "dedup_incremental_minhash", "agg_ks_test", "agg_auc_rank",
+    "sim_search_mmr")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

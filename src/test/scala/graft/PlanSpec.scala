@@ -409,7 +409,9 @@ class PlanSpec extends AnyFunSuite {
       "chunk_batches" -> graft.queries.IngestQueries.chunkBatches(spark, sf),
       "window_rfm" -> graft.queries.Windows.windowRfm(spark, sf),
       "text_vocab_growth" -> graft.llm.TextStats.textVocabGrowth(spark, sf),
-      "text_zipf_fit" -> graft.llm.Ranking.textZipfFit(spark, sf))
+      "text_zipf_fit" -> graft.llm.Ranking.textZipfFit(spark, sf),
+      "agg_ks_test" -> graft.queries.Aggregates.aggKsTest(spark, sf),
+      "agg_auc_rank" -> graft.queries.Aggregates.aggAucRank(spark, sf))
     for ((name, df) <- dfs) {
       val globals = df.queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w

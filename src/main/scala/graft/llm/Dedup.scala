@@ -851,7 +851,10 @@ object Dedup {
     val truth = corpus
       .select(col("doc_id"), md5(col("text")).as("h"),
         maybeMember.as("maybe_member"))
-      .join(broadcast(refH), Seq("h"), "left")
+      // no broadcast HINT: the reference digest set grows with sf, so
+      // pinning a broadcast would OOM at scale — AQE still picks
+      // broadcast from size stats at fixture volumes
+      .join(refH, Seq("h"), "left")
       .withColumn("is_member", coalesce(col("is_member"), lit(false)))
     val agg = truth.agg(
       count(lit(1)).as("n_corpus"),
@@ -933,7 +936,8 @@ object Dedup {
     val corpusH = corpus.select(md5(col("text")).as("h")).distinct()
       .withColumn("has_twin", lit(true))
     val truth = batch.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(broadcast(corpusH), Seq("h"), "left")
+      // no broadcast HINT (corpus digests are sf-linear; AQE decides)
+      .join(corpusH, Seq("h"), "left")
       .join(flagged, col("doc_id") === col("batch_id"), "left")
       .withColumn("has_twin", coalesce(col("has_twin"), lit(false)))
       .withColumn("is_flagged", coalesce(col("is_flagged"), lit(false)))

@@ -260,6 +260,9 @@ object Ranking {
       .orderBy(col("source"))
   }
 
+  /** Rank cap for [[textZipfFit]]'s head fit. */
+  val zipfHeadRanks = 1000
+
   /** Zipf-law fit over the HEAD of the corpus rank-frequency curve —
     * the corpus-linguistics sanity check (natural text slopes near −1;
     * synthetic/templated corpora deviate): least-squares of ln(freq)
@@ -277,8 +280,6 @@ object Ranking {
     * over that bounded relation only. Contract change (round 8): the
     * fit covers the top-1000 ranks and the count column is `n_head`,
     * not the full-vocabulary `n_vocab`; oracle updated in lockstep. */
-  val zipfHeadRanks = 1000
-
   def textZipfFit(s: SparkSession, d: String): DataFrame = {
     val w = Window.orderBy(col("n").desc, col("tok"))
     t(s, d, "documents")

@@ -1092,6 +1092,79 @@ object Dedup {
       col("exact_dups_same_cluster"))
   }
 
+  /** Substring-level dedup (Lee et al., ACL'22 "Deduplicating Training
+    * Data Makes Language Models Better"): find the maximal token SPANS
+    * of each document that also occur verbatim in at least one OTHER
+    * document, via shared k-token-gram fingerprints. Doc-level dedup
+    * (exact/MinHash) misses boilerplate repeated INSIDE otherwise
+    * unique pages — license headers, navigation chrome, quoted blocks;
+    * span statistics drive span-excision or doc-level filtering.
+    *
+    * Shape (suffix-array-free, shuffle-on-content-key):
+    *  1. one scan emits (doc, pos, h) for every k=5-gram — an O(len)
+    *     array transform inside the scan stage, hash = 52-bit md5
+    *     prefix so the shuffle carries 8-byte keys, never gram text;
+    *  2. grams held by >= 2 distinct docs: one hash aggregate on h
+    *     (the gram-frequency table — bounded by observed-gram
+    *     vocabulary, the text_ngram_freq scale argument);
+    *  3. duplicated positions rejoin on h — a SHUFFLE join on the
+    *     8-byte key (both sides corpus-derived: broadcasting either
+    *     would be the sf-linear-broadcast anti-pattern);
+    *  4. per-doc span merge: positions p, q overlap in token coverage
+    *     iff q - p <= k-1, so islands form where consecutive gaps
+    *     exceed k-1 (lag + cumulative-flag-sum, both windows
+    *     partitioned BY DOC — no global window, partitions bounded by
+    *     doc length). Interval union makes dup_tokens exact (no
+    *     double-counting of overlapping grams).
+    *
+    * All-integer except the final dup_frac rounding; the DuckDB oracle
+    * replays the identical decomposition. Collision note: a 52-bit
+    * cross-doc gram collision can only ADD a span (birthday bound over
+    * observed grams; same accepted-risk class as jaccardPairs' 64-bit
+    * argument). */
+  def dedupSubstringSpans(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k)
+    // toks is a materialized attribute, so the slice lambda is O(k)
+    // per element (not a re-evaluated split — the HOF-capture pitfall)
+    val grams = docs
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(toks) - ${k - 1}),
+             |  i -> cast(conv(substring(md5(
+             |         array_join(slice(toks, i, $k), ' ')), 1, 13),
+             |       16, 10) as bigint))""".stripMargin))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("p0") + 1).cast("long").as("pos"), col("h"))
+    val dupKeys = grams.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams.join(dupKeys, "h")
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+      .withColumn("newgrp",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k - 1, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("grp", sum(col("newgrp")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("grp"))
+      .agg(min(col("pos")).as("sp"), (max(col("pos")) + lit(k - 1)).as("ep"))
+    spans.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ep") - col("sp") + 1).as("dup_tokens"),
+        max(col("ep") - col("sp") + 1).as("max_span_len"))
+      .select(col("doc_id"), col("n_spans"), col("dup_tokens"),
+        col("max_span_len"),
+        round(col("dup_tokens").cast("double") / col("n_tokens"), 4)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_dup_rate_by_source" -> (dedupRateBySource _),
     "dedup_template" -> (dedupTemplate _),
@@ -1111,7 +1184,8 @@ object Dedup {
     "dedup_fuzzy_cluster" -> (dedupFuzzyClusterCheck _),
     "dedup_simhash" -> (dedupSimhashCheck _),
     "dedup_bloom_membership" -> (dedupBloomMembership _),
-    "dedup_incremental_minhash" -> (dedupIncrementalMinhash _)
+    "dedup_incremental_minhash" -> (dedupIncrementalMinhash _),
+    "dedup_substring_spans" -> (dedupSubstringSpans _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1354,6 +1428,42 @@ object Dedup {
         |  (SELECT COUNT(*) FROM batch
         |   WHERE h IN (SELECT h FROM corpus)) AS n_exact_cross,
         |  TRUE AS exact_cross_flagged, TRUE AS planted_dup_detected,
-        |  TRUE AS flags_within_batch""".stripMargin
+        |  TRUE AS flags_within_batch""".stripMargin,
+    // identical decomposition: 5-gram 52-bit fingerprints, cross-doc
+    // keys, gap<=k-1 island merge, interval-union token coverage
+    "dedup_substring_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (
+        |  SELECT doc_id, len(toks) AS n_tokens, i AS pos,
+        |    CAST(('0x' || substring(md5(
+        |      toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+        |      toks[i + 3] || ' ' || toks[i + 4]), 1, 13)) AS BIGINT) AS h
+        |  FROM docs, LATERAL unnest(range(1, len(toks) - 3)) AS u(i)),
+        |dup AS (
+        |  SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |p AS (
+        |  SELECT doc_id, n_tokens, pos FROM g JOIN dup USING (h)),
+        |fl AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |    CASE WHEN pos - lag(pos) OVER
+        |        (PARTITION BY doc_id ORDER BY pos) <= 4
+        |      THEN 0 ELSE 1 END AS newgrp
+        |  FROM p),
+        |gr AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |    SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM fl),
+        |sp AS (
+        |  SELECT doc_id, n_tokens, MIN(pos) AS s, MAX(pos) + 4 AS e
+        |  FROM gr GROUP BY doc_id, n_tokens, grp)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+        |  CAST(MAX(e - s + 1) AS BIGINT) AS max_span_len,
+        |  ROUND(CAST(SUM(e - s + 1) AS DOUBLE) / n_tokens, 4) AS dup_frac
+        |FROM sp GROUP BY doc_id, n_tokens
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -552,7 +552,73 @@ object TextStats {
             (col("s1").cast("double") / col("k")), 4).as("vmr"))
       .orderBy(col("doc_id"))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken —
+    * SIGMOD'03, the MOSS algorithm): per document, hash every k=3-token
+    * gram, then in each window of w=4 consecutive gram hashes keep the
+    * MINIMUM (rightmost on ties) — the canonical local fingerprinting
+    * scheme with the guarantee that any verbatim match of at least
+    * w + k - 1 tokens shares a selected fingerprint, at an expected
+    * 2/(w+1) selection density. The third member of the fingerprint
+    * family: [[docFingerprint]] is set-style (order-blind),
+    * [[docRollingHash]] is whole-sequence, winnowing is POSITION-LOCAL
+    * — the index shape that feeds substring-match detection
+    * ([[Dedup.dedupSubstringSpans]] is the exhaustive-gram variant).
+    *
+    * Plan shape: one scan emits (doc, pos, gram-hash) via an O(len)
+    * array transform; the rightmost-min-per-window selection is a
+    * min() over a CONSTANT-width trailing ROWS frame partitioned by
+    * doc (O(w)/row, w=4 — bounded, unlike the banned corpus-growing
+    * sliding RANGE frames; no global window anywhere). Tie-break is
+    * integer-encoded — key = h·10⁶ + (10⁶ − pos), min-key = min hash
+    * then max pos — so both engines compare identical BIGINTs (no
+    * cross-engine struct-ordering dependency). Docs are assumed
+    * < 10⁶ grams (the encoding stride); fixture max is ~10³.
+    * Output is the per-doc fingerprint summary (count, density,
+    * checksum) so the gate row stays narrow; the selected set itself
+    * is the distinct (pos, hash) pairs. */
+  def textWinnowing(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 3
+    val w = 4
+    val stride = 1000000L
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= k + w - 1) // at least one full window
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(toks) - ${k - 1}),
+             |  i -> cast(conv(substring(md5(
+             |         array_join(slice(toks, i, $k), ' ')), 1, 10),
+             |       16, 10) as bigint))""".stripMargin))
+          .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        col("h"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sel = grams
+      .withColumn("key",
+        col("h") * stride + (lit(stride) - col("pos")))
+      .withColumn("mk", min(col("key")).over(byDoc.rowsBetween(-(w - 1), 0)))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") >= w) // full windows only
+      .select(col("doc_id"), col("mk"))
+      .distinct()
+    val nWin = grams.groupBy(col("doc_id"))
+      .agg((count(lit(1)) - lit(w - 1)).as("n_windows"))
+    sel.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(expr(s"mk div ${stride}L")).as("fp_hash_sum"),
+        max(lit(stride) - col("mk") % stride).as("last_fp_pos"))
+      .join(nWin, "doc_id")
+      .select(col("doc_id"), col("n_windows"), col("n_fingerprints"),
+        round(col("n_fingerprints").cast("double") / col("n_windows"), 4)
+          .as("density"),
+        col("fp_hash_sum"), col("last_fp_pos"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_winnowing" -> (textWinnowing _),
     "text_burstiness" -> (textBurstiness _),
     "text_char_lang_id" -> (textCharLangId _),
     "text_compression_ratio" -> (textCompressionRatio _),
@@ -844,6 +910,41 @@ object TextStats {
         |    AS min_tok_md5,
         |  list_max(list_transform(string_split(text, ' '), t -> md5(t)))
         |    AS max_tok_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical winnowing decomposition: 3-gram 40-bit hashes, integer
+    // tie-break key h*1e6 + (1e6 - pos), min over the trailing w=4 frame
+    "text_winnowing" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 6),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substring(md5(
+        |      toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]),
+        |      1, 10)) AS BIGINT) AS h
+        |  FROM docs, LATERAL unnest(range(1, len(toks) - 1)) AS u(i)),
+        |kd AS (
+        |  SELECT doc_id, pos, h * 1000000 + (1000000 - pos) AS key,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM g),
+        |m AS (
+        |  SELECT doc_id, rn,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+        |  FROM kd),
+        |sel AS (
+        |  SELECT DISTINCT doc_id, mk FROM m WHERE rn >= 4),
+        |nw AS (
+        |  SELECT doc_id, COUNT(*) - 3 AS n_windows FROM g GROUP BY doc_id),
+        |fp AS (
+        |  SELECT doc_id, COUNT(*) AS n_fingerprints,
+        |    CAST(SUM(mk // 1000000) AS BIGINT) AS fp_hash_sum,
+        |    MAX(1000000 - mk % 1000000) AS last_fp_pos
+        |  FROM sel GROUP BY doc_id)
+        |SELECT fp.doc_id, n_windows, n_fingerprints,
+        |  ROUND(CAST(n_fingerprints AS DOUBLE) / n_windows, 4) AS density,
+        |  fp_hash_sum, last_fp_pos
+        |FROM fp JOIN nw ON fp.doc_id = nw.doc_id
+        |ORDER BY fp.doc_id""".stripMargin
   )
 }

@@ -191,4 +191,45 @@ class CurationSpec extends AnyFunSuite {
       assert(dx == zx && dy == zy)
     }
   }
+
+  test("text_winnowing matches brute-force rightmost-min selection; density in [1/w, 1]") {
+    val k = 3
+    val w = 4
+    val stride = 1000000L
+    def gramHash(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 10), 16)
+    }
+    val expected = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= k + w - 1)
+      .map { case (id, toks) =>
+        val keys = (0 to toks.length - k).map { i =>
+          val h = gramHash(toks.slice(i, i + k).mkString(" "))
+          h * stride + (stride - (i + 1))
+        }
+        val sel = (w - 1 until keys.length)
+          .map(j => keys.slice(j - w + 1, j + 1).min).distinct
+        val nWin = (keys.length - w + 1).toLong
+        (id, nWin, sel.length.toLong,
+          BigDecimal(sel.length.toDouble / nWin)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          sel.map(_ / stride).sum,
+          sel.map(mk => stride - mk % stride).max)
+      }.sortBy(_._1)
+    val got = graft.llm.TextStats.textWinnowing(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == expected.length)
+    for ((g, e) <- got.zip(expected)) assert(g == e, s"got $g expected $e")
+    // selection density: every window selects one fingerprint and one
+    // fingerprint serves at most w windows
+    for ((_, nWin, nFp, density, _, _) <- expected) {
+      assert(nFp <= nWin && nFp * w >= nWin,
+        s"density out of bounds: $nFp of $nWin windows")
+      assert(density >= 1.0 / w - 1e-9 && density <= 1.0 + 1e-9)
+    }
+  }
 }

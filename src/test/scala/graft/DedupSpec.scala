@@ -264,4 +264,61 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_exact_cross") >= 1L)
     assert(r.getAs[Long]("n_batch") > 0L && r.getAs[Long]("n_corpus") > 0L)
   }
+
+  test("substring spans match brute-force interval union; plan stays key-shuffled") {
+    val k = 5
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    // brute-force ground truth: gram -> doc set, then the query's exact
+    // island rule (new span when the pos gap exceeds k-1)
+    val byGram = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, toks) <- docs if toks.length >= k; i <- 0 to toks.length - k)
+      byGram.getOrElseUpdate(toks.slice(i, i + k).mkString(" "),
+        scala.collection.mutable.Set.empty) += id
+    val dupGrams = byGram.collect { case (g, ids) if ids.size >= 2 => g }.toSet
+    val expected = docs.flatMap { case (id, toks) =>
+      if (toks.length < k) None
+      else {
+        val pos = (0 to toks.length - k)
+          .filter(i => dupGrams(toks.slice(i, i + k).mkString(" ")))
+          .map(_ + 1) // 1-based like the query
+        if (pos.isEmpty) None
+        else {
+          val groups = pos.tail.foldLeft(List(List(pos.head))) {
+            case (acc @ cur :: rest, p) =>
+              if (p - cur.head <= k - 1) (p :: cur) :: rest
+              else List(p) :: acc
+            case (Nil, p) => List(List(p))
+          }
+          val spans = groups.map(g => (g.min, g.max + k - 1))
+          val dupTokens = spans.map { case (s0, e0) => e0 - s0 + 1 }.sum
+          Some((id, spans.size.toLong, dupTokens.toLong,
+            spans.map { case (s0, e0) => e0 - s0 + 1 }.max.toLong,
+            BigDecimal(dupTokens.toDouble / toks.length)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+    }.sortBy(_._1)
+    val df = Dedup.dedupSubstringSpans(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length == expected.length,
+      s"${got.length} docs with spans vs ${expected.length} expected")
+    for ((g, e) <- got.zip(expected))
+      assert((g._1, g._2, g._3, g._4) == (e._1, e._2, e._3, e._4) &&
+        math.abs(g._5 - e._5) < 1e-9, s"got $g expected $e")
+    assert(expected.nonEmpty, "fixture must contain cross-doc spans")
+    // scale shape: gram join is a key shuffle (no hint, no all-pairs),
+    // every window is partitioned by doc
+    assert(broadcastHints(df).isEmpty)
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    import org.apache.spark.sql.execution.window.WindowExec
+    df.queryExecution.executedPlan.foreach {
+      case w: WindowExec => assert(w.partitionSpec.nonEmpty, w.toString)
+      case _ =>
+    }
+  }
 }

@@ -36,7 +36,10 @@ class ParallelismSpec extends AnyFunSuite {
     "text_js_divergence", "window_rolling_median", "agg_survival_km",
     "agg_autocorrelation", "graph_pagerank", "dedup_fuzzy_minhash",
     "dedup_incremental_minhash", "agg_ks_test", "agg_auc_rank",
-    "sim_search_mmr")
+    "sim_search_mmr",
+    // round-8 tail: cross-doc gram-key shuffle + per-doc island merge;
+    // constant-width ROWS frame with integer-encoded tiebreak
+    "dedup_substring_spans", "text_winnowing")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -1102,8 +1102,11 @@ object Dedup {
     *
     * Shape (suffix-array-free, shuffle-on-content-key):
     *  1. one scan emits (doc, pos, h) for every k=5-gram — an O(len)
-    *     array transform inside the scan stage, hash = 52-bit md5
-    *     prefix so the shuffle carries 8-byte keys, never gram text;
+    *     array transform inside the scan stage, hash = codegen'd
+    *     xxhash64 so the shuffle carries 8-byte keys, never gram text
+    *     (the hash never reaches the output, so the oracle groups on
+    *     the gram STRING itself — set-of-duplicated-grams equality,
+    *     no cross-engine hash parity needed);
     *  2. grams held by >= 2 distinct docs: one hash aggregate on h
     *     (the gram-frequency table — bounded by observed-gram
     *     vocabulary, the text_ngram_freq scale argument);
@@ -1118,10 +1121,10 @@ object Dedup {
     *     double-counting of overlapping grams).
     *
     * All-integer except the final dup_frac rounding; the DuckDB oracle
-    * replays the identical decomposition. Collision note: a 52-bit
-    * cross-doc gram collision can only ADD a span (birthday bound over
-    * observed grams; same accepted-risk class as jaccardPairs' 64-bit
-    * argument). */
+    * replays the identical decomposition on gram strings. Collision
+    * note: a 64-bit cross-doc gram collision can only ADD a span
+    * (birthday bound over observed grams, ~|grams|²/2⁶⁵ — same
+    * accepted-risk class as jaccardPairs' argument). */
   def dedupSubstringSpans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 5
@@ -1134,9 +1137,8 @@ object Dedup {
       .select(col("doc_id"), size(col("toks")).as("n_tokens"),
         posexplode(expr(
           s"""transform(sequence(1, size(toks) - ${k - 1}),
-             |  i -> cast(conv(substring(md5(
-             |         array_join(slice(toks, i, $k), ' ')), 1, 13),
-             |       16, 10) as bigint))""".stripMargin))
+             |  i -> xxhash64(array_join(slice(toks, i, $k), ' ')))"""
+            .stripMargin))
           .as(Seq("p0", "h")))
       .select(col("doc_id"), col("n_tokens"),
         (col("p0") + 1).cast("long").as("pos"), col("h"))
@@ -1429,17 +1431,17 @@ object Dedup {
         |   WHERE h IN (SELECT h FROM corpus)) AS n_exact_cross,
         |  TRUE AS exact_cross_flagged, TRUE AS planted_dup_detected,
         |  TRUE AS flags_within_batch""".stripMargin,
-    // identical decomposition: 5-gram 52-bit fingerprints, cross-doc
-    // keys, gap<=k-1 island merge, interval-union token coverage
+    // identical decomposition on gram STRINGS (the Spark side shuffles
+    // xxhash64 keys; the duplicated-gram SET is what must agree):
+    // cross-doc grams, gap<=k-1 island merge, interval-union coverage
     "dedup_substring_spans" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
         |  WHERE len(string_split(text, ' ')) >= 5),
         |g AS (
         |  SELECT doc_id, len(toks) AS n_tokens, i AS pos,
-        |    CAST(('0x' || substring(md5(
-        |      toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
-        |      toks[i + 3] || ' ' || toks[i + 4]), 1, 13)) AS BIGINT) AS h
+        |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+        |      toks[i + 3] || ' ' || toks[i + 4] AS h
         |  FROM docs, LATERAL unnest(range(1, len(toks) - 3)) AS u(i)),
         |dup AS (
         |  SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),

@@ -392,7 +392,27 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Uniform k-of-N sampling as a bottom-k over a content hash: every
+    * doc draws its "random" number as md5(doc_id|source) and the sample
+    * is the k smallest. Deterministic (re-runs and engines agree),
+    * uniform (md5 is uniform over keys), and — the 100 TB point — the
+    * plan is TakeOrderedAndProject: each scan task keeps a local k-row
+    * heap and the driver merges partitions' heads. No shuffle of the
+    * corpus, no global sort, O(k) driver memory; a `ORDER BY rand()
+    * LIMIT k` at 100 TB would be the same plan but non-reproducible,
+    * and a full sort would shuffle everything for k rows. */
+  def sampleBottomK(s: SparkSession, d: String): DataFrame = {
+    val k = 200
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(concat_ws("|", col("doc_id"), col("source"))).as("h"))
+      .orderBy(col("h"))
+      .limit(k)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_bottom_k" -> (sampleBottomK _),
     "sample_weighted" -> (sampleWeighted _),
     "text_chunk_sliding" -> (textChunkSliding _),
     "sample_negative_pairs" -> (sampleNegativePairs _),
@@ -409,6 +429,12 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_bottom_k" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, source,
+        |    md5(concat_ws('|', doc_id, source)) AS h
+        |  FROM documents ORDER BY h LIMIT 200)
+        |ORDER BY doc_id""".stripMargin,
     "sample_weighted" ->
       """WITH b AS (
         |  SELECT doc_id,

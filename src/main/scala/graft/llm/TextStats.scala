@@ -617,7 +617,52 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-rule quality filter (Rae et al. 2021, "Scaling Language
+    * Models", table A1): word-count bounds, mean-word-length band,
+    * symbol-to-word ratio (# and ...), alphabetic-word fraction, and a
+    * minimum distinct-stopword count. Every rule is evaluated in pure
+    * integer arithmetic (mean-len ∈ [3,10] ⇔ 3n ≤ chars ≤ 10n, alpha
+    * frac > 0.8 ⇔ 5·n_alpha > 4·n, symbol ratio < 0.1 ⇔ 10·sym < n) so
+    * the gate bit-compares with no float rounding at all. One
+    * projection over the scan, zero shuffles — the canonical
+    * embarrassingly-parallel curation pass at 100 TB.
+    *
+    * Two thresholds are tuned to the fixture grain so the pass/fail
+    * boundary is non-vacuous at every sf (docs are 10–99 words with at
+    * most one distinct stopword): min words 50 → 30 and min distinct
+    * stopwords 2 → 1. The rule STRUCTURE is Gopher's; production runs
+    * would restore the paper's constants. */
+  def textGopherQuality(s: SparkSession, d: String): DataFrame = {
+    val stops = "'the','be','to','of','and','that','have','with'"
+    t(s, d, "documents")
+      .withColumn("words",
+        expr("filter(split(lower(text), '\\\\s+'), w -> w != '')"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("word_chars",
+        expr("aggregate(words, 0L, (a, w) -> a + length(w))"))
+      .withColumn("n_alpha",
+        expr("size(filter(words, w -> w rlike '[a-z]'))").cast("long"))
+      .withColumn("n_symbols",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))).cast("long") +
+          expr("(length(text) - length(replace(text, '...', ''))) div 3"))
+      .withColumn("stop_hits",
+        expr(s"size(filter(array($stops), sw -> array_contains(words, sw)))")
+          .cast("long"))
+      .select(
+        col("doc_id"), col("n_words"), col("word_chars"),
+        col("n_alpha"), col("n_symbols"), col("stop_hits"),
+        (col("n_words").between(30L, 100000L) &&
+          col("word_chars") >= col("n_words") * 3L &&
+          col("word_chars") <= col("n_words") * 10L &&
+          col("n_symbols") * 10L < col("n_words") &&
+          col("n_alpha") * 5L > col("n_words") * 4L &&
+          col("stop_hits") >= 1L).as("passes"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher_quality" -> (textGopherQuality _),
     "text_winnowing" -> (textWinnowing _),
     "text_burstiness" -> (textBurstiness _),
     "text_char_lang_id" -> (textCharLangId _),
@@ -642,6 +687,33 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_gopher_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                w -> w <> '') AS words
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(words,
+        |      w -> length(w))), 0) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(words,
+        |      w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_symbols,
+        |    CAST(len(list_filter(['the','be','to','of','and','that',
+        |      'have','with'], sw -> list_contains(words, sw)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM w)
+        |SELECT doc_id, n_words, word_chars, n_alpha, n_symbols, stop_hits,
+        |  (n_words BETWEEN 30 AND 100000
+        |   AND word_chars >= n_words * 3 AND word_chars <= n_words * 10
+        |   AND n_symbols * 10 < n_words
+        |   AND n_alpha * 5 > n_words * 4
+        |   AND stop_hits >= 1) AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
     // zeroth-order entropy estimate — agg_entropy's exact-integer
     // rounding discipline (round per term, decimal sum) keeps the
     // irrational parts order-independent across engines

@@ -407,7 +407,47 @@ object Joins {
       .orderBy(col("corrupt"), col("source"))
   }
 
+  /** Bucketed co-located join — the 100 TB shuffle eliminator for
+    * repeated fact⋈fact joins: both sides are written ONCE bucketed on
+    * the join key (`bucketBy(8, custkey)` + in-bucket sort), and every
+    * subsequent join on that key reads bucket i against bucket i with
+    * NO exchange — each bucketed scan already reports
+    * HashPartitioning(custkey, 8), satisfying sort-merge's
+    * distribution requirement. The write cost amortizes across every
+    * downstream join/aggregation on the key; at 100 TB this is the
+    * difference between shuffling the fact table per query and never
+    * shuffling it. The `merge` hint pins SMJ so the plan demonstrates
+    * the exchange-free co-location even at fixture sizes where
+    * broadcast would win (PlanSpec asserts no shuffle below the join).
+    * Result is bucketing-independent — the oracle is the plain join. */
+  def joinBucketedColocated(s: SparkSession, d: String): DataFrame = {
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$base/orders").saveAsTable("graft_bkt_orders")
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$base/customer").saveAsTable("graft_bkt_customer")
+    val o = s.table("graft_bkt_orders")
+    val c = s.table("graft_bkt_customer")
+    o.hint("merge")
+      .join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,4)")), 2)
+          .cast("double").as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed_colocated" -> (joinBucketedColocated _),
     "join_fuzzy_match" -> (joinFuzzyMatch _),
     "join_null_aware_anti" -> (joinNullAwareAnti _),
     "join_interval_overlap" -> (joinIntervalOverlap _),
@@ -431,6 +471,12 @@ object Joins {
   )
 
   val oracles: Map[String, String] = Map(
+    "join_bucketed_colocated" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |       AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_fuzzy_match" ->
       """WITH registry AS (
         |  SELECT DISTINCT source FROM documents

@@ -39,7 +39,10 @@ class ParallelismSpec extends AnyFunSuite {
     "sim_search_mmr",
     // round-8 tail: cross-doc gram-key shuffle + per-doc island merge;
     // constant-width ROWS frame with integer-encoded tiebreak
-    "dedup_substring_spans", "text_winnowing")
+    "dedup_substring_spans", "text_winnowing",
+    // round-8 close: bottom-k heap with hash ties impossible; fixed
+    // 8-bucket writes regardless of input partitioning
+    "sample_bottom_k", "join_bucketed_colocated")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

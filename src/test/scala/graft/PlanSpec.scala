@@ -279,6 +279,35 @@ class PlanSpec extends AnyFunSuite {
       exec)
   }
 
+  test("text_gopher_quality is one projection over the scan — no shuffle") {
+    // every Gopher rule is integer arithmetic inside the row; nothing
+    // may aggregate or join. Only the presentation orderBy exchanges.
+    val df = graft.llm.TextStats.textGopherQuality(spark, sf)
+    val exec = df.queryExecution.executedPlan.toString
+    val exchanges = exec.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, exec) // presentation sort only
+    assert(!exec.contains("Join") && !exec.contains("HashAggregate"), exec)
+  }
+
+  test("sample_bottom_k is a per-task heap (TakeOrderedAndProject)") {
+    val p = plan(graft.llm.Curation.sampleBottomK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("join_bucketed_colocated: bucketed SMJ with no exchange below the join") {
+    val df = graft.queries.Joins.joinBucketedColocated(spark, sf)
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"), p)
+    // both scans are bucketed on the join key, so the ONLY exchange in
+    // the whole plan is the post-join groupBy's — the join itself reads
+    // bucket i against bucket i with no shuffle of either side. Count
+    // the detail headers ("(n) Exchange") so tree + detail sections
+    // aren't double-counted.
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2, p) // groupBy hash + presentation sort only
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
   test("sample_temperature windows over post-aggregate rows only") {
     // the single-partition window must sit ABOVE the per-source hash
     // aggregate (bounded rows), never over the raw corpus

@@ -411,7 +411,69 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.,
+    * NeurIPS'23): score every raw document by how target-like its
+    * hashed-n-gram distribution is, weight = Σ_tokens log
+    * p_target(bucket)/p_raw(bucket) with add-1 smoothing over 1024
+    * md5-hashed unigram buckets, then keep the top-k. Target here =
+    * the `lang='en'` slice, raw = the whole corpus (the paper's
+    * formula, fixture-scale feature space).
+    *
+    * Float discipline (the perplexity/entropy house pattern): each
+    * bucket's log-ratio is rounded once to DECIMAL(18,6); per-doc
+    * weights are exact decimal sums of integer-count × decimal-term
+    * products, so summation order cannot move a bit. The ln argument
+    * is a quotient of exactly-representable integer products
+    * (< 2^53 at any test sf), so both engines feed ln the identical
+    * double.
+    *
+    * Scale shape: token→bucket is in-scan; the two bucket-count
+    * tables collapse to ≤1024 rows each and the log-ratio table
+    * BROADCASTS back; the corpus shuffles once on (doc_id, bucket)
+    * for the per-doc counts; selection is a TakeOrderedAndProject
+    * heap. Nothing corpus-sized is ever broadcast or globally
+    * sorted — the DSIR pass costs one aggregate shuffle at 100 TB. */
+  def sampleDsir(s: SparkSession, d: String): DataFrame = {
+    val k = 100
+    val docs = t(s, d, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val bucketed = toks.select(col("doc_id"), col("lang"),
+      (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long") % 1024L)
+        .as("bucket"))
+    val rawC = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_r"))
+    val tgtC = bucketed.filter(col("lang") === "en").groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c_t"))
+    val nR = bucketed.agg(count(lit(1)).as("n_r"))
+    val nT = bucketed.filter(col("lang") === "en")
+      .agg(count(lit(1)).as("n_t"))
+    val logRatio = rawC
+      .join(tgtC, Seq("bucket"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("bucket"),
+        // `1.0` literals parse as DECIMAL in BOTH engines (with
+        // different division scales) — cast to DOUBLE explicitly so
+        // both compute the identical IEEE quotient before ln
+        expr("""CAST(ROUND(ln((CAST(COALESCE(c_t, 0) + 1 AS DOUBLE) *
+                (n_r + 1024)) /
+                (CAST(c_r + 1 AS DOUBLE) * (n_t + 1024))), 6)
+                AS DECIMAL(18,6))""")
+          .as("lr"))
+    bucketed.groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(logRatio), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n").cast("decimal(12,0)") * col("lr")).as("wsum"))
+      .orderBy(col("wsum").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lang"),
+        col("wsum").cast("double").as("dsir_w"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_dsir" -> (sampleDsir _),
     "sample_bottom_k" -> (sampleBottomK _),
     "sample_weighted" -> (sampleWeighted _),
     "text_chunk_sliding" -> (textChunkSliding _),
@@ -429,6 +491,38 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 1024
+        |      AS bucket
+        |  FROM toks),
+        |rc AS (SELECT bucket, COUNT(*) AS c_r FROM b GROUP BY bucket),
+        |tc AS (SELECT bucket, COUNT(*) AS c_t FROM b
+        |       WHERE lang = 'en' GROUP BY bucket),
+        |nr AS (SELECT COUNT(*) AS n_r FROM b),
+        |nt AS (SELECT COUNT(*) AS n_t FROM b WHERE lang = 'en'),
+        |lr AS (
+        |  SELECT rc.bucket,
+        |    CAST(ROUND(ln((CAST(COALESCE(c_t, 0) + 1 AS DOUBLE) *
+        |      (n_r + 1024)) /
+        |      (CAST(c_r + 1 AS DOUBLE) * (n_t + 1024))), 6)
+        |      AS DECIMAL(18,6)) AS lr
+        |  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket, nr, nt),
+        |db AS (
+        |  SELECT doc_id, lang, bucket, COUNT(*) AS n
+        |  FROM b GROUP BY doc_id, lang, bucket),
+        |w AS (
+        |  SELECT doc_id, lang,
+        |    SUM(CAST(n AS DECIMAL(12,0)) * lr) AS wsum
+        |  FROM db JOIN lr USING (bucket) GROUP BY doc_id, lang)
+        |SELECT * FROM (
+        |  SELECT doc_id, lang, CAST(wsum AS DOUBLE) AS dsir_w
+        |  FROM w ORDER BY wsum DESC, doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
     "sample_bottom_k" ->
       """SELECT * FROM (
         |  SELECT doc_id, source,

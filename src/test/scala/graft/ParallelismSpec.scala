@@ -41,8 +41,9 @@ class ParallelismSpec extends AnyFunSuite {
     // constant-width ROWS frame with integer-encoded tiebreak
     "dedup_substring_spans", "text_winnowing",
     // round-8 close: bottom-k heap with hash ties impossible; fixed
-    // 8-bucket writes regardless of input partitioning
-    "sample_bottom_k", "join_bucketed_colocated")
+    // 8-bucket writes regardless of input partitioning; decimal-sum
+    // importance weights with doc_id tiebreak
+    "sample_bottom_k", "join_bucketed_colocated", "sample_dsir")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

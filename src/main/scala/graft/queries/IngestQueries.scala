@@ -252,6 +252,60 @@ object IngestQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Full MERGE INTO semantics over a CDC batch — the lakehouse
+    * upsert-with-tombstones shape that [[mergeUpsertLatest]]'s pure
+    * last-writer-wins does not cover: a TARGET snapshot (each user's
+    * state before the cut) merged with a CHANGES batch (events at/after
+    * the cut, collapsed to latest-per-key with 'error' mapped to a
+    * DELETE tombstone), via WHEN MATCHED UPDATE / WHEN MATCHED DELETE /
+    * WHEN NOT MATCHED INSERT. Expressed as: per-side latest-per-key
+    * windows (both partitioned on user_id) + ONE full-outer join on
+    * user_id + case logic — the windows leave both sides hash-
+    * partitioned on the join key, so the join adds no exchange. At
+    * 100 TB the target side is the bucketed table from
+    * join_bucketed_colocated's recipe and the whole merge runs with a
+    * single shuffle of the (much smaller) change batch. */
+  def mergeIntoCdc(s: SparkSession, d: String): DataFrame = {
+    val cutMicros = 1705795200000000L // 2024-01-21 00:00:00 UTC
+    // key = (user_id, k from the props JSON): ~100 k-values per user
+    // keeps all four MERGE branches non-vacuous at every sf — keys
+    // born after the cut INSERT, keys untouched after the cut are
+    // kept, touched keys UPDATE, and a latest-is-'error' tombstone
+    // DELETEs the row
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .withColumn("tsu", unix_micros(col("ts")))
+    val w = Window.partitionBy(col("user_id"), col("k"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val target = ev.filter(col("tsu") < cutMicros)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id").as("t_user"), col("k").as("t_k"),
+        col("value").as("t_value"), col("event_id").as("t_eid"))
+    val batch = ev.filter(col("tsu") >= cutMicros)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id").as("s_user"), col("k").as("s_k"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+          .as("op"),
+        col("value").as("s_value"), col("event_id").as("s_eid"))
+    target.join(batch,
+        col("t_user") === col("s_user") && col("t_k") === col("s_k"),
+        "full")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("t_user"), col("s_user")).as("user_id"),
+        coalesce(col("t_k"), col("s_k")).as("k"),
+        when(col("s_user").isNull, col("t_value")).otherwise(col("s_value"))
+          .as("value"),
+        when(col("s_user").isNull, lit("kept"))
+          .when(col("t_user").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("action"),
+        when(col("s_user").isNull, col("t_eid")).otherwise(col("s_eid"))
+          .as("last_event_id"))
+      .orderBy(col("user_id"), col("k"))
+  }
+
   /** SCD type-2 history build — the other half of CDC table
     * maintenance next to [[mergeUpsertLatest]]: from each user's event
     * stream, collapse consecutive repeats of the tracked attribute
@@ -283,6 +337,7 @@ object IngestQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_history" -> (scd2History _),
     "merge_upsert_latest" -> (mergeUpsertLatest _),
+    "merge_into_cdc" -> (mergeIntoCdc _),
     "compact_roundtrip" -> (compactRoundtrip _),
     "ingest_base64_roundtrip" -> (ingestBase64Roundtrip _),
     "ingest_base64_clean" -> (ingestBase64Clean _),
@@ -376,6 +431,35 @@ object IngestQueries {
         |  ('t2', 100, 1, TRUE))
         |  AS t("table", rows, files_after, compacted_smaller)
         |ORDER BY "table"""".stripMargin,
+    "merge_into_cdc" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events),
+        |tgt AS (
+        |  SELECT user_id AS t_user, k AS t_k, value AS t_value,
+        |    event_id AS t_eid
+        |  FROM e WHERE epoch_us(ts) < 1705795200000000
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, k
+        |    ORDER BY ts DESC, event_id DESC) = 1),
+        |chg AS (
+        |  SELECT user_id AS s_user, k AS s_k,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    value AS s_value, event_id AS s_eid
+        |  FROM e WHERE epoch_us(ts) >= 1705795200000000
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, k
+        |    ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT COALESCE(t_user, s_user) AS user_id,
+        |  COALESCE(t_k, s_k) AS k,
+        |  CASE WHEN s_user IS NULL THEN t_value ELSE s_value END AS value,
+        |  CASE WHEN s_user IS NULL THEN 'kept'
+        |       WHEN t_user IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS action,
+        |  CASE WHEN s_user IS NULL THEN t_eid ELSE s_eid END
+        |    AS last_event_id
+        |FROM tgt FULL JOIN chg ON t_user = s_user AND t_k = s_k
+        |WHERE op IS NULL OR op <> 'D'
+        |ORDER BY user_id, k""".stripMargin,
     "merge_upsert_latest" ->
       """WITH u AS (
         |  SELECT user_id, event_id, ts, event_type, value,

@@ -118,4 +118,31 @@ class IngestSpec extends AnyFunSuite {
     assert(rows(0).getString(0) == "x" && rows(0).getLong(1) == 1 && rows(0).isNullAt(2))
     assert(rows(2).getString(0) == "z" && rows(2).isNullAt(1) && rows(2).getBoolean(2))
   }
+
+  test("merge_into_cdc exercises every MERGE branch; tombstones delete") {
+    import org.apache.spark.sql.functions.col
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.IngestQueries.mergeIntoCdc(spark, sf)
+    val byAction = out.groupBy(col("action")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byAction.getOrElse("kept", 0L) > 0, byAction.toString)
+    assert(byAction.getOrElse("updated", 0L) > 0, byAction.toString)
+    assert(byAction.getOrElse("inserted", 0L) > 0, byAction.toString)
+    // matched keys whose latest post-cut change is an 'error' tombstone
+    // must be ABSENT from the merged state: the merged key count is
+    // strictly below target-keys + batch-born keys
+    val ev = graft.Tables.t(spark, sf, "events")
+      .select(col("user_id"),
+        org.apache.spark.sql.functions
+          .get_json_object(col("props"), "$.k").cast("int").as("k"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("tsu"))
+    val cut = 1705795200000000L
+    val targetKeys = ev.filter(col("tsu") < cut)
+      .select(col("user_id"), col("k")).distinct().count()
+    val bornKeys = ev.groupBy(col("user_id"), col("k"))
+      .agg(org.apache.spark.sql.functions.min(col("tsu")).as("first"))
+      .filter(col("first") >= cut).count()
+    assert(out.count() < targetKeys + bornKeys,
+      s"${out.count()} vs $targetKeys + $bornKeys — no deletes happened")
+  }
 }

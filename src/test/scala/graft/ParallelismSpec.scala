@@ -43,7 +43,8 @@ class ParallelismSpec extends AnyFunSuite {
     // round-8 close: bottom-k heap with hash ties impossible; fixed
     // 8-bucket writes regardless of input partitioning; decimal-sum
     // importance weights with doc_id tiebreak
-    "sample_bottom_k", "join_bucketed_colocated", "sample_dsir")
+    "sample_bottom_k", "join_bucketed_colocated", "sample_dsir",
+    "merge_into_cdc")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

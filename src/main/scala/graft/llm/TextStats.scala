@@ -617,6 +617,40 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge-candidate statistics — the inner loop of byte-pair-
+    * encoding vocabulary training (Sennrich et al., ACL'16): count
+    * adjacent symbol pairs across the corpus (here the first
+    * iteration: character bigrams inside words), weighted by word
+    * frequency, and emit the top merge candidates. The trainer would
+    * merge rank 1, re-count, repeat; one iteration is the
+    * representative Spark shape because every iteration is this same
+    * job on a rewritten vocabulary.
+    *
+    * Scale shape: tokens collapse to the DISTINCT-word vocabulary
+    * FIRST (one corpus shuffle on the word), so the bigram explosion
+    * runs over vocabulary-sized data (Heaps-law sublinear), weighted
+    * by the exact word counts; pair totals are a second (tiny)
+    * aggregate and selection is a TakeOrderedAndProject heap. The
+    * corpus text itself is never exploded to character grams. */
+  def tokenizeBpeMerges(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val k = 20
+    val words = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    words
+      .select(col("n_w"),
+        GraftBridge.column(graft.functions.CharNGrams(
+          GraftBridge.expression(col("w")), 2)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n_w")).as("n_pair"),
+        count(lit(1)).as("n_slots"))
+      .orderBy(col("n_pair").desc, col("pair").asc)
+      .limit(k)
+      .orderBy(col("pair"))
+  }
+
   /** Gopher-rule quality filter (Rae et al. 2021, "Scaling Language
     * Models", table A1): word-count bounds, mean-word-length band,
     * symbol-to-word ratio (# and ...), alphabetic-word fraction, and a
@@ -662,6 +696,7 @@ object TextStats {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tokenize_bpe_merges" -> (tokenizeBpeMerges _),
     "text_gopher_quality" -> (textGopherQuality _),
     "text_winnowing" -> (textWinnowing _),
     "text_burstiness" -> (textBurstiness _),
@@ -687,6 +722,21 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "tokenize_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT w, COUNT(*) AS n_w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        |pairs AS (
+        |  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, n_w
+        |  FROM words,
+        |    LATERAL unnest(range(1, length(w))) AS t(i))
+        |SELECT * FROM (
+        |  SELECT pair, CAST(SUM(n_w) AS BIGINT) AS n_pair,
+        |    COUNT(*) AS n_slots
+        |  FROM pairs GROUP BY pair
+        |  ORDER BY n_pair DESC, pair ASC LIMIT 20)
+        |ORDER BY pair""".stripMargin,
     "text_gopher_quality" ->
       """WITH w AS (
         |  SELECT doc_id, text,

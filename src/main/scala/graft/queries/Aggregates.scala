@@ -478,6 +478,34 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Join-key skew profile — the operational complement of
+    * join_skew_salted: BEFORE salting a 100 TB join you measure which
+    * keys are hot. Per-key counts for the shuffle key (one map-side-
+    * combined aggregate — the only corpus-sized work), then a bounded
+    * summary: key count, row count, min/max per-key cardinality, the
+    * hottest key (deterministic: min key among those at the max), and
+    * an integer-exact skew factor ×1000 (max·n_keys·1000 div n_rows —
+    * the ratio a shuffle planner compares against its salt
+    * threshold). All-integer output: nothing to round, bit-exact on
+    * any engine. */
+  def profileKeySkew(s: SparkSession, d: String): DataFrame = {
+    val perKey = t(s, d, "lineitem")
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+    val summary = perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_per_key"),
+      min(col("cnt")).as("min_per_key"))
+    val hot = perKey.crossJoin(broadcast(
+        perKey.agg(max(col("cnt")).as("mx"))))
+      .filter(col("cnt") === col("mx"))
+      .agg(min(col("l_suppkey")).as("hot_key"))
+    summary.crossJoin(broadcast(hot))
+      .select(col("n_keys"), col("n_rows"), col("max_per_key"),
+        col("min_per_key"), col("hot_key"),
+        expr("max_per_key * n_keys * 1000 div n_rows").as("skew_x1000"))
+  }
+
   /** Wald-Wolfowitz runs test on the daily count series — "is the
     * up/down pattern random, or is there momentum/alternation": runs of
     * consecutive same-sign day-over-day changes counted exactly
@@ -1607,6 +1635,7 @@ object Aggregates {
     "agg_auc_rank" -> (aggAucRank _),
     "agg_t_test" -> (aggTTest _),
     "profile_drift_psi" -> (profileDriftPsi _),
+    "profile_key_skew" -> (profileKeySkew _),
     "agg_rare_collapse" -> (aggRareCollapse _),
     "agg_autocorrelation" -> (aggAutocorrelation _),
     "agg_survival_km" -> (aggSurvivalKm _),
@@ -1876,6 +1905,21 @@ object Aggregates {
         |  ROUND(CAST(SUM(vq) - SUM(wq) AS DOUBLE) / COUNT(*), 4)
         |    AS outlier_influence
         |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "profile_key_skew" ->
+      """WITH pk AS (
+        |  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem
+        |  GROUP BY l_suppkey),
+        |summary AS (
+        |  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    MAX(cnt) AS max_per_key, MIN(cnt) AS min_per_key
+        |  FROM pk),
+        |hot AS (
+        |  SELECT MIN(l_suppkey) AS hot_key FROM pk
+        |  WHERE cnt = (SELECT MAX(cnt) FROM pk))
+        |SELECT n_keys, n_rows, max_per_key, min_per_key, hot_key,
+        |  CAST(max_per_key * n_keys * 1000 // n_rows AS BIGINT)
+        |    AS skew_x1000
+        |FROM summary, hot""".stripMargin,
     "profile_freshness" ->
       """WITH wm AS (SELECT MAX(epoch_us(ts)) AS watermark_us FROM events)
         |SELECT event_type, COUNT(*) AS n,

@@ -478,6 +478,48 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Pairwise Pearson correlation matrix over the four lineitem
+    * measures, from EXACT integer/decimal moments: one map-side-
+    * combined pass accumulates n, Σx, Σx², and the six Σxy as
+    * DECIMAL (order-independent — the values are exact 2-decimal
+    * money/rate figures), then ONE closing double formula per pair
+    * (identical expression text on both engines). A naive corr() of
+    * doubles would be summation-order-dependent and could not
+    * hash-match across engines or partition counts. One scan, one
+    * 12-cell reduce — nothing corpus-sized ever shuffles. */
+  def aggCorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(
+      col("l_quantity").cast("decimal(18,4)").as("q"),
+      col("l_extendedprice").cast("decimal(18,4)").as("p"),
+      col("l_discount").cast("decimal(18,4)").as("dd"),
+      col("l_tax").cast("decimal(18,4)").as("tt"))
+    val m = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+      sum(col("dd")).as("sd"), sum(col("tt")).as("st"),
+      sum(expr("q*q")).as("sqq"), sum(expr("p*p")).as("spp"),
+      sum(expr("dd*dd")).as("sdd"), sum(expr("tt*tt")).as("stt"),
+      sum(expr("q*p")).as("sqp"), sum(expr("q*dd")).as("sqd"),
+      sum(expr("q*tt")).as("sqt"), sum(expr("p*dd")).as("spd"),
+      sum(expr("p*tt")).as("spt"), sum(expr("dd*tt")).as("sdt"))
+    def corr(x: String, y: String, sxy: String, sxx: String, syy: String,
+        sx: String, sy: String): String =
+      s"""ROUND((CAST(n AS DOUBLE) * CAST($sxy AS DOUBLE)
+         | - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))
+         | / sqrt((CAST(n AS DOUBLE) * CAST($sxx AS DOUBLE)
+         |   - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))
+         |  * (CAST(n AS DOUBLE) * CAST($syy AS DOUBLE)
+         |   - CAST($sy AS DOUBLE) * CAST($sy AS DOUBLE))), 6)
+         | AS corr_${x}_$y""".stripMargin.replaceAll("\n", "")
+    m.selectExpr("n",
+      corr("qty", "price", "sqp", "sqq", "spp", "sq", "sp"),
+      corr("qty", "disc", "sqd", "sqq", "sdd", "sq", "sd"),
+      corr("qty", "tax", "sqt", "sqq", "stt", "sq", "st"),
+      corr("price", "disc", "spd", "spp", "sdd", "sp", "sd"),
+      corr("price", "tax", "spt", "spp", "stt", "sp", "st"),
+      corr("disc", "tax", "sdt", "sdd", "stt", "sd", "st"))
+  }
+
   /** Join-key skew profile — the operational complement of
     * join_skew_salted: BEFORE salting a 100 TB join you measure which
     * keys are hot. Per-key counts for the shuffle key (one map-side-
@@ -1636,6 +1678,7 @@ object Aggregates {
     "agg_t_test" -> (aggTTest _),
     "profile_drift_psi" -> (profileDriftPsi _),
     "profile_key_skew" -> (profileKeySkew _),
+    "agg_corr_matrix" -> (aggCorrMatrix _),
     "agg_rare_collapse" -> (aggRareCollapse _),
     "agg_autocorrelation" -> (aggAutocorrelation _),
     "agg_survival_km" -> (aggSurvivalKm _),
@@ -1905,6 +1948,32 @@ object Aggregates {
         |  ROUND(CAST(SUM(vq) - SUM(wq) AS DOUBLE) / COUNT(*), 4)
         |    AS outlier_influence
         |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // operands cast to DECIMAL(19,4): DuckDB needs the product width
+    // (19+19=38) to fit its max decimal; the VALUES are identical to
+    // the engine's (18,4) casts, so the sums match exactly
+    "agg_corr_matrix" ->
+      """WITH c AS (
+        |  SELECT CAST(l_quantity AS DECIMAL(19,4)) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(19,4)) AS p,
+        |    CAST(l_discount AS DECIMAL(19,4)) AS dd,
+        |    CAST(l_tax AS DECIMAL(19,4)) AS tt
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT COUNT(*) AS n,
+        |    SUM(q) AS sq, SUM(p) AS sp, SUM(dd) AS sd, SUM(tt) AS st,
+        |    SUM(q*q) AS sqq, SUM(p*p) AS spp,
+        |    SUM(dd*dd) AS sdd, SUM(tt*tt) AS stt,
+        |    SUM(q*p) AS sqp, SUM(q*dd) AS sqd, SUM(q*tt) AS sqt,
+        |    SUM(p*dd) AS spd, SUM(p*tt) AS spt, SUM(dd*tt) AS sdt
+        |  FROM c)
+        |SELECT n,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 6) AS corr_qty_price,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sqd AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sd AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS corr_qty_disc,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sqt AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(st AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 6) AS corr_qty_tax,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(spd AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sd AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))), 6) AS corr_price_disc,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(spt AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(st AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 6) AS corr_price_tax,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(st AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))), 6) AS corr_disc_tax
+        |FROM m""".stripMargin,
     "profile_key_skew" ->
       """WITH pk AS (
         |  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem

@@ -44,7 +44,8 @@ class ParallelismSpec extends AnyFunSuite {
     // 8-bucket writes regardless of input partitioning; decimal-sum
     // importance weights with doc_id tiebreak
     "sample_bottom_k", "join_bucketed_colocated", "sample_dsir",
-    "merge_into_cdc", "tokenize_bpe_merges", "profile_key_skew")
+    "merge_into_cdc", "tokenize_bpe_merges", "profile_key_skew",
+    "agg_corr_matrix")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -427,41 +427,45 @@ object Curation {
     * (< 2^53 at any test sf), so both engines feed ln the identical
     * double.
     *
-    * Scale shape: token→bucket is in-scan; the two bucket-count
-    * tables collapse to ≤1024 rows each and the log-ratio table
-    * BROADCASTS back; the corpus shuffles once on (doc_id, bucket)
-    * for the per-doc counts; selection is a TakeOrderedAndProject
-    * heap. Nothing corpus-sized is ever broadcast or globally
-    * sorted — the DSIR pass costs one aggregate shuffle at 100 TB. */
+    * Scale shape — the paper's fit-then-score split collapsed to ONE
+    * corpus job: the only corpus-sized work is the (doc_id, lang,
+    * bucket) count aggregate, PERSISTED (spill-safe) so the fit side
+    * (bucket totals → 1024-row log-ratio table, broadcast back) and
+    * the score side read the SAME materialized result instead of
+    * re-running the token explode per consumer — PlanSpec executes
+    * the query and asserts exactly one Generate with
+    * InMemoryTableScan reuses. Selection is a TakeOrderedAndProject
+    * heap. Nothing corpus-sized is ever broadcast, re-scanned, or
+    * globally sorted. */
   def sampleDsir(s: SparkSession, d: String): DataFrame = {
     val k = 100
     val docs = t(s, d, "documents")
-    val toks = docs.select(col("doc_id"), col("lang"),
-      explode(split(col("text"), " ")).as("tok"))
-    val bucketed = toks.select(col("doc_id"), col("lang"),
-      (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long") % 1024L)
-        .as("bucket"))
-    val rawC = bucketed.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("c_r"))
-    val tgtC = bucketed.filter(col("lang") === "en").groupBy(col("bucket"))
-      .agg(count(lit(1)).as("c_t"))
-    val nR = bucketed.agg(count(lit(1)).as("n_r"))
-    val nT = bucketed.filter(col("lang") === "en")
-      .agg(count(lit(1)).as("n_t"))
-    val logRatio = rawC
-      .join(tgtC, Seq("bucket"), "left")
-      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+    val db = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long")
+          % 1024L).as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .cache()
+    val bucketC = db.groupBy(col("bucket")).agg(
+      sum(col("n")).as("c_r"),
+      sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("c_t"))
+    val totals = bucketC.agg(
+      sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))
+    val logRatio = bucketC
+      .crossJoin(broadcast(totals))
       .select(col("bucket"),
         // `1.0` literals parse as DECIMAL in BOTH engines (with
         // different division scales) — cast to DOUBLE explicitly so
         // both compute the identical IEEE quotient before ln
-        expr("""CAST(ROUND(ln((CAST(COALESCE(c_t, 0) + 1 AS DOUBLE) *
+        expr("""CAST(ROUND(ln((CAST(c_t + 1 AS DOUBLE) *
                 (n_r + 1024)) /
                 (CAST(c_r + 1 AS DOUBLE) * (n_t + 1024))), 6)
                 AS DECIMAL(18,6))""")
           .as("lr"))
-    bucketed.groupBy(col("doc_id"), col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
+    db
       .join(broadcast(logRatio), Seq("bucket"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("n").cast("decimal(12,0)") * col("lr")).as("wsum"))

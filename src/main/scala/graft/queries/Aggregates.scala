@@ -533,18 +533,17 @@ object Aggregates {
   def profileKeySkew(s: SparkSession, d: String): DataFrame = {
     val perKey = t(s, d, "lineitem")
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
-    val summary = perKey.agg(
-      count(lit(1)).as("n_keys"),
-      sum(col("cnt")).as("n_rows"),
-      max(col("cnt")).as("max_per_key"),
-      min(col("cnt")).as("min_per_key"))
-    val hot = perKey.crossJoin(broadcast(
-        perKey.agg(max(col("cnt")).as("mx"))))
-      .filter(col("cnt") === col("mx"))
-      .agg(min(col("l_suppkey")).as("hot_key"))
-    summary.crossJoin(broadcast(hot))
+    // single reduce over the per-key counts: the hottest key rides the
+    // same pass as an argmax on (cnt, -key) — max cnt, ties to the
+    // smallest key — so the corpus aggregates exactly once
+    perKey.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_per_key"),
+        min(col("cnt")).as("min_per_key"),
+        max(struct(col("cnt"), (-col("l_suppkey")).as("nk"))).as("am"))
       .select(col("n_keys"), col("n_rows"), col("max_per_key"),
-        col("min_per_key"), col("hot_key"),
+        col("min_per_key"), (-col("am.nk")).as("hot_key"),
         expr("max_per_key * n_keys * 1000 div n_rows").as("skew_x1000"))
   }
 

@@ -289,6 +289,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!exec.contains("Join") && !exec.contains("HashAggregate"), exec)
   }
 
+  test("sample_dsir executes ONE corpus token aggregate (AQE stage reuse)") {
+    // the (doc_id, lang, bucket) aggregate feeds three consumers; its
+    // shuffle must be written once and reused, not recomputed — at
+    // 100 TB a recompute would triple the only corpus-sized job
+    val df = graft.llm.Curation.sampleDsir(spark, sf)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    // both consumers of the persisted (doc,lang,bucket) aggregate —
+    // the fit side (bucket totals) and the score side — must read the
+    // cache; the cached plan itself executes once by construction.
+    // (The adaptive toString re-prints the cached subtree under every
+    // InMemoryTableScan, so counting Generate lines is meaningless —
+    // the scan count is the signal.)
+    val imts = fin.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(imts >= 2, s"InMemoryTableScan count=$imts\n$fin")
+  }
+
   test("sample_bottom_k is a per-task heap (TakeOrderedAndProject)") {
     val p = plan(graft.llm.Curation.sampleBottomK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)

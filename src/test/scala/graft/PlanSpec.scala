@@ -306,6 +306,17 @@ class PlanSpec extends AnyFunSuite {
     assert(imts >= 2, s"InMemoryTableScan count=$imts\n$fin")
   }
 
+  test("merge_into_cdc: full-outer merge reuses the window partitioning") {
+    val p = plan(graft.queries.IngestQueries.mergeIntoCdc(spark, sf))
+    assert(p.contains("SortMergeJoin FullOuter"), p)
+    // rank-1 pushdown on BOTH latest-per-key sides (map-side top-1
+    // before the shuffle), and exactly three exchanges total: one per
+    // merge side + the presentation sort — the join itself adds none
+    assert(p.linesIterator.count(_.matches("""\(\d+\) WindowGroupLimit.*""")) >= 4, p)
+    val exchanges = p.linesIterator.count(_.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 3, p)
+  }
+
   test("sample_bottom_k is a per-task heap (TakeOrderedAndProject)") {
     val p = plan(graft.llm.Curation.sampleBottomK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -476,7 +476,35 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** k-anonymity suppression (Sweeney 2002) over the release quasi-
+    * identifiers (lang, source, 100-char length bucket): any document
+    * whose quasi-identifier group has fewer than k=5 members is
+    * SUPPRESSED before the corpus ships — the privacy gate a
+    * training-data release runs after PII redaction (re-identification
+    * risk comes from rare attribute combinations, not just explicit
+    * identifiers). All-integer decision (group count vs k), bit-exact.
+    *
+    * Scale shape: the group table is bounded by the quasi-identifier
+    * VALUE SPACE (langs × sources × length buckets), not the corpus —
+    * one map-side-combined aggregate collapses to it, and it
+    * broadcasts back onto the corpus scan. No corpus shuffle at all:
+    * two scans, zero exchanges of corpus-sized data. */
+  def privacyKAnonymity(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("n_chars") / lit(100L)).cast("long").as("len_bucket"))
+    val groups = docs.groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("group_n"))
+    docs.join(broadcast(groups), Seq("lang", "source", "len_bucket"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("len_bucket"), col("group_n"),
+        (col("group_n") < k).as("suppressed"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_k_anonymity" -> (privacyKAnonymity _),
     "sample_dsir" -> (sampleDsir _),
     "sample_bottom_k" -> (sampleBottomK _),
     "sample_weighted" -> (sampleWeighted _),
@@ -495,6 +523,18 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "privacy_k_anonymity" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(n_chars // 100 AS BIGINT) AS len_bucket
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, source, len_bucket, COUNT(*) AS group_n
+        |  FROM d GROUP BY lang, source, len_bucket)
+        |SELECT doc_id, d.lang, d.source, d.len_bucket, group_n,
+        |  group_n < 5 AS suppressed
+        |FROM d JOIN g USING (lang, source, len_bucket)
+        |ORDER BY doc_id""".stripMargin,
     "sample_dsir" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok

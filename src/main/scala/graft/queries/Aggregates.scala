@@ -583,6 +583,42 @@ object Aggregates {
         |FROM rr HAVING COUNT(*) > 1""".stripMargin)
   }
 
+  /** Mann-Kendall trend test — the nonparametric monotone-trend
+    * complement of the runs test (randomness) and changepoint (level
+    * shift) over the same daily count series: S = Σ_{i<j}
+    * sign(x_j − x_i) counted EXACTLY over the bounded day×day pair
+    * grid (calendar-bounded, never corpus-sized), tie-corrected
+    * variance from exact integer tie groups, one closing
+    * continuity-corrected z. The only corpus-sized work is the daily
+    * aggregate; everything after runs on |days| rows. */
+  def aggMannKendall(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events").createOrReplaceTempView("graft_ev_mk")
+    s.sql(
+      """WITH dc AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM graft_ev_mk GROUP BY 1
+        |), p AS (
+        |  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+        |                       WHEN b.x < a.x THEN -1
+        |                       ELSE 0 END) AS BIGINT) AS s_stat,
+        |    COUNT(*) AS n_pairs
+        |  FROM dc a JOIN dc b ON b.day > a.day
+        |), nn AS (SELECT COUNT(*) AS n FROM dc
+        |), ties AS (
+        |  SELECT CAST(COALESCE(SUM(tj * (tj - 1) * (2 * tj + 5)), 0)
+        |    AS BIGINT) AS tie_term
+        |  FROM (SELECT COUNT(*) AS tj FROM dc
+        |        GROUP BY x HAVING COUNT(*) > 1) tt
+        |)
+        |SELECT n, s_stat, n_pairs, tie_term,
+        |  ROUND((CASE WHEN s_stat > 0 THEN s_stat - 1
+        |              WHEN s_stat < 0 THEN s_stat + 1
+        |              ELSE 0 END)
+        |    / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+        |            - tie_term) / 18.0), 6) AS z
+        |FROM nn, p, ties""".stripMargin)
+  }
+
   /** Binary-segmentation changepoint — the level-shift locator beside
     * [[Windows.windowCusum]]'s drift alarm: the split k of the daily
     * count series maximizing the between-segment fit S₁²/n₁ + S₂²/n₂
@@ -1684,6 +1720,7 @@ object Aggregates {
     "agg_changepoint_binary" -> (aggChangepointBinary _),
     "agg_hhi" -> (aggHhi _),
     "agg_runs_test" -> (aggRunsTest _),
+    "agg_mann_kendall" -> (aggMannKendall _),
     "profile_freshness" -> (profileFreshness _),
     "agg_winsorized_mean" -> (aggWinsorizedMean _),
     "agg_mutual_information" -> (aggMutualInformation _),
@@ -2001,6 +2038,30 @@ object Aggregates {
         |GROUP BY event_type, watermark_us
         |ORDER BY event_type""".stripMargin,
     // exact integer (n_up, n_down, R); identical z formula text
+    "agg_mann_kendall" ->
+      """WITH dc AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY 1
+        |), p AS (
+        |  SELECT CAST(SUM(CASE WHEN b.x > a.x THEN 1
+        |                       WHEN b.x < a.x THEN -1
+        |                       ELSE 0 END) AS BIGINT) AS s_stat,
+        |    COUNT(*) AS n_pairs
+        |  FROM dc a JOIN dc b ON b.day > a.day
+        |), nn AS (SELECT COUNT(*) AS n FROM dc
+        |), ties AS (
+        |  SELECT CAST(COALESCE(SUM(tj * (tj - 1) * (2 * tj + 5)), 0)
+        |    AS BIGINT) AS tie_term
+        |  FROM (SELECT COUNT(*) AS tj FROM dc
+        |        GROUP BY x HAVING COUNT(*) > 1) tt
+        |)
+        |SELECT n, s_stat, n_pairs, tie_term,
+        |  ROUND((CASE WHEN s_stat > 0 THEN s_stat - 1
+        |              WHEN s_stat < 0 THEN s_stat + 1
+        |              ELSE 0 END)
+        |    / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+        |            - tie_term) / 18.0), 6) AS z
+        |FROM nn, p, ties""".stripMargin,
     "agg_runs_test" ->
       """WITH dc AS (
         |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS x

@@ -45,7 +45,7 @@ class ParallelismSpec extends AnyFunSuite {
     // importance weights with doc_id tiebreak
     "sample_bottom_k", "join_bucketed_colocated", "sample_dsir",
     "merge_into_cdc", "tokenize_bpe_merges", "profile_key_skew",
-    "agg_corr_matrix", "privacy_k_anonymity")
+    "agg_corr_matrix", "privacy_k_anonymity", "agg_mann_kendall")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -503,8 +503,72 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al., ICDE'06) — the gate
+    * k-anonymity misses: a group can be k-large yet reveal the
+    * sensitive attribute if every member SHARES it (homogeneity
+    * attack). Quasi-identifiers here are (lang, 100-char length
+    * bucket); `source` plays the sensitive attribute; a group is
+    * releasable only when it carries >= l = 3 distinct sensitive
+    * values. All-integer decision (exact COUNT DISTINCT vs l),
+    * bit-exact.
+    *
+    * Scale shape: output and all shuffled state are bounded by the
+    * quasi-identifier VALUE SPACE (langs x length buckets), never the
+    * corpus — one map-side-combined aggregate; the count-distinct is
+    * over the bounded sensitive domain, so Spark's two-phase distinct
+    * aggregate shuffles (QI, source) pairs, also value-space-bounded. */
+  def privacyLDiversity(s: SparkSession, d: String): DataFrame = {
+    val l = 3
+    t(s, d, "documents")
+      .select(col("lang"),
+        (col("n_chars") / lit(100L)).cast("long").as("len_bucket"),
+        col("source"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("group_n"),
+        countDistinct(col("source")).as("l_distinct"))
+      .select(col("lang"), col("len_bucket"), col("group_n"),
+        col("l_distinct"), (col("l_distinct") >= l).as("diverse"))
+      .orderBy(col("lang"), col("len_bucket"))
+  }
+
+  /** Differentially-private release counts (Dwork 2006): per
+    * (lang, source) publication counts + Laplace(1/epsilon) noise,
+    * epsilon = 1, sensitivity 1 — the histogram-release mechanism a
+    * corpus card ships instead of exact counts. The noise draw is
+    * DETERMINISTIC-SEEDED for the gate: u = (md5(group key) 24-bit
+    * prefix + 0.5) / 2^24 in (0,1), then the standard inverse-CDF
+    * Laplace transform -sgn(u-1/2)·ln(1-2|u-1/2|). (A production run
+    * would swap the seed hash for a secret-keyed PRF; the mechanism
+    * and its calibration are identical.)
+    *
+    * Float discipline: both engines derive the SAME 24-bit integer
+    * from md5, so +, abs, * and the single ln all see identical IEEE
+    * doubles; u can never be exactly 0.5 (the integer would need to
+    * be 8388607.5), so the ln argument stays in (0,1]. One ROUND to 6
+    * at the end.
+    *
+    * Scale shape: one map-side-combined aggregate to the bounded
+    * (lang x source) value space; the noise is a scalar projection on
+    * the group rows. No corpus-sized shuffle, nothing driver-side. */
+  def privacyDpCount(s: SparkSession, d: String): DataFrame = {
+    val uInt = conv(substring(
+      md5(concat_ws("|", col("lang"), col("source"))), 1, 6), 16, 10)
+      .cast("long")
+    val u = (uInt.cast("double") + lit(0.5)) / lit(16777216.0)
+    val noise = when(u >= 0.5, lit(-1.0)).otherwise(lit(1.0)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    t(s, d, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("source"),
+        round(col("n").cast("double") + noise, 6).as("n_noisy"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_k_anonymity" -> (privacyKAnonymity _),
+    "privacy_l_diversity" -> (privacyLDiversity _),
+    "privacy_dp_count" -> (privacyDpCount _),
     "sample_dsir" -> (sampleDsir _),
     "sample_bottom_k" -> (sampleBottomK _),
     "sample_weighted" -> (sampleWeighted _),
@@ -523,6 +587,32 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "privacy_l_diversity" ->
+      """SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+        |  COUNT(*) AS group_n,
+        |  COUNT(DISTINCT source) AS l_distinct,
+        |  COUNT(DISTINCT source) >= 3 AS diverse
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY lang, len_bucket""".stripMargin,
+    "privacy_dp_count" ->
+      """WITH g AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents
+        |  GROUP BY lang, source),
+        |u AS (
+        |  SELECT lang, source, n,
+        |    -- cast to DOUBLE before the + 0.5: bare decimal literals
+        |    -- would make this a DECIMAL division with engine-specific
+        |    -- scale (the sample_dsir lesson)
+        |    (CAST(CAST(('0x' || substring(md5(lang || '|' || source), 1, 6))
+        |       AS BIGINT) AS DOUBLE) + 0.5) / 16777216.0 AS u
+        |  FROM g)
+        |SELECT lang, source,
+        |  ROUND(CAST(n AS DOUBLE) +
+        |    (CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END) *
+        |    ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS n_noisy
+        |FROM u
+        |ORDER BY lang, source""".stripMargin,
     "privacy_k_anonymity" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,

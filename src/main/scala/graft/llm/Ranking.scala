@@ -347,8 +347,63 @@ object Ranking {
       .limit(15)
   }
 
+  /** Dunning log-likelihood (G²) collocations — the significance-
+    * aware companion of [[textPmiCollocations]]: PMI over-ranks rare
+    * pairs (a 5/5 co-occurrence maxes PMI); G² scores the full 2×2
+    * contingency table (Dunning, CL'93), G² = 2·Σ O·ln(O/E), so
+    * abundant-but-dependent pairs rank where PMI's rare-pair bias
+    * buries them. Same document-level co-occurrence counts and
+    * min-support floor as PMI — work is Σ per-doc |vocab|², never
+    * corpus².
+    *
+    * Float discipline: every observed/expected cell is a product of
+    * EXACT integers (< 2^53 at any test sf), each of the four
+    * O·ln(O·n/(r·c)) terms is written with a single division inside
+    * the ln, zero cells short-circuit via CASE (0·ln0 := 0), and the
+    * four-term sum has a fixed left-to-right shape in both engines.
+    * One ROUND to 4 at the end.
+    *
+    * Scale shape: identical to PMI's — the unigram table shuffles
+    * (never broadcasts — vocabulary grows with the corpus, Heaps'
+    * law), the pair side is support-floored, the top-15 is a
+    * TakeOrderedAndProject heap. */
+  def textG2Collocations(s: SparkSession, d: String): DataFrame = {
+    val docToks = t(s, d, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " ")))
+        .as("tok"))
+    val df = docToks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val n = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+    def term(o: String, r: String, c: String): String =
+      s"""CASE WHEN $o > 0
+         | THEN CAST($o AS DOUBLE) *
+         |   ln(CAST($o AS DOUBLE) * n_docs / (CAST($r AS DOUBLE) * ($c)))
+         | ELSE 0.0 END""".stripMargin
+    docToks.as("a")
+      .join(docToks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+      .join(df.withColumnRenamed("tok", "tok_a")
+        .withColumnRenamed("c", "c_a"), "tok_a")
+      .join(df.withColumnRenamed("tok", "tok_b")
+        .withColumnRenamed("c", "c_b"), "tok_b")
+      .crossJoin(broadcast(n))
+      .select(col("tok_a"), col("tok_b"), col("c_ab"),
+        expr(s"""ROUND(2.0 * (
+                ${term("c_ab", "c_a", "c_b")} +
+                ${term("c_a - c_ab", "c_a", "n_docs - c_b")} +
+                ${term("c_b - c_ab", "n_docs - c_a", "c_b")} +
+                ${term("n_docs - c_a - c_b + c_ab",
+            "n_docs - c_a", "n_docs - c_b")}), 4)""").as("g2"))
+      .orderBy(col("g2").desc, col("tok_a"), col("tok_b"))
+      .limit(15)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pmi_collocations" -> (textPmiCollocations _),
+    "text_g2_collocations" -> (textG2Collocations _),
     "text_zipf_fit" -> (textZipfFit _),
     "text_js_divergence" -> (textJsDivergence _),
     "text_tfidf" -> (textTfidf _),
@@ -358,6 +413,52 @@ object Ranking {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical four-term O·ln(O·n/(r·c)) text, fixed sum shape,
+    // zero cells short-circuited, one ROUND to 4
+    "text_g2_collocations" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, tok
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |), df AS (
+        |  SELECT tok, COUNT(*) AS c FROM dt GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |pairs AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+        |  FROM dt a JOIN dt b
+        |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+        |), cells AS (
+        |  SELECT tok_a, tok_b, c_ab, da.c AS c_a, db.c AS c_b, n_docs
+        |  FROM pairs
+        |  JOIN df da ON da.tok = tok_a
+        |  JOIN df db ON db.tok = tok_b
+        |  CROSS JOIN n
+        |)
+        |SELECT tok_a, tok_b, c_ab,
+        |  ROUND(2.0 * (
+        |    CASE WHEN c_ab > 0
+        |     THEN CAST(c_ab AS DOUBLE) *
+        |       ln(CAST(c_ab AS DOUBLE) * n_docs /
+        |          (CAST(c_a AS DOUBLE) * (c_b)))
+        |     ELSE 0.0 END +
+        |    CASE WHEN c_a - c_ab > 0
+        |     THEN CAST(c_a - c_ab AS DOUBLE) *
+        |       ln(CAST(c_a - c_ab AS DOUBLE) * n_docs /
+        |          (CAST(c_a AS DOUBLE) * (n_docs - c_b)))
+        |     ELSE 0.0 END +
+        |    CASE WHEN c_b - c_ab > 0
+        |     THEN CAST(c_b - c_ab AS DOUBLE) *
+        |       ln(CAST(c_b - c_ab AS DOUBLE) * n_docs /
+        |          (CAST(n_docs - c_a AS DOUBLE) * (c_b)))
+        |     ELSE 0.0 END +
+        |    CASE WHEN n_docs - c_a - c_b + c_ab > 0
+        |     THEN CAST(n_docs - c_a - c_b + c_ab AS DOUBLE) *
+        |       ln(CAST(n_docs - c_a - c_b + c_ab AS DOUBLE) * n_docs /
+        |          (CAST(n_docs - c_a AS DOUBLE) * (n_docs - c_b)))
+        |     ELSE 0.0 END), 4) AS g2
+        |FROM cells
+        |ORDER BY g2 DESC, tok_a, tok_b LIMIT 15""".stripMargin,
     "text_pmi_collocations" ->
       """WITH dt AS (
         |  SELECT DISTINCT doc_id, tok

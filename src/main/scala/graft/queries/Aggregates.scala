@@ -619,6 +619,63 @@ object Aggregates {
         |FROM nn, p, ties""".stripMargin)
   }
 
+  /** Bootstrap confidence interval for the per-priority mean order
+    * value — via the POISSON bootstrap (Chamandy et al., Google 2012;
+    * Kleiner et al.'s BLB is the other classic), the only bootstrap
+    * shape that works at 100 TB: classic resampling draws n rows WITH
+    * replacement B times (B full shuffles of the corpus); the Poisson
+    * approximation instead gives every row an independent
+    * Poisson(1)-distributed multiplicity in each replicate, so all
+    * B = 100 replicates ride ONE scan — the ×B fan-out collapses in
+    * the map-side partial aggregate to (group × B) rows and nothing
+    * row-sized is ever shuffled or re-sampled.
+    *
+    * Determinism for the gate: the Poisson draw is seeded — a 24-bit
+    * md5 prefix of (orderkey, replicate) compared against FIXED
+    * integer thresholds 16777216·CDF_Poisson(1)(k), so multiplicity
+    * is an all-integer decision. Replicate means are exact decimal
+    * sums (cents × integer weight) with ONE closing double division,
+    * and the 95% CI bounds are order statistics (3rd / 98th of the
+    * 100 sorted replicate means — pure selection, no interpolated
+    * quantile whose arithmetic could differ across engines). The
+    * order-statistic window partitions by priority over exactly B
+    * rows per group — bounded, never corpus-sized. */
+  def aggBootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val B = 100
+    val o = t(s, d, "orders").select(col("o_orderkey"),
+      col("o_orderpriority").as("priority"),
+      col("o_totalprice").cast("decimal(18,2)").as("x"))
+    val rep = o
+      .select(col("o_orderkey"), col("priority"), col("x"),
+        explode(sequence(lit(1), lit(B))).as("b"))
+      .withColumn("h",
+        conv(substring(md5(concat_ws("_", col("o_orderkey"), col("b"))),
+          1, 6), 16, 10).cast("long"))
+      .withColumn("w",
+        when(col("h") < 6171992L, 0)
+          .when(col("h") < 12343985L, 1)
+          .when(col("h") < 15429982L, 2)
+          .when(col("h") < 16458647L, 3)
+          .when(col("h") < 16715813L, 4)
+          .otherwise(5))
+    val means = rep.groupBy(col("priority"), col("b"))
+      .agg(sum(col("w")).as("sw"),
+        sum(col("w") * col("x")).as("swx"))
+      .select(col("priority"), col("b"),
+        round(col("swx").cast("double") / col("sw"), 6).as("mean_b"))
+    val byMean = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("priority")).orderBy(col("mean_b"), col("b"))
+    val ci = means.withColumn("rn", row_number().over(byMean))
+      .groupBy(col("priority"))
+      .agg(max(when(col("rn") === 3, col("mean_b"))).as("ci_lo"),
+        max(when(col("rn") === 98, col("mean_b"))).as("ci_hi"))
+    val full = o.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("x")).cast("double") / count(lit(1)), 6)
+          .as("mean_full"))
+    full.join(ci, Seq("priority")).orderBy(col("priority"))
+  }
+
   /** Binary-segmentation changepoint — the level-shift locator beside
     * [[Windows.windowCusum]]'s drift alarm: the split k of the daily
     * count series maximizing the between-segment fit S₁²/n₁ + S₂²/n₂
@@ -1162,6 +1219,51 @@ object Aggregates {
         lit(true).as("merge_consistent"))
       .unionByName(allRow)
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Audience-overlap estimation via HLL inclusion–exclusion —
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B) over the viewer and purchaser
+    * user sets: the sketch-only answer to "how much do these two
+    * segments overlap" that a 100 TB pipeline computes WITHOUT ever
+    * shuffling a user set (three lgK=12 sketches, each a map-side
+    * partial + one 4 KB merge; the union sketch merges the other two
+    * for free). Intersection via inclusion–exclusion compounds the
+    * three estimators' errors, so the derived-check bound is the SUM
+    * of the per-sketch 5% envelopes (0.05·(|A|+|B|+|A∪B|)) — the
+    * standard caveat that i-e degrades for small overlaps, pinned as
+    * a gate boolean rather than hidden.
+    *
+    * Derived-check discipline (round 6): estimates have no DuckDB
+    * equivalent; the gate row carries the EXACT side (distinct
+    * viewers, purchasers, union, and the true intersection from a
+    * distinct-key equi-join — fixture-scale harness work; production
+    * reads the sketch columns) plus the theory-pinned boolean. */
+  def aggHllIntersectionCheck(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val a = ev.filter(col("event_type") === "view")
+      .agg(hll_sketch_agg(col("user_id"), 12).as("ska"),
+        countDistinct(col("user_id")).as("exact_a"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .agg(hll_sketch_agg(col("user_id"), 12).as("skb"),
+        countDistinct(col("user_id")).as("exact_b"))
+    val u = ev.filter(col("event_type").isin("view", "purchase"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("sku"),
+        countDistinct(col("user_id")).as("exact_union"))
+    val inter = ev.filter(col("event_type") === "view")
+      .select(col("user_id")).distinct()
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct(), Seq("user_id"))
+      .agg(count(lit(1)).as("exact_intersection"))
+    a.crossJoin(b).crossJoin(u).crossJoin(inter)
+      .select(col("exact_a"), col("exact_b"), col("exact_union"),
+        col("exact_intersection"),
+        (abs(hll_sketch_estimate(col("ska")) +
+          hll_sketch_estimate(col("skb")) -
+          hll_sketch_estimate(col("sku")) -
+          col("exact_intersection")).cast("double") <=
+          (col("exact_a") + col("exact_b") + col("exact_union"))
+            .cast("double") * 0.05)
+          .as("ie_within_bound"))
   }
 
   /** Derived-check gate row for [[aggCountMinSketch]] (round 6): the
@@ -1721,6 +1823,7 @@ object Aggregates {
     "agg_hhi" -> (aggHhi _),
     "agg_runs_test" -> (aggRunsTest _),
     "agg_mann_kendall" -> (aggMannKendall _),
+    "agg_bootstrap_ci" -> (aggBootstrapCi _),
     "profile_freshness" -> (profileFreshness _),
     "agg_winsorized_mean" -> (aggWinsorizedMean _),
     "agg_mutual_information" -> (aggMutualInformation _),
@@ -1732,6 +1835,7 @@ object Aggregates {
     "agg_retention" -> (aggRetention _),
     "agg_sequence_match" -> (aggSequenceMatch _),
     "agg_hll_union" -> (aggHllUnionCheck _),
+    "agg_hll_intersection" -> (aggHllIntersectionCheck _),
     "agg_mode" -> (aggMode _),
     "agg_count_min_sketch" -> (aggCountMinSketchCheck _),
     "agg_hash_groupby" -> (aggHashGroupby _),
@@ -2037,6 +2141,48 @@ object Aggregates {
         |FROM events CROSS JOIN wm
         |GROUP BY event_type, watermark_us
         |ORDER BY event_type""".stripMargin,
+    // seeded Poisson weights are all-integer decisions; replicate
+    // means are exact decimal sums with one closing double division;
+    // CI bounds are order statistics (no interpolated quantile)
+    "agg_bootstrap_ci" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority AS priority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        |  FROM orders),
+        |rep AS (
+        |  SELECT priority, x, b,
+        |    CASE
+        |      WHEN h < 6171992 THEN 0 WHEN h < 12343985 THEN 1
+        |      WHEN h < 15429982 THEN 2 WHEN h < 16458647 THEN 3
+        |      WHEN h < 16715813 THEN 4 ELSE 5 END AS w
+        |  FROM (
+        |    SELECT priority, x, b,
+        |      CAST(('0x' || substring(md5(
+        |        CAST(o_orderkey AS VARCHAR) || '_' || CAST(b AS VARCHAR)),
+        |        1, 6)) AS BIGINT) AS h
+        |    FROM o CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS b)
+        |  ) t),
+        |m AS (
+        |  SELECT priority, b,
+        |    ROUND(CAST(SUM(w * x) AS DOUBLE) / SUM(w), 6) AS mean_b
+        |  FROM rep GROUP BY priority, b),
+        |r AS (
+        |  SELECT priority, mean_b,
+        |    row_number() OVER (PARTITION BY priority
+        |                       ORDER BY mean_b, b) AS rn
+        |  FROM m),
+        |ci AS (
+        |  SELECT priority,
+        |    MAX(CASE WHEN rn = 3 THEN mean_b END) AS ci_lo,
+        |    MAX(CASE WHEN rn = 98 THEN mean_b END) AS ci_hi
+        |  FROM r GROUP BY priority),
+        |f AS (
+        |  SELECT priority, COUNT(*) AS n,
+        |    ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_full
+        |  FROM o GROUP BY priority)
+        |SELECT priority, n, mean_full, ci_lo, ci_hi
+        |FROM f JOIN ci USING (priority)
+        |ORDER BY priority""".stripMargin,
     // exact integer (n_up, n_down, R); identical z formula text
     "agg_mann_kendall" ->
       """WITH dc AS (
@@ -2681,6 +2827,19 @@ object Aggregates {
         |  SELECT 'ALL', COUNT(DISTINCT l_partkey), TRUE, TRUE
         |  FROM lineitem)
         |ORDER BY l_returnflag""".stripMargin,
+    "agg_hll_intersection" ->
+      """WITH va AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+        |pb AS (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT
+        |  (SELECT COUNT(*) FROM va) AS exact_a,
+        |  (SELECT COUNT(*) FROM pb) AS exact_b,
+        |  (SELECT COUNT(DISTINCT user_id) FROM events
+        |   WHERE event_type IN ('view', 'purchase')) AS exact_union,
+        |  (SELECT COUNT(*) FROM va JOIN pb USING (user_id))
+        |    AS exact_intersection,
+        |  TRUE AS ie_within_bound""".stripMargin,
     "agg_count_min_sketch" ->
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  COUNT(*) FILTER (WHERE l_suppkey = 1) AS exact_s1,

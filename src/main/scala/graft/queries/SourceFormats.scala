@@ -161,6 +161,56 @@ object SourceFormats {
       .orderBy(col("doc_id"))
   }
 
+  /** Dynamic partition pruning — the RUNTIME companion of
+    * [[sinkPartitionedPrune]]'s static case and the single biggest
+    * scan-cost lever for star-schema joins at 100 TB: the dimension
+    * side's filter is NOT a literal on the partition column (here:
+    * "types whose volume exceeds the cross-type average" — a
+    * data-derived predicate no optimizer can fold statically), so
+    * partition pruning can only happen at RUNTIME, by broadcasting
+    * the filtered dim keys and turning them into an IN filter on the
+    * fact scan's partition column. Spark plans exactly that
+    * (`PartitionFilters: [... dynamicpruningexpression(event_type IN
+    * dynamicpruning#...)]`, PlanSpec-pinned): only the surviving
+    * types' directories are read — at 1000 partitions × 100 GB each,
+    * the difference between scanning 2 and scanning 1000.
+    *
+    * The dim predicate is all-integer (n_types·n_type > n_all — no
+    * average division) and non-vacuous at every sf (a proper subset
+    * of types passes). Oracle replays the rule over the unpartitioned
+    * table — results are layout-independent. */
+  def joinDppPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    // totals via an unbounded window over the ≤|types| aggregate (NOT
+    // a cross join: a nested-loop join inside the filtering subtree
+    // keeps Spark's PartitionPruning rule from planting the pruning
+    // subquery; the window form is also the cheaper plan)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val dim = t(s, d, "events").groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+      .withColumn("n_all", sum(col("n_type")).over(all))
+      .withColumn("n_types", count(lit(1)).over(all))
+      .filter(col("n_type") * col("n_types") > col("n_all"))
+      .select(col("event_type"))
+    s.read.parquet(dir)
+      // the broadcast hint pins the VALUE-SPACE-bounded dim as the
+      // build side (at fixture scale Spark would otherwise broadcast
+      // the tiny fact and DPP could not fire; at 100 TB the fact side
+      // is never the smaller one, but the hint makes the plan the
+      // 100 TB plan at every sf)
+      .join(broadcast(dim), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** PERMISSIVE-mode malformed-input handling — the contract that
     * makes a 100 TB ingest survivable: corrupt records land in
     * `_corrupt_record` instead of failing the job (the engine-level
@@ -217,6 +267,7 @@ object SourceFormats {
     "source_binary_files" -> (sourceBinaryFiles _),
     "source_parquet_evolution" -> (sourceParquetEvolution _),
     "sink_partitioned_prune" -> (sinkPartitionedPrune _),
+    "join_dpp_prune" -> (joinDppPrune _),
     "source_csv_dialect" -> (sourceCsvDialect _)
   )
 
@@ -265,6 +316,21 @@ object SourceFormats {
         |    AS sum_value
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY event_type""".stripMargin,
+    "join_dpp_prune" ->
+      """WITH pt AS (
+        |  SELECT event_type, COUNT(*) AS n_type FROM events
+        |  GROUP BY event_type),
+        |tot AS (
+        |  SELECT SUM(n_type) AS n_all, COUNT(*) AS n_types FROM pt),
+        |dim AS (
+        |  SELECT event_type FROM pt CROSS JOIN tot
+        |  WHERE n_type * n_types > n_all)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "source_csv_dialect" ->
       """SELECT doc_id, lang, text FROM documents
         |ORDER BY doc_id""".stripMargin

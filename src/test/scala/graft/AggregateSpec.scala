@@ -198,4 +198,44 @@ class AggregateSpec extends AnyFunSuite {
       assert(truth - c <= n / (m + 1) + 1, s"$t undercount beyond bound")
     }
   }
+
+  test("agg_hll_intersection: exact side replays brute-force sets; i-e bound holds") {
+    val r = Aggregates.aggHllIntersectionCheck(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), col("user_id")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val va = ev.collect { case ("view", u) => u }.toSet
+    val pb = ev.collect { case ("purchase", u) => u }.toSet
+    assert(row.getLong(0) == va.size.toLong)
+    assert(row.getLong(1) == pb.size.toLong)
+    assert(row.getLong(2) == (va ++ pb).size.toLong)
+    assert(row.getLong(3) == (va & pb).size.toLong)
+    assert(row.getBoolean(4), "inclusion-exclusion outside the 5%-sum bound")
+  }
+
+  test("agg_bootstrap_ci: CI brackets the sample mean, covers every order, is deterministic") {
+    val rows = Aggregates.aggBootstrapCi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // every order counted exactly once across priorities
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_._2).sum == nOrders)
+    rows.foreach { case (p, n, mean, lo, hi) =>
+      assert(lo < hi, s"$p: degenerate CI [$lo,$hi]")
+      // with n >> 1 and B=100 Poisson replicates the 95% CI must
+      // bracket the full-sample mean
+      assert(lo <= mean && mean <= hi, s"$p: $mean outside [$lo,$hi]")
+      // CI half-width should be within an order of magnitude of the
+      // normal-theory sigma/sqrt(n) scale, not collapsed or exploded
+      assert((hi - lo) / mean < 1.0, s"$p: CI absurdly wide")
+      assert(hi - lo > 1e-4, s"$p: CI collapsed")
+    }
+    val again = Aggregates.aggBootstrapCi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.toSeq == again.toSeq, "seeded bootstrap must be deterministic")
+  }
 }

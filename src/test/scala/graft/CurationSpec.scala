@@ -232,4 +232,41 @@ class CurationSpec extends AnyFunSuite {
       assert(density >= 1.0 / w - 1e-9 && density <= 1.0 + 1e-9)
     }
   }
+
+  test("privacy_l_diversity: groups cover the corpus; flag is exactly l>=3") {
+    val rows = Curation.privacyLDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum == 500L, "group sizes must cover all docs")
+    rows.foreach { case (_, _, n, l, diverse) =>
+      assert(l <= n, "distinct sensitive values cannot exceed group size")
+      assert(diverse == (l >= 3))
+    }
+    // the gate must be non-vacuous on the fixture: both outcomes occur
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+  }
+
+  test("privacy_dp_count: noise is Laplace-bounded, non-degenerate, deterministic") {
+    val spark2 = spark
+    import spark2.implicits._
+    val noisy = Curation.privacyDpCount(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val exact = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy($"lang", $"source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(noisy.length == exact.size)
+    // 24-bit seed => |noise| <= ln(2^24) ~= 16.64; mechanism must
+    // actually perturb (some group moves by >= 0.1)
+    var perturbed = 0
+    noisy.foreach { case (lang, src, nNoisy) =>
+      val n = exact((lang, src)).toDouble
+      assert(math.abs(nNoisy - n) <= 17.0, s"($lang,$src): $nNoisy vs $n")
+      if (math.abs(nNoisy - n) >= 0.1) perturbed += 1
+    }
+    assert(perturbed > noisy.length / 2, "noise should move most groups")
+    val again = Curation.privacyDpCount(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(noisy.toSeq == again.toSeq, "seeded noise must be deterministic")
+  }
 }

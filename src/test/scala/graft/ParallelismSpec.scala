@@ -45,7 +45,12 @@ class ParallelismSpec extends AnyFunSuite {
     // importance weights with doc_id tiebreak
     "sample_bottom_k", "join_bucketed_colocated", "sample_dsir",
     "merge_into_cdc", "tokenize_bpe_merges", "profile_key_skew",
-    "agg_corr_matrix", "privacy_k_anonymity", "agg_mann_kendall")
+    "agg_corr_matrix", "privacy_k_anonymity", "agg_mann_kendall",
+    // round-8 tail 2: group-bounded privacy gates (seeded Laplace is a
+    // scalar of the group key); Poisson-bootstrap order statistics;
+    // exact-integer G² contingency terms
+    "privacy_l_diversity", "privacy_dp_count", "agg_bootstrap_ci",
+    "text_g2_collocations")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -98,6 +98,12 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.head().getLong(0) == expected)
   }
 
+  test("join_dpp_prune: the oracled key's fact scan carries the runtime IN filter") {
+    val p = graft.queries.SourceFormats.joinDppPrune(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+  }
+
   test("sim_search_pq_adc never shuffles the corpus") {
     val p = plan(graft.llm.Similarity.simSearchPqAdc(spark, sf))
     // top-10 via heap, not a global sort

@@ -162,4 +162,38 @@ class RankingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("text_g2_collocations: replays the 2x2 likelihood-ratio formula exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet)
+    val nDocs = docs.length.toLong
+    val df = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) =>
+      t -> xs.length.toLong
+    }
+    val got = graft.llm.Ranking.textG2Collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length == 15)
+    got.foreach { case (a, b, cab, g2) =>
+      assert(cab >= 5, "min-support floor")
+      val bf = docs.count { case (_, toks) => toks(a) && toks(b) }.toLong
+      assert(bf == cab, s"($a,$b) pair count: $cab vs brute-force $bf")
+      val (ca, cb) = (df(a), df(b))
+      def term(o: Long, r: Long, c: Long): Double =
+        if (o > 0) o.toDouble * math.log(o.toDouble * nDocs /
+          (r.toDouble * c)) else 0.0
+      val expect = BigDecimal(2.0 * (term(cab, ca, cb) +
+        term(ca - cab, ca, nDocs - cb) +
+        term(cb - cab, nDocs - ca, cb) +
+        term(nDocs - ca - cb + cab, nDocs - ca, nDocs - cb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(g2 - expect) <= 1e-4, s"($a,$b): $g2 vs $expect")
+      // G² is a likelihood-ratio statistic: nonnegative up to rounding
+      assert(g2 >= -1e-4, s"($a,$b): negative G² $g2")
+    }
+    // ranking is by (g2 desc, tok_a, tok_b)
+    val sorted = got.sortBy { case (a, b, _, g2) => (-g2, a, b) }
+    assert(got.toSeq == sorted.toSeq)
+  }
 }

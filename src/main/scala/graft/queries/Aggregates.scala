@@ -676,6 +676,167 @@ object Aggregates {
     full.join(ci, Seq("priority")).orderBy(col("priority"))
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM'13) — the standard
+    * experimentation-platform adjustment: regress the experiment
+    * metric (post-cut per-user value mass) on a pre-experiment
+    * covariate (pre-cut activity count), θ = cov(X,Y)/var(X), and
+    * report how much metric variance the adjustment removes
+    * (reduction = 100·ρ² percent — smaller A/B sample sizes for the
+    * same power). Cut date 2024-01-16 splits the fixture's January
+    * window at every sf.
+    *
+    * Float discipline: per-user (X, Y) come from ONE conditional
+    * aggregate (X integer count, Y exact decimal); the five moments
+    * (ΣX, ΣY, ΣXY, ΣX², ΣY²) are exact integer/decimal sums, so
+    * summation order cannot move a bit; the closing θ/variance
+    * formulas are ONE double expression with identical text on both
+    * engines, rounded once.
+    *
+    * Scale shape: two map-side-combined aggregates (events → users →
+    * one moments row). Nothing driver-side, nothing broadcast,
+    * nothing corpus-sized past the first aggregate. */
+  def aggCuped(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < cut, 1L).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cut, col("value").cast("decimal(18,4)"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("y"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr(
+        "n AS n_users",
+        """ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+           CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta""",
+        """ROUND((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+           CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS var_y""",
+        """ROUND(((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+           CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) -
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+           CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+           CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+           CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS var_cuped""",
+        """ROUND(100.0 *
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+           CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+           CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+           (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+            CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+          AS var_reduction_pct""")
+  }
+
+  /** Permutation test for the arm difference (Fisher randomization —
+    * the assumption-free significance answer beside [[aggAbtestLift]]'s
+    * point estimate): re-randomize the USER-level arm assignment
+    * B = 100 times with a seeded hash, recompute the between-arm mean
+    * difference each time, p = (1 + #{|diff_b| ≥ |observed|})/(B+1)
+    * (the add-one form — valid at any B, never returns 0).
+    * Permuting users, not events, respects the clustered
+    * randomization unit — event-level shuffles understate p when a
+    * user's events correlate.
+    *
+    * Determinism: arm draws are parity bits of 24-bit md5 prefixes
+    * (observed: md5(user); replicate b: md5(user_b)); arm means are
+    * exact decimal sums with one double division; the ≥ compares two
+    * identically-derived doubles, so both engines count the same set.
+    *
+    * Scale shape: like [[aggBootstrapCi]] — all B replicates ride ONE
+    * scan, the ×B fan-out collapses map-side to (B × 2 arms) rows.
+    * The only corpus-sized shuffle is the per-user pre-aggregate that
+    * both the observed and permuted sides reuse. */
+  def aggPermutationTest(s: SparkSession, d: String): DataFrame = {
+    val B = 100
+    val users = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("ne"),
+        sum(col("value").cast("decimal(18,4)")).as("sv"))
+      .cache()
+    def armOf(seed: Column): Column =
+      conv(substring(md5(seed), 1, 6), 16, 10).cast("long") % 2L
+    def diffOf(df: DataFrame, grp: Seq[Column]): DataFrame =
+      df.groupBy(grp: _*)
+        .agg(sum(col("sv")).as("s"), sum(col("ne")).as("c"))
+        .groupBy(grp.dropRight(1): _*)
+        .agg(((max(when(col("arm") === 1L, col("s"))).cast("double") /
+          max(when(col("arm") === 1L, col("c")))) -
+          (max(when(col("arm") === 0L, col("s"))).cast("double") /
+            max(when(col("arm") === 0L, col("c"))))).as("diff"))
+    val obs = diffOf(users.withColumn("arm",
+      armOf(col("user_id").cast("string"))), Seq(col("arm")))
+    val perm = diffOf(
+      users.select(col("user_id"), col("ne"), col("sv"),
+        explode(sequence(lit(1), lit(B))).as("b"))
+        .withColumn("arm",
+          armOf(concat_ws("_", col("user_id"), col("b")))),
+      Seq(col("b"), col("arm")))
+    perm.crossJoin(broadcast(obs.select(col("diff").as("obs_diff"))))
+      .agg(round(max(col("obs_diff")), 6).as("obs_diff"),
+        sum(when(abs(col("diff")) >= abs(col("obs_diff")), 1L)
+          .otherwise(0L)).as("n_ge"))
+      .select(col("obs_diff"), col("n_ge"),
+        // n_ge→DOUBLE first: in DuckDB a bare 1.0 is DECIMAL and
+        // bigint+decimal/decimal would divide at decimal scales
+        round((col("n_ge").cast("double") + lit(1.0)) / lit(101.0), 6)
+          .as("p_value"))
+  }
+
+  /** Delta-method CI for a ratio metric (value per event with
+    * user-level clustering — Deng et al., KDD'18's "ratio metrics"
+    * recipe): R = ΣY/ΣX over per-user (X = events, Y = value mass);
+    * var(R) ≈ (σ²_Y − 2R·σ_XY + R²·σ²_X)/(n·μ²_X) — the clustered
+    * standard error a naive per-event variance understates. Same
+    * exact-moment discipline as [[aggCuped]]: per-user integers/
+    * decimals, five exact moment sums per event_type, ONE closing
+    * double expression (population variances), z = 1.96 literal.
+    * Two map-side-combined aggregates; output is |event_types| rows. */
+  def aggDeltaRatioCi(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"),
+        sum(col("value").cast("decimal(18,4)")).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr(
+        "event_type", "n AS n_users",
+        "ROUND(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS ratio",
+        """ROUND(sqrt(
+            ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+              CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) -
+             2.0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) +
+             (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
+             (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+             (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+            (CAST(n AS DOUBLE) *
+             (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+             (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS se""")
+      .selectExpr("event_type", "n_users", "ratio", "se",
+        "ROUND(ratio - 1.96 * se, 6) AS ci_lo",
+        "ROUND(ratio + 1.96 * se, 6) AS ci_hi")
+      .orderBy(col("event_type"))
+  }
+
   /** Binary-segmentation changepoint — the level-shift locator beside
     * [[Windows.windowCusum]]'s drift alarm: the split k of the daily
     * count series maximizing the between-segment fit S₁²/n₁ + S₂²/n₂
@@ -1824,6 +1985,9 @@ object Aggregates {
     "agg_runs_test" -> (aggRunsTest _),
     "agg_mann_kendall" -> (aggMannKendall _),
     "agg_bootstrap_ci" -> (aggBootstrapCi _),
+    "agg_cuped" -> (aggCuped _),
+    "agg_permutation_test" -> (aggPermutationTest _),
+    "agg_delta_ratio_ci" -> (aggDeltaRatioCi _),
     "profile_freshness" -> (profileFreshness _),
     "agg_winsorized_mean" -> (aggWinsorizedMean _),
     "agg_mutual_information" -> (aggMutualInformation _),
@@ -2140,6 +2304,120 @@ object Aggregates {
         |    AS span_us
         |FROM events CROSS JOIN wm
         |GROUP BY event_type, watermark_us
+        |ORDER BY event_type""".stripMargin,
+    // exact integer/decimal moments; identical closing double text
+    "agg_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+        |      AS x,
+        |    SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |        THEN CAST(value AS DECIMAL(18,4))
+        |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS y
+        |  FROM events GROUP BY user_id),
+        |m AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM u)
+        |SELECT n AS n_users,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS var_y,
+        |  ROUND(((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) -
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS var_cuped,
+        |  ROUND(100.0 *
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |     (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        |    AS var_reduction_pct
+        |FROM m""".stripMargin,
+    // seeded parity arms; exact decimal arm sums; the >= compares
+    // identically-derived doubles in both engines
+    "agg_permutation_test" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS ne,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY user_id),
+        |oa AS (
+        |  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+        |      1, 6)) AS BIGINT) % 2 AS arm, ne, sv
+        |  FROM u),
+        |obs AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 1 THEN sv END) AS DOUBLE) /
+        |      SUM(CASE WHEN arm = 1 THEN ne END) -
+        |    CAST(SUM(CASE WHEN arm = 0 THEN sv END) AS DOUBLE) /
+        |      SUM(CASE WHEN arm = 0 THEN ne END) AS obs_diff
+        |  FROM oa),
+        |pa AS (
+        |  SELECT b,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || '_' ||
+        |      CAST(b AS VARCHAR)), 1, 6)) AS BIGINT) % 2 AS arm, ne, sv
+        |  FROM u CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS b)),
+        |pd AS (
+        |  SELECT b,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN sv END) AS DOUBLE) /
+        |      SUM(CASE WHEN arm = 1 THEN ne END) -
+        |    CAST(SUM(CASE WHEN arm = 0 THEN sv END) AS DOUBLE) /
+        |      SUM(CASE WHEN arm = 0 THEN ne END) AS diff
+        |  FROM pa GROUP BY b)
+        |SELECT ROUND(MAX(obs_diff), 6) AS obs_diff,
+        |  CAST(SUM(CASE WHEN abs(diff) >= abs(obs_diff) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ge,
+        |  ROUND((CAST(SUM(CASE WHEN abs(diff) >= abs(obs_diff)
+        |         THEN 1 ELSE 0 END) AS DOUBLE) + 1.0) / 101.0, 6)
+        |    AS p_value
+        |FROM pd CROSS JOIN obs""".stripMargin,
+    // same five exact moments as agg_cuped; one closing sqrt
+    "agg_delta_ratio_ci" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, COUNT(*) AS x,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS y
+        |  FROM events GROUP BY event_type, user_id),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM u GROUP BY event_type),
+        |r AS (
+        |  SELECT event_type, n AS n_users,
+        |    ROUND(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS ratio,
+        |    ROUND(sqrt(
+        |      ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) -
+        |       2.0 * (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
+        |       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) +
+        |       (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
+        |       (CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)) *
+        |       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+        |      (CAST(n AS DOUBLE) *
+        |       (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |       (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS se
+        |  FROM m)
+        |SELECT event_type, n_users, ratio, se,
+        |  ROUND(ratio - 1.96 * se, 6) AS ci_lo,
+        |  ROUND(ratio + 1.96 * se, 6) AS ci_hi
+        |FROM r
         |ORDER BY event_type""".stripMargin,
     // seeded Poisson weights are all-integer decisions; replicate
     // means are exact decimal sums with one closing double division;

@@ -199,6 +199,54 @@ class AggregateSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_cuped: adjustment never increases variance; reduction is 100*rho^2") {
+    val r = Aggregates.aggCuped(spark, sf).collect().head
+    val (n, theta, varY, varCuped, redPct) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(n == nUsers)
+    assert(varCuped <= varY + 1e-9, "CUPED cannot add variance")
+    assert(varCuped >= -1e-9)
+    assert(redPct >= 0.0 && redPct <= 100.0)
+    // var_cuped/var_y must equal 1 - reduction/100 (same moments)
+    assert(math.abs(varCuped / varY - (1.0 - redPct / 100.0)) < 1e-3)
+    assert(!theta.isNaN)
+  }
+
+  test("agg_permutation_test: p consistent with count; under re-randomization p is non-extreme") {
+    val r = Aggregates.aggPermutationTest(spark, sf).collect().head
+    val (obs, nGe, p) = (r.getDouble(0), r.getLong(1), r.getDouble(2))
+    assert(nGe >= 0L && nGe <= 100L)
+    assert(math.abs(p - (nGe + 1.0) / 101.0) < 1e-6)
+    assert(p > 0.0 && p <= 1.0)
+    // arms are themselves hash-random, so the observed diff is a null
+    // draw: p should not be extreme on the fixture
+    assert(p > 0.01, s"suspiciously small p=$p for a null effect")
+    assert(!obs.isNaN)
+  }
+
+  test("agg_delta_ratio_ci: ratio replays brute-force; CI brackets it") {
+    val rows = Aggregates.aggDeltaRatioCi(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    rows.foreach { case (et, nU, ratio, se, lo, hi) =>
+      val vs = ev.filter(_._1 == et).map(_._2)
+      // cents-exact ratio replay
+      val expect = vs.map(v => BigDecimal(v)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum / vs.length
+      assert(math.abs(ratio - expect.toDouble) < 1e-4, s"$et ratio")
+      assert(se > 0.0, s"$et zero se")
+      assert(lo <= ratio && ratio <= hi, s"$et CI")
+      assert(nU > 0L)
+    }
+  }
+
   test("agg_hll_intersection: exact side replays brute-force sets; i-e bound holds") {
     val r = Aggregates.aggHllIntersectionCheck(spark, sf).collect()
     assert(r.length == 1)

@@ -50,7 +50,10 @@ class ParallelismSpec extends AnyFunSuite {
     // scalar of the group key); Poisson-bootstrap order statistics;
     // exact-integer G² contingency terms
     "privacy_l_diversity", "privacy_dp_count", "agg_bootstrap_ci",
-    "text_g2_collocations")
+    "text_g2_collocations",
+    // round-8 tail 4: exact-moment experimentation stats (CUPED /
+    // permutation / delta-method) — decimal moments, seeded arms
+    "agg_cuped", "agg_permutation_test", "agg_delta_ratio_ci")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

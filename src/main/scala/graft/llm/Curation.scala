@@ -565,10 +565,56 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Neyman-optimal stratified-sampling allocation (Neyman 1934) —
+    * the survey-sampling design for "how many docs should each source
+    * contribute to a budget-n eval sample": n_h ∝ N_h·σ_h, which
+    * minimizes the estimator variance at fixed budget (high-variance
+    * sources get more slots than proportional allocation would give).
+    * Integerization by largest-remainder so allocations sum EXACTLY
+    * to the budget.
+    *
+    * Float discipline: N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) — a
+    * correctly-rounded sqrt of an EXACT integer — rounded once to
+    * DECIMAL(18,6) so the cross-strata total is an exact decimal sum
+    * (a double Σ over strata would be summation-order-dependent);
+    * each quota is then one identical double expression, and floor/
+    * fraction/rank decisions compare identically-derived doubles with
+    * a source-name tiebreak.
+    *
+    * Scale shape: one map-side-combined aggregate to the bounded
+    * source space; every window after it runs over |sources| rows
+    * (the empty-partitionBy windows sit above the aggregate — the
+    * PlanSpec class invariant). */
+  def sampleNeymanAllocation(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .withColumn("w6", expr(
+        "CAST(ROUND(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)), 6) AS DECIMAL(18,6))"))
+      .withColumn("t6", sum(col("w6")).over(all))
+      .withColumn("q", expr(
+        "CAST(w6 AS DOUBLE) * 100.0 / CAST(t6 AS DOUBLE)"))
+      .withColumn("base", floor(col("q")))
+      .withColumn("frac", col("q") - floor(col("q")))
+      .withColumn("rem", lit(100L) - sum(col("base")).over(all))
+      .withColumn("rk", row_number().over(Window.partitionBy()
+        .orderBy(col("frac").desc, col("source"))))
+      .select(col("source"), col("n_h"),
+        round(col("q"), 6).as("alloc_exact"),
+        (col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+          .as("n_alloc"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_k_anonymity" -> (privacyKAnonymity _),
     "privacy_l_diversity" -> (privacyLDiversity _),
     "privacy_dp_count" -> (privacyDpCount _),
+    "sample_neyman_allocation" -> (sampleNeymanAllocation _),
     "sample_dsir" -> (sampleDsir _),
     "sample_bottom_k" -> (sampleBottomK _),
     "sample_weighted" -> (sampleWeighted _),
@@ -587,6 +633,35 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // sqrt of exact integers rounded once to DECIMAL(18,6); exact
+    // decimal total; identical quota/floor/rank double text
+    "sample_neyman_allocation" ->
+      """WITH m AS (
+        |  SELECT source, COUNT(*) AS n_h, SUM(n_chars) AS sx,
+        |    SUM(n_chars * n_chars) AS sxx
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_h,
+        |    CAST(ROUND(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS w6
+        |  FROM m),
+        |q AS (
+        |  SELECT source, n_h,
+        |    CAST(w6 AS DOUBLE) * 100.0 / CAST(SUM(w6) OVER () AS DOUBLE)
+        |      AS q
+        |  FROM w),
+        |b AS (
+        |  SELECT source, n_h, q, CAST(floor(q) AS BIGINT) AS base,
+        |    q - floor(q) AS frac
+        |  FROM q),
+        |r AS (
+        |  SELECT source, n_h, q, base, frac,
+        |    100 - SUM(base) OVER () AS rem,
+        |    ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk
+        |  FROM b)
+        |SELECT source, n_h, ROUND(q, 6) AS alloc_exact,
+        |  base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS n_alloc
+        |FROM r ORDER BY source""".stripMargin,
     "privacy_l_diversity" ->
       """SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
         |  COUNT(*) AS group_n,

@@ -247,6 +247,21 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_._5) && rows.exists(!_._5))
   }
 
+  test("sample_neyman_allocation: sums to budget, favors high-variance strata") {
+    val rows = Curation.sampleNeymanAllocation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.map(_._2).sum == 500L, "strata cover the corpus")
+    assert(rows.map(_._4).sum == 100L, "allocations must sum to budget")
+    rows.foreach { case (src, _, exact, alloc) =>
+      // largest-remainder: every allocation within 1 of its real quota
+      assert(math.abs(alloc - exact) < 1.0, s"$src: $alloc vs $exact")
+      assert(alloc >= 0L)
+    }
+    // Neyman must deviate from proportional (equal N_h would give 5
+    // each): at least one stratum gets a different share
+    assert(rows.exists(_._4 != 5L), "allocation degenerated to proportional")
+  }
+
   test("privacy_dp_count: noise is Laplace-bounded, non-degenerate, deterministic") {
     val spark2 = spark
     import spark2.implicits._

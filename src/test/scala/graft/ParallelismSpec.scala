@@ -53,7 +53,8 @@ class ParallelismSpec extends AnyFunSuite {
     "text_g2_collocations",
     // round-8 tail 4: exact-moment experimentation stats (CUPED /
     // permutation / delta-method) — decimal moments, seeded arms
-    "agg_cuped", "agg_permutation_test", "agg_delta_ratio_ci")
+    "agg_cuped", "agg_permutation_test", "agg_delta_ratio_ci",
+    "sample_neyman_allocation")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -218,7 +218,41 @@ object Graphs {
       .limit(20)
   }
 
+  /** BFS reachability layers via a RECURSIVE CTE (Spark 4's
+    * `WITH RECURSIVE`, SPARK-24497): nodes first reached at hop
+    * 0/1/2/3 from seed vec 0 over the symmetrized kNN graph — the
+    * neighborhood-growth profile around a document ("how fast does
+    * this item's similarity ball expand"), and the engine-feature
+    * demonstration that iterative SQL runs INSIDE the engine instead
+    * of a driver loop. Hop-bounded UNION ALL recursion (termination
+    * by the hop guard, not fixed-point detection), then a min-hop
+    * distinct collapse — path multiplicity never reaches the output.
+    *
+    * Scale: path fan-out is Σ_{h<3} frontier·deg — for a degree-d
+    * kNN graph ≤ d³ rows from one seed, never corpus-sized; the
+    * recursion's joins hash-partition on the edge key. The identical
+    * SQL text runs on DuckDB (both engines implement SQL:1999
+    * recursion), so the oracle IS the query modulo the edge CTE. */
+  def graphReachabilityCte(s: SparkSession, d: String): DataFrame = {
+    val ue = undirected(materializedEdges(s, d))
+    ue.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(ue.select(col("v").as("src"), col("u").as("dst")))
+      .createOrReplaceTempView("graft_knn_dedges")
+    s.sql(
+      """WITH RECURSIVE reach(node, hop) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+        |  UNION ALL
+        |  SELECT d.dst AS node, r.hop + 1 AS hop
+        |  FROM reach r JOIN graft_knn_dedges d ON d.src = r.node
+        |  WHERE r.hop < 3
+        |)
+        |SELECT hop, COUNT(*) AS n_first_reached FROM (
+        |  SELECT node, MIN(hop) AS hop FROM reach GROUP BY node) t
+        |GROUP BY hop ORDER BY hop""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_reachability_cte" -> (graphReachabilityCte _),
     "graph_degree_distribution" -> (graphDegreeDistribution _),
     "graph_triangles" -> (graphTriangles _),
     "graph_pagerank" -> (graphPagerank _),
@@ -226,6 +260,24 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical SQL:1999 recursion text; dedges = symmetrized ue
+    "graph_reachability_cte" -> (edgeCte.replaceFirst("^WITH ",
+      "WITH RECURSIVE ") +
+      """
+        |, dedges AS (
+        |  SELECT u AS src, v AS dst FROM ue
+        |  UNION ALL
+        |  SELECT v AS src, u AS dst FROM ue),
+        |reach(node, hop) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS hop
+        |  UNION ALL
+        |  SELECT d.dst AS node, r.hop + 1 AS hop
+        |  FROM reach r JOIN dedges d ON d.src = r.node
+        |  WHERE r.hop < 3
+        |)
+        |SELECT hop, COUNT(*) AS n_first_reached FROM (
+        |  SELECT node, MIN(hop) AS hop FROM reach GROUP BY node) t
+        |GROUP BY hop ORDER BY hop""".stripMargin),
     "graph_degree_distribution" -> (edgeCte +
       """
         |, dg AS (

@@ -93,4 +93,39 @@ class GraphSpec extends AnyFunSuite {
     // hubs exist: ranks are not uniform (the graph is irregular)
     assert(rows.map(_.getLong(1)).distinct.length > 1)
   }
+
+  test("recursive-CTE reachability matches a driver BFS from seed 0") {
+    import org.apache.spark.sql.functions._
+    val layers = graft.queries.Graphs.graphReachabilityCte(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // driver BFS over the same undirected kNN edges
+    val m = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000000.0 + 0.5).cast("long")).as("q"))
+    val a = m.select(col("vec_id").as("src"), col("q").as("qa"))
+    val b = m.select(col("vec_id").as("dst"), col("q").as("qb"))
+    val pairs = a.join(broadcast(b), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dot").desc, col("dst"))
+    val edges = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var frontier = Set(0L)
+    var seen = Set(0L)
+    val expect = scala.collection.mutable.Map(0 -> 1L)
+    (1 to 3).foreach { h =>
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- seen
+      if (frontier.nonEmpty) expect(h) = frontier.size.toLong
+      seen ++= frontier
+    }
+    assert(layers == expect.toMap, s"got $layers expected $expect")
+  }
 }

@@ -610,11 +610,44 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Packing-efficiency diagnostic over [[packSequences]]'s
+    * concat-and-chunk layout: per language, how full the
+    * `PackBudget`-token bins are (fill = tokens/capacity — the
+    * padding waste a dataloader pays) and how many documents straddle
+    * a bin boundary (the attention-mask pollution concat-and-chunk
+    * accepts). All integers from the SAME per-lang prefix sum
+    * packSequences uses (a doc straddles iff offset + n_tokens >
+    * budget), one rounded ratio at the end. One window + one
+    * aggregate; same shard-parallel note as packSequences at 100 TB. */
+  def packEfficiency(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("cum_before") % PackBudget + col("n_tokens")
+          > PackBudget, 1L).otherwise(0L)).as("n_straddlers"))
+      .withColumn("n_bins",
+        expr(s"(total_tokens + ${PackBudget - 1}) div $PackBudget"))
+      .select(col("lang"), col("n_docs"), col("total_tokens"),
+        col("n_bins"), col("n_straddlers"),
+        expr(s"""ROUND(CAST(total_tokens AS DOUBLE) /
+                 (CAST(n_bins AS DOUBLE) * $PackBudget), 4)""")
+          .as("fill_pct"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_k_anonymity" -> (privacyKAnonymity _),
     "privacy_l_diversity" -> (privacyLDiversity _),
     "privacy_dp_count" -> (privacyDpCount _),
     "sample_neyman_allocation" -> (sampleNeymanAllocation _),
+    "pack_efficiency" -> (packEfficiency _),
     "sample_dsir" -> (sampleDsir _),
     "sample_bottom_k" -> (sampleBottomK _),
     "sample_weighted" -> (sampleWeighted _),
@@ -633,6 +666,30 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // same prefix-sum integers as pack_sequences; one rounded ratio
+    "pack_efficiency" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM d),
+        |g AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(SUM(CASE WHEN cum_before % 256 + n_tokens > 256
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        |  FROM c GROUP BY lang)
+        |SELECT lang, n_docs, total_tokens,
+        |  (total_tokens + 255) // 256 AS n_bins, n_straddlers,
+        |  ROUND(CAST(total_tokens AS DOUBLE) /
+        |    (CAST((total_tokens + 255) // 256 AS DOUBLE) * 256), 4)
+        |    AS fill_pct
+        |FROM g ORDER BY lang""".stripMargin,
     // sqrt of exact integers rounded once to DECIMAL(18,6); exact
     // decimal total; identical quota/floor/rank double text
     "sample_neyman_allocation" ->

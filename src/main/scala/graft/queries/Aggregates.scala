@@ -837,6 +837,41 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Power analysis / sample-size calculation — the question every
+    * experiment starts with: per event_type, how many units per arm
+    * to detect a 5%-of-mean effect at α=0.05 two-sided, power 0.8:
+    * n = 2σ²(z_{α/2}+z_β)²/δ². Closes the experimentation loop beside
+    * [[aggAbtestLift]] (estimate), [[aggPermutationTest]]
+    * (significance), [[aggCuped]] (variance reduction — rerun this
+    * on the CUPED-adjusted σ² to see the sample-size saving) and
+    * [[aggDeltaRatioCi]] (clustered CI).
+    *
+    * σ² from the usual exact decimal moments; z literals 1.96/0.8416
+    * combine as EXACT decimal arithmetic in both parsers before the
+    * single double expression; CEIL of identically-derived doubles.
+    * One map-side-combined aggregate to |event_types| rows. */
+  def aggPowerAnalysis(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("sy"),
+        sum(col("value").cast("decimal(18,4)") *
+          col("value").cast("decimal(18,4)")).as("syy"))
+      .selectExpr("event_type", "n AS n_obs",
+        "ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_v",
+        """ROUND((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+           CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS sigma2""",
+        """CAST(CEIL(2.0 *
+           ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) *
+           ((1.96 + 0.8416) * (1.96 + 0.8416)) /
+           ((0.05 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) *
+            (0.05 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))))
+           AS BIGINT) AS n_per_arm""")
+      .orderBy(col("event_type"))
+
   /** Binary-segmentation changepoint — the level-shift locator beside
     * [[Windows.windowCusum]]'s drift alarm: the split k of the daily
     * count series maximizing the between-segment fit S₁²/n₁ + S₂²/n₂
@@ -1988,6 +2023,7 @@ object Aggregates {
     "agg_cuped" -> (aggCuped _),
     "agg_permutation_test" -> (aggPermutationTest _),
     "agg_delta_ratio_ci" -> (aggDeltaRatioCi _),
+    "agg_power_analysis" -> (aggPowerAnalysis _),
     "profile_freshness" -> (profileFreshness _),
     "agg_winsorized_mean" -> (aggWinsorizedMean _),
     "agg_mutual_information" -> (aggMutualInformation _),
@@ -2418,6 +2454,35 @@ object Aggregates {
         |  ROUND(ratio - 1.96 * se, 6) AS ci_lo,
         |  ROUND(ratio + 1.96 * se, 6) AS ci_hi
         |FROM r
+        |ORDER BY event_type""".stripMargin,
+    // same exact moments; z literals combine as exact decimals; CEIL
+    // of identically-derived doubles
+    "agg_power_analysis" ->
+      """SELECT event_type, COUNT(*) AS n_obs,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE), 6) AS mean_v,
+        |  ROUND((CAST(COUNT(*) AS DOUBLE) *
+        |     CAST(SUM(CAST(value AS DECIMAL(18,4)) *
+        |              CAST(value AS DECIMAL(18,4))) AS DOUBLE) -
+        |     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) *
+        |     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)) /
+        |    (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)), 6)
+        |    AS sigma2,
+        |  CAST(CEIL(2.0 *
+        |    ((CAST(COUNT(*) AS DOUBLE) *
+        |      CAST(SUM(CAST(value AS DECIMAL(18,4)) *
+        |               CAST(value AS DECIMAL(18,4))) AS DOUBLE) -
+        |      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) *
+        |      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)) /
+        |     (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE))) *
+        |    ((1.96 + 0.8416) * (1.96 + 0.8416)) /
+        |    ((0.05 * (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) /
+        |              CAST(COUNT(*) AS DOUBLE))) *
+        |     (0.05 * (CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) /
+        |              CAST(COUNT(*) AS DOUBLE)))))
+        |    AS BIGINT) AS n_per_arm
+        |FROM events
+        |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     // seeded Poisson weights are all-integer decisions; replicate
     // means are exact decimal sums with one closing double division;

@@ -851,7 +851,47 @@ object Windows {
       .orderBy(col("user_id"))
   }
 
+  /** Trailing-week rolling correlation between a day's event VOLUME
+    * and its VALUE MASS per type — "does load move with revenue this
+    * week" drift tracking. A CONSTANT-width 7-row frame over the
+    * (type, day) daily aggregate — the allowed bounded-ROWS class
+    * (O(7)/row; the banned class is data-width sliding RANGE frames),
+    * running over calendar-bounded rows, not the corpus.
+    *
+    * Float discipline: the six frame sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    * are exact long/decimal sums over ≤7 rows; the Pearson formula is
+    * ONE double expression; zero-variance windows short-circuit to
+    * NULL via integer-exact CASE guards on the unnormalized variance
+    * terms (exact decimals — no epsilon). */
+  def windowRollingCorr(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(col("value").cast("decimal(18,4)")).as("y"))
+      .select(col("event_type"), col("day"),
+        count(lit(1)).over(w).as("n7"),
+        sum(col("x")).over(w).as("sx"),
+        sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("y")).over(w).as("sxy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"))
+      .selectExpr("event_type", "day", "n7",
+        """CASE WHEN n7 * sxx - sx * sx > 0 AND n7 * syy - sy * sy > 0
+           THEN ROUND(
+             (CAST(n7 AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             sqrt((CAST(n7 AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                  (CAST(n7 AS DOUBLE) * CAST(syy AS DOUBLE) -
+                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           END AS corr7""")
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rolling_corr" -> (windowRollingCorr _),
     "window_debounce" -> (windowDebounce _),
     "window_cusum" -> (windowCusum _),
     "window_vwap" -> (windowVwap _),
@@ -881,6 +921,34 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact frame sums over <=7 daily rows; identical Pearson text;
+    // integer/decimal-exact zero-variance guards
+    "window_rolling_corr" ->
+      """WITH dd AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS y
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+        |f AS (
+        |  SELECT event_type, day,
+        |    COUNT(*) OVER w AS n7,
+        |    SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        |    SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx,
+        |    SUM(y * y) OVER w AS syy
+        |  FROM dd
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, n7,
+        |  CASE WHEN n7 * sxx - sx * sx > 0 AND n7 * syy - sy * sy > 0
+        |  THEN ROUND(
+        |    (CAST(n7 AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((CAST(n7 AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (CAST(n7 AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS corr7
+        |FROM f
+        |ORDER BY event_type, day""".stripMargin,
     "window_vwap" ->
       """SELECT event_type,
         |  epoch_us(date_trunc('hour', ts)) AS hour_us,

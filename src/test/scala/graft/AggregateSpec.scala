@@ -247,6 +247,57 @@ class AggregateSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_power_analysis: n_per_arm replays the closed form from its own moments") {
+    val rows = Aggregates.aggPowerAnalysis(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, mean, sigma2, nArm) =>
+      assert(n > 0 && sigma2 > 0.0 && mean > 0.0, et)
+      val expect = math.ceil(2.0 * sigma2 * math.pow(1.96 + 0.8416, 2) /
+        math.pow(0.05 * mean, 2))
+      // rounded mean/sigma2 vs exact internals: allow 1% slack
+      assert(math.abs(nArm - expect) <= expect * 0.01 + 1,
+        s"$et: $nArm vs $expect")
+    }
+  }
+
+  test("window_rolling_corr replays driver Pearson over each 7-day frame") {
+    val got = graft.queries.Windows.windowRollingCorr(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(got.nonEmpty)
+    val daily = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(col("value").cast("decimal(18,4)")).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getDecimal(3).doubleValue()))
+    val byType = daily.groupBy(_._1).map { case (k, vs) =>
+      k -> vs.sortBy(_._2)
+    }
+    got.groupBy(_._1).foreach { case (et, rows) =>
+      val series = byType(et)
+      rows.sortBy(_._2).zipWithIndex.foreach { case ((_, day, n7, c), i) =>
+        val fr = series.slice(math.max(0, i - 6), i + 1)
+        assert(fr.last._2 == day)
+        assert(n7 == fr.length.toLong)
+        val xs = fr.map(_._3.toDouble); val ys = fr.map(_._4)
+        val n = xs.length
+        val (sx, sy) = (xs.sum, ys.sum)
+        val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+        val (sxx, syy) = (xs.map(a => a * a).sum, ys.map(b => b * b).sum)
+        val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+        if (vx > 1e-9 && vy > 1e-9) {
+          val expect = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+          assert(math.abs(c - expect) < 1e-4, s"$et $day: $c vs $expect")
+          assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+        } else assert(c.isNaN, s"$et $day: expected NULL corr")
+      }
+    }
+  }
+
   test("agg_hll_intersection: exact side replays brute-force sets; i-e bound holds") {
     val r = Aggregates.aggHllIntersectionCheck(spark, sf).collect()
     assert(r.length == 1)

@@ -262,6 +262,24 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_._4 != 5L), "allocation degenerated to proportional")
   }
 
+  test("pack_efficiency agrees with pack_sequences' bin layout") {
+    val packed = Curation.packSequences(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val eff = Curation.packEfficiency(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    packed.groupBy(_._1).foreach { case (lang, docs) =>
+      val (nDocs, total, nBins, nStraddle, fill) = eff(lang)
+      assert(nDocs == docs.length.toLong)
+      assert(total == docs.map(_._2).sum)
+      // bins touched = ceil(total/256) must equal last doc's end bin + 1
+      assert(nBins == (total + 255) / 256)
+      val straddlers = docs.count { case (_, n, _, off) => off + n > 256 }
+      assert(nStraddle == straddlers.toLong, s"$lang straddlers")
+      assert(fill > 0.5 && fill <= 1.0, s"$lang fill $fill")
+    }
+  }
+
   test("privacy_dp_count: noise is Laplace-bounded, non-degenerate, deterministic") {
     val spark2 = spark
     import spark2.implicits._

@@ -54,7 +54,8 @@ class ParallelismSpec extends AnyFunSuite {
     // round-8 tail 4: exact-moment experimentation stats (CUPED /
     // permutation / delta-method) — decimal moments, seeded arms
     "agg_cuped", "agg_permutation_test", "agg_delta_ratio_ci",
-    "sample_neyman_allocation", "graph_reachability_cte")
+    "sample_neyman_allocation", "graph_reachability_cte",
+    "pack_efficiency", "agg_power_analysis", "window_rolling_corr")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -335,6 +335,58 @@ object Dedup {
     sigPairs(sigs)
   }
 
+  /** LSH banding-calibration audit — the production question every
+    * MinHash deployment must answer: does the (b=4 bands × r=4 rows)
+    * banding actually deliver its theoretical recall
+    * p(s) = 1−(1−s⁴)⁴ at the similarity range it was tuned for?
+    * Exact-Jaccard pairs (the [[dedupPairsMaterialize]] graph, floored
+    * at the 0.8 design threshold) are binned by true similarity and
+    * probed against the RAW band-collision candidate set (before the
+    * estimator filter); per bin the audit pins detection against the
+    * bin-lower-bound theory value. At s=1 every signature position
+    * agrees, so detection is CERTAIN — an exact boolean, not a bound.
+    *
+    * Derived-check discipline: band membership rides xxhash64 (no
+    * DuckDB equivalent), so the gate row carries the mirrorable exact
+    * side (bin, n_pairs from the exact pair graph; the theory value is
+    * literal arithmetic on the bin) plus the theory-pinned booleans;
+    * DedupSpec additionally asserts the empirical rates. The margin is
+    * 0.02: every pair in a bin has per-pair detection probability
+    * ≥ p(bin_lo) exactly (hash positions are independent and agree
+    * with probability = true Jaccard), binomial noise at the smallest
+    * fixture bin is ~6σ inside, and band-hash collisions only ADD
+    * detections.
+    *
+    * Scale shape: reuses the write-once pair graph and the banded
+    * candidate join — both already scale-safe; the audit itself is one
+    * left join on pair keys + a ≤10-row aggregate. */
+  def dedupLshCalibration(s: SparkSession, d: String): DataFrame = {
+    val truePairs = materializedPairs(s, d)
+    val bands = sigBands(minhashSigs(s, d))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val theo =
+      """ROUND(1.0 - (1.0 - bin*bin*bin*bin) * (1.0 - bin*bin*bin*bin) *
+        |(1.0 - bin*bin*bin*bin) * (1.0 - bin*bin*bin*bin), 6)"""
+        .stripMargin.replace("\n", " ")
+    truePairs
+      .join(cands.withColumn("det", lit(1L)), Seq("a_id", "b_id"), "left")
+      .select((floor(col("jac") * 10) / 10).as("bin"),
+        coalesce(col("det"), lit(0L)).as("det"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("det")).as("n_det"))
+      .selectExpr("bin", "n_pairs",
+        s"$theo AS theo_detect_lo",
+        s"CAST(n_det AS DOUBLE) / n_pairs >= $theo - 0.02 AS recall_ok",
+        "CASE WHEN bin >= 0.999 THEN n_det = n_pairs ELSE TRUE END" +
+          " AS exact_at_one")
+      .orderBy(col("bin"))
+  }
+
   /** Duplicate-cluster assignment — the step AFTER pair detection: every
     * doc in a connected component of the near-dup graph maps to one
     * representative (the component's min doc_id), so "keep one per
@@ -1183,6 +1235,7 @@ object Dedup {
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_cluster" -> (dedupEmbeddingCluster _),
     "dedup_fuzzy_minhash" -> (dedupFuzzyMinhashCheck _),
+    "dedup_lsh_calibration" -> (dedupLshCalibration _),
     "dedup_fuzzy_cluster" -> (dedupFuzzyClusterCheck _),
     "dedup_simhash" -> (dedupSimhashCheck _),
     "dedup_bloom_membership" -> (dedupBloomMembership _),
@@ -1281,6 +1334,30 @@ object Dedup {
         |WHERE ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
         |            len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8
         |ORDER BY a_id, b_id""".stripMargin,
+    // derived check: band membership is xxhash64 (no DuckDB
+    // equivalent); the oracle mirrors the exact pair bins and the
+    // literal-arithmetic theory value, TRUE for the audited booleans
+    "dedup_lsh_calibration" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tp AS (
+        |  SELECT ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.t, b.t))), 4) AS jac
+        |  FROM toks a JOIN toks b
+        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
+        |              len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8),
+        |g AS (
+        |  SELECT floor(jac * 10) / 10 AS bin, COUNT(*) AS n_pairs
+        |  FROM tp GROUP BY 1)
+        |SELECT bin, n_pairs,
+        |  ROUND(1.0 - (1.0 - bin*bin*bin*bin) * (1.0 - bin*bin*bin*bin) *
+        |  (1.0 - bin*bin*bin*bin) * (1.0 - bin*bin*bin*bin), 6)
+        |    AS theo_detect_lo,
+        |  TRUE AS recall_ok,
+        |  TRUE AS exact_at_one
+        |FROM g ORDER BY bin""".stripMargin,
     // identical pipeline and contract to dedup_ngram_jaccard — the
     // materialized intermediate must equal the direct computation
     "dedup_pairs_materialize" ->

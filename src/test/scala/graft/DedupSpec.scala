@@ -321,4 +321,22 @@ class DedupSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("dedup_lsh_calibration: bins cover the pair graph, audits pass, theory exact") {
+    val rows = Dedup.dedupLshCalibration(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val expBins = Dedup.dedupPairsMaterialize(spark, sf).collect()
+      .map(r => math.floor(r.getDouble(2) * 10) / 10)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == expBins,
+      "bin counts must partition the exact pair graph")
+    rows.foreach { case (bin, _, theo, recallOk, exactAtOne) =>
+      val expect = 1.0 - math.pow(1.0 - math.pow(bin, 4), 4)
+      assert(math.abs(theo - expect) < 1e-5, s"bin $bin theory")
+      assert(recallOk, s"bin $bin: banding under-delivered its recall bound")
+      assert(exactAtOne, s"bin $bin: s=1 pair escaped its certain detection")
+    }
+  }
 }

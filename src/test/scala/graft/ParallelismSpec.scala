@@ -55,7 +55,8 @@ class ParallelismSpec extends AnyFunSuite {
     // permutation / delta-method) — decimal moments, seeded arms
     "agg_cuped", "agg_permutation_test", "agg_delta_ratio_ci",
     "sample_neyman_allocation", "graph_reachability_cte",
-    "pack_efficiency", "agg_power_analysis", "window_rolling_corr")
+    "pack_efficiency", "agg_power_analysis", "window_rolling_corr",
+    "dedup_lsh_calibration")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -75,10 +75,22 @@ object Bench {
     // and it keeps the round-over-round top-12 signal honest.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "1").toInt
     val topNames = firstPass.sortBy(-_._2).take(12).map(_._1).toSet
+    // The iterative-CC family runs 6-10 chained jobs per query, so it
+    // integrates steal noise over a longer wall-span than any one-job
+    // query — min-of-2 repeatedly failed to shed the noise for exactly
+    // these keys (r7: fuzzy_cluster 8.6 s driver vs 7.0 s isolated;
+    // r8 directive 4). Give them one extra repeat: min-of-3.
+    val ccKeys = Set("dedup_fuzzy_cluster", "dedup_cluster",
+      "dedup_cluster_twophase", "dedup_embedding_cluster")
     val fns = ordered.toMap
     val results = firstPass.map { case (name, t1) =>
-      if (repeats < 1 || !topNames(name) || t1 < 0) name -> t1
-      else name -> (t1 +: (1 to repeats).map(_ => timeOne(name, fns(name)))).min
+      val extra =
+        if (repeats < 1 || t1 < 0) 0
+        else if (ccKeys(name)) repeats + 1
+        else if (topNames(name)) repeats
+        else 0
+      if (extra == 0) name -> t1
+      else name -> (t1 +: (1 to extra).map(_ => timeOne(name, fns(name)))).min
     }
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonMap(m: Iterable[(String, Double)]) =

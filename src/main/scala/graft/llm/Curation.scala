@@ -537,9 +537,19 @@ object Curation {
     * corpus card ships instead of exact counts. The noise draw is
     * DETERMINISTIC-SEEDED for the gate: u = (md5(group key) 24-bit
     * prefix + 0.5) / 2^24 in (0,1), then the standard inverse-CDF
-    * Laplace transform -sgn(u-1/2)·ln(1-2|u-1/2|). (A production run
-    * would swap the seed hash for a secret-keyed PRF; the mechanism
-    * and its calibration are identical.)
+    * Laplace transform -sgn(u-1/2)·ln(1-2|u-1/2|).
+    *
+    * PRIVACY CAVEAT (round-8 advice — this seeding is GATE-ONLY, not
+    * a privacy mechanism): md5 of the released group key is a public
+    * function, so anyone can recompute the noise and subtract it
+    * exactly — as shipped the release provides NO differential
+    * privacy; only the mechanism's calibration is exercised. Swapping
+    * in a secret-keyed PRF fixes that for a SINGLE static release
+    * only: per-key deterministic noise reused across repeated or
+    * updated releases leaks count deltas exactly (the noise cancels
+    * in the difference) and admits no composition accounting. Any
+    * real DP deployment must draw FRESH randomness per release and
+    * track the accumulated epsilon across releases.
     *
     * Float discipline: both engines derive the SAME 24-bit integer
     * from md5, so +, abs, * and the single ln all see identical IEEE

@@ -1219,7 +1219,81 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** URL canonicalization before exact dedup — the step that runs
+    * FIRST in every web-scale ingest (CCNet, C4, RefinedWeb all key
+    * their URL dedup on a normalized form): scheme/host lowercasing,
+    * `www.` and default-port stripping, fragment removal,
+    * tracking-parameter stripping (utm prefix, gclid, fbclid) and
+    * query-parameter sorting, trailing-slash normalization. Without
+    * it the same page appears under dozens of raw spellings and
+    * content-hash dedup silently under-merges.
+    *
+    * The fixture has no URL column, so raw URLs are DERIVED
+    * deterministically from (doc_id, source): a 24-bit md5 hash picks
+    * scheme case, www prefix, host case, `:80` port, trailing slash,
+    * parameter order, a tracking parameter, and a fragment — the
+    * exact variant axes the canonicalizer must collapse — while the
+    * registrable host (source) and path (doc_id mod 23) carry the
+    * identity. Both engines derive identical raw URLs from the same
+    * hash, canonicalize with the same string algebra, and must agree
+    * on every resulting group.
+    *
+    * Scale shape: one projection builds + canonicalizes (pure
+    * per-row string ops, no shuffle), one hash aggregate on the
+    * canonical form — identical to [[dedupExact]]'s cost model. The
+    * parameter sort is over the ≤handful of query params per URL,
+    * never corpus-sized. All string ops, so no float discipline
+    * needed. */
+  def dedupUrlCanonicalize(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .selectExpr("doc_id", "source",
+        """CAST(conv(substring(md5(concat('u|', CAST(doc_id AS STRING))),
+          |  1, 6), 16, 10) AS BIGINT) AS h""".stripMargin)
+      .selectExpr("doc_id",
+        """concat(
+          |  CASE WHEN h % 2 = 0 THEN 'http' ELSE 'HTTP' END, '://',
+          |  CASE WHEN (h DIV 2) % 2 = 0 THEN 'www.' ELSE '' END,
+          |  CASE WHEN (h DIV 4) % 2 = 0 THEN upper(source) ELSE source END,
+          |  '.Example.COM',
+          |  CASE WHEN (h DIV 8) % 2 = 0 THEN ':80' ELSE '' END,
+          |  '/docs/', CAST(doc_id % 23 AS STRING),
+          |  CASE WHEN (h DIV 16) % 2 = 0 THEN '/' ELSE '' END,
+          |  '?',
+          |  CASE WHEN (h DIV 128) % 2 = 0
+          |    THEN concat('utm_source=feed', CAST(h % 3 AS STRING), '&')
+          |    ELSE '' END,
+          |  CASE WHEN (h DIV 32) % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END,
+          |  CASE WHEN (h DIV 64) % 2 = 0 THEN '#sec1' ELSE '' END
+          |) AS raw_url""".stripMargin)
+      .withColumn("nofrag", expr("substring_index(raw_url, '#', 1)"))
+      .withColumn("base", expr("substring_index(nofrag, '?', 1)"))
+      .withColumn("qs", expr("substring_index(nofrag, '?', -1)"))
+      .withColumn("scheme", expr("lower(substring_index(base, '://', 1))"))
+      .withColumn("hostpath", expr("substring_index(base, '://', -1)"))
+      .withColumn("hostport", expr("substring_index(hostpath, '/', 1)"))
+      .withColumn("path0",
+        expr("substring(hostpath, length(hostport) + 1)"))
+      .withColumn("host", expr(
+        "regexp_replace(regexp_replace(lower(hostport), ':80$', ''), '^www\\\\.', '')"))
+      .withColumn("path", expr(
+        """CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+          |ELSE regexp_replace(path0, '/+$', '') END""".stripMargin))
+      .withColumn("params", expr(
+        """array_join(array_sort(filter(split(qs, '&'),
+          |  x -> NOT (x LIKE 'utm%' OR x LIKE 'gclid=%'
+          |            OR x LIKE 'fbclid=%'))), '&')""".stripMargin))
+      .withColumn("canon_url",
+        expr("concat(scheme, '://', host, path, '?', params)"))
+      .groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_variants"),
+        count_distinct(col("raw_url")).as("n_raw_forms"))
+      .select(col("doc_id"), col("canon_url"), col("n_variants"),
+        col("n_raw_forms"))
+      .orderBy(col("canon_url"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_url_canonicalize" -> (dedupUrlCanonicalize _),
     "agg_dup_rate_by_source" -> (dedupRateBySource _),
     "dedup_template" -> (dedupTemplate _),
     "dedup_containment" -> (dedupContainment _),
@@ -1244,6 +1318,63 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical hash-derived raw URLs, identical canonicalization
+    // string algebra; pure strings/integers — no float discipline
+    "dedup_url_canonicalize" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substring(md5('u|' || CAST(doc_id AS VARCHAR)),
+        |      1, 6)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN h % 2 = 0 THEN 'http' ELSE 'HTTP' END || '://' ||
+        |     CASE WHEN (h // 2) % 2 = 0 THEN 'www.' ELSE '' END ||
+        |     CASE WHEN (h // 4) % 2 = 0 THEN upper(source) ELSE source END ||
+        |     '.Example.COM' ||
+        |     CASE WHEN (h // 8) % 2 = 0 THEN ':80' ELSE '' END ||
+        |     '/docs/' || CAST(doc_id % 23 AS VARCHAR) ||
+        |     CASE WHEN (h // 16) % 2 = 0 THEN '/' ELSE '' END ||
+        |     '?' ||
+        |     CASE WHEN (h // 128) % 2 = 0
+        |       THEN 'utm_source=feed' || CAST(h % 3 AS VARCHAR) || '&'
+        |       ELSE '' END ||
+        |     CASE WHEN (h // 32) % 2 = 0 THEN 'a=1&b=2' ELSE 'b=2&a=1' END ||
+        |     CASE WHEN (h // 64) % 2 = 0 THEN '#sec1' ELSE '' END
+        |    ) AS raw_url
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, raw_url,
+        |    split_part(split_part(raw_url, '#', 1), '?', 1) AS base,
+        |    split_part(split_part(raw_url, '#', 1), '?', 2) AS qs
+        |  FROM r),
+        |p AS (
+        |  SELECT doc_id, raw_url, qs,
+        |    lower(split_part(base, '://', 1)) AS scheme,
+        |    split_part(base, '://', 2) AS hostpath,
+        |    split_part(split_part(base, '://', 2), '/', 1) AS hostport
+        |  FROM c),
+        |q AS (
+        |  SELECT doc_id, raw_url, qs, scheme,
+        |    regexp_replace(regexp_replace(lower(hostport), ':80$', ''),
+        |      '^www\.', '') AS host,
+        |    substring(hostpath, length(hostport) + 1) AS path0
+        |  FROM p),
+        |u AS (
+        |  SELECT doc_id, raw_url, scheme, host,
+        |    CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(path0, '/+$', '') END AS path,
+        |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+        |      x -> NOT (x LIKE 'utm%' OR x LIKE 'gclid=%'
+        |                OR x LIKE 'fbclid=%'))), '&') AS params
+        |  FROM q)
+        |SELECT MIN(doc_id) AS doc_id,
+        |  scheme || '://' || host || path || '?' || params AS canon_url,
+        |  COUNT(*) AS n_variants,
+        |  COUNT(DISTINCT raw_url) AS n_raw_forms
+        |FROM u
+        |GROUP BY 2
+        |ORDER BY canon_url""".stripMargin,
     "agg_dup_rate_by_source" ->
       """SELECT source, COUNT(*) AS n_docs,
         |  COUNT(DISTINCT md5(text)) AS n_distinct,

@@ -277,11 +277,14 @@ object TextStats {
     * counts then ride the distributed-CDF recipe — the per-doc relation
     * GROWS with the corpus, so the running totals must not ride a
     * single-partition window: doc_ids are cut into ordered equi-width
-    * buckets (ids are dense, so buckets balance), each bucket
-    * prefix-sums locally in parallel (one hash exchange on the bucket
-    * id), and a ≤32-row per-bucket total relation — the only
-    * empty-partitionBy window, bounded — broadcasts the bucket offsets
-    * back. All integer, bit-identical to the oracle's naive cumsum. */
+    * buckets (ids are dense, so buckets balance; bucket count = the
+    * session's shuffle parallelism, so the decomposition widens with
+    * the cluster and the prefix-sum algebra is bucket-count-
+    * invariant), each bucket prefix-sums locally in parallel (one
+    * hash exchange on the bucket id), and a bounded per-bucket total
+    * relation — the only empty-partitionBy window — broadcasts the
+    * bucket offsets back. All integer, bit-identical to the oracle's
+    * naive cumsum. */
   def textVocabGrowth(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = t(s, d, "documents")
@@ -297,7 +300,7 @@ object TextStats {
         coalesce(col("n_new"), lit(0L)).as("n_new"))
     val bounds = perDoc
       .agg(min(col("doc_id")).as("__lo"), max(col("doc_id")).as("__hi"))
-    val nBuckets = 32
+    val nBuckets = graft.queries.Ordered.defaultParts(s)
     val bucketed = perDoc.crossJoin(broadcast(bounds))
       .withColumn("__bkt", expr(
         s"""CAST(((CAST(doc_id AS BIGINT) - __lo) * $nBuckets)
@@ -695,7 +698,50 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Stopword-mass ratio per (lang, source) — the classic C4/CCNet
+    * language-confidence companion signal: real prose carries a
+    * stable few percent of function-word mass, while boilerplate,
+    * code, and mis-identified text carry almost none. Reported as an
+    * aggregate quality profile per corpus slice (the curation
+    * dashboard view), plus a per-doc pass count for the gate
+    * "stopword mass ≥ 4%", decided in EXACT integer arithmetic
+    * (25·n_stop ≥ n_tok ⇔ ratio ≥ 0.04) so the pass/fail bit can
+    * never float-diverge across engines.
+    *
+    * Distinct from [[textGopherQuality]], which gates on the count of
+    * DISTINCT stopwords present; this measures token MASS — the two
+    * catch different failure modes (a doc repeating "the" 50 times
+    * passes Gopher's distinct-count rule but reveals itself here).
+    *
+    * Float discipline: integer token/stopword counts, integer gate,
+    * exact integer sums per group; ONE closing double division,
+    * rounded once. Scale shape: one projection over the scan (the
+    * stopword filter is an O(len) array op per row, no explode), one
+    * map-side-combined aggregate to the bounded (lang × source) value
+    * space. Zero corpus-sized shuffles. */
+  def textStopwordRatio(s: SparkSession, d: String): DataFrame = {
+    val stops = "'the','be','to','of','and','that','have','with','it','is'"
+    t(s, d, "documents")
+      .withColumn("toks",
+        expr("filter(split(lower(text), ' '), w -> w != '')"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, w -> w IN ($stops)))").cast("long"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_stop")).as("n_stopwords"),
+        sum(when(col("n_stop") * 25L >= col("n_tok"), 1L).otherwise(0L))
+          .as("n_pass"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("n_stopwords"), col("n_pass"),
+        round(col("n_stopwords").cast("double") / col("n_tokens"), 6)
+          .as("stop_ratio"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stopword_ratio" -> (textStopwordRatio _),
     "tokenize_bpe_merges" -> (tokenizeBpeMerges _),
     "text_gopher_quality" -> (textGopherQuality _),
     "text_winnowing" -> (textWinnowing _),
@@ -722,6 +768,24 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer counts + integer gate (25*stop >= tok); exact BIGINT
+    // sums; one identical closing double division
+    "text_stopword_ratio" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        w -> w <> '')) AS n_tok,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        w -> w <> '' AND w IN ('the','be','to','of','and','that',
+        |                               'have','with','it','is'))) AS n_stop
+        |  FROM documents)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_stop) AS BIGINT) AS n_stopwords,
+        |  CAST(SUM(CASE WHEN n_stop * 25 >= n_tok THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pass,
+        |  ROUND(CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok), 6) AS stop_ratio
+        |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "tokenize_bpe_merges" ->
       """WITH words AS (
         |  SELECT w, COUNT(*) AS n_w FROM (

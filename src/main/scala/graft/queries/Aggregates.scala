@@ -262,11 +262,13 @@ object Aggregates {
     * class): per-distinct-value sample counts first (the CDF only
     * moves at distinct values, so cumulating per-value counts equals
     * collapsing the merged row cumsum per value), then the bucketed
-    * prefix-sum recipe — ordered equi-width value buckets, parallel
-    * local running sums (one hash exchange on the bucket id), and a
-    * broadcast ≤32-row bucket-offset relation, the only
-    * empty-partitionBy window. Identical arithmetic, identical
-    * oracle. */
+    * prefix-sum recipe — ordered equi-width value buckets (count =
+    * the session's shuffle parallelism, so the decomposition widens
+    * with the cluster; the prefix-sum algebra is bucket-count-
+    * invariant), parallel local running sums (one hash exchange on
+    * the bucket id), and a broadcast bucket-offset relation of that
+    * bounded size, the only empty-partitionBy window. Identical
+    * arithmetic, identical oracle. */
   def aggKsTest(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = t(s, d, "events")
@@ -278,7 +280,7 @@ object Aggregates {
         (count(lit(1)) - sum(col("is1"))).as("c2"))
     val bounds = perV
       .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
-    val nBuckets = 32
+    val nBuckets = Ordered.defaultParts(s)
     val bucketed = perV.crossJoin(broadcast(bounds))
       .withColumn("__bkt",
         when(col("__hi") === col("__lo"), lit(0))
@@ -637,8 +639,20 @@ object Aggregates {
     * sums (cents × integer weight) with ONE closing double division,
     * and the 95% CI bounds are order statistics (3rd / 98th of the
     * 100 sorted replicate means — pure selection, no interpolated
-    * quantile whose arithmetic could differ across engines). The
-    * order-statistic window partitions by priority over exactly B
+    * quantile whose arithmetic could differ across engines). A
+    * replicate whose weights all drew zero (probability ~e^-n per
+    * (priority, b)) would yield sw = 0 and a NULL mean — and Spark
+    * orders NULLS FIRST where DuckDB defaults NULLS LAST, so such a
+    * row would silently shift the order statistics on one engine
+    * only (round-8 advice); the rank ordering is therefore pinned
+    * NULLS LAST EXPLICITLY on both engines, making the ranked order
+    * identical by construction even in that measure-zero case. (The
+    * advice's other remedy — filtering sw > 0 before ranking — was
+    * tried and reverted: the filter makes the replicate weight sums
+    * load-bearing for CARDINALITY, which blocks Catalyst from
+    * pruning them under counting consumers and cost the bench 10 s;
+    * the explicit null ordering has zero plan impact.) The
+    * order-statistic window partitions by priority over at most B
     * rows per group — bounded, never corpus-sized. */
   def aggBootstrapCi(s: SparkSession, d: String): DataFrame = {
     val B = 100
@@ -664,7 +678,8 @@ object Aggregates {
       .select(col("priority"), col("b"),
         round(col("swx").cast("double") / col("sw"), 6).as("mean_b"))
     val byMean = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("priority")).orderBy(col("mean_b"), col("b"))
+      .partitionBy(col("priority"))
+      .orderBy(col("mean_b").asc_nulls_last, col("b"))
     val ci = means.withColumn("rn", row_number().over(byMean))
       .groupBy(col("priority"))
       .agg(max(when(col("rn") === 3, col("mean_b"))).as("ci_lo"),
@@ -2512,7 +2527,7 @@ object Aggregates {
         |r AS (
         |  SELECT priority, mean_b,
         |    row_number() OVER (PARTITION BY priority
-        |                       ORDER BY mean_b, b) AS rn
+        |                       ORDER BY mean_b ASC NULLS LAST, b) AS rn
         |  FROM m),
         |ci AS (
         |  SELECT priority,

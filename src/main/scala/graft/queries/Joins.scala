@@ -419,24 +419,31 @@ object Joins {
     * shuffling it. The `merge` hint pins SMJ so the plan demonstrates
     * the exchange-free co-location even at fixture sizes where
     * broadcast would win (PlanSpec asserts no shuffle below the join).
-    * Result is bucketing-independent — the oracle is the plain join. */
+    * Result is bucketing-independent — the oracle is the plain join.
+    *
+    * The bucketed writes go through
+    * [[graft.util.Materialize.bucketedTableFor]] (round-8 advice), so
+    * they really do happen ONCE per (dataset, JVM): the first
+    * invocation pays the two writes, every later invocation — and
+    * every downstream query that joins or aggregates on the key — is
+    * a pure bucketed scan with zero writes (MaterializeSpec asserts
+    * the second-call build count is 0). That is the amortization the
+    * operator exists to demonstrate. */
   def joinBucketedColocated(s: SparkSession, d: String): DataFrame = {
     val base = new java.io.File(
       sys.props("java.io.tmpdir"), "graft_bucketed").getAbsolutePath
-    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-    s.sql("DROP TABLE IF EXISTS graft_bkt_customer")
-    t(s, d, "orders")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .option("path", s"$base/orders").saveAsTable("graft_bkt_orders")
-    t(s, d, "customer")
-      .select(col("c_custkey"), col("c_mktsegment"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .option("path", s"$base/customer").saveAsTable("graft_bkt_customer")
-    val o = s.table("graft_bkt_orders")
-    val c = s.table("graft_bkt_customer")
+    val o = graft.util.Materialize.bucketedTableFor(s, "orders", d,
+      name => t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/$name").saveAsTable(name))
+    val c = graft.util.Materialize.bucketedTableFor(s, "customer", d,
+      name => t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/$name").saveAsTable(name))
     o.hint("merge")
       .join(c, o("o_custkey") === c("c_custkey"), "inner")
       .groupBy(col("c_mktsegment"))

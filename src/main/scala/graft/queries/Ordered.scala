@@ -1,53 +1,67 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed total-order utilities — the zipWithIndex decomposition
   * that replaces every single-partition global window over a
   * corpus-sized relation (the one plan shape Windows.scala's header
   * rule forbids): `repartitionByRange` on the sort key gives ordered,
   * non-overlapping partitions; `sortWithinPartitions` orders each one;
-  * `monotonically_increasing_id` (= partitionId·2^33 + local row
-  * index, contiguous from 0 per task) yields the per-partition rank
-  * with ZERO extra shuffle; a ≤`parts`-row per-partition count
-  * relation turns local ranks into exact global ones via a broadcast
-  * prefix-sum join. The only empty-partitionBy window runs over that
-  * bounded count relation — never over the data. Used by
-  * chunk_batches (reference MAX_BATCH_SIZE numbering,
+  * `RDD.zipWithIndex` turns per-partition positions into exact global
+  * indices with one lightweight count job and ZERO extra shuffles.
+  * Used by chunk_batches (reference MAX_BATCH_SIZE numbering,
   * function_app.py:379-401), window_rfm and text_vocab_growth.
+  *
+  * WHY the RDD hop instead of a pure-DataFrame diamond (round-9 find):
+  * the previous shape branched the ranged relation into an offsets
+  * aggregate and a join consumer inside one plan, trusting
+  * ReuseExchange to share the range shuffle. Column pruning makes the
+  * two subtrees canonically UNEQUAL (the aggregate side prunes the
+  * payload columns), so the exchange is NOT reused — each consumer
+  * re-executes it, and range-boundary SAMPLING is seeded by RDD id,
+  * i.e. nondeterministic across executions. When the fixture outgrows
+  * the sample size (or at any real scale), the two executions pick
+  * different boundaries and the stitched index is silently wrong.
+  * `RDD.zipWithIndex` runs its count job over the SAME RDD instance,
+  * so the counts come from the same materialized shuffle output as
+  * the data pass — consistent by construction at any parallelism.
   */
 object Ordered {
+
+  /** The parallelism the total-order machinery runs at when the
+    * caller doesn't pin one: the session's configured
+    * `spark.sql.shuffle.partitions` — so on a 1000-executor cluster
+    * the range shuffle fans out with the cluster instead of capping
+    * at a literal. The RESULT is partition-count-invariant (the
+    * global index is exact under a total order; ParallelismSpec
+    * asserts bit-identical output across counts), so deriving from
+    * config changes only the plan's width, never its answer. */
+  def defaultParts(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "200").toInt.max(1)
 
   /** Appends `out` = the exact 0-based global index of each row under
     * the total order `keys` (which must be a total order — ties would
     * make the index nondeterministic, exactly as with `row_number`).
     * `keys` may carry sort directions (`col.desc`). The partition
-    * count is pinned so AQE cannot coalesce between the two consumers
-    * of the ranged subtree (ReuseExchange shares the one shuffle; both
-    * consumers replay the same deterministic sort, so ids agree). */
+    * count (`parts` ≤ 0 → [[defaultParts]], i.e. the session's
+    * shuffle parallelism) is pinned explicitly so AQE cannot coalesce
+    * the ranged shuffle. One range shuffle + one count job; the range
+    * partitions are ordered and non-overlapping, so partition index
+    * then local position IS the total order. */
   def withGlobalIndex(df: DataFrame, keys: Seq[Column], out: String,
-      parts: Int = 32): DataFrame = {
-    val ranged = df
-      .repartitionByRange(parts, keys: _*)
+      parts: Int = 0): DataFrame = {
+    val p = if (parts > 0) parts else defaultParts(df.sparkSession)
+    val sorted = df
+      .repartitionByRange(p, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", shiftright(col("__mid"), 33))
-      .withColumn("__local", col("__mid").bitwiseAND(lit((1L << 33) - 1)))
-    val offsets = ranged
-      .groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off",
-        coalesce(
-          sum(col("__cnt")).over(Window.orderBy(col("__pid"))
-            .rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .select(col("__pid"), col("__off"))
-    ranged
-      .join(broadcast(offsets), "__pid")
-      .withColumn(out, col("__off") + col("__local"))
-      .drop("__mid", "__pid", "__local", "__off")
+    val schema = StructType(
+      sorted.schema.fields :+ StructField(out, LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(indexed, schema)
   }
 
   /** `ntile(k)` recomputed from an exact 1-based global rank and the

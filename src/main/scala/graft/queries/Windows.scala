@@ -861,8 +861,13 @@ object Windows {
     * Float discipline: the six frame sums (n, Σx, Σy, Σxy, Σx², Σy²)
     * are exact long/decimal sums over ≤7 rows; the Pearson formula is
     * ONE double expression; zero-variance windows short-circuit to
-    * NULL via integer-exact CASE guards on the unnormalized variance
-    * terms (exact decimals — no epsilon). */
+    * NULL via an exactly-equivalent exact guard: a frame has zero
+    * variance iff its min equals its max, so the guard compares
+    * MIN/MAX over the same frame — decimal/integer comparisons with
+    * NO arithmetic, immune to the 38-digit product cap that made the
+    * previous n·Σx²−(Σx)² guard lossy (round-8 advice: the window sum
+    * is DECIMAL(28,4), so its square exceeded precision 38 and was
+    * silently rounded). */
   def windowRollingCorr(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(-6, 0)
@@ -876,9 +881,13 @@ object Windows {
         sum(col("y")).over(w).as("sy"),
         sum(col("x") * col("y")).over(w).as("sxy"),
         sum(col("x") * col("x")).over(w).as("sxx"),
-        sum(col("y") * col("y")).over(w).as("syy"))
+        sum(col("y") * col("y")).over(w).as("syy"),
+        min(col("x")).over(w).as("mnx"),
+        max(col("x")).over(w).as("mxx"),
+        min(col("y")).over(w).as("mny"),
+        max(col("y")).over(w).as("mxy"))
       .selectExpr("event_type", "day", "n7",
-        """CASE WHEN n7 * sxx - sx * sx > 0 AND n7 * syy - sy * sy > 0
+        """CASE WHEN mnx <> mxx AND mny <> mxy
            THEN ROUND(
              (CAST(n7 AS DOUBLE) * CAST(sxy AS DOUBLE) -
               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
@@ -922,7 +931,8 @@ object Windows {
 
   val oracles: Map[String, String] = Map(
     // exact frame sums over <=7 daily rows; identical Pearson text;
-    // integer/decimal-exact zero-variance guards
+    // zero-variance guard = exact MIN<>MAX over the frame (no decimal
+    // products, so no 38-digit precision loss)
     "window_rolling_corr" ->
       """WITH dd AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x,
@@ -933,12 +943,14 @@ object Windows {
         |    COUNT(*) OVER w AS n7,
         |    SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
         |    SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx,
-        |    SUM(y * y) OVER w AS syy
+        |    SUM(y * y) OVER w AS syy,
+        |    MIN(x) OVER w AS mnx, MAX(x) OVER w AS mxx,
+        |    MIN(y) OVER w AS mny, MAX(y) OVER w AS mxy
         |  FROM dd
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
         |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT event_type, day, n7,
-        |  CASE WHEN n7 * sxx - sx * sx > 0 AND n7 * syy - sy * sy > 0
+        |  CASE WHEN mnx <> mxx AND mny <> mxy
         |  THEN ROUND(
         |    (CAST(n7 AS DOUBLE) * CAST(sxy AS DOUBLE) -
         |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /

@@ -136,6 +136,26 @@ object StreamQueries {
     dir
   }
 
+  /** Staged-INPUT memoization (round-8 directive): every staging write
+    * below is a deterministic pure function of the dataset dir — the
+    * same bucket assignment, the same mtime ladder, the same column
+    * pruning — so ONE staged copy per (tag, dataset) per JVM serves
+    * every later invocation. Input dirs are read-only to the queries
+    * (each run owns a fresh checkpoint, so the file source re-reads
+    * the same ordered files identically), which makes sharing safe;
+    * what must stay per-run (checkpoints, upsert state versions,
+    * ingest output) still goes through plain [[tempDir]]. Saves a
+    * file copy + four Spark staging writes per repeated family run
+    * (bench warm-up + timed pass, Verify after a spec suite, …). */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  private def stagedDir(tag: String, d: String)(build: Path => Unit): Path =
+    stagedCache.computeIfAbsent(s"$tag|$d", _ => {
+      val dir = tempDir(tag)
+      build(dir)
+      dir
+    })
+
   /** Per-query cloned session: shares the SparkContext but owns its
     * SQLConf, so stream-specific knobs never leak into (or race with)
     * the shared session. Stateful operators allocate one state store
@@ -176,9 +196,11 @@ object StreamQueries {
     * leaves mixing Datasets from different sessions unspecified, so
     * every leg of a multi-input streaming query plans on ONE clone. */
   private def eventsStreamOn(ss: SparkSession, d: String): DataFrame = {
-    val dir = tempDir("graft_stream_events")
-    Files.copy(Paths.get(s"$d/events.parquet"),
-      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val dir = stagedDir("graft_stream_events", d) { dir =>
+      Files.copy(Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
     // Fixture generators have shipped ts as TIMESTAMP(NANOS) (reads as
     // BIGINT under the legacy nanosAsLong flag) and as TIMESTAMP(MICROS,
     // isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ) across rounds.
@@ -268,36 +290,37 @@ object StreamQueries {
     * quantiles, so the watermark at every trigger is computable in SQL
     * (see the oracle comment for the two-trigger watermark lag). */
   def streamWatermarkLate(s: SparkSession, d: String): DataFrame = {
-    val batch = graft.Tables.t(s, d, "events")
-    val dir = tempDir("graft_stream_wm")
-    val withTsl = batch.withColumn("tsl", col("ts").cast("long"))
-    val quartiles = tsQuartiles(s, d)
-    val assigned = withTsl.withColumn("bucket",
-      when(col("event_id") % 97 === 0, lit(3))
-        .otherwise(
-          when(col("tsl") < lit(quartiles(0)), 0)
-            .when(col("tsl") < lit(quartiles(1)), 1)
-            .when(col("tsl") < lit(quartiles(2)), 2)
-            .otherwise(3)))
-      // stage ONLY what the query consumes: the windowed count needs
-      // just ts (event_id only steers bucket assignment above) — the
-      // other five columns, props included, would be written and then
-      // re-read per micro-batch for nothing
-      .select(col("ts"), col("bucket"))
-    // one partitioned write stages all four arrival buckets (one file
-    // per bucket via repartition on the bucket key), then each file gets
-    // a strictly increasing mtime so maxFilesPerTrigger=1 replays them
-    // as ordered micro-batches
-    val tmp = tempDir("graft_wm_parts")
-    assigned.repartition(4, col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
-    (0 to 3).foreach { b =>
-      val part = Files.list(tmp.resolve(s"bucket=$b")).toArray
-        .map(_.asInstanceOf[Path])
-        .find(_.toString.endsWith(".parquet")).get
-      val dst = dir.resolve(f"$b%04d.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(1700000000000L + b * 60000L)
+    val dir = stagedDir("graft_stream_wm", d) { dir =>
+      val batch = graft.Tables.t(s, d, "events")
+      val withTsl = batch.withColumn("tsl", col("ts").cast("long"))
+      val quartiles = tsQuartiles(s, d)
+      val assigned = withTsl.withColumn("bucket",
+        when(col("event_id") % 97 === 0, lit(3))
+          .otherwise(
+            when(col("tsl") < lit(quartiles(0)), 0)
+              .when(col("tsl") < lit(quartiles(1)), 1)
+              .when(col("tsl") < lit(quartiles(2)), 2)
+              .otherwise(3)))
+        // stage ONLY what the query consumes: the windowed count needs
+        // just ts (event_id only steers bucket assignment above) — the
+        // other five columns, props included, would be written and then
+        // re-read per micro-batch for nothing
+        .select(col("ts"), col("bucket"))
+      // one partitioned write stages all four arrival buckets (one file
+      // per bucket via repartition on the bucket key), then each file
+      // gets a strictly increasing mtime so maxFilesPerTrigger=1
+      // replays them as ordered micro-batches
+      val tmp = tempDir("graft_wm_parts")
+      assigned.repartition(4, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+      (0 to 3).foreach { b =>
+        val part = Files.list(tmp.resolve(s"bucket=$b")).toArray
+          .map(_.asInstanceOf[Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = dir.resolve(f"$b%04d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(1700000000000L + b * 60000L)
+      }
     }
     val sdf = streamSession(s).readStream
       .schema(StructType.fromDDL("ts TIMESTAMP"))
@@ -379,16 +402,18 @@ object StreamQueries {
   /** The reference's whole data plane as a stream: envelope text files →
     * foreachBatch(Pipeline.ingest) → routed parquet, summarized. */
   def streamIngestPipeline(s: SparkSession, d: String): DataFrame = {
-    val inDir = tempDir("graft_stream_ingest_in")
+    val inDir = stagedDir("graft_stream_ingest_in", d) { inDir =>
+      val envs = graft.queries.IngestQueries.syntheticEnvelopes
+      // two files → two micro-batches under maxFilesPerTrigger=1
+      Files.write(inDir.resolve("0000.txt"),
+        envs.take(3).mkString("\n").getBytes("UTF-8"))
+      Files.write(inDir.resolve("0001.txt"),
+        envs.drop(3).mkString("\n").getBytes("UTF-8"))
+      inDir.resolve("0000.txt").toFile.setLastModified(1700000000000L)
+      inDir.resolve("0001.txt").toFile.setLastModified(1700000060000L)
+      ()
+    }
     val outDir = tempDir("graft_stream_ingest_out").toString
-    val envs = graft.queries.IngestQueries.syntheticEnvelopes
-    // two files → two micro-batches under maxFilesPerTrigger=1
-    Files.write(inDir.resolve("0000.txt"),
-      envs.take(3).mkString("\n").getBytes("UTF-8"))
-    Files.write(inDir.resolve("0001.txt"),
-      envs.drop(3).mkString("\n").getBytes("UTF-8"))
-    inDir.resolve("0000.txt").toFile.setLastModified(1700000000000L)
-    inDir.resolve("0001.txt").toFile.setLastModified(1700000060000L)
     // production-shaped construction: fail-fast settings + source module
     val cfg = graft.ingest.Config.ingestConfig(Map(
       "OUTPUT_CONTAINER" -> outDir,
@@ -457,11 +482,12 @@ object StreamQueries {
     // planned in the same session (and the same 8-partition override)
     val ss = streamSession(s)
     def side(tpe: String, idAs: String, userAs: String, tsAs: String) = {
-      val dir = tempDir(s"graft_ss_$tpe")
-      graft.Tables.t(s, d, "events")
-        .filter(col("event_type") === tpe)
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      val dir = stagedDir(s"graft_ss_$tpe", d) { dir =>
+        graft.Tables.t(s, d, "events")
+          .filter(col("event_type") === tpe)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      }
       ss.readStream
         .schema(StructType.fromDDL(
           "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"))
@@ -498,21 +524,22 @@ object StreamQueries {
   def streamUpsertSink(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ss = streamSession(s)
-    val dir = tempDir("graft_stream_upsert")
-    val tmp = tempDir("graft_upsert_parts")
-    graft.Tables.t(ss, d, "events")
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
-      .withColumn("bucket", (col("event_id") % 4).cast("int"))
-      .repartition(4, col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
-    (0 to 3).foreach { b =>
-      val part = Files.list(tmp.resolve(s"bucket=$b")).toArray
-        .map(_.asInstanceOf[Path])
-        .find(_.toString.endsWith(".parquet")).get
-      val dst = dir.resolve(f"$b%04d.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(1700000000000L + b * 60000L)
+    val dir = stagedDir("graft_stream_upsert", d) { dir =>
+      val tmp = tempDir("graft_upsert_parts")
+      graft.Tables.t(ss, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("bucket", (col("event_id") % 4).cast("int"))
+        .repartition(4, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+      (0 to 3).foreach { b =>
+        val part = Files.list(tmp.resolve(s"bucket=$b")).toArray
+          .map(_.asInstanceOf[Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = dir.resolve(f"$b%04d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(1700000000000L + b * 60000L)
+      }
     }
     val stateRoot = tempDir("graft_upsert_state")
     val version = new java.util.concurrent.atomic.AtomicInteger(-1)
@@ -564,20 +591,21 @@ object StreamQueries {
     graft.ingest.Codecs.register(ss)
     val m = graft.queries.TypedAggs.mgCapacity
     // stage documents into 4 ordered arrival files
-    val dir = tempDir("graft_stream_hh")
-    val tmp = tempDir("graft_hh_parts")
-    graft.Tables.t(ss, d, "documents")
-      .select(col("doc_id"), col("text"))
-      .withColumn("bucket", (col("doc_id") % 4).cast("int"))
-      .repartition(4, col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
-    (0 to 3).foreach { b =>
-      val part = Files.list(tmp.resolve(s"bucket=$b")).toArray
-        .map(_.asInstanceOf[Path])
-        .find(_.toString.endsWith(".parquet")).get
-      val dst = dir.resolve(f"$b%04d.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(1700000000000L + b * 60000L)
+    val dir = stagedDir("graft_stream_hh", d) { dir =>
+      val tmp = tempDir("graft_hh_parts")
+      graft.Tables.t(ss, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("bucket", (col("doc_id") % 4).cast("int"))
+        .repartition(4, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+      (0 to 3).foreach { b =>
+        val part = Files.list(tmp.resolve(s"bucket=$b")).toArray
+          .map(_.asInstanceOf[Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = dir.resolve(f"$b%04d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(1700000000000L + b * 60000L)
+      }
     }
     val sketchStream = ss.readStream
       .schema(StructType.fromDDL("doc_id BIGINT, text STRING"))
@@ -618,29 +646,30 @@ object StreamQueries {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val ss = streamSession(s)
     // stage by time quartile so batch order = event-time order
-    val batch = graft.Tables.t(ss, d, "events")
-    val dir = tempDir("graft_stream_throttle")
-    val withTsl = batch.withColumn("tsl", col("ts").cast("long"))
-    val quartiles = tsQuartiles(s, d)
-    val assigned = withTsl.withColumn("bucket",
-      when(col("tsl") < lit(quartiles(0)), 0)
-        .when(col("tsl") < lit(quartiles(1)), 1)
-        .when(col("tsl") < lit(quartiles(2)), 2)
-        .otherwise(3))
-      // stage ONLY the three columns the processor consumes — the
-      // fold reads (user_id, ts, event_id); event_type/value/props
-      // would be written and re-read per micro-batch for nothing
-      .select(col("user_id"), col("ts"), col("event_id"), col("bucket"))
-    val tmp = tempDir("graft_throttle_parts")
-    assigned.repartition(4, col("bucket"))
-      .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
-    (0 to 3).foreach { b =>
-      val part = Files.list(tmp.resolve(s"bucket=$b")).toArray
-        .map(_.asInstanceOf[Path])
-        .find(_.toString.endsWith(".parquet")).get
-      val dst = dir.resolve(f"$b%04d.parquet")
-      Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(1700000000000L + b * 60000L)
+    val dir = stagedDir("graft_stream_throttle", d) { dir =>
+      val batch = graft.Tables.t(ss, d, "events")
+      val withTsl = batch.withColumn("tsl", col("ts").cast("long"))
+      val quartiles = tsQuartiles(s, d)
+      val assigned = withTsl.withColumn("bucket",
+        when(col("tsl") < lit(quartiles(0)), 0)
+          .when(col("tsl") < lit(quartiles(1)), 1)
+          .when(col("tsl") < lit(quartiles(2)), 2)
+          .otherwise(3))
+        // stage ONLY the three columns the processor consumes — the
+        // fold reads (user_id, ts, event_id); event_type/value/props
+        // would be written and re-read per micro-batch for nothing
+        .select(col("user_id"), col("ts"), col("event_id"), col("bucket"))
+      val tmp = tempDir("graft_throttle_parts")
+      assigned.repartition(4, col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(tmp.toString)
+      (0 to 3).foreach { b =>
+        val part = Files.list(tmp.resolve(s"bucket=$b")).toArray
+          .map(_.asInstanceOf[Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = dir.resolve(f"$b%04d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(1700000000000L + b * 60000L)
+      }
     }
     ss.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
@@ -698,16 +727,25 @@ object StreamQueries {
     // start, which reflects max event time through batch N-2 (one
     // trigger to report the max + one to commit it) — so batch 3 drops
     // %97 rows behind max(batches 0..1) - 10min, i.e. the q50 cut, NOT
-    // q75; (2) append mode emits a window only once the FINAL watermark
-    // (max over all data - 10min) passes its end. quantile_disc
-    // matches approxQuantile(..., 0.0) exactly on this data.
+    // q75 — and a windowed aggregation drops a late row only when its
+    // WINDOW END has passed the watermark (the window's state is
+    // already finalized and purged), not when its raw ts has: a row
+    // with ts < wm whose 1-hour window straddles wm still lands in
+    // live state and is counted (round-9 fix — the raw-ts replay was
+    // an sf0.01 coincidence: no %97 row fell in the [wm, window-end)
+    // gap there; at sf0.1 one does); (2) append mode emits a window
+    // only once the FINAL watermark (max over all data - 10min) passes
+    // its end. quantile_disc matches approxQuantile(..., 0.0) exactly
+    // on this data.
     "stream_watermark_late" ->
       """WITH t AS (SELECT event_id, epoch_us(ts) AS tsu FROM events),
         |qs AS (SELECT quantile_disc(tsu, 0.50) AS q50 FROM t),
         |wm3 AS (SELECT MAX(tsu) - 600000000 AS wm
         |        FROM t, qs WHERE tsu < qs.q50 AND event_id % 97 <> 0),
         |accepted AS (SELECT tsu FROM t, wm3
-        |             WHERE event_id % 97 <> 0 OR tsu >= wm3.wm),
+        |             WHERE event_id % 97 <> 0
+        |                OR (tsu // 3600000000) * 3600000000
+        |                   + 3600000000 > wm3.wm),
         |fw AS (SELECT MAX(tsu) - 600000000 AS wm FROM t)
         |SELECT CAST((tsu // 3600000000) * 3600 AS BIGINT) AS ws,
         |       COUNT(*) AS cnt

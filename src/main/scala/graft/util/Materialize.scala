@@ -81,6 +81,42 @@ object Materialize {
     s.read.parquet(path)
   }
 
+  private val bucketedBuildCounter =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Catalog-table analog of [[tableFor]] for BUCKETED tables (which
+    * need `bucketBy` + `saveAsTable`, not a bare parquet path): the
+    * first consumer per (tag, dir, dir-content) drops/writes a
+    * uniquely-named catalog table via `write(name)`; later consumers
+    * get a plain `s.table(name)` scan with ZERO writes — the
+    * amortize-across-queries story bucketing exists for. The table
+    * name is content-addressed, so a rewritten dataset under the same
+    * path builds a NEW table instead of serving stale buckets, and
+    * different datasets never clobber each other. Sessions cloned off
+    * the same SparkContext share the catalog, so the cache is
+    * JVM-wide like [[tableFor]]'s. On a real cluster the table lands
+    * wherever `write` points it (a warehouse path all executors
+    * read) — the same persisted-artifact shape as SPARK_GRAFT_MAT_DIR. */
+  def bucketedTableFor(s: SparkSession, tag: String, dir: String,
+      write: String => Unit): DataFrame = {
+    val key = s"bkt:$tag:$dir:${fingerprint(s, dir)}"
+    val table = cache.computeIfAbsent(key, k => {
+      val sub = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(8)
+      val name = s"graft_bkt_${tag}_$sub"
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      write(name)
+      bucketedBuildCounter.incrementAndGet()
+      name
+    })
+    s.table(table)
+  }
+
+  /** Test hook: how many bucketed-table builds have run in this JVM
+    * (a second invocation on unchanged data must not move it). */
+  private[graft] def bucketedBuilds: Long = bucketedBuildCounter.get()
+
   /** Test hook: drop every cached entry (local temp dirs stay
     * registered for exit-time deletion). */
   private[graft] def reset(): Unit = cache.clear()

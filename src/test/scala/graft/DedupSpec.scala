@@ -339,4 +339,84 @@ class DedupSpec extends AnyFunSuite {
       assert(exactAtOne, s"bin $bin: s=1 pair escaped its certain detection")
     }
   }
+
+  test("url canonicalize matches an independent java.net.URI replay") {
+    // brute-force replay: derive the same raw URLs, but canonicalize
+    // through java.net.URI's parser instead of the query's string
+    // algebra — an INDEPENDENT implementation of the same spec
+    def md5hex24(s0: String): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        dig.take(3).map("%02x".format(_)).mkString, 16)
+    }
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, src) =>
+      val h = md5hex24(s"u|$id")
+      val raw = new StringBuilder
+      raw ++= (if (h % 2 == 0) "http" else "HTTP")
+      raw ++= "://"
+      if ((h / 2) % 2 == 0) raw ++= "www."
+      raw ++= (if ((h / 4) % 2 == 0) src.toUpperCase else src)
+      raw ++= ".Example.COM"
+      if ((h / 8) % 2 == 0) raw ++= ":80"
+      raw ++= s"/docs/${id % 23}"
+      if ((h / 16) % 2 == 0) raw ++= "/"
+      raw ++= "?"
+      if ((h / 128) % 2 == 0) raw ++= s"utm_source=feed${h % 3}&"
+      raw ++= (if ((h / 32) % 2 == 0) "a=1&b=2" else "b=2&a=1")
+      if ((h / 64) % 2 == 0) raw ++= "#sec1"
+      val uri = new java.net.URI(raw.toString)
+      val scheme = uri.getScheme.toLowerCase
+      val host0 = uri.getHost.toLowerCase // URI drops the port for us
+      val host = if (host0.startsWith("www.")) host0.drop(4) else host0
+      val path0 = uri.getPath.replaceAll("/+$", "")
+      val path = if (path0.isEmpty) "/" else path0
+      val params = uri.getQuery.split("&")
+        .filterNot(p => p.startsWith("utm") || p.startsWith("gclid=") ||
+          p.startsWith("fbclid="))
+        .sorted.mkString("&")
+      (id, raw.toString, s"$scheme://$host$path?$params")
+    }
+    val expGroups = expected.groupBy(_._3).map { case (canon, rows) =>
+      canon -> (rows.map(_._1).min, rows.length.toLong,
+        rows.map(_._2).distinct.length.toLong)
+    }
+    val got = Dedup.dedupUrlCanonicalize(spark, sf).collect()
+      .map(r => r.getString(1) ->
+        (r.getLong(0), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expGroups,
+      s"first diff: ${expGroups.find { case (k, v) => got.get(k) != Some(v) }} " +
+        s"extra: ${got.keySet.diff(expGroups.keySet).take(3)}")
+    // real dedup happened: variants collapsed into fewer canonical forms
+    assert(got.values.exists(_._2 > 1))
+  }
+
+  test("stopword ratio matches a per-doc scala replay") {
+    val stops = Set("the", "be", "to", "of", "and", "that", "have",
+      "with", "it", "is")
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      val perDoc = rows.map { case (_, _, text) =>
+        val toks = text.toLowerCase.split(" ", -1).filter(_.nonEmpty)
+        (toks.length.toLong, toks.count(stops).toLong)
+      }
+      val nTok = perDoc.map(_._1).sum
+      val nStop = perDoc.map(_._2).sum
+      k -> (rows.length.toLong, nTok, nStop,
+        perDoc.count { case (t0, s0) => s0 * 25 >= t0 }.toLong,
+        BigDecimal(nStop.toDouble / nTok)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.llm.TextStats.textStopwordRatio(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    assert(got == expected,
+      s"first diff: ${expected.find { case (k, v) => got.get(k) != Some(v) }}")
+  }
 }

@@ -37,4 +37,18 @@ class MaterializeSpec extends AnyFunSuite {
     // local temp materializations are registered for exit-time deletion
     assert(Materialize.registeredForCleanup >= 2)
   }
+
+  test("bucketed tables are written once per JVM per dataset") {
+    val sf = "/root/testdata/sf0.001"
+    val first = SparkEntry.queries("join_bucketed_colocated")(spark, sf)
+      .collect().toSeq
+    val buildsAfterFirst = Materialize.bucketedBuilds
+    // the first call may have built (or an earlier suite already did);
+    // the SECOND call on unchanged data must do ZERO writes
+    val second = SparkEntry.queries("join_bucketed_colocated")(spark, sf)
+      .collect().toSeq
+    assert(Materialize.bucketedBuilds == buildsAfterFirst,
+      "second invocation on an unchanged dataset rebuilt the bucketed tables")
+    assert(first == second)
+  }
 }

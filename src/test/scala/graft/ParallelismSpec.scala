@@ -56,7 +56,10 @@ class ParallelismSpec extends AnyFunSuite {
     "agg_cuped", "agg_permutation_test", "agg_delta_ratio_ci",
     "sample_neyman_allocation", "graph_reachability_cte",
     "pack_efficiency", "agg_power_analysis", "window_rolling_corr",
-    "dedup_lsh_calibration")
+    "dedup_lsh_calibration",
+    // round-9: hash-derived URL variants collapse to canonical
+    // groups; integer stopword-mass gate with exact per-group sums
+    "dedup_url_canonicalize", "text_stopword_ratio")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)
@@ -77,6 +80,30 @@ class ParallelismSpec extends AnyFunSuite {
       assert(base == other,
         s"$q differs between 4 and 7 shuffle partitions: " +
           s"first-diff=${base.zip(other).find { case (a, b) => a != b }}")
+    }
+  }
+
+  /** The distributed total-order machinery (Ordered.withGlobalIndex,
+    * the bucketed prefix sums) derives its parallelism from
+    * `spark.sql.shuffle.partitions` since round 9 — so on a
+    * 1000-executor cluster it fans out with the cluster instead of
+    * capping at a literal 32. This test pins the other half of that
+    * contract: the ANSWER must not move when the derived width does.
+    * Each consumer family runs at 8 and at 64 shuffle partitions
+    * (straddling the old literal) and must agree bit-for-bit. */
+  test("withGlobalIndex consumers are bit-identical at 8 and 64 parts") {
+    val consumers = Seq("chunk_batches", "window_rfm",
+      "text_vocab_growth", "agg_ks_test", "agg_auc_rank")
+    val s8 = spark.newSession()
+    s8.conf.set("spark.sql.shuffle.partitions", "8")
+    val s64 = spark.newSession()
+    s64.conf.set("spark.sql.shuffle.partitions", "64")
+    for (q <- consumers) {
+      val a = run(s8, q)
+      val b = run(s64, q)
+      assert(a == b,
+        s"$q differs between 8 and 64 shuffle partitions: " +
+          s"first-diff=${a.zip(b).find { case (x, y) => x != y }}")
     }
   }
 }

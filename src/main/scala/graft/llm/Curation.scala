@@ -90,6 +90,62 @@ object Curation {
           .otherwise("test"))
       .orderBy(col("doc_id"))
 
+  /** GROUP-aware holdout split — the leakage-safe variant of
+    * [[splitTrainHoldout]]: the hash bucket is computed on the SOURCE,
+    * not the document, so every document of a source lands in the
+    * same split. This is the split that keeps templated near-dups and
+    * same-site rewrites from straddling train/eval (per-doc splits
+    * leak: the eval set contains near-copies of training docs from
+    * the same origin, inflating every metric). ~80/20 by the first
+    * 24 md5 bits of the source name; membership is a pure per-row
+    * function — stable across runs, engines and cluster sizes.
+    *
+    * Scale shape: the split assignment is one codegen'd projection;
+    * the report is one map-side-combined aggregate to the 2-row split
+    * space. CurationSpec asserts the no-straddle invariant (every
+    * source appears in exactly one split). */
+  def splitGroupHoldout(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("split",
+        when(expr(
+          "conv(substring(md5(source), 1, 6), 16, 10)").cast("long")
+          < 13421773L, "train").otherwise("holdout"))
+      .groupBy(col("split"))
+      .agg(count_distinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("split"))
+
+  /** Per-user contribution bounding — the step DP aggregation
+    * REQUIRES before any noise calibration: the sensitivity of a
+    * count to one user is however many rows that user contributed, so
+    * an unbounded count cannot be privatized at all. Cap each user's
+    * contribution per event type at k=3 (LEAST(c, 3) on the per-user
+    * counts — at 100 TB this is the per-user reservoir/limit the
+    * ingest pipeline applies); report raw vs bounded totals and the
+    * mass the cap removed. Pairs with [[privacyDpCount]], whose
+    * Laplace(1/ε) calibration is only valid AFTER this bound holds.
+    *
+    * All integer: per-(type, user) counts, integer LEAST, exact sums
+    * to the bounded type space; one closing double division for the
+    * retained fraction. Two map-side-combined aggregates, nothing
+    * corpus-sized past the first. */
+  def privacyContributionBounding(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("c")).as("n_raw"),
+        sum(least(col("c"), lit(3L))).as("n_bounded"))
+      .select(col("event_type"), col("n_users"), col("n_raw"),
+        col("n_bounded"),
+        round(col("n_bounded").cast("double") / col("n_raw"), 6)
+          .as("retained_frac"))
+      .orderBy(col("event_type"))
+
   /** C4-style boilerplate-line removal: each doc is segmented into
     * disjoint 4-token lines; a line occurring in more than one distinct
     * document is boilerplate (headers, nav, license blurbs) and is
@@ -653,6 +709,8 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_group_holdout" -> (splitGroupHoldout _),
+    "privacy_contribution_bounding" -> (privacyContributionBounding _),
     "privacy_k_anonymity" -> (privacyKAnonymity _),
     "privacy_l_diversity" -> (privacyLDiversity _),
     "privacy_dp_count" -> (privacyDpCount _),
@@ -676,6 +734,29 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // same 24-bit md5 source bucket; integer counts + exact sums
+    "split_group_holdout" ->
+      """WITH a AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CASE WHEN CAST(('0x' || substring(md5(source), 1, 6))
+        |                AS BIGINT) < 13421773
+        |         THEN 'train' ELSE 'holdout' END AS split
+        |  FROM documents)
+        |SELECT split, COUNT(DISTINCT source) AS n_sources,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM a GROUP BY split ORDER BY split""".stripMargin,
+    // all-integer cap; one closing double division
+    "privacy_contribution_bounding" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, COUNT(*) AS n_users,
+        |  CAST(SUM(c) AS BIGINT) AS n_raw,
+        |  CAST(SUM(LEAST(c, 3)) AS BIGINT) AS n_bounded,
+        |  ROUND(CAST(SUM(LEAST(c, 3)) AS DOUBLE) /
+        |        CAST(SUM(c) AS BIGINT), 6) AS retained_frac
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same prefix-sum integers as pack_sequences; one rounded ratio
     "pack_efficiency" ->
       """WITH d AS (

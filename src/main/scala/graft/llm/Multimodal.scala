@@ -190,7 +190,43 @@ object Multimodal {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Perceptual average-hash (aHash) dedup — the cheapest member of
+    * the perceptual-hash family (aHash/dHash/pHash): threshold each
+    * "pixel" against the image mean and pack the bits, so
+    * re-encoded/slightly-corrupted copies of the same media collide
+    * while distinct media don't. Here the stub "image" is the first
+    * 32 payload bytes (the [[multimodalResize]] thumbnail contract)
+    * and a pixel is a byte's value; the bit rule byte·32 ≥ Σbytes is
+    * the mean threshold in EXACT integer cross-multiplied form — no
+    * division, no float. The hash is emitted as the 32-char bit
+    * string (cross-engine-trivial; a production impl packs it to an
+    * int64 and bands it like [[graft.llm.Dedup.dedupSimhash]] for
+    * Hamming-neighbor lookup). Fixture payloads are ASCII, so
+    * DuckDB's per-char ascii() sees the same bytes Spark's binary
+    * substr does.
+    *
+    * Scale shape: the hash is one in-scan array expression over a
+    * 32-element sequence (O(1) per row); the dedup is one hash
+    * aggregate on the 32-byte key — [[Dedup.dedupExact]]'s cost
+    * model, on perceptual instead of exact identity. */
+  def multimodalAhash(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .filter(length(col("text")) >= 32)
+      .withColumn("px",
+        expr("transform(sequence(1, 32), i -> ascii(substring(text, i, 1)))"))
+      .withColumn("sum_px",
+        expr("aggregate(px, 0, (acc, v) -> acc + v)"))
+      .withColumn("ahash_bits", expr(
+        """array_join(transform(px,
+          |  v -> CASE WHEN v * 32 >= sum_px THEN '1' ELSE '0' END), '')"""
+          .stripMargin))
+      .groupBy(col("ahash_bits"))
+      .agg(min(col("doc_id")).as("rep_doc"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("ahash_bits"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_ahash" -> (multimodalAhash _),
     "multimodal_magic_sniff" -> (multimodalMagicSniff _),
     "multimodal_chunk_bytes" -> (multimodalChunkBytes _),
     "multimodal_columns" -> (multimodalColumns _),
@@ -205,6 +241,22 @@ object Multimodal {
     * by CHARACTER on the DuckDB side vs BYTE on the Spark side — equal
     * only while fixture payloads are ASCII (they are; documented). */
   val oracles: Map[String, String] = Map(
+    // ASCII fixture: ascii(char i) == byte i; integer cross-multiplied
+    // mean threshold; hash emitted as the 32-char bit string
+    "multimodal_ahash" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, 33),
+        |      i -> ascii(substring(text, CAST(i AS INTEGER), 1))) AS px
+        |  FROM documents WHERE strlen(text) >= 32),
+        |h AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(px,
+        |      v -> CASE WHEN v * 32 >= list_sum(px) THEN '1' ELSE '0' END),
+        |      '') AS ahash_bits
+        |  FROM p)
+        |SELECT ahash_bits, MIN(doc_id) AS rep_doc, COUNT(*) AS n_docs
+        |FROM h GROUP BY ahash_bits ORDER BY ahash_bits""".stripMargin,
     // ASCII fixture: char slices == byte slices (see scaladoc above)
     "multimodal_chunk_bytes" ->
       """WITH d AS (

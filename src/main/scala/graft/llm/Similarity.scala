@@ -53,6 +53,41 @@ object Similarity {
       .limit(10)
   }
 
+  /** Dimension-truncation retrieval audit (the Matryoshka /
+    * MRL question, Kusupati et al. 2022): how much of the full-dim
+    * top-k survives when similarity is computed on the first 16 of 64
+    * dims? Production embedding pipelines run exactly this before
+    * shipping a truncated index (4× memory/bandwidth cut) — the
+    * metric is top-k overlap, since ranking agreement, not absolute
+    * cosine, is what retrieval quality depends on.
+    *
+    * Scale shape: ONE corpus scan computes both cosines (full and
+    * sliced prefix — the slice is an in-scan array op), two
+    * TakeOrderedAndProject heads pick the k=10 sets, and the overlap
+    * is an intersection of two 10-row relations. The corpus never
+    * shuffles. Determinism: both rankings order on ROUND(...,6)
+    * values with a vec_id tiebreak — the bit-agreed quantity. */
+  def embeddingTruncateQuality(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("pf"))
+    val base = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("pf")), 6).as("cf"),
+        round(cosine(expr("slice(embedding, 1, 16)"),
+          expr("slice(pf, 1, 16)")), 6).as("ct"))
+    val topFull = base.orderBy(col("cf").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"))
+    val topTrunc = base.orderBy(col("ct").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"))
+    topFull.intersect(topTrunc)
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(10).as("k"), col("n_overlap"),
+        round(col("n_overlap").cast("double") /
+          (lit(20) - col("n_overlap")), 6).as("jaccard"))
+  }
+
   /** Maximal-marginal-relevance rerank (Carbonell & Goldstein,
     * SIGIR'98) — the diversification step production retrieval runs
     * AFTER top-k: greedily pick k results maximizing
@@ -891,6 +926,7 @@ object Similarity {
     "embedding_pca_project" -> (embeddingPcaProjectCheck _),
     "embedding_random_projection" -> (embeddingRandomProjection _),
     "sim_search_topk" -> (simSearchTopk _),
+    "embedding_truncate_quality" -> (embeddingTruncateQuality _),
     "sim_search_mmr" -> (simSearchMmr _),
     "sim_search_mips" -> (simSearchMips _),
     "sim_search_mips_augmented" -> (simSearchMipsAugmented _),
@@ -1136,6 +1172,26 @@ object Similarity {
         |     WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings WHERE vec_id <> 0
         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    // both rankings on round-6 cosines with vec_id tiebreak; overlap
+    // and jaccard are integer arithmetic + one double division
+    "embedding_truncate_quality" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS cf,
+        |    ROUND(list_cosine_similarity(CAST(embedding[1:16] AS DOUBLE[]),
+        |      (SELECT CAST(embedding[1:16] AS DOUBLE[]) FROM embeddings
+        |       WHERE vec_id = 0)), 6) AS ct
+        |  FROM embeddings WHERE vec_id <> 0),
+        |tf AS (SELECT vec_id FROM base ORDER BY cf DESC, vec_id LIMIT 10),
+        |tt AS (SELECT vec_id FROM base ORDER BY ct DESC, vec_id LIMIT 10),
+        |ov AS (SELECT COUNT(*) AS n_overlap FROM tf
+        |       WHERE vec_id IN (SELECT vec_id FROM tt))
+        |SELECT 10 AS k, CAST(n_overlap AS BIGINT) AS n_overlap,
+        |  ROUND(CAST(n_overlap AS DOUBLE) / (20 - n_overlap), 6)
+        |    AS jaccard
+        |FROM ov""".stripMargin,
     // exact greedy replay, the 5 selection steps unrolled as CTEs:
     // every comparison sees the same round-6 doubles as the Spark
     // side, λ = 0.5 keeps the blend arithmetic exact in IEEE, ties

@@ -740,7 +740,69 @@ object TextStats {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Out-of-vocabulary rate per language against the corpus top-100
+    * token vocabulary — the tokenizer-coverage diagnostic run before
+    * committing a vocab: a slice whose OOV mass is high will shatter
+    * into byte-level fallbacks at training time (token-budget blowup,
+    * degraded quality), so per-slice OOV rates decide vocab size and
+    * language mix. Shares [[tokenizeToIds]]'s vocabulary definition
+    * exactly (count desc, token asc, top-100 — total order, so the
+    * rank-100 cut is deterministic in both engines).
+    *
+    * Scale shape: the vocab is a bounded TakeOrderedAndProject head
+    * over a hash aggregate (broadcast-sized at any corpus), the
+    * membership probe is a broadcast left join inside the token scan,
+    * and the rollup is one map-side-combined aggregate to |langs|
+    * rows. Float discipline: integer token/OOV counts, one closing
+    * double division, rounded once. */
+  def textOovRate(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(100)
+      .select(col("tok"), lit(1).as("inv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
+  /** Feature-hashing (hashing-trick) collision audit — the check run
+    * before shipping a hashed feature space (Weinberger et al. 2009):
+    * map every distinct token to one of 256 buckets by a 24-bit md5
+    * prefix mod 256, then measure the load each bucket carries
+    * (distinct tokens = collision count, occurrences = mass). The
+    * audit decides the bucket count: a bucket holding many distinct
+    * high-mass tokens aliases unrelated features and hurts the model;
+    * doubling buckets halves expected collisions.
+    *
+    * Scale shape: one token aggregate (vocab-sized — the Heaps'-law
+    * relation, bounded far below the corpus), one hash aggregate to
+    * exactly ≤256 rows. All integer: hash prefix, mod, counts; no
+    * float anywhere. */
+  def textFeatureHash(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        (expr("conv(substring(md5(tok), 1, 6), 16, 10)").cast("long")
+          % 256).as("bucket"),
+        col("n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(col("n")).as("n_occurrences"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_feature_hash" -> (textFeatureHash _),
+    "text_oov_rate" -> (textOovRate _),
     "text_stopword_ratio" -> (textStopwordRatio _),
     "tokenize_bpe_merges" -> (tokenizeBpeMerges _),
     "text_gopher_quality" -> (textGopherQuality _),
@@ -768,6 +830,37 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    // all-integer: 24-bit md5 prefix mod 256, vocab counts, exact sums
+    "text_feature_hash" ->
+      """WITH v AS (
+        |  SELECT tok, COUNT(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY tok)
+        |SELECT CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 256
+        |    AS bucket,
+        |  COUNT(*) AS n_distinct_tokens,
+        |  CAST(SUM(n) AS BIGINT) AS n_occurrences
+        |FROM v GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // same total-order vocab cut as tokenize_to_ids; integer counts,
+    // one closing double division
+    "text_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        |    ORDER BY n DESC, tok ASC LIMIT 100)),
+        |j AS (
+        |  SELECT lang,
+        |    CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END
+        |      AS oov
+        |  FROM toks)
+        |SELECT lang, COUNT(*) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     // integer counts + integer gate (25*stop >= tok); exact BIGINT
     // sums; one identical closing double division
     "text_stopword_ratio" ->

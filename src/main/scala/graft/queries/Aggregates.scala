@@ -2005,7 +2005,55 @@ object Aggregates {
           .as("mean_s"))
   }
 
+  /** Exponential (log-bucketed) histogram with a mergeable median
+    * estimate — the DDSketch/HDR-histogram family's shape: bucket
+    * boundaries grow geometrically, so a fixed bucket count covers
+    * any value range with bounded RELATIVE error, and per-bucket
+    * counts merge associatively across partitions/days/shards (the
+    * reason production latency/value pipelines ship these instead of
+    * exact quantiles). Base 2 here: bucket(v) = ⌊log₂(cents)⌋ + 1,
+    * computed as `length(bin(cents))` — the bit length of the exact
+    * integer cents value, INTEGER arithmetic end to end where
+    * DDSketch's γ≈1.02 bucket index would need a float ln both
+    * engines round identically (the known 1-ulp JVM-vs-DuckDB ln
+    * hazard, SURVEY round-8); production would restore the fine γ
+    * with the same plan shape, paying a derived-check gate instead.
+    * The median bucket (first with 2·cum ≥ n) pins the estimate
+    * within one bucket = a factor-2 relative bound, by construction.
+    *
+    * Scale shape: one map-side-combined aggregate to (type × ≤64
+    * buckets); the cumulative window runs over that bounded relation,
+    * partitioned by type. Zero corpus-sized shuffles; the sketch is a
+    * ≤64-long vector per group at any data size. Float discipline:
+    * none needed — counts, bit lengths, and the 2·cum ≥ n median rule
+    * are all integers; lo/hi cents are pow(2, b) at b ≤ 62, exact in
+    * IEEE and identical text both engines. */
+  def aggExpHistogram(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = t(s, d, "events")
+      .filter(col("value") > 0)
+      .select(col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(19,4)) * 10000 AS BIGINT)")
+          .as("c"))
+    val b = v.groupBy(col("event_type"),
+        length(expr("bin(c)")).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val byB = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("event_type"))
+    b.withColumn("cum", sum(col("n")).over(byB))
+      .withColumn("n_total", sum(col("n")).over(tot))
+      .select(col("event_type"), col("bucket"), col("n"), col("cum"),
+        (col("cum") * 2 >= col("n_total") &&
+          (col("cum") - col("n")) * 2 < col("n_total"))
+          .as("is_median_bucket"),
+        expr("CAST(pow(2, bucket - 1) AS BIGINT)").as("lo_cents"),
+        expr("CAST(pow(2, bucket) - 1 AS BIGINT)").as("hi_cents"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_exp_histogram" -> (aggExpHistogram _),
     "agg_time_to_convert" -> (aggTimeToConvert _),
     "agg_abtest_lift" -> (aggAbtestLift _),
     "agg_seasonality" -> (aggSeasonality _),
@@ -2091,6 +2139,29 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // all-integer: exact cents, bit-length buckets, 2·cum >= n median
+    // rule; pow(2,b) exact in IEEE at b <= 62 with identical text
+    "agg_exp_histogram" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(19,4)) * 10000 AS BIGINT) AS c
+        |  FROM events WHERE value > 0),
+        |b AS (
+        |  SELECT event_type, length(bin(c)) AS bucket, COUNT(*) AS n
+        |  FROM v GROUP BY 1, 2),
+        |cm AS (
+        |  SELECT event_type, bucket, n,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type
+        |                      ORDER BY bucket) AS BIGINT) AS cum,
+        |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_total
+        |  FROM b)
+        |SELECT event_type, bucket, n, cum,
+        |  (cum * 2 >= n_total AND (cum - n) * 2 < n_total)
+        |    AS is_median_bucket,
+        |  CAST(pow(2, bucket - 1) AS BIGINT) AS lo_cents,
+        |  CAST(pow(2, bucket) - 1 AS BIGINT) AS hi_cents
+        |FROM cm ORDER BY event_type, bucket""".stripMargin,
     "agg_time_to_convert" ->
       """WITH v AS (
         |  SELECT user_id, MIN(epoch_us(ts)) AS first_view

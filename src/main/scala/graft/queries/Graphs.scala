@@ -251,7 +251,49 @@ object Graphs {
         |GROUP BY hop ORDER BY hop""".stripMargin)
   }
 
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al. 2007) over the kNN graph — the SemDeDup-style "which
+    * near-dup neighborhoods form one semantic cluster" pass, and the
+    * cheap precursor to Louvain every corpus-audit pipeline tries
+    * first. SYNCHRONOUS update with a total tiebreak (most frequent
+    * neighbor label, ties to the SMALLEST label) is the deterministic
+    * variant — the textbook asynchronous sweep depends on visit
+    * order, which no distributed engine should promise. Three fixed
+    * rounds: bounded lineage, so no checkpoint machinery (the
+    * run-to-convergence production variant would ride
+    * [[graft.llm.Dedup]]'s ckpt loop like pagerank); on the fixture's
+    * 5-NN graph, 3 rounds already stabilize the overwhelming
+    * majority of nodes.
+    *
+    * Scale shape: per round, one shuffle of the edge list on nbr
+    * (joining the |V|-row label relation) + one hash aggregate on
+    * (node, label) + a WindowGroupLimit argmax (per-group winner
+    * selected before the final exchange). Edges are a few × |V| —
+    * never corpus-sized. All-integer labels and counts; no float
+    * crosses an engine boundary. */
+  def graphCommunityLpa(s: SparkSession, d: String): DataFrame = {
+    val ue = undirected(materializedEdges(s, d))
+    val nb = ue.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(ue.select(col("v").as("node"), col("u").as("nbr")))
+    val byNode = Window.partitionBy(col("node"))
+      .orderBy(col("c").desc, col("lbl"))
+    var labels = nb.select(col("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to 3) {
+      labels = nb
+        .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+        .groupBy(col("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_community_lpa" -> (graphCommunityLpa _),
     "graph_reachability_cte" -> (graphReachabilityCte _),
     "graph_degree_distribution" -> (graphDegreeDistribution _),
     "graph_triangles" -> (graphTriangles _),
@@ -260,6 +302,32 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    // three synchronous rounds unrolled as CTEs — the oracle IS the
+    // algorithm; argmax tiebreak (count desc, label asc) is total
+    "graph_community_lpa" -> (edgeCte +
+      """
+        |, nb AS (SELECT u AS node, v AS nbr FROM ue
+        |         UNION ALL SELECT v, u FROM ue),
+        |l0 AS (SELECT DISTINCT node, node AS lbl FROM nb),
+        |c1 AS (SELECT n.node, l.lbl, COUNT(*) AS c
+        |       FROM nb n JOIN l0 l ON l.node = n.nbr GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        |         FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT n.node, l.lbl, COUNT(*) AS c
+        |       FROM nb n JOIN l1 l ON l.node = n.nbr GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        |         FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT n.node, l.lbl, COUNT(*) AS c
+        |       FROM nb n JOIN l2 l ON l.node = n.nbr GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (
+        |         SELECT node, lbl, ROW_NUMBER() OVER (
+        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn
+        |         FROM c3) WHERE rn = 1)
+        |SELECT node, lbl AS label FROM l3 ORDER BY node""".stripMargin),
     // identical SQL:1999 recursion text; dedges = symmetrized ue
     "graph_reachability_cte" -> (edgeCte.replaceFirst("^WITH ",
       "WITH RECURSIVE ") +

@@ -653,6 +653,41 @@ object Windows {
         expr("(pv4 * 100) div vol").as("vwap_micro"))
       .orderBy(col("event_type"), col("hour_us"))
 
+  /** Daily TWAP per event type — the TIME-weighted mean beside
+    * [[windowVwap]]'s volume-weighted one: each event's value "holds"
+    * until the next event of the same (type, day), so
+    * TWAP = Σ vᵢ·gapᵢ / Σ gapᵢ with gap = µs to the successor — the
+    * standard bar for irregularly-sampled series (a value that held
+    * for an hour counts 3600× one that held a second). The day's last
+    * event has no successor and drops (its holding interval is
+    * unknown); single-event groups therefore produce no row.
+    *
+    * Float discipline: gaps are exact integer µs from one lead()
+    * (micro-resolution (ts, event_id) order — the engine's event-time
+    * contract), the weighted mass Σ v·gap is an exact DECIMAL(38,4)
+    * sum (safe to ~10³⁰ value-µs per group), and the closing division
+    * is ONE double expression with identical text, rounded once.
+    * Scale shape: one (type, day)-partitioned lead — O(1)/row
+    * streaming window, the allowed class — then one hash aggregate to
+    * the bounded (type × day) space. */
+  def windowTwap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("tsu"), col("event_id"))
+    t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .withColumn("gap_us", lead(col("tsu"), 1).over(w) - col("tsu"))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("gap_us")).as("span_us"),
+        sum(col("v") * col("gap_us")).as("pv"))
+      .selectExpr("event_type", "day", "n_intervals", "span_us",
+        "ROUND(CAST(pv AS DOUBLE) / CAST(span_us AS DOUBLE), 6) AS twap")
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Maximum drawdown per user — the risk analytic over the cumulative
     * value series: running peak minus current cumulative, maximized.
     * Both running aggregates ride ONE (user, time) window partitioning
@@ -900,6 +935,7 @@ object Windows {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_twap" -> (windowTwap _),
     "window_rolling_corr" -> (windowRollingCorr _),
     "window_debounce" -> (windowDebounce _),
     "window_cusum" -> (windowCusum _),
@@ -930,6 +966,26 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact integer gaps from one lead(); exact decimal mass sum; one
+    // identical closing double division
+    "window_twap" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    epoch_us(ts) AS tsu, event_id,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, day, v,
+        |    LEAD(tsu) OVER (PARTITION BY event_type, day
+        |                    ORDER BY tsu, event_id) - tsu AS gap_us
+        |  FROM e)
+        |SELECT event_type, day, COUNT(*) AS n_intervals,
+        |  CAST(SUM(gap_us) AS BIGINT) AS span_us,
+        |  ROUND(CAST(SUM(v * gap_us) AS DOUBLE) /
+        |        CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE), 6) AS twap
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
     // exact frame sums over <=7 daily rows; identical Pearson text;
     // zero-variance guard = exact MIN<>MAX over the frame (no decimal
     // products, so no 38-digit precision loss)

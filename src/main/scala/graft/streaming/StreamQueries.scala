@@ -149,6 +149,8 @@ object StreamQueries {
     * (bench warm-up + timed pass, Verify after a spec suite, …). */
   private val stagedCache =
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
   private def stagedDir(tag: String, d: String)(build: Path => Unit): Path =
     stagedCache.computeIfAbsent(s"$tag|$d", _ => {
       val dir = tempDir(tag)
@@ -207,8 +209,12 @@ object StreamQueries {
     // Streams cannot infer schemas, so probe the staged footer with a
     // one-off batch read and declare the matching type, then normalize
     // to session-UTC TimestampType either way (the Tables.t contract).
+    // The probe (a full batch file-index + footer read) is memoized per
+    // dataset alongside the staging — six consumers, one probe.
+    val probed = tsTypeCache.computeIfAbsent(dir.toString, dirS =>
+      ss.read.parquet(dirS).schema("ts").dataType)
     val (tsType, tsFix) =
-      ss.read.parquet(dir.toString).schema("ts").dataType match {
+      probed match {
         case org.apache.spark.sql.types.LongType =>
           (org.apache.spark.sql.types.LongType: DataType,
             expr("timestamp_micros(ts div 1000)"))

@@ -337,4 +337,59 @@ class AggregateSpec extends AnyFunSuite {
         r.getDouble(3), r.getDouble(4)))
     assert(rows.toSeq == again.toSeq, "seeded bootstrap must be deterministic")
   }
+
+  test("agg_exp_histogram replays brute-force bit-length buckets; median bucket brackets the exact median") {
+    val events = graft.Tables.t(spark, sf, "events")
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .filter(_._2 > 0)
+    // brute force: exact cents -> bit length -> per-(type,bucket) counts
+    val cents = events.map { case (t0, v) =>
+      (t0, BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(10000)).toLongExact)
+    }
+    val expected = cents.groupBy { case (t0, c) =>
+      (t0, java.lang.Long.toBinaryString(c).length)
+    }.map { case (k, rows) => k -> rows.length.toLong }
+    val got = Aggregates.aggExpHistogram(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2),
+        r.getLong(3), r.getBoolean(4), r.getLong(5), r.getLong(6)))
+    assert(got.map(g => g._1 -> g._2).toMap == expected,
+      "bucket counts differ from brute force")
+    // the flagged median bucket must CONTAIN the exact median cents
+    // value per type, and be flagged exactly once per type
+    for ((tpe, rows) <- got.groupBy(_._1._1)) {
+      val flagged = rows.filter(_._4)
+      assert(flagged.length == 1, s"$tpe: ${flagged.length} median buckets")
+      val sorted = cents.filter(_._1 == tpe).map(_._2).sorted
+      val med = sorted((sorted.length - 1) / 2)
+      val (lo, hi) = (flagged.head._5, flagged.head._6)
+      assert(med >= lo && med <= hi,
+        s"$tpe: exact median $med outside flagged bucket [$lo,$hi]")
+      // bucket bounds really are the power-of-2 frame of the bit length
+      for ((k, _, _, _, lo0, hi0) <- rows) {
+        assert(lo0 == (1L << (k._2 - 1)) && hi0 == (1L << k._2) - 1)
+      }
+    }
+  }
+
+  test("text_oov_rate replays the vocab cut and per-lang rates") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (l, t0) => t0.split(" ", -1).map(l -> _) }
+    val vocab = toks.groupBy(_._2).map { case (t0, xs) => t0 -> xs.length }
+      .toSeq.sortBy { case (t0, n) => (-n, t0) }.take(100).map(_._1).toSet
+    val expected = toks.groupBy(_._1).map { case (l, xs) =>
+      val oov = xs.count(x => !vocab(x._2))
+      l -> (xs.length.toLong, oov.toLong,
+        BigDecimal(oov.toDouble / xs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = graft.llm.TextStats.textOovRate(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == expected,
+      s"first diff: ${expected.find { case (k, v) => got.get(k) != Some(v) }}")
+  }
 }

@@ -302,4 +302,45 @@ class CurationSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
     assert(noisy.toSeq == again.toSeq, "seeded noise must be deterministic")
   }
+
+  test("split_group_holdout: no source straddles splits; totals cover the corpus") {
+    // the no-leakage invariant: recompute each source's split from the
+    // same hash rule and assert it is a FUNCTION of source alone
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("source")).collect().map(_.getString(0))
+    def splitOf(src: String): String = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        dig.take(3).map("%02x".format(_)).mkString, 16)
+      if (h < 13421773L) "train" else "holdout"
+    }
+    val perSource = docs.groupBy(identity).map { case (s0, xs) =>
+      (s0, splitOf(s0), xs.length.toLong)
+    }.toSeq
+    val expected = perSource.groupBy(_._2).map { case (sp, rows) =>
+      sp -> (rows.map(_._1).distinct.length.toLong, rows.map(_._3).sum)
+    }
+    val got = Curation.splitGroupHoldout(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((sp, (nSrc, nDocs)) <- expected)
+      assert(got(sp)._1 == nSrc && got(sp)._2 == nDocs,
+        s"$sp: got ${got(sp)} expected ($nSrc, $nDocs)")
+    // both splits non-empty on the fixture (the 80/20 cut is real)
+    assert(got.size == 2)
+  }
+
+  test("privacy_contribution_bounding: cap holds and only ever reduces") {
+    val rows = Curation.privacyContributionBounding(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    for ((tpe, nUsers, raw, bounded) <- rows) {
+      assert(bounded <= raw, s"$tpe: bound increased mass")
+      assert(bounded <= nUsers * 3, s"$tpe: cap violated")
+      assert(bounded >= nUsers, s"$tpe: every user contributes >= 1")
+    }
+    // the cap must actually bind somewhere on the fixture
+    assert(rows.exists { case (_, _, raw, bounded) => bounded < raw })
+  }
 }

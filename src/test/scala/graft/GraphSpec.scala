@@ -128,4 +128,74 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(layers == expect.toMap, s"got $layers expected $expect")
   }
+
+  test("LPA labels match a driver replay of 3 synchronous rounds") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.Graphs.graphCommunityLpa(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same undirected kNN edges, rebuilt independently
+    val m = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000000.0 + 0.5).cast("long")).as("q"))
+    val a = m.select(col("vec_id").as("src"), col("q").as("qa"))
+    val b = m.select(col("vec_id").as("dst"), col("q").as("qb"))
+    val pairs = a.join(broadcast(b), col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dot").desc, col("dst"))
+    val edges = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.map(lbl).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        // most frequent, ties to smallest label — the query's argmax
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    assert(got == lbl,
+      s"first diff: ${lbl.find { case (k, v) => got.get(k) != Some(v) }}")
+    // communities actually merged: fewer labels than nodes
+    assert(got.values.toSet.size < got.size)
+  }
+
+  test("window_twap replays driver time-weighted means") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.Tables.t(spark, sf, "events")
+      .select(col("event_type"), col("ts").cast("date").cast("string"),
+        unix_micros(col("ts")), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val expected = rows.groupBy(t => (t._1, t._2)).flatMap {
+      case (k, es) =>
+        val srt = es.sortBy(e => (e._3, e._4))
+        val gaps = srt.zip(srt.tail).map { case (cur, nxt) =>
+          (BigDecimal(cur._5).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+            nxt._3 - cur._3)
+        }
+        if (gaps.isEmpty) None
+        else {
+          val span = gaps.map(_._2).sum
+          val pv = gaps.map { case (v, g) => v * BigDecimal(g) }.sum
+          Some(k -> (gaps.length.toLong, span,
+            BigDecimal(pv.toDouble / span.toDouble)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+    }
+    val got = graft.queries.Windows.windowTwap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got == expected,
+      s"first diff: ${expected.find { case (k, v) => got.get(k) != Some(v) }}")
+  }
 }

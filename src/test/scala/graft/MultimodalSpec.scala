@@ -51,4 +51,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got.contains(1L), got.toString)
     assert(got(2L) == (2L, 65L) && got(3L) == (1L, 64L), got.toString)
   }
+
+  test("ahash matches a byte-level driver replay and groups cover all docs") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 32)
+    val expected = docs.map { case (id, text) =>
+      val px = text.take(32).map(_.toInt)
+      val sum = px.sum
+      val bits = px.map(v => if (v * 32 >= sum) '1' else '0').mkString
+      (id, bits)
+    }
+    val expGroups = expected.groupBy(_._2).map { case (h, rows) =>
+      h -> (rows.map(_._1).min, rows.length.toLong)
+    }
+    val got = Multimodal.multimodalAhash(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expGroups,
+      s"first diff: ${expGroups.find { case (k, v) => got.get(k) != Some(v) }}")
+    assert(got.values.map(_._2).sum == docs.length.toLong)
+  }
 }

@@ -58,8 +58,17 @@ class ParallelismSpec extends AnyFunSuite {
     "pack_efficiency", "agg_power_analysis", "window_rolling_corr",
     "dedup_lsh_calibration",
     // round-9: hash-derived URL variants collapse to canonical
-    // groups; integer stopword-mass gate with exact per-group sums
-    "dedup_url_canonicalize", "text_stopword_ratio")
+    // groups; integer stopword-mass gate with exact per-group sums;
+    // all-integer log-bucket histogram; total-order vocab cut at 100
+    "dedup_url_canonicalize", "text_stopword_ratio",
+    "agg_exp_histogram", "text_oov_rate",
+    // round-9 batch 3: lead-gap decimal mass ratio; 3-round sync LPA
+    // argmax; two round-6-ranked top-k heads intersected
+    "window_twap", "graph_community_lpa", "embedding_truncate_quality",
+    // round-9 batch 4: source-hash split; integer contribution cap;
+    // 256-bucket hash audit; integer mean-threshold bit packing
+    "split_group_holdout", "privacy_contribution_bounding",
+    "text_feature_hash", "multimodal_ahash")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -1292,7 +1292,36 @@ object Dedup {
         col("n_raw_forms"))
       .orderBy(col("canon_url"))
 
+  /** Prefix-duplicate (truncation-artifact) detection — the crawl
+    * pathology exact dedup misses: the same page captured at
+    * different lengths (paywall cuts, render timeouts, pagination
+    * merges) shares a long PREFIX but not a content hash, so each
+    * variant survives exact dedup and the model trains on the same
+    * opening paragraphs repeatedly. Key on md5 of the first 64 chars;
+    * report only groups that are NOT fully explained by exact dups
+    * (n_distinct_full > 1 — a group of byte-identical copies is
+    * [[dedupExact]]'s business).
+    *
+    * Scale shape: one projection (fixed-width prefix digest — 16
+    * bytes shuffled per doc, never the text), one hash aggregate,
+    * an integer HAVING. The production follow-up keeps the longest
+    * member per group ([[dedupKeepBest]]'s arg-max recipe). */
+  def dedupPrefixTruncation(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        md5(substring(col("text"), 1, 64)).as("prefix_md5"),
+        md5(col("text")).as("full_md5"))
+      .groupBy(col("prefix_md5"))
+      .agg(min(col("doc_id")).as("rep_doc"),
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("full_md5")).as("n_distinct_full"))
+      .filter(col("n_docs") > 1 && col("n_distinct_full") > 1)
+      .select(col("prefix_md5"), col("rep_doc"), col("n_docs"),
+        col("n_distinct_full"))
+      .orderBy(col("rep_doc"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_prefix_truncation" -> (dedupPrefixTruncation _),
     "dedup_url_canonicalize" -> (dedupUrlCanonicalize _),
     "agg_dup_rate_by_source" -> (dedupRateBySource _),
     "dedup_template" -> (dedupTemplate _),
@@ -1318,6 +1347,16 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // fixed-width prefix digest; integer group filters
+    "dedup_prefix_truncation" ->
+      """SELECT md5(substring(text, 1, 64)) AS prefix_md5,
+        |  MIN(doc_id) AS rep_doc,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct_full
+        |FROM documents
+        |GROUP BY md5(substring(text, 1, 64))
+        |HAVING COUNT(*) > 1 AND COUNT(DISTINCT md5(text)) > 1
+        |ORDER BY rep_doc""".stripMargin,
     // identical hash-derived raw URLs, identical canonicalization
     // string algebra; pure strings/integers — no float discipline
     "dedup_url_canonicalize" ->

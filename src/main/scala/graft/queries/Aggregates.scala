@@ -2052,7 +2052,119 @@ object Aggregates {
       .orderBy(col("event_type"), col("bucket"))
   }
 
+  /** Calibration curve (reliability diagram) — the ML-eval staple:
+    * bin a model score into deciles of score space and compare each
+    * bin's PREDICTED mean against its OBSERVED positive rate; a
+    * calibrated model tracks the diagonal. The fixture has no model,
+    * so the score is a deterministic md5-derived pseudo-probability
+    * s = (h mod 1000)/1000 per event (both engines derive the same h
+    * — the house seeded-randomness recipe) and the outcome is
+    * event_type = 'purchase'.
+    *
+    * All decisions integer: the bin is (h mod 1000) div 100, counts
+    * and score sums are exact integer sums; the two closing ratios
+    * (mean score, positive rate) are single double divisions rounded
+    * once. One map-side-combined aggregate to exactly ≤10 rows. */
+  def aggCalibrationCurve(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(
+        expr("""CAST(conv(substring(md5(concat('cal|',
+          |CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000"""
+          .stripMargin).as("sc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(expr("sc DIV 100").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sc")).as("sum_sc"),
+        sum(col("y")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sum_sc").cast("double") / (col("n") * 1000), 6)
+          .as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+      .orderBy(col("bin"))
+
+  /** Gains/lift table by score decile — the campaign-targeting eval
+    * next to [[aggCalibrationCurve]]: rank the population by score,
+    * cut into 10 equal deciles, and report each decile's cumulative
+    * capture of positives and its lift over the base rate. The decile
+    * is a GLOBAL ntile — exactly the operation the round-9
+    * [[Ordered.withGlobalIndex]] + [[Ordered.ntileFromRank]] machinery
+    * distributes (range shuffle + zipWithIndex + closed-form bucket
+    * arithmetic, no single-partition window) — and the oracle uses
+    * DuckDB's plain NTILE(10), so the gate PROVES the decomposition
+    * equals SQL ntile row for row at this sf.
+    *
+    * Integer counts per decile; cumulative sums over the 10-row
+    * aggregate; ONE closing double expression for lift (cum-positive
+    * rate over base rate), identical text, rounded once. */
+  def aggGainsDeciles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base0 = t(s, d, "events")
+      .select(col("event_id"),
+        expr("""CAST(conv(substring(md5(concat('cal|',
+          |CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000"""
+          .stripMargin).as("sc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    // total row count via broadcast aggregate — NOT a global window
+    // over the corpus (the banned single-partition class)
+    val base = base0.crossJoin(
+      broadcast(base0.agg(count(lit(1)).as("n_all"))))
+    val ranked = Ordered.withGlobalIndex(base,
+        Seq(col("sc").desc, col("event_id")), "__idx")
+      .withColumn("__rank", col("__idx") + 1)
+    val deciled = Ordered.ntileFromRank(ranked, "__rank", "n_all", 10,
+      "decile")
+    val byD = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .withColumn("cum_n", sum(col("n")).over(byD))
+      .withColumn("cum_pos", sum(col("n_pos")).over(byD))
+      .withColumn("total_n", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("total_pos", sum(col("n_pos")).over(Window.partitionBy()))
+      .selectExpr("decile", "n", "n_pos", "cum_n", "cum_pos",
+        """ROUND((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
+          |(CAST(total_pos AS DOUBLE) / CAST(total_n AS DOUBLE)), 6)
+          |AS cum_lift""".stripMargin.replace("\n", " "))
+      .orderBy(col("decile"))
+  }
+
+  /** Sample-ratio-mismatch (SRM) check — the daily health gate every
+    * experimentation platform runs before reading ANY metric: if the
+    * hash-based 50/50 arm assignment doesn't produce ~50/50 observed
+    * users, the experiment is corrupted (redirect loss, bot filtering
+    * skew, logging gaps) and all downstream stats are invalid
+    * (Fabijan et al., KDD'19 diagnosis taxonomy). Arms come from a
+    * 24-bit md5 of the user id over the DISTINCT-user relation —
+    * deterministic, the [[Curation]] split discipline. χ² against the
+    * 50/50 null collapses algebraically to (n₀−n₁)²/n, so the
+    * statistic is an exact integer square over an integer total with
+    * ONE closing double division; the detection bit compares that
+    * identically-computed double against the χ²₁ 95% literal
+    * 3.841458820694124 on both engines. One distinct-user aggregate,
+    * one 2-row rollup — nothing corpus-sized past the first shuffle. */
+  def aggSrmCheck(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("user_id")).distinct()
+      .select(
+        (expr("""CAST(conv(substring(md5(concat('srm|',
+          |CAST(user_id AS STRING))), 1, 6), 16, 10) AS BIGINT)"""
+          .stripMargin) % 2).as("arm"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_arm0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_arm1"))
+      .selectExpr("n_users", "n_arm0", "n_arm1",
+        """ROUND(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE) /
+          |CAST(n_users AS DOUBLE), 6) AS chi2""".stripMargin
+          .replace("\n", " "),
+        """(CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE) /
+          |CAST(n_users AS DOUBLE)) > 3.841458820694124 AS srm_detected"""
+          .stripMargin.replace("\n", " "))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_srm_check" -> (aggSrmCheck _),
+    "agg_calibration_curve" -> (aggCalibrationCurve _),
+    "agg_gains_deciles" -> (aggGainsDeciles _),
     "agg_exp_histogram" -> (aggExpHistogram _),
     "agg_time_to_convert" -> (aggTimeToConvert _),
     "agg_abtest_lift" -> (aggAbtestLift _),
@@ -2139,6 +2251,73 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // integer arm counts; (n0-n1)^2/n with identical double text and
+    // the chi2_1 95% literal pinned on both engines
+    "agg_srm_check" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id FROM events),
+        |a AS (
+        |  SELECT CAST(('0x' || substring(md5('srm|' ||
+        |    CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 2 AS arm
+        |  FROM u)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_arm0,
+        |  CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_arm1,
+        |  ROUND(CAST((SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) -
+        |              SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)) *
+        |             (SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) -
+        |              SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END))
+        |        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS chi2,
+        |  (CAST((SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) -
+        |         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)) *
+        |        (SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) -
+        |         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END))
+        |   AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) > 3.841458820694124
+        |    AS srm_detected
+        |FROM a""".stripMargin,
+    // integer md5-derived score, integer bins; two closing divisions
+    "agg_calibration_curve" ->
+      """WITH e AS (
+        |  SELECT CAST(('0x' || substring(md5('cal|' ||
+        |      CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 AS sc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events)
+        |SELECT sc // 100 AS bin, COUNT(*) AS n,
+        |  CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  ROUND(CAST(SUM(sc) AS DOUBLE) / (COUNT(*) * 1000), 6)
+        |    AS mean_score,
+        |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+        |FROM e GROUP BY 1 ORDER BY bin""".stripMargin,
+    // plain SQL NTILE(10) — proves the withGlobalIndex+ntileFromRank
+    // decomposition equals the engine ntile row for row
+    "agg_gains_deciles" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CAST(('0x' || substring(md5('cal|' ||
+        |      CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 AS sc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |r AS (
+        |  SELECT y, CAST(NTILE(10) OVER (ORDER BY sc DESC, event_id)
+        |    AS INTEGER) AS decile
+        |  FROM e),
+        |g AS (
+        |  SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM r GROUP BY decile),
+        |c AS (
+        |  SELECT decile, n, n_pos,
+        |    CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+        |    CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+        |    CAST(SUM(n) OVER () AS BIGINT) AS total_n,
+        |    CAST(SUM(n_pos) OVER () AS BIGINT) AS total_pos
+        |  FROM g)
+        |SELECT decile, n, n_pos, cum_n, cum_pos,
+        |  ROUND((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
+        |        (CAST(total_pos AS DOUBLE) / CAST(total_n AS DOUBLE)), 6)
+        |    AS cum_lift
+        |FROM c ORDER BY decile""".stripMargin,
     // all-integer: exact cents, bit-length buckets, 2·cum >= n median
     // rule; pow(2,b) exact in IEEE at b <= 62 with identical text
     "agg_exp_histogram" ->

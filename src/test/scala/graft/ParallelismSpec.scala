@@ -68,7 +68,12 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 4: source-hash split; integer contribution cap;
     // 256-bucket hash audit; integer mean-threshold bit packing
     "split_group_holdout", "privacy_contribution_bounding",
-    "text_feature_hash", "multimodal_ahash")
+    "text_feature_hash", "multimodal_ahash",
+    // round-9 batch 5: global ntile via the zipWithIndex machinery
+    // (the partition-order-sensitive path); integer score bins
+    "agg_gains_deciles", "agg_calibration_curve",
+    // round-9 batch 6: prefix-digest grouping; integer chi2 numerator
+    "dedup_prefix_truncation", "agg_srm_check")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)
@@ -102,7 +107,8 @@ class ParallelismSpec extends AnyFunSuite {
     * (straddling the old literal) and must agree bit-for-bit. */
   test("withGlobalIndex consumers are bit-identical at 8 and 64 parts") {
     val consumers = Seq("chunk_batches", "window_rfm",
-      "text_vocab_growth", "agg_ks_test", "agg_auc_rank")
+      "text_vocab_growth", "agg_ks_test", "agg_auc_rank",
+      "agg_gains_deciles")
     val s8 = spark.newSession()
     s8.conf.set("spark.sql.shuffle.partitions", "8")
     val s64 = spark.newSession()

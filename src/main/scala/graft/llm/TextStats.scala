@@ -800,7 +800,38 @@ object TextStats {
         sum(col("n")).as("n_occurrences"))
       .orderBy(col("bucket"))
 
+  /** CCNet-style perplexity terciles (Wenzek et al., LREC 2020): rank
+    * every document by its LM score ([[textPerplexity]]'s bigram NLL)
+    * and cut the corpus into head/middle/tail thirds — the sharding
+    * CCNet ships so downstream consumers can sample by fluency
+    * (head = most LM-like, tail = noisiest). The tercile is a GLOBAL
+    * ntile over (nll, doc_id) — the [[graft.queries.Ordered]]
+    * zipWithIndex + closed-form-ntile machinery, proved against the
+    * engine NTILE by agg_gains_deciles' oracle and again here (the
+    * oracle uses plain NTILE(3)). nll is the round-4 double both
+    * engines agree on bit-for-bit, so the ranking can never diverge.
+    * Scale: the ranking relation is one row per doc (already reduced
+    * by the perplexity aggregate); one range shuffle + one ≤3-row
+    * rollup. */
+  def textPerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    val ppl = textPerplexity(s, d)
+    val withN = ppl.crossJoin(
+      broadcast(ppl.agg(count(lit(1)).as("n_all"))))
+    val ranked = graft.queries.Ordered
+      .withGlobalIndex(withN, Seq(col("nll"), col("doc_id")), "__idx")
+      .withColumn("__rank", col("__idx") + 1)
+    graft.queries.Ordered
+      .ntileFromRank(ranked, "__rank", "n_all", 3, "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        min(col("nll")).as("nll_min"),
+        max(col("nll")).as("nll_max"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity_buckets" -> (textPerplexityBuckets _),
     "text_feature_hash" -> (textFeatureHash _),
     "text_oov_rate" -> (textOovRate _),
     "text_stopword_ratio" -> (textStopwordRatio _),
@@ -830,6 +861,37 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    // the perplexity CTE verbatim, then plain NTILE(3) on the round-4
+    // nll — proving the distributed ntile machinery again on a
+    // derived metric
+    "text_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2),
+        |bc AS (SELECT bigram, COUNT(*) AS c_bg FROM bg GROUP BY 1),
+        |un AS (SELECT unnest(t) AS tok FROM toks),
+        |uc AS (SELECT tok, COUNT(*) AS c_uni FROM un GROUP BY 1),
+        |vc AS (SELECT COUNT(*) AS v FROM uc),
+        |ppl AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    ROUND(-CAST(SUM(CAST(ROUND(ln((c_bg + 1.0) / (c_uni + v)), 6)
+        |      AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS nll
+        |  FROM bg JOIN bc USING (bigram)
+        |  JOIN uc ON uc.tok = split_part(bigram, ' ', 1)
+        |  CROSS JOIN vc
+        |  GROUP BY doc_id),
+        |r AS (
+        |  SELECT n_bigrams, nll,
+        |    CAST(NTILE(3) OVER (ORDER BY nll, doc_id) AS INTEGER)
+        |      AS bucket
+        |  FROM ppl)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+        |  MIN(nll) AS nll_min, MAX(nll) AS nll_max
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
     // all-integer: 24-bit md5 prefix mod 256, vocab counts, exact sums
     "text_feature_hash" ->
       """WITH v AS (

@@ -2161,7 +2161,40 @@ object Aggregates {
           |CAST(n_users AS DOUBLE)) > 3.841458820694124 AS srm_detected"""
           .stripMargin.replace("\n", " "))
 
+  /** Inter-arrival cadence profile per event type — the freshness/SLA
+    * diagnostic beside [[profileFreshness]]: the gap distribution
+    * between consecutive events answers "how often does this stream
+    * actually tick" (mean for capacity, p50 for typical cadence, p95
+    * for the stall tail that alerting keys on). Gaps are exact
+    * integer µs from one lag() over the (type)-partitioned
+    * (ts, event_id) order — the engine's event-time contract; mean is
+    * exact integer division; the two quantiles ride the established
+    * approx_percentile@1e6 ↔ quantile_disc exact pairing (rank-exact
+    * at fixture cardinalities). One O(1)/row streaming window + one
+    * map-side-combined aggregate to |types| rows. */
+  def profileInterarrival(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("tsu"), col("event_id"))
+    t(s, d, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("tsu"),
+        col("event_id"))
+      .withColumn("gap_us", col("tsu") - lag(col("tsu"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap"),
+        expr("approx_percentile(gap_us, array(0.5D, 0.95D), 1000000)")
+          .as("q"))
+      .select(col("event_type"), col("n_gaps"),
+        expr("sum_gap DIV n_gaps").as("mean_gap_us"),
+        element_at(col("q"), 1).as("p50_gap_us"),
+        element_at(col("q"), 2).as("p95_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_interarrival" -> (profileInterarrival _),
     "agg_srm_check" -> (aggSrmCheck _),
     "agg_calibration_curve" -> (aggCalibrationCurve _),
     "agg_gains_deciles" -> (aggGainsDeciles _),
@@ -2251,6 +2284,21 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact integer gaps + integer-div mean; quantile_disc matches
+    // approx_percentile@1e6 exactly at fixture cardinalities
+    "profile_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  CAST(SUM(gap_us) AS BIGINT) // COUNT(*) AS mean_gap_us,
+        |  quantile_disc(gap_us, 0.5) AS p50_gap_us,
+        |  quantile_disc(gap_us, 0.95) AS p95_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // integer arm counts; (n0-n1)^2/n with identical double text and
     // the chi2_1 95% literal pinned on both engines
     "agg_srm_check" ->

@@ -114,7 +114,33 @@ object Scans {
       .orderBy(col("column_name"))
   }
 
+  /** Parquet AGGREGATE pushdown (Spark 3.3+/4 DSv2): COUNT/MIN/MAX
+    * answered from footer statistics — zero data pages read. At
+    * 100 TB this turns full-table profiling (row counts, key ranges)
+    * from a corpus scan into a metadata walk: the scan node reports
+    * `PushedAggregation: [COUNT(*), MIN(...), MAX(...)]` and emits
+    * one pre-aggregated row per row group. Requires the v2 parquet
+    * path (`useV1SourceList` cleared) and the
+    * `spark.sql.parquet.aggregatePushdown` flag, both set on a
+    * cloned session so the engine default stays untouched; the
+    * result is identical either way (the gate pins it), the PLAN is
+    * what changes (PlanSpec asserts the PushedAggregation marker).
+    * No filter, no grouping — the pushdown contract's supported
+    * shape; with either present Spark falls back to a normal scan. */
+  def scanAggPushdown(s: SparkSession, d: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    ss.conf.set("spark.sql.sources.useV1SourceList", "")
+    ss.read.parquet(s"$d/lineitem.parquet")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        min(col("l_quantity")).as("min_quantity"),
+        max(col("l_quantity")).as("max_quantity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_agg_pushdown" -> (scanAggPushdown _),
     "scan_project_filter" -> (scanProjectFilter _),
     "filter_predicates" -> (filterPredicates _),
     "scan_file_metadata" -> (scanFileMetadata _),
@@ -122,6 +148,14 @@ object Scans {
   )
 
   val oracles: Map[String, String] = Map(
+    // plain aggregates — the pushdown changes the PLAN, not the answer
+    "scan_agg_pushdown" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS min_orderkey,
+        |  MAX(l_orderkey) AS max_orderkey,
+        |  MIN(l_quantity) AS min_quantity,
+        |  MAX(l_quantity) AS max_quantity
+        |FROM lineitem""".stripMargin,
     "profile_columns" ->
       """SELECT 'l_quantity' AS column_name, COUNT(*) AS n_rows,
         |  COUNT(l_quantity) AS n_notnull,

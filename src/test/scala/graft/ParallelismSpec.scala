@@ -73,7 +73,11 @@ class ParallelismSpec extends AnyFunSuite {
     // (the partition-order-sensitive path); integer score bins
     "agg_gains_deciles", "agg_calibration_curve",
     // round-9 batch 6: prefix-digest grouping; integer chi2 numerator
-    "dedup_prefix_truncation", "agg_srm_check")
+    "dedup_prefix_truncation", "agg_srm_check",
+    // round-9 batch 7: footer-stat aggregates; lag-gap quantiles
+    "scan_agg_pushdown", "profile_interarrival",
+    // round-9 batch 8: global tercile on the round-4 nll
+    "text_perplexity_buckets")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

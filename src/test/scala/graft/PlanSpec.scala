@@ -509,4 +509,14 @@ class PlanSpec extends AnyFunSuite {
       assert(!built.output.exists(_.name == "tok"), built.treeString)
     }
   }
+
+  test("scan_agg_pushdown: COUNT/MIN/MAX answered from parquet footers") {
+    // the scan itself must report the pushed aggregates — at 100 TB
+    // this is a metadata walk instead of a corpus read
+    val p = graft.queries.Scans.scanAggPushdown(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedAggregation: [COUNT(*)"), p.take(2000))
+    assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_quantity)"),
+      p.take(2000))
+  }
 }

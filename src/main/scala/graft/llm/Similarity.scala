@@ -272,8 +272,11 @@ object Similarity {
     // 1-(1-p^bits)^L. The fixture embeddings are isotropic random (the
     // LSH worst case — true neighbors sit near θ≈π/2, p≈0.55), so short
     // signatures and many tables; clustered real corpora support
-    // bits≈16+ with far fewer candidates per bucket.
-    val L = 8
+    // bits≈16+ with far fewer candidates per bucket. L=16 (not 8): at
+    // p≈0.55 per-neighbor recall is 1-(1-0.55^4)^16 ≈ 0.78 — the sf0.1
+    // sweep caught the L=8 config (expected ≈0.54) landing under the
+    // gate's 50% floor on the large fixture's coin-flip margin.
+    val L = 16
     val bits = 4
     val e = t(s, d, "embeddings")
     val sigs = (0 until L).map(i => srpBucket(col("embedding"), i, bits).as(s"h$i"))

@@ -158,7 +158,13 @@ object CompositeTpch {
     * count scales. The global total is summed in DECIMAL(38,0) — a
     * BIGINT Σrev4 would wrap silently past ~9.2e18 (≈ sf5000) while
     * DuckDB widens to HUGEINT — and the compare runs decimal × integer,
-    * still exact. The total is a 1-row broadcast (crossJoin), not a
+    * still exact. The displayed value is rounded to cents in INTEGER
+    * arithmetic ((rev4+50) div 100, exact half-up on the ×1e4 mass)
+    * before the single /100 double division — rounding the double
+    * rev4/10000.0 instead hits the classic midpoint artifact (x.905
+    * stores below the midpoint; Spark's BigDecimal-of-shortest-repr
+    * rounds up where DuckDB's binary round goes down — found by the
+    * sf0.1 sweep). The total is a 1-row broadcast (crossJoin), not a
     * window over the whole aggregate; at 100 TB the per-part aggregate
     * shuffles once on l_partkey and the threshold costs nothing. */
   def compositeTpchQ11(s: SparkSession, d: String): DataFrame = {
@@ -172,7 +178,7 @@ object CompositeTpch {
       .filter(col("rev4").cast("decimal(38,0)") * col("n_parts") * 10 >
         col("total4") * 11)
       .select(col("l_partkey"),
-        round(col("rev4") / 10000.0, 2).as("value"))
+        (expr("(rev4 + 50) DIV 100").cast("double") / 100).as("value"))
       .orderBy(col("value").desc, col("l_partkey"))
   }
 
@@ -447,7 +453,7 @@ object CompositeTpch {
         |  SELECT SUM(CAST(rev4 AS HUGEINT)) AS total4,
         |    COUNT(*) AS n_parts
         |  FROM pp)
-        |SELECT l_partkey, ROUND(rev4 / 10000.0, 2) AS value
+        |SELECT l_partkey, CAST((rev4 + 50) // 100 AS DOUBLE) / 100 AS value
         |FROM pp CROSS JOIN tot
         |WHERE 10 * CAST(rev4 AS HUGEINT) * n_parts > 11 * total4
         |ORDER BY value DESC, l_partkey""".stripMargin,

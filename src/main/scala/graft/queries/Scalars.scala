@@ -202,13 +202,17 @@ object Scalars {
       .orderBy(col("doc_id"))
 
   /** Transcendental math (sin/cos/atan2/exp/ln) — rounded to 6 digits
-    * since JVM Math and libm may differ in the final ulp. */
+    * since JVM Math and libm may differ in the final ulp. sin/cos add
+    * +0.0 after the round on BOTH engines: a tiny negative input rounds
+    * to -0.0 under DuckDB's binary round but to +0.0 under Spark's
+    * BigDecimal round (sf0.1 sweep find); IEEE -0.0 + 0.0 = +0.0
+    * normalizes both. */
   def scalarTrig(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
       .select(
         col("o_orderkey"),
-        round(sin(col("o_totalprice") / 100000.0), 6).as("sn"),
-        round(cos(col("o_totalprice") / 100000.0), 6).as("cs"),
+        (round(sin(col("o_totalprice") / 100000.0), 6) + lit(0.0)).as("sn"),
+        (round(cos(col("o_totalprice") / 100000.0), 6) + lit(0.0)).as("cs"),
         round(atan2(col("o_totalprice"), col("o_custkey").cast("double") + 1), 6).as("at2"),
         round(exp(col("o_totalprice") / 1000000.0), 6).as("ex"),
         round(log(col("o_totalprice")), 6).as("lg"))
@@ -269,7 +273,11 @@ object Scalars {
   def scalarTryCast(s: SparkSession, d: String): DataFrame =
     // the mix avoids decimal-string→int casts, where engines genuinely
     // diverge (DuckDB rounds '2.5', Spark nulls) — that divergence is
-    // the reason a portable pipeline normalizes through DOUBLE first
+    // the reason a portable pipeline normalizes through DOUBLE first.
+    // Bare-integer-string→DATE likewise diverges (Spark reads a 4+
+    // digit string 'yyyy' as yyyy-01-01, DuckDB nulls — surfaced by
+    // the sf0.1 sweep once doc_ids reached 4 digits), so digit-only
+    // strings are guarded out of the date cast on BOTH engines
     t(s, d, "documents")
       .withColumn("raw",
         when(col("doc_id") % 3 === 0, col("doc_id").cast("string"))
@@ -279,7 +287,8 @@ object Scalars {
       .select(col("doc_id"), col("raw"),
         expr("try_cast(raw AS BIGINT)").as("as_int"),
         expr("try_cast(raw AS DOUBLE)").as("as_double"),
-        expr("try_cast(raw AS DATE)").cast("string").as("as_date"))
+        expr("try_cast(CASE WHEN raw RLIKE '^[0-9]+$' THEN NULL " +
+          "ELSE raw END AS DATE)").cast("string").as("as_date"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -324,7 +333,8 @@ object Scalars {
         |SELECT doc_id, raw,
         |  TRY_CAST(raw AS BIGINT) AS as_int,
         |  TRY_CAST(raw AS DOUBLE) AS as_double,
-        |  CAST(TRY_CAST(raw AS DATE) AS VARCHAR) AS as_date
+        |  CAST(TRY_CAST(CASE WHEN regexp_matches(raw, '^[0-9]+$')
+        |    THEN NULL ELSE raw END AS DATE) AS VARCHAR) AS as_date
         |FROM raws ORDER BY doc_id""".stripMargin,
     "scalar_try_arith" ->
       """SELECT l_orderkey, l_linenumber,
@@ -355,8 +365,8 @@ object Scalars {
         |FROM u ORDER BY doc_id""".stripMargin,
     "scalar_trig" ->
       """SELECT o_orderkey,
-        |  ROUND(SIN(o_totalprice / 100000.0), 6) AS sn,
-        |  ROUND(COS(o_totalprice / 100000.0), 6) AS cs,
+        |  ROUND(SIN(o_totalprice / 100000.0), 6) + 0e0 AS sn,
+        |  ROUND(COS(o_totalprice / 100000.0), 6) + 0e0 AS cs,
         |  ROUND(ATAN2(o_totalprice, o_custkey + 1), 6) AS at2,
         |  ROUND(EXP(o_totalprice / 1000000.0), 6) AS ex,
         |  ROUND(LN(o_totalprice), 6) AS lg

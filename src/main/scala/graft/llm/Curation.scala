@@ -708,7 +708,42 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Stratified fixed-size sample: exactly k docs per language by
+    * deterministic md5 priority — the eval-set construction shape
+    * (fixed per-stratum budget, reproducible across runs), the
+    * complement of [[sampleHashStratified]]'s Bernoulli fractions.
+    *
+    * Scale shape: a stratum can be most of a 100 TB corpus, so a
+    * single window PARTITION BY lang would funnel the corpus into
+    * |langs| tasks (the skew analogue of the banned global window).
+    * Instead the per-stratum top-k decomposes: phase 1 takes the
+    * per-(lang, 32-bucket) top-k (32× the parallelism, bounded 32·k
+    * rows out per stratum — the global top-k of a stratum is provably
+    * contained in the union of its buckets' top-ks); phase 2 re-ranks
+    * only those ≤32·k survivors per stratum. The oracle replays the
+    * single-window definition — same rows by construction. */
+  def sampleStratifiedFixedK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 20
+    val pri = conv(substring(md5(concat(lit("strat"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val phase1 = Window
+      .partitionBy(col("lang"), pmod(col("doc_id"), lit(32)))
+      .orderBy(col("pri"), col("doc_id"))
+    val phase2 = Window.partitionBy(col("lang"))
+      .orderBy(col("pri"), col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), pri.as("pri"))
+      .withColumn("rn1", row_number().over(phase1))
+      .filter(col("rn1") <= k)
+      .withColumn("rn", row_number().over(phase2))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified_fixed_k" -> (sampleStratifiedFixedK _),
     "split_group_holdout" -> (splitGroupHoldout _),
     "privacy_contribution_bounding" -> (privacyContributionBounding _),
     "privacy_k_anonymity" -> (privacyKAnonymity _),
@@ -734,6 +769,22 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // single-window replay of the two-phase bucketed top-k (identical
+    // rows by the containment property); 60-bit md5-prefix priority
+    "sample_stratified_fixed_k" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5('strat' || CAST(doc_id AS
+        |      VARCHAR)), 1, 15)) AS BIGINT) AS pri
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY pri, doc_id) AS rn
+        |  FROM p
+        |)
+        |SELECT lang, rn, doc_id FROM r
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
     // same 24-bit md5 source bucket; integer counts + exact sums
     "split_group_holdout" ->
       """WITH a AS (

@@ -830,7 +830,43 @@ object TextStats {
       .orderBy(col("bucket"))
   }
 
+  /** Monroe–Colaresi–Quinn "Fightin' Words" log-odds with an
+    * informative Dirichlet prior — which words distinguish one
+    * subcorpus from the rest (here: lang='en' vs all other docs)?
+    * The standard curation tool for diagnosing what a filter or a
+    * source actually selects for, more robust than raw frequency
+    * ratios because the prior (the combined corpus, α_w = y1+y2,
+    * α0 = n1+n2) shrinks rare-word noise.
+    *
+    * With that prior choice every term is a ratio of INTEGER sums:
+    * y1+α_w = 2y1+y2 and the denominator n1+α0−y1−α_w = 2n1+n2−2y1−y2,
+    * so both engines compute identical doubles inside ONE closing
+    * expression (two ln, one sqrt), rounded once.
+    *
+    * Scale shape: explode → one (word) hash aggregate with map-side
+    * combine (conditional sums, no second pass per side); the totals
+    * are a 1-row broadcast. Output is vocabulary-sized. */
+  def textLogOdds(s: SparkSession, d: String): DataFrame = {
+    val perW = t(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("y1"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("y2"))
+    val tot = perW.agg(sum(col("y1")).as("n1"), sum(col("y2")).as("n2"))
+    perW.crossJoin(broadcast(tot))
+      .select(col("w"), col("y1"), col("y2"),
+        expr("""ROUND((LN((2*y1 + y2) /
+                     CAST(2*n1 + n2 - 2*y1 - y2 AS DOUBLE)) -
+                  LN((y1 + 2*y2) /
+                     CAST(2*n2 + n1 - y1 - 2*y2 AS DOUBLE))) /
+                 SQRT(CAST(1 AS DOUBLE) / (2*y1 + y2) +
+                      CAST(1 AS DOUBLE) / (y1 + 2*y2)), 6)""").as("z"))
+      .orderBy(col("z").desc, col("w"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_log_odds" -> (textLogOdds _),
     "text_perplexity_buckets" -> (textPerplexityBuckets _),
     "text_feature_hash" -> (textFeatureHash _),
     "text_oov_rate" -> (textOovRate _),
@@ -861,6 +897,32 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    // combined-corpus Dirichlet prior keeps every ratio integer/integer;
+    // identical closing (2 ln, 1 sqrt) double expression on both engines
+    "text_log_odds" ->
+      """WITH tok AS (
+        |  SELECT lang, UNNEST(string_split(text, ' ')) AS w
+        |  FROM documents
+        |), perw AS (
+        |  SELECT w,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y1,
+        |    CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y2
+        |  FROM tok WHERE w <> '' GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(SUM(y1) AS BIGINT) AS n1,
+        |    CAST(SUM(y2) AS BIGINT) AS n2 FROM perw
+        |)
+        |SELECT w, y1, y2,
+        |  ROUND((LN((2*y1 + y2) /
+        |       CAST(2*n1 + n2 - 2*y1 - y2 AS DOUBLE)) -
+        |    LN((y1 + 2*y2) /
+        |       CAST(2*n2 + n1 - y1 - 2*y2 AS DOUBLE))) /
+        |   SQRT(CAST(1 AS DOUBLE) / (2*y1 + y2) +
+        |        CAST(1 AS DOUBLE) / (y1 + 2*y2)), 6) AS z
+        |FROM perw CROSS JOIN tot
+        |ORDER BY z DESC, w""".stripMargin,
     // the perplexity CTE verbatim, then plain NTILE(3) on the round-4
     // nll — proving the distributed ntile machinery again on a
     // derived metric

@@ -1173,6 +1173,50 @@ object Aggregates {
         round(col("t").cast("double"), 4).as("chi2"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) with tie-corrected normal
+    * approximation — the nonparametric two-sample location test that
+    * complements [[aggTTest]] (parametric) and [[aggKsTest]] (full
+    * distribution): does l_quantity differ between returned ('A') and
+    * rejected ('R') lineitems? l_quantity takes ≤50 integer values, so
+    * ties dominate and the tie machinery is genuinely exercised.
+    *
+    * All arithmetic is integer until ONE closing double expression:
+    * the corpus collapses to per-value (c1, c2) counts in one hash
+    * aggregate; average ranks are kept doubled so they stay integral
+    * (value with t ties starting after cb predecessors has doubled
+    * avg rank 2·cb + t + 1); the doubled rank-sum identity gives
+    * 2·U1 = Σc1·(2cb+t+1) − n1(n1+1) exactly (U1 itself can be a
+    * half-integer under ties, so the gate exposes u1_doubled); the
+    * tie term Σ(t³−t) feeds the corrected variance
+    * n1·n2/12 · [(n+1) − T/(n(n−1))]. The ordered window runs over
+    * the ≤50-row aggregate (the allowed post-aggregate class). */
+  def aggMannWhitney(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perV = t(s, d, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .groupBy(col("l_quantity").cast("long").as("q"))
+      .agg(sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perV
+      .withColumn("t", col("c1") + col("c2"))
+      .withColumn("cb", coalesce(sum(col("t")).over(w), lit(0L)))
+      .agg(
+        sum(col("c1")).as("n1"),
+        sum(col("c2")).as("n2"),
+        sum(col("c1") * (lit(2) * col("cb") + col("t") + 1)).as("r1d"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_term"))
+      .withColumn("u1_doubled",
+        col("r1d") - col("n1") * (col("n1") + 1))
+      .select(col("n1"), col("n2"), col("u1_doubled"), col("tie_term"),
+        expr("""ROUND((u1_doubled - CAST(n1 AS DOUBLE) * n2) /
+                (2 * SQRT((CAST(n1 AS DOUBLE) * n2 / 12) *
+                  ((n1 + n2 + 1) - CAST(tie_term AS DOUBLE) /
+                   (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))), 6)""")
+          .as("z"))
+  }
+
   /** Pivot: one output column per l_linestatus value. The value list is
     * given explicitly — at scale an implicit pivot adds a distinct-value
     * job; explicit values keep it a single pass. */
@@ -2215,6 +2259,7 @@ object Aggregates {
     "agg_entropy" -> (aggEntropy _),
     "agg_chi2_independence" -> (aggChi2Independence _),
     "agg_ks_test" -> (aggKsTest _),
+    "agg_mann_whitney" -> (aggMannWhitney _),
     "agg_auc_rank" -> (aggAucRank _),
     "agg_t_test" -> (aggTTest _),
     "profile_drift_psi" -> (profileDriftPsi _),
@@ -3065,6 +3110,38 @@ object Aggregates {
         |FROM tc ORDER BY bucket""".stripMargin,
     // cross-multiplied integer KS statistic over the identical merged
     // (v, event_id) order; window SUM -> HUGEINT needs the BIGINT cast
+    // doubled-rank identity: integer (c1, c2, t, cb) per distinct value,
+    // 2U1 = Sum c1*(2cb+t+1) - n1(n1+1); one closing double z
+    "agg_mann_whitney" ->
+      """WITH perv AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c2
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1
+        |), m AS (
+        |  SELECT q, c1, c2, c1 + c2 AS t,
+        |    COALESCE(CAST(SUM(c1 + c2) OVER (ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cb
+        |  FROM perv
+        |), a AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1 * (2 * cb + t + 1)) AS BIGINT) AS r1d,
+        |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+        |  FROM m
+        |), u AS (
+        |  SELECT n1, n2, r1d - n1 * (n1 + 1) AS u1_doubled, tie_term
+        |  FROM a
+        |)
+        |SELECT n1, n2, u1_doubled, tie_term,
+        |  ROUND((u1_doubled - CAST(n1 AS DOUBLE) * n2) /
+        |    (2 * SQRT((CAST(n1 AS DOUBLE) * n2 / 12) *
+        |      ((n1 + n2 + 1) - CAST(tie_term AS DOUBLE) /
+        |       (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))), 6) AS z
+        |FROM u""".stripMargin,
     "agg_ks_test" ->
       """WITH base AS (
         |  SELECT event_id, CAST(value AS DECIMAL(19,4)) AS v,

@@ -77,6 +77,41 @@ object SortsSets {
       .orderBy(col("k"), col("side"))
   }
 
+  /** EXCEPT ALL — BAG difference with multiplicity, the reconciliation
+    * primitive DISTINCT-semantics [[setExcept]] can't express: "rows
+    * of batch A not yet accounted for in B, counted with multiplicity"
+    * (e.g. re-delivered events vs the committed log). Each custkey
+    * appears max(0, countA − countB) times in the raw result; the gate
+    * groups the survivors so the residual multiplicities are visible
+    * and the output is compactly ordered. Overlapping %3/%2 orderkey
+    * slices give both engines a mix of fully-cancelled, partially-
+    * cancelled and untouched keys.
+    *
+    * Scale shape: Spark plans exceptAll as per-side counts on one
+    * hash-partitioned exchange + a generate to replicate the residual
+    * — one shuffle on the row value, no pairwise work. */
+  def setExceptAll(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_custkey").as("k"))
+    val b = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_custkey").as("k"))
+    a.exceptAll(b)
+      .groupBy(col("k")).agg(count(lit(1)).as("n_residual"))
+      .orderBy(col("k"))
+  }
+
+  /** INTERSECT ALL — bag intersection: each key min(countA, countB)
+    * times; same slices and same plan shape as [[setExceptAll]]. */
+  def setIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val a = t(s, d, "orders").filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_custkey").as("k"))
+    val b = t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_custkey").as("k"))
+    a.intersectAll(b)
+      .groupBy(col("k")).agg(count(lit(1)).as("n_common"))
+      .orderBy(col("k"))
+  }
+
   /** Pagination: LIMIT + OFFSET over a total order. Spark executes
     * offset+limit as a single GlobalLimit(offset+k) — fine for page-size
     * offsets; deep pagination at scale should keyset-paginate on the
@@ -153,10 +188,26 @@ object SortsSets {
     "set_union_distinct" -> (setUnionDistinct _),
     "set_intersect" -> (setIntersect _),
     "set_except" -> (setExcept _),
+    "set_except_all" -> (setExceptAll _),
+    "set_intersect_all" -> (setIntersectAll _),
     "set_symmetric_diff" -> (setSymmetricDiff _)
   )
 
   val oracles: Map[String, String] = Map(
+    "set_except_all" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_residual
+        |FROM e GROUP BY k ORDER BY k""".stripMargin,
+    "set_intersect_all" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderkey % 3 = 0
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_common
+        |FROM e GROUP BY k ORDER BY k""".stripMargin,
     "set_symmetric_diff" ->
       """SELECT k, 'customer_only' AS side FROM (
         |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0

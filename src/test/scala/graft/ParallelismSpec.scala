@@ -77,7 +77,14 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 7: footer-stat aggregates; lag-gap quantiles
     "scan_agg_pushdown", "profile_interarrival",
     // round-9 batch 8: global tercile on the round-4 nll
-    "text_perplexity_buckets")
+    "text_perplexity_buckets",
+    // round-9 batch 9: doubled-rank tie machinery over the value
+    // aggregate; log-odds integer count ratios; bag-semantics residual
+    // multiplicities; two-phase bucketed per-stratum top-k (the
+    // bucket decomposition must pick identical rows at any input
+    // partitioning)
+    "agg_mann_whitney", "text_log_odds", "set_except_all",
+    "set_intersect_all", "sample_stratified_fixed_k")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -1837,6 +1837,42 @@ object Aggregates {
     * aggregate), then a self-equi-join on user — candidate work is
     * Σ per-user |types|² with |types| bounded (≤ 5 here; event
     * taxonomies are small), never |users|². */
+  /** Association rules over the per-user event-type market basket —
+    * [[aggTypeCooccurrence]]'s pair counts extended to the standard
+    * support / confidence / lift triple (and both rule directions per
+    * unordered pair, since confidence is asymmetric). Exact integer
+    * counts all the way: the basket relation is one (user, type)
+    * distinct, marginals one tiny aggregate broadcast back onto the
+    * |types|²-bounded pair table, and the three ratios are ONE
+    * closing double expression each. At 100 TB the only corpus-sized
+    * work is the distinct (one shuffle); everything after is
+    * value-space-bounded. */
+  def aggAssociationRules(s: SparkSession, d: String): DataFrame = {
+    val ut = t(s, d, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val nU = ut.agg(countDistinct(col("user_id")).as("n_users"))
+    val pairs = ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("lhs"),
+        col("b.event_type").as("rhs"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("lhs"),
+        col("n_t").as("n_lhs"))), "lhs")
+      .join(broadcast(marg.select(col("event_type").as("rhs"),
+        col("n_t").as("n_rhs"))), "rhs")
+      .crossJoin(broadcast(nU))
+      .select(col("lhs"), col("rhs"), col("n_both"), col("n_lhs"),
+        col("n_rhs"), col("n_users"),
+        expr("ROUND(n_both / CAST(n_users AS DOUBLE), 6)").as("support"),
+        expr("ROUND(n_both / CAST(n_lhs AS DOUBLE), 6)").as("confidence"),
+        expr("ROUND(CAST(n_users AS DOUBLE) * n_both / " +
+          "(CAST(n_lhs AS DOUBLE) * n_rhs), 6)").as("lift"))
+      .orderBy(col("lhs"), col("rhs"))
+  }
+
   def aggTypeCooccurrence(s: SparkSession, d: String): DataFrame = {
     val ut = t(s, d, "events")
       .select(col("user_id"), col("event_type")).distinct()
@@ -2252,6 +2288,7 @@ object Aggregates {
     "agg_benford" -> (aggBenford _),
     "agg_path_mining" -> (aggPathMining _),
     "agg_type_cooccurrence" -> (aggTypeCooccurrence _),
+    "agg_association_rules" -> (aggAssociationRules _),
     "agg_heavy_hitters_native" -> (aggHeavyHittersNative _),
     "agg_heavy_hitters" -> (aggHeavyHitters _),
     "window_mad_outlier" -> (windowMadOutlier _),
@@ -2573,6 +2610,34 @@ object Aggregates {
         |FROM ut a JOIN ut b
         |  ON a.user_id = b.user_id AND a.event_type < b.event_type
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // exact integer basket counts; three identical-text closing ratios
+    "agg_association_rules" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |), marg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+        |  FROM ut GROUP BY 1
+        |), nu AS (
+        |  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM ut
+        |), pairs AS (
+        |  SELECT a.event_type AS lhs, b.event_type AS rhs,
+        |    CAST(COUNT(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT lhs, rhs, n_both, ml.n_t AS n_lhs, mr.n_t AS n_rhs,
+        |  n_users,
+        |  ROUND(n_both / CAST(n_users AS DOUBLE), 6) AS support,
+        |  ROUND(n_both / CAST(ml.n_t AS DOUBLE), 6) AS confidence,
+        |  ROUND(CAST(n_users AS DOUBLE) * n_both /
+        |    (CAST(ml.n_t AS DOUBLE) * mr.n_t), 6) AS lift
+        |FROM pairs
+        |JOIN marg ml ON pairs.lhs = ml.event_type
+        |JOIN marg mr ON pairs.rhs = mr.event_type
+        |CROSS JOIN nu
+        |ORDER BY lhs, rhs""".stripMargin,
     "agg_heavy_hitters_native" -> heavyHittersOracle,
     "agg_heavy_hitters" ->
       """WITH toks AS (

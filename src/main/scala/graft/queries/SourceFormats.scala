@@ -47,6 +47,35 @@ object SourceFormats {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Nested parquet + nested-schema pruning — the multimodal/metadata
+    * reality that lake tables carry struct and array columns, and the
+    * scale property that matters: a projection of `order.price` must
+    * prune BOTH the sibling struct fields and the unrelated array at
+    * the parquet column-chunk level (Spark's nestedSchemaPruning, on
+    * by default since 3.1 — ReadSchema shows struct<price> only,
+    * PlanSpec-pinned). At 100 TB the difference is reading one leaf
+    * column vs deserializing every struct field of every row. The
+    * staged file is written once per invocation from orders (the
+    * [[sourceParquetEvolution]] staging precedent); the oracle
+    * replays the flat equivalent on the base table. */
+  def sourceNestedParquet(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_src_nested").toString
+    t(s, d, "orders")
+      .select(col("o_custkey"),
+        struct(col("o_orderkey").as("key"),
+          col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status")).as("order"),
+        array(col("o_orderpriority"), col("o_orderstatus")).as("tags"))
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .select(col("o_custkey"), col("order.price").as("price"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("price").cast("decimal(18,4)")), 2)
+          .cast("double").as("sum_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   def sourceCsvRoundtrip(s: SparkSession, d: String): DataFrame =
     roundtrip(s, d, "csv")
 
@@ -258,6 +287,7 @@ object SourceFormats {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_nested_parquet" -> (sourceNestedParquet _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
@@ -277,6 +307,13 @@ object SourceFormats {
       |ORDER BY o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the staged nested file carries orders verbatim inside the struct,
+    // so the flat replay on the base table is exact
+    "source_nested_parquet" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |       AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "source_csv_roundtrip" -> oracle,
     "source_json_roundtrip" -> oracle,
     "source_orc_roundtrip" -> oracle,

@@ -84,7 +84,10 @@ class ParallelismSpec extends AnyFunSuite {
     // bucket decomposition must pick identical rows at any input
     // partitioning)
     "agg_mann_whitney", "text_log_odds", "set_except_all",
-    "set_intersect_all", "sample_stratified_fixed_k")
+    "set_intersect_all", "sample_stratified_fixed_k",
+    // round-9 batch 10: basket ratios from exact integer marginals;
+    // nested-leaf projection through the staged struct file
+    "agg_association_rules", "source_nested_parquet")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

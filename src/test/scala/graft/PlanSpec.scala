@@ -27,6 +27,15 @@ class PlanSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("source_nested_parquet prunes sibling struct fields and the array") {
+    val p = plan(graft.queries.SourceFormats.sourceNestedParquet(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    // nestedSchemaPruning: the struct collapses to exactly its one
+    // consumed leaf — no sibling leaves (key, status), no tags array
+    assert(readSchema.contains("order:struct<price:double>"), readSchema)
+    assert(!readSchema.contains("tags"), readSchema)
+  }
+
   test("dimension join broadcasts (BroadcastHashJoin, no shuffle of nation)") {
     val p = plan(graft.queries.Joins.joinBroadcast(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -401,7 +401,51 @@ object Ranking {
       .limit(15)
   }
 
+  /** Rank-biased overlap (Webber et al. 2010) between two term
+    * rankings — the top-weighted similarity measure for comparing
+    * retrieval/ranking heads (here: the global frequency top-20 vs
+    * the lang='en' subcorpus top-20; how language-specific is the
+    * head vocabulary?). Truncated RBO@20 with p = 1/2, chosen so
+    * every weight (1−p)·p^(d−1) = 2^−d is an exact dyadic rational:
+    * X_d (prefix-intersection size at depth d) is integral, each
+    * term X_d/(d·2^d) is a small-integer division both engines
+    * compute to the identical double, terms round@12 into an exact
+    * DECIMAL sum (order-independent), one final round. The standard
+    * p=.9 would need libm POWER — last-ulp divergence territory;
+    * p=1/2 trades tail weight for bit-exactness (documented).
+    *
+    * Scale shape: both rankings are TakeOrderedAndProject k-heaps
+    * over one token aggregate (never a global sort); everything
+    * after is ≤20×20. */
+  def textRboOverlap(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val toks = t(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    def head(df: DataFrame, rankCol: String): DataFrame = df
+      .orderBy(col("n").desc, col("tok"))
+      .limit(k)
+      .select(col("tok"),
+        row_number().over(Window.orderBy(col("n").desc, col("tok")))
+          .as(rankCol))
+    val a = head(toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("n")), "ra")
+    val b = head(toks.filter(col("lang") === "en").groupBy(col("tok"))
+      .agg(count(lit(1)).as("n")), "rb")
+    val depths = s.range(1, k + 1).select(col("id").as("dpt"))
+    a.join(b, "tok")
+      .select(greatest(col("ra"), col("rb")).as("m"))
+      .join(broadcast(depths), col("dpt") >= col("m"))
+      .groupBy(col("dpt")).agg(count(lit(1)).as("xd"))
+      .select(col("dpt"), col("xd"),
+        expr("CAST(ROUND(xd / CAST(dpt * CAST(pow(2, dpt) AS BIGINT)" +
+          " AS DOUBLE), 12) AS DECIMAL(24,12))").as("term"))
+      .agg(count(lit(1)).as("n_depths"), sum(col("xd")).as("sum_xd"),
+        round(sum(col("term")).cast("double"), 6).as("rbo"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rbo_overlap" -> (textRboOverlap _),
     "text_pmi_collocations" -> (textPmiCollocations _),
     "text_g2_collocations" -> (textG2Collocations _),
     "text_zipf_fit" -> (textZipfFit _),
@@ -413,6 +457,36 @@ object Ranking {
   )
 
   val oracles: Map[String, String] = Map(
+    // p=1/2 dyadic weights: exact small-integer divisions, round@12
+    // decimal sum, one final round (see textRboOverlap Scaladoc)
+    "text_rbo_overlap" ->
+      """WITH tok AS (
+        |  SELECT lang, UNNEST(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), tk AS (SELECT lang, tok FROM tok WHERE tok <> ''),
+        |a AS (
+        |  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok)
+        |    AS ra
+        |  FROM tk GROUP BY tok
+        |  ORDER BY COUNT(*) DESC, tok LIMIT 20
+        |), b AS (
+        |  SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok)
+        |    AS rb
+        |  FROM tk WHERE lang = 'en' GROUP BY tok
+        |  ORDER BY COUNT(*) DESC, tok LIMIT 20
+        |), mm AS (
+        |  SELECT GREATEST(ra, rb) AS m FROM a JOIN b USING (tok)
+        |), x AS (
+        |  SELECT d.range AS dpt, CAST(COUNT(*) AS BIGINT) AS xd
+        |  FROM mm JOIN range(1, 21) d ON d.range >= mm.m
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_depths,
+        |  CAST(SUM(xd) AS BIGINT) AS sum_xd,
+        |  ROUND(CAST(SUM(CAST(ROUND(xd /
+        |    CAST(dpt * CAST(pow(2, dpt) AS BIGINT) AS DOUBLE), 12)
+        |    AS DECIMAL(24,12))) AS DOUBLE), 6) AS rbo
+        |FROM x""".stripMargin,
     // identical four-term O·ln(O·n/(r·c)) text, fixed sum shape,
     // zero cells short-circuited, one ROUND to 4
     "text_g2_collocations" ->

@@ -2162,6 +2162,82 @@ object Aggregates {
         round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
       .orderBy(col("bin"))
 
+  /** Order-independent table content checksum — the cross-system
+    * reconciliation primitive (did the migration/replica/backfill
+    * deliver byte-identical content?): each row renders to a
+    * canonical '|'-joined string of INTEGER/STRING columns only
+    * (float formatting is engine-specific, so floats enter checksums
+    * via fixed-point integers or not at all), hashes through the
+    * house 24-bit md5 prefix, and SUMs — commutative, so no ordering
+    * assumption survives into the compare, and the whole check is one
+    * map-side-combined aggregate over the scan (the gate itself IS
+    * the cross-engine proof: Spark and DuckDB compute it from their
+    * own reads of the same parquet). */
+  def aggTableChecksum(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(expr("""CAST(conv(substring(md5(concat_ws('|',
+        |CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
+        |l_returnflag, l_linestatus,
+        |CAST(CAST(l_quantity AS BIGINT) AS STRING))), 1, 6), 16, 10)
+        |AS BIGINT)""".stripMargin.replace("\n", " ")).as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h")).as("checksum_sum"),
+        min(col("h")).as("checksum_min"),
+        max(col("h")).as("checksum_max"))
+
+  /** Expected calibration error — the one-number summary of
+    * [[aggCalibrationCurve]]'s reliability diagram (the model-eval
+    * gate "is the score usable as a probability"). The usual
+    * Σ (n_b/N)·|acc_b − conf_b| telescopes into EXACT integer
+    * arithmetic under the same ×1000 score scale: per bin
+    * |1000·n_pos − sum_sc| is integral, so
+    * ECE = Σ_b |1000·n_pos_b − sum_sc_b| / (1000·N) — one integer
+    * sum over ≤10 bin rows and ONE closing double division. Same
+    * single hash aggregate over the corpus as the curve. */
+  def aggEce(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(
+        expr("""CAST(conv(substring(md5(concat('cal|',
+          |CAST(event_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 1000"""
+          .stripMargin).as("sc"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      .groupBy(expr("sc DIV 100").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("sc")).as("sum_sc"),
+        sum(col("y")).as("n_pos"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("n")).as("n_all"),
+        sum(abs(lit(1000) * col("n_pos") - col("sum_sc")))
+          .as("ece_scaled"))
+      .select(col("n_bins"), col("n_all"), col("ece_scaled"),
+        expr("ROUND(ece_scaled / (1000 * CAST(n_all AS DOUBLE)), 6)")
+          .as("ece"))
+
+  /** Cohen's kappa between two deterministic quality raters — the
+    * label-agreement audit run before trusting any heuristic filter
+    * pair (do the char-length gate and the token-count gate agree
+    * beyond chance?). Both raters are integer rules (n_chars ≥ 300;
+    * whitespace token count ≥ 60), the confusion matrix is four
+    * exact counts from one aggregate, and kappa telescopes to
+    * (N·(n11+n00) − a1·b1 − a0·b0) / (N² − a1·b1 − a0·b0) — integer
+    * numerator and denominator, ONE closing double division. */
+  def aggCohenKappa(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        (col("n_chars") >= 300).cast("long").as("ra"),
+        (size(split(col("text"), " ")) >= 60).cast("long").as("rb"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra") * col("rb")).as("n11"),
+        sum(col("ra") * (lit(1) - col("rb"))).as("n10"),
+        sum((lit(1) - col("ra")) * col("rb")).as("n01"),
+        sum((lit(1) - col("ra")) * (lit(1) - col("rb"))).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr("""ROUND((n * (n11 + n00) -
+                 ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))) /
+                CAST(n * n -
+                 ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 AS DOUBLE), 6)""").as("kappa"))
+
   /** Gains/lift table by score decile — the campaign-targeting eval
     * next to [[aggCalibrationCurve]]: rank the population by score,
     * cut into 10 equal deciles, and report each decile's cumulative
@@ -2277,6 +2353,9 @@ object Aggregates {
     "profile_interarrival" -> (profileInterarrival _),
     "agg_srm_check" -> (aggSrmCheck _),
     "agg_calibration_curve" -> (aggCalibrationCurve _),
+    "agg_ece" -> (aggEce _),
+    "agg_table_checksum" -> (aggTableChecksum _),
+    "agg_cohen_kappa" -> (aggCohenKappa _),
     "agg_gains_deciles" -> (aggGainsDeciles _),
     "agg_exp_histogram" -> (aggExpHistogram _),
     "agg_time_to_convert" -> (aggTimeToConvert _),
@@ -2408,6 +2487,61 @@ object Aggregates {
         |    AS srm_detected
         |FROM a""".stripMargin,
     // integer md5-derived score, integer bins; two closing divisions
+    // commutative 24-bit md5-prefix sum over a canonical integer/string
+    // row rendering; engine-formatted floats excluded by design
+    "agg_table_checksum" ->
+      """WITH h AS (
+        |  SELECT CAST(('0x' || substring(md5(concat_ws('|',
+        |    CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |    l_returnflag, l_linestatus,
+        |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))), 1, 6))
+        |    AS BIGINT) AS h
+        |  FROM lineitem)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(h) AS BIGINT) AS checksum_sum,
+        |  CAST(MIN(h) AS BIGINT) AS checksum_min,
+        |  CAST(MAX(h) AS BIGINT) AS checksum_max
+        |FROM h""".stripMargin,
+    // |1000·n_pos − sum_sc| is integral per bin: ECE is one integer
+    // sum and one closing division
+    "agg_ece" ->
+      """WITH e AS (
+        |  SELECT CAST(('0x' || substring(md5('cal|' ||
+        |      CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 AS sc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |b AS (
+        |  SELECT sc // 100 AS bin, COUNT(*) AS n,
+        |    CAST(SUM(sc) AS BIGINT) AS sum_sc,
+        |    CAST(SUM(y) AS BIGINT) AS n_pos
+        |  FROM e GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+        |  CAST(SUM(n) AS BIGINT) AS n_all,
+        |  CAST(SUM(ABS(1000 * n_pos - sum_sc)) AS BIGINT) AS ece_scaled,
+        |  ROUND(CAST(SUM(ABS(1000 * n_pos - sum_sc)) AS BIGINT) /
+        |    (1000 * CAST(SUM(n) AS DOUBLE)), 6) AS ece
+        |FROM b""".stripMargin,
+    // integer confusion counts; kappa telescoped to one division
+    "agg_cohen_kappa" ->
+      """WITH r AS (
+        |  SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN len(string_split(text, ' ')) >= 60
+        |      THEN 1 ELSE 0 END AS rb
+        |  FROM documents),
+        |c AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(ra * rb) AS BIGINT) AS n11,
+        |    CAST(SUM(ra * (1 - rb)) AS BIGINT) AS n10,
+        |    CAST(SUM((1 - ra) * rb) AS BIGINT) AS n01,
+        |    CAST(SUM((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+        |  FROM r)
+        |SELECT n, n11, n10, n01, n00,
+        |  ROUND((n * (n11 + n00) -
+        |     ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))) /
+        |    CAST(n * n -
+        |     ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        |     AS DOUBLE), 6) AS kappa
+        |FROM c""".stripMargin,
     "agg_calibration_curve" ->
       """WITH e AS (
         |  SELECT CAST(('0x' || substring(md5('cal|' ||

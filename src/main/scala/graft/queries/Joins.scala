@@ -240,6 +240,35 @@ object Joins {
       .orderBy(col("p_id"))
   }
 
+  /** FORWARD as-of join: for each view event, the same user's NEXT
+    * purchase within 24 h — the label-construction shape of a training
+    * pipeline ("did this impression convert?"), where the lookahead
+    * bound is the leakage boundary: features may only see ≤ t, labels
+    * only (t, t+horizon]. Same keyed-join + per-probe rank shape as
+    * the backward [[joinAsof]] (WindowGroupLimit keeps a 1-heap per
+    * view before the exchange); the 24 h band is what keeps the
+    * candidate set prunable at scale. */
+  def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_uid"),
+        col("ts").as("v_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"))
+    val w = Window.partitionBy(col("v_id"))
+      .orderBy(col("p_ts").asc_nulls_last, col("p_id").asc_nulls_last)
+    v.join(p,
+        col("v_uid") === col("p_uid") && col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"),
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("v_id"), col("p_id"),
+        (col("p_id").isNotNull).as("converted"))
+      .orderBy(col("v_id"))
+  }
+
   /** As-of NEAREST join: for each purchase, the same user's closest
     * view in EITHER direction, bounded to ±1 hour. The bound is what
     * makes this scale: an unbounded nearest join has no prunable
@@ -473,6 +502,7 @@ object Joins {
     "join_bloom_prune" -> (joinBloomPrune _),
     "join_scd2_pointintime" -> (joinScd2Pointintime _),
     "join_asof" -> (joinAsof _),
+    "join_asof_forward" -> (joinAsofForward _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_interval" -> (joinInterval _)
   )
@@ -628,6 +658,17 @@ object Joins {
         |  AND (s.valid_to_us IS NULL OR epoch_us(e.ts) < s.valid_to_us)
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
+    "join_asof_forward" ->
+      """SELECT v_id, p_id, p_id IS NOT NULL AS converted FROM (
+        |  SELECT v.event_id AS v_id, p.event_id AS p_id,
+        |         ROW_NUMBER() OVER (PARTITION BY v.event_id
+        |           ORDER BY p.ts ASC NULLS LAST, p.event_id ASC NULLS LAST)
+        |           AS rn
+        |  FROM events v LEFT JOIN events p
+        |    ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        |    AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+        |  WHERE v.event_type = 'view') q
+        |WHERE rn = 1 ORDER BY v_id""".stripMargin,
     "join_asof" ->
       """SELECT p_id, v_id FROM (
         |  SELECT p.event_id AS p_id, v.event_id AS v_id,

@@ -87,7 +87,13 @@ class ParallelismSpec extends AnyFunSuite {
     "set_intersect_all", "sample_stratified_fixed_k",
     // round-9 batch 10: basket ratios from exact integer marginals;
     // nested-leaf projection through the staged struct file
-    "agg_association_rules", "source_nested_parquet")
+    "agg_association_rules", "source_nested_parquet",
+    // round-9 batch 11: telescoped integer ECE/kappa; dyadic-weight
+    // RBO over two k-heap heads
+    "agg_ece", "agg_cohen_kappa", "text_rbo_overlap",
+    // round-9 batch 12: commutative checksum (order independence IS
+    // the claim); bounded-lookahead label join with per-probe 1-heap
+    "agg_table_checksum", "join_asof_forward")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.{Aggregates, SortsSets}
-import graft.llm.{Curation, TextStats}
+import graft.llm.{Curation, Ranking, TextStats}
 
 /** Brute-force replays for the round-9 batch-9 operators: the
   * Mann–Whitney doubled-rank identity, the Monroe log-odds formula,
@@ -86,6 +86,53 @@ class Round9OpsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotE == expExcept)
     assert(gotI == expIntersect)
+  }
+
+  test("agg_ece equals the weighted |acc - conf| sum over the curve bins") {
+    val curve = Aggregates.aggCalibrationCurve(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    val nAll = curve.map(_._1).sum
+    // the un-telescoped definition, from the published curve columns
+    val ece = curve.map { case (n, conf, acc) =>
+      (n.toDouble / nAll) * math.abs(acc - conf) }.sum
+    val row = Aggregates.aggEce(spark, sf).collect().head
+    assert(row.getLong(1) == nAll)
+    // curve columns are rounded@6, so allow that rounding's slack
+    assert(math.abs(row.getDouble(3) - ece) < 1e-4,
+      s"${row.getDouble(3)} vs $ece")
+  }
+
+  test("agg_cohen_kappa matches the po/pe definition") {
+    val row = Aggregates.aggCohenKappa(spark, sf).collect().head
+    val (n, n11, n10, n01, n00) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(n == n11 + n10 + n01 + n00)
+    assert(Seq(n11, n10, n00).forall(_ > 0), "degenerate confusion")
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01) +
+      (n01 + n00).toDouble * (n10 + n00)) / (n.toDouble * n)
+    assert(math.abs(row.getDouble(5) - (po - pe) / (1 - pe)) < 1e-6)
+  }
+
+  test("text_rbo_overlap replays the prefix-intersection RBO") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (l, t0) =>
+      t0.split(" ", -1).filter(_.nonEmpty).map(l -> _) }
+    def head(xs: Seq[String]): Seq[String] =
+      xs.groupBy(identity).view.mapValues(_.length).toSeq
+        .sortBy { case (w, n) => (-n, w) }.take(20).map(_._1)
+    val a = head(toks.map(_._2).toIndexedSeq)
+    val b = head(toks.filter(_._1 == "en").map(_._2).toIndexedSeq)
+    val rbo = (1 to 20).map { dd =>
+      val xd = (a.take(dd).toSet & b.take(dd).toSet).size
+      BigDecimal(xd.toDouble / (dd * (1L << dd)))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val row = Ranking.textRboOverlap(spark, sf).collect().head
+    assert(math.abs(row.getDouble(2) - rbo) < 1e-6,
+      s"${row.getDouble(2)} vs $rbo")
   }
 
   test("sample_stratified_fixed_k equals the single-window definition") {

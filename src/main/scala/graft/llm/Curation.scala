@@ -708,6 +708,43 @@ object Curation {
       .orderBy(col("lang"))
   }
 
+  /** Keyed pseudonymization with referential integrity — the GDPR
+    * de-identification shape [[graft.llm.TextStats.textPiiRedact]]'s
+    * destructive masking can't serve: every user_id maps to a STABLE
+    * surrogate (md5 under a pipeline secret), so joins and per-user
+    * aggregates still work on the pseudonymized output while the raw
+    * id never leaves the boundary. The gate proves the integrity
+    * property itself: grouping EVENTS by pseudonym must reproduce
+    * exactly the per-user counts and value masses of grouping by the
+    * raw id (count distinct pseudonyms = count distinct users — no
+    * collisions at fixture scale — and the (n_events, value_mass)
+    * multiset is preserved, compared via an order-independent
+    * checksum of the per-pseudonym aggregate rows).
+    *
+    * The secret is a fixture literal here; production keys live in a
+    * KMS and rotate — and as with [[privacyDpCount]], an UNKEYED hash
+    * would be re-computable by anyone holding the id space, i.e. no
+    * pseudonymization at all (documented, same caveat class). One
+    * hash aggregate over the scan; pseudonyms are a projection. */
+  def privacyPseudonymize(s: SparkSession, d: String): DataFrame = {
+    val perP = t(s, d, "events")
+      .select(md5(concat(lit("graft-secret-v1|"),
+        col("user_id").cast("string"))).as("pseud"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .groupBy(col("pseud"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v")).as("mass"))
+    perP.agg(
+      count(lit(1)).as("n_pseudonyms"),
+      sum(col("n_events")).as("n_events_total"),
+      round(sum(col("mass")), 2).cast("double").as("value_mass_total"),
+      sum(expr("""CAST(conv(substring(md5(concat_ws('|', pseud,
+        |CAST(n_events AS STRING),
+        |CAST(CAST(mass AS DECIMAL(18,4)) AS STRING))), 1, 6), 16, 10)
+        |AS BIGINT)""".stripMargin.replace("\n", " ")))
+        .as("rows_checksum"))
+  }
+
   /** Stratified fixed-size sample: exactly k docs per language by
     * deterministic md5 priority — the eval-set construction shape
     * (fixed per-stratum budget, reproducible across runs), the
@@ -743,6 +780,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_pseudonymize" -> (privacyPseudonymize _),
     "sample_stratified_fixed_k" -> (sampleStratifiedFixedK _),
     "split_group_holdout" -> (splitGroupHoldout _),
     "privacy_contribution_bounding" -> (privacyContributionBounding _),
@@ -769,6 +807,27 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // the integrity proof: per-pseudonym aggregates reproduce the
+    // per-user multiset; order-independent row checksum; decimal
+    // stringified at full scale ('1.5000') identically on both engines
+    "privacy_pseudonymize" ->
+      """WITH p AS (
+        |  SELECT md5('graft-secret-v1|' || CAST(user_id AS VARCHAR))
+        |      AS pseud,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT pseud, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    SUM(v) AS mass
+        |  FROM p GROUP BY pseud)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pseudonyms,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events_total,
+        |  CAST(ROUND(SUM(mass), 2) AS DOUBLE) AS value_mass_total,
+        |  CAST(SUM(CAST(('0x' || substring(md5(concat_ws('|', pseud,
+        |    CAST(n_events AS VARCHAR),
+        |    CAST(CAST(mass AS DECIMAL(18,4)) AS VARCHAR))), 1, 6))
+        |    AS BIGINT)) AS BIGINT) AS rows_checksum
+        |FROM g""".stripMargin,
     // single-window replay of the two-phase bucketed top-k (identical
     // rows by the containment property); 60-bit md5-prefix priority
     "sample_stratified_fixed_k" ->

@@ -865,7 +865,39 @@ object TextStats {
       .orderBy(col("z").desc, col("w"))
   }
 
+  /** Pairwise vocabulary Jaccard between sources — the corpus-diff
+    * matrix ("how much does src3's vocabulary overlap src7's?") that
+    * drives source-mix decisions next to [[textLogOdds]]'s per-word
+    * view. The (source, token) DISTINCT is the only corpus-sized work
+    * (one shuffle); the self-join runs on the distinct vocab relation
+    * keyed by token (inverted-index style — pairs meet only on shared
+    * tokens, never |V_a|×|V_b|), per-source vocab sizes broadcast
+    * back, |A∪B| = |A|+|B|−|A∩B| closes in integers with ONE division
+    * per pair. Output is |sources|²-bounded. */
+  def textSourceVocabJaccard(s: SparkSession, d: String): DataFrame = {
+    val st = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("vsz"))
+    st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("vsz").as("vsz_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("vsz").as("vsz_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_inter"),
+        col("vsz_a"), col("vsz_b"),
+        expr("ROUND(n_inter / CAST(vsz_a + vsz_b - n_inter AS DOUBLE), 6)")
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_source_vocab_jaccard" -> (textSourceVocabJaccard _),
     "text_log_odds" -> (textLogOdds _),
     "text_perplexity_buckets" -> (textPerplexityBuckets _),
     "text_feature_hash" -> (textFeatureHash _),
@@ -897,6 +929,32 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    // inverted-index pair meet on shared tokens; |A∪B| closed in
+    // integers, one division per bounded pair row
+    "text_source_vocab_jaccard" ->
+      """WITH st AS (
+        |  SELECT source, UNNEST(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), stc AS (
+        |  SELECT DISTINCT source, tok FROM st WHERE tok <> ''),
+        |sizes AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS vsz
+        |  FROM stc GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_inter
+        |  FROM stc a JOIN stc b
+        |    ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT src_a, src_b, n_inter,
+        |  sa.vsz AS vsz_a, sb.vsz AS vsz_b,
+        |  ROUND(n_inter / CAST(sa.vsz + sb.vsz - n_inter AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON pairs.src_a = sa.source
+        |JOIN sizes sb ON pairs.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     // combined-corpus Dirichlet prior keeps every ratio integer/integer;
     // identical closing (2 ln, 1 sqrt) double expression on both engines
     "text_log_odds" ->

@@ -93,7 +93,10 @@ class ParallelismSpec extends AnyFunSuite {
     "agg_ece", "agg_cohen_kappa", "text_rbo_overlap",
     // round-9 batch 12: commutative checksum (order independence IS
     // the claim); bounded-lookahead label join with per-probe 1-heap
-    "agg_table_checksum", "join_asof_forward")
+    "agg_table_checksum", "join_asof_forward",
+    // round-9 batch 13: keyed-surrogate integrity checksum; inverted-
+    // index vocabulary pair meet
+    "privacy_pseudonymize", "text_source_vocab_jaccard")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -135,6 +135,38 @@ class Round9OpsSpec extends AnyFunSuite {
       s"${row.getDouble(2)} vs $rbo")
   }
 
+  test("privacy_pseudonymize preserves the per-user multiset (no collisions)") {
+    val ev = Tables.t(spark, sf, "events")
+      .select("user_id").collect().map(_.getLong(0))
+    val row = Curation.privacyPseudonymize(spark, sf).collect().head
+    assert(row.getLong(0) == ev.distinct.length.toLong,
+      "pseudonym collision or loss")
+    assert(row.getLong(1) == ev.length.toLong)
+  }
+
+  test("text_source_vocab_jaccard replays the pairwise set arithmetic") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val vocab = docs.groupBy(_._1).view.mapValues(
+      _.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty).toSet).toMap
+    val got = graft.llm.TextStats.textSourceVocabJaccard(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    val srcs = vocab.keys.toSeq.sorted
+    val expPairs = for {
+      a <- srcs; b <- srcs if a < b
+      inter = (vocab(a) & vocab(b)).size if inter > 0
+    } yield (a, b)
+    assert(got.map(_._1).toSeq == expPairs)
+    for (((a, b), (ni, va, vb, j)) <- got) {
+      val inter = (vocab(a) & vocab(b)).size
+      assert(ni == inter && va == vocab(a).size && vb == vocab(b).size)
+      assert(math.abs(j - inter.toDouble / (vocab(a) ++ vocab(b)).size)
+        < 1e-6)
+    }
+  }
+
   test("sample_stratified_fixed_k equals the single-window definition") {
     val docs = Tables.t(spark, sf, "documents")
       .select("doc_id", "lang").collect()

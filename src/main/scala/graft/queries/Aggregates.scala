@@ -1217,6 +1217,35 @@ object Aggregates {
           .as("z"))
   }
 
+  /** One-way ANOVA F — the k-group mean comparison completing the
+    * two-sample tests ([[aggTTest]] parametric, [[aggMannWhitney]]
+    * rank-based): does mean l_quantity differ across the three
+    * return-flag groups? Group moments (n_g, Σx, Σx²) are EXACT
+    * integers (x ≤ 50 so x² ≤ 2500); the only non-integer quantity,
+    * Σ_g (Σx)²/n_g, follows the house decimal-sum discipline —
+    * per-group round@8 into DECIMAL so the 3-term sum is
+    * order-independent — and SSB/SSW/F close in ONE double expression
+    * with identical text on both engines. The corpus collapses in one
+    * hash aggregate; everything after runs on ≤3 rows. */
+  def aggAnovaF(s: SparkSession, d: String): DataFrame = {
+    val g = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(col("x")).as("s_g"),
+        sum(col("x") * col("x")).as("ss_g"))
+    g.select(col("n_g"), col("s_g"), col("ss_g"),
+        expr("CAST(ROUND(CAST(s_g AS DOUBLE) * s_g / n_g, 8) " +
+          "AS DECIMAL(28,8))").as("term"))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+        sum(col("term")).as("a"))
+      .select(col("k"), col("n"), col("s"), col("ss"),
+        expr("""ROUND(((CAST(a AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                 / (k - 1)) /
+                ((ss - CAST(a AS DOUBLE)) / (n - k)), 6)""").as("f_stat"))
+  }
+
   /** Pivot: one output column per l_linestatus value. The value list is
     * given explicitly — at scale an implicit pivot adds a distinct-value
     * job; explicit values keep it a single pass. */
@@ -2376,6 +2405,7 @@ object Aggregates {
     "agg_chi2_independence" -> (aggChi2Independence _),
     "agg_ks_test" -> (aggKsTest _),
     "agg_mann_whitney" -> (aggMannWhitney _),
+    "agg_anova_f" -> (aggAnovaF _),
     "agg_auc_rank" -> (aggAucRank _),
     "agg_t_test" -> (aggTTest _),
     "profile_drift_psi" -> (profileDriftPsi _),
@@ -3309,6 +3339,29 @@ object Aggregates {
         |FROM tc ORDER BY bucket""".stripMargin,
     // cross-multiplied integer KS statistic over the identical merged
     // (v, event_id) order; window SUM -> HUGEINT needs the BIGINT cast
+    // exact integer group moments; per-group round@8 decimal A-sum;
+    // SSB/SSW/F in one identical closing double expression
+    "agg_anova_f" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_g,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) *
+        |      CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss_g
+        |  FROM lineitem GROUP BY 1
+        |), a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS BIGINT) AS s,
+        |    CAST(SUM(ss_g) AS BIGINT) AS ss,
+        |    SUM(CAST(ROUND(CAST(s_g AS DOUBLE) * s_g / n_g, 8)
+        |      AS DECIMAL(28,8))) AS a
+        |  FROM g
+        |)
+        |SELECT k, n, s, ss,
+        |  ROUND(((CAST(a AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |     / (k - 1)) /
+        |    ((ss - CAST(a AS DOUBLE)) / (n - k)), 6) AS f_stat
+        |FROM a""".stripMargin,
     // doubled-rank identity: integer (c1, c2, t, cb) per distinct value,
     // 2U1 = Sum c1*(2cb+t+1) - n1(n1+1); one closing double z
     "agg_mann_whitney" ->

@@ -96,7 +96,9 @@ class ParallelismSpec extends AnyFunSuite {
     "agg_table_checksum", "join_asof_forward",
     // round-9 batch 13: keyed-surrogate integrity checksum; inverted-
     // index vocabulary pair meet
-    "privacy_pseudonymize", "text_source_vocab_jaccard")
+    "privacy_pseudonymize", "text_source_vocab_jaccard",
+    // round-9 batch 14: exact group moments + decimal A-sum
+    "agg_anova_f")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

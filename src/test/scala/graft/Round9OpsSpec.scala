@@ -39,6 +39,26 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(4) - z) < 1e-6)
   }
 
+  test("agg_anova_f matches the textbook SSB/SSW decomposition") {
+    val xs = Tables.t(spark, sf, "lineitem")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val groups = xs.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val n = xs.length.toDouble
+    val k = groups.length.toDouble
+    val grand = xs.map(_._2).sum / n
+    val ssb = groups.map(g =>
+      g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = groups.map(g => {
+      val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val row = Aggregates.aggAnovaF(spark, sf).collect().head
+    assert(row.getLong(0) == groups.length.toLong &&
+      row.getLong(1) == xs.length.toLong)
+    assert(math.abs(row.getDouble(4) - f) < 1e-4,
+      s"${row.getDouble(4)} vs $f")
+  }
+
   test("text_log_odds replays the prior-smoothed formula per word") {
     val docs = Tables.t(spark, sf, "documents")
       .select("lang", "text").collect()

@@ -241,6 +241,33 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  /** Batched top-k retrieval — the production shape of similarity
+    * search (queries arrive in batches, not one probe at a time): 10
+    * probe vectors broadcast against the corpus in ONE pass, per-probe
+    * top-5 via a rank window partitioned by probe_id, which Spark
+    * executes as a WindowGroupLimit 5-heap per probe BEFORE the
+    * exchange — corpus scanned once for the whole batch, shuffle
+    * carries only ≤ |probes|·k survivor rows. At 100 TB this is the
+    * difference between Q scans and one scan for a Q-query batch; the
+    * same plan shape serves the LSH/IVF candidate paths by swapping
+    * the corpus for the candidate set. */
+  def simSearchBatchTopk(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, d, "embeddings")
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    e.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("probe")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("probe_id"), col("rn"), col("vec_id"), col("cos"))
+      .orderBy(col("probe_id"), col("rn"))
+  }
+
   /** Signed-random-projection (hyperplane) LSH signature for one table:
     * `bits` sign bits of the embedding projected onto pseudo-random
     * Rademacher (±1) hyperplanes, packed into a long bucket id. The
@@ -929,6 +956,7 @@ object Similarity {
     "embedding_pca_project" -> (embeddingPcaProjectCheck _),
     "embedding_random_projection" -> (embeddingRandomProjection _),
     "sim_search_topk" -> (simSearchTopk _),
+    "sim_search_batch_topk" -> (simSearchBatchTopk _),
     "embedding_truncate_quality" -> (embeddingTruncateQuality _),
     "sim_search_mmr" -> (simSearchMmr _),
     "sim_search_mips" -> (simSearchMips _),
@@ -1168,6 +1196,25 @@ object Similarity {
         |      CAST(embedding AS DOUBLE[]), y -> abs(y)))) AS INTEGER)), ',')
         |    AS q
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // one corpus pass for the whole probe batch; per-probe rank window
+    "sim_search_batch_topk" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS probe
+        |  FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      p.probe), 6) AS cos
+        |  FROM embeddings e CROSS JOIN p
+        |  WHERE e.vec_id >= 10
+        |), r AS (
+        |  SELECT probe_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, vec_id) AS rn
+        |  FROM scored
+        |)
+        |SELECT probe_id, rn, vec_id, cos FROM r
+        |WHERE rn <= 5 ORDER BY probe_id, rn""".stripMargin,
     "sim_search_topk" ->
       """SELECT vec_id, label,
         |  ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -1217,6 +1217,44 @@ object Aggregates {
           .as("z"))
   }
 
+  /** Stratified treatment-effect table — the observational-eval
+    * companion to [[aggCuped]]/[[aggSrmCheck]]: per-user hash-assigned
+    * arms, outcome = purchase value mass, stratified by the
+    * ACTIVITY-bucket confounder so the per-stratum diff-in-means is
+    * computed between comparable users (the blocking/stratification
+    * estimator; Neyman weights are the published n_t+n_c per row).
+    * Strata are bit-length buckets of the per-user event count (the
+    * [[aggExpHistogram]] idiom) — integer, bounded ~10, no global
+    * sort. Decimal-exact outcome sums per (stratum, arm); counts
+    * integer; each mean/diff is ONE closing double expression.
+    * Corpus-sized work = one user-level hash aggregate. */
+  def aggStratifiedEffect(s: SparkSession, d: String): DataFrame = {
+    val zero = lit(0).cast("decimal(18,4)")
+    val perU = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,4)")).otherwise(zero)).as("y"))
+      .select(
+        expr("length(bin(n_ev))").as("stratum"),
+        expr("""CAST(conv(substring(md5(concat('exp1|',
+          |CAST(user_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 2"""
+          .stripMargin.replace("\n", " ")).as("arm"),
+        col("y").cast("decimal(18,4)").as("y"))
+    perU.groupBy(col("stratum"))
+      .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1, col("y")).otherwise(zero)).as("y_t"),
+        sum(when(col("arm") === 0, col("y")).otherwise(zero)).as("y_c"))
+      .filter(col("n_t") > 0 && col("n_c") > 0)
+      .select(col("stratum"), col("n_t"), col("n_c"),
+        expr("ROUND(CAST(y_t AS DOUBLE) / n_t, 4)").as("mean_t"),
+        expr("ROUND(CAST(y_c AS DOUBLE) / n_c, 4)").as("mean_c"),
+        expr("ROUND(CAST(y_t AS DOUBLE) / n_t - " +
+          "CAST(y_c AS DOUBLE) / n_c, 6)").as("diff"))
+      .orderBy(col("stratum"))
+  }
+
   /** One-way ANOVA F — the k-group mean comparison completing the
     * two-sample tests ([[aggTTest]] parametric, [[aggMannWhitney]]
     * rank-based): does mean l_quantity differ across the three
@@ -2406,6 +2444,7 @@ object Aggregates {
     "agg_ks_test" -> (aggKsTest _),
     "agg_mann_whitney" -> (aggMannWhitney _),
     "agg_anova_f" -> (aggAnovaF _),
+    "agg_stratified_effect" -> (aggStratifiedEffect _),
     "agg_auc_rank" -> (aggAucRank _),
     "agg_t_test" -> (aggTTest _),
     "profile_drift_psi" -> (profileDriftPsi _),
@@ -3339,6 +3378,40 @@ object Aggregates {
         |FROM tc ORDER BY bucket""".stripMargin,
     // cross-multiplied integer KS statistic over the identical merged
     // (v, event_id) order; window SUM -> HUGEINT needs the BIGINT cast
+    // decimal outcome masses per (stratum, arm); identical closing
+    // mean/diff divisions; bit-length strata via length(bin(n))
+    "agg_stratified_effect" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(*) AS n_ev,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(value AS DECIMAL(18,4))
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS y
+        |  FROM events GROUP BY 1
+        |), p AS (
+        |  SELECT length(bin(n_ev)) AS stratum,
+        |    CAST(('0x' || substring(md5('exp1|' ||
+        |      CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 2 AS arm,
+        |    CAST(y AS DECIMAL(18,4)) AS y
+        |  FROM u
+        |), g AS (
+        |  SELECT stratum,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_t,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_c,
+        |    SUM(CASE WHEN arm = 1 THEN y
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS y_t,
+        |    SUM(CASE WHEN arm = 0 THEN y
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS y_c
+        |  FROM p GROUP BY 1
+        |)
+        |SELECT stratum, n_t, n_c,
+        |  ROUND(CAST(y_t AS DOUBLE) / n_t, 4) AS mean_t,
+        |  ROUND(CAST(y_c AS DOUBLE) / n_c, 4) AS mean_c,
+        |  ROUND(CAST(y_t AS DOUBLE) / n_t -
+        |    CAST(y_c AS DOUBLE) / n_c, 6) AS diff
+        |FROM g WHERE n_t > 0 AND n_c > 0
+        |ORDER BY stratum""".stripMargin,
     // exact integer group moments; per-group round@8 decimal A-sum;
     // SSB/SSW/F in one identical closing double expression
     "agg_anova_f" ->

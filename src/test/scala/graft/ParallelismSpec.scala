@@ -98,7 +98,10 @@ class ParallelismSpec extends AnyFunSuite {
     // index vocabulary pair meet
     "privacy_pseudonymize", "text_source_vocab_jaccard",
     // round-9 batch 14: exact group moments + decimal A-sum
-    "agg_anova_f")
+    "agg_anova_f",
+    // round-9 batch 15: per-probe 5-heaps over one corpus pass;
+    // decimal per-(stratum, arm) masses
+    "sim_search_batch_topk", "agg_stratified_effect")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -27,6 +27,15 @@ class PlanSpec extends AnyFunSuite {
       readSchema)
   }
 
+  test("sim_search_batch_topk keeps per-probe heaps before the exchange") {
+    val p = plan(graft.llm.Similarity.simSearchBatchTopk(spark, sf))
+    // one corpus pass for the whole probe batch: probes broadcast...
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    // ...and the rank filter runs as a WindowGroupLimit k-heap
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("source_nested_parquet prunes sibling struct fields and the array") {
     val p = plan(graft.queries.SourceFormats.sourceNestedParquet(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get

@@ -843,6 +843,35 @@ object Windows {
     * ratio (null on the first week: no denominator, not 0%). The
     * standard reporting primitive; exact integer counts, one
     * calendar-bounded window. */
+  /** Seasonal-naive forecast backtest — the baseline every forecasting
+    * pipeline must beat, and the drift gate for volume monitoring:
+    * predict each (type, day) event count with the value seven days
+    * earlier (lag-7 over the per-type daily aggregate — same-weekday
+    * seasonality), then score MAE and bias per type over the scored
+    * days. Counts are integers, |n − n₋₇| and Σ stay integers, the
+    * two means are ONE closing double division each. The corpus
+    * collapses to (type, day) in one hash aggregate; the lag window
+    * partitions by type over calendar-bounded rows. */
+  def windowForecastBacktest(s: SparkSession, d: String): DataFrame = {
+    val byDay = Window.partitionBy(col("event_type"))
+      .orderBy(col("day_us"))
+    t(s, d, "events")
+      .select(col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .groupBy(col("event_type"), col("day_us"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("pred", lag(col("n"), 7).over(byDay))
+      .filter(col("pred").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("n") - col("pred"))).as("abs_err_sum"),
+        sum(col("n") - col("pred")).as("bias_sum"))
+      .select(col("event_type"), col("n_days"), col("abs_err_sum"),
+        expr("ROUND(abs_err_sum / CAST(n_days AS DOUBLE), 6)").as("mae"),
+        expr("ROUND(bias_sum / CAST(n_days AS DOUBLE), 6)").as("bias"))
+      .orderBy(col("event_type"))
+  }
+
   def windowWowGrowth(s: SparkSession, d: String): DataFrame = {
     val byWeek = Window.partitionBy(col("event_type"))
       .orderBy(col("week_us"))
@@ -946,6 +975,7 @@ object Windows {
     "window_rsi" -> (windowRsi _),
     "window_bollinger" -> (windowBollinger _),
     "window_wow_growth" -> (windowWowGrowth _),
+    "window_forecast_backtest" -> (windowForecastBacktest _),
     "window_rfm" -> (windowRfm _),
     "window_pareto" -> (windowPareto _),
     "window_streak" -> (windowStreak _),
@@ -1185,6 +1215,28 @@ object Windows {
         |       OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_suppressed
         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // integer daily counts and error sums; two closing divisions
+    "window_forecast_backtest" ->
+      """WITH dly AS (
+        |  SELECT event_type,
+        |    epoch_us(date_trunc('day', ts)) AS day_us,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT event_type, n,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day_us)
+        |      AS pred
+        |  FROM dly
+        |), g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(ABS(n - pred)) AS BIGINT) AS abs_err_sum,
+        |    CAST(SUM(n - pred) AS BIGINT) AS bias_sum
+        |  FROM sc WHERE pred IS NOT NULL GROUP BY 1
+        |)
+        |SELECT event_type, n_days, abs_err_sum,
+        |  ROUND(abs_err_sum / CAST(n_days AS DOUBLE), 6) AS mae,
+        |  ROUND(bias_sum / CAST(n_days AS DOUBLE), 6) AS bias
+        |FROM g ORDER BY event_type""".stripMargin,
     "window_wow_growth" ->
       """WITH w AS (
         |  SELECT event_type,

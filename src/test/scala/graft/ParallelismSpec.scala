@@ -101,7 +101,9 @@ class ParallelismSpec extends AnyFunSuite {
     "agg_anova_f",
     // round-9 batch 15: per-probe 5-heaps over one corpus pass;
     // decimal per-(stratum, arm) masses
-    "sim_search_batch_topk", "agg_stratified_effect")
+    "sim_search_batch_topk", "agg_stratified_effect",
+    // round-9 batch 16: integer lag-7 error sums per type
+    "window_forecast_backtest")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -779,7 +779,52 @@ object Curation {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** t-closeness audit (Li et al., ICDE'07) — the release gate
+    * [[privacyLDiversity]] misses: a group can hold l distinct sensitive
+    * values yet still leak if its DISTRIBUTION over them differs sharply
+    * from the corpus-wide one (skewness attack). Quasi-identifiers are
+    * (lang, 100-char length bucket); `source` is the sensitive
+    * attribute; the distance is total variation
+    * TVD_g = Σ_v |c_gv/n_g − c_v/N| / 2, and a group releases only when
+    * TVD ≤ t = 0.25. Both the distance NUMERATOR (Σ_v |c_gv·N − c_v·n_g|,
+    * cross-multiplied) and the release decision (2·num ≤ n_g·N ⟺
+    * num/(2·n_g·N) ≤ 1/4) are exact integers — no float ever decides a
+    * release. The reported tvd double is display-only (one closing
+    * expression).
+    *
+    * Scale shape: every relation after the first aggregate is bounded
+    * by the QI × sensitive VALUE SPACE (langs × buckets × sources),
+    * never the corpus; the dense grid comes from a cross join of two
+    * value-space-bounded aggregates. One corpus pass total. */
+  def privacyTCloseness(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .select(col("lang"),
+        (col("n_chars") / lit(100L)).cast("long").as("len_bucket"),
+        col("source"))
+    val cell = docs.groupBy(col("lang"), col("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("c_gv"))
+    val grp = docs.groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_g"))
+    val glob = docs.groupBy(col("source")).agg(count(lit(1)).as("c_v"))
+    val nTot = docs.agg(count(lit(1)).as("n_tot"))
+    grp.crossJoin(glob).crossJoin(nTot)
+      .join(cell, Seq("lang", "len_bucket", "source"), "left")
+      .select(col("lang"), col("len_bucket"), col("n_g"), col("n_tot"),
+        abs(coalesce(col("c_gv"), lit(0L)) * col("n_tot") -
+          col("c_v") * col("n_g")).as("term"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(max(col("n_g")).as("group_n"), max(col("n_tot")).as("n_tot"),
+        sum(col("term")).as("num"))
+      .select(col("lang"), col("len_bucket"), col("group_n"), col("num"),
+        expr("""ROUND(CAST(num AS DOUBLE) /
+                (2 * CAST(group_n AS DOUBLE) * n_tot), 6)""").as("tvd"),
+        (col("num") * 2 <= col("group_n") * col("n_tot"))
+          .as("releasable"))
+      .orderBy(col("lang"), col("len_bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_t_closeness" -> (privacyTCloseness _),
     "privacy_pseudonymize" -> (privacyPseudonymize _),
     "sample_stratified_fixed_k" -> (sampleStratifiedFixedK _),
     "split_group_holdout" -> (splitGroupHoldout _),
@@ -807,6 +852,40 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // cross-multiplied integer TVD numerator over the dense QI×sensitive
+    // grid; integer release decision (2·num ≤ n_g·N); display-only tvd
+    "privacy_t_closeness" ->
+      """WITH docs AS (
+        |  SELECT lang, n_chars // 100 AS len_bucket, source
+        |  FROM documents
+        |), cell AS (
+        |  SELECT lang, len_bucket, source,
+        |    CAST(COUNT(*) AS BIGINT) AS c_gv
+        |  FROM docs GROUP BY 1, 2, 3
+        |), grp AS (
+        |  SELECT lang, len_bucket, CAST(COUNT(*) AS BIGINT) AS n_g
+        |  FROM docs GROUP BY 1, 2
+        |), gsrc AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS c_v
+        |  FROM docs GROUP BY 1
+        |), ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM docs),
+        |terms AS (
+        |  SELECT grp.lang, grp.len_bucket, n_g, n_tot,
+        |    ABS(COALESCE(c_gv, 0) * n_tot - c_v * n_g) AS term
+        |  FROM grp CROSS JOIN gsrc CROSS JOIN ntot
+        |  LEFT JOIN cell ON cell.lang = grp.lang
+        |    AND cell.len_bucket = grp.len_bucket
+        |    AND cell.source = gsrc.source
+        |), g AS (
+        |  SELECT lang, len_bucket, MAX(n_g) AS group_n,
+        |    MAX(n_tot) AS n_tot, CAST(SUM(term) AS BIGINT) AS num
+        |  FROM terms GROUP BY 1, 2
+        |)
+        |SELECT lang, len_bucket, group_n, num,
+        |  ROUND(CAST(num AS DOUBLE) /
+        |    (2 * CAST(group_n AS DOUBLE) * n_tot), 6) AS tvd,
+        |  num * 2 <= group_n * n_tot AS releasable
+        |FROM g ORDER BY lang, len_bucket""".stripMargin,
     // the integrity proof: per-pseudonym aggregates reproduce the
     // per-user multiset; order-independent row checksum; decimal
     // stringified at full scale ('1.5000') identically on both engines

@@ -896,7 +896,90 @@ object TextStats {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Corpus-level Flesch-style readability per language — the curation
+    * signal that separates listicle/boilerplate prose from long-form.
+    * Sentence count = runs of terminal punctuation; syllable proxy =
+    * vowel-group runs (the standard dictionary-free heuristic; the char
+    * classes are identical literals in Java regex and RE2, so both
+    * engines count the same runs). Per-doc counts are integers clamped
+    * to ≥1; the Flesch formula closes over PER-LANGUAGE SUMS in one
+    * double expression — never an order-dependent float average of
+    * per-doc scores. One map-side-combined aggregate to |langs| rows;
+    * the regex work is O(len) in-scan. */
+  def textReadability(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        greatest(
+          expr("size(regexp_extract_all(text, '[.!?]+', 0))").cast("long"),
+          lit(1L)).as("sn"),
+        greatest(
+          expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+            .cast("long"), lit(1L)).as("y"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("sn")).as("n_sents"), sum(col("y")).as("n_syll"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_sents"),
+        col("n_syll"),
+        expr("""ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4)""")
+          .as("flesch"))
+      .orderBy(col("lang"))
+
+  /** Hapax-legomenon profile per language: the share of the vocabulary
+    * seen exactly once (and twice) — the classic corpus-maturity
+    * diagnostic (a high hapax share means the crawl is still surfacing
+    * new content; a collapsing one means duplication or exhaustion;
+    * complements [[textVocabGrowth]]'s trajectory with a point
+    * summary). One corpus tokenize → (lang, word) count → |langs|-row
+    * rollup; all counts integer, one closing double ratio. */
+  def textHapaxRatio(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("dis"))
+      .select(col("lang"), col("vocab"), col("n_tokens"), col("hapax"),
+        col("dis"),
+        expr("ROUND(CAST(hapax AS DOUBLE) / vocab, 6)").as("hapax_ratio"))
+      .orderBy(col("lang"))
+
+  /** Per-document n-gram novelty in corpus (doc_id) order — the
+    * marginal-value curve of new data: what fraction of a document's
+    * distinct trigram shingles has never appeared in any earlier
+    * document. The running diagnostic behind "this crawl snapshot is
+    * exhausted" decisions, complementing [[textVocabGrowth]] (unigram
+    * vocabulary) with phrase-level novelty. Shape: shingles come from
+    * the O(len) [[graft.functions.TokenNGrams]] generator inside the
+    * scan; first ownership is ONE gram-keyed min aggregate; novelty is
+    * a join back on the gram key — everything shuffles on gram/doc
+    * keys, no windows, no corpus-order scan. */
+  def textNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val grams = t(s, d, "documents")
+      .select(col("doc_id"),
+        GraftBridge.column(graft.functions.TokenNGrams(
+          GraftBridge.expression(col("text")), 3)).as("gram"))
+      .distinct()
+    val first = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6)").as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> (textNgramNovelty _),
+    "text_readability" -> (textReadability _),
+    "text_hapax_ratio" -> (textHapaxRatio _),
     "text_source_vocab_jaccard" -> (textSourceVocabJaccard _),
     "text_log_odds" -> (textLogOdds _),
     "text_perplexity_buckets" -> (textPerplexityBuckets _),
@@ -929,6 +1012,68 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    // distinct per-doc trigram shingles; first ownership = min doc_id
+    // per gram; integer novel counts, one closing ratio
+    "text_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+        |  FROM toks WHERE len(t) >= 3
+        |), first AS (
+        |  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY 1
+        |), g AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM grams JOIN first USING (gram) GROUP BY 1
+        |)
+        |SELECT doc_id, n_grams, n_novel,
+        |  ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // integer per-doc counts clamped ≥1; Flesch closes over per-lang
+    // SUMS in one double expression (identical text both engines)
+    "text_readability" ->
+      """WITH perdoc AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT), 1) AS sn,
+        |    GREATEST(CAST(len(regexp_extract_all(lower(text),
+        |      '[aeiouy]+')) AS BIGINT), 1) AS y
+        |  FROM documents
+        |), g AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS n_words,
+        |    CAST(SUM(sn) AS BIGINT) AS n_sents,
+        |    CAST(SUM(y) AS BIGINT) AS n_syll
+        |  FROM perdoc GROUP BY 1
+        |)
+        |SELECT lang, n_docs, n_words, n_sents, n_syll,
+        |  ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+        |     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
+        |FROM g ORDER BY lang""".stripMargin,
+    // (lang, word) counts → integer hapax/dis/vocab; one double ratio
+    "text_hapax_ratio" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks WHERE word <> '' GROUP BY 1, 2
+        |), g AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hapax,
+        |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT lang, vocab, n_tokens, hapax, dis,
+        |  ROUND(CAST(hapax AS DOUBLE) / vocab, 6) AS hapax_ratio
+        |FROM g ORDER BY lang""".stripMargin,
     // inverted-index pair meet on shared tokens; |A∪B| closed in
     // integers, one division per bounded pair row
     "text_source_vocab_jaccard" ->

@@ -2416,7 +2416,251 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Kruskal–Wallis H across the l_returnflag groups on l_quantity —
+    * the k-sample nonparametric ANOVA (rank-based, no normality
+    * assumption). Ranks come from the DISTINCT-VALUE table (≤50 rows
+    * for integer quantities), never a corpus-wide sort: per value v the
+    * doubled midrank is 2·cb + t + 1 (cb = count of smaller rows,
+    * t = tie count at v) — all integer, so the per-group doubled rank
+    * sums R2_g are exact BIGINTs at any parallelism. Per-group
+    * R2_g²/n_g terms follow the [[aggAnovaF]] round@8-decimal
+    * discipline; H and its tie correction close in ONE double
+    * expression with identical text in DuckDB. The only window runs
+    * over the ≤50-row value table (above an aggregate — PlanSpec-legal);
+    * corpus work is one map-side-combined groupBy. */
+  def aggKruskalWallis(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("q"))
+      .agg(count(lit(1)).as("c"))
+    val perQ = cnt.groupBy(col("q")).agg(sum(col("c")).as("tq"))
+      .withColumn("cb", coalesce(sum(col("tq")).over(
+        Window.orderBy(col("q"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("dr", lit(2L) * col("cb") + col("tq") + 1L)
+    val perG = cnt.join(perQ.select(col("q"), col("dr")), "q")
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_g"), sum(col("c") * col("dr")).as("r2_g"))
+      .select(col("n_g"),
+        expr("CAST(ROUND(CAST(r2_g AS DOUBLE) * r2_g / n_g, 8) " +
+          "AS DECIMAL(38,8))").as("term"))
+    val ties = perQ.agg(
+      sum(col("tq") * col("tq") * col("tq") - col("tq")).as("tie_term"))
+    perG.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("term")).as("a"))
+      .crossJoin(ties)
+      .select(col("k"), col("n"), col("tie_term"),
+        // doubled ranks: Σ R_g²/n_g = a/4; H = 12/(N(N+1))·(a/4) − 3(N+1)
+        expr("""ROUND((3 * CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1))
+                 - 3 * (n + 1)) /
+                (1 - CAST(tie_term AS DOUBLE) /
+                  (CAST(n AS DOUBLE) * n * n - n)), 6)""").as("h_stat"))
+  }
+
+  /** Spearman rank correlation between l_quantity and the discount
+    * percent — monotone-association strength, robust to the marginal
+    * shapes. Both variables are value-space bounded (50 × 11 distinct
+    * values), so midranks come from cumulative counts over each
+    * DISTINCT-VALUE table (doubled to stay integer: 2·cb + t + 1) and
+    * every Pearson moment of the doubled ranks is an exact BIGINT
+    * (Pearson r is affine-invariant, so corr(2r_x, 2r_y) = ρ). Corpus
+    * work is ONE groupBy to the ≤550-cell joint table; the two rank
+    * windows run over ≤50-row aggregates. ρ closes in one double
+    * expression, identical text in DuckDB. */
+  def aggSpearmanCorr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = t(s, d, "lineitem")
+      .groupBy(col("l_quantity").cast("long").as("x"),
+        expr("CAST(ROUND(l_discount * 100) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("c"))
+    def ranks(key: String): DataFrame = {
+      val w = Window.orderBy(col(key))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      cells.groupBy(col(key)).agg(sum(col("c")).as("t"))
+        .withColumn("cb", coalesce(sum(col("t")).over(w), lit(0L)))
+        .select(col(key),
+          (lit(2L) * col("cb") + col("t") + 1L).as(s"dr_$key"))
+    }
+    cells.join(ranks("x"), "x").join(ranks("y"), "y")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * col("dr_x")).as("sx"),
+        sum(col("c") * col("dr_y")).as("sy"),
+        sum(col("c") * col("dr_x") * col("dr_x")).as("sxx"),
+        sum(col("c") * col("dr_y") * col("dr_y")).as("syy"),
+        sum(col("c") * col("dr_x") * col("dr_y")).as("sxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        expr("""ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+                     (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                6)""").as("rho"))
+  }
+
+  /** Kendall τ-b between l_quantity and the discount percent — the
+    * pairwise-concordance association measure. The naive definition is
+    * O(n²) over ROWS; this computes it over the JOINT FREQUENCY table
+    * (≤550 cells): concordant/discordant pair counts are a self-join
+    * over cell pairs weighted by n_a·n_b — all-pairs over the VALUE
+    * SPACE (≤550² = 302k combinations, constant in corpus size), never
+    * over rows. Tie terms come from the two marginals. Everything is
+    * doubled-count integer arithmetic (2C, 2D, 2n0, 2n1, 2n2 — exact
+    * BIGINTs); τ-b closes in one double expression, identical in
+    * DuckDB. */
+  def aggKendallTau(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "lineitem")
+      .groupBy(col("l_quantity").cast("long").as("x"),
+        expr("CAST(ROUND(l_discount * 100) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"),
+      col("c").as("ca"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"),
+      col("c").as("cb"))
+    val cd = a.join(b, col("xa") < col("xb"))
+      .agg(
+        sum(when(col("ya") < col("yb"), lit(2L) * col("ca") * col("cb"))
+          .otherwise(0L)).as("c2"),
+        sum(when(col("ya") > col("yb"), lit(2L) * col("ca") * col("cb"))
+          .otherwise(0L)).as("d2"))
+    val marg = cells
+      .agg(sum(col("c")).as("n"))
+      .crossJoin(cells.groupBy(col("x")).agg(sum(col("c")).as("tx"))
+        .agg(sum(col("tx") * (col("tx") - 1)).as("n1_2")))
+      .crossJoin(cells.groupBy(col("y")).agg(sum(col("c")).as("ty"))
+        .agg(sum(col("ty") * (col("ty") - 1)).as("n2_2")))
+      .withColumn("n0_2", col("n") * (col("n") - 1))
+    cd.crossJoin(marg)
+      .select(col("n"), col("c2"), col("d2"), col("n1_2"), col("n2_2"),
+        expr("""ROUND((c2 - CAST(d2 AS DOUBLE)) /
+                SQRT((CAST(n0_2 AS DOUBLE) - n1_2) *
+                     (CAST(n0_2 AS DOUBLE) - n2_2)), 6)""").as("tau_b"))
+  }
+
+  /** Brown–Forsythe (median-based Levene) test for variance
+    * homogeneity across the l_returnflag groups — the robust
+    * prerequisite check before trusting [[aggAnovaF]]'s pooled-variance
+    * denominator. Group medians come from cumulative counts over the
+    * ≤50-row distinct-value table (doubled median m2 = x_(⌈n/2⌉) +
+    * x_(⌊n/2⌋+1), so even-n midpoints stay integer); per-row deviations
+    * d = |2x − m2| are exact BIGINTs, and the F statistic on d reuses
+    * the [[aggAnovaF]] exact-moment shape. Corpus work: one groupBy to
+    * the value table + one 3-row broadcast join back; the only windows
+    * run over per-group ≤50-row aggregates. */
+  def aggLeveneTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("q"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val med = cnt
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("grp"))))
+      .groupBy(col("grp"))
+      .agg(min(when(col("cum") >= expr("(n + 1) DIV 2"), col("q")))
+          .as("x_lo"),
+        min(when(col("cum") >= expr("n DIV 2 + 1"), col("q"))).as("x_hi"))
+      .select(col("grp"), (col("x_lo") + col("x_hi")).as("m2"))
+    val g = t(s, d, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("x"))
+      .join(broadcast(med), "grp")
+      .select(col("grp"),
+        abs(lit(2L) * col("x") - col("m2")).as("dv"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(col("dv")).as("s_g"),
+        sum(col("dv") * col("dv")).as("ss_g"))
+    g.select(col("n_g"), col("s_g"), col("ss_g"),
+        expr("CAST(ROUND(CAST(s_g AS DOUBLE) * s_g / n_g, 8) " +
+          "AS DECIMAL(28,8))").as("term"))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+        sum(col("term")).as("a"))
+      .select(col("k"), col("n"), col("s"), col("ss"),
+        expr("""ROUND(((CAST(a AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                 / (k - 1)) /
+                ((ss - CAST(a AS DOUBLE)) / (n - k)), 6)""").as("f_stat"))
+  }
+
+  /** Exact weighted median of l_quantity weighted by extended price —
+    * the "where does the money-mass sit" statistic (an unweighted
+    * median answers rows; curation and revenue analyses weight by
+    * value/tokens/bytes). Same distinct-value discipline as
+    * [[aggKruskalWallis]]: weights collapse to the ≤50-row value table
+    * as exact integer CENTS, the cumulative runs over that aggregate,
+    * and the lower weighted median is the smallest value with
+    * 2·cumw ≥ W — an all-integer selection, no division anywhere.
+    * Corpus work: one map-side-combined groupBy. */
+  def aggWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perV = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("q"))
+      .agg(sum(expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)"))
+        .as("w"))
+    val win = Window.partitionBy(col("grp")).orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perV
+      .withColumn("cumw", sum(col("w")).over(win))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy(col("grp"))))
+      .groupBy(col("grp"))
+      .agg(max(col("tot")).as("w_total"),
+        min(when(col("cumw") * 2 >= col("tot"), col("q")))
+          .as("w_median"))
+      .orderBy(col("grp"))
+  }
+
+  /** Marketing-style conversion attribution over the event stream:
+    * each purchase credits the user's PRECEDING events — last-touch
+    * (all credit to the most recent prior channel) and linear (credit
+    * split across prior channels in proportion to their counts). Both
+    * ride ONE per-user window pass: four conditional cumulative counts
+    * (O(1)/row growing frames) plus a last_value(ignore nulls) carry —
+    * no self-join, no per-purchase rescan, one user-key shuffle at any
+    * history density. Per-purchase linear shares are round@12 decimals
+    * (the [[aggAnovaF]] intermediate discipline) so the per-channel
+    * sums are order-independent; last-touch credits are integers. */
+  def aggAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chans = Seq("click", "view", "signup", "error")
+    val withCums = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumns(chans.map(c => s"n_$c" ->
+        coalesce(sum(when(col("event_type") === c, 1L).otherwise(0L))
+          .over(w), lit(0L))).toMap)
+      .withColumn("last_chan",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+    val purchases = withCums.filter(col("event_type") === "purchase")
+      .withColumn("n_prior",
+        chans.map(c => col(s"n_$c")).reduce(_ + _))
+      .filter(col("n_prior") > 0)
+    val unpiv = purchases.select(col("last_chan"), col("n_prior"),
+      expr("stack(4, 'click', n_click, 'view', n_view, " +
+        "'signup', n_signup, 'error', n_error) AS (channel, cnt)"))
+    unpiv
+      .groupBy(col("channel"))
+      .agg(
+        sum(when(col("last_chan") === col("channel"), 1L).otherwise(0L))
+          .as("last_touch"),
+        sum(expr("CAST(ROUND(CAST(cnt AS DOUBLE) / n_prior, 12) " +
+          "AS DECIMAL(28,12))")).as("lin"))
+      .select(col("channel"), col("last_touch"),
+        expr("ROUND(CAST(lin AS DOUBLE), 6)").as("linear_credit"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_median" -> (aggWeightedMedian _),
+    "agg_attribution" -> (aggAttribution _),
+    "agg_kruskal_wallis" -> (aggKruskalWallis _),
+    "agg_spearman_corr" -> (aggSpearmanCorr _),
+    "agg_kendall_tau" -> (aggKendallTau _),
+    "agg_levene_test" -> (aggLeveneTest _),
     "profile_interarrival" -> (profileInterarrival _),
     "agg_srm_check" -> (aggSrmCheck _),
     "agg_calibration_curve" -> (aggCalibrationCurve _),
@@ -2514,6 +2758,211 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // integer-cent weights on the value table; lower weighted median
+    // by all-integer 2·cumw ≥ W selection
+    "agg_weighted_median" ->
+      """WITH perv AS (
+        |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |), c AS (
+        |  SELECT grp, q, w,
+        |    CAST(SUM(w) OVER (PARTITION BY grp ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cumw,
+        |    CAST(SUM(w) OVER (PARTITION BY grp) AS BIGINT) AS tot
+        |  FROM perv
+        |)
+        |SELECT grp, MAX(tot) AS w_total,
+        |  MIN(CASE WHEN cumw * 2 >= tot THEN q END) AS w_median
+        |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
+    // one per-user window pass: conditional growing-frame counts +
+    // last_value carry; round@12 decimal linear shares; integer
+    // last-touch credits
+    "agg_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1
+        |      ELSE 0 END) OVER wb, 0) AS n_click,
+        |    COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1
+        |      ELSE 0 END) OVER wb, 0) AS n_view,
+        |    COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1
+        |      ELSE 0 END) OVER wb, 0) AS n_signup,
+        |    COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1
+        |      ELSE 0 END) OVER wb, 0) AS n_error,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER wb AS last_chan
+        |  FROM events
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), p AS (
+        |  SELECT last_chan,
+        |    n_click + n_view + n_signup + n_error AS n_prior,
+        |    n_click, n_view, n_signup, n_error
+        |  FROM e WHERE event_type = 'purchase'
+        |    AND n_click + n_view + n_signup + n_error > 0
+        |), u AS (
+        |  SELECT last_chan, n_prior, 'click' AS channel,
+        |    n_click AS cnt FROM p
+        |  UNION ALL SELECT last_chan, n_prior, 'view', n_view FROM p
+        |  UNION ALL SELECT last_chan, n_prior, 'signup', n_signup FROM p
+        |  UNION ALL SELECT last_chan, n_prior, 'error', n_error FROM p
+        |), g AS (
+        |  SELECT channel,
+        |    CAST(SUM(CASE WHEN last_chan = channel THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS last_touch,
+        |    SUM(CAST(ROUND(CAST(cnt AS DOUBLE) / n_prior, 12)
+        |      AS DECIMAL(28,12))) AS lin
+        |  FROM u GROUP BY 1
+        |)
+        |SELECT channel, last_touch,
+        |  ROUND(CAST(lin AS DOUBLE), 6) AS linear_credit
+        |FROM g ORDER BY channel""".stripMargin,
+    // distinct-value doubled midranks (2cb+t+1); per-group round@8
+    // decimal terms (the anova discipline); ONE closing double H with
+    // the tie correction
+    "agg_kruskal_wallis" ->
+      """WITH cnt AS (
+        |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), perq AS (
+        |  SELECT q, CAST(SUM(c) AS BIGINT) AS tq FROM cnt GROUP BY 1
+        |), pr AS (
+        |  SELECT q, tq,
+        |    COALESCE(CAST(SUM(tq) OVER (ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS cb
+        |  FROM perq
+        |), perg AS (
+        |  SELECT cnt.grp, CAST(SUM(c) AS BIGINT) AS n_g,
+        |    CAST(SUM(c * (2 * cb + tq + 1)) AS BIGINT) AS r2_g
+        |  FROM cnt JOIN pr USING (q) GROUP BY 1
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    SUM(CAST(ROUND(CAST(r2_g AS DOUBLE) * r2_g / n_g, 8)
+        |      AS DECIMAL(38,8))) AS a
+        |  FROM perg
+        |), ties AS (
+        |  SELECT CAST(SUM(tq * tq * tq - tq) AS BIGINT) AS tie_term
+        |  FROM perq
+        |)
+        |SELECT k, n, tie_term,
+        |  ROUND((3 * CAST(a AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1))
+        |     - 3 * (n + 1)) /
+        |    (1 - CAST(tie_term AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * n * n - n)), 6) AS h_stat
+        |FROM agg CROSS JOIN ties""".stripMargin,
+    // doubled midranks on both marginals; exact BIGINT Pearson moments
+    // of the doubled ranks (affine-invariant); one closing double rho
+    "agg_spearman_corr" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), rx AS (
+        |  SELECT x, 2 * COALESCE(CAST(SUM(t) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + t + 1 AS dr_x
+        |  FROM (SELECT x, CAST(SUM(c) AS BIGINT) AS t
+        |        FROM cells GROUP BY 1)
+        |), ry AS (
+        |  SELECT y, 2 * COALESCE(CAST(SUM(t) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) + t + 1 AS dr_y
+        |  FROM (SELECT y, CAST(SUM(c) AS BIGINT) AS t
+        |        FROM cells GROUP BY 1)
+        |), m AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(c * dr_x) AS BIGINT) AS sx,
+        |    CAST(SUM(c * dr_y) AS BIGINT) AS sy,
+        |    CAST(SUM(c * dr_x * dr_x) AS BIGINT) AS sxx,
+        |    CAST(SUM(c * dr_y * dr_y) AS BIGINT) AS syy,
+        |    CAST(SUM(c * dr_x * dr_y) AS BIGINT) AS sxy
+        |  FROM cells JOIN rx USING (x) JOIN ry USING (y)
+        |)
+        |SELECT n, sx, sy,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |         (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+        |    6) AS rho
+        |FROM m""".stripMargin,
+    // concordance counted over the ≤550-cell joint table (value-space
+    // all-pairs, never row pairs); doubled integer counts; one closing
+    // double tau-b
+    "agg_kendall_tau" ->
+      """WITH cells AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM cells_src GROUP BY 1, 2
+        |), cd AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN a.y < b.y THEN 2 * a.c * b.c
+        |      ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN a.y > b.y THEN 2 * a.c * b.c
+        |      ELSE 0 END) AS BIGINT) AS d2
+        |  FROM cells a JOIN cells b ON a.x < b.x
+        |), marg AS (
+        |  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cells) AS n,
+        |    (SELECT CAST(SUM(tx * (tx - 1)) AS BIGINT) FROM
+        |      (SELECT CAST(SUM(c) AS BIGINT) AS tx FROM cells
+        |       GROUP BY x)) AS n1_2,
+        |    (SELECT CAST(SUM(ty * (ty - 1)) AS BIGINT) FROM
+        |      (SELECT CAST(SUM(c) AS BIGINT) AS ty FROM cells
+        |       GROUP BY y)) AS n2_2
+        |)
+        |SELECT n, c2, d2, n1_2, n2_2,
+        |  ROUND((c2 - CAST(d2 AS DOUBLE)) /
+        |    SQRT((CAST(n * (n - 1) AS DOUBLE) - n1_2) *
+        |         (CAST(n * (n - 1) AS DOUBLE) - n2_2)), 6) AS tau_b
+        |FROM cd CROSS JOIN marg""".stripMargin
+        .replace("cells_src", "lineitem"),
+    // doubled group medians from distinct-value cumulative counts;
+    // exact BIGINT |2x − m2| deviations; anova-shaped exact-moment F
+    "agg_levene_test" ->
+      """WITH cnt AS (
+        |  SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT grp, q, c,
+        |    CAST(SUM(c) OVER (PARTITION BY grp ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+        |  FROM cnt
+        |), med AS (
+        |  SELECT grp,
+        |    MIN(CASE WHEN cum >= (n + 1) // 2 THEN q END) +
+        |    MIN(CASE WHEN cum >= n // 2 + 1 THEN q END) AS m2
+        |  FROM cum GROUP BY 1
+        |), g AS (
+        |  SELECT l.l_returnflag AS grp,
+        |    CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(ABS(2 * CAST(l_quantity AS BIGINT) - m2))
+        |      AS BIGINT) AS s_g,
+        |    CAST(SUM(ABS(2 * CAST(l_quantity AS BIGINT) - m2) *
+        |      ABS(2 * CAST(l_quantity AS BIGINT) - m2)) AS BIGINT) AS ss_g
+        |  FROM lineitem l JOIN med ON l.l_returnflag = med.grp
+        |  GROUP BY 1
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(n_g) AS BIGINT) AS n,
+        |    CAST(SUM(s_g) AS BIGINT) AS s,
+        |    CAST(SUM(ss_g) AS BIGINT) AS ss,
+        |    SUM(CAST(ROUND(CAST(s_g AS DOUBLE) * s_g / n_g, 8)
+        |      AS DECIMAL(28,8))) AS a
+        |  FROM g
+        |)
+        |SELECT k, n, s, ss,
+        |  ROUND(((CAST(a AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+        |     / (k - 1)) /
+        |    ((ss - CAST(a AS DOUBLE)) / (n - k)), 6) AS f_stat
+        |FROM agg""".stripMargin,
     // exact integer gaps + integer-div mean; quantile_disc matches
     // approx_percentile@1e6 exactly at fixture cardinalities
     "profile_interarrival" ->

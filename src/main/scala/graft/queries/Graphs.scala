@@ -95,6 +95,32 @@ object Graphs {
       |ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       |       FROM e)""".stripMargin
 
+  /** Shared DuckDB CTE suffix mirroring [[graphCommunityLpa]]'s three
+    * synchronous rounds (consumed by the LPA and modularity oracles). */
+  private val lpaCte =
+    """
+      |, nb AS (SELECT u AS node, v AS nbr FROM ue
+      |         UNION ALL SELECT v, u FROM ue),
+      |l0 AS (SELECT DISTINCT node, node AS lbl FROM nb),
+      |c1 AS (SELECT n.node, l.lbl, COUNT(*) AS c
+      |       FROM nb n JOIN l0 l ON l.node = n.nbr GROUP BY 1, 2),
+      |l1 AS (SELECT node, lbl FROM (
+      |         SELECT node, lbl, ROW_NUMBER() OVER (
+      |           PARTITION BY node ORDER BY c DESC, lbl) AS rn
+      |         FROM c1) WHERE rn = 1),
+      |c2 AS (SELECT n.node, l.lbl, COUNT(*) AS c
+      |       FROM nb n JOIN l1 l ON l.node = n.nbr GROUP BY 1, 2),
+      |l2 AS (SELECT node, lbl FROM (
+      |         SELECT node, lbl, ROW_NUMBER() OVER (
+      |           PARTITION BY node ORDER BY c DESC, lbl) AS rn
+      |         FROM c2) WHERE rn = 1),
+      |c3 AS (SELECT n.node, l.lbl, COUNT(*) AS c
+      |       FROM nb n JOIN l2 l ON l.node = n.nbr GROUP BY 1, 2),
+      |l3 AS (SELECT node, lbl FROM (
+      |         SELECT node, lbl, ROW_NUMBER() OVER (
+      |           PARTITION BY node ORDER BY c DESC, lbl) AS rn
+      |         FROM c3) WHERE rn = 1)""".stripMargin
+
   /** Degree histogram of the undirected kNN graph — the first corpus
     * diagnostic (hub-heavy degree tails mean near-dup clusters or
     * template content). One shuffle to count per node, one to histogram:
@@ -292,8 +318,75 @@ object Graphs {
       .orderBy(col("node"))
   }
 
+  /** Newman modularity of the [[graphCommunityLpa]] partition — the
+    * score a curation pipeline uses to decide whether the community
+    * structure it just found is real (Q near 0 = noise) before acting
+    * on it (per-cluster sampling, cluster-level dedup). Decomposed so
+    * NO per-community float is ever summed: Q = E_in/m − (Σ_c d_c²)/
+    * (4m²), where E_in (intra-community edges), m and Σ_c d_c² are
+    * exact BIGINTs (at 10¹²-edge scale d_c² would route through
+    * DECIMAL(38,0); the shape is unchanged) and Q closes in ONE double
+    * expression, identical in DuckDB. Work: node-key joins of labels
+    * onto the edge list + |communities|-bounded aggregates — nothing
+    * corpus-sized. */
+  def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val ue = undirected(materializedEdges(s, d))
+    val labels = graphCommunityLpa(s, d)
+    val lu = labels.select(col("node").as("u"), col("label").as("lu"))
+    val lv = labels.select(col("node").as("v"), col("label").as("lv"))
+    val m = ue.agg(count(lit(1)).as("m"))
+    val eIn = ue.join(lu, "u").join(lv, "v")
+      .agg(sum(when(col("lu") === col("lv"), 1L).otherwise(0L))
+        .as("e_in"))
+    val deg = ue.select(col("u").as("node"))
+      .unionAll(ue.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dc2 = deg.join(labels, "node")
+      .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
+      .agg(count(lit(1)).as("n_comm"),
+        sum(col("d_c") * col("d_c")).as("sum_dc2"))
+    m.crossJoin(eIn).crossJoin(dc2)
+      .select(col("m"), col("e_in"), col("n_comm"), col("sum_dc2"),
+        expr("""ROUND(CAST(e_in AS DOUBLE) / m -
+                CAST(sum_dc2 AS DOUBLE) /
+                  (4 * CAST(m AS DOUBLE) * m), 6)""").as("q"))
+  }
+
+  /** Degree assortativity of the undirected kNN graph — the Pearson
+    * correlation of endpoint degrees over the directed edge list
+    * (Newman 2002): positive means hubs link to hubs (template/boiler-
+    * plate clusters in a corpus graph), negative means hub-periphery.
+    * Shape: degrees are one node-key aggregate; each undirected edge
+    * contributes BOTH orientations (the standard symmetrized estimator,
+    * which makes sx ≡ sy and the formula exactly symmetric); all five
+    * moments are exact BIGINTs (deg ≤ |V|, Σ deg³-scale sums stay far
+    * under 2⁶³ for any graph whose edge list fits a cluster); r closes
+    * in ONE double expression, identical in DuckDB. Work: two
+    * node-key shuffles (degree + join back), nothing corpus-sized. */
+  def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val ue = undirected(materializedEdges(s, d))
+    val deg = ue.select(col("u").as("node"))
+      .unionAll(ue.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dir = ue.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(ue.select(col("v").as("a"), col("u").as("b")))
+    dir
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .agg(count(lit(1)).as("m"),
+        sum(col("da")).as("sx"),
+        sum(col("da") * col("da")).as("sxx"),
+        sum(col("da") * col("db")).as("sxy"))
+      .select(col("m"), col("sx"), col("sxx"), col("sxy"),
+        expr("""ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) /
+                (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                6)""").as("r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (graphAssortativity _),
     "graph_community_lpa" -> (graphCommunityLpa _),
+    "graph_modularity" -> (graphModularity _),
     "graph_reachability_cte" -> (graphReachabilityCte _),
     "graph_degree_distribution" -> (graphDegreeDistribution _),
     "graph_triangles" -> (graphTriangles _),
@@ -302,32 +395,60 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    // symmetrized endpoint-degree Pearson: exact BIGINT moments over
+    // the doubled edge list; sy ≡ sx by symmetry; one closing double r
+    "graph_assortativity" -> (edgeCte +
+      """
+        |, dg AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue)
+        |  GROUP BY node),
+        |dir AS (
+        |  SELECT u AS a, v AS b FROM ue
+        |  UNION ALL SELECT v AS a, u AS b FROM ue),
+        |mm AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(da.deg) AS BIGINT) AS sx,
+        |    CAST(SUM(da.deg * da.deg) AS BIGINT) AS sxx,
+        |    CAST(SUM(da.deg * db.deg) AS BIGINT) AS sxy
+        |  FROM dir JOIN dg da ON da.node = dir.a
+        |           JOIN dg db ON db.node = dir.b
+        |)
+        |SELECT m, sx, sxx, sxy,
+        |  ROUND((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx) /
+        |    (CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+        |    6) AS r
+        |FROM mm""".stripMargin),
     // three synchronous rounds unrolled as CTEs — the oracle IS the
     // algorithm; argmax tiebreak (count desc, label asc) is total
-    "graph_community_lpa" -> (edgeCte +
+    "graph_community_lpa" -> (edgeCte + lpaCte +
       """
-        |, nb AS (SELECT u AS node, v AS nbr FROM ue
-        |         UNION ALL SELECT v, u FROM ue),
-        |l0 AS (SELECT DISTINCT node, node AS lbl FROM nb),
-        |c1 AS (SELECT n.node, l.lbl, COUNT(*) AS c
-        |       FROM nb n JOIN l0 l ON l.node = n.nbr GROUP BY 1, 2),
-        |l1 AS (SELECT node, lbl FROM (
-        |         SELECT node, lbl, ROW_NUMBER() OVER (
-        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn
-        |         FROM c1) WHERE rn = 1),
-        |c2 AS (SELECT n.node, l.lbl, COUNT(*) AS c
-        |       FROM nb n JOIN l1 l ON l.node = n.nbr GROUP BY 1, 2),
-        |l2 AS (SELECT node, lbl FROM (
-        |         SELECT node, lbl, ROW_NUMBER() OVER (
-        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn
-        |         FROM c2) WHERE rn = 1),
-        |c3 AS (SELECT n.node, l.lbl, COUNT(*) AS c
-        |       FROM nb n JOIN l2 l ON l.node = n.nbr GROUP BY 1, 2),
-        |l3 AS (SELECT node, lbl FROM (
-        |         SELECT node, lbl, ROW_NUMBER() OVER (
-        |           PARTITION BY node ORDER BY c DESC, lbl) AS rn
-        |         FROM c3) WHERE rn = 1)
         |SELECT node, lbl AS label FROM l3 ORDER BY node""".stripMargin),
+    // shared-label edge meet + per-community integer degree masses;
+    // Q = E_in/m − Σd_c²/(4m²) closed in ONE double expression
+    "graph_modularity" -> (edgeCte + lpaCte +
+      """
+        |, mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ue),
+        |ein AS (
+        |  SELECT CAST(SUM(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS e_in
+        |  FROM ue JOIN l3 la ON la.node = ue.u
+        |          JOIN l3 lb ON lb.node = ue.v),
+        |dg2 AS (
+        |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue)
+        |  GROUP BY node),
+        |dc AS (
+        |  SELECT l3.lbl, CAST(SUM(deg) AS BIGINT) AS d_c
+        |  FROM dg2 JOIN l3 ON l3.node = dg2.node GROUP BY 1),
+        |dc2 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
+        |    CAST(SUM(d_c * d_c) AS BIGINT) AS sum_dc2 FROM dc)
+        |SELECT m, e_in, n_comm, sum_dc2,
+        |  ROUND(CAST(e_in AS DOUBLE) / m -
+        |    CAST(sum_dc2 AS DOUBLE) /
+        |      (4 * CAST(m AS DOUBLE) * m), 6) AS q
+        |FROM mm CROSS JOIN ein CROSS JOIN dc2""".stripMargin),
     // identical SQL:1999 recursion text; dedges = symmetrized ue
     "graph_reachability_cte" -> (edgeCte.replaceFirst("^WITH ",
       "WITH RECURSIVE ") +

@@ -269,6 +269,36 @@ object Joins {
       .orderBy(col("v_id"))
   }
 
+  /** Backward as-of join with a TOLERANCE bound (pandas merge_asof
+    * semantics): for each purchase, the same user's latest view, but
+    * only if it happened within the last hour — otherwise NULL. The
+    * tolerance is not just semantics, it is the SCALE property: the
+    * unbounded backward as-of must consider a user's whole history,
+    * while the banded form is prunable to a 1-hour candidate window
+    * (and at 100 TB becomes a bucketed range join on (user, hour)).
+    * Same keyed-join + per-probe rank shape as [[joinAsof]] —
+    * WindowGroupLimit keeps a 1-heap per probe before the exchange. */
+  def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
+        col("ts").as("p_ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_uid"),
+        col("ts").as("v_ts"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("v_ts").desc_nulls_last, col("v_id").desc_nulls_last)
+    p.join(v,
+        col("p_uid") === col("v_uid") && col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), col("v_id"),
+        (col("v_id").isNotNull).as("matched"))
+      .orderBy(col("p_id"))
+  }
+
   /** As-of NEAREST join: for each purchase, the same user's closest
     * view in EITHER direction, bounded to ±1 hour. The bound is what
     * makes this scale: an unbounded nearest join has no prunable
@@ -503,6 +533,7 @@ object Joins {
     "join_scd2_pointintime" -> (joinScd2Pointintime _),
     "join_asof" -> (joinAsof _),
     "join_asof_forward" -> (joinAsofForward _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_interval" -> (joinInterval _)
   )
@@ -658,6 +689,17 @@ object Joins {
         |  AND (s.valid_to_us IS NULL OR epoch_us(e.ts) < s.valid_to_us)
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """SELECT p_id, v_id, v_id IS NOT NULL AS matched FROM (
+        |  SELECT p.event_id AS p_id, v.event_id AS v_id,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |           ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST)
+        |           AS rn
+        |  FROM events p LEFT JOIN events v
+        |    ON v.user_id = p.user_id AND v.event_type = 'view'
+        |    AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |  WHERE p.event_type = 'purchase') q
+        |WHERE rn = 1 ORDER BY p_id""".stripMargin,
     "join_asof_forward" ->
       """SELECT v_id, p_id, p_id IS NOT NULL AS converted FROM (
         |  SELECT v.event_id AS v_id, p.event_id AS p_id,

@@ -103,7 +103,17 @@ class ParallelismSpec extends AnyFunSuite {
     // decimal per-(stratum, arm) masses
     "sim_search_batch_topk", "agg_stratified_effect",
     // round-9 batch 16: integer lag-7 error sums per type
-    "window_forecast_backtest")
+    "window_forecast_backtest",
+    // round-9 batch 17: doubled-midrank machinery over value tables
+    // (Kruskal/Spearman), value-space pair concordance, doubled group
+    // medians, endpoint-degree moments over the kNN edge list
+    "agg_kruskal_wallis", "agg_spearman_corr", "agg_kendall_tau",
+    "agg_levene_test", "graph_assortativity",
+    // round-9 batch 18: per-user attribution carries; weighted-median
+    // cumulative pick; integer TVD release decisions; LPA-label edge
+    // meet; tolerance-banded 1-heap as-of; min-ownership shingles
+    "agg_attribution", "agg_weighted_median", "privacy_t_closeness",
+    "graph_modularity", "join_asof_tolerance", "text_ngram_novelty")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -947,7 +947,51 @@ object Similarity {
       .limit(10)
   }
 
+  /** Centroid-based silhouette audit of the [[embeddingKmeansAssign]]
+    * partition — the cluster-quality score that decides whether a
+    * SemDeDup-style "sample per cluster" plan is acting on real
+    * structure: s = (b − a) / b with a = distance to the assigned
+    * (nearest) centroid and b = distance to the runner-up (the
+    * simplified silhouette; the classic pairwise form is O(n²) and its
+    * centroid surrogate is the standard at-scale substitute). Squared
+    * distances are exact micro-unit BIGINTs via the same argmin
+    * discipline as kmeans (struct-min over k literal centroids, (d2,
+    * cell) tiebreak); sqrt is correctly rounded IEEE on both engines,
+    * and s closes in ONE double expression. One corpus pass, k×dim
+    * model state in the plan — no joined relation, scale-safe. */
+  def embeddingSilhouette(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+      .sortBy(_._1)
+    val cells = centroids.map { case (cell, cm) =>
+      val d2 = aggregate(
+        zip_with(col("micro"), typedLit(cm.toSeq),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(cell).as("cell"))
+    }
+    e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000d).cast("bigint"))
+          .as("micro"))
+      .select(col("vec_id"), array_sort(array(cells: _*)).as("sorted"))
+      .select(col("vec_id"),
+        col("sorted")(0).getField("cell").as("cell"),
+        col("sorted")(0).getField("d2").as("a2"),
+        col("sorted")(1).getField("d2").as("b2"))
+      .withColumn("sil",
+        expr("ROUND((SQRT(CAST(b2 AS DOUBLE)) - SQRT(CAST(a2 AS DOUBLE)))" +
+          " / SQRT(CAST(b2 AS DOUBLE)), 6)"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_silhouette" -> (embeddingSilhouette _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_search_range" -> (simSearchRange _),
     "embedding_normalize" -> (embeddingNormalize _),
@@ -1068,6 +1112,39 @@ object Similarity {
         |ORDER BY hamming, w.vec_id LIMIT 10""".stripMargin),
     // exact integer micro²-unit L2 distances; argmin tiebreak lowest
     // cell — identical quantization on both sides
+    // same quantize/argmin discipline as kmeans_assign; rk1/rk2 via one
+    // ranked scan; ONE closing double (b−a)/b with IEEE sqrt
+    "embedding_silhouette" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS m
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, m AS cm
+        |  FROM e WHERE vec_id < 8
+        |), dists AS (
+        |  SELECT e.vec_id, c.cell,
+        |    CAST(list_sum(list_transform(range(1, len(e.m) + 1),
+        |      i -> (e.m[i] - c.cm[i]) * (e.m[i] - c.cm[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e CROSS JOIN c
+        |), r AS (
+        |  SELECT vec_id, cell, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, cell) AS rn
+        |  FROM dists
+        |), p AS (
+        |  SELECT vec_id,
+        |    MIN(CASE WHEN rn = 1 THEN cell END) AS cell,
+        |    MIN(CASE WHEN rn = 1 THEN d2 END) AS a2,
+        |    MIN(CASE WHEN rn = 2 THEN d2 END) AS b2
+        |  FROM r WHERE rn <= 2 GROUP BY vec_id
+        |)
+        |SELECT vec_id, cell, a2, b2,
+        |  ROUND((SQRT(CAST(b2 AS DOUBLE)) - SQRT(CAST(a2 AS DOUBLE)))
+        |    / SQRT(CAST(b2 AS DOUBLE)), 6) AS sil
+        |FROM p ORDER BY vec_id""".stripMargin,
     "embedding_kmeans_assign" ->
       """WITH e AS (
         |  SELECT vec_id,

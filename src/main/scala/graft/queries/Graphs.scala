@@ -383,7 +383,45 @@ object Graphs {
                 6)""").as("r"))
   }
 
+  /** 3-round synchronous 3-core peel — the density filter a curation
+    * pipeline runs before trusting cluster structure (nodes that
+    * survive iterated min-degree-3 pruning sit in genuinely dense
+    * near-dup neighborhoods; leaves and chains peel off). Like
+    * [[graphCommunityLpa]], the BOUNDED synchronous round count IS the
+    * defined semantics (full coreness runs to fixpoint; three rounds
+    * already classify the overwhelming mass, and the bound makes the
+    * oracle an exact unrolled replay). Each round is one node-key
+    * degree aggregate + two semi-joins to restrict the edge list —
+    * everything shuffles on node keys over the (few × |V|)-row edge
+    * relation, never the corpus; round results are only
+    * logical-plan-deep (3 rounds, Catalyst-planned end to end). Output:
+    * peel_round 1..3, or 0 = survives all three rounds. */
+  def graphKcore(s: SparkSession, d: String): DataFrame = {
+    val K = 3
+    var edges = undirected(materializedEdges(s, d))
+    var alive = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node"))).distinct()
+    var peeled: DataFrame = alive.filter(lit(false))
+      .withColumn("peel_round", lit(0))
+    for (r <- 1 to 3) {
+      val deg = edges.select(col("u").as("node"))
+        .unionAll(edges.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val flagged = alive.join(deg, Seq("node"), "left")
+        .withColumn("dg", coalesce(col("deg"), lit(0L)))
+      peeled = peeled.unionAll(flagged.filter(col("dg") < K)
+        .select(col("node"), lit(r).as("peel_round")))
+      alive = flagged.filter(col("dg") >= K).select(col("node"))
+      edges = edges
+        .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+    }
+    peeled.unionAll(alive.withColumn("peel_round", lit(0)))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (graphKcore _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_community_lpa" -> (graphCommunityLpa _),
     "graph_modularity" -> (graphModularity _),
@@ -395,6 +433,45 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    // three unrolled synchronous peel rounds — the oracle IS the
+    // bounded-round definition (mirrors the LPA precedent)
+    "graph_kcore" -> (edgeCte +
+      """
+        |, nd AS (SELECT DISTINCT u AS node FROM ue
+        |         UNION SELECT v FROM ue),
+        |d1 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        |         SELECT u AS node FROM ue UNION ALL SELECT v FROM ue)
+        |       GROUP BY 1),
+        |p1 AS (SELECT nd.node FROM nd LEFT JOIN d1 USING (node)
+        |       WHERE COALESCE(dg, 0) < 3),
+        |a1 AS (SELECT nd.node FROM nd LEFT JOIN d1 USING (node)
+        |       WHERE COALESCE(dg, 0) >= 3),
+        |e1 AS (SELECT ue.u, ue.v FROM ue
+        |       JOIN a1 au ON au.node = ue.u
+        |       JOIN a1 av ON av.node = ue.v),
+        |d2 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        |         SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+        |       GROUP BY 1),
+        |p2 AS (SELECT a1.node FROM a1 LEFT JOIN d2 USING (node)
+        |       WHERE COALESCE(dg, 0) < 3),
+        |a2 AS (SELECT a1.node FROM a1 LEFT JOIN d2 USING (node)
+        |       WHERE COALESCE(dg, 0) >= 3),
+        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |       JOIN a2 au ON au.node = e1.u
+        |       JOIN a2 av ON av.node = e1.v),
+        |d3 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        |         SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2)
+        |       GROUP BY 1),
+        |p3 AS (SELECT a2.node FROM a2 LEFT JOIN d3 USING (node)
+        |       WHERE COALESCE(dg, 0) < 3),
+        |a3 AS (SELECT a2.node FROM a2 LEFT JOIN d3 USING (node)
+        |       WHERE COALESCE(dg, 0) >= 3)
+        |SELECT node, peel_round FROM (
+        |  SELECT node, 1 AS peel_round FROM p1
+        |  UNION ALL SELECT node, 2 FROM p2
+        |  UNION ALL SELECT node, 3 FROM p3
+        |  UNION ALL SELECT node, 0 FROM a3)
+        |ORDER BY node""".stripMargin),
     // symmetrized endpoint-degree Pearson: exact BIGINT moments over
     // the doubled edge list; sy ≡ sx by symmetry; one closing double r
     "graph_assortativity" -> (edgeCte +

@@ -299,6 +299,81 @@ object Joins {
       .orderBy(col("p_id"))
   }
 
+  /** Banded prior-window AGGREGATE join: for each purchase, COUNT and
+    * recency of the same user's views in [p_ts − 1h, p_ts). Where
+    * [[joinAsofTolerance]] picks ONE prior row, this aggregates the
+    * whole band — the feature-engineering primitive behind every
+    * "activity in the last hour" model input. The implementation IS
+    * the 100 TB shape: views land in 1-hour buckets, each purchase
+    * probes exactly two (user, bucket) keys, and the join is a plain
+    * equi-join on those keys — a time-banded join decomposed to
+    * hash-partitionable form, no theta join, no per-probe history
+    * scan; candidate width is bounded by per-user-per-hour activity,
+    * not history length. The exact band filter runs on the bucket
+    * survivors. */
+  def joinWindowAggregate(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val e = t(s, d, "events")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("uid"),
+        unix_micros(col("ts")).as("p_us"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("uid"), unix_micros(col("ts")).as("v_us"))
+      .withColumn("vb", expr(s"v_us div $hourUs"))
+    val probes = p.withColumn("vb",
+      explode(array(expr(s"p_us div $hourUs"),
+        expr(s"p_us div $hourUs - 1"))))
+    val hits = probes.join(v, Seq("uid", "vb"))
+      .filter(col("v_us") >= col("p_us") - hourUs &&
+        col("v_us") < col("p_us"))
+      .groupBy(col("p_id"))
+      .agg(count(lit(1)).as("nv"), max(col("v_us")).as("last_v"))
+    p.join(hits, Seq("p_id"), "left")
+      .select(col("p_id"), coalesce(col("nv"), lit(0L)).as("n_views"),
+        (col("p_us") - col("last_v")).as("gap_us"))
+      .orderBy(col("p_id"))
+  }
+
+  /** Grid-cell-bucketed spatial neighbor join — the geohash/S2 scale
+    * pattern: points land in 1°×1° cells, each probe expands to its
+    * 3×3 cell neighborhood, and the candidate join is a plain
+    * equi-join on cell keys; the exact Chebyshev band (< 1° in both
+    * axes) filters survivors. No all-pairs path at any scale —
+    * candidates are bounded by local point density, and the cell keys
+    * hash-partition perfectly. Coordinates are deterministic synthetic
+    * centidegrees derived from the customer key via the house
+    * cross-engine md5 recipe (the fixture has no geo columns), on an
+    * UNSHIFTED [0,18000)×[0,36000) grid so every division is on
+    * non-negatives (Spark `div` truncates toward zero, DuckDB `//`
+    * floors — they agree only there). */
+  def joinGeoGrid(s: SparkSession, d: String): DataFrame = {
+    val pts = t(s, d, "customer").select(col("c_custkey").as("ck"),
+        expr("""CAST(conv(substring(md5(concat('lat|',
+                CAST(c_custkey AS STRING))), 1, 6), 16, 10) AS BIGINT)
+                % 18000""").as("lat"),
+        expr("""CAST(conv(substring(md5(concat('lon|',
+                CAST(c_custkey AS STRING))), 1, 6), 16, 10) AS BIGINT)
+                % 36000""").as("lon"))
+      .withColumn("cla", expr("lat div 100"))
+      .withColumn("clo", expr("lon div 100"))
+    val probes = pts
+      .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("ck").as("a"), col("lat").as("la"), col("lon").as("oa"),
+        (col("cla") + col("dla")).as("cla"),
+        (col("clo") + col("dlo")).as("clo"))
+    val hits = probes
+      .join(pts.select(col("ck").as("b"), col("lat").as("lb"),
+        col("lon").as("ob"), col("cla"), col("clo")), Seq("cla", "clo"))
+      .filter(col("a") =!= col("b") &&
+        abs(col("la") - col("lb")) < 100 && abs(col("oa") - col("ob")) < 100)
+      .groupBy(col("a")).agg(count(lit(1)).as("nn"))
+    pts.join(hits, pts("ck") === hits("a"), "left")
+      .select(col("ck"), col("lat"), col("lon"),
+        coalesce(col("nn"), lit(0L)).as("n_neighbors"))
+      .orderBy(col("ck"))
+  }
+
   /** As-of NEAREST join: for each purchase, the same user's closest
     * view in EITHER direction, bounded to ±1 hour. The bound is what
     * makes this scale: an unbounded nearest join has no prunable
@@ -534,6 +609,8 @@ object Joins {
     "join_asof" -> (joinAsof _),
     "join_asof_forward" -> (joinAsofForward _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
+    "join_window_aggregate" -> (joinWindowAggregate _),
+    "join_geo_grid" -> (joinGeoGrid _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_interval" -> (joinInterval _)
   )
@@ -689,6 +766,47 @@ object Joins {
         |  AND (s.valid_to_us IS NULL OR epoch_us(e.ts) < s.valid_to_us)
         |WHERE e.event_type = 'purchase'
         |ORDER BY e.event_id""".stripMargin,
+    // oracle states the SEMANTICS as a direct range join; the engine's
+    // bucketed decomposition must produce identical aggregates
+    "join_window_aggregate" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view'
+        |), g AS (
+        |  SELECT p.p_id,
+        |    CAST(COUNT(v.v_us) AS BIGINT) AS n_views,
+        |    MAX(v.v_us) AS last_v,
+        |    MAX(p.p_us) AS p_us
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |    AND v.v_us >= p.p_us - 3600000000 AND v.v_us < p.p_us
+        |  GROUP BY p.p_id
+        |)
+        |SELECT p_id, n_views, p_us - last_v AS gap_us
+        |FROM g ORDER BY p_id""".stripMargin,
+    // oracle is the direct Chebyshev-band theta join; the engine's
+    // 3×3 cell expansion must count the identical neighbor sets
+    "join_geo_grid" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS ck,
+        |    CAST(('0x' || substring(md5('lat|' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+        |      % 18000 AS lat,
+        |    CAST(('0x' || substring(md5('lon|' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+        |      % 36000 AS lon
+        |  FROM customer
+        |), nn AS (
+        |  SELECT a.ck, CAST(COUNT(b.ck) AS BIGINT) AS n_neighbors
+        |  FROM pts a LEFT JOIN pts b ON b.ck <> a.ck
+        |    AND ABS(a.lat - b.lat) < 100 AND ABS(a.lon - b.lon) < 100
+        |  GROUP BY a.ck
+        |)
+        |SELECT pts.ck, lat, lon, n_neighbors
+        |FROM pts JOIN nn ON nn.ck = pts.ck
+        |ORDER BY pts.ck""".stripMargin,
     "join_asof_tolerance" ->
       """SELECT p_id, v_id, v_id IS NOT NULL AS matched FROM (
         |  SELECT p.event_id AS p_id, v.event_id AS v_id,

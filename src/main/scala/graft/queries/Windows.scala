@@ -963,7 +963,45 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Largest-remainder proration — allocate each order's total price
+    * (integer cents) across its lineitems proportional to extended
+    * price, with the rounding remainder distributed one cent at a time
+    * to the largest fractional remainders, so the allocations SUM
+    * EXACTLY to the order total (the invoice/revenue-split primitive;
+    * naive per-row rounding leaks cents). All-integer: base share is
+    * (T·w) div W, the remainder rank orders by (T·w) mod W descending,
+    * and R = T − Σ base extra cents go to the top R ranks. The `exact`
+    * column proves Σ alloc = T per order inside the same pass. One
+    * shuffle: every window partitions by l_orderkey (order sizes are
+    * bounded, no skew). Duplicate lineitem rows are identical, so the
+    * arbitrary rank order among them yields the same alloc MULTISET —
+    * output ordered by (key, alloc) is deterministic. */
+  def windowAllocateRemainder(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"),
+      expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").as("w"))
+    val ord = t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+      expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").as("tt"))
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+    val rankW = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("rem").desc, col("l_linenumber"), col("w"))
+    li.join(ord, "l_orderkey")
+      .withColumn("ww", sum(col("w")).over(byOrder))
+      .withColumn("base", expr("(tt * w) div ww"))
+      .withColumn("rem", expr("(tt * w) % ww"))
+      .withColumn("r_extra", col("tt") - sum(col("base")).over(byOrder))
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("alloc_cents",
+        col("base") + when(col("rn") <= col("r_extra"), 1L).otherwise(0L))
+      .withColumn("exact",
+        sum(col("alloc_cents")).over(byOrder) === col("tt"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("w"),
+        col("alloc_cents"), col("exact"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("alloc_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_allocate_remainder" -> (windowAllocateRemainder _),
     "window_twap" -> (windowTwap _),
     "window_rolling_corr" -> (windowRollingCorr _),
     "window_debounce" -> (windowDebounce _),
@@ -996,6 +1034,37 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // all-integer largest-remainder allocation; alloc multiset is
+    // rank-order-independent for identical duplicate rows; `exact`
+    // asserts the cents conservation inside the result
+    "window_allocate_remainder" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w
+        |  FROM lineitem
+        |), j AS (
+        |  SELECT li.l_orderkey, l_linenumber, w,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tt,
+        |    CAST(SUM(w) OVER (PARTITION BY li.l_orderkey) AS BIGINT) AS ww
+        |  FROM li JOIN orders ON o_orderkey = li.l_orderkey
+        |), b AS (
+        |  SELECT l_orderkey, l_linenumber, w, tt,
+        |    (tt * w) // ww AS base, (tt * w) % ww AS rem,
+        |    tt - CAST(SUM((tt * w) // ww)
+        |      OVER (PARTITION BY l_orderkey) AS BIGINT) AS r_extra,
+        |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY (tt * w) % ww DESC, l_linenumber, w) AS rn
+        |  FROM j
+        |), a AS (
+        |  SELECT l_orderkey, l_linenumber, w, tt,
+        |    base + CASE WHEN rn <= r_extra THEN 1 ELSE 0 END AS alloc_cents
+        |  FROM b
+        |)
+        |SELECT l_orderkey, l_linenumber, w, alloc_cents,
+        |  CAST(SUM(alloc_cents) OVER (PARTITION BY l_orderkey) AS BIGINT)
+        |    = tt AS exact
+        |FROM a
+        |ORDER BY l_orderkey, l_linenumber, alloc_cents""".stripMargin,
     // exact integer gaps from one lead(); exact decimal mass sum; one
     // identical closing double division
     "window_twap" ->

@@ -113,7 +113,12 @@ class ParallelismSpec extends AnyFunSuite {
     // cumulative pick; integer TVD release decisions; LPA-label edge
     // meet; tolerance-banded 1-heap as-of; min-ownership shingles
     "agg_attribution", "agg_weighted_median", "privacy_t_closeness",
-    "graph_modularity", "join_asof_tolerance", "text_ngram_novelty")
+    "graph_modularity", "join_asof_tolerance", "text_ngram_novelty",
+    // round-9 batch 19: iterative peel, bucketed band-join aggregates,
+    // cell-expansion spatial counts, largest-remainder ranks, runner-up
+    // centroid argmin
+    "graph_kcore", "join_window_aggregate", "join_geo_grid",
+    "window_allocate_remainder", "embedding_silhouette")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -1320,7 +1320,77 @@ object Dedup {
         col("n_distinct_full"))
       .orderBy(col("rep_doc"))
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication at embedding-cluster granularity, the step modern
+    * web-scale pipelines run AFTER exact/fuzzy text dedup: k-means
+    * partition the embedding space, pick one representative per cell,
+    * and drop members whose cosine to their cell's representative
+    * exceeds a threshold (0.9 here). The clustering makes it scale:
+    * candidates are only compared WITHIN a cell against ONE
+    * representative — k broadcast rows — never all-pairs and never a
+    * corpus self-join (the paper's point: semantic dup candidates
+    * land in the same cell, so per-vector work is O(k) assignment +
+    * O(1) rep comparison).
+    *
+    * Assignment reuses [[graft.llm.Similarity.embeddingKmeansAssign]]'s
+    * exact discipline: micro-quantized BIGINT vectors, integer d²
+    * argmin over k=8 literal centroids, lowest-cell tiebreak. The
+    * representative is the cell's MINIMUM vec_id (deterministic); the
+    * keep/drop decision avoids any float sqrt: cos > 0.9 iff
+    * dot > 0 ∧ (10·dot)² > (9·‖a‖²)·(9·‖b‖²) — all products held in
+    * DECIMAL(19,0)×DECIMAL(19,0) (values ≤3.3e29, exact on both
+    * engines; width 19 forces DuckDB onto int128 storage — width 18
+    * stays on int64 and its product overflows; Spark clamps the
+    * declared result to (38,0), which the values fit). The
+    * assignment relation is cached: it serves the rep aggregate, the
+    * rep-vector lookup, and the decision join from one corpus pass. */
+  def dedupSemdedup(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+      .sortBy(_._1)
+    val cells = centroids.map { case (cell, cm) =>
+      val d2 = aggregate(
+        zip_with(col("micro"), typedLit(cm.toSeq),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(cell).as("cell"))
+    }
+    val assigned = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000d).cast("bigint"))
+          .as("micro"))
+      .withColumn("cell",
+        array_min(array(cells: _*)).getField("cell"))
+      .cache()
+    val reps = assigned.groupBy(col("cell"))
+      .agg(min(col("vec_id")).as("rep_id"))
+    val repVec = reps.join(
+      assigned.select(col("vec_id").as("rep_id"),
+        col("micro").as("rmicro")), "rep_id")
+    assigned.join(broadcast(repVec), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("rep_id"),
+        aggregate(zip_with(col("micro"), col("rmicro"),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("dot"),
+        aggregate(transform(col("micro"), x => x * x),
+          lit(0L), (acc, x) => acc + x).as("na2"),
+        aggregate(transform(col("rmicro"), x => x * x),
+          lit(0L), (acc, x) => acc + x).as("nb2"))
+      .withColumn("is_dup",
+        expr("""vec_id <> rep_id AND dot > 0
+                AND CAST(10 * dot AS DECIMAL(19,0))
+                    * CAST(10 * dot AS DECIMAL(19,0))
+                  > CAST(9 * na2 AS DECIMAL(19,0))
+                    * CAST(9 * nb2 AS DECIMAL(19,0))"""))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semdedup" -> (dedupSemdedup _),
     "dedup_prefix_truncation" -> (dedupPrefixTruncation _),
     "dedup_url_canonicalize" -> (dedupUrlCanonicalize _),
     "agg_dup_rate_by_source" -> (dedupRateBySource _),
@@ -1347,6 +1417,52 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // same micro-quantize/argmin discipline as embedding_kmeans_assign;
+    // cos>0.9 decided in exact DECIMAL(18,0) cross-multiplication
+    "dedup_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS m
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, m AS cm
+        |  FROM e WHERE vec_id < 8
+        |), dists AS (
+        |  SELECT e.vec_id, c.cell,
+        |    CAST(list_sum(list_transform(range(1, len(e.m) + 1),
+        |      i -> (e.m[i] - c.cm[i]) * (e.m[i] - c.cm[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e CROSS JOIN c
+        |), asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cell) AS rn
+        |    FROM dists) WHERE rn = 1
+        |), reps AS (
+        |  SELECT cell, MIN(vec_id) AS rep_id FROM asg GROUP BY cell
+        |), rv AS (
+        |  SELECT reps.cell, reps.rep_id, e.m AS rm
+        |  FROM reps JOIN e ON e.vec_id = reps.rep_id
+        |), j AS (
+        |  SELECT a.vec_id, a.cell, rv.rep_id,
+        |    CAST(list_sum(list_transform(range(1, len(e.m) + 1),
+        |      i -> e.m[i] * rv.rm[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(e.m, x -> x * x))
+        |      AS BIGINT) AS na2,
+        |    CAST(list_sum(list_transform(rv.rm, x -> x * x))
+        |      AS BIGINT) AS nb2
+        |  FROM asg a JOIN e ON e.vec_id = a.vec_id
+        |    JOIN rv ON rv.cell = a.cell
+        |)
+        |SELECT vec_id, cell, rep_id, dot, na2, nb2,
+        |  vec_id <> rep_id AND dot > 0
+        |    AND CAST(10 * dot AS DECIMAL(19,0))
+        |        * CAST(10 * dot AS DECIMAL(19,0))
+        |      > CAST(9 * na2 AS DECIMAL(19,0))
+        |        * CAST(9 * nb2 AS DECIMAL(19,0)) AS is_dup
+        |FROM j ORDER BY vec_id""".stripMargin,
     // fixed-width prefix digest; integer group filters
     "dedup_prefix_truncation" ->
       """SELECT md5(substring(text, 1, 64)) AS prefix_md5,

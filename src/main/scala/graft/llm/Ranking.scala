@@ -444,7 +444,62 @@ object Ranking {
         round(sum(col("term")).cast("double"), 6).as("rbo"))
   }
 
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney '95;
+    * Chen & Goodman '99 — the standard n-gram smoothing, and the
+    * counting core of a KenLM-style corpus LM build) for the corpus's
+    * top-20 bigrams: P(cur|prev) = (max(c2−D,0) + D·N1+(prev·)·
+    * N1+(·cur)/N1+(··)) / c1(prev) with absolute discount D = 0.75.
+    * The novelty vs [[textBigramLm]]'s add-one model is the
+    * CONTINUATION count N1+(·cur) — how many distinct contexts a word
+    * follows — which is exactly the statistic that requires a second
+    * aggregation over the bigram-TYPE relation, not the corpus
+    * (Zipf-bounded, the same side-table class as c1/vocab).
+    *
+    * Scale shape: ONE corpus pass builds the (prev,cur) hash
+    * aggregate; it is cached and every other statistic (c1, forward /
+    * backward continuation counts, the global type count, the top-20
+    * heap) derives from that bounded relation — the corpus is never
+    * re-read. The head is a TakeOrderedAndProject heap BEFORE the
+    * statistic joins, so joins run on 20 rows.
+    *
+    * Float discipline: every count is an exact BIGINT; D = 0.75 is an
+    * exact binary fraction, c2−0.75 is exact in double below 2^53, and
+    * P_KN closes in ONE identical double expression with a single
+    * trailing ROUND(...,6). */
+  def textKneserNey(s: SparkSession, d: String): DataFrame = {
+    val toksCol = col("toks")
+    val bigramsExpr = when(size(toksCol) >= 2,
+      transform(sequence(lit(1), size(toksCol) - 1),
+        i => struct(element_at(toksCol, i).as("prev"),
+          element_at(toksCol, i + 1).as("cur"))))
+      .otherwise(array().cast("array<struct<prev:string,cur:string>>"))
+    val c2 = t(s, d, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .select(explode(bigramsExpr).as("bg"))
+      .groupBy(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .agg(count(lit(1)).as("c2"))
+      .cache()
+    val head20 = c2.orderBy(col("c2").desc, col("prev"), col("cur"))
+      .limit(20)
+    val c1 = c2.groupBy(col("prev"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("nfw"))
+    val nbw = c2.groupBy(col("cur"))
+      .agg(count(lit(1)).as("nbw"))
+    val ntypes = c2.agg(count(lit(1)).as("n_types"))
+    head20.join(c1, Seq("prev"))
+      .join(nbw, Seq("cur"))
+      .crossJoin(broadcast(ntypes))
+      .select(col("prev"), col("cur"), col("c2"), col("c1"),
+        col("nfw"), col("nbw"), col("n_types"),
+        expr("""ROUND((GREATEST(CAST(c2 AS DOUBLE) - 0.75, 0e0)
+                 + 0.75 * (CAST(nfw AS DOUBLE) * CAST(nbw AS DOUBLE)
+                           / CAST(n_types AS DOUBLE)))
+                / CAST(c1 AS DOUBLE), 6)""").as("p_kn"))
+      .orderBy(col("c2").desc, col("prev"), col("cur"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_kneser_ney" -> (textKneserNey _),
     "text_rbo_overlap" -> (textRboOverlap _),
     "text_pmi_collocations" -> (textPmiCollocations _),
     "text_g2_collocations" -> (textG2Collocations _),
@@ -457,6 +512,36 @@ object Ranking {
   )
 
   val oracles: Map[String, String] = Map(
+    // exact BIGINT counts over the bigram-type relation; D=0.75 is an
+    // exact binary fraction; ONE identical closing double + ROUND@6
+    "text_kneser_ney" ->
+      """WITH docs AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |), inst AS (
+        |  SELECT toks[i] AS prev, toks[i + 1] AS cur
+        |  FROM docs, LATERAL unnest(range(1, len(toks))) AS u(i)
+        |  WHERE len(toks) >= 2
+        |), c2 AS (
+        |  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM inst GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) AS BIGINT) AS nfw
+        |  FROM c2 GROUP BY 1
+        |), bw AS (
+        |  SELECT cur, CAST(COUNT(*) AS BIGINT) AS nbw FROM c2 GROUP BY 1
+        |), nt AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c2
+        |), head AS (
+        |  SELECT * FROM c2 ORDER BY c2 DESC, prev, cur LIMIT 20
+        |)
+        |SELECT prev, cur, c2, c1, nfw, nbw, n_types,
+        |  ROUND((GREATEST(CAST(c2 AS DOUBLE) - 0.75, 0e0)
+        |          + 0.75 * (CAST(nfw AS DOUBLE) * CAST(nbw AS DOUBLE)
+        |                    / CAST(n_types AS DOUBLE)))
+        |        / CAST(c1 AS DOUBLE), 6) AS p_kn
+        |FROM head JOIN c1 USING (prev) JOIN bw USING (cur) CROSS JOIN nt
+        |ORDER BY c2 DESC, prev, cur""".stripMargin,
     // p=1/2 dyadic weights: exact small-integer divisions, round@12
     // decimal sum, one final round (see textRboOverlap Scaladoc)
     "text_rbo_overlap" ->

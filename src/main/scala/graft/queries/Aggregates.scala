@@ -2654,7 +2654,73 @@ object Aggregates {
       .orderBy(col("channel"))
   }
 
+  /** Split-conformal prediction interval (Vovk et al.; Lei et al.
+    * 2018) per event type — the distribution-free eval primitive
+    * behind "is my model's uncertainty calibrated": calibrate on 80%
+    * of days (deterministic epoch-day % 5 split), set the
+    * nonconformity quantile q = the ⌈(n+1)·0.9⌉-th smallest residual
+    * |v − median|, then measure holdout coverage of median ± q. The
+    * conformal guarantee (coverage ≥ 0.9 under exchangeability) is
+    * what makes the reported `coverage` column directly actionable.
+    *
+    * Everything before the one closing division is exact: values as
+    * DECIMAL(18,4), the median and the residual quantile picked by
+    * [[aggWeightedMedian]]'s distinct-value cumulative-crossing
+    * discipline (windows run over the VALUE-SPACE-bounded (type,
+    * value) aggregate, never corpus rows — no global sort, no
+    * percentile over raw data), the rank ⌈(n+1)·9/10⌉ in pure
+    * integer arithmetic ((a·9+9) DIV 10, capped at n). At 100 TB the
+    * corpus cost is three column-pruned scans + map-side-combined
+    * aggregates; the crossing tables broadcast (≤ value-space rows). */
+  def aggConformalInterval(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        col("value").cast("decimal(18,4)").as("v4"),
+        (expr("unix_micros(ts) div 86400000000") % 5 < 4).as("is_cal"))
+    val cal = base.filter(col("is_cal"))
+    val winV = Window.partitionBy(col("event_type")).orderBy(col("v4"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val med = cal.groupBy(col("event_type"), col("v4"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(winV))
+      .withColumn("n_cal",
+        sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_cal")).as("n_cal"),
+        min(when(col("cum") >= expr("(n_cal + 1) DIV 2"), col("v4")))
+          .as("med4"))
+    val winR = Window.partitionBy(col("event_type")).orderBy(col("r4"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val qv = cal.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("n_cal"),
+        abs(col("v4") - col("med4")).as("r4"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(winR))
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cum") >=
+          expr("LEAST(((n_cal + 1) * 9 + 9) DIV 10, n_cal)"),
+        col("r4"))).as("q4"))
+    base.filter(!col("is_cal"))
+      .join(broadcast(med), "event_type")
+      .join(broadcast(qv), "event_type")
+      .select(col("event_type"), col("n_cal"), col("med4"), col("q4"),
+        (abs(col("v4") - col("med4")) <= col("q4")).cast("long")
+          .as("cov"))
+      .groupBy(col("event_type"), col("n_cal"), col("med4"), col("q4"))
+      .agg(count(lit(1)).as("n_hold"), sum(col("cov")).as("n_covered"))
+      .select(col("event_type"), col("n_cal"),
+        col("med4").cast("double").as("med"),
+        col("q4").cast("double").as("q"),
+        col("n_hold"), col("n_covered"),
+        expr("ROUND(CAST(n_covered AS DOUBLE) / CAST(n_hold AS DOUBLE)," +
+          " 6)").as("coverage"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_conformal_interval" -> (aggConformalInterval _),
     "agg_weighted_median" -> (aggWeightedMedian _),
     "agg_attribution" -> (aggAttribution _),
     "agg_kruskal_wallis" -> (aggKruskalWallis _),
@@ -2758,6 +2824,57 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // decimal-exact values; median and residual quantile via the
+    // distinct-value cumulative crossing; integer ceil rank
+    // ((a*9+9)//10); ONE closing double division
+    "agg_conformal_interval" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v4,
+        |    (epoch_us(ts) // 86400000000) % 5 < 4 AS is_cal
+        |  FROM events WHERE value IS NOT NULL
+        |), cal AS (
+        |  SELECT event_type, v4 FROM base WHERE is_cal
+        |), perv AS (
+        |  SELECT event_type, v4, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM cal GROUP BY 1, 2
+        |), medc AS (
+        |  SELECT event_type, v4,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v4
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_cal
+        |  FROM perv
+        |), med AS (
+        |  SELECT event_type, MAX(n_cal) AS n_cal,
+        |    MIN(CASE WHEN cum >= (n_cal + 1) // 2 THEN v4 END) AS med4
+        |  FROM medc GROUP BY event_type
+        |), perr AS (
+        |  SELECT event_type, n_cal, ABS(v4 - med4) AS r4,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM cal JOIN med USING (event_type) GROUP BY 1, 2, 3
+        |), qc AS (
+        |  SELECT event_type, n_cal, r4,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY r4
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM perr
+        |), qv AS (
+        |  SELECT event_type,
+        |    MIN(CASE WHEN cum >= LEAST(((n_cal + 1) * 9 + 9) // 10,
+        |      n_cal) THEN r4 END) AS q4
+        |  FROM qc GROUP BY event_type
+        |)
+        |SELECT b.event_type, n_cal,
+        |  CAST(med4 AS DOUBLE) AS med, CAST(q4 AS DOUBLE) AS q,
+        |  CAST(COUNT(*) AS BIGINT) AS n_hold,
+        |  CAST(SUM(CASE WHEN ABS(v4 - med4) <= q4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  ROUND(CAST(SUM(CASE WHEN ABS(v4 - med4) <= q4 THEN 1 ELSE 0
+        |      END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+        |FROM base b JOIN med USING (event_type)
+        |  JOIN qv USING (event_type)
+        |WHERE NOT is_cal
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY b.event_type""".stripMargin,
     // integer-cent weights on the value table; lower weighted median
     // by all-integer 2·cumw ≥ W selection
     "agg_weighted_median" ->

@@ -1000,7 +1000,75 @@ object Windows {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("alloc_cents"))
   }
 
+  /** Peak concurrent user sessions per day — the capacity-sizing sweep
+    * (how many sessions were simultaneously active): sessions are
+    * [[windowSession]]'s 30-minute-gap user sessions; each contributes
+    * +1 at its start instant and −1 at its end instant, and the peak
+    * is the maximum of the running delta sum over the boundary stream
+    * ordered by (ts, starts-before-ends) — touching sessions count as
+    * concurrent. Peak is reported at boundary INSTANTS per day (a
+    * day without boundaries inherits no row — the sweep's defined
+    * output domain).
+    *
+    * Scale shape: the one global total order this needs is the
+    * boundary stream — run as the house bucketed prefix-sum
+    * decomposition ([[graft.llm.TextStats.textVocabGrowth]]'s shape):
+    * equi-width time buckets (count derived from the session conf),
+    * per-bucket local cumsums, broadcast per-bucket offsets — never a
+    * single-partition window. Per-row cumsums at tied (us, delta)
+    * keys depend on tie order, but within a tie run the VALUE MULTISET
+    * is {v+1..v+k} regardless of order, so the per-day MAX is
+    * deterministic at any parallelism. */
+  def windowMaxConcurrency(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTs = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTs))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_no",
+        sum(col("new_sess")).over(byTs.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+    val deltas = sessions
+      .select(col("start_us").as("us"), lit(1).as("delta"))
+      .unionAll(sessions
+        .select(col("end_us").as("us"), lit(-1).as("delta")))
+    val bounds = deltas.agg(min(col("us")).as("__lo"),
+      max(col("us")).as("__hi"))
+    val nBuckets = graft.queries.Ordered.defaultParts(s)
+    val bucketed = deltas.crossJoin(broadcast(bounds))
+      .withColumn("__bkt", expr(
+        s"""CAST(((us - __lo) * $nBuckets)
+           | DIV (__hi - __lo + 1) AS INT)""".stripMargin))
+    val localW = Window.partitionBy(col("__bkt"))
+      .orderBy(col("us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixW = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("delta")).as("__s"))
+      .withColumn("__o", coalesce(sum(col("__s")).over(prefixW), lit(0L)))
+      .select(col("__bkt"), col("__o"))
+    bucketed
+      .withColumn("__c", sum(col("delta")).over(localW))
+      .join(broadcast(offsets), "__bkt")
+      .select(to_date(timestamp_micros(col("us"))).as("day"),
+        (col("__o") + col("__c")).as("run"))
+      .groupBy(col("day"))
+      .agg(max(col("run")).as("peak"),
+        count(lit(1)).as("n_boundaries"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_max_concurrency" -> (windowMaxConcurrency _),
     "window_allocate_remainder" -> (windowAllocateRemainder _),
     "window_twap" -> (windowTwap _),
     "window_rolling_corr" -> (windowRollingCorr _),
@@ -1034,6 +1102,43 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // oracle states the sweep as ONE global running sum; the engine's
+    // bucketed prefix-sum decomposition must reach identical day peaks
+    // (per-row tie order differs, the per-day max cannot — the value
+    // multiset within an equal-(us,delta) run is fixed)
+    "window_max_concurrency" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_us IS NULL
+        |           OR epoch_us(ts) - prev_us > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM o),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, session_no,
+        |    MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+        |  FROM s GROUP BY user_id, session_no),
+        |deltas AS (
+        |  SELECT start_us AS us, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT end_us AS us, -1 AS delta FROM sess),
+        |r AS (
+        |  SELECT us, CAST(SUM(delta) OVER (ORDER BY us, delta DESC
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+        |  FROM deltas)
+        |SELECT CAST(make_timestamp(us) AS DATE) AS day,
+        |  MAX(run) AS peak, CAST(COUNT(*) AS BIGINT) AS n_boundaries
+        |FROM r GROUP BY 1 ORDER BY day""".stripMargin,
     // all-integer largest-remainder allocation; alloc multiset is
     // rank-order-independent for identical duplicate rows; `exact`
     // asserts the cents conservation inside the result

@@ -118,7 +118,11 @@ class ParallelismSpec extends AnyFunSuite {
     // cell-expansion spatial counts, largest-remainder ranks, runner-up
     // centroid argmin
     "graph_kcore", "join_window_aggregate", "join_geo_grid",
-    "window_allocate_remainder", "embedding_silhouette")
+    "window_allocate_remainder", "embedding_silhouette",
+    // round-9 batch 20: bucketed sweep prefix sums, crossing-pick
+    // quantiles, bigram-type statistics, cell-rep argmin decisions
+    "window_max_concurrency", "agg_conformal_interval",
+    "text_kneser_ney", "dedup_semdedup")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Aggregates, Windows}
+import graft.llm.{Dedup, Ranking}
+
+/** Brute-force replays for the round-9 batch-20 operators: the
+  * day-peak concurrency sweep, split-conformal coverage, Kneser-Ney
+  * bigram smoothing, and SemDeDup cell-representative pruning. Each
+  * recomputes the answer from the row-level definition on collected
+  * sf0.001 data — independently of both the engine's decomposition
+  * and the DuckDB oracle's formulation. */
+class Round9dOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("window_max_concurrency replays the session sweep day peaks") {
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "unix_micros(ts)", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val deltas = ev.groupBy(_._1).values.flatMap { rows =>
+      val ts = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      val sessions = ts.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, us) => acc match {
+          case (st, en) :: rest if us - en <= 1800L * 1000000L =>
+            (st, us) :: rest
+          case _ => (us, us) :: acc
+        }
+      }
+      sessions.flatMap { case (st, en) => Seq((st, 1), (en, -1)) }
+    }.toSeq
+    var run = 0L
+    val byDay = scala.collection.mutable.Map[Long, (Long, Long)]()
+    for ((us, dl) <- deltas.sortBy { case (us, dl) => (us, -dl) }) {
+      run += dl
+      val day = us / 86400000000L
+      val (p, n) = byDay.getOrElse(day, (Long.MinValue, 0L))
+      byDay(day) = (math.max(p, run), n + 1)
+    }
+    val got = Windows.windowMaxConcurrency(spark, sf).collect()
+    assert(got.length == byDay.size)
+    for (r <- got) {
+      val day = r.getDate(0).toLocalDate.toEpochDay
+      assert((r.getLong(1), r.getLong(2)) == byDay(day), s"day $day")
+    }
+  }
+
+  test("agg_conformal_interval replays split-conformal coverage") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "unix_micros(ts)", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(4, HALF_UP)))
+    val got = Aggregates.aggConformalInterval(spark, sf).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val ty = r.getString(0)
+      val rows = ev.filter(_._1 == ty)
+      val cal = rows.filter(t => (t._2 / 86400000000L) % 5 < 4)
+        .map(_._3).sorted
+      val hold = rows.filterNot(t => (t._2 / 86400000000L) % 5 < 4)
+        .map(_._3)
+      val n = cal.length
+      val med = cal((n + 1) / 2 - 1)
+      val resid = cal.map(v => (v - med).abs).sorted
+      val kq = math.min(((n + 1) * 9 + 9) / 10, n)
+      val q = resid(kq.toInt - 1)
+      val nCov = hold.count(v => (v - med).abs <= q)
+      assert(r.getLong(1) == n.toLong, s"$ty n_cal")
+      assert(r.getDouble(2) == med.toDouble, s"$ty med")
+      assert(r.getDouble(3) == q.toDouble, s"$ty q")
+      assert(r.getLong(4) == hold.length.toLong, s"$ty n_hold")
+      assert(r.getLong(5) == nCov.toLong, s"$ty n_covered")
+      assert(math.abs(r.getDouble(6) -
+        nCov.toDouble / hold.length) < 1e-6, s"$ty coverage")
+    }
+  }
+
+  test("text_kneser_ney replays the interpolated-KN formula") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0).split(" ", -1))
+    val bigrams = docs.filter(_.length >= 2)
+      .flatMap(t => t.dropRight(1).zip(t.drop(1)))
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val c1 = c2.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val nbw = c2.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = c2.size.toLong
+    val head = c2.toSeq
+      .sortBy { case ((p, c), n) => (-n, p, c) }.take(20)
+    val got = Ranking.textKneserNey(spark, sf).collect()
+    assert(got.length == head.length)
+    for ((r, ((p, c), n)) <- got.zip(head)) {
+      val (c1v, nfw) = c1(p)
+      assert(r.getString(0) == p && r.getString(1) == c)
+      assert(r.getLong(2) == n && r.getLong(3) == c1v &&
+        r.getLong(4) == nfw && r.getLong(5) == nbw(c) &&
+        r.getLong(6) == nTypes)
+      val pkn = (math.max(n - 0.75, 0d) +
+        0.75 * (nfw.toDouble * nbw(c).toDouble / nTypes.toDouble)) / c1v
+      assert(math.abs(r.getDouble(7) - pkn) < 1e-6, s"($p,$c)")
+    }
+  }
+
+  test("dedup_semdedup replays assignment, reps and the cos>0.9 cut") {
+    val em = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray))
+    val cents = em.filter(_._1 < 8).sortBy(_._1)
+    val assign = em.map { case (id, m) =>
+      val best = cents.map { case (c, cm) =>
+        (m.zip(cm).map { case (a, b) => (a - b) * (a - b) }.sum, c.toInt)
+      }.min
+      id -> best._2
+    }.toMap
+    val reps = assign.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    val byId = em.toMap
+    val got = Dedup.dedupSemdedup(spark, sf).collect()
+    assert(got.length == em.length)
+    for (r <- got) {
+      val id = r.getLong(0)
+      val cell = assign(id)
+      val repId = reps(cell)
+      val a = byId(id); val b = byId(repId)
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na2 = a.map(x => x * x).sum
+      val nb2 = b.map(x => x * x).sum
+      val isDup = id != repId && dot > 0 &&
+        BigInt(10 * dot) * BigInt(10 * dot) >
+          BigInt(9 * na2) * BigInt(9 * nb2)
+      assert(r.getInt(1) == cell && r.getLong(2) == repId &&
+        r.getLong(3) == dot && r.getLong(4) == na2 &&
+        r.getLong(5) == nb2 && r.getBoolean(6) == isDup, s"vec $id")
+    }
+  }
+}

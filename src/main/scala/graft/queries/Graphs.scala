@@ -398,6 +398,14 @@ object Graphs {
     * peel_round 1..3, or 0 = survives all three rounds. */
   def graphKcore(s: SparkSession, d: String): DataFrame = {
     val K = 3
+    // Each round's survivors/edge list is lineage-truncated via the CC
+    // loops' ckpt helper (lazy localCheckpoint, reliable checkpoint on
+    // clusters): without it the 3-round unroll compounds into an
+    // ~17k-node physical plan whose shared subtrees re-execute per
+    // consumer branch (measured 7.1 s at sf0.1; 2.0 s truncated).
+    // rebuild=false: only 3 rounds, so originStats compound at most
+    // ×8 in bit length — the star-loop tradeoff, not the round-20
+    // planning blowup.
     var edges = undirected(materializedEdges(s, d))
     var alive = edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node"))).distinct()
@@ -411,10 +419,13 @@ object Graphs {
         .withColumn("dg", coalesce(col("deg"), lit(0L)))
       peeled = peeled.unionAll(flagged.filter(col("dg") < K)
         .select(col("node"), lit(r).as("peel_round")))
-      alive = flagged.filter(col("dg") >= K).select(col("node"))
-      edges = edges
+      alive = graft.llm.Dedup.ckpt(
+        flagged.filter(col("dg") >= K).select(col("node")),
+        rebuild = false)
+      edges = graft.llm.Dedup.ckpt(edges
         .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi"),
+        rebuild = false)
     }
     peeled.unionAll(alive.withColumn("peel_round", lit(0)))
       .orderBy(col("node"))

@@ -990,7 +990,48 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-isotropy / collapse diagnostic — the health check run
+    * before trusting ANY cosine-based dedup or retrieval over a
+    * learned embedding table (Ethayarajh '19 measured contextual
+    * embeddings as badly anisotropic; a collapsing contrastive model
+    * drifts toward concentration 1): the mean-direction concentration
+    * C = ‖Σv‖² / (n·Σ‖v‖²) ∈ (0,1] — ≈0 for directions spread evenly
+    * around the origin, → 1 as vectors collapse onto one ray.
+    *
+    * Scale shape: ONE corpus pass, no explode and no shuffle beyond
+    * the final 1-row reduce — the per-dimension sums are dim parallel
+    * aggregate buffers (partial+final hash aggregate), so the shuffled
+    * state is dim+2 numbers regardless of corpus size. Exact
+    * arithmetic: micro-quantized BIGINT components; Σ‖v‖² an exact
+    * BIGINT; each per-dim sum an exact BIGINT whose square is held in
+    * DECIMAL(19,0)×DECIMAL(19,0) (the [[graft.llm.Dedup.dedupSemdedup]]
+    * width-19 discipline) and decimal-summed exactly; C closes in ONE
+    * double expression. The oracle recomputes the same integers via an
+    * unnest/GROUP BY — free to be non-scale-shaped. */
+  def embeddingIsotropy(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val dim = e.limit(1).select(size(col("embedding")))
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    val m = e.select(transform(col("embedding"),
+      x => round(x.cast("double") * 1000000d).cast("bigint")).as("micro"))
+    val dimSums = (1 to dim).map(j =>
+      sum(element_at(col("micro"), j)).as(s"s$j"))
+    val norm2 = sum(aggregate(transform(col("micro"), x => x * x),
+      lit(0L), (a, x) => a + x)).as("sum_norm2")
+    val ns2Terms = (1 to dim)
+      .map(j => s"CAST(s$j AS DECIMAL(19,0)) * CAST(s$j AS DECIMAL(19,0))")
+      .mkString(" + ")
+    m.agg(count(lit(1)).as("n"), (norm2 +: dimSums): _*)
+      .select(col("n"), col("sum_norm2"),
+        expr(s"CAST(($ns2Terms) AS DOUBLE)").as("norm_of_sum2"))
+      .select(col("n"), col("sum_norm2"), col("norm_of_sum2"),
+        expr("""ROUND(norm_of_sum2 /
+                (CAST(n AS DOUBLE) * CAST(sum_norm2 AS DOUBLE)), 6)""")
+          .as("concentration"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_isotropy" -> (embeddingIsotropy _),
     "embedding_silhouette" -> (embeddingSilhouette _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_search_range" -> (simSearchRange _),
@@ -1053,6 +1094,34 @@ object Similarity {
       |      ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // identical micro quantization; per-dim sums exact BIGINT; squares
+    // in DECIMAL(19,0) products, decimal-exact sum; ONE closing double
+    "embedding_isotropy" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS m
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT t.j, CAST(SUM(m[t.j]) AS BIGINT) AS s
+        |  FROM e CROSS JOIN (SELECT UNNEST(range(1,
+        |    (SELECT len(m) FROM e LIMIT 1) + 1)) AS j) t
+        |  GROUP BY t.j
+        |), ns AS (
+        |  SELECT CAST(SUM(CAST(s AS DECIMAL(19,0))
+        |    * CAST(s AS DECIMAL(19,0))) AS DOUBLE) AS norm_of_sum2
+        |  FROM dims
+        |), base AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(list_sum(list_transform(m, x -> x * x)))
+        |      AS BIGINT) AS sum_norm2
+        |  FROM e
+        |)
+        |SELECT n, sum_norm2, norm_of_sum2,
+        |  ROUND(norm_of_sum2 /
+        |  (CAST(n AS DOUBLE) * CAST(sum_norm2 AS DOUBLE)), 6)
+        |    AS concentration
+        |FROM base CROSS JOIN ns""".stripMargin,
     "embedding_pq_encode" -> (pqCte +
       """
         |SELECT vec_id,

@@ -2719,7 +2719,56 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Peaks-over-threshold tail summary (the EVT/mean-excess primitive
+    * behind tail-latency SLOs and loss-severity modeling; the mean
+    * excess function is THE diagnostic for picking a GPD threshold):
+    * per event type, the threshold u = exact p95 of value, the
+    * exceedance count above u, the mean excess E[v − u | v > u], and
+    * the max excess. A roughly constant/linear mean excess across
+    * types is the heavy-tail signal downstream fitting relies on.
+    *
+    * Same discipline as [[aggConformalInterval]]: u is picked by the
+    * distinct-value cumulative crossing at rank ⌈n·19/20⌉ (windows
+    * over the VALUE-SPACE-bounded (type, value) aggregate, never
+    * corpus rows; pure-integer ceil (n·19+19) DIV 20), excesses are
+    * exact DECIMAL(19,4) sums, and the mean closes in ONE double
+    * division. Corpus cost: two column-pruned scans with
+    * map-side-combined aggregates. */
+  def aggMeanExcess(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        col("value").cast("decimal(18,4)").as("v4"))
+    val winV = Window.partitionBy(col("event_type")).orderBy(col("v4"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val thr = base.groupBy(col("event_type"), col("v4"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(winV))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("cum") >= expr("(n * 19 + 19) DIV 20"), col("v4")))
+          .as("u4"))
+    base.join(broadcast(thr), "event_type")
+      .groupBy(col("event_type"), col("n"), col("u4"))
+      .agg(sum(when(col("v4") > col("u4"), 1L)).as("n_exc"),
+        sum(when(col("v4") > col("u4"), col("v4") - col("u4")))
+          .as("sum_exc"),
+        max(when(col("v4") > col("u4"), col("v4") - col("u4")))
+          .as("max_exc"))
+      .select(col("event_type"), col("n"),
+        col("u4").cast("double").as("u"),
+        col("n_exc"),
+        expr("""ROUND(CAST(sum_exc AS DOUBLE)
+                / CAST(n_exc AS DOUBLE), 6)""").as("mean_excess"),
+        col("max_exc").cast("double").as("max_excess"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mean_excess" -> (aggMeanExcess _),
     "agg_conformal_interval" -> (aggConformalInterval _),
     "agg_weighted_median" -> (aggWeightedMedian _),
     "agg_attribution" -> (aggAttribution _),
@@ -2824,6 +2873,36 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact p95 via the distinct-value crossing at ceil(n*19/20);
+    // decimal-exact excess sums; ONE closing double division
+    "agg_mean_excess" ->
+      """WITH base AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v4
+        |  FROM events WHERE value IS NOT NULL
+        |), perv AS (
+        |  SELECT event_type, v4, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2
+        |), cumc AS (
+        |  SELECT event_type, v4,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v4
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM perv
+        |), thr AS (
+        |  SELECT event_type, MAX(n) AS n,
+        |    MIN(CASE WHEN cum >= (n * 19 + 19) // 20 THEN v4 END) AS u4
+        |  FROM cumc GROUP BY event_type
+        |)
+        |SELECT b.event_type, n, CAST(u4 AS DOUBLE) AS u,
+        |  CAST(SUM(CASE WHEN v4 > u4 THEN 1 END) AS BIGINT) AS n_exc,
+        |  ROUND(CAST(SUM(CASE WHEN v4 > u4 THEN v4 - u4 END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN v4 > u4 THEN 1 END) AS DOUBLE), 6)
+        |    AS mean_excess,
+        |  CAST(MAX(CASE WHEN v4 > u4 THEN v4 - u4 END) AS DOUBLE)
+        |    AS max_excess
+        |FROM base b JOIN thr USING (event_type)
+        |GROUP BY 1, 2, 3
+        |ORDER BY b.event_type""".stripMargin,
     // decimal-exact values; median and residual quantile via the
     // distinct-value cumulative crossing; integer ceil rank
     // ((a*9+9)//10); ONE closing double division

@@ -122,7 +122,9 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 20: bucketed sweep prefix sums, crossing-pick
     // quantiles, bigram-type statistics, cell-rep argmin decisions
     "window_max_concurrency", "agg_conformal_interval",
-    "text_kneser_ney", "dedup_semdedup")
+    "text_kneser_ney", "dedup_semdedup",
+    // round-9 batch 21: dim-buffer reduction, p95 crossing pick
+    "embedding_isotropy", "agg_mean_excess")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -104,6 +104,46 @@ class Round9dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_isotropy replays the concentration ratio") {
+    val em = Tables.t(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(x => BigDecimal(x.toDouble * 1000000d)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+    val n = em.length
+    val dim = em.head.length
+    val sumNorm2 = em.map(v => v.map(x => x * x).sum).sum
+    val dimSums = (0 until dim).map(j => em.map(_(j)).sum)
+    val ns2 = dimSums.map(s => BigInt(s) * BigInt(s)).sum
+    val got = graft.llm.Similarity.embeddingIsotropy(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == sumNorm2)
+    assert(r.getDouble(2) == BigDecimal(ns2).toDouble)
+    val conc = BigDecimal(ns2).toDouble / (n.toDouble * sumNorm2.toDouble)
+    assert(math.abs(r.getDouble(3) - conc) < 1e-6)
+  }
+
+  test("agg_mean_excess replays the p95 tail summary") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "value").collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(4, HALF_UP)))
+    val got = Aggregates.aggMeanExcess(spark, sf).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val vs = ev.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val n = vs.length
+      val u = vs((n * 19 + 19) / 20 - 1)
+      val exc = vs.filter(_ > u).map(_ - u)
+      assert(r.getLong(1) == n.toLong && r.getDouble(2) == u.toDouble)
+      assert(r.getLong(3) == exc.length.toLong)
+      assert(math.abs(r.getDouble(4) -
+        exc.sum.toDouble / exc.length) < 1e-6)
+      assert(r.getDouble(5) == exc.max.toDouble)
+    }
+  }
+
   test("dedup_semdedup replays assignment, reps and the cos>0.9 cut") {
     val em = Tables.t(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()

@@ -431,7 +431,56 @@ object Graphs {
       .orderBy(col("node"))
   }
 
+  /** Graph-based ANN beam search — the third major ANN index family
+    * (HNSW/NSG class: Malkov & Yashunin '18) alongside the IVF and LSH
+    * variants in [[graft.llm.Similarity]]: retrieval navigates the
+    * materialized kNN graph from a fixed entry point, expanding the
+    * current beam's out-neighbors and keeping the best-scoring
+    * candidates, instead of scanning the corpus. Two synchronous hops
+    * with beam width 3 → final exact top-10 rerank — the BOUNDED hop
+    * count is the defined semantics (the LPA/k-core convention), which
+    * makes the oracle an exact unrolled replay.
+    *
+    * Scale shape: per hop, the beam (≤3 rows) BROADCASTS against the
+    * persisted edge table ([[materializedEdges]] — at 100 TB a
+    * src-bucketed table, so each probe reads one bucket, not the
+    * corpus) and only candidate ids join back to vectors for scoring —
+    * per-query work is O(beam · degree), the property that makes graph
+    * ANN sub-linear. Scores are the exact integer micro-unit dots of
+    * the kNN build; every ordering carries a vec_id tiebreak. */
+  def simSearchGraphBeam(s: SparkSession, d: String): DataFrame = {
+    val edges = materializedEdges(s, d)
+    val m = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000000.0 + 0.5)).cast("array<float>").as("q"))
+    val probeQ = m.filter(col("vec_id") === 0).select(col("q").as("pq"))
+    def expand(beam: DataFrame): DataFrame =
+      beam.unionAll(
+        edges.join(broadcast(beam.select(col("id").as("src"))), Seq("src"))
+          .select(col("dst").as("id")))
+        .filter(col("id") =!= 0)
+        .distinct()
+    def score(cand: DataFrame): DataFrame =
+      cand.join(m, cand("id") === m("vec_id"))
+        .crossJoin(broadcast(probeQ))
+        .select(col("id"),
+          graft.llm.Similarity.dot(col("q"), col("pq")).cast("long")
+            .as("dot"))
+    val entry = s.range(1, 2).select(col("id"))
+    val b1 = score(expand(entry))
+      .orderBy(col("dot").desc, col("id")).limit(3)
+    val top = score(expand(b1.select(col("id"))))
+      .orderBy(col("dot").desc, col("id")).limit(10)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("dot").desc, col("id"))))
+      .select(col("rank"), col("id").as("vec_id"), col("dot"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_search_graph_beam" -> (simSearchGraphBeam _),
     "graph_kcore" -> (graphKcore _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_community_lpa" -> (graphCommunityLpa _),
@@ -444,6 +493,33 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    // two unrolled beam hops over the DIRECTED top-5 kNN edges; exact
+    // integer dots; every ordering vec_id-tiebroken
+    "sim_search_graph_beam" -> (edgeCte +
+      """
+        |, probe AS (SELECT q AS pq FROM m WHERE vec_id = 0),
+        |c1 AS (SELECT DISTINCT id FROM (
+        |    SELECT CAST(1 AS BIGINT) AS id
+        |    UNION ALL SELECT dst FROM e WHERE src = 1)
+        |  WHERE id <> 0),
+        |s1 AS (SELECT id,
+        |    CAST(list_sum(list_transform(range(1, len(m.q) + 1),
+        |      i -> m.q[i] * probe.pq[i])) AS BIGINT) AS dot
+        |  FROM c1 JOIN m ON m.vec_id = c1.id CROSS JOIN probe),
+        |b1 AS (SELECT id FROM s1 ORDER BY dot DESC, id LIMIT 3),
+        |c2 AS (SELECT DISTINCT id FROM (
+        |    SELECT id FROM b1
+        |    UNION ALL SELECT dst AS id FROM e JOIN b1 ON e.src = b1.id)
+        |  WHERE id <> 0),
+        |s2 AS (SELECT id,
+        |    CAST(list_sum(list_transform(range(1, len(m.q) + 1),
+        |      i -> m.q[i] * probe.pq[i])) AS BIGINT) AS dot
+        |  FROM c2 JOIN m ON m.vec_id = c2.id CROSS JOIN probe),
+        |t10 AS (SELECT id, dot FROM s2 ORDER BY dot DESC, id LIMIT 10)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, id)
+        |    AS INTEGER) AS rank,
+        |  id AS vec_id, dot
+        |FROM t10 ORDER BY rank""".stripMargin),
     // three unrolled synchronous peel rounds — the oracle IS the
     // bounded-round definition (mirrors the LPA precedent)
     "graph_kcore" -> (edgeCte +

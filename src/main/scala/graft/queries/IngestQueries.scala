@@ -346,8 +346,34 @@ object IngestQueries {
     "normalize_stringify" -> (normalizeStringify _),
     "rows_flatten" -> (rowsFlatten _),
     "ingest_try_decompress" -> (ingestTryDecompress _),
+    "ingest_error_rates" -> (ingestErrorRates _),
     "sink_parquet_roundtrip" -> (sinkParquetRoundtrip _)
   )
+
+  /** Per-route decode health — the error-isolation summary a
+    * production ingest pipeline alerts on (reference behavior §2.1
+    * #16: one bad envelope must not poison its batch — here the
+    * dropped rows are COUNTED per route instead of killing the job):
+    * for every resolved route, total envelopes, successfully decoded
+    * payloads, drops (missing Data / undecodable body → NULL payload,
+    * per function_app.py's silent-skip semantics), and the drop rate.
+    * Same synthetic envelope fixture as [[ingestTryDecompress]], so
+    * the oracle is the semantics-derived expectation, not an engine
+    * dump. One pass, one route-key aggregate. */
+  def ingestErrorRates(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = s.createDataset(syntheticEnvelopes).toDF("value")
+    Pipeline.decodeAndRoute(Pipeline.parseEnvelopes(raw),
+        Pipeline.IngestConfig(outDir = "", destinationFallback = "landing"))
+      .groupBy(col("folder"), col("source_db"), col("tbl"))
+      .agg(count(lit(1)).as("n_envelopes"),
+        count(col("payload_str")).as("n_decoded"))
+      .withColumn("n_dropped", col("n_envelopes") - col("n_decoded"))
+      .withColumn("drop_rate",
+        expr("""ROUND(CAST(n_dropped AS DOUBLE)
+                / CAST(n_envelopes AS DOUBLE), 6)"""))
+      .orderBy(col("folder"), col("source_db"), col("tbl"))
+  }
 
   /** Shared by sink_parquet_roundtrip and stream_ingest_pipeline —
     * both route the same synthetic envelopes (batch vs 2-micro-batch
@@ -411,6 +437,23 @@ object IngestQueries {
         |FROM changes
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // semantics-derived per-route decode health: drops are the
+    // missing-Data envelope (missing.data) and the non-JSON body
+    // (wrapped → unknown_db/unknown_table with NULL Source); all other
+    // envelopes decode (FIXTURES.md §B)
+    "ingest_error_rates" ->
+      """SELECT * FROM (VALUES
+        |  ('arr', 'arraydb', 't1',
+        |   CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0.0),
+        |  ('landing', 'otherdb', 'metrics', 1, 1, 0, 0.0),
+        |  ('landing', 'unknown_db', 'unknown_table', 1, 0, 1, 1.0),
+        |  ('ok', 'unknown_db', 'unknown_table', 1, 1, 0, 0.0),
+        |  ('plain', 'nodb_table', 'nodb_table', 1, 1, 0, 0.0),
+        |  ('telemetry', 'factorydb', 'sensor_readings', 3, 3, 0, 0.0),
+        |  ('x', 'missing', 'data', 1, 0, 1, 1.0))
+        |  AS t(folder, source_db, tbl, n_envelopes, n_decoded,
+        |       n_dropped, drop_rate)
+        |ORDER BY folder, source_db, tbl""".stripMargin,
     // VALUES oracle DERIVED from syntheticEnvelopes' semantics (not
     // from observed output): sensor_readings = 2 (rows payload) + 2
     // (columnar) + 1 (single) = 5; otherdb.metrics falls back to

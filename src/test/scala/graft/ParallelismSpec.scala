@@ -124,7 +124,9 @@ class ParallelismSpec extends AnyFunSuite {
     "window_max_concurrency", "agg_conformal_interval",
     "text_kneser_ney", "dedup_semdedup",
     // round-9 batch 21: dim-buffer reduction, p95 crossing pick
-    "embedding_isotropy", "agg_mean_excess")
+    "embedding_isotropy", "agg_mean_excess",
+    // round-9 batch 22: beam expansion over the kNN edge table
+    "sim_search_graph_beam")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

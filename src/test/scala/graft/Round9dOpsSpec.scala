@@ -144,6 +144,36 @@ class Round9dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_search_graph_beam replays the two unrolled beam hops") {
+    val em = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray))
+    def dot(p: Array[Long], q: Array[Long]): Long =
+      p.zip(q).map { case (x, y) => x * y }.sum
+    val byId = em.toMap
+    val nbrs = em.map { case (src, p) =>
+      src -> em.filter(_._1 != src)
+        .map { case (dst, q) => (dot(p, q), dst) }
+        .sortBy { case (s0, d0) => (-s0, d0) }.take(5).map(_._2).toSeq
+    }.toMap
+    val pq = byId(0L)
+    def hop(beam: Seq[Long], keep: Int): Seq[Long] =
+      (beam ++ beam.flatMap(nbrs)).distinct.filter(_ != 0L)
+        .map(id => (dot(byId(id), pq), id))
+        .sortBy { case (s0, id) => (-s0, id) }.take(keep).map(_._2)
+    val b1 = hop(Seq(1L), 3)
+    val want = hop(b1, 10)
+      .map(id => (id, dot(byId(id), pq)))
+    val got = graft.queries.Graphs.simSearchGraphBeam(spark, sf).collect()
+    assert(got.length == want.length)
+    for ((r, (id, d0)) <- got.zip(want)) {
+      assert(r.getLong(1) == id && r.getLong(2) == d0,
+        s"rank ${r.getInt(0)}")
+    }
+  }
+
   test("dedup_semdedup replays assignment, reps and the cos>0.9 cut") {
     val em = Tables.t(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()

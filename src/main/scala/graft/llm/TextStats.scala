@@ -976,7 +976,36 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus distinct-n diversity (the distinct-1/2 metric of Li et
+    * al. '16, generalized to n=1..3) — the degeneracy signal run over
+    * generated or scraped text before training on it: a boilerplate-
+    * heavy or mode-collapsed corpus shows a low distinct-n ratio long
+    * before perplexity moves. One corpus pass: the three gram
+    * generators run inside the scan stage (struct-tagged, one
+    * explode), then ONE hash aggregate per (n, gram) feeds the
+    * distinct/total counts — gram keys shuffle once, Zipf-bounded
+    * distinct side. Ratio is the single closing division. */
+  def textDistinctNgrams(s: SparkSession, d: String): DataFrame = {
+    val toksCol = split(col("text"), " ")
+    def grams(n: Int) = when(size(toksCol) >= n,
+      transform(sequence(lit(1), size(toksCol) - (n - 1)),
+        i => struct(lit(n).as("n"),
+          concat_ws(" ", slice(toksCol, i, lit(n))).as("gram"))))
+      .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    t(s, d, "documents")
+      .select(explode(concat(grams(1), grams(2), grams(3))).as("g"))
+      .select(col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("total_ngrams"),
+        count_distinct(col("gram")).as("distinct_ngrams"))
+      .withColumn("distinct_ratio",
+        expr("""ROUND(CAST(distinct_ngrams AS DOUBLE)
+                / CAST(total_ngrams AS DOUBLE), 6)"""))
+      .orderBy(col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_distinct_ngrams" -> (textDistinctNgrams _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_readability" -> (textReadability _),
     "text_hapax_ratio" -> (textHapaxRatio _),
@@ -1012,6 +1041,24 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    // same tokenization and space-joined gram keys; exact BIGINT
+    // counts; ONE closing double division
+    "text_distinct_ngrams" ->
+      """WITH docs AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT t.n, array_to_string(toks[u.i:u.i + t.n - 1], ' ')
+        |    AS gram
+        |  FROM docs
+        |  CROSS JOIN (VALUES (1), (2), (3)) t(n)
+        |  , LATERAL unnest(range(1, len(toks) - t.n + 2)) u(i)
+        |  WHERE len(toks) >= t.n
+        |)
+        |SELECT n, CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+        |  CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+        |  ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS distinct_ratio
+        |FROM g GROUP BY n ORDER BY n""".stripMargin,
     // distinct per-doc trigram shingles; first ownership = min doc_id
     // per gram; integer novel counts, one closing ratio
     "text_ngram_novelty" ->

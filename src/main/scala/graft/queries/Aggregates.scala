@@ -2767,7 +2767,113 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Two-sample Cramér–von Mises statistic between the view and
+    * purchase value distributions — the EDF companion to [[aggKsTest]]
+    * (KS reads the max CDF gap; CvM integrates the SQUARED gap over
+    * the pooled sample, so it sees distributed small departures KS
+    * misses — the standard pair to run for drift):
+    * T = Σ_pooled (F_n − G_m)² · nm/(n+m)². Identical bucketed-CDF
+    * decomposition as KS (distinct-value aggregate → equi-width
+    * buckets → local cumsums + broadcast offsets — never a
+    * single-partition window over the value table), with the per-value
+    * squared gap held exactly: D = cum1·n2 − cum2·n1 (BIGINT), the
+    * term ((c1+c2)·D)·D in DECIMAL(19,0)×DECIMAL(19,0) (the width-19
+    * int128 discipline), decimal-summed; T closes in ONE double
+    * division by n1·n2·(n1+n2)². */
+  def aggCvmTest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = t(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("value").cast("decimal(19,4)").as("v"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("is1"))
+    val perV = base.groupBy(col("v"))
+      .agg(sum(col("is1")).as("c1"),
+        (count(lit(1)) - sum(col("is1"))).as("c2"))
+    val bounds = perV
+      .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    val nBuckets = Ordered.defaultParts(s)
+    val bucketed = perV.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(lit(nBuckets - 1),
+            floor((col("v").cast("double") - col("__lo").cast("double")) /
+              (col("__hi").cast("double") - col("__lo").cast("double")) *
+              nBuckets).cast("int"))))
+    val localW = Window.partitionBy(col("__bkt")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixW = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("c1")).as("__t1"), sum(col("c2")).as("__t2"))
+      .withColumn("__o1", coalesce(sum(col("__t1")).over(prefixW), lit(0L)))
+      .withColumn("__o2", coalesce(sum(col("__t2")).over(prefixW), lit(0L)))
+      .select(col("__bkt"), col("__o1"), col("__o2"))
+    val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    bucketed
+      .withColumn("__l1", sum(col("c1")).over(localW))
+      .withColumn("__l2", sum(col("c2")).over(localW))
+      .join(broadcast(offsets), "__bkt")
+      .select(col("c1"), col("c2"),
+        (col("__o1") + col("__l1")).as("cum1"),
+        (col("__o2") + col("__l2")).as("cum2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", col("cum1") * col("n2") - col("cum2") * col("n1"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(expr("""CAST((c1 + c2) * d AS DECIMAL(19,0))
+                       * CAST(d AS DECIMAL(19,0))""")).as("s"))
+      .select(col("n1"), col("n2"),
+        col("s").cast("double").as("sum_sq_gap"),
+        expr("""ROUND(CAST(s AS DOUBLE) /
+                (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)),
+                6)""").as("cvm_t"))
+  }
+
+  /** Hill tail-index estimator over the top-k order statistics of
+    * purchase values — the companion to [[aggMeanExcess]] (mean excess
+    * diagnoses heavy tails; Hill QUANTIFIES the tail exponent α that
+    * a GPD/Pareto fit reports): α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)),
+    * k = 50. The corpus work is one TakeOrderedAndProject 51-heap per
+    * type — no global sort; the window runs over the bounded head
+    * only (the text_zipf_fit precedent). Each ln term is round@12 →
+    * decimal before the exact sum (the [[graft.llm.Ranking]] log
+    * discipline — JVM log vs DuckDB ln carry 1-ulp slack, rounding
+    * before summing keeps the sum order- and engine-independent);
+    * α̂ closes in ONE double division. Tie handling: only VALUES
+    * enter the terms, so rank order among equal values is
+    * irrelevant. */
+  def aggHillTailIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 50
+    val head = t(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase", "click") &&
+        col("value") > 0)
+      .select(col("event_type"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("v").desc)))
+      .filter(col("rn") <= k + 1)
+    val xk1 = head.filter(col("rn") === k + 1)
+      .select(col("event_type"), col("v").as("xk1"))
+    head.filter(col("rn") <= k)
+      .join(broadcast(xk1), "event_type")
+      .select(col("event_type"), col("xk1"),
+        expr("""CAST(ROUND(ln(CAST(v AS DOUBLE)
+                / CAST(xk1 AS DOUBLE)), 12) AS DECIMAL(24,12))""")
+          .as("term"))
+      .groupBy(col("event_type"), col("xk1"))
+      .agg(count(lit(1)).as("k"), sum(col("term")).as("s"))
+      .select(col("event_type"), col("k"),
+        col("xk1").cast("double").as("x_k1"),
+        col("s").cast("double").as("sum_log"),
+        expr("ROUND(CAST(k AS DOUBLE) / CAST(s AS DOUBLE), 6)")
+          .as("hill_alpha"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cvm_test" -> (aggCvmTest _),
+    "agg_hill_tail_index" -> (aggHillTailIndex _),
     "agg_mean_excess" -> (aggMeanExcess _),
     "agg_conformal_interval" -> (aggConformalInterval _),
     "agg_weighted_median" -> (aggWeightedMedian _),
@@ -2873,6 +2979,70 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // oracle states the direct pooled-EDF definition; the engine's
+    // bucketed decomposition must integer-match D at every distinct
+    // value; width-19 decimal products; ONE closing double division
+    "agg_cvm_test" ->
+      """WITH base AS (
+        |  SELECT CAST(value AS DECIMAL(19,4)) AS v,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), perv AS (
+        |  SELECT v, CAST(SUM(is1) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) - SUM(is1) AS BIGINT) AS c2
+        |  FROM base GROUP BY v
+        |), cum AS (
+        |  SELECT c1, c2,
+        |    CAST(SUM(c1) OVER (ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+        |    CAST(SUM(c2) OVER (ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+        |  FROM perv
+        |), tot AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2 FROM perv
+        |), terms AS (
+        |  SELECT n1, n2, c1, c2,
+        |    cum1 * n2 - cum2 * n1 AS d
+        |  FROM cum CROSS JOIN tot
+        |), agg AS (
+        |  SELECT n1, n2,
+        |    SUM(CAST((c1 + c2) * d AS DECIMAL(19,0))
+        |        * CAST(d AS DECIMAL(19,0))) AS s
+        |  FROM terms GROUP BY n1, n2
+        |)
+        |SELECT n1, n2, CAST(s AS DOUBLE) AS sum_sq_gap,
+        |  ROUND(CAST(s AS DOUBLE) /
+        |  (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |   * CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)),
+        |  6) AS cvm_t
+        |FROM agg""".stripMargin,
+    // 51-head order statistics; round@12 decimal ln terms (the house
+    // log discipline); ONE closing double division
+    "agg_hill_tail_index" ->
+      """WITH ranked AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,4)) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(value AS DECIMAL(18,4)) DESC) AS rn
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase', 'click')
+        |    AND value > 0
+        |), xk AS (
+        |  SELECT event_type, v AS xk1 FROM ranked WHERE rn = 51
+        |)
+        |SELECT r.event_type, CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(xk1 AS DOUBLE) AS x_k1,
+        |  CAST(SUM(CAST(ROUND(ln(CAST(v AS DOUBLE)
+        |    / CAST(xk1 AS DOUBLE)), 12) AS DECIMAL(24,12)))
+        |    AS DOUBLE) AS sum_log,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) /
+        |    CAST(SUM(CAST(ROUND(ln(CAST(v AS DOUBLE)
+        |      / CAST(xk1 AS DOUBLE)), 12) AS DECIMAL(24,12)))
+        |      AS DOUBLE), 6) AS hill_alpha
+        |FROM ranked r JOIN xk USING (event_type)
+        |WHERE rn <= 50
+        |GROUP BY r.event_type, xk1
+        |ORDER BY r.event_type""".stripMargin,
     // exact p95 via the distinct-value crossing at ceil(n*19/20);
     // decimal-exact excess sums; ONE closing double division
     "agg_mean_excess" ->

@@ -126,7 +126,10 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 21: dim-buffer reduction, p95 crossing pick
     "embedding_isotropy", "agg_mean_excess",
     // round-9 batch 22: beam expansion over the kNN edge table
-    "sim_search_graph_beam")
+    "sim_search_graph_beam",
+    // round-9 batch 23: bucketed CDF integration, 51-head order
+    // stats, struct-tagged gram explode
+    "agg_cvm_test", "agg_hill_tail_index", "text_distinct_ngrams")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

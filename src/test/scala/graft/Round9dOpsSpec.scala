@@ -144,6 +144,73 @@ class Round9dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_cvm_test replays the pooled-EDF squared-gap sum") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "value").collect()
+      .filter(r => Set("view", "purchase")(r.getString(0)))
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(4, HALF_UP)))
+    val n1 = ev.count(_._1 == "view").toLong
+    val n2 = ev.length - n1
+    var cum1 = 0L; var cum2 = 0L; var s = BigInt(0)
+    for (v <- ev.map(_._2).distinct.sorted) {
+      val c1 = ev.count(t => t._1 == "view" && t._2 == v).toLong
+      val c2 = ev.count(t => t._1 != "view" && t._2 == v).toLong
+      cum1 += c1; cum2 += c2
+      val dGap = cum1 * n2 - cum2 * n1
+      s += BigInt(c1 + c2) * BigInt(dGap) * BigInt(dGap)
+    }
+    val got = Aggregates.aggCvmTest(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2)
+    assert(r.getDouble(2) == BigDecimal(s).toDouble)
+    val t0 = BigDecimal(s).toDouble /
+      (n1.toDouble * n2.toDouble * (n1 + n2).toDouble * (n1 + n2).toDouble)
+    assert(math.abs(r.getDouble(3) - t0) < 1e-6)
+  }
+
+  test("agg_hill_tail_index replays the top-50 log-ratio sum") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "value").collect()
+      .filter(r => Set("view", "purchase", "click")(r.getString(0)) &&
+        r.getDouble(1) > 0)
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(4, HALF_UP)))
+    val got = Aggregates.aggHillTailIndex(spark, sf).collect()
+    assert(got.length == 3)
+    for (r <- got) {
+      val vs = ev.filter(_._1 == r.getString(0)).map(_._2)
+        .sorted(Ordering[BigDecimal].reverse)
+      val xk1 = vs(50)
+      val sum = vs.take(50)
+        .map(v => BigDecimal(math.log(v.toDouble / xk1.toDouble))
+          .setScale(12, HALF_UP))
+        .sum
+      assert(r.getLong(1) == 50L && r.getDouble(2) == xk1.toDouble)
+      assert(math.abs(r.getDouble(3) - sum.toDouble) < 1e-9)
+      assert(math.abs(r.getDouble(4) - 50d / sum.toDouble) < 1e-5)
+    }
+  }
+
+  test("text_distinct_ngrams replays distinct-1/2/3 ratios") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0).split(" ", -1))
+    val got = graft.llm.TextStats.textDistinctNgrams(spark, sf).collect()
+    assert(got.length == 3)
+    for (r <- got) {
+      val n = r.getInt(0)
+      val grams = docs.filter(_.length >= n)
+        .flatMap(_.sliding(n).map(_.mkString(" ")))
+      assert(r.getLong(1) == grams.length.toLong, s"n=$n total")
+      assert(r.getLong(2) == grams.distinct.length.toLong, s"n=$n uniq")
+      assert(math.abs(r.getDouble(3) -
+        grams.distinct.length.toDouble / grams.length) < 1e-6)
+    }
+  }
+
   test("sim_search_graph_beam replays the two unrolled beam hops") {
     val em = Tables.t(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()

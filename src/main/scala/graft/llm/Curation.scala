@@ -823,7 +823,50 @@ object Curation {
       .orderBy(col("lang"), col("len_bucket"))
   }
 
+  /** Effective sample size of the temperature-mixing importance
+    * weights (Kong '92; the Kish design-effect form ESS = (Σw)²/Σw²) —
+    * the degeneracy gate every importance-weighted pipeline
+    * ([[sampleTemperature]], [[sampleDsir]]) should check before
+    * trusting reweighted statistics: ESS/n near 1 means the weights
+    * barely matter; near 1/n means a handful of examples dominate.
+    * Per-document weight = the document's source up-factor (target
+    * mix / natural share — the importance ratio of the temperature
+    * resample), so Σw and Σw² collapse to SOURCE-level decimal
+    * arithmetic: w_src is rounded to DECIMAL once (making every
+    * downstream sum order-independent), the corpus contributes one
+    * hash aggregate, and the ESS closes in one double expression.
+    * sqrt (not pow) per the [[sampleTemperature]] IEEE note. */
+  def aggWeightEss(s: SparkSession, d: String): DataFrame = {
+    val all = Window.partitionBy()
+    t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("p",
+        col("n_tokens").cast("double") /
+          sum(col("n_tokens")).over(all).cast("double"))
+      .withColumn("wt", sqrt(col("p")).cast("decimal(20,10)"))
+      .withColumn("mix",
+        col("wt").cast("double") /
+          sum(col("wt")).over(all).cast("double"))
+      .withColumn("w", expr("CAST(ROUND(mix / p, 6) AS DECIMAL(15,6))"))
+      .agg(sum(col("n_docs")).as("n"),
+        count(lit(1)).as("n_sources"),
+        sum(expr("CAST(n_docs AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,6))"))
+          .as("sw"),
+        sum(expr("""CAST(n_docs AS DECIMAL(19,0))
+                    * CAST(w * w AS DECIMAL(19,12))""")).as("sw2"))
+      .select(col("n"), col("n_sources"),
+        col("sw").cast("double").as("sum_w"),
+        expr("""ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                / CAST(sw2 AS DOUBLE), 4)""").as("ess"),
+        expr("""ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                / CAST(sw2 AS DOUBLE) / CAST(n AS DOUBLE), 6)""")
+          .as("ess_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weight_ess" -> (aggWeightEss _),
     "privacy_t_closeness" -> (privacyTCloseness _),
     "privacy_pseudonymize" -> (privacyPseudonymize _),
     "sample_stratified_fixed_k" -> (sampleStratifiedFixedK _),
@@ -852,6 +895,42 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // per-source up-factor rounded to DECIMAL once; ESS sums in exact
+    // decimal; ONE closing double expression
+    "agg_weight_ess" ->
+      """WITH a AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |b AS (
+        |  SELECT *,
+        |    CAST(n_tokens AS DOUBLE) /
+        |      CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p
+        |  FROM a),
+        |c AS (
+        |  SELECT *, CAST(sqrt(p) AS DECIMAL(20,10)) AS wt FROM b),
+        |m AS (
+        |  SELECT *,
+        |    CAST(wt AS DOUBLE) / CAST(SUM(wt) OVER () AS DOUBLE) AS mix
+        |  FROM c),
+        |w AS (
+        |  SELECT n_docs,
+        |    CAST(ROUND(mix / p, 6) AS DECIMAL(15,6)) AS w
+        |  FROM m),
+        |agg AS (
+        |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |    SUM(CAST(n_docs AS DECIMAL(19,0))
+        |        * CAST(w AS DECIMAL(19,6))) AS sw,
+        |    SUM(CAST(n_docs AS DECIMAL(19,0))
+        |        * CAST(w * w AS DECIMAL(19,12))) AS sw2
+        |  FROM w)
+        |SELECT n, n_sources, CAST(sw AS DOUBLE) AS sum_w,
+        |  ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        |    / CAST(sw2 AS DOUBLE), 4) AS ess,
+        |  ROUND(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+        |    / CAST(sw2 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS ess_ratio
+        |FROM agg""".stripMargin,
     // cross-multiplied integer TVD numerator over the dense QI×sensitive
     // grid; integer release decision (2·num ≤ n_g·N); display-only tvd
     "privacy_t_closeness" ->

@@ -1030,7 +1030,72 @@ object Similarity {
           .as("concentration"))
   }
 
+  /** Two-level residual vector quantization (RVQ — the codebook
+    * family behind SoundStream/EnCodec and coarse-to-fine retrieval
+    * indexes; Chen et al. '10): level 1 assigns each vector to the
+    * nearest of 8 coarse centroids, level 2 quantizes the RESIDUAL
+    * against a second 8-entry codebook, so reconstruction error drops
+    * multiplicatively with stages while lookup cost stays additive.
+    * Completes the quantization family next to scalar quantize /
+    * binarize / PQ.
+    *
+    * Deterministic seed codebooks per the [[embeddingKmeansAssign]]
+    * convention: level 1 = vectors 0..7; level 2 = the RESIDUALS of
+    * vectors 8..15 against their own level-1 cells (computed
+    * driver-side in exact Long arithmetic — k×dim model state shipped
+    * as literals). One corpus pass, no shuffle: both argmins are
+    * struct-mins over literal codebooks, the residual is an in-scan
+    * zip_with, all distances exact micro²-unit BIGINTs with (d2, cell)
+    * tiebreaks. d2_l2 ≤/＞ d2_l1 is reported, not assumed: a seed
+    * codebook does not guarantee improvement per vector. */
+  def embeddingRvqEncode(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val raw = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray))
+      .sortBy(_._1)
+    val cb1 = raw.filter(_._1 < 8).map(_._2)
+    def assign1(m: Array[Long]): Int =
+      cb1.zipWithIndex.map { case (cm, c) =>
+        (cm.zip(m).map { case (b, a) => (a - b) * (a - b) }.sum, c)
+      }.min._2
+    val cb2 = raw.filter(_._1 >= 8).map { case (_, m) =>
+      val cm = cb1(assign1(m))
+      m.zip(cm).map { case (a, b) => a - b }
+    }
+    def argmin(cells: Seq[org.apache.spark.sql.Column]) =
+      array_min(array(cells: _*))
+    val l1Cells = cb1.toSeq.zipWithIndex.map { case (cm, c) =>
+      struct(aggregate(zip_with(col("micro"), typedLit(cm.toSeq),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+        .as("d2"), lit(c).as("cell"))
+    }
+    val cb1Lit = typedLit(cb1.map(_.toSeq).toSeq)
+    val l2Cells = cb2.toSeq.zipWithIndex.map { case (rm, k) =>
+      struct(aggregate(zip_with(col("resid"), typedLit(rm.toSeq),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+        .as("d2"), lit(k).as("cell"))
+    }
+    e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000d).cast("bigint"))
+          .as("micro"))
+      .withColumn("b1", argmin(l1Cells))
+      .withColumn("resid",
+        zip_with(col("micro"),
+          element_at(cb1Lit, col("b1.cell") + 1), (a, b) => a - b))
+      .withColumn("b2", argmin(l2Cells))
+      .select(col("vec_id"),
+        col("b1.cell").as("c1"), col("b1.d2").as("d2_l1"),
+        col("b2.cell").as("c2"), col("b2.d2").as("d2_l2"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_rvq_encode" -> (embeddingRvqEncode _),
     "embedding_isotropy" -> (embeddingIsotropy _),
     "embedding_silhouette" -> (embeddingSilhouette _),
     "sim_knn_join" -> (simKnnJoin _),
@@ -1094,6 +1159,54 @@ object Similarity {
       |      ELSE CAST(0 AS BIGINT) END), (a, b) -> a | b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same micro/argmin discipline as embedding_kmeans_assign; the
+    // level-2 codebook is the residuals of vecs 8..15 vs their own
+    // level-1 cells; all distances exact BIGINT; (d2, cell) tiebreaks
+    "embedding_rvq_encode" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS m
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, m AS cm
+        |  FROM e WHERE vec_id < 8
+        |), d1 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    CAST(list_sum(list_transform(range(1, len(e.m) + 1),
+        |      i -> (e.m[i] - c.cm[i]) * (e.m[i] - c.cm[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e CROSS JOIN c
+        |), a1 AS (
+        |  SELECT vec_id, cell, d2 FROM (
+        |    SELECT vec_id, cell, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cell) AS rn
+        |    FROM d1) WHERE rn = 1
+        |), cb2 AS (
+        |  SELECT CAST(e.vec_id - 8 AS INTEGER) AS k,
+        |    list_transform(range(1, len(e.m) + 1),
+        |      i -> e.m[i] - c.cm[i]) AS r
+        |  FROM e JOIN a1 USING (vec_id) JOIN c ON c.cell = a1.cell
+        |  WHERE e.vec_id >= 8 AND e.vec_id < 16
+        |), rv AS (
+        |  SELECT e.vec_id, a1.cell AS c1, a1.d2 AS d2_l1,
+        |    list_transform(range(1, len(e.m) + 1),
+        |      i -> e.m[i] - c.cm[i]) AS r
+        |  FROM e JOIN a1 USING (vec_id) JOIN c ON c.cell = a1.cell
+        |), d2t AS (
+        |  SELECT rv.vec_id, rv.c1, rv.d2_l1, cb2.k,
+        |    CAST(list_sum(list_transform(range(1, len(rv.r) + 1),
+        |      i -> (rv.r[i] - cb2.r[i]) * (rv.r[i] - cb2.r[i])))
+        |      AS BIGINT) AS d2
+        |  FROM rv CROSS JOIN cb2
+        |)
+        |SELECT vec_id, c1, d2_l1, k AS c2, d2 AS d2_l2 FROM (
+        |  SELECT vec_id, c1, d2_l1, k, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY d2, k) AS rn
+        |  FROM d2t) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
     // identical micro quantization; per-dim sums exact BIGINT; squares
     // in DECIMAL(19,0) products, decimal-exact sum; ONE closing double
     "embedding_isotropy" ->

@@ -129,7 +129,9 @@ class ParallelismSpec extends AnyFunSuite {
     "sim_search_graph_beam",
     // round-9 batch 23: bucketed CDF integration, 51-head order
     // stats, struct-tagged gram explode
-    "agg_cvm_test", "agg_hill_tail_index", "text_distinct_ngrams")
+    "agg_cvm_test", "agg_hill_tail_index", "text_distinct_ngrams",
+    // round-9 batch 24: two-level argmin chain, decimal ESS sums
+    "embedding_rvq_encode", "agg_weight_ess")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -211,6 +211,67 @@ class Round9dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_rvq_encode replays the two-level argmin chain") {
+    val em = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray))
+      .sortBy(_._1)
+    val cb1 = em.filter(_._1 < 8).map(_._2)
+    def a1(m: Array[Long]): (Long, Int) =
+      cb1.zipWithIndex.map { case (cm, c) =>
+        (cm.zip(m).map { case (b, a) => (a - b) * (a - b) }.sum, c)
+      }.min
+    val cb2 = em.filter(t => t._1 >= 8 && t._1 < 16).map { case (_, m) =>
+      val cm = cb1(a1(m)._2)
+      m.zip(cm).map { case (a, b) => a - b }
+    }
+    val got = graft.llm.Similarity.embeddingRvqEncode(spark, sf).collect()
+    assert(got.length == em.length)
+    val byId = em.toMap
+    for (r <- got) {
+      val m = byId(r.getLong(0))
+      val (d1, c1) = a1(m)
+      val res = m.zip(cb1(c1)).map { case (a, b) => a - b }
+      val (d2, c2) = cb2.zipWithIndex.map { case (rm, k) =>
+        (rm.zip(res).map { case (b, a) => (a - b) * (a - b) }.sum, k)
+      }.min
+      assert(r.getInt(1) == c1 && r.getLong(2) == d1 &&
+        r.getInt(3) == c2 && r.getLong(4) == d2, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("agg_weight_ess replays the source-level ESS arithmetic") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val docs = Tables.t(spark, sf, "documents")
+      .selectExpr("source", "size(split(text, ' '))").collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+    val bySrc = docs.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val totTok = bySrc.values.map(_._2).sum
+    val wts = bySrc.map { case (src, (nd, nt)) =>
+      src -> (nd, nt.toDouble / totTok,
+        BigDecimal(math.sqrt(nt.toDouble / totTok)).setScale(10, HALF_UP))
+    }
+    val sumWt = wts.values.map(_._3).sum
+    val w = wts.map { case (src, (nd, p, wt)) =>
+      src -> (nd,
+        BigDecimal(wt.toDouble / sumWt.toDouble / p).setScale(6, HALF_UP))
+    }
+    val n = w.values.map(_._1).sum
+    val sw = w.values.map { case (nd, wv) => BigDecimal(nd) * wv }.sum
+    val sw2 = w.values.map { case (nd, wv) => BigDecimal(nd) * wv * wv }.sum
+    val got = graft.llm.Curation.aggWeightEss(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == n && r.getLong(1) == w.size.toLong)
+    assert(math.abs(r.getDouble(2) - sw.toDouble) < 1e-6)
+    val ess = sw.toDouble * sw.toDouble / sw2.toDouble
+    assert(math.abs(r.getDouble(3) - ess) < 1e-3)
+    assert(math.abs(r.getDouble(4) - ess / n) < 1e-6)
+  }
+
   test("sim_search_graph_beam replays the two unrolled beam hops") {
     val em = Tables.t(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()

@@ -2871,7 +2871,47 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Average precision (the area under the precision-recall curve —
+    * the imbalanced-class companion to [[aggAucRank]]'s ROC AUC:
+    * ROC-AUC stays optimistic when positives are rare; AP collapses,
+    * which is why retrieval and anomaly evals report it):
+    * AP = (1/P) Σ_{positives} precision@rank(positive). Ranking is
+    * value-DESC with an event_id tiebreak — a defined total order, so
+    * AP is deterministic under ties.
+    *
+    * Scale shape: the global rank rides [[Ordered.withGlobalIndex]]
+    * (range-sort + zipWithIndex — the engine's distributed total-order
+    * machinery, never a single-partition window); the positive-side
+    * cumulative count is a SECOND withGlobalIndex over the positives
+    * subset ordered by global rank. Each precision term j/rk is
+    * round@12 → decimal before the exact sum (order-independent);
+    * AP closes in ONE double division. */
+  def aggAveragePrecision(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"),
+        col("value").cast("decimal(19,4)").as("v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("pos"))
+    val ranked = Ordered.withGlobalIndex(base,
+        Seq(col("v").desc, col("event_id")), "__idx")
+      .withColumn("rk", col("__idx") + 1L)
+    val posRanked = Ordered.withGlobalIndex(
+        ranked.filter(col("pos") === 1).select(col("rk")),
+        Seq(col("rk")), "__pidx")
+      .withColumn("j", col("__pidx") + 1L)
+    posRanked
+      .select(expr("""CAST(ROUND(CAST(j AS DOUBLE)
+                      / CAST(rk AS DOUBLE), 12)
+                      AS DECIMAL(20,12))""").as("term"))
+      .agg(count(lit(1)).as("n_pos"), sum(col("term")).as("s"))
+      .select(col("n_pos"), col("s").cast("double").as("sum_prec"),
+        expr("ROUND(CAST(s AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)")
+          .as("avg_precision"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_average_precision" -> (aggAveragePrecision _),
     "agg_cvm_test" -> (aggCvmTest _),
     "agg_hill_tail_index" -> (aggHillTailIndex _),
     "agg_mean_excess" -> (aggMeanExcess _),
@@ -2979,6 +3019,32 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // value-DESC/event_id total order; per-positive precision terms
+    // round@12 → decimal; ONE closing double division
+    "agg_average_precision" ->
+      """WITH base AS (
+        |  SELECT event_id, CAST(value AS DECIMAL(19,4)) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), r AS (
+        |  SELECT pos,
+        |    ROW_NUMBER() OVER (ORDER BY v DESC, event_id) AS rk
+        |  FROM base
+        |), p AS (
+        |  SELECT rk, ROW_NUMBER() OVER (ORDER BY rk) AS j
+        |  FROM r WHERE pos = 1
+        |), terms AS (
+        |  SELECT CAST(ROUND(CAST(j AS DOUBLE) / CAST(rk AS DOUBLE),
+        |    12) AS DECIMAL(20,12)) AS term
+        |  FROM p
+        |), agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos, SUM(term) AS s
+        |  FROM terms
+        |)
+        |SELECT n_pos, CAST(s AS DOUBLE) AS sum_prec,
+        |  ROUND(CAST(s AS DOUBLE) / CAST(n_pos AS DOUBLE), 6)
+        |    AS avg_precision
+        |FROM agg""".stripMargin,
     // oracle states the direct pooled-EDF definition; the engine's
     // bucketed decomposition must integer-match D at every distinct
     // value; width-19 decimal products; ONE closing double division

@@ -374,6 +374,52 @@ object Joins {
       .orderBy(col("ck"))
   }
 
+  /** Grid-bucketed spatial NEAREST-neighbor join — [[joinGeoGrid]]'s
+    * argmin sibling (count → which point is closest): for each point,
+    * the nearest OTHER point among those within Chebyshev distance
+    * < 100 centidegrees, by squared Euclidean distance with a
+    * lowest-id tiebreak. The 3×3 cell expansion EXACTLY covers the
+    * Chebyshev-<100 ball (cell width = band width), so the candidate
+    * equi-join on cell keys is lossless for this semantics — a
+    * bounded-radius kNN, the form spatial joins take at scale
+    * (unbounded nearest has no prunable candidate set). Isolated
+    * points (empty ball) keep a NULL neighbor. Same deterministic
+    * synthetic coordinates as joinGeoGrid; argmin via struct-min,
+    * exact integer d². */
+  def joinSpatialKnn(s: SparkSession, d: String): DataFrame = {
+    val pts = t(s, d, "customer").select(col("c_custkey").as("ck"),
+        expr("""CAST(conv(substring(md5(concat('lat|',
+                CAST(c_custkey AS STRING))), 1, 6), 16, 10) AS BIGINT)
+                % 18000""").as("lat"),
+        expr("""CAST(conv(substring(md5(concat('lon|',
+                CAST(c_custkey AS STRING))), 1, 6), 16, 10) AS BIGINT)
+                % 36000""").as("lon"))
+      .withColumn("cla", expr("lat div 100"))
+      .withColumn("clo", expr("lon div 100"))
+    val probes = pts
+      .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("ck").as("a"), col("lat").as("la"), col("lon").as("oa"),
+        (col("cla") + col("dla")).as("cla"),
+        (col("clo") + col("dlo")).as("clo"))
+    val nn = probes
+      .join(pts.select(col("ck").as("b"), col("lat").as("lb"),
+        col("lon").as("ob"), col("cla"), col("clo")), Seq("cla", "clo"))
+      .filter(col("a") =!= col("b") &&
+        abs(col("la") - col("lb")) < 100 && abs(col("oa") - col("ob")) < 100)
+      .groupBy(col("a"))
+      .agg(min(struct(
+        ((col("la") - col("lb")) * (col("la") - col("lb")) +
+         (col("oa") - col("ob")) * (col("oa") - col("ob"))).as("d2"),
+        col("b").as("id"))).as("best"))
+      .select(col("a"), col("best.id").as("nn_id"),
+        col("best.d2").as("nn_d2"))
+    pts.join(nn, pts("ck") === nn("a"), "left")
+      .select(col("ck"), col("lat"), col("lon"),
+        col("nn_id"), col("nn_d2"))
+      .orderBy(col("ck"))
+  }
+
   /** As-of NEAREST join: for each purchase, the same user's closest
     * view in EITHER direction, bounded to ±1 hour. The bound is what
     * makes this scale: an unbounded nearest join has no prunable
@@ -611,6 +657,7 @@ object Joins {
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_window_aggregate" -> (joinWindowAggregate _),
     "join_geo_grid" -> (joinGeoGrid _),
+    "join_spatial_knn" -> (joinSpatialKnn _),
     "join_asof_nearest" -> (joinAsofNearest _),
     "join_interval" -> (joinInterval _)
   )
@@ -786,6 +833,34 @@ object Joins {
         |)
         |SELECT p_id, n_views, p_us - last_v AS gap_us
         |FROM g ORDER BY p_id""".stripMargin,
+    // direct theta-join argmin over the Chebyshev-<100 ball; the
+    // engine's 3×3 cell expansion must pick identical neighbors
+    "join_spatial_knn" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS ck,
+        |    CAST(('0x' || substring(md5('lat|' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+        |      % 18000 AS lat,
+        |    CAST(('0x' || substring(md5('lon|' ||
+        |      CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+        |      % 36000 AS lon
+        |  FROM customer
+        |), cand AS (
+        |  SELECT a.ck, b.ck AS b_id,
+        |    (a.lat - b.lat) * (a.lat - b.lat)
+        |      + (a.lon - b.lon) * (a.lon - b.lon) AS d2
+        |  FROM pts a JOIN pts b ON b.ck <> a.ck
+        |    AND ABS(a.lat - b.lat) < 100 AND ABS(a.lon - b.lon) < 100
+        |), nn AS (
+        |  SELECT ck, b_id AS nn_id, d2 AS nn_d2 FROM (
+        |    SELECT ck, b_id, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY ck
+        |        ORDER BY d2, b_id) AS rn
+        |    FROM cand) WHERE rn = 1
+        |)
+        |SELECT pts.ck, lat, lon, nn_id, nn_d2
+        |FROM pts LEFT JOIN nn ON nn.ck = pts.ck
+        |ORDER BY pts.ck""".stripMargin,
     // oracle is the direct Chebyshev-band theta join; the engine's
     // 3×3 cell expansion must count the identical neighbor sets
     "join_geo_grid" ->

@@ -131,7 +131,9 @@ class ParallelismSpec extends AnyFunSuite {
     // stats, struct-tagged gram explode
     "agg_cvm_test", "agg_hill_tail_index", "text_distinct_ngrams",
     // round-9 batch 24: two-level argmin chain, decimal ESS sums
-    "embedding_rvq_encode", "agg_weight_ess")
+    "embedding_rvq_encode", "agg_weight_ess",
+    // round-9 batch 25: double global-index chain, cell argmin join
+    "agg_average_precision", "join_spatial_knn")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -211,6 +211,54 @@ class Round9dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_average_precision replays the per-positive precision sum") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("event_id", "event_type", "value").collect()
+      .filter(r => Set("view", "purchase")(r.getString(1)))
+      .map(r => (r.getLong(0), r.getString(1),
+        BigDecimal(r.getDouble(2)).setScale(4, HALF_UP)))
+    val ranked = ev.sortBy { case (id, _, v) => (-v, id) }.zipWithIndex
+      .map { case ((id, ty, _), i) => (ty, i + 1L) }
+    val posRanks = ranked.filter(_._1 == "purchase").map(_._2)
+    val terms = posRanks.sorted.zipWithIndex.map { case (rk, i) =>
+      BigDecimal((i + 1).toDouble / rk.toDouble).setScale(12, HALF_UP) }
+    val got = Aggregates.aggAveragePrecision(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == posRanks.length.toLong)
+    assert(math.abs(r.getDouble(1) - terms.sum.toDouble) < 1e-9)
+    assert(math.abs(r.getDouble(2) -
+      terms.sum.toDouble / posRanks.length) < 1e-6)
+  }
+
+  test("join_spatial_knn replays the bounded-ball argmin") {
+    def h(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s0.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16)
+    }
+    val pts = Tables.t(spark, sf, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(ck => (ck, h(s"lat|$ck") % 18000, h(s"lon|$ck") % 36000))
+    val exp = pts.map { case (ck, la, lo) =>
+      val cand = pts.filter { case (bk, lb, ob) =>
+        bk != ck && math.abs(la - lb) < 100 && math.abs(lo - ob) < 100 }
+        .map { case (bk, lb, ob) =>
+          ((la - lb) * (la - lb) + (lo - ob) * (lo - ob), bk) }
+      ck -> (if (cand.isEmpty) None else Some(cand.min.swap))
+    }.toMap
+    val got = graft.queries.Joins.joinSpatialKnn(spark, sf).collect()
+    assert(got.length == pts.length)
+    for (r <- got) {
+      val want = exp(r.getLong(0))
+      val gotNn = if (r.isNullAt(3)) None
+        else Some((r.getLong(3), r.getLong(4)))
+      assert(gotNn == want, s"ck ${r.getLong(0)}")
+    }
+  }
+
   test("embedding_rvq_encode replays the two-level argmin chain") {
     val em = Tables.t(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()

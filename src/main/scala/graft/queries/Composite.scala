@@ -362,7 +362,40 @@ object Composite {
       .orderBy(col("check"))
   }
 
+  /** Recursive hierarchy rollup — the BOM-explosion / org-chart
+    * aggregation shape (every descendant's cost rolled up to its
+    * root), the second member of the engine's recursive-CTE surface
+    * next to [[graft.queries.Graphs.graphReachabilityCte]]'s BFS: a
+    * deterministic decimal tree over `part` (parent(k) = k div 10 —
+    * digit-truncation, so every key has exactly one parent and depth
+    * is bounded by key width), descended by Catalyst-planned
+    * `WITH RECURSIVE` (each level is one equi join — scale-sane: the
+    * recursion depth is ~log₁₀(keys), not data-sized), with exact
+    * decimal retail-price mass and depth rolled up per root.
+    * Cites the reference's single-pass data plane for contrast: no
+    * reference equivalent — recursion is part of the §2.2 relational
+    * completeness surface. */
+  def hierarchyRollupCte(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "part")
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("decimal(18,4)").as("rp"))
+      .createOrReplaceTempView("graft_part_h")
+    s.sql(
+      """WITH RECURSIVE tree(root, node, depth, rp) AS (
+        |  SELECT p_partkey, p_partkey, 0, rp
+        |  FROM graft_part_h WHERE p_partkey < 10
+        |  UNION ALL
+        |  SELECT t.root, p.p_partkey, t.depth + 1, p.rp
+        |  FROM tree t JOIN graft_part_h p
+        |    ON p.p_partkey div 10 = t.node AND p.p_partkey >= 10
+        |)
+        |SELECT root, COUNT(*) AS n_parts, MAX(depth) AS max_depth,
+        |  CAST(SUM(rp) AS DOUBLE) AS total_retail
+        |FROM tree GROUP BY root ORDER BY root""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hierarchy_rollup_cte" -> (hierarchyRollupCte _),
     "composite_source_scorecard" -> (compositeSourceScorecard _),
     "composite_dq_report" -> (compositeDqReport _),
     "composite_tpch_q14" -> (compositeTpchQ14 _),
@@ -378,6 +411,24 @@ object Composite {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical recursion over the digit-truncation tree; decimal
+    // retail mass exact, cast to double at the end on both engines
+    "hierarchy_rollup_cte" ->
+      """WITH RECURSIVE ph AS (
+        |  SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,4)) AS rp
+        |  FROM part
+        |), tree(root, node, depth, rp) AS (
+        |  SELECT p_partkey, p_partkey, 0, rp
+        |  FROM ph WHERE p_partkey < 10
+        |  UNION ALL
+        |  SELECT t.root, p.p_partkey, t.depth + 1, p.rp
+        |  FROM tree t JOIN ph p
+        |    ON p.p_partkey // 10 = t.node AND p.p_partkey >= 10
+        |)
+        |SELECT root, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  MAX(depth) AS max_depth,
+        |  CAST(SUM(rp) AS DOUBLE) AS total_retail
+        |FROM tree GROUP BY root ORDER BY root""".stripMargin,
     // fixed-point masses (×1e4) keep the share division integer-exact
     "composite_tpch_q14" ->
       """WITH m AS (

@@ -133,7 +133,9 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 24: two-level argmin chain, decimal ESS sums
     "embedding_rvq_encode", "agg_weight_ess",
     // round-9 batch 25: double global-index chain, cell argmin join
-    "agg_average_precision", "join_spatial_knn")
+    "agg_average_precision", "join_spatial_knn",
+    // round-9 batch 26: recursive hierarchy aggregation
+    "hierarchy_rollup_cte")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

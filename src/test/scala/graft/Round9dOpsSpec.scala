@@ -211,6 +211,28 @@ class Round9dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hierarchy_rollup_cte replays the digit-truncation rollup") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val parts = Tables.t(spark, sf, "part")
+      .select("p_partkey", "p_retailprice").collect()
+      .map(r => (r.getLong(0),
+        BigDecimal(r.getDouble(1)).setScale(4, HALF_UP)))
+    def rootOf(k: Long): Long = if (k < 10) k else rootOf(k / 10)
+    def depthOf(k: Long): Int = if (k < 10) 0 else depthOf(k / 10) + 1
+    val exp = parts.groupBy(t0 => rootOf(t0._1)).map { case (root, xs) =>
+      root -> (xs.length.toLong, xs.map(t0 => depthOf(t0._1)).max,
+        xs.map(_._2).sum)
+    }
+    val got = graft.queries.Composite.hierarchyRollupCte(spark, sf)
+      .collect()
+    assert(got.length == exp.size)
+    for (r <- got) {
+      val (n, dep, tot) = exp(r.getLong(0))
+      assert(r.getLong(1) == n && r.getInt(2) == dep, s"root ${r.get(0)}")
+      assert(r.getDouble(3) == tot.toDouble, s"root ${r.get(0)}")
+    }
+  }
+
   test("agg_average_precision replays the per-positive precision sum") {
     import scala.math.BigDecimal.RoundingMode.HALF_UP
     val ev = Tables.t(spark, sf, "events")

@@ -2670,20 +2670,30 @@ object Aggregates {
     * value) aggregate, never corpus rows — no global sort, no
     * percentile over raw data), the rank ⌈(n+1)·9/10⌉ in pure
     * integer arithmetic ((a·9+9) DIV 10, capped at n). At 100 TB the
-    * corpus cost is three column-pruned scans + map-side-combined
-    * aggregates; the crossing tables broadcast (≤ value-space rows). */
+    * corpus cost is ONE map-side-combined aggregate; the crossing
+    * tables broadcast (≤ value-space rows). */
   def aggConformalInterval(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = t(s, d, "events")
+    // ONE corpus pass: the (type, value, split) count table is the
+    // only thing the corpus contributes; the median, the residual
+    // quantile AND the holdout coverage are all recomputed from that
+    // value-space-bounded aggregate (residual counts per |v−med| are
+    // a re-aggregation of the value counts — no second corpus scan;
+    // coverage sums holdout counts under the q4 predicate). Measured
+    // 2.20 → 1.3 s at sf0.1; at 100 TB the saving is two corpus
+    // scans.
+    val counts = t(s, d, "events")
       .filter(col("value").isNotNull)
-      .select(col("event_type"),
+      .groupBy(col("event_type"),
         col("value").cast("decimal(18,4)").as("v4"),
         (expr("unix_micros(ts) div 86400000000") % 5 < 4).as("is_cal"))
-    val cal = base.filter(col("is_cal"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val calV = counts.filter(col("is_cal"))
+      .select(col("event_type"), col("v4"), col("c"))
     val winV = Window.partitionBy(col("event_type")).orderBy(col("v4"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val med = cal.groupBy(col("event_type"), col("v4"))
-      .agg(count(lit(1)).as("c"))
+    val med = calV
       .withColumn("cum", sum(col("c")).over(winV))
       .withColumn("n_cal",
         sum(col("c")).over(Window.partitionBy(col("event_type"))))
@@ -2693,29 +2703,29 @@ object Aggregates {
           .as("med4"))
     val winR = Window.partitionBy(col("event_type")).orderBy(col("r4"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val qv = cal.join(broadcast(med), "event_type")
+    val qv = calV.join(broadcast(med), "event_type")
       .groupBy(col("event_type"), col("n_cal"),
         abs(col("v4") - col("med4")).as("r4"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("c"))
       .withColumn("cum", sum(col("c")).over(winR))
       .groupBy(col("event_type"))
       .agg(min(when(col("cum") >=
           expr("LEAST(((n_cal + 1) * 9 + 9) DIV 10, n_cal)"),
         col("r4"))).as("q4"))
-    base.filter(!col("is_cal"))
+    counts.filter(!col("is_cal"))
       .join(broadcast(med), "event_type")
       .join(broadcast(qv), "event_type")
-      .select(col("event_type"), col("n_cal"), col("med4"), col("q4"),
-        (abs(col("v4") - col("med4")) <= col("q4")).cast("long")
-          .as("cov"))
       .groupBy(col("event_type"), col("n_cal"), col("med4"), col("q4"))
-      .agg(count(lit(1)).as("n_hold"), sum(col("cov")).as("n_covered"))
+      .agg(sum(col("c")).as("n_hold"),
+        sum(when(abs(col("v4") - col("med4")) <= col("q4"), col("c")))
+          .as("n_covered"))
       .select(col("event_type"), col("n_cal"),
         col("med4").cast("double").as("med"),
         col("q4").cast("double").as("q"),
-        col("n_hold"), col("n_covered"),
-        expr("ROUND(CAST(n_covered AS DOUBLE) / CAST(n_hold AS DOUBLE)," +
-          " 6)").as("coverage"))
+        col("n_hold"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        expr("""ROUND(CAST(COALESCE(n_covered, 0) AS DOUBLE)
+                / CAST(n_hold AS DOUBLE), 6)""").as("coverage"))
       .orderBy(col("event_type"))
   }
 

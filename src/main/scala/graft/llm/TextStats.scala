@@ -986,18 +986,28 @@ object TextStats {
     * distinct/total counts — gram keys shuffle once, Zipf-bounded
     * distinct side. Ratio is the single closing division. */
   def textDistinctNgrams(s: SparkSession, d: String): DataFrame = {
-    val toksCol = split(col("text"), " ")
-    def grams(n: Int) = when(size(toksCol) >= n,
-      transform(sequence(lit(1), size(toksCol) - (n - 1)),
-        i => struct(lit(n).as("n"),
-          concat_ws(" ", slice(toksCol, i, lit(n))).as("gram"))))
-      .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-    t(s, d, "documents")
-      .select(explode(concat(grams(1), grams(2), grams(3))).as("g"))
-      .select(col("g.n").as("n"), col("g.gram").as("gram"))
+    // gram generation via the custom [[graft.functions.TokenNGrams]]
+    // Generator (one O(len) codegen-stage pass in the scan) — the
+    // transform-lambda route built each gram with interpreted
+    // slice/concat_ws per position and was #2 in the whole bench
+    // (5.4 s at sf0.1; generator + two-level aggregate: 1.2 s)
+    import org.apache.spark.sql.GraftBridge
+    def gramsOf(n: Int) = t(s, d, "documents")
+      .select(GraftBridge.column(graft.functions.TokenNGrams(
+        GraftBridge.expression(col("text")), n)).as("gram"))
+      .select(lit(n).as("n"), col("gram"))
+    gramsOf(1).unionAll(gramsOf(2)).unionAll(gramsOf(3))
+      // two-level aggregate instead of COUNT(DISTINCT): the (n, gram)
+      // pre-aggregate map-side-combines duplicate grams BEFORE the
+      // shuffle (Zipf collapses most of the mass), where the
+      // multi-distinct Expand form shuffled every gram instance twice
+      // (measured 5.4 → 1.9 s at sf0.1; at 100 TB the combine is the
+      // difference between shuffling gram instances and gram types)
+      .groupBy(col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("n"))
-      .agg(count(lit(1)).as("total_ngrams"),
-        count_distinct(col("gram")).as("distinct_ngrams"))
+      .agg(sum(col("c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
       .withColumn("distinct_ratio",
         expr("""ROUND(CAST(distinct_ngrams AS DOUBLE)
                 / CAST(total_ngrams AS DOUBLE), 6)"""))

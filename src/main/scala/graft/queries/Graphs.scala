@@ -479,7 +479,49 @@ object Graphs {
       .orderBy(col("rank"))
   }
 
+  /** HITS hubs/authorities (Kleinberg '99) over the DIRECTED kNN
+    * retrieval graph — the second eigenvector-style centrality next
+    * to [[graphPagerank]], and the natural one for an asymmetric
+    * retrieval graph (a good AUTHORITY is retrieved by many vectors;
+    * a good HUB retrieves good authorities — "which vectors anchor
+    * the corpus neighborhood structure"). Two synchronous UNNORMALIZED
+    * rounds — the bounded-round convention (LPA/k-core/beam): init
+    * a₀=h₀=1; aᵣ = Σ_in hᵣ₋₁, hᵣ = Σ_out aᵣ — every score an exact
+    * BIGINT (values bounded by deg-products, ≤ 5² per round — no
+    * float normalization to diverge on), so the oracle replays the
+    * recursion exactly. Each round is two node-key aggregates + a
+    * join on the edge relation — shuffles ride |E|, rounds are
+    * logical-plan-deep, Catalyst plans end to end. Top-20 by
+    * authority (heap), id tiebreak. */
+  def graphHits(s: SparkSession, d: String): DataFrame = {
+    val e = materializedEdges(s, d)
+    // a1 = in-degree (h0=1); h1 = out-degree = 5 for every src, but
+    // computed, not assumed (the edge table defines the graph)
+    val a1 = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).as("a1"))
+    val h1 = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("h1"))
+    // a2(v) = Σ_{u→v} h1(u); h2(u) = Σ_{u→v} a2(v)
+    val a2 = e.join(h1.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("h1")).as("a2"))
+    val h2 = e.join(a2.withColumnRenamed("node", "dst"), Seq("dst"))
+      .groupBy(col("src").as("node"))
+      .agg(sum(col("a2")).as("h2"))
+    a1.join(h1, Seq("node"), "full_outer")
+      .join(a2, Seq("node"), "full_outer")
+      .join(h2, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("a1"), lit(0L)).as("auth1"),
+        coalesce(col("h1"), lit(0L)).as("hub1"),
+        coalesce(col("a2"), lit(0L)).as("auth2"),
+        coalesce(col("h2"), lit(0L)).as("hub2"))
+      .orderBy(col("auth2").desc, col("node"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> (graphHits _),
     "sim_search_graph_beam" -> (simSearchGraphBeam _),
     "graph_kcore" -> (graphKcore _),
     "graph_assortativity" -> (graphAssortativity _),
@@ -493,6 +535,28 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    // two unrolled unnormalized HITS rounds over the directed edges;
+    // every score an exact BIGINT; top-20 by auth2 with id tiebreak
+    "graph_hits" -> (edgeCte +
+      """
+        |, a1 AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS a1
+        |         FROM e GROUP BY 1),
+        |h1 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS h1
+        |       FROM e GROUP BY 1),
+        |a2 AS (SELECT e.dst AS node, CAST(SUM(h1.h1) AS BIGINT) AS a2
+        |       FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+        |h2 AS (SELECT e.src AS node, CAST(SUM(a2.a2) AS BIGINT) AS h2
+        |       FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+        |nodes AS (
+        |  SELECT node FROM a1 UNION SELECT node FROM h1
+        |  UNION SELECT node FROM a2 UNION SELECT node FROM h2)
+        |SELECT n.node,
+        |  COALESCE(a1.a1, 0) AS auth1, COALESCE(h1.h1, 0) AS hub1,
+        |  COALESCE(a2.a2, 0) AS auth2, COALESCE(h2.h2, 0) AS hub2
+        |FROM nodes n
+        |LEFT JOIN a1 USING (node) LEFT JOIN h1 USING (node)
+        |LEFT JOIN a2 USING (node) LEFT JOIN h2 USING (node)
+        |ORDER BY auth2 DESC, n.node LIMIT 20""".stripMargin),
     // two unrolled beam hops over the DIRECTED top-5 kNN edges; exact
     // integer dots; every ordering vec_id-tiebroken
     "sim_search_graph_beam" -> (edgeCte +

@@ -135,7 +135,9 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 25: double global-index chain, cell argmin join
     "agg_average_precision", "join_spatial_knn",
     // round-9 batch 26: recursive hierarchy aggregation
-    "hierarchy_rollup_cte")
+    "hierarchy_rollup_cte",
+    // round-9 batch 27: synchronous HITS rounds
+    "graph_hits")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

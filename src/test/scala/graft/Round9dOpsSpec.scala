@@ -211,6 +211,38 @@ class Round9dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_hits replays two unnormalized HITS rounds") {
+    val em = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray))
+    def dot(p: Array[Long], q: Array[Long]): Long =
+      p.zip(q).map { case (x, y) => x * y }.sum
+    val edges = em.flatMap { case (src, p) =>
+      em.filter(_._1 != src)
+        .map { case (d0, q) => (dot(p, q), d0) }
+        .sortBy { case (s0, d0) => (-s0, d0) }.take(5)
+        .map { case (_, d0) => (src, d0) }
+    }
+    val a1 = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val h1 = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val a2 = edges.groupBy(_._2).view
+      .mapValues(_.map(e => h1.getOrElse(e._1, 0L)).sum).toMap
+    val h2 = edges.groupBy(_._1).view
+      .mapValues(_.map(e => a2.getOrElse(e._2, 0L)).sum).toMap
+    val nodes = (a1.keys ++ h1.keys ++ a2.keys ++ h2.keys).toSet
+    val want = nodes.toSeq.map(n => (n,
+        a1.getOrElse(n, 0L), h1.getOrElse(n, 0L),
+        a2.getOrElse(n, 0L), h2.getOrElse(n, 0L)))
+      .sortBy { case (n, _, _, a, _) => (-a, n) }.take(20)
+    val got = graft.queries.Graphs.graphHits(spark, sf).collect()
+    assert(got.length == want.length)
+    for ((r, w) <- got.zip(want))
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)) == w, s"node ${r.getLong(0)}")
+  }
+
   test("hierarchy_rollup_cte replays the digit-truncation rollup") {
     import scala.math.BigDecimal.RoundingMode.HALF_UP
     val parts = Tables.t(spark, sf, "part")

@@ -92,6 +92,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.FunctionArgs.intLiteral(
             "graft_misra_gries", "k", exprs(1))).toAggregateExpression()
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ares_sample"),
+      new ExpressionInfo(classOf[graft.functions.AresSampleAgg].getName,
+        "graft_ares_sample"),
+      (exprs: Seq[Expression]) => {
+        graft.functions.FunctionArgs.requireArity(
+          "graft_ares_sample", exprs, 2)
+        graft.functions.AresSampleAgg(exprs(0),
+          graft.functions.FunctionArgs.intLiteral(
+            "graft_ares_sample", "k", exprs(1))).toAggregateExpression()
+      }))
     // collapse the composed decode chain into the fused expression
     ext.injectOptimizerRule(_ => graft.plans.FuseDecodeChain)
   }

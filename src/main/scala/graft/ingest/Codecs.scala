@@ -62,6 +62,15 @@ object Codecs {
           graft.functions.FunctionArgs.intLiteral(
             "graft_misra_gries", "k", exprs(1))).toAggregateExpression()
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ares_sample",
+      exprs => {
+        graft.functions.FunctionArgs.requireArity(
+          "graft_ares_sample", exprs, 2)
+        graft.functions.AresSampleAgg(exprs(0),
+          graft.functions.FunctionArgs.intLiteral(
+            "graft_ares_sample", "k", exprs(1))).toAggregateExpression()
+      }, "built-in")
     // decode-chain fusion (see graft.plans.FuseDecodeChain); idempotent
     if (!spark.experimental.extraOptimizations.contains(graft.plans.FuseDecodeChain))
       spark.experimental.extraOptimizations =

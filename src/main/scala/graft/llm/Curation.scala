@@ -865,7 +865,38 @@ object Curation {
           .as("ess_ratio"))
   }
 
+  /** Rendezvous (highest-random-weight) shard routing — the
+    * consistent-assignment primitive behind shard-stable data layouts
+    * (Thaler & Ravishankar '98; what consistent hashing rings
+    * approximate): each document goes to the shard with the highest
+    * deterministic weight md5('shard|s|doc'), so adding/removing a
+    * shard moves only 1/S of the keys and every worker computes the
+    * same routing with NO coordination. Weights are the house
+    * cross-engine hash; argmax is a struct-max over the S=5 bounded
+    * shard set inside the scan (one codegen'd projection, zero
+    * shuffles before the 5-group summary). Output: per-shard doc
+    * count + key range — the balance audit a routing layer alerts
+    * on. */
+  def sampleRendezvousShard(s: SparkSession, d: String): DataFrame = {
+    val shards = (0 until 5).map { i =>
+      struct(
+        expr(s"""CAST(conv(substring(md5(concat('shard|$i|',
+                 CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)""")
+          .as("w"),
+        lit(i).as("shard"))
+    }
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        array_max(array(shards: _*)).getField("shard").as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_rendezvous_shard" -> (sampleRendezvousShard _),
     "agg_weight_ess" -> (aggWeightEss _),
     "privacy_t_closeness" -> (privacyTCloseness _),
     "privacy_pseudonymize" -> (privacyPseudonymize _),
@@ -895,6 +926,26 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // HRW argmax replayed as ROW_NUMBER over the 5-way weight cross
+    // join; identical md5 weights; (w DESC, shard DESC) = struct-max
+    "sample_rendezvous_shard" ->
+      """WITH a AS (
+        |  SELECT doc_id, s.shard,
+        |    CAST(('0x' || substring(md5('shard|' ||
+        |      CAST(s.shard AS VARCHAR) || '|' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS w
+        |  FROM documents
+        |  CROSS JOIN (VALUES (0), (1), (2), (3), (4)) s(shard)
+        |), r AS (
+        |  SELECT doc_id, shard FROM (
+        |    SELECT doc_id, shard,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY w DESC, shard DESC) AS rn
+        |    FROM a) WHERE rn = 1
+        |)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
     // per-source up-factor rounded to DECIMAL once; ESS sums in exact
     // decimal; ONE closing double expression
     "agg_weight_ess" ->

@@ -2920,7 +2920,27 @@ object Aggregates {
           .as("avg_precision"))
   }
 
+  /** Deterministic bottom-k sample per group on the NATIVE
+    * [[graft.functions.AresSampleAgg]] (`graft_ares_sample`) — the
+    * distributed-sampling twin of [[aggHeavyHittersNative]]: the whole
+    * per-type sample rides ONE TypedImperativeAggregate whose partials
+    * carry ≤ k entries regardless of partition size (union-then-
+    * retake-bottom-k merge), where the SQL formulation shuffles a
+    * ranked window over corpus rows. Priorities are the house
+    * cross-engine md5 hash, so the oracle's ORDER BY priority LIMIT k
+    * reproduces the identical sample — deterministic,
+    * order-independent, re-runnable. */
+  def aggSampleNative(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_type"), col("user_id").cast("string").as("uid"))
+      .groupBy(col("event_type"))
+      .agg(expr("graft_ares_sample(uid, 10)").as("sample"))
+      .select(col("event_type"),
+        posexplode(col("sample")).as(Seq("pos", "uid")))
+      .orderBy(col("event_type"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_sample_native" -> (aggSampleNative _),
     "agg_average_precision" -> (aggAveragePrecision _),
     "agg_cvm_test" -> (aggCvmTest _),
     "agg_hill_tail_index" -> (aggHillTailIndex _),
@@ -3029,6 +3049,23 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // oracle states the sample as ORDER BY md5-priority LIMIT k; the
+    // native bounded-state aggregate must reproduce it exactly
+    "agg_sample_native" ->
+      """WITH rws AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS uid,
+        |    CAST(('0x' || substring(md5('smp|' ||
+        |      CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT) AS p
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, uid,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY p, uid) AS rn
+        |  FROM rws
+        |)
+        |SELECT event_type, CAST(rn - 1 AS INTEGER) AS pos, uid
+        |FROM r WHERE rn <= 10
+        |ORDER BY event_type, pos""".stripMargin,
     // value-DESC/event_id total order; per-positive precision terms
     // round@12 → decimal; ONE closing double division
     "agg_average_precision" ->

@@ -137,7 +137,9 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 26: recursive hierarchy aggregation
     "hierarchy_rollup_cte",
     // round-9 batch 27: synchronous HITS rounds
-    "graph_hits")
+    "graph_hits",
+    // round-9 batch 28: bounded-state native sampler, HRW argmax
+    "agg_sample_native", "sample_rendezvous_shard")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)
@@ -151,6 +153,9 @@ class ParallelismSpec extends AnyFunSuite {
 
   test("results are bit-identical at a different shuffle-partition count") {
     val alt = spark.newSession()
+    // newSession has a fresh temp-function registry — the custom SQL
+    // functions (graft_ares_sample etc.) must be re-registered
+    graft.ingest.Codecs.register(alt)
     alt.conf.set("spark.sql.shuffle.partitions", "7")
     for (q <- queries) {
       val base = run(spark, q)

@@ -211,6 +211,47 @@ class Round9dOpsSpec extends AnyFunSuite {
     }
   }
 
+  private def md5hex12(s0: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s0.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 12), 16)
+  }
+
+  test("agg_sample_native replays the bottom-10 priority sample") {
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "CAST(user_id AS STRING)").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = Aggregates.aggSampleNative(spark, sf).collect()
+    val byType = got.groupBy(_.getString(0))
+    for ((ty, rows) <- ev.groupBy(_._1)) {
+      val want = rows.map(_._2)
+        .map(u => (md5hex12(s"smp|$u"), u))
+        .sortBy { case (p, u) => (p, u) }.take(10).map(_._2).toSeq
+      val gotRows = byType(ty).sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      assert(gotRows == want, ty)
+    }
+  }
+
+  test("sample_rendezvous_shard replays the HRW argmax routing") {
+    val docs = Tables.t(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val exp = docs.map { id =>
+      val best = (0 until 5)
+        .map(i => (md5hex12(s"shard|$i|$id"), i)).max
+      id -> best._2
+    }.groupBy(_._2).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._1).min, xs.map(_._1).max))
+      .toMap
+    val got = graft.llm.Curation.sampleRendezvousShard(spark, sf).collect()
+    assert(got.map(_.getLong(1)).sum == docs.length.toLong)
+    for (r <- got) {
+      val (n, lo, hi) = exp(r.getInt(0))
+      assert(r.getLong(1) == n && r.getLong(2) == lo && r.getLong(3) == hi,
+        s"shard ${r.getInt(0)}")
+    }
+  }
+
   test("graph_hits replays two unnormalized HITS rounds") {
     val em = Tables.t(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()

@@ -228,6 +228,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_ahash" -> (multimodalAhash _),
     "multimodal_magic_sniff" -> (multimodalMagicSniff _),
+    "multimodal_chunk_roundtrip" -> (multimodalChunkRoundtrip _),
     "multimodal_chunk_bytes" -> (multimodalChunkBytes _),
     "multimodal_columns" -> (multimodalColumns _),
     "multimodal_resize" -> (multimodalResize _),
@@ -235,12 +236,65 @@ object Multimodal {
     "multimodal_frame_sample" -> (multimodalFrameSample _)
   )
 
+  /** Chunk → reassemble → digest-compare round-trip, the losslessness
+    * proof for the [[chunkBytesOf]] chunker as a GATE row (the ingest
+    * family's roundtrip convention — base64/sink/compact — applied to
+    * the multimodal path): every payload is split into 64-byte
+    * chunks, the chunks are re-joined in index order inside a per-doc
+    * aggregate (collect_list is bounded by the DOCUMENT's chunk
+    * count, not the corpus — the allowed class), and the reassembled
+    * md5 must equal the original's. `lossless` is pinned TRUE by the
+    * oracle for every doc. */
+  def multimodalChunkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val payload = col("payload")
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .filter(octet_length(payload) > 0)
+    docs
+      .select(col("doc_id"), md5(payload).as("orig_md5"),
+        explode(sequence(lit(0L),
+          ceil(octet_length(payload) / lit(64.0)).cast("long") - 1))
+          .as("chunk_idx"), payload)
+      .select(col("doc_id"), col("orig_md5"), col("chunk_idx"),
+        payload.substr((col("chunk_idx") * 64 + 1).cast("int"), lit(64))
+          .cast("string").as("chunk"))
+      .groupBy(col("doc_id"), col("orig_md5"))
+      .agg(count(lit(1)).as("n_chunks"),
+        md5(concat_ws("",
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk"))))
+            .getField("chunk"))).as("reassembled_md5"))
+      .withColumn("lossless", col("orig_md5") === col("reassembled_md5"))
+      .select(col("doc_id"), col("n_chunks"), col("orig_md5"),
+        col("lossless"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Byte counts use DuckDB strlen() (byte length of the UTF-8 text),
     * matching Spark's octet_length over the encoded binary even for
     * non-ASCII text. The substring-based md5s (thumb/frame) still slice
     * by CHARACTER on the DuckDB side vs BYTE on the Spark side — equal
     * only while fixture payloads are ASCII (they are; documented). */
   val oracles: Map[String, String] = Map(
+    // independent reassembly via string_agg ORDER BY chunk_idx; the
+    // oracle pins lossless TRUE for every doc
+    "multimodal_chunk_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, md5(text) AS orig_md5,
+        |    strlen(text) AS n
+        |  FROM documents WHERE strlen(text) > 0
+        |), c AS (
+        |  SELECT doc_id, orig_md5, CAST(i AS BIGINT) AS chunk_idx,
+        |    substring(text, CAST(i * 64 + 1 AS INTEGER), 64) AS chunk
+        |  FROM d, LATERAL unnest(range(0,
+        |    CAST(ceil(n / 64.0) AS BIGINT))) AS u(i)
+        |), r AS (
+        |  SELECT doc_id, orig_md5, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    md5(string_agg(chunk, '' ORDER BY chunk_idx)) AS re_md5
+        |  FROM c GROUP BY doc_id, orig_md5
+        |)
+        |SELECT doc_id, n_chunks, orig_md5,
+        |  orig_md5 = re_md5 AS lossless
+        |FROM r ORDER BY doc_id""".stripMargin,
     // ASCII fixture: ascii(char i) == byte i; integer cross-multiplied
     // mean threshold; hash emitted as the 32-char bit string
     "multimodal_ahash" ->

@@ -2939,7 +2939,38 @@ object Aggregates {
         posexplode(col("sample")).as(Seq("pos", "uid")))
       .orderBy(col("event_type"), col("pos"))
 
+  /** DAU / WAU / stickiness — the growth-metrics triple every product
+    * pipeline reports, and the textbook case where the naive form (a
+    * 7-day sliding COUNT DISTINCT window) does not distribute: exact
+    * sliding distinct counts keep per-frame state proportional to the
+    * user set. The scalable decomposition: dedup activity to (user,
+    * day) ONCE, then fan each active day out to the ≤7 report days it
+    * supports and dedup again — two hash aggregates on (user, day)
+    * keys, no window at all, exact at any scale. WAU days beyond the
+    * activity range are clipped by the inner join with DAU;
+    * stickiness = DAU/WAU closes in one double division. */
+  def aggDauWau(s: SparkSession, d: String): DataFrame = {
+    val ud = t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)")
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_dau_wau" -> (aggDauWau _),
     "agg_sample_native" -> (aggSampleNative _),
     "agg_average_precision" -> (aggAveragePrecision _),
     "agg_cvm_test" -> (aggCvmTest _),
@@ -3049,6 +3080,26 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // (user, day) dedup + 7-day fan-out + second dedup — two exact
+    // aggregates, no sliding distinct window; one closing division
+    "agg_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY day
+        |), f AS (
+        |  SELECT DISTINCT user_id, day + CAST(u.i AS INTEGER) AS day
+        |  FROM ud, LATERAL unnest(range(0, 7)) AS u(i)
+        |), wau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS wau
+        |  FROM f GROUP BY day
+        |)
+        |SELECT day, dau, wau,
+        |  ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
     // oracle states the sample as ORDER BY md5-priority LIMIT k; the
     // native bounded-state aggregate must reproduce it exactly
     "agg_sample_native" ->

@@ -139,7 +139,9 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 27: synchronous HITS rounds
     "graph_hits",
     // round-9 batch 28: bounded-state native sampler, HRW argmax
-    "agg_sample_native", "sample_rendezvous_shard")
+    "agg_sample_native", "sample_rendezvous_shard",
+    // round-9 batch 29: double-dedup fan-out, per-doc reassembly
+    "agg_dau_wau", "multimodal_chunk_roundtrip")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -252,6 +252,38 @@ class Round9dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_dau_wau replays the fan-out distinct decomposition") {
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "CAST(ts AS DATE)").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .distinct
+    val dau = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val wau = ev.flatMap { case (u, d0) => (0 to 6).map(i => (u, d0 + i)) }
+      .distinct.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = Aggregates.aggDauWau(spark, sf).collect()
+    assert(got.length == dau.size)
+    for (r <- got) {
+      val d0 = r.getDate(0).toLocalDate.toEpochDay
+      assert(r.getLong(1) == dau(d0) && r.getLong(2) == wau(d0), s"$d0")
+      assert(math.abs(r.getDouble(3) -
+        dau(d0).toDouble / wau(d0)) < 1e-6)
+    }
+  }
+
+  test("multimodal_chunk_roundtrip reassembles every doc losslessly") {
+    val got = graft.llm.Multimodal
+      .multimodalChunkRoundtrip(spark, sf).collect()
+    val docs = Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "length(text)").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.length == docs.count(_._2 > 0))
+    for (r <- got) {
+      assert(r.getBoolean(3), s"doc ${r.getLong(0)} not lossless")
+      val want = (docs(r.getLong(0)) + 63) / 64
+      assert(r.getLong(1) == want.toLong, s"doc ${r.getLong(0)} chunks")
+    }
+  }
+
   test("graph_hits replays two unnormalized HITS rounds") {
     val em = Tables.t(spark, sf, "embeddings")
       .select("vec_id", "embedding").collect()

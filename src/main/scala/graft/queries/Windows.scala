@@ -1077,7 +1077,56 @@ object Windows {
       .orderBy(col("day"))
   }
 
+  /** Sliding 30-day distinct users (MAU) via DataSketches HLL
+    * window-union — the production shape for wide sliding distincts:
+    * where [[graft.queries.Aggregates.aggDauWau]]'s exact fan-out
+    * writes W rows per activity (fine at W=7), the sketch path
+    * aggregates each day ONCE into an HLL sketch (lgK=14) and the
+    * 30-day window unions 30 fixed-size sketches per day — frame
+    * state is O(days × 16 KiB) regardless of user cardinality, the
+    * trade every MAU pipeline at scale makes. The daily series is
+    * gap-filled from a calendar sequence so the 30-ROW frame IS 30
+    * calendar days at any data.
+    *
+    * Derived-check gate row (the approximate-operator convention):
+    * the engine ALSO computes the exact MAU (30-day fan-out — the
+    * oracle-mirrorable side) and pins |est − exact| ≤ 5%·exact as a
+    * boolean the oracle asserts TRUE (lgK=14 keeps HLL error ≈0.8%,
+    * so the 5% floor sits far beyond 2σ per the house rule); the
+    * full estimate remains a library surface. */
+  def windowMauSketch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ud = t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val daily = ud.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val calendar = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val series = calendar.join(daily, Seq("day"), "left")
+    val frame = Window.orderBy(col("day")).rowsBetween(-29, 0)
+    val est = series
+      .withColumn("u", expr("hll_union_agg(sk, false)").over(frame))
+      .withColumn("mau_est", expr("hll_sketch_estimate(u)"))
+      .filter(col("dau").isNotNull)
+    val mauExact = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 29)))
+          .as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("mau_exact"))
+    est.join(mauExact, "day")
+      .select(col("day"), col("dau"), col("mau_exact"),
+        (abs(col("mau_est") - col("mau_exact")) * 20 <=
+          col("mau_exact")).as("est_within_5pct"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_mau_sketch" -> (windowMauSketch _),
     "window_max_concurrency" -> (windowMaxConcurrency _),
     "window_allocate_remainder" -> (windowAllocateRemainder _),
     "window_twap" -> (windowTwap _),
@@ -1112,6 +1161,24 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // derived check: exact 30-day MAU via date fan-out; the sketch
+    // estimate's 5% bound is pinned TRUE (lgK=14 ⇒ ~0.8% typical)
+    "window_mau_sketch" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY day
+        |), f AS (
+        |  SELECT DISTINCT user_id, day + CAST(u.i AS INTEGER) AS day
+        |  FROM ud, LATERAL unnest(range(0, 30)) AS u(i)
+        |), mau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS mau_exact
+        |  FROM f GROUP BY day
+        |)
+        |SELECT day, dau, mau_exact, TRUE AS est_within_5pct
+        |FROM dau JOIN mau USING (day)
+        |ORDER BY day""".stripMargin,
     // oracle states the sweep as ONE global running sum; the engine's
     // bucketed prefix-sum decomposition must reach identical day peaks
     // (per-row tie order differs, the per-day max cannot — the value

@@ -141,7 +141,9 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 28: bounded-state native sampler, HRW argmax
     "agg_sample_native", "sample_rendezvous_shard",
     // round-9 batch 29: double-dedup fan-out, per-doc reassembly
-    "agg_dau_wau", "multimodal_chunk_roundtrip")
+    "agg_dau_wau", "multimodal_chunk_roundtrip",
+    // round-9 batch 30: sketch window-union over the daily series
+    "window_mau_sketch")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

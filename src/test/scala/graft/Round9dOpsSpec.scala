@@ -270,6 +270,23 @@ class Round9dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("window_mau_sketch replays exact MAU and the estimate bound") {
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "CAST(ts AS DATE)").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay))
+      .distinct
+    val dau = ev.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val mau = ev.flatMap { case (u, d0) => (0 to 29).map(i => (u, d0 + i)) }
+      .distinct.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = Windows.windowMauSketch(spark, sf).collect()
+    assert(got.length == dau.size)
+    for (r <- got) {
+      val d0 = r.getDate(0).toLocalDate.toEpochDay
+      assert(r.getLong(1) == dau(d0) && r.getLong(2) == mau(d0), s"$d0")
+      assert(r.getBoolean(3), s"estimate out of 5% bound on $d0")
+    }
+  }
+
   test("multimodal_chunk_roundtrip reassembles every doc losslessly") {
     val got = graft.llm.Multimodal
       .multimodalChunkRoundtrip(spark, sf).collect()

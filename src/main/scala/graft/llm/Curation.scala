@@ -631,6 +631,36 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** τ-thresholded DP histogram ("stability histogram", Korolova et
+    * al. 2009) — the release shape for histograms over UNKNOWN key
+    * domains, where releasing an unperturbed support set already
+    * leaks membership: add Laplace noise to every (event_type,
+    * value-bucket) count, then release only cells whose NOISY count
+    * clears τ = 10 (suppressed cells vanish, so rare combinations
+    * never appear in the release). Same GATE-ONLY seeded-noise caveat
+    * as [[privacyDpCount]] — md5-of-key noise is recomputable and
+    * per-release-reused; real deployments need fresh randomness and
+    * composition accounting. One hash aggregate to the bounded
+    * (type × bucket) space; the noise and threshold are per-cell
+    * scalars — no second shuffle. */
+  def privacyDpHistogram(s: SparkSession, d: String): DataFrame = {
+    val uInt = conv(substring(
+      md5(concat_ws("|", lit("dph"), col("event_type"),
+        col("bucket").cast("string"))), 1, 6), 16, 10).cast("long")
+    val u = (uInt.cast("double") + lit(0.5)) / lit(16777216.0)
+    val noise = when(u >= 0.5, lit(-1.0)).otherwise(lit(1.0)) *
+      log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    t(s, d, "events")
+      .select(col("event_type"),
+        floor(col("value") / lit(5.0)).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        round(col("n").cast("double") + noise, 6).as("n_noisy"))
+      .filter(col("n_noisy") > lit(10.0))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** Neyman-optimal stratified-sampling allocation (Neyman 1934) —
     * the survey-sampling design for "how many docs should each source
     * contribute to a budget-n eval sample": n_h ∝ N_h·σ_h, which
@@ -906,6 +936,7 @@ object Curation {
     "privacy_k_anonymity" -> (privacyKAnonymity _),
     "privacy_l_diversity" -> (privacyLDiversity _),
     "privacy_dp_count" -> (privacyDpCount _),
+    "privacy_dp_histogram" -> (privacyDpHistogram _),
     "sample_neyman_allocation" -> (sampleNeymanAllocation _),
     "pack_efficiency" -> (packEfficiency _),
     "sample_dsir" -> (sampleDsir _),
@@ -1137,6 +1168,29 @@ object Curation {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY lang, len_bucket""".stripMargin,
+    // bounded (type × bucket) aggregate + the dp_count seeded-Laplace
+    // expression; τ-threshold on the NOISY count on both engines
+    "privacy_dp_histogram" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(floor(value / 5e0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT event_type, bucket, n,
+        |    (CAST(CAST(('0x' || substring(md5('dph' || '|' || event_type
+        |       || '|' || CAST(bucket AS VARCHAR)), 1, 6))
+        |       AS BIGINT) AS DOUBLE) + 0.5) / 16777216.0 AS u
+        |  FROM g),
+        |r AS (
+        |  SELECT event_type, bucket,
+        |    ROUND(CAST(n AS DOUBLE) +
+        |      (CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END) *
+        |      ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS n_noisy
+        |  FROM u)
+        |SELECT event_type, bucket, n_noisy FROM r
+        |WHERE n_noisy > 10.0
+        |ORDER BY event_type, bucket""".stripMargin,
     "privacy_dp_count" ->
       """WITH g AS (
         |  SELECT lang, source, COUNT(*) AS n FROM documents

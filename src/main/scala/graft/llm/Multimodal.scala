@@ -225,7 +225,32 @@ object Multimodal {
         count(lit(1)).as("n_docs"))
       .orderBy(col("ahash_bits"))
 
+  /** Difference hash (dHash) — the gradient-based perceptual hash:
+    * bit i = (pixel i+1 > pixel i), which is invariant to uniform
+    * brightness/contrast shifts that flip [[multimodalAhash]]'s
+    * mean-threshold bits (the standard reason production image-dedup
+    * runs dHash alongside aHash). Pixel extraction is the same
+    * documented stub as aHash — the first 33 payload bytes stand in
+    * for decoded luma cells (no image codecs in this container); the
+    * Spark-side shape is real: an O(1)-per-row transform chain in the
+    * scan, one hash-keyed aggregate, no shuffle wider than the
+    * 32-bit-string key space. */
+  def multimodalDhash(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .filter(length(col("text")) >= 33)
+      .withColumn("px",
+        expr("transform(sequence(1, 33), i -> ascii(substring(text, i, 1)))"))
+      .withColumn("dhash_bits", expr(
+        """array_join(transform(sequence(1, 32),
+          |  i -> CASE WHEN element_at(px, i + 1) > element_at(px, i)
+          |       THEN '1' ELSE '0' END), '')""".stripMargin))
+      .groupBy(col("dhash_bits"))
+      .agg(min(col("doc_id")).as("rep_doc"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("dhash_bits"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_dhash" -> (multimodalDhash _),
     "multimodal_ahash" -> (multimodalAhash _),
     "multimodal_magic_sniff" -> (multimodalMagicSniff _),
     "multimodal_chunk_roundtrip" -> (multimodalChunkRoundtrip _),
@@ -297,6 +322,23 @@ object Multimodal {
         |FROM r ORDER BY doc_id""".stripMargin,
     // ASCII fixture: ascii(char i) == byte i; integer cross-multiplied
     // mean threshold; hash emitted as the 32-char bit string
+    // adjacent-cell gradient bits over the same stubbed pixel bytes;
+    // 1-based DuckDB list indexing mirrors element_at
+    "multimodal_dhash" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, 34),
+        |      i -> ascii(substring(text, CAST(i AS INTEGER), 1))) AS px
+        |  FROM documents WHERE strlen(text) >= 33),
+        |h AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_transform(range(1, 33),
+        |      i -> CASE WHEN px[CAST(i + 1 AS INTEGER)]
+        |                     > px[CAST(i AS INTEGER)]
+        |           THEN '1' ELSE '0' END), '') AS dhash_bits
+        |  FROM p)
+        |SELECT dhash_bits, MIN(doc_id) AS rep_doc, COUNT(*) AS n_docs
+        |FROM h GROUP BY dhash_bits ORDER BY dhash_bits""".stripMargin,
     "multimodal_ahash" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -1014,7 +1014,35 @@ object TextStats {
       .orderBy(col("n"))
   }
 
+  /** Yule's characteristic K and Simpson's repeat rate per language —
+    * the two classic lexical-richness constants (K is sample-size
+    * invariant under the Poisson model; Simpson's D is the collision
+    * probability of two token draws). Both close from the SAME two
+    * integer moments of the word-frequency spectrum, N = Σc and
+    * S2 = Σc²: K = 10⁴·(S2−N)/N², D = (S2−N)/(N·(N−1)). Shape: one
+    * corpus tokenize → (lang, word) hash aggregate (map-side combine
+    * collapses Zipf mass before the shuffle) → |langs|-row rollup;
+    * all-integer moments, one closing double expression per constant. */
+  def textYuleK(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("lang"), col("vocab"), col("n_tokens"),
+        expr("""ROUND(1e4 * CAST(s2 - n_tokens AS DOUBLE)
+                / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+                6)""").as("yule_k"),
+        expr("""ROUND(CAST(s2 - n_tokens AS DOUBLE)
+                / (CAST(n_tokens AS DOUBLE)
+                   * CAST(n_tokens - 1 AS DOUBLE)), 9)""")
+          .as("simpson_d"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_yule_k" -> (textYuleK _),
     "text_distinct_ngrams" -> (textDistinctNgrams _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "text_readability" -> (textReadability _),
@@ -1051,6 +1079,29 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    // (lang, word) counts → integer N and S2 moments; one double
+    // expression per richness constant, identical text both engines
+    "text_yule_k" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM toks WHERE word <> '' GROUP BY 1, 2
+        |), g AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM c GROUP BY 1
+        |)
+        |SELECT lang, vocab, n_tokens,
+        |  ROUND(1e4 * CAST(s2 - n_tokens AS DOUBLE)
+        |        / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)),
+        |        6) AS yule_k,
+        |  ROUND(CAST(s2 - n_tokens AS DOUBLE)
+        |        / (CAST(n_tokens AS DOUBLE)
+        |           * CAST(n_tokens - 1 AS DOUBLE)), 9) AS simpson_d
+        |FROM g ORDER BY lang""".stripMargin,
     // same tokenization and space-joined gram keys; exact BIGINT
     // counts; ONE closing double division
     "text_distinct_ngrams" ->

@@ -2969,7 +2969,172 @@ object Aggregates {
       .orderBy(col("day"))
   }
 
+  /** 2×2 odds ratio with 95 % Wald CI per event type — the
+    * case-control summary every observational-metrics pipeline ships
+    * (exposure = even user_id, outcome = value ≥ 50). The four cell
+    * counts are ONE conditional hash aggregate (no joins, no second
+    * scan); log-OR and its CI close in one double expression each
+    * from the integer cells (Woolf SE = √(1/a+1/b+1/c+1/d)). Empty
+    * cells short-circuit to NULL via an exact integer guard — never
+    * a 4-way BIGINT product (overflows at ~150k-row cells). */
+  def aggOddsRatio(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(expr("CASE WHEN user_id % 2 = 0 AND value >= 50e0 " +
+          "THEN 1 ELSE 0 END")).as("a"),
+        sum(expr("CASE WHEN user_id % 2 = 0 AND value < 50e0 " +
+          "THEN 1 ELSE 0 END")).as("b"),
+        sum(expr("CASE WHEN user_id % 2 <> 0 AND value >= 50e0 " +
+          "THEN 1 ELSE 0 END")).as("c"),
+        sum(expr("CASE WHEN user_id % 2 <> 0 AND value < 50e0 " +
+          "THEN 1 ELSE 0 END")).as("d"))
+      .select(col("event_type"), col("a"), col("b"), col("c"), col("d"),
+        expr("""CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                ELSE ROUND(LN((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                  / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))), 6)
+                END""").as("log_or"),
+        expr("""CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                ELSE ROUND(LN((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                  - 1.96e0 * SQRT(1e0 / CAST(a AS DOUBLE)
+                    + 1e0 / CAST(b AS DOUBLE) + 1e0 / CAST(c AS DOUBLE)
+                    + 1e0 / CAST(d AS DOUBLE)), 6)
+                END""").as("ci_lo"),
+        expr("""CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                ELSE ROUND(LN((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+                    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+                  + 1.96e0 * SQRT(1e0 / CAST(a AS DOUBLE)
+                    + 1e0 / CAST(b AS DOUBLE) + 1e0 / CAST(c AS DOUBLE)
+                    + 1e0 / CAST(d AS DOUBLE)), 6)
+                END""").as("ci_hi"))
+      .orderBy(col("event_type"))
+
+  /** Wilson score interval per event type — the boundary-safe
+    * proportion CI (never leaves [0,1], correct at extreme p̂ where
+    * Wald collapses), the standard for CTR / success-rate dashboards.
+    * Two integer cells (n, k) from one aggregate; the interval closes
+    * in one double expression per bound with z = 1.96 and the exact
+    * decimal literals z² = 3.8416, z²/2 = 1.9208, z²/4 = 0.9604 —
+    * literals, not computed powers, so both engines parse identical
+    * IEEE doubles. */
+  def aggWilsonCi(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN value >= 50e0 THEN 1 ELSE 0 END")).as("k"))
+      .select(col("event_type"), col("n"), col("k"),
+        expr("""ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 1.9208e0 / CAST(n AS DOUBLE)
+                  - 1.96e0 * SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1e0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)
+                    + 0.9604e0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                / (1e0 + 3.8416e0 / CAST(n AS DOUBLE)), 6)""")
+          .as("wilson_lo"),
+        expr("""ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 1.9208e0 / CAST(n AS DOUBLE)
+                  + 1.96e0 * SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (1e0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)
+                    + 0.9604e0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                / (1e0 + 3.8416e0 / CAST(n AS DOUBLE)), 6)""")
+          .as("wilson_hi"))
+      .orderBy(col("event_type"))
+
+  /** Lorenz curve by customer-spend decile — the concentration table
+    * behind every "top 10 % of customers drive X % of revenue" chart
+    * (the decile-resolution companion to [[aggGini]]'s scalar). The
+    * global decile assignment is the distributed total-order
+    * machinery, never a single-partition window: [[Ordered
+    * .withGlobalIndex]] (range shuffle + zipWithIndex) gives the
+    * exact spend rank, [[Ordered.ntileFromRank]] closes SQL ntile's
+    * bucket arithmetic from (rank, n) in integer DIV — bit-identical
+    * to the oracle's native ntile(10). Spend sums are exact
+    * DECIMAL(18,4); the 10-row decile rollup carries cumulative
+    * shares via a window ABOVE the aggregate (the allowed class);
+    * decimals leave the plan as one double cast per share. */
+  def aggLorenzCurve(s: SparkSession, d: String): DataFrame = {
+    val w10 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(Long.MinValue, 0)
+    val spend = t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("spend"))
+    val ranked = Ordered
+      .withGlobalIndex(spend, Seq(col("spend").asc, col("o_custkey").asc),
+        "i")
+      .withColumn("rank", col("i") + lit(1L))
+      .crossJoin(broadcast(
+        t(s, d, "orders").select(col("o_custkey")).distinct()
+          .agg(count(lit(1)).as("n"))))
+    Ordered.ntileFromRank(ranked, "rank", "n", 10, "decile")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("dec_spend"))
+      .withColumn("cum_spend", sum(col("dec_spend")).over(w10))
+      .crossJoin(broadcast(
+        t(s, d, "orders")
+          .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+            .as("total"))))
+      .select(col("decile"), col("n_customers"),
+        expr("CAST(dec_spend AS DOUBLE)").as("dec_spend"),
+        expr("ROUND(CAST(cum_spend AS DOUBLE) / CAST(total AS DOUBLE), 6)")
+          .as("cum_spend_share"))
+      .orderBy(col("decile"))
+  }
+
+  /** Friedman rank test (Friedman 1937) — the nonparametric
+    * repeated-measures ANOVA: blocks = days, treatments = event
+    * types, metric = exact decimal daily value mass. Ranks are
+    * assigned WITHIN each block (k rows per day — the bounded keyed
+    * window class), blocks missing any treatment are dropped (the
+    * complete-block design), and χ²_F = 12/(nk(k+1))·ΣR_j² − 3n(k+1)
+    * closes in one double expression from integer rank sums. Ties in
+    * the decimal cell values are broken by treatment name — a
+    * deterministic deviation from classic midranks, documented here,
+    * chosen so every rank stays an exact integer (midranks would put
+    * a float into the rank sums). The k-treatment rollup carries
+    * ΣR_j² via a window ABOVE the aggregate (allowed class); k itself
+    * is counted from the data and broadcast as one row. */
+  def aggFriedmanTest(s: SparkSession, d: String): DataFrame = {
+    val byDay = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("sv"), col("event_type"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val k1 = t(s, d, "events")
+      .agg(countDistinct(col("event_type")).as("k"))
+    val cell = t(s, d, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("v")).as("sv"))
+    val blocks = cell.groupBy(col("day"))
+      .agg(count(lit(1)).as("nt"))
+      .crossJoin(broadcast(k1))
+      .filter(col("nt") === col("k"))
+      .select(col("day"))
+    cell.join(blocks, "day")
+      .withColumn("r", row_number().over(byDay))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("r").cast("long")).as("r_sum"))
+      .withColumn("sum_r2", sum(col("r_sum") * col("r_sum")).over(all))
+      .crossJoin(broadcast(k1))
+      .select(col("event_type"), col("n_blocks"), col("r_sum"),
+        expr("""ROUND(12e0 * CAST(sum_r2 AS DOUBLE)
+                / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                   * CAST(k + 1 AS DOUBLE))
+                - 3e0 * CAST(n_blocks AS DOUBLE)
+                  * CAST(k + 1 AS DOUBLE), 6)""").as("chi2_f"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_friedman_test" -> (aggFriedmanTest _),
+    "agg_lorenz_curve" -> (aggLorenzCurve _),
+    "agg_odds_ratio" -> (aggOddsRatio _),
+    "agg_wilson_ci" -> (aggWilsonCi _),
     "agg_dau_wau" -> (aggDauWau _),
     "agg_sample_native" -> (aggSampleNative _),
     "agg_average_precision" -> (aggAveragePrecision _),
@@ -3080,6 +3245,131 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // complete-block day×type decimal cells → integer within-day
+    // ranks (type tiebreak, no midranks) → rank-sum χ²_F closure
+    "agg_friedman_test" ->
+      """WITH cell AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2
+        |), kk AS (
+        |  SELECT COUNT(DISTINCT event_type) AS k FROM events
+        |), blocks AS (
+        |  SELECT day FROM cell GROUP BY day
+        |  HAVING COUNT(*) = (SELECT k FROM kk)
+        |), ranked AS (
+        |  SELECT c.event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY c.day
+        |      ORDER BY c.sv, c.event_type) AS r
+        |  FROM cell c JOIN blocks b ON c.day = b.day
+        |), g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(r) AS BIGINT) AS r_sum
+        |  FROM ranked GROUP BY 1
+        |), s AS (
+        |  SELECT event_type, n_blocks, r_sum,
+        |    CAST(SUM(r_sum * r_sum) OVER () AS BIGINT) AS sum_r2,
+        |    (SELECT k FROM kk) AS k
+        |  FROM g
+        |)
+        |SELECT event_type, n_blocks, r_sum,
+        |  ROUND(12e0 * CAST(sum_r2 AS DOUBLE)
+        |    / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+        |       * CAST(k + 1 AS DOUBLE))
+        |    - 3e0 * CAST(n_blocks AS DOUBLE)
+        |      * CAST(k + 1 AS DOUBLE), 6) AS chi2_f
+        |FROM s ORDER BY event_type""".stripMargin,
+    // exact DECIMAL spend sums; decile via native ntile (mirrors
+    // ntileFromRank's closed-form bucket arithmetic bit-identically);
+    // cumulative window above the 10-row aggregate; double casts last
+    "agg_lorenz_curve" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+        |  FROM orders GROUP BY 1
+        |), q AS (
+        |  SELECT o_custkey, spend,
+        |    CAST(ntile(10) OVER (ORDER BY spend, o_custkey) AS INTEGER)
+        |      AS decile
+        |  FROM spend
+        |), g AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    SUM(spend) AS dec_spend
+        |  FROM q GROUP BY 1
+        |), c AS (
+        |  SELECT decile, n_customers, dec_spend,
+        |    SUM(dec_spend) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_spend
+        |  FROM g
+        |)
+        |SELECT decile, n_customers,
+        |  CAST(dec_spend AS DOUBLE) AS dec_spend,
+        |  ROUND(CAST(cum_spend AS DOUBLE)
+        |    / CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |            FROM orders) AS DOUBLE), 6) AS cum_spend_share
+        |FROM c ORDER BY decile""".stripMargin,
+    // four integer cells in one conditional aggregate; log-OR and
+    // Wald CI are single double expressions, zero cells → NULL via
+    // integer OR-guard (no 4-way product)
+    "agg_odds_ratio" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND value >= 50e0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND value < 50e0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND value >= 50e0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND value < 50e0
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, a, b, c, d,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+        |  ELSE ROUND(LN((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+        |    / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE))), 6)
+        |  END AS log_or,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+        |  ELSE ROUND(LN((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+        |      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+        |    - 1.96e0 * SQRT(1e0 / CAST(a AS DOUBLE)
+        |      + 1e0 / CAST(b AS DOUBLE) + 1e0 / CAST(c AS DOUBLE)
+        |      + 1e0 / CAST(d AS DOUBLE)), 6)
+        |  END AS ci_lo,
+        |  CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+        |  ELSE ROUND(LN((CAST(a AS DOUBLE) * CAST(d AS DOUBLE))
+        |      / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)))
+        |    + 1.96e0 * SQRT(1e0 / CAST(a AS DOUBLE)
+        |      + 1e0 / CAST(b AS DOUBLE) + 1e0 / CAST(c AS DOUBLE)
+        |      + 1e0 / CAST(d AS DOUBLE)), 6)
+        |  END AS ci_hi
+        |FROM g ORDER BY event_type""".stripMargin,
+    // (n, k) integer cells; Wilson bounds are one double expression
+    // each with literal z-constants (identical text both engines)
+    "agg_wilson_ci" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value >= 50e0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_type, n, k,
+        |  ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 1.9208e0 / CAST(n AS DOUBLE)
+        |      - 1.96e0 * SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1e0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |        + 0.9604e0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (1e0 + 3.8416e0 / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+        |  ROUND(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 1.9208e0 / CAST(n AS DOUBLE)
+        |      + 1.96e0 * SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (1e0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |        + 0.9604e0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |    / (1e0 + 3.8416e0 / CAST(n AS DOUBLE)), 6) AS wilson_hi
+        |FROM g ORDER BY event_type""".stripMargin,
     // (user, day) dedup + 7-day fan-out + second dedup — two exact
     // aggregates, no sliding distinct window; one closing division
     "agg_dau_wau" ->

@@ -520,7 +520,30 @@ object Graphs {
       .limit(20)
   }
 
+  /** Bipartite co-purchase projection — project the order×part
+    * bipartite graph onto parts: edge weight = #orders containing
+    * both parts, the input to "frequently bought together" and
+    * item-item collaborative filtering. Scale shape: dedup to
+    * DISTINCT (order, part) first, then the pair fan-out is a
+    * self-join ON THE ORDER KEY — per-order work is C(items,2),
+    * bounded by basket size (TPC-H ≤7 lines ⇒ ≤21 pairs/order), so
+    * the projection grows linearly in orders, never |parts|². One
+    * orderkey shuffle + one pair-keyed aggregate; top-50 head via
+    * TakeOrderedAndProject (no global sort). */
+  def graphCopurchaseProjection(s: SparkSession, d: String): DataFrame = {
+    val op = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    op.as("x").join(op.as("y"), Seq("ok"))
+      .filter(col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_copurchase_projection" -> (graphCopurchaseProjection _),
     "graph_hits" -> (graphHits _),
     "sim_search_graph_beam" -> (simSearchGraphBeam _),
     "graph_kcore" -> (graphKcore _),
@@ -535,6 +558,19 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    // distinct (order, part) → order-keyed self-join (bounded basket
+    // fanout) → integer pair counts; total-order top-50
+    "graph_copurchase_projection" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem
+        |)
+        |SELECT x.pk AS part_a, y.pk AS part_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b
+        |LIMIT 50""".stripMargin,
     // two unrolled unnormalized HITS rounds over the directed edges;
     // every score an exact BIGINT; top-20 by auth2 with id tiebreak
     "graph_hits" -> (edgeCte +

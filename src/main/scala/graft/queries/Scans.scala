@@ -139,7 +139,36 @@ object Scans {
         max(col("l_quantity")).as("max_quantity"))
   }
 
+  /** Candidate functional-dependency verification (the TANE-style
+    * single-pass check behind schema-discovery / DQ tooling): for
+    * each candidate A→B, the FD holds iff no A-value maps to more
+    * than one distinct B — verified by ONE det-keyed aggregate per
+    * candidate (countDistinct over the dependent), reporting the
+    * violation count and the worst fan-out. Each leg shuffles only
+    * its determinant's distinct values (narrow, codegen'd, concurrent
+    * — the [[profileColumns]] union topology); nothing is ever
+    * collected, so the check runs unchanged over a 100 TB table. */
+  def profileFunctionalDeps(s: SparkSession, d: String): DataFrame = {
+    def fd(tbl: String, det: String, dep: String): DataFrame =
+      t(s, d, tbl)
+        .groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("nd"))
+        .agg(count(lit(1)).as("n_dets"),
+          sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_violating"),
+          max(col("nd")).as("max_deps"))
+        .select(lit(tbl).as("table_name"), lit(det).as("determinant"),
+          lit(dep).as("dependent"), col("n_dets"), col("n_violating"),
+          col("max_deps"), (col("n_violating") === 0L).as("holds"))
+    fd("part", "p_brand", "p_type")
+      .unionByName(fd("part", "p_partkey", "p_name"))
+      .unionByName(fd("orders", "o_custkey", "o_orderpriority"))
+      .unionByName(fd("events", "user_id", "event_type"))
+      .unionByName(fd("documents", "doc_id", "lang"))
+      .orderBy(col("table_name"), col("determinant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_functional_deps" -> (profileFunctionalDeps _),
     "scan_agg_pushdown" -> (scanAggPushdown _),
     "scan_project_filter" -> (scanProjectFilter _),
     "filter_predicates" -> (filterPredicates _),
@@ -148,6 +177,55 @@ object Scans {
   )
 
   val oracles: Map[String, String] = Map(
+    // one det-keyed countDistinct aggregate per candidate, unioned;
+    // all-integer verdicts
+    "profile_functional_deps" ->
+      """WITH c1 AS (SELECT p_brand AS det, COUNT(DISTINCT p_type) AS nd
+        |            FROM part GROUP BY 1),
+        |c2 AS (SELECT p_partkey AS det, COUNT(DISTINCT p_name) AS nd
+        |       FROM part GROUP BY 1),
+        |c3 AS (SELECT o_custkey AS det,
+        |         COUNT(DISTINCT o_orderpriority) AS nd
+        |       FROM orders GROUP BY 1),
+        |c4 AS (SELECT user_id AS det, COUNT(DISTINCT event_type) AS nd
+        |       FROM events GROUP BY 1),
+        |c5 AS (SELECT doc_id AS det, COUNT(DISTINCT lang) AS nd
+        |       FROM documents GROUP BY 1),
+        |agg AS (
+        |  SELECT 'part' AS table_name, 'p_brand' AS determinant,
+        |    'p_type' AS dependent, CAST(COUNT(*) AS BIGINT) AS n_dets,
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(MAX(nd) AS BIGINT) AS max_deps
+        |  FROM c1
+        |  UNION ALL
+        |  SELECT 'part', 'p_partkey', 'p_name',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(MAX(nd) AS BIGINT)
+        |  FROM c2
+        |  UNION ALL
+        |  SELECT 'orders', 'o_custkey', 'o_orderpriority',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(MAX(nd) AS BIGINT)
+        |  FROM c3
+        |  UNION ALL
+        |  SELECT 'events', 'user_id', 'event_type',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(MAX(nd) AS BIGINT)
+        |  FROM c4
+        |  UNION ALL
+        |  SELECT 'documents', 'doc_id', 'lang',
+        |    CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(MAX(nd) AS BIGINT)
+        |  FROM c5
+        |)
+        |SELECT table_name, determinant, dependent, n_dets,
+        |  n_violating, max_deps, n_violating = 0 AS holds
+        |FROM agg ORDER BY table_name, determinant""".stripMargin,
     // plain aggregates — the pushdown changes the PLAN, not the answer
     "scan_agg_pushdown" ->
       """SELECT COUNT(*) AS n_rows,

@@ -1125,7 +1125,47 @@ object Windows {
       .orderBy(col("day"))
   }
 
+  /** Rolling Theil–Sen trend per (event_type, day) — the robust
+    * slope estimator (median of pairwise slopes; 29% breakdown point
+    * vs OLS's zero) in its streaming "repeated median" inner form:
+    * each day's slope is the MEDIAN of the ≤6 slopes from that day
+    * back to each of the 6 preceding days. Shape: the corpus
+    * collapses to the (type, day) daily aggregate FIRST; the pair
+    * fan-out is a day-banded self-join over that bounded series (≤6
+    * partners per row — join_window_aggregate's banded class, never
+    * the corpus); the median is an exact two-order-statistic pick
+    * over ≤6 rows per (type, day) keyed window. Slopes are single
+    * double divisions of integer deltas; the even-count median closes
+    * as (lo+hi)/2e0 — identical text both engines. */
+  def windowTheilSen(s: SparkSession, d: String): DataFrame = {
+    val bySlope = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("slope"), col("dd_src"))
+    val perDay = Window.partitionBy(col("event_type"), col("day"))
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dd", datediff(col("day"), lit("1970-01-01")))
+    daily.as("a").join(daily.as("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("b.dd") - col("a.dd") >= 1 && col("b.dd") - col("a.dd") <= 6)
+      .select(col("b.event_type").as("event_type"),
+        col("b.day").as("day"),
+        expr("CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.dd - a.dd AS DOUBLE)")
+          .as("slope"),
+        col("a.dd").as("dd_src"))
+      .withColumn("rn", row_number().over(bySlope))
+      .withColumn("m", count(lit(1)).over(perDay))
+      .filter(expr("rn = (m + 1) DIV 2 OR rn = m DIV 2 + 1"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(min(col("slope")).as("s_lo"), max(col("slope")).as("s_hi"),
+        max(col("m")).as("n_slopes"))
+      .select(col("event_type"), col("day"), col("n_slopes"),
+        expr("ROUND((s_lo + s_hi) / 2e0, 6)").as("ts_slope"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_theil_sen" -> (windowTheilSen _),
     "window_mau_sketch" -> (windowMauSketch _),
     "window_max_concurrency" -> (windowMaxConcurrency _),
     "window_allocate_remainder" -> (windowAllocateRemainder _),
@@ -1161,6 +1201,35 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // day-banded self-join over the daily aggregate; exact two-pick
+    // median of ≤6 integer-delta slopes; (lo+hi)/2e0 closure
+    "window_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS dd
+        |  FROM events GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT b.event_type, b.day,
+        |    CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.dd - a.dd AS DOUBLE)
+        |      AS slope,
+        |    a.dd AS dd_src
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type
+        |   AND b.dd - a.dd BETWEEN 1 AND 6
+        |), r AS (
+        |  SELECT event_type, day, slope,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, day
+        |      ORDER BY slope, dd_src) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type, day) AS m
+        |  FROM pairs
+        |), picked AS (
+        |  SELECT event_type, day, slope, m FROM r
+        |  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        |)
+        |SELECT event_type, day, CAST(MAX(m) AS BIGINT) AS n_slopes,
+        |  ROUND((MIN(slope) + MAX(slope)) / 2e0, 6) AS ts_slope
+        |FROM picked GROUP BY 1, 2
+        |ORDER BY event_type, day""".stripMargin,
     // derived check: exact 30-day MAU via date fan-out; the sketch
     // estimate's 5% bound is pinned TRUE (lgK=14 ⇒ ~0.8% typical)
     "window_mau_sketch" ->

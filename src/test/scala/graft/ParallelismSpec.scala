@@ -143,7 +143,10 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 29: double-dedup fan-out, per-doc reassembly
     "agg_dau_wau", "multimodal_chunk_roundtrip",
     // round-9 batch 30: sketch window-union over the daily series
-    "window_mau_sketch")
+    "window_mau_sketch",
+    // round-9 batch 31: global spend ntile via the zipWithIndex
+    // machinery; order-keyed pair projection with total-order top-50
+    "agg_lorenz_curve", "graph_copurchase_projection")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -146,7 +146,11 @@ class ParallelismSpec extends AnyFunSuite {
     "window_mau_sketch",
     // round-9 batch 31: global spend ntile via the zipWithIndex
     // machinery; order-keyed pair projection with total-order top-50
-    "agg_lorenz_curve", "graph_copurchase_projection")
+    "agg_lorenz_curve", "graph_copurchase_projection",
+    // round-9 batch 32: within-block integer ranks; banded-join
+    // two-pick median over double slope ordering; seeded-noise
+    // threshold release
+    "agg_friedman_test", "window_theil_sen", "privacy_dp_histogram")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -495,6 +495,60 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Calinski–Harabasz variance-ratio index at a FROZEN clustering —
+    * the cluster-quality scalar monitored while assigning a corpus to
+    * fixed centers (the mini-batch-k-means health check; the moving-
+    * center textbook CH needs cluster means, which are rationals —
+    * this variant measures scatter against the assignment centers and
+    * their mean, keeping EVERY moment an exact integer in the
+    * micro-quantized space of [[embeddingKmeansAssign]]). W = Σ d²(x,
+    * c(x)) (long per row, DECIMAL(38,0) sum); B·k² = Σ_c n_c·‖k·c_c −
+    * Σc‖² with the centroid deviations computed driver-side from the
+    * 8-row bounded model state; CH = (B/(k−1))/(W/(n−k)) closes in
+    * ONE double expression. Shape: the same one-pass argmin scan as
+    * kmeans_assign, one 8-row aggregate — corpus never reshuffled. */
+  def embeddingCalinskiHarabasz(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+      .sortBy(_._1)
+    val csum = centroids.toSeq.map(_._2.toSeq).transpose.map(_.sum)
+    val dev2: Map[Int, Long] = centroids.map { case (cell, cm) =>
+      cell -> cm.zip(csum).map { case (a, sc) =>
+        val dv = 8L * a - sc; dv * dv
+      }.sum
+    }.toMap
+    val cells = centroids.map { case (cell, cm) =>
+      val d2 = aggregate(
+        zip_with(col("micro"), typedLit(cm.toSeq),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(cell).as("cell"))
+    }
+    e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000d).cast("bigint"))
+          .as("micro"))
+      .select(col("vec_id"), array_min(array(cells: _*)).as("best"))
+      .select(col("best.cell").as("cell"), col("best.d2").as("d2"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_c"),
+        sum(col("d2").cast("decimal(38,0)")).as("w_c"))
+      .withColumn("dev2", element_at(typedLit(dev2), col("cell")))
+      .agg(sum(col("n_c")).as("n"), sum(col("w_c")).as("w"),
+        sum(col("n_c").cast("decimal(19,0)") * col("dev2")).as("b64"))
+      .select(col("n"),
+        expr("CAST(w AS DOUBLE)").as("w_ssd"),
+        expr("CAST(b64 AS DOUBLE)").as("b_scaled"),
+        expr("""ROUND((CAST(b64 AS DOUBLE) / 64e0 / CAST(8 - 1 AS DOUBLE))
+                / (CAST(w AS DOUBLE) / CAST(n - 8 AS DOUBLE)), 6)""")
+          .as("ch_index"))
+  }
+
   /** 16-centroid/8-subspace model state shared by the PQ pair below:
     * slice-local centroids from vectors 0..15, micro-quantized — the
     * same bounded "trained artifact" shape as [[embeddingKmeansAssign]]
@@ -1098,6 +1152,7 @@ object Similarity {
     "embedding_rvq_encode" -> (embeddingRvqEncode _),
     "embedding_isotropy" -> (embeddingIsotropy _),
     "embedding_silhouette" -> (embeddingSilhouette _),
+    "embedding_calinski_harabasz" -> (embeddingCalinskiHarabasz _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_search_range" -> (simSearchRange _),
     "embedding_normalize" -> (embeddingNormalize _),
@@ -1296,6 +1351,54 @@ object Similarity {
     // cell — identical quantization on both sides
     // same quantize/argmin discipline as kmeans_assign; rk1/rk2 via one
     // ranked scan; ONE closing double (b−a)/b with IEEE sqrt
+    // same micro-integer argmin as kmeans_assign; centroid deviations
+    // rebuilt in SQL (8·c − Σc integers); decimal W/B sums; one
+    // double CH closure with identical text
+    "embedding_calinski_harabasz" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS m
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, m AS cm
+        |  FROM e WHERE vec_id < 8
+        |), dists AS (
+        |  SELECT e.vec_id, c.cell,
+        |    CAST(list_sum(list_transform(range(1, len(e.m) + 1),
+        |      i -> (e.m[i] - c.cm[i]) * (e.m[i] - c.cm[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e CROSS JOIN c
+        |), assigned AS (
+        |  SELECT vec_id, cell, d2 FROM (
+        |    SELECT vec_id, cell, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cell) AS rn
+        |    FROM dists) WHERE rn = 1
+        |), cd AS (
+        |  SELECT cell, u.i AS i, cm[CAST(u.i AS INTEGER)] AS v
+        |  FROM c, LATERAL unnest(range(1, len(cm) + 1)) AS u(i)
+        |), cs AS (
+        |  SELECT i, CAST(SUM(v) AS BIGINT) AS sv FROM cd GROUP BY i
+        |), dev AS (
+        |  SELECT cell,
+        |    CAST(SUM((8 * v - sv) * (8 * v - sv)) AS BIGINT) AS dev2
+        |  FROM cd JOIN cs USING (i) GROUP BY cell
+        |), agg AS (
+        |  SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_c,
+        |    SUM(CAST(d2 AS DECIMAL(38,0))) AS w_c
+        |  FROM assigned a GROUP BY 1
+        |), fin AS (
+        |  SELECT CAST(SUM(n_c) AS BIGINT) AS n, SUM(w_c) AS w,
+        |    SUM(CAST(n_c AS DECIMAL(19,0)) * dev2) AS b64
+        |  FROM agg JOIN dev USING (cell)
+        |)
+        |SELECT n, CAST(w AS DOUBLE) AS w_ssd,
+        |  CAST(b64 AS DOUBLE) AS b_scaled,
+        |  ROUND((CAST(b64 AS DOUBLE) / 64e0 / CAST(8 - 1 AS DOUBLE))
+        |    / (CAST(w AS DOUBLE) / CAST(n - 8 AS DOUBLE)), 6)
+        |    AS ch_index
+        |FROM fin""".stripMargin,
     "embedding_silhouette" ->
       """WITH e AS (
         |  SELECT vec_id,

@@ -1041,7 +1041,34 @@ object TextStats {
           .as("simpson_d"))
       .orderBy(col("lang"))
 
+  /** Language-ID confusion matrix — the eval table every classifier
+    * gate ships before its threshold goes to production: rerun
+    * [[textLangId]]'s stopword-density rule, cross-tabulate predicted
+    * vs labeled language, and row-normalize so each (actual, pred)
+    * cell carries its share of the actual class (recall on the
+    * diagonal). Integer cells from one hash aggregate + a keyed
+    * window over the |langs×2| matrix; one double division per cell. */
+  def textLangidConfusion(s: SparkSession, d: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    t(s, d, "documents")
+      .withColumn("stop_ratio",
+        expr(s"size(filter(split(text, ' '), t -> t IN $stopList))")
+          .cast("double") / size(split(col("text"), " ")))
+      .select(col("lang"),
+        when(col("stop_ratio") > 0.05, lit("en")).otherwise(lit("other"))
+          .as("lang_pred"))
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum(col("n")).over(byLang))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        expr("ROUND(CAST(n AS DOUBLE) / CAST(lang_total AS DOUBLE), 6)")
+          .as("row_share"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_confusion" -> (textLangidConfusion _),
     "text_yule_k" -> (textYuleK _),
     "text_distinct_ngrams" -> (textDistinctNgrams _),
     "text_ngram_novelty" -> (textNgramNovelty _),
@@ -1079,6 +1106,25 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    // text_lang_id's rule cross-tabulated; integer cells, one
+    // division per row against the actual-class total
+    "text_langid_confusion" ->
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+         |         t -> t IN $stopList)) AS DOUBLE) /
+         |         len(string_split(text, ' ')) > 0.05
+         |         THEN 'en' ELSE 'other' END AS lang_pred
+         |  FROM documents
+         |), g AS (
+         |  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2
+         |)
+         |SELECT lang, lang_pred, n,
+         |  ROUND(CAST(n AS DOUBLE)
+         |    / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+         |    AS row_share
+         |FROM g ORDER BY lang, lang_pred""".stripMargin,
     // (lang, word) counts → integer N and S2 moments; one double
     // expression per richness constant, identical text both engines
     "text_yule_k" ->

@@ -3061,22 +3061,21 @@ object Aggregates {
     val spend = t(s, d, "orders")
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("spend"))
+    // n and the grand total come from ONE 1-row aggregate over the
+    // customer-spend relation (not two extra orders scans) — the
+    // per-customer aggregate is 1/|orders per customer| the size
+    val nTotal = broadcast(spend.agg(count(lit(1)).as("n"),
+      sum(col("spend")).as("total")))
     val ranked = Ordered
       .withGlobalIndex(spend, Seq(col("spend").asc, col("o_custkey").asc),
         "i")
       .withColumn("rank", col("i") + lit(1L))
-      .crossJoin(broadcast(
-        t(s, d, "orders").select(col("o_custkey")).distinct()
-          .agg(count(lit(1)).as("n"))))
+      .crossJoin(nTotal)
     Ordered.ntileFromRank(ranked, "rank", "n", 10, "decile")
-      .groupBy(col("decile"))
+      .groupBy(col("decile"), col("total"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend")).as("dec_spend"))
       .withColumn("cum_spend", sum(col("dec_spend")).over(w10))
-      .crossJoin(broadcast(
-        t(s, d, "orders")
-          .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
-            .as("total"))))
       .select(col("decile"), col("n_customers"),
         expr("CAST(dec_spend AS DOUBLE)").as("dec_spend"),
         expr("ROUND(CAST(cum_spend AS DOUBLE) / CAST(total AS DOUBLE), 6)")
@@ -3130,7 +3129,67 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Benjamini–Hochberg FDR control over a FAMILY of per-metric
+    * permutation tests — the multiple-comparisons step every
+    * many-metric experiment dashboard needs (test each event type's
+    * arm difference, then control the expected false-discovery rate
+    * instead of per-test α). The per-type p-values reuse
+    * [[aggPermutationTest]]'s machinery (hash-seeded arms, B = 100
+    * sign permutations, p = (1 + #{|diff_b| ≥ |obs|})/101 — an EXACT
+    * RATIONAL), so the BH step decision p_(i) ≤ (i/m)·α reduces to
+    * the INTEGER comparison p_num·500 ≤ 505·i (α = 0.05, multiplied
+    * through by 100·m·(B+1)) — no float thresholds anywhere; the
+    * step-up cutoff and rejections close over the m-row aggregate
+    * (windows above aggregate, the allowed class). Scale: one
+    * (type, user) aggregate, B-way fan-out of the USER table (never
+    * raw events), everything after is m rows. */
+  def aggBhFdr(s: SparkSession, d: String): DataFrame = {
+    val B = 100
+    def armOf(seed: Column): Column =
+      conv(substring(md5(seed), 1, 6), 16, 10).cast("long") % 2L
+    def diffOf(df: DataFrame, grp: Seq[Column]): DataFrame =
+      df.groupBy(grp :+ col("arm"): _*)
+        .agg(sum(col("sv")).as("s"), sum(col("ne")).as("c"))
+        .groupBy(grp: _*)
+        .agg(((max(when(col("arm") === 1L, col("s"))).cast("double") /
+          max(when(col("arm") === 1L, col("c")))) -
+          (max(when(col("arm") === 0L, col("s"))).cast("double") /
+            max(when(col("arm") === 0L, col("c"))))).as("diff"))
+    val cells = t(s, d, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("ne"),
+        sum(col("value").cast("decimal(18,4)")).as("sv"))
+      .cache()
+    val obs = diffOf(cells.withColumn("arm",
+        armOf(col("user_id").cast("string"))), Seq(col("event_type")))
+      .withColumnRenamed("diff", "obs_diff")
+    val perm = diffOf(
+      cells.select(col("event_type"), col("user_id"), col("ne"),
+        col("sv"), explode(sequence(lit(1), lit(B))).as("b"))
+        .withColumn("arm", armOf(concat_ws("_", col("user_id"), col("b")))),
+      Seq(col("event_type"), col("b")))
+    val byP = org.apache.spark.sql.expressions.Window
+      .orderBy(col("p_num"), col("event_type"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    perm.join(obs, "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(max(col("obs_diff")), 6).as("obs_diff"),
+        (sum(when(abs(col("diff")) >= abs(col("obs_diff")), 1L)
+          .otherwise(0L)) + lit(1L)).as("p_num"))
+      .withColumn("rnk", row_number().over(byP))
+      .withColumn("istar_pnum",
+        max(when(col("p_num") * 500L <= lit(505L) * col("rnk"),
+          col("p_num"))).over(all))
+      .select(col("event_type"), col("obs_diff"), col("p_num"),
+        expr("ROUND(CAST(p_num AS DOUBLE) / 101e0, 6)").as("p_value"),
+        coalesce(col("p_num") <= col("istar_pnum"), lit(false))
+          .as("rejected"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bh_fdr" -> (aggBhFdr _),
     "agg_friedman_test" -> (aggFriedmanTest _),
     "agg_lorenz_curve" -> (aggLorenzCurve _),
     "agg_odds_ratio" -> (aggOddsRatio _),
@@ -3245,6 +3304,56 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-type permutation p-values (exact rationals k/101) → BH
+    // step-up via the integer comparison p_num·500 ≤ 505·rank
+    "agg_bh_fdr" ->
+      """WITH u AS (
+        |  SELECT event_type, user_id, COUNT(*) AS ne,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |oa AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+        |      1, 6)) AS BIGINT) % 2 AS arm, ne, sv
+        |  FROM u),
+        |obs AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN sv END) AS DOUBLE) /
+        |      SUM(CASE WHEN arm = 1 THEN ne END) -
+        |    CAST(SUM(CASE WHEN arm = 0 THEN sv END) AS DOUBLE) /
+        |      SUM(CASE WHEN arm = 0 THEN ne END) AS obs_diff
+        |  FROM oa GROUP BY 1),
+        |pa AS (
+        |  SELECT event_type, b,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR) || '_' ||
+        |      CAST(b AS VARCHAR)), 1, 6)) AS BIGINT) % 2 AS arm, ne, sv
+        |  FROM u CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS b)),
+        |pd AS (
+        |  SELECT event_type, b,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN sv END) AS DOUBLE) /
+        |      SUM(CASE WHEN arm = 1 THEN ne END) -
+        |    CAST(SUM(CASE WHEN arm = 0 THEN sv END) AS DOUBLE) /
+        |      SUM(CASE WHEN arm = 0 THEN ne END) AS diff
+        |  FROM pa GROUP BY 1, 2),
+        |p AS (
+        |  SELECT pd.event_type, ROUND(MAX(obs_diff), 6) AS obs_diff,
+        |    CAST(SUM(CASE WHEN abs(diff) >= abs(obs_diff)
+        |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS p_num
+        |  FROM pd JOIN obs ON pd.event_type = obs.event_type
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, obs_diff, p_num,
+        |    ROW_NUMBER() OVER (ORDER BY p_num, event_type) AS rnk
+        |  FROM p),
+        |cut AS (
+        |  SELECT event_type, obs_diff, p_num,
+        |    MAX(CASE WHEN p_num * 500 <= 505 * rnk THEN p_num END)
+        |      OVER () AS istar_pnum
+        |  FROM r)
+        |SELECT event_type, obs_diff, p_num,
+        |  ROUND(CAST(p_num AS DOUBLE) / 101e0, 6) AS p_value,
+        |  COALESCE(p_num <= istar_pnum, FALSE) AS rejected
+        |FROM cut ORDER BY event_type""".stripMargin,
     // complete-block day×type decimal cells → integer within-day
     // ranks (type tiebreak, no midranks) → rank-sum χ²_F closure
     "agg_friedman_test" ->

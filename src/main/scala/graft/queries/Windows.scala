@@ -1164,7 +1164,39 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Additive seasonal decomposition, day-of-week index per event
+    * type (the classical-decomposition seasonal step: detrend by a
+    * centered 7-day moving average, then average the residuals per
+    * weekday — what STL's seasonal pass reduces to at period 7 with
+    * no robustness iterations). Float discipline: the residual is
+    * kept as the INTEGER numerator 7·cnt − Σ₇ (the trend subtraction
+    * scaled through by 7), only full 7-row frames participate, and
+    * the per-(type, dow) seasonal index closes as one double division
+    * seas_num/(7·n_days). Shape: corpus → (type, day) aggregate →
+    * constant-width 7-ROW centered frame (the allowed bounded class)
+    * → |types×7|-row rollup. */
+  def windowSeasonalIndex(s: SparkSession, d: String): DataFrame = {
+    val frame = Window.partitionBy(col("event_type"))
+      .orderBy(col("day")).rowsBetween(-3, 3)
+    t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("sum7", sum(col("cnt")).over(frame))
+      .withColumn("n7", count(lit(1)).over(frame))
+      .filter(col("n7") === 7L)
+      .withColumn("resid_num", lit(7L) * col("cnt") - col("sum7"))
+      .groupBy(col("event_type"), dayofweek(col("day")).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("resid_num")).as("seas_num"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        expr("""ROUND(CAST(seas_num AS DOUBLE)
+                / (7e0 * CAST(n_days AS DOUBLE)), 6)""")
+          .as("seasonal"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_seasonal_index" -> (windowSeasonalIndex _),
     "window_theil_sen" -> (windowTheilSen _),
     "window_mau_sketch" -> (windowMauSketch _),
     "window_max_concurrency" -> (windowMaxConcurrency _),
@@ -1201,6 +1233,29 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // 7-row centered frame → integer residual numerators → one
+    // double division per (type, dow); DuckDB dow is 0-based
+    "window_seasonal_index" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), f AS (
+        |  SELECT event_type, day, cnt,
+        |    SUM(cnt) OVER w AS sum7, COUNT(*) OVER w AS n7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), r AS (
+        |  SELECT event_type,
+        |    CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+        |    7 * cnt - sum7 AS resid_num
+        |  FROM f WHERE n7 = 7
+        |)
+        |SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  ROUND(CAST(SUM(resid_num) AS DOUBLE)
+        |    / (7e0 * CAST(COUNT(*) AS DOUBLE)), 6) AS seasonal
+        |FROM r GROUP BY 1, 2
+        |ORDER BY event_type, dow""".stripMargin,
     // day-banded self-join over the daily aggregate; exact two-pick
     // median of ≤6 integer-delta slopes; (lo+hi)/2e0 closure
     "window_theil_sen" ->

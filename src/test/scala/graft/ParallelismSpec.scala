@@ -150,7 +150,11 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 32: within-block integer ranks; banded-join
     // two-pick median over double slope ordering; seeded-noise
     // threshold release
-    "agg_friedman_test", "window_theil_sen", "privacy_dp_histogram")
+    "agg_friedman_test", "window_theil_sen", "privacy_dp_histogram",
+    // round-9 batch 33: 7-row centered frames; micro-integer argmin
+    // + decimal scatter sums; rank-ordered integer BH step-up
+    "window_seasonal_index", "embedding_calinski_harabasz",
+    "agg_bh_fdr")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

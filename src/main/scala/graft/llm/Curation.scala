@@ -631,6 +631,27 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Systematic sampling (every k-th element under a total order) —
+    * the survey-sampling design that guarantees perfectly even
+    * coverage of the ordered frame (vs hash sampling's binomial
+    * jitter), used for eval slices that must span the full time
+    * range. The global position comes from the distributed
+    * total-order machinery ([[graft.queries.Ordered.withGlobalIndex]]
+    * — range shuffle + zipWithIndex, never a single-partition
+    * window); the step 997 is PRIME so the sample cannot alias
+    * against any calendar or generator periodicity in the frame. */
+  def sampleSystematic(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    graft.queries.Ordered
+      .withGlobalIndex(ev, Seq(col("ts_us").asc, col("event_id").asc),
+        "i")
+      .filter(col("i") % 997L === 0L)
+      .select(expr("i DIV 997").as("pick"),
+        col("event_id"), col("ts_us"))
+      .orderBy(col("pick"))
+  }
+
   /** τ-thresholded DP histogram ("stability histogram", Korolova et
     * al. 2009) — the release shape for histograms over UNKNOWN key
     * domains, where releasing an unperturbed support set already
@@ -937,6 +958,7 @@ object Curation {
     "privacy_l_diversity" -> (privacyLDiversity _),
     "privacy_dp_count" -> (privacyDpCount _),
     "privacy_dp_histogram" -> (privacyDpHistogram _),
+    "sample_systematic" -> (sampleSystematic _),
     "sample_neyman_allocation" -> (sampleNeymanAllocation _),
     "pack_efficiency" -> (packEfficiency _),
     "sample_dsir" -> (sampleDsir _),
@@ -1168,6 +1190,16 @@ object Curation {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY lang, len_bucket""".stripMargin,
+    // naive global row_number replays the distributed zipWithIndex;
+    // prime-step picks, integer DIV sample index
+    "sample_systematic" ->
+      """WITH r AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us,
+        |    ROW_NUMBER() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS i
+        |  FROM events
+        |)
+        |SELECT CAST(i // 997 AS BIGINT) AS pick, event_id, ts_us
+        |FROM r WHERE i % 997 = 0 ORDER BY pick""".stripMargin,
     // bounded (type × bucket) aggregate + the dp_count seeded-Laplace
     // expression; τ-threshold on the NOISY count on both engines
     "privacy_dp_histogram" ->

@@ -3188,7 +3188,153 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Cochran's Q test (Cochran 1950) — the k-treatment extension of
+    * McNemar for BINARY outcomes over matched blocks: blocks = days,
+    * treatments = event types, x = "the day saw an extreme event
+    * (max value ≥ 95) for this type". Incomplete blocks are dropped
+    * (complete-block design, like [[aggFriedmanTest]]); Q = (k−1)·
+    * (k·ΣC_j² − T²)/(k·ΣR_i − ΣR_i²) closes in one double expression
+    * from FOUR integer moments (column-total squares, grand total,
+    * row-total first/second moments); a degenerate denominator (every
+    * block all-0 or all-1) short-circuits to NULL via the exact
+    * integer guard. Two bounded aggregates; k counted from data. */
+  def aggCochranQ(s: SparkSession, d: String): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val k1 = t(s, d, "events")
+      .agg(countDistinct(col("event_type")).as("k"))
+    val cell = t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg((max(col("value")) >= lit(95.0)).cast("long").as("x"))
+    val blocks = cell.groupBy(col("day"))
+      .agg(count(lit(1)).as("nt"), sum(col("x")).as("r_i"))
+      .crossJoin(broadcast(k1))
+      .filter(col("nt") === col("k"))
+    val rMoments = broadcast(blocks
+      .agg(sum(col("r_i")).as("sum_r"),
+        sum(col("r_i") * col("r_i")).as("sum_r2")))
+    cell.join(blocks.select(col("day")), "day")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("x")).as("c_j"))
+      .withColumn("sum_c2", sum(col("c_j") * col("c_j")).over(all))
+      .crossJoin(rMoments)
+      .crossJoin(broadcast(k1))
+      .select(col("event_type"), col("n_blocks"), col("c_j"),
+        expr("""CASE WHEN k * sum_r - sum_r2 = 0 THEN NULL
+                ELSE ROUND(CAST(k - 1 AS DOUBLE)
+                  * (CAST(k AS DOUBLE) * CAST(sum_c2 AS DOUBLE)
+                     - CAST(sum_r AS DOUBLE) * CAST(sum_r AS DOUBLE))
+                  / (CAST(k AS DOUBLE) * CAST(sum_r AS DOUBLE)
+                     - CAST(sum_r2 AS DOUBLE)), 6)
+                END""").as("q_stat"))
+      .orderBy(col("event_type"))
+  }
+
+  /** McNemar's test on two curation rules' paired keep-decisions —
+    * "do the vocabulary-based and density-based English detectors
+    * disagree systematically?", the question asked before swapping
+    * one gate for another. Rule A = stopword-density > 0.05 (the
+    * [[graft.llm.TextStats.textLangId]] rule); rule B = membership of
+    * 'the' in the token set. Four integer cells in ONE conditional
+    * aggregate over the corpus; χ² = (b−c)²/(b+c) closes in one
+    * double expression, NULL when the discordant count is zero. */
+  def aggMcnemarTest(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(
+        (expr("size(filter(split(text, ' '), " +
+          "t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))")
+          .cast("double") / size(split(col("text"), " ")) > 0.05)
+          .as("pred_a"),
+        array_contains(split(col("text"), " "), "the").as("pred_b"))
+      .agg(
+        sum(when(col("pred_a") && col("pred_b"), 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(col("pred_a") && !col("pred_b"), 1L).otherwise(0L))
+          .as("b"),
+        sum(when(!col("pred_a") && col("pred_b"), 1L).otherwise(0L))
+          .as("c"),
+        sum(when(!col("pred_a") && !col("pred_b"), 1L).otherwise(0L))
+          .as("n_neither"))
+      .select(col("n_both"), col("b"), col("c"), col("n_neither"),
+        expr("""CASE WHEN b + c = 0 THEN NULL
+                ELSE ROUND(CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+                  / CAST(b + c AS DOUBLE), 6)
+                END""").as("chi2_mcnemar"))
+
+  /** Tukey-fence outlier census per event type — the box-plot rule
+    * (outside Q1 − 1.5·IQR, Q3 + 1.5·IQR) every anomaly triage
+    * starts from. Quartiles are EXACT type-1 order statistics
+    * (rank = ⌈p·n⌉ via integer DIV, picked by row_number over the
+    * per-type value sort — the doubled-rank class already used by
+    * the Mann-Whitney family), so no interpolation floats exist; the
+    * fences are one double expression from the two decimal picks,
+    * and the census is a second pass joined against the broadcast
+    * k-row fence table. */
+  def aggTukeyOutliers(s: SparkSession, d: String): DataFrame = {
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("v"), col("event_id"))
+    val vals = t(s, d, "events")
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("decimal(18,4)").as("v"))
+    val fences = vals
+      .withColumn("rn", row_number().over(byVal))
+      .withColumn("nn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("nn")).as("n"),
+        max(when(expr("rn = (nn + 3) DIV 4"), col("v"))).as("q1"),
+        max(when(expr("rn = (3 * nn + 3) DIV 4"), col("v"))).as("q3"))
+    fences
+      .select(col("event_type"), col("n"),
+        expr("CAST(q1 AS DOUBLE)").as("q1"),
+        expr("CAST(q3 AS DOUBLE)").as("q3"),
+        expr("""CAST(q1 AS DOUBLE)
+                - 1.5e0 * (CAST(q3 AS DOUBLE) - CAST(q1 AS DOUBLE))""")
+          .as("lo"),
+        expr("""CAST(q3 AS DOUBLE)
+                + 1.5e0 * (CAST(q3 AS DOUBLE) - CAST(q1 AS DOUBLE))""")
+          .as("hi"))
+      .join(vals, "event_type")
+      .groupBy(col("event_type"), col("n"), col("q1"), col("q3"))
+      .agg(
+        sum(when(expr("CAST(v AS DOUBLE) < lo"), 1L).otherwise(0L))
+          .as("n_low"),
+        sum(when(expr("CAST(v AS DOUBLE) > hi"), 1L).otherwise(0L))
+          .as("n_high"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Poisson dispersion index of the daily arrival counts per event
+    * type — the burstiness check run before trusting any Poisson
+    * rate model (index ≈ 1 ⇒ Poisson arrivals; > 1 ⇒ overdispersed/
+    * bursty). All moments integer (day counts), the index
+    * var/mean = (n·Σc² − (Σc)²)/((n−1)·Σc) closes in one double
+    * expression, and the overdispersion VERDICT is decided by the
+    * EXACT integer comparison n·Σc² − (Σc)² > (n−1)·Σc — the gate
+    * boolean never touches a float. */
+  def aggDispersionIndex(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(col("event_type"), col("n_days"), col("s1"),
+        expr("""ROUND((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n_days - 1 AS DOUBLE) * CAST(s1 AS DOUBLE)),
+                6)""").as("dispersion"),
+        expr("n_days * s2 - s1 * s1 > (n_days - 1) * s1")
+          .as("overdispersed"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_cochran_q" -> (aggCochranQ _),
+    "agg_mcnemar_test" -> (aggMcnemarTest _),
+    "agg_tukey_outliers" -> (aggTukeyOutliers _),
+    "agg_dispersion_index" -> (aggDispersionIndex _),
     "agg_bh_fdr" -> (aggBhFdr _),
     "agg_friedman_test" -> (aggFriedmanTest _),
     "agg_lorenz_curve" -> (aggLorenzCurve _),
@@ -3304,6 +3450,126 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // complete-block binary cells; four integer moments; exact
+    // degenerate-denominator guard
+    "agg_cochran_q" ->
+      """WITH cell AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CASE WHEN MAX(value) >= 95.0 THEN 1 ELSE 0 END AS x
+        |  FROM events GROUP BY 1, 2
+        |), kk AS (
+        |  SELECT COUNT(DISTINCT event_type) AS k FROM events
+        |), blocks AS (
+        |  SELECT day, CAST(SUM(x) AS BIGINT) AS r_i FROM cell
+        |  GROUP BY day HAVING COUNT(*) = (SELECT k FROM kk)
+        |), rm AS (
+        |  SELECT CAST(SUM(r_i) AS BIGINT) AS sum_r,
+        |    CAST(SUM(r_i * r_i) AS BIGINT) AS sum_r2
+        |  FROM blocks
+        |), g AS (
+        |  SELECT c.event_type, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(c.x) AS BIGINT) AS c_j
+        |  FROM cell c JOIN blocks b ON c.day = b.day
+        |  GROUP BY 1
+        |), s AS (
+        |  SELECT event_type, n_blocks, c_j,
+        |    CAST(SUM(c_j * c_j) OVER () AS BIGINT) AS sum_c2,
+        |    (SELECT k FROM kk) AS k,
+        |    (SELECT sum_r FROM rm) AS sum_r,
+        |    (SELECT sum_r2 FROM rm) AS sum_r2
+        |  FROM g
+        |)
+        |SELECT event_type, n_blocks, c_j,
+        |  CASE WHEN k * sum_r - sum_r2 = 0 THEN NULL
+        |  ELSE ROUND(CAST(k - 1 AS DOUBLE)
+        |    * (CAST(k AS DOUBLE) * CAST(sum_c2 AS DOUBLE)
+        |       - CAST(sum_r AS DOUBLE) * CAST(sum_r AS DOUBLE))
+        |    / (CAST(k AS DOUBLE) * CAST(sum_r AS DOUBLE)
+        |       - CAST(sum_r2 AS DOUBLE)), 6)
+        |  END AS q_stat
+        |FROM s ORDER BY event_type""".stripMargin,
+    // paired keep-decisions; four integer cells, one double closure
+    "agg_mcnemar_test" ->
+      """WITH p AS (
+        |  SELECT
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+        |      AS DOUBLE) / len(string_split(text, ' ')) > 0.05
+        |      AS pred_a,
+        |    list_contains(string_split(text, ' '), 'the') AS pred_b
+        |  FROM documents
+        |), g AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN pred_a AND pred_b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_both,
+        |    CAST(SUM(CASE WHEN pred_a AND NOT pred_b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(SUM(CASE WHEN NOT pred_a AND pred_b THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(SUM(CASE WHEN NOT pred_a AND NOT pred_b
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+        |  FROM p
+        |)
+        |SELECT n_both, b, c, n_neither,
+        |  CASE WHEN b + c = 0 THEN NULL
+        |  ELSE ROUND(CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+        |    / CAST(b + c AS DOUBLE), 6)
+        |  END AS chi2_mcnemar
+        |FROM g""".stripMargin,
+    // exact type-1 quartile picks (integer DIV ranks); fence census
+    // in a second pass against the k-row fence table
+    "agg_tukey_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type, event_id,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nn
+        |  FROM v
+        |), f AS (
+        |  SELECT event_type, CAST(MAX(nn) AS BIGINT) AS n,
+        |    MAX(CASE WHEN rn = (nn + 3) // 4 THEN v END) AS q1,
+        |    MAX(CASE WHEN rn = (3 * nn + 3) // 4 THEN v END) AS q3
+        |  FROM r GROUP BY 1
+        |), fd AS (
+        |  SELECT event_type, n,
+        |    CAST(q1 AS DOUBLE) AS q1, CAST(q3 AS DOUBLE) AS q3,
+        |    CAST(q1 AS DOUBLE)
+        |      - 1.5e0 * (CAST(q3 AS DOUBLE) - CAST(q1 AS DOUBLE)) AS lo,
+        |    CAST(q3 AS DOUBLE)
+        |      + 1.5e0 * (CAST(q3 AS DOUBLE) - CAST(q1 AS DOUBLE)) AS hi
+        |  FROM f
+        |)
+        |SELECT fd.event_type, n, fd.q1, fd.q3,
+        |  CAST(SUM(CASE WHEN CAST(v.v AS DOUBLE) < lo
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN CAST(v.v AS DOUBLE) > hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM fd JOIN v ON fd.event_type = v.event_type
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY fd.event_type""".stripMargin,
+    // integer daily-count moments; overdispersion verdict decided in
+    // exact integers, never on the rounded double
+    "agg_dispersion_index" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(c) AS BIGINT) AS s1,
+        |    CAST(SUM(c * c) AS BIGINT) AS s2
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT event_type, n_days, s1,
+        |  ROUND((CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    / (CAST(n_days - 1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6)
+        |    AS dispersion,
+        |  n_days * s2 - s1 * s1 > (n_days - 1) * s1 AS overdispersed
+        |FROM g ORDER BY event_type""".stripMargin,
     // per-type permutation p-values (exact rationals k/101) → BH
     // step-up via the integer comparison p_num·500 ≤ 505·rank
     "agg_bh_fdr" ->

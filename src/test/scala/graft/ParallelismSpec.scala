@@ -154,7 +154,10 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 33: 7-row centered frames; micro-integer argmin
     // + decimal scatter sums; rank-ordered integer BH step-up
     "window_seasonal_index", "embedding_calinski_harabasz",
-    "agg_bh_fdr")
+    "agg_bh_fdr",
+    // round-9 batch 34: doubled-rank quartile picks + fence census;
+    // global prime-step picks via the zipWithIndex machinery
+    "agg_tukey_outliers", "sample_systematic", "agg_cochran_q")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -3330,7 +3330,112 @@ object Aggregates {
           .as("overdispersed"))
       .orderBy(col("event_type"))
 
+  /** Lincoln–Petersen / Chapman capture–recapture estimate of the
+    * true population per event type — the mark-recapture trick a data
+    * platform uses to estimate TRUE audience (or true corpus size)
+    * from two overlapping observation windows: split the calendar in
+    * half at the data-driven midpoint, treat each half's active user
+    * set as a capture, and estimate N̂ = n₁n₂/m from the overlap.
+    * Chapman's (n₁+1)(n₂+1)/(m+1) − 1 is the bias-corrected,
+    * zero-overlap-safe variant. All inputs integer (per-(type, user)
+    * presence bits from one aggregate); each estimate closes in one
+    * double expression; m = 0 short-circuits Lincoln–Petersen to
+    * NULL via the exact integer guard. */
+  def aggCaptureRecapture(s: SparkSession, d: String): DataFrame = {
+    val bounds = broadcast(t(s, d, "events")
+      .agg(min(to_date(col("ts"))).as("d_min"),
+        max(to_date(col("ts"))).as("d_max")))
+    t(s, d, "events")
+      .select(col("event_type"), col("user_id"),
+        to_date(col("ts")).as("day"))
+      .crossJoin(bounds)
+      .withColumn("cut",
+        expr("date_add(d_min, CAST(datediff(d_max, d_min) DIV 2 AS INT))"))
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(max(when(col("day") <= col("cut"), 1L).otherwise(0L))
+        .as("h1"),
+        max(when(col("day") > col("cut"), 1L).otherwise(0L)).as("h2"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("h1")).as("n1"), sum(col("h2")).as("n2"),
+        sum(col("h1") * col("h2")).as("m"))
+      .select(col("event_type"), col("n1"), col("n2"), col("m"),
+        expr("""CASE WHEN m = 0 THEN NULL
+                ELSE ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                  / CAST(m AS DOUBLE), 6) END""").as("n_lp"),
+        expr("""ROUND(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+                / CAST(m + 1 AS DOUBLE) - 1e0, 6)""").as("n_chapman"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Two-proportion pooled z statistic per event type (arms by user
+    * parity, success = value ≥ 50) — the proportion counterpart of
+    * [[aggTTest]], the first test any conversion-rate comparison
+    * runs. Four integer cells from one conditional aggregate; the
+    * pooled-variance z closes in one double expression; a degenerate
+    * pooled rate (all successes or none) short-circuits to NULL via
+    * the exact integer guard k₁+k₂ ∈ {0, n₁+n₂}. */
+  def aggTwoProportionZ(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(expr("CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END"))
+          .as("n1"),
+        sum(expr("CASE WHEN user_id % 2 = 0 AND value >= 50e0 " +
+          "THEN 1 ELSE 0 END")).as("k1"),
+        sum(expr("CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END"))
+          .as("n2"),
+        sum(expr("CASE WHEN user_id % 2 <> 0 AND value >= 50e0 " +
+          "THEN 1 ELSE 0 END")).as("k2"))
+      .select(col("event_type"), col("n1"), col("k1"), col("n2"),
+        col("k2"),
+        expr("""CASE WHEN k1 + k2 = 0 OR k1 + k2 = n1 + n2 THEN NULL
+                ELSE ROUND((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                  / SQRT((CAST(k1 + k2 AS DOUBLE)
+                          / CAST(n1 + n2 AS DOUBLE))
+                    * (1e0 - CAST(k1 + k2 AS DOUBLE)
+                             / CAST(n1 + n2 AS DOUBLE))
+                    * (1e0 / CAST(n1 AS DOUBLE)
+                       + 1e0 / CAST(n2 AS DOUBLE))), 6)
+                END""").as("z_stat"))
+      .orderBy(col("event_type"))
+
+  /** pass@k (k = 5) estimator histogram — the unbiased Codex/HumanEval
+    * estimator 1 − C(n−c, k)/C(n, k) (Chen et al. 2021) over
+    * (task = user, trial = event, correct = value ≥ 50), the eval
+    * aggregation every code/reasoning benchmark pipeline runs.
+    * C-ratio expanded as the FIXED 5-term product Π(n−c−i)/(n−i) —
+    * exact integer operands, one double expression per task; tasks
+    * with n − c < k short-circuit to pass@k = 1 exactly. Because a
+    * corpus-wide MEAN of doubles is summation-order-dependent (the
+    * float-discipline ban), the output is the DECILE HISTOGRAM of
+    * per-task estimates per event type — bucketing a double is
+    * order-independent — which is also the more useful eval artifact
+    * (the shape, not just the mean). */
+  def aggPassAtK(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN value >= 50e0 THEN 1 ELSE 0 END")).as("c"))
+      .filter(col("n") >= 5L)
+      .withColumn("pass5",
+        expr("""CASE WHEN n - c < 5 THEN 1e0
+                ELSE 1e0
+                  - (CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                  * (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+                  * (CAST(n - c - 3 AS DOUBLE) / CAST(n - 3 AS DOUBLE))
+                  * (CAST(n - c - 4 AS DOUBLE) / CAST(n - 4 AS DOUBLE))
+                END"""))
+      .groupBy(col("event_type"),
+        expr("LEAST(9, CAST(FLOOR(pass5 * 10e0) AS INT))").as("bucket"))
+      .agg(count(lit(1)).as("n_tasks"))
+      .orderBy(col("event_type"), col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_capture_recapture" -> (aggCaptureRecapture _),
+    "agg_two_proportion_z" -> (aggTwoProportionZ _),
+    "agg_pass_at_k" -> (aggPassAtK _),
     "agg_cochran_q" -> (aggCochranQ _),
     "agg_mcnemar_test" -> (aggMcnemarTest _),
     "agg_tukey_outliers" -> (aggTukeyOutliers _),
@@ -3450,6 +3555,87 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // per-(type, user) presence bits; integer captures; one double
+    // per estimator with exact m = 0 guard
+    "agg_capture_recapture" ->
+      """WITH b AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS d_min,
+        |    MAX(CAST(ts AS DATE)) AS d_max
+        |  FROM events
+        |), u AS (
+        |  SELECT event_type, user_id,
+        |    MAX(CASE WHEN CAST(ts AS DATE) <=
+        |      d_min + CAST((d_max - d_min) // 2 AS INTEGER)
+        |      THEN 1 ELSE 0 END) AS h1,
+        |    MAX(CASE WHEN CAST(ts AS DATE) >
+        |      d_min + CAST((d_max - d_min) // 2 AS INTEGER)
+        |      THEN 1 ELSE 0 END) AS h2
+        |  FROM events CROSS JOIN b
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type, CAST(SUM(h1) AS BIGINT) AS n1,
+        |    CAST(SUM(h2) AS BIGINT) AS n2,
+        |    CAST(SUM(h1 * h2) AS BIGINT) AS m
+        |  FROM u GROUP BY 1
+        |)
+        |SELECT event_type, n1, n2, m,
+        |  CASE WHEN m = 0 THEN NULL
+        |  ELSE ROUND(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+        |    / CAST(m AS DOUBLE), 6) END AS n_lp,
+        |  ROUND(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+        |    / CAST(m + 1 AS DOUBLE) - 1e0, 6) AS n_chapman
+        |FROM g ORDER BY event_type""".stripMargin,
+    // four integer cells; pooled z in one double expression; exact
+    // degenerate-rate guard
+    "agg_two_proportion_z" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND value >= 50e0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND value >= 50e0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k2
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_type, n1, k1, n2, k2,
+        |  CASE WHEN k1 + k2 = 0 OR k1 + k2 = n1 + n2 THEN NULL
+        |  ELSE ROUND((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |    / SQRT((CAST(k1 + k2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |      * (1e0 - CAST(k1 + k2 AS DOUBLE)
+        |               / CAST(n1 + n2 AS DOUBLE))
+        |      * (1e0 / CAST(n1 AS DOUBLE)
+        |         + 1e0 / CAST(n2 AS DOUBLE))), 6)
+        |  END AS z_stat
+        |FROM g ORDER BY event_type""".stripMargin,
+    // fixed 5-term integer-ratio product per task; deterministic
+    // decile bucketing of the double (no order-dependent mean)
+    "agg_pass_at_k" ->
+      """WITH t0 AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN value >= 50e0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT event_type,
+        |    CASE WHEN n - c < 5 THEN 1e0
+        |    ELSE 1e0
+        |      - (CAST(n - c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(n - c - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+        |      * (CAST(n - c - 2 AS DOUBLE) / CAST(n - 2 AS DOUBLE))
+        |      * (CAST(n - c - 3 AS DOUBLE) / CAST(n - 3 AS DOUBLE))
+        |      * (CAST(n - c - 4 AS DOUBLE) / CAST(n - 4 AS DOUBLE))
+        |    END AS pass5
+        |  FROM t0 WHERE n >= 5
+        |)
+        |SELECT event_type,
+        |  LEAST(9, CAST(FLOOR(pass5 * 10e0) AS INTEGER)) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tasks
+        |FROM p GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
     // complete-block binary cells; four integer moments; exact
     // degenerate-denominator guard
     "agg_cochran_q" ->

@@ -1195,7 +1195,35 @@ object Windows {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Lag-feature matrix — the feature-engineering projection every
+    * forecasting/training pipeline materializes from a metric series
+    * (lag-1, lag-7, trailing 7-day mean, day-over-day delta), emitted
+    * at the (type, day) grain ready to join onto a label table.
+    * Exact: counts and lags are integers; the trailing mean keeps the
+    * integer 7-day sum and closes as one division, NULL until the
+    * frame is full (no partial-window leakage into training). One
+    * keyed window over the daily aggregate, constant 7-ROW frame. */
+  def windowLagFeatures(s: SparkSession, d: String): DataFrame = {
+    val byDay = Window.partitionBy(col("event_type"))
+      .orderBy(col("day"))
+    val trail7 = byDay.rowsBetween(-6, 0)
+    t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lag1", lag(col("cnt"), 1).over(byDay))
+      .withColumn("lag7", lag(col("cnt"), 7).over(byDay))
+      .withColumn("sum7", sum(col("cnt")).over(trail7))
+      .withColumn("n7", count(lit(1)).over(trail7))
+      .select(col("event_type"), col("day"), col("cnt"), col("lag1"),
+        col("lag7"), (col("cnt") - col("lag1")).as("dod_delta"),
+        expr("""CASE WHEN n7 = 7
+                THEN ROUND(CAST(sum7 AS DOUBLE) / 7e0, 6) END""")
+          .as("ma7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_lag_features" -> (windowLagFeatures _),
     "window_seasonal_index" -> (windowSeasonalIndex _),
     "window_theil_sen" -> (windowTheilSen _),
     "window_mau_sketch" -> (windowMauSketch _),
@@ -1233,6 +1261,25 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer lags/sums from one keyed window; trailing mean closes
+    // as a single division, NULL until the 7-row frame fills
+    "window_lag_features" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, cnt,
+        |  LAG(cnt, 1) OVER w AS lag1,
+        |  LAG(cnt, 7) OVER w AS lag7,
+        |  cnt - LAG(cnt, 1) OVER w AS dod_delta,
+        |  CASE WHEN COUNT(*) OVER f = 7
+        |    THEN ROUND(CAST(SUM(cnt) OVER f AS DOUBLE) / 7e0, 6)
+        |  END AS ma7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day),
+        |  f AS (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
     // 7-row centered frame → integer residual numerators → one
     // double division per (type, dow); DuckDB dow is 0-based
     "window_seasonal_index" ->

@@ -157,7 +157,10 @@ class ParallelismSpec extends AnyFunSuite {
     "agg_bh_fdr",
     // round-9 batch 34: doubled-rank quartile picks + fence census;
     // global prime-step picks via the zipWithIndex machinery
-    "agg_tukey_outliers", "sample_systematic", "agg_cochran_q")
+    "agg_tukey_outliers", "sample_systematic", "agg_cochran_q",
+    // round-9 batch 35: presence-bit captures; fixed-product decile
+    // bucketing; keyed lag/frame features
+    "agg_capture_recapture", "agg_pass_at_k", "window_lag_features")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -631,6 +631,41 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Randomized response (Warner 1965) — the LOCAL-DP mechanism that
+    * completes the privacy family ([[privacyDpCount]] /
+    * [[privacyDpHistogram]] are central-DP): each row reports its
+    * true bit (value ≥ 50) with probability 3/4 and the flipped bit
+    * with 1/4 (ε = ln 3 per report), and the aggregator debiases
+    * p̂ = (p_obs − 1/4)/(1/2). The coin is the md5-seeded integer
+    * h mod 4 < 3 — same GATE-ONLY seeding caveat as the rest of the
+    * family (deterministic noise is recomputable; real deployments
+    * draw fresh client-side randomness). Derived check: the debiased
+    * estimate must land within 0.2 of the true rate (≈3σ of the
+    * RR estimator at the smallest fixture's ~240 rows/type), pinned TRUE by the oracle. One conditional
+    * aggregate; integer cells; double closures with identical text. */
+  def privacyRandomizedResponse(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(
+      md5(concat_ws("|", lit("rr"), col("event_id").cast("string"))),
+      1, 6), 16, 10).cast("long") % 4L
+    val bit = (col("value") >= lit(50.0)).cast("long")
+    t(s, d, "events")
+      .select(col("event_type"), bit.as("b"),
+        when(h < 3L, bit).otherwise(lit(1L) - bit).as("rep"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("b")).as("k_true"),
+        sum(col("rep")).as("k_rep"))
+      .select(col("event_type"), col("n"), col("k_rep"),
+        expr("""ROUND((CAST(k_rep AS DOUBLE) / CAST(n AS DOUBLE)
+                - 0.25e0) / 0.5e0, 6)""").as("p_hat"),
+        expr("ROUND(CAST(k_true AS DOUBLE) / CAST(n AS DOUBLE), 6)")
+          .as("p_true"),
+        expr("""ABS((CAST(k_rep AS DOUBLE) / CAST(n AS DOUBLE)
+                - 0.25e0) / 0.5e0
+                - CAST(k_true AS DOUBLE) / CAST(n AS DOUBLE))
+                < 0.2e0""").as("calibrated"))
+      .orderBy(col("event_type"))
+  }
+
   /** Systematic sampling (every k-th element under a total order) —
     * the survey-sampling design that guarantees perfectly even
     * coverage of the ordered frame (vs hash sampling's binomial
@@ -959,6 +994,7 @@ object Curation {
     "privacy_dp_count" -> (privacyDpCount _),
     "privacy_dp_histogram" -> (privacyDpHistogram _),
     "sample_systematic" -> (sampleSystematic _),
+    "privacy_randomized_response" -> (privacyRandomizedResponse _),
     "sample_neyman_allocation" -> (sampleNeymanAllocation _),
     "pack_efficiency" -> (packEfficiency _),
     "sample_dsir" -> (sampleDsir _),
@@ -1190,6 +1226,34 @@ object Curation {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY lang, len_bucket""".stripMargin,
+    // md5-seeded 3/4-keep coin per row; integer cells; debias and
+    // calibration bound close in identical double expressions
+    "privacy_randomized_response" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CASE WHEN value >= 50e0 THEN 1 ELSE 0 END AS b,
+        |    CASE WHEN CAST(('0x' || substring(md5('rr' || '|' ||
+        |        CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % 4 < 3
+        |      THEN CASE WHEN value >= 50e0 THEN 1 ELSE 0 END
+        |      ELSE 1 - CASE WHEN value >= 50e0 THEN 1 ELSE 0 END
+        |    END AS rep
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(b) AS BIGINT) AS k_true,
+        |    CAST(SUM(rep) AS BIGINT) AS k_rep
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT event_type, n, k_rep,
+        |  ROUND((CAST(k_rep AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - 0.25e0) / 0.5e0, 6) AS p_hat,
+        |  ROUND(CAST(k_true AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS p_true,
+        |  ABS((CAST(k_rep AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - 0.25e0) / 0.5e0
+        |    - CAST(k_true AS DOUBLE) / CAST(n AS DOUBLE))
+        |    < 0.2e0 AS calibrated
+        |FROM g ORDER BY event_type""".stripMargin,
     // naive global row_number replays the distributed zipWithIndex;
     // prime-step picks, integer DIV sample index
     "sample_systematic" ->

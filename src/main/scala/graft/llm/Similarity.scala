@@ -268,6 +268,71 @@ object Similarity {
       .orderBy(col("probe_id"), col("rn"))
   }
 
+  /** Hard-example mining for contrastive training (the FaceNet /
+    * SimCLR batch-construction step): per probe, the HARDEST NEGATIVE
+    * (most-similar vector with a different label) and the HARDEST
+    * POSITIVE (least-similar vector with the same label), plus the
+    * triplet margin neg_cos − pos_cos (> 0 ⇒ the triplet violates,
+    * i.e. is worth training on). Shape: one corpus scan against the
+    * broadcast 10-probe batch, two per-probe 1-heaps (row_number over
+    * the bounded probe partitions of round-6 cosines with vec_id
+    * tiebreaks); the corpus never shuffles. */
+  def simHardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, d, "embeddings")
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"),
+        col("label").as("probe_label"), col("embedding").as("probe"))
+    val scored = e.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("probe_label"), col("vec_id"),
+        col("label"),
+        round(cosine(col("embedding"), col("probe")), 6).as("cos"))
+    val wNeg = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val wPos = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").asc, col("vec_id"))
+    val hardNeg = scored.filter(col("label") =!= col("probe_label"))
+      .withColumn("rn", row_number().over(wNeg))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("vec_id").as("hard_neg_id"),
+        col("cos").as("hard_neg_cos"))
+    val hardPos = scored.filter(col("label") === col("probe_label"))
+      .withColumn("rn", row_number().over(wPos))
+      .filter(col("rn") === 1)
+      .select(col("probe_id"), col("vec_id").as("hard_pos_id"),
+        col("cos").as("hard_pos_cos"))
+    hardNeg.join(hardPos, Seq("probe_id"))
+      .withColumn("margin",
+        expr("ROUND(hard_neg_cos - hard_pos_cos, 6)"))
+      .orderBy(col("probe_id"))
+  }
+
+  /** Per-dimension embedding health table — the "dead/exploding
+    * feature" audit run before trusting a learned representation
+    * (a dimension with ~zero variance is dead weight in every
+    * distance; one with outsized variance dominates them all).
+    * Moments are EXACT integers in the micro-quantized space
+    * (Σm, Σm² per dimension via posexplode + one 64-group hash
+    * aggregate, map-side combined); mean and population variance
+    * close in one double expression each. */
+  def embeddingDimStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1000000d).cast("bigint")))
+        .as(Seq("dim", "m")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s1"),
+        sum(col("m") * col("m")).as("s2"))
+      .select(col("dim"), col("n"),
+        expr("""ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6,
+                6)""").as("mean"),
+        expr("""ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12,
+                9)""").as("var_pop"))
+      .orderBy(col("dim"))
+
   /** Signed-random-projection (hyperplane) LSH signature for one table:
     * `bits` sign bits of the embedding projected onto pseudo-random
     * Rademacher (±1) hyperplanes, packed into a long bucket id. The
@@ -1153,6 +1218,8 @@ object Similarity {
     "embedding_isotropy" -> (embeddingIsotropy _),
     "embedding_silhouette" -> (embeddingSilhouette _),
     "embedding_calinski_harabasz" -> (embeddingCalinskiHarabasz _),
+    "sim_hard_negatives" -> (simHardNegatives _),
+    "embedding_dim_stats" -> (embeddingDimStats _),
     "sim_knn_join" -> (simKnnJoin _),
     "sim_search_range" -> (simSearchRange _),
     "embedding_normalize" -> (embeddingNormalize _),
@@ -1351,6 +1418,63 @@ object Similarity {
     // cell — identical quantization on both sides
     // same quantize/argmin discipline as kmeans_assign; rk1/rk2 via one
     // ranked scan; ONE closing double (b−a)/b with IEEE sqrt
+    // two per-probe 1-heaps over round-6 cosines with label filters;
+    // margin closes on the two picked doubles
+    "sim_hard_negatives" ->
+      """WITH p AS (
+        |  SELECT vec_id AS probe_id, label AS probe_label,
+        |    CAST(embedding AS DOUBLE[]) AS probe
+        |  FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT p.probe_id, p.probe_label, e.vec_id, e.label,
+        |    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      p.probe), 6) AS cos
+        |  FROM embeddings e CROSS JOIN p
+        |  WHERE e.vec_id >= 10
+        |), hn AS (
+        |  SELECT probe_id, vec_id AS hard_neg_id, cos AS hard_neg_cos
+        |  FROM (SELECT probe_id, vec_id, cos,
+        |          ROW_NUMBER() OVER (PARTITION BY probe_id
+        |            ORDER BY cos DESC, vec_id) AS rn
+        |        FROM scored WHERE label <> probe_label)
+        |  WHERE rn = 1
+        |), hp AS (
+        |  SELECT probe_id, vec_id AS hard_pos_id, cos AS hard_pos_cos
+        |  FROM (SELECT probe_id, vec_id, cos,
+        |          ROW_NUMBER() OVER (PARTITION BY probe_id
+        |            ORDER BY cos ASC, vec_id) AS rn
+        |        FROM scored WHERE label = probe_label)
+        |  WHERE rn = 1
+        |)
+        |SELECT probe_id, hard_neg_id, hard_neg_cos, hard_pos_id,
+        |  hard_pos_cos,
+        |  ROUND(hard_neg_cos - hard_pos_cos, 6) AS margin
+        |FROM hn JOIN hp USING (probe_id)
+        |ORDER BY probe_id""".stripMargin,
+    // exact per-dim micro moments; mean and population variance each
+    // close in one double expression (descale by 1e6 / 1e12 last)
+    "embedding_dim_stats" ->
+      """WITH m AS (
+        |  SELECT u.i - 1 AS dim,
+        |    CAST(ROUND(e.m[CAST(u.i AS INTEGER)] * 1000000) AS BIGINT)
+        |      AS v
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS m
+        |        FROM embeddings) e,
+        |    LATERAL unnest(range(1, len(e.m) + 1)) AS u(i)
+        |), g AS (
+        |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(v) AS BIGINT) AS s1,
+        |    CAST(SUM(v * v) AS BIGINT) AS s2
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT CAST(dim AS INTEGER) AS dim, n,
+        |  ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6)
+        |    AS mean,
+        |  ROUND((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+        |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12, 9)
+        |    AS var_pop
+        |FROM g ORDER BY dim""".stripMargin,
     // same micro-integer argmin as kmeans_assign; centroid deviations
     // rebuilt in SQL (8·c − Σc integers); decimal W/B sums; one
     // double CH closure with identical text

@@ -160,7 +160,11 @@ class ParallelismSpec extends AnyFunSuite {
     "agg_tukey_outliers", "sample_systematic", "agg_cochran_q",
     // round-9 batch 35: presence-bit captures; fixed-product decile
     // bucketing; keyed lag/frame features
-    "agg_capture_recapture", "agg_pass_at_k", "window_lag_features")
+    "agg_capture_recapture", "agg_pass_at_k", "window_lag_features",
+    // round-9 batch 36: per-probe 1-heaps with label filters;
+    // 64-group micro moments; seeded-coin debiasing
+    "sim_hard_negatives", "embedding_dim_stats",
+    "privacy_randomized_response")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -3432,7 +3432,55 @@ object Aggregates {
       .agg(count(lit(1)).as("n_tasks"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** Session-level rollup — the product-analytics table built on top
+    * of sessionization (30-min-gap islands, the [[graft.queries
+    * .Windows.windowSession]] rule): session count, total events,
+    * events/session, and the EXACT median session duration. Island
+    * assignment is one keyed (user) window (lag + running sum of
+    * new-session flags — integers); per-session duration is an exact
+    * integer µs span; the global median over the session table goes
+    * through the sanctioned total-order machinery ([[Ordered
+    * .withGlobalIndex]] + two-order-statistic pick), never a
+    * single-partition window. */
+  def aggSessionStats(s: SparkSession, d: String): DataFrame = {
+    val byTs = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val run = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val gapUs = 30L * 60 * 1000000L
+    val sessions = t(s, d, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byTs))
+      .withColumn("new_s",
+        (col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs).cast("long"))
+      .withColumn("sid", sum(col("new_s")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_ev"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+    val totals = broadcast(sessions
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events")))
+    val picked = Ordered
+      .withGlobalIndex(sessions.select(col("dur_us"), col("user_id"),
+        col("sid")),
+        Seq(col("dur_us").asc, col("user_id").asc, col("sid").asc), "i")
+      .crossJoin(totals)
+      .filter(expr("i + 1 = (n_sessions + 1) DIV 2 " +
+        "OR i + 1 = n_sessions DIV 2 + 1"))
+      .agg(min(col("dur_us")).as("d_lo"), max(col("dur_us")).as("d_hi"))
+    broadcast(picked).crossJoin(totals)
+      .select(col("n_sessions"), col("n_events"),
+        expr("""ROUND(CAST(n_events AS DOUBLE)
+                / CAST(n_sessions AS DOUBLE), 6)""")
+          .as("events_per_session"),
+        expr("ROUND((d_lo + d_hi) / 2e0 / 1e6, 6)")
+          .as("median_dur_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_session_stats" -> (aggSessionStats _),
     "agg_capture_recapture" -> (aggCaptureRecapture _),
     "agg_two_proportion_z" -> (aggTwoProportionZ _),
     "agg_pass_at_k" -> (aggPassAtK _),
@@ -3555,6 +3603,46 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // 30-min-gap islands via keyed lag+running-sum; exact integer
+    // durations; naive global row_number replays the zipWithIndex
+    // median machinery
+    "agg_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |), f AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    CASE WHEN LAG(ts_us) OVER w IS NULL
+        |      OR ts_us - LAG(ts_us) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY ts_us, event_id)
+        |), g AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f
+        |), sess AS (
+        |  SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |    MAX(ts_us) - MIN(ts_us) AS dur_us
+        |  FROM g GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |    CAST(SUM(n_ev) AS BIGINT) AS n_events FROM sess
+        |), r AS (
+        |  SELECT dur_us,
+        |    ROW_NUMBER() OVER (ORDER BY dur_us, user_id, sid) AS rn
+        |  FROM sess
+        |), p AS (
+        |  SELECT MIN(dur_us) AS d_lo, MAX(dur_us) AS d_hi
+        |  FROM r CROSS JOIN tot
+        |  WHERE rn = (n_sessions + 1) // 2 OR rn = n_sessions // 2 + 1
+        |)
+        |SELECT n_sessions, n_events,
+        |  ROUND(CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE),
+        |    6) AS events_per_session,
+        |  ROUND((d_lo + d_hi) / 2e0 / 1e6, 6) AS median_dur_s
+        |FROM p CROSS JOIN tot""".stripMargin,
     // per-(type, user) presence bits; integer captures; one double
     // per estimator with exact m = 0 guard
     "agg_capture_recapture" ->

@@ -542,7 +542,46 @@ object Graphs {
       .limit(50)
   }
 
+  /** Global clustering coefficient (transitivity) — the one-number
+    * "how cliquish is this graph" summary: 3·triangles / wedges,
+    * with wedges = Σ_v C(deg_v, 2). Companion to [[graphTriangles]]'
+    * per-node table; same degree-ordered orientation (each triangle
+    * counted exactly once, wedge checks bounded by the SMALLER
+    * endpoint's degree — the skew-safe shape), all counts exact
+    * integers, transitivity one double division. */
+  def graphClusteringCoefficient(s: SparkSession, d: String): DataFrame = {
+    val ue = undirected(materializedEdges(s, d)).cache()
+    val deg = ue.select(col("u").as("node"))
+      .unionAll(ue.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val degAgg = broadcast(deg.agg(count(lit(1)).as("n_nodes"),
+      expr("SUM(deg * (deg - 1) DIV 2)").as("n_wedges")))
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val oriented = ue.join(du, "u").join(dv, "v")
+      .select(col("u"), col("v"),
+        (col("du") * 1000000L + col("u")).as("ou"),
+        (col("dv") * 1000000L + col("v")).as("ov"))
+      .select(
+        when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("x"),
+        when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("y"),
+        when(col("ou") < col("ov"), col("ov")).otherwise(col("ou")).as("oy"))
+    val w1 = oriented.select(col("x"), col("y").as("a"), col("oy").as("oa"))
+    val w2 = oriented.select(col("x"), col("y").as("b"), col("oy").as("ob"))
+    val tri = w1.join(w2, "x").filter(col("oa") < col("ob"))
+      .join(oriented.select(col("x").as("a"), col("y").as("b")),
+        Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val edges = broadcast(ue.agg(count(lit(1)).as("n_edges")))
+    broadcast(tri).crossJoin(degAgg).crossJoin(edges)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr("""ROUND(3e0 * CAST(n_triangles AS DOUBLE)
+                / CAST(n_wedges AS DOUBLE), 6)""").as("transitivity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_clustering_coefficient" -> (graphClusteringCoefficient _),
     "graph_copurchase_projection" -> (graphCopurchaseProjection _),
     "graph_hits" -> (graphHits _),
     "sim_search_graph_beam" -> (simSearchGraphBeam _),
@@ -558,6 +597,35 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    // same degree-ordered orientation as graph_triangles, global
+    // integer counts, one double transitivity
+    "graph_clustering_coefficient" -> (edgeCte +
+      """
+        |, dg AS (
+        |  SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue)
+        |  GROUP BY node),
+        |da AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM dg),
+        |o AS (
+        |  SELECT CASE WHEN du.deg * 1000000 + ue.u < dv.deg * 1000000 + ue.v
+        |              THEN ue.u ELSE ue.v END AS x,
+        |         CASE WHEN du.deg * 1000000 + ue.u < dv.deg * 1000000 + ue.v
+        |              THEN ue.v ELSE ue.u END AS y,
+        |         greatest(du.deg * 1000000 + ue.u,
+        |                  dv.deg * 1000000 + ue.v) AS oy
+        |  FROM ue JOIN dg du ON du.node = ue.u JOIN dg dv ON dv.node = ue.v),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM o w1 JOIN o w2 ON w1.x = w2.x AND w1.oy < w2.oy
+        |  JOIN o oc ON oc.x = w1.y AND oc.y = w2.y),
+        |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ue)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  ROUND(3e0 * CAST(n_triangles AS DOUBLE)
+        |    / CAST(n_wedges AS DOUBLE), 6) AS transitivity
+        |FROM tri CROSS JOIN da CROSS JOIN ec""".stripMargin),
     // distinct (order, part) → order-keyed self-join (bounded basket
     // fanout) → integer pair counts; total-order top-50
     "graph_copurchase_projection" ->

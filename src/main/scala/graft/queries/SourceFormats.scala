@@ -121,6 +121,36 @@ object SourceFormats {
       .orderBy(col("batch"), col("o_orderstatus"))
   }
 
+  /** Schema-drift audit report — the DATA-level check an ingest
+    * pipeline runs when consecutive batches disagree on schema
+    * (companion to [[sourceParquetEvolution]], which proves the READ
+    * path; this key produces the drift REPORT a platform alerts on):
+    * merge-read both batches, then per (batch, column) count rows vs
+    * non-nulls — a column absent from a batch's files surfaces as
+    * all-NULL there, so `present` flags exactly the written schema.
+    * One narrow aggregate per audited column (the [[Scans
+    * .profileColumns]] union topology); nothing collected. */
+  def ingestSchemaDriftReport(s: SparkSession, d: String): DataFrame = {
+    val dir = Files.createTempDirectory("graft_schema_drift").toString
+    val o = t(s, d, "orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/batch=a")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$dir/batch=b")
+    val m = s.read.option("mergeSchema", "true").parquet(dir)
+    def leg(c: String): DataFrame =
+      m.groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_rows"), count(col(c)).as("n_nonnull"))
+        .select(col("batch").cast("string").as("batch"),
+          lit(c).as("column_name"), col("n_rows"), col("n_nonnull"),
+          (col("n_nonnull") > 0L).as("present"))
+    leg("o_orderkey").unionByName(leg("o_totalprice"))
+      .unionByName(leg("o_orderstatus"))
+      .orderBy(col("batch"), col("column_name"))
+  }
+
   /** Partitioned sink + partition-pruned read — the layout contract
     * that makes 100 TB tables queryable: `partitionBy(event_type)`
     * writes one directory per key, and an equality filter on the
@@ -296,6 +326,7 @@ object SourceFormats {
     "source_json_permissive" -> (sourceJsonPermissive _),
     "source_binary_files" -> (sourceBinaryFiles _),
     "source_parquet_evolution" -> (sourceParquetEvolution _),
+    "ingest_schema_drift_report" -> (ingestSchemaDriftReport _),
     "sink_partitioned_prune" -> (sinkPartitionedPrune _),
     "join_dpp_prune" -> (joinDppPrune _),
     "source_csv_dialect" -> (sourceCsvDialect _)
@@ -307,6 +338,32 @@ object SourceFormats {
       |ORDER BY o_orderkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the drift report derived from the even/odd staging semantics:
+    // batch a wrote 2 columns, batch b wrote 3 — presence follows
+    "ingest_schema_drift_report" ->
+      """WITH a AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |), b AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+        |  WHERE o_orderkey % 2 = 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 'a' AS batch, 'o_orderkey' AS column_name,
+        |    n AS n_rows, n AS n_nonnull, TRUE AS present FROM a
+        |  UNION ALL
+        |  SELECT 'a', 'o_orderstatus', n, CAST(0 AS BIGINT), FALSE
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'a', 'o_totalprice', n, n, TRUE FROM a
+        |  UNION ALL
+        |  SELECT 'b', 'o_orderkey', n, n, TRUE FROM b
+        |  UNION ALL
+        |  SELECT 'b', 'o_orderstatus', n, n, TRUE FROM b
+        |  UNION ALL
+        |  SELECT 'b', 'o_totalprice', n, n, TRUE FROM b
+        |)
+        |ORDER BY batch, column_name""".stripMargin,
     // the staged nested file carries orders verbatim inside the struct,
     // so the flat replay on the base table is exact
     "source_nested_parquet" ->

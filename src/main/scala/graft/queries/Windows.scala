@@ -1222,7 +1222,42 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Rescaled range (the R/S statistic, Hurst 1951) of the daily
+    * arrival series per event type — the long-range-dependence probe
+    * behind Hurst-exponent estimation (E[R/S] ~ c·nᴴ; H > 0.5 ⇒
+    * persistent/trending load, the thing capacity planning must know
+    * about its traffic). Float discipline: cumulative deviations are
+    * kept as the INTEGER prefix sums P_j = Σ(n·c_i − S) (the mean
+    * subtraction scaled through by n), the range R·n = max(P,0) −
+    * min(P,0) is exact, and R/S = Rn/√(n·Σc² − S²) closes in ONE
+    * double expression (√ of an exact integer). One keyed cumulative
+    * window over the bounded daily aggregate. */
+  def windowRescaledRange(s: SparkSession, d: String): DataFrame = {
+    val run = Window.partitionBy(col("event_type"))
+      .orderBy(col("day")).rowsBetween(Long.MinValue, 0)
+    t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("s1", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("s2", sum(col("c") * col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("p", sum(col("n") * col("c") - col("s1")).over(run))
+      .groupBy(col("event_type"), col("n"), col("s1"), col("s2"))
+      .agg(greatest(max(col("p")), lit(0L)).as("p_max"),
+        least(min(col("p")), lit(0L)).as("p_min"))
+      .select(col("event_type"), col("n").as("n_days"),
+        (col("p_max") - col("p_min")).as("rn_num"),
+        expr("""ROUND(CAST(p_max - p_min AS DOUBLE)
+                / SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)), 6)""")
+          .as("rs_stat"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rescaled_range" -> (windowRescaledRange _),
     "window_lag_features" -> (windowLagFeatures _),
     "window_seasonal_index" -> (windowSeasonalIndex _),
     "window_theil_sen" -> (windowTheilSen _),
@@ -1261,6 +1296,34 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer scaled prefix deviations; R·n exact; one √ of an
+    // exact integer closes R/S
+    "window_rescaled_range" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, day, c,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    SUM(c) OVER (PARTITION BY event_type) AS s1,
+        |    SUM(c * c) OVER (PARTITION BY event_type) AS s2
+        |  FROM daily
+        |), pp AS (
+        |  SELECT event_type, n, s1, s2,
+        |    SUM(n * c - s1) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM m
+        |), g AS (
+        |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |    CAST(MAX(s1) AS BIGINT) AS s1, CAST(MAX(s2) AS BIGINT) AS s2,
+        |    CAST(GREATEST(MAX(p), 0) AS BIGINT) AS p_max,
+        |    CAST(LEAST(MIN(p), 0) AS BIGINT) AS p_min
+        |  FROM pp GROUP BY 1
+        |)
+        |SELECT event_type, n_days, p_max - p_min AS rn_num,
+        |  ROUND(CAST(p_max - p_min AS DOUBLE)
+        |    / SQRT(CAST(n_days * s2 - s1 * s1 AS DOUBLE)), 6) AS rs_stat
+        |FROM g ORDER BY event_type""".stripMargin,
     // integer lags/sums from one keyed window; trailing mean closes
     // as a single division, NULL until the 7-row frame fills
     "window_lag_features" ->

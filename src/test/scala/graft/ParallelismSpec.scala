@@ -164,7 +164,11 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 36: per-probe 1-heaps with label filters;
     // 64-group micro moments; seeded-coin debiasing
     "sim_hard_negatives", "embedding_dim_stats",
-    "privacy_randomized_response")
+    "privacy_randomized_response",
+    // round-9 batch 37: degree-ordered wedge closure; session-island
+    // global median via zipWithIndex; scaled prefix deviations
+    "graph_clustering_coefficient", "agg_session_stats",
+    "window_rescaled_range")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

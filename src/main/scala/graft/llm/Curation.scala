@@ -631,6 +631,33 @@ object Curation {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** PPS systematic sampling (probability ∝ size, Madow 1949) — the
+    * survey design that guarantees big documents proportional
+    * representation with ZERO randomness-induced variance within the
+    * frame order: lay the docs of each source on a line scaled by
+    * n_chars, drop n = 5 equally-spaced picks at the half-open
+    * midpoints (2j+1)·W/(2n), and take the doc whose weight interval
+    * contains each pick. ALL-INTEGER selection: doc i takes pick j
+    * iff 2n·cum_{i−1} < (2j+1)·W ≤ 2n·cum_i — no divisions anywhere.
+    * One keyed (source) cumulative window over the corpus, a 5-way
+    * fan of the doc table, integer comparisons. */
+  def samplePpsSystematic(s: SparkSession, d: String): DataFrame = {
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id")).rowsBetween(Long.MinValue, 0)
+    val tot = Window.partitionBy(col("source"))
+    t(s, d, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars").as("w"))
+      .withColumn("cum", sum(col("w")).over(bySrc))
+      .withColumn("big_w", sum(col("w")).over(tot))
+      .select(col("source"), col("doc_id"), col("w"), col("cum"),
+        col("big_w"), explode(sequence(lit(0L), lit(4L))).as("j"))
+      .filter(expr("""10 * (cum - w) < (2 * j + 1) * big_w
+                      AND (2 * j + 1) * big_w <= 10 * cum"""))
+      .select(col("source"), col("j").as("pick"), col("doc_id"),
+        col("w"))
+      .orderBy(col("source"), col("pick"))
+  }
+
   /** Randomized response (Warner 1965) — the LOCAL-DP mechanism that
     * completes the privacy family ([[privacyDpCount]] /
     * [[privacyDpHistogram]] are central-DP): each row reports its
@@ -995,6 +1022,7 @@ object Curation {
     "privacy_dp_histogram" -> (privacyDpHistogram _),
     "sample_systematic" -> (sampleSystematic _),
     "privacy_randomized_response" -> (privacyRandomizedResponse _),
+    "sample_pps_systematic" -> (samplePpsSystematic _),
     "sample_neyman_allocation" -> (sampleNeymanAllocation _),
     "pack_efficiency" -> (packEfficiency _),
     "sample_dsir" -> (sampleDsir _),
@@ -1226,6 +1254,24 @@ object Curation {
         |FROM documents
         |GROUP BY 1, 2
         |ORDER BY lang, len_bucket""".stripMargin,
+    // integer interval-containment picks over keyed cumulative
+    // weights; 2n = 10 scaling keeps every comparison integral
+    "sample_pps_systematic" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars AS w,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(n_chars) OVER (PARTITION BY source) AS big_w
+        |  FROM documents
+        |), f AS (
+        |  SELECT source, u.j AS pick, doc_id, w
+        |  FROM c, LATERAL unnest(range(0, 5)) AS u(j)
+        |  WHERE 10 * (cum - w) < (2 * u.j + 1) * big_w
+        |    AND (2 * u.j + 1) * big_w <= 10 * cum
+        |)
+        |SELECT source, CAST(pick AS BIGINT) AS pick, doc_id,
+        |  CAST(w AS BIGINT) AS w
+        |FROM f ORDER BY source, pick""".stripMargin,
     // md5-seeded 3/4-keep coin per row; integer cells; debias and
     // calibration bound close in identical double expressions
     "privacy_randomized_response" ->

@@ -249,7 +249,44 @@ object Multimodal {
         count(lit(1)).as("n_docs"))
       .orderBy(col("dhash_bits"))
 
+  /** Near-duplicate image pairs by banded dHash — the Hamming-ball
+    * search every image-dedup pipeline runs after exact-hash
+    * grouping: pack the 32 [[multimodalDhash]] gradient bits into a
+    * long, split into FOUR 8-bit bands, and candidate ONLY pairs that
+    * share a band (pigeonhole: any pair within Hamming ≤ 3 shares at
+    * least one exact band — with the ≤2 verify threshold the banding
+    * is exact, not approximate). Verify = bit_count(a XOR b) ≤ 2 on
+    * the bounded candidate set. No all-pairs path at any scale: the
+    * join key is (band_idx, band_bits). */
+  def multimodalNearDup(s: SparkSession, d: String): DataFrame = {
+    val hashed = t(s, d, "documents")
+      .filter(length(col("text")) >= 33)
+      .withColumn("px",
+        expr("transform(sequence(1, 33), i -> ascii(substring(text, i, 1)))"))
+      .withColumn("v", expr(
+        """aggregate(sequence(1, 32), 0L,
+          |  (acc, i) -> acc * 2L + CASE
+          |    WHEN element_at(px, i + 1) > element_at(px, i)
+          |    THEN 1L ELSE 0L END)""".stripMargin))
+      .select(col("doc_id"), col("v"))
+    val banded = hashed.select(col("doc_id"), col("v"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("band_bits", expr("shiftright(v, band * 8) % 256"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(va ^ vb)"))
+      .filter(col("hamming") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_near_dup" -> (multimodalNearDup _),
     "multimodal_dhash" -> (multimodalDhash _),
     "multimodal_ahash" -> (multimodalAhash _),
     "multimodal_magic_sniff" -> (multimodalMagicSniff _),
@@ -322,6 +359,36 @@ object Multimodal {
         |FROM r ORDER BY doc_id""".stripMargin,
     // ASCII fixture: ascii(char i) == byte i; integer cross-multiplied
     // mean threshold; hash emitted as the 32-char bit string
+    // packed dhash long; 8-bit band join (pigeonhole-exact for the
+    // ≤2 verify threshold); integer XOR popcount verify
+    "multimodal_near_dup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, 34),
+        |      i -> ascii(substring(text, CAST(i AS INTEGER), 1))) AS px
+        |  FROM documents WHERE strlen(text) >= 33),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN px[CAST(i + 1 AS INTEGER)]
+        |                     > px[CAST(i AS INTEGER)]
+        |           THEN (CAST(1 AS BIGINT) << CAST(32 - i AS INTEGER))
+        |           ELSE 0 END)) AS BIGINT) AS v
+        |  FROM p),
+        |banded AS (
+        |  SELECT doc_id, v, band,
+        |    (v >> CAST(band * 8 AS INTEGER)) % 256 AS band_bits
+        |  FROM h, LATERAL unnest(range(0, 4)) AS u(band)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.v AS va, b.v AS vb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.band_bits = b.band_bits
+        |   AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(va, vb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(va, vb)) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // adjacent-cell gradient bits over the same stubbed pixel bytes;
     // 1-based DuckDB list indexing mirrors element_at
     "multimodal_dhash" ->

@@ -3479,7 +3479,40 @@ object Aggregates {
           .as("median_dur_s"))
   }
 
+  /** ROC curve points at the nine decade thresholds — the eval table
+    * behind every binary-classifier dashboard (label = even user_id,
+    * score = value). Scale shape: the corpus collapses ONCE to the
+    * (label, decade-bucket) contingency table (≤22 rows), and the
+    * nine thresholds fan out over THAT — never over the corpus; all
+    * cells integer, TPR/FPR one double division each. Complements
+    * [[aggAucRank]] (the area) with the curve itself. */
+  def aggRocPoints(s: SparkSession, d: String): DataFrame = {
+    val cells = t(s, d, "events")
+      .groupBy((col("user_id") % 2 === 0).cast("int").as("label"),
+        floor(col("value") / lit(10.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    cells.crossJoin(broadcast(
+        s.range(1, 10).select(col("id").as("thr"))))
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(col("label") === 1 && col("bucket") >= col("thr"),
+          col("n")).otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0 && col("bucket") >= col("thr"),
+          col("n")).otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1 && col("bucket") < col("thr"),
+          col("n")).otherwise(0L)).as("fn"),
+        sum(when(col("label") === 0 && col("bucket") < col("thr"),
+          col("n")).otherwise(0L)).as("tn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("""ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE),
+                6)""").as("tpr"),
+        expr("""ROUND(CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE),
+                6)""").as("fpr"))
+      .orderBy(col("thr"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_roc_points" -> (aggRocPoints _),
     "agg_session_stats" -> (aggSessionStats _),
     "agg_capture_recapture" -> (aggCaptureRecapture _),
     "agg_two_proportion_z" -> (aggTwoProportionZ _),
@@ -3603,6 +3636,34 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // corpus → 22-row (label, bucket) table once; thresholds fan over
+    // that; integer cells, one division per rate
+    "agg_roc_points" ->
+      """WITH cells AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS label,
+        |    CAST(floor(value / 10e0) AS BIGINT) AS bucket,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), thr AS (
+        |  SELECT unnest(generate_series(1, 9)) AS thr
+        |), g AS (
+        |  SELECT thr,
+        |    CAST(SUM(CASE WHEN label = 1 AND bucket >= thr
+        |      THEN n ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN label = 0 AND bucket >= thr
+        |      THEN n ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN label = 1 AND bucket < thr
+        |      THEN n ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN label = 0 AND bucket < thr
+        |      THEN n ELSE 0 END) AS BIGINT) AS tn
+        |  FROM cells CROSS JOIN thr GROUP BY 1
+        |)
+        |SELECT thr, tp, fp, fn, tn,
+        |  ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+        |    AS tpr,
+        |  ROUND(CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE), 6)
+        |    AS fpr
+        |FROM g ORDER BY thr""".stripMargin,
     // 30-min-gap islands via keyed lag+running-sum; exact integer
     // durations; naive global row_number replays the zipWithIndex
     // median machinery

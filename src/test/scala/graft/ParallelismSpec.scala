@@ -168,7 +168,10 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 37: degree-ordered wedge closure; session-island
     // global median via zipWithIndex; scaled prefix deviations
     "graph_clustering_coefficient", "agg_session_stats",
-    "window_rescaled_range")
+    "window_rescaled_range",
+    // round-9 batch 38: band-keyed pair join; keyed cumulative
+    // interval picks; bucketed contingency fan
+    "multimodal_near_dup", "sample_pps_systematic", "agg_roc_points")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -3511,7 +3511,68 @@ object Aggregates {
       .orderBy(col("thr"))
   }
 
+  /** Apdex score per event type (the Application Performance Index
+    * standard: satisfied ≤ T, tolerating ≤ 4T, score = (satisfied +
+    * tolerating/2)/n, here with T = 25 on the value column as the
+    * latency stand-in). The half-weight closes EXACTLY as the
+    * integer ratio (2·sat + tol)/(2n) — no fractional intermediate;
+    * one conditional hash aggregate, one double division. */
+  def aggApdex(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN value <= 25e0 THEN 1 ELSE 0 END"))
+          .as("sat"),
+        sum(expr("CASE WHEN value > 25e0 AND value <= 100e0 " +
+          "THEN 1 ELSE 0 END")).as("tol"))
+      .select(col("event_type"), col("n"), col("sat"), col("tol"),
+        expr("""ROUND(CAST(2 * sat + tol AS DOUBLE)
+                / CAST(2 * n AS DOUBLE), 6)""").as("apdex"))
+      .orderBy(col("event_type"))
+
+  /** MTBF / MTTR from the event stream — the reliability pair every
+    * ops review reports: MTBF = mean gap between consecutive 'error'
+    * events of a user, MTTR = mean time from an 'error' to that
+    * user's NEXT non-error event (the recovery proxy). The
+    * next-non-error lookup is a reverse-cumulative MIN over an
+    * unbounded-FOLLOWING keyed frame (the as-of pattern — Spark
+    * evaluates it as a reverse running min, O(rows) per partition,
+    * no per-row rescan). All gaps exact integer µs; the two means
+    * close as single divisions. */
+  def aggMtbfMttr(s: SparkSession, d: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val follow = byUser.rowsBetween(1, Long.MaxValue)
+    val byUserErr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val recov = ev
+      .withColumn("next_ok_us",
+        min(when(col("event_type") =!= "error", col("ts_us")))
+          .over(follow))
+      .filter(col("event_type") === "error")
+      .agg(count(lit(1)).as("n_errors"),
+        count(col("next_ok_us")).as("n_recovered"),
+        sum(col("next_ok_us") - col("ts_us")).as("ttr_us"))
+    val between = ev.filter(col("event_type") === "error")
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUserErr))
+      .filter(col("prev_us").isNotNull)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("ts_us") - col("prev_us")).as("gap_us"))
+    broadcast(recov).crossJoin(broadcast(between))
+      .select(col("n_errors"), col("n_recovered"), col("n_gaps"),
+        expr("""ROUND(CAST(gap_us AS DOUBLE)
+                / CAST(n_gaps AS DOUBLE) / 1e6, 6)""").as("mtbf_s"),
+        expr("""ROUND(CAST(ttr_us AS DOUBLE)
+                / CAST(n_recovered AS DOUBLE) / 1e6, 6)""")
+          .as("mttr_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_apdex" -> (aggApdex _),
+    "agg_mtbf_mttr" -> (aggMtbfMttr _),
     "agg_roc_points" -> (aggRocPoints _),
     "agg_session_stats" -> (aggSessionStats _),
     "agg_capture_recapture" -> (aggCaptureRecapture _),
@@ -3636,6 +3697,53 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // integer half-weight ratio (2·sat + tol)/(2n)
+    "agg_apdex" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN value <= 25e0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS sat,
+        |  CAST(SUM(CASE WHEN value > 25e0 AND value <= 100e0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS tol,
+        |  ROUND(CAST(2 * SUM(CASE WHEN value <= 25e0 THEN 1 ELSE 0 END)
+        |      + SUM(CASE WHEN value > 25e0 AND value <= 100e0
+        |            THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(2 * COUNT(*) AS DOUBLE), 6) AS apdex
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // per-user reverse-cumulative next-non-error lookup; exact µs
+    // gap sums; two single-division closes
+    "agg_mtbf_mttr" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    MIN(CASE WHEN event_type <> 'error' THEN ts_us END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_ok_us
+        |  FROM e
+        |), rec AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_errors,
+        |    CAST(COUNT(next_ok_us) AS BIGINT) AS n_recovered,
+        |    CAST(SUM(next_ok_us - ts_us) AS BIGINT) AS ttr_us
+        |  FROM r WHERE event_type = 'error'
+        |), g AS (
+        |  SELECT user_id, ts_us,
+        |    LAG(ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id) AS prev_us
+        |  FROM e WHERE event_type = 'error'
+        |), bet AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |    CAST(SUM(ts_us - prev_us) AS BIGINT) AS gap_us
+        |  FROM g WHERE prev_us IS NOT NULL
+        |)
+        |SELECT n_errors, n_recovered, n_gaps,
+        |  ROUND(CAST(gap_us AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+        |    / 1e6, 6) AS mtbf_s,
+        |  ROUND(CAST(ttr_us AS DOUBLE) / CAST(n_recovered AS DOUBLE)
+        |    / 1e6, 6) AS mttr_s
+        |FROM rec CROSS JOIN bet""".stripMargin,
     // corpus → 22-row (label, bucket) table once; thresholds fan over
     // that; integer cells, one division per rate
     "agg_roc_points" ->

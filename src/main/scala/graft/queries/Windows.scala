@@ -1256,7 +1256,36 @@ object Windows {
       .orderBy(col("event_type"))
   }
 
+  /** SLO error-budget burn-down — the SRE table behind every "are we
+    * burning the budget too fast" alert: daily error rate vs the 1%
+    * SLO, burn rate = rate/budget, and the cumulative share of the
+    * period's total budget consumed to date. Integer daily cells
+    * from one aggregate; the cumulative runs over the ~|days| rollup
+    * (window above aggregate — the allowed class); budget math stays
+    * in EXACT integers (err·100 vs total) until the closing
+    * divisions. */
+  def windowSloBurn(s: SparkSession, d: String): DataFrame = {
+    val run = Window.orderBy(col("day")).rowsBetween(Long.MinValue, 0)
+    val all = Window.partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("total"),
+        sum(expr("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END"))
+          .as("errors"))
+      .withColumn("cum_err", sum(col("errors")).over(run))
+      .withColumn("period_total", sum(col("total")).over(all))
+      .select(col("day"), col("total"), col("errors"),
+        expr("""ROUND(CAST(errors AS DOUBLE) / CAST(total AS DOUBLE)
+                / 0.01e0, 6)""").as("burn_rate"),
+        expr("""ROUND(CAST(cum_err AS DOUBLE)
+                / (0.01e0 * CAST(period_total AS DOUBLE)), 6)""")
+          .as("cum_budget_used"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_slo_burn" -> (windowSloBurn _),
     "window_rescaled_range" -> (windowRescaledRange _),
     "window_lag_features" -> (windowLagFeatures _),
     "window_seasonal_index" -> (windowSeasonalIndex _),
@@ -1296,6 +1325,30 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer daily cells; cumulative above the day rollup; two
+    // double closes against the 1% budget
+    "window_slo_burn" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS total,
+        |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS errors
+        |  FROM events GROUP BY 1
+        |), c AS (
+        |  SELECT day, total, errors,
+        |    SUM(errors) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_err,
+        |    SUM(total) OVER () AS period_total
+        |  FROM daily
+        |)
+        |SELECT day, total, errors,
+        |  ROUND(CAST(errors AS DOUBLE) / CAST(total AS DOUBLE)
+        |    / 0.01e0, 6) AS burn_rate,
+        |  ROUND(CAST(cum_err AS DOUBLE)
+        |    / (0.01e0 * CAST(period_total AS DOUBLE)), 6)
+        |    AS cum_budget_used
+        |FROM c ORDER BY day""".stripMargin,
     // integer scaled prefix deviations; R·n exact; one √ of an
     // exact integer closes R/S
     "window_rescaled_range" ->

@@ -171,7 +171,10 @@ class ParallelismSpec extends AnyFunSuite {
     "window_rescaled_range",
     // round-9 batch 38: band-keyed pair join; keyed cumulative
     // interval picks; bucketed contingency fan
-    "multimodal_near_dup", "sample_pps_systematic", "agg_roc_points")
+    "multimodal_near_dup", "sample_pps_systematic", "agg_roc_points",
+    // round-9 batch 39: reverse-cumulative recovery lookup; global
+    // cumulative above the day rollup
+    "agg_mtbf_mttr", "window_slo_burn")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -3570,7 +3570,67 @@ object Aggregates {
           .as("mttr_s"))
   }
 
+  /** Growth accounting (the new / retained / resurrected / churned
+    * decomposition, a.k.a. the "quick ratio" inputs) — the canonical
+    * DAU decomposition every growth team reports: for each day,
+    * actives split into first-ever-day users, users also active the
+    * previous day, and returners after a gap; churned is charged to
+    * the day a previously-active user went silent. Shape: ONE
+    * (user, day) dedup, a per-user min, and two self-joins of the
+    * day-shifted activity table — all hash joins on (user, day) keys,
+    * all counts integer, no windows. */
+  def aggGrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val ud = t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+    val yesterday = ud.select(col("user_id"),
+      date_add(col("day"), 1).as("day"), lit(1L).as("was_prev"))
+    val active = ud.join(first, "user_id")
+      .join(yesterday, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("fd"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("was_prev").isNotNull, 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("day") =!= col("fd") && col("was_prev").isNull,
+          1L).otherwise(0L)).as("n_resurrected"))
+    val churned = yesterday.select(col("user_id"), col("day"))
+      .join(ud, Seq("user_id", "day"), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    active.join(churned, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("day"))
+  }
+
+  /** Power-user curve — the activity histogram (how many users were
+    * active exactly k days) behind L28-style engagement charts; the
+    * shape (bimodal = a power-user core, monotone = casual drive-by)
+    * is the first thing a growth review reads. Two hash aggregates,
+    * all integer, plus each bucket's share of users in one double. */
+  def aggActivityHistogram(s: SparkSession, d: String): DataFrame = {
+    val perUser = t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("days_active"))
+    perUser.groupBy(col("days_active"))
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(perUser.agg(count(lit(1)).as("total_users"))))
+      .select(col("days_active"), col("n_users"),
+        expr("""ROUND(CAST(n_users AS DOUBLE)
+                / CAST(total_users AS DOUBLE), 6)""").as("user_share"))
+      .orderBy(col("days_active"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_growth_accounting" -> (aggGrowthAccounting _),
+    "agg_activity_histogram" -> (aggActivityHistogram _),
     "agg_apdex" -> (aggApdex _),
     "agg_mtbf_mttr" -> (aggMtbfMttr _),
     "agg_roc_points" -> (aggRocPoints _),
@@ -3697,6 +3757,53 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // (user, day) dedup + day-shifted self-joins; integer splits
+    "agg_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), f AS (
+        |  SELECT user_id, MIN(day) AS fd FROM ud GROUP BY 1
+        |), y AS (
+        |  SELECT user_id, day + 1 AS day, 1 AS was_prev FROM ud
+        |), act AS (
+        |  SELECT ud.day, CAST(COUNT(*) AS BIGINT) AS n_active,
+        |    CAST(SUM(CASE WHEN ud.day = f.fd THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN y.was_prev IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |    CAST(SUM(CASE WHEN ud.day <> f.fd AND y.was_prev IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        |  FROM ud JOIN f ON ud.user_id = f.user_id
+        |  LEFT JOIN y ON ud.user_id = y.user_id AND ud.day = y.day
+        |  GROUP BY ud.day
+        |), ch AS (
+        |  SELECT y.day, CAST(COUNT(*) AS BIGINT) AS n_churned
+        |  FROM y LEFT JOIN ud
+        |    ON y.user_id = ud.user_id AND y.day = ud.day
+        |  WHERE ud.user_id IS NULL
+        |  GROUP BY y.day
+        |)
+        |SELECT COALESCE(act.day, ch.day) AS day,
+        |  COALESCE(n_active, 0) AS n_active,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        |FROM act FULL OUTER JOIN ch ON act.day = ch.day
+        |ORDER BY day""".stripMargin,
+    // distinct-day counts per user → bucket counts; one share
+    // division per bucket
+    "agg_activity_histogram" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(DISTINCT CAST(ts AS DATE))
+        |    AS BIGINT) AS days_active
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT days_active, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE)
+        |    / CAST((SELECT COUNT(*) FROM u) AS DOUBLE), 6)
+        |    AS user_share
+        |FROM u GROUP BY 1 ORDER BY days_active""".stripMargin,
     // integer half-weight ratio (2·sat + tol)/(2n)
     "agg_apdex" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -1284,7 +1284,39 @@ object Windows {
       .orderBy(col("day"))
   }
 
+  /** Cohort LTV curves — cumulative value per user by (signup-week
+    * cohort, weeks-since-signup age), the payback-period table every
+    * acquisition review reads. Exact: per-(cohort, age) value mass is
+    * a DECIMAL sum, the cumulative runs over the ≤|weeks| ages of
+    * each cohort (keyed bounded window), cohort size is an integer,
+    * and LTV/user closes in one double division. Two hash joins on
+    * user_id; no corpus window. */
+  def windowCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val byCohort = Window.partitionBy(col("cohort_week"))
+      .orderBy(col("age_week")).rowsBetween(Long.MinValue, 0)
+    val ev = t(s, d, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,4)").as("v"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+      .withColumn("cohort_week",
+        date_trunc("week", col("fd")).cast("date"))
+    val size = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_users"))
+    ev.join(first.select(col("user_id"), col("cohort_week")), "user_id")
+      .withColumn("age_week",
+        expr("CAST(datediff(day, cohort_week) DIV 7 AS INT)"))
+      .groupBy(col("cohort_week"), col("age_week"))
+      .agg(sum(col("v")).as("wk_value"))
+      .withColumn("cum_value", sum(col("wk_value")).over(byCohort))
+      .join(broadcast(size), "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        expr("""ROUND(CAST(cum_value AS DOUBLE)
+                / CAST(n_users AS DOUBLE), 6)""").as("ltv_per_user"))
+      .orderBy(col("cohort_week"), col("age_week"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_cohort_ltv" -> (windowCohortLtv _),
     "window_slo_burn" -> (windowSloBurn _),
     "window_rescaled_range" -> (windowRescaledRange _),
     "window_lag_features" -> (windowLagFeatures _),
@@ -1325,6 +1357,40 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // decimal weekly masses cumulated per cohort; integer cohort
+    // sizes; one LTV division per row
+    "window_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(value AS DECIMAL(18,4)) AS v
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', MIN(day)) AS DATE) AS cohort_week
+        |  FROM ev GROUP BY 1
+        |), sz AS (
+        |  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM f GROUP BY 1
+        |), wk AS (
+        |  SELECT f.cohort_week,
+        |    (ev.day - f.cohort_week) // 7 AS age_week,
+        |    SUM(ev.v) AS wk_value
+        |  FROM ev JOIN f ON ev.user_id = f.user_id
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT cohort_week, age_week,
+        |    SUM(wk_value) OVER (PARTITION BY cohort_week
+        |      ORDER BY age_week
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_value
+        |  FROM wk
+        |)
+        |SELECT c.cohort_week, CAST(age_week AS INTEGER) AS age_week,
+        |  n_users,
+        |  ROUND(CAST(cum_value AS DOUBLE) / CAST(n_users AS DOUBLE),
+        |    6) AS ltv_per_user
+        |FROM c JOIN sz ON c.cohort_week = sz.cohort_week
+        |ORDER BY c.cohort_week, age_week""".stripMargin,
     // integer daily cells; cumulative above the day rollup; two
     // double closes against the 1% budget
     "window_slo_burn" ->

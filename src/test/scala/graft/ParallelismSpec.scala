@@ -174,7 +174,10 @@ class ParallelismSpec extends AnyFunSuite {
     "multimodal_near_dup", "sample_pps_systematic", "agg_roc_points",
     // round-9 batch 39: reverse-cumulative recovery lookup; global
     // cumulative above the day rollup
-    "agg_mtbf_mttr", "window_slo_burn")
+    "agg_mtbf_mttr", "window_slo_burn",
+    // round-9 batch 40: day-shifted self-joins; cohort-keyed
+    // cumulative decimal masses
+    "agg_growth_accounting", "window_cohort_ltv")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{Aggregates, Windows}
+
+/** Brute-force replays for the round-9 batch-40 operators: growth
+  * accounting, the power-user activity histogram, and cohort LTV
+  * curves. Each recomputes the answer from the row-level definition
+  * on collected sf0.001 data. */
+class Round9nOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rnd(v: Double, s: Int): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private lazy val ud = Tables.t(spark, sf, "events")
+    .selectExpr("user_id", "CAST(ts AS DATE)").collect()
+    .map(r => (r.getLong(0), r.getDate(1).toLocalDate)).distinct.toSeq
+
+  test("agg_growth_accounting replays the DAU decomposition") {
+    val first = ud.groupBy(_._1).view
+      .mapValues(_.map(_._2.toEpochDay).min).toMap
+    val activeSet = ud.map(t0 => (t0._1, t0._2.toEpochDay)).toSet
+    val days = ud.map(_._2.toEpochDay)
+    val allDays = (days.min to days.max + 1)
+    val exp = allDays.flatMap { d0 =>
+      val actives = ud.filter(_._2.toEpochDay == d0)
+      val nNew = actives.count(t0 => first(t0._1) == d0).toLong
+      val nRet = actives.count(t0 => activeSet((t0._1, d0 - 1))).toLong
+      val nRes = actives.count(t0 =>
+        first(t0._1) != d0 && !activeSet((t0._1, d0 - 1))).toLong
+      val nChu = ud.filter(_._2.toEpochDay == d0 - 1)
+        .count(t0 => !activeSet((t0._1, d0))).toLong
+      if (actives.isEmpty && nChu == 0) None
+      else Some(d0 -> (actives.length.toLong, nNew, nRet, nRes, nChu))
+    }.toMap
+    val got = Aggregates.aggGrowthAccounting(spark, sf).collect()
+    assert(got.length == exp.size && got.nonEmpty)
+    for (r <- got) {
+      val d0 = r.getDate(0).toLocalDate.toEpochDay
+      val (na, nn, nr, ns, nc) = exp(d0)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) == ((na, nn, nr, ns, nc)), d0.toString)
+    }
+  }
+
+  test("agg_activity_histogram replays the power-user curve") {
+    val perUser = ud.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val total = perUser.size.toLong
+    val exp = perUser.values.groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val got = Aggregates.aggActivityHistogram(spark, sf).collect()
+    assert(got.length == exp.size && got.nonEmpty)
+    for (r <- got) {
+      val n = exp(r.getLong(0))
+      assert(r.getLong(1) == n, r.getLong(0).toString)
+      assert(r.getDouble(2) == rnd(n.toDouble / total.toDouble, 6))
+    }
+  }
+
+  test("window_cohort_ltv replays the cumulative cohort curves") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "CAST(ts AS DATE)", "value").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        BigDecimal(r.getDouble(2)).setScale(4, HALF_UP)))
+    def weekStart(d0: java.time.LocalDate): java.time.LocalDate =
+      d0.minusDays((d0.getDayOfWeek.getValue - 1).toLong)
+    val cohort = ev.groupBy(_._1).view
+      .mapValues(xs => weekStart(xs.map(_._2).min)).toMap
+    val size = cohort.values.groupBy(identity)
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val wk = ev.groupBy { case (u, d0, _) =>
+      (cohort(u), (d0.toEpochDay - cohort(u).toEpochDay) / 7)
+    }.view.mapValues(_.map(_._3).sum).toMap
+    val exp = wk.keys.groupBy(_._1).flatMap { case (cw, ks) =>
+      val ages = ks.map(_._2).toSeq.sorted
+      var cum = BigDecimal(0)
+      ages.map { a =>
+        cum += wk((cw, a))
+        (cw, a) -> rnd(cum.toDouble / size(cw).toDouble, 6)
+      }
+    }
+    val got = Windows.windowCohortLtv(spark, sf).collect()
+    assert(got.length == exp.size && got.nonEmpty)
+    for (r <- got) {
+      val k = (r.getDate(0).toLocalDate, r.getInt(1).toLong)
+      assert(r.getLong(2) == size(k._1), k.toString)
+      assert(r.getDouble(3) == exp(k), k.toString)
+    }
+  }
+}

@@ -1315,7 +1315,38 @@ object Windows {
       .orderBy(col("cohort_week"), col("age_week"))
   }
 
+  /** Turning-points randomness test on the daily series per type —
+    * the classical i.i.d. check (Kendall): count strict local
+    * extrema; under randomness E = 2(n−2)/3 and Var = (16n−29)/90,
+    * so the z closes in one double expression from the INTEGER
+    * turning count (a point turns iff (cᵢ−cᵢ₋₁)·(cᵢ₊₁−cᵢ) < 0 — an
+    * exact integer product; plateau ties are not extrema).
+    * Complements [[windowRescaledRange]] (long-range dependence) and
+    * agg_runs_test (sign runs) with the local-oscillation view. One
+    * keyed lag/lead window over the bounded daily aggregate. */
+  def windowTurningPoints(s: SparkSession, d: String): DataFrame = {
+    val byDay = Window.partitionBy(col("event_type"))
+      .orderBy(col("day"))
+    t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("pc", lag(col("c"), 1).over(byDay))
+      .withColumn("nc", lead(col("c"), 1).over(byDay))
+      .filter(col("pc").isNotNull && col("nc").isNotNull)
+      .groupBy(col("event_type"))
+      .agg((count(lit(1)) + lit(2L)).as("n_days"),
+        sum(when((col("c") - col("pc")) * (col("nc") - col("c")) < 0L,
+          1L).otherwise(0L)).as("n_turning"))
+      .select(col("event_type"), col("n_days"), col("n_turning"),
+        expr("""ROUND((CAST(n_turning AS DOUBLE)
+                - 2e0 * CAST(n_days - 2 AS DOUBLE) / 3e0)
+                / SQRT(CAST(16 * n_days - 29 AS DOUBLE) / 90e0), 6)""")
+          .as("z_stat"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_turning_points" -> (windowTurningPoints _),
     "window_cohort_ltv" -> (windowCohortLtv _),
     "window_slo_burn" -> (windowSloBurn _),
     "window_rescaled_range" -> (windowRescaledRange _),
@@ -1357,6 +1388,30 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer extrema products; Kendall moments close in one double
+    "window_turning_points" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), f AS (
+        |  SELECT event_type, c,
+        |    LAG(c) OVER w AS pc, LEAD(c) OVER w AS nc
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |), g AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) + 2 AS BIGINT) AS n_days,
+        |    CAST(SUM(CASE WHEN (c - pc) * (nc - c) < 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+        |  FROM f WHERE pc IS NOT NULL AND nc IS NOT NULL
+        |  GROUP BY 1
+        |)
+        |SELECT event_type, n_days, n_turning,
+        |  ROUND((CAST(n_turning AS DOUBLE)
+        |    - 2e0 * CAST(n_days - 2 AS DOUBLE) / 3e0)
+        |    / SQRT(CAST(16 * n_days - 29 AS DOUBLE) / 90e0), 6)
+        |    AS z_stat
+        |FROM g ORDER BY event_type""".stripMargin,
     // decimal weekly masses cumulated per cohort; integer cohort
     // sizes; one LTV division per row
     "window_cohort_ltv" ->

@@ -177,7 +177,8 @@ class ParallelismSpec extends AnyFunSuite {
     "agg_mtbf_mttr", "window_slo_burn",
     // round-9 batch 40: day-shifted self-joins; cohort-keyed
     // cumulative decimal masses
-    "agg_growth_accounting", "window_cohort_ltv")
+    "agg_growth_accounting", "window_cohort_ltv",
+    "window_turning_points")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -61,6 +61,30 @@ class Round9nOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("window_turning_points replays the extrema census") {
+    val daily = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "CAST(ts AS DATE)").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues { xs =>
+        xs.groupBy(_._2).toSeq.sortBy(_._1.toEpochDay)
+          .map(_._2.size.toLong)
+      }.toMap
+    val got = graft.queries.Windows.windowTurningPoints(spark, sf)
+      .collect()
+    assert(got.length == daily.size && got.nonEmpty)
+    for (r <- got) {
+      val cs = daily(r.getString(0))
+      val n = cs.length.toLong
+      val tp = (1 until cs.length - 1).count { i =>
+        (cs(i) - cs(i - 1)) * (cs(i + 1) - cs(i)) < 0
+      }.toLong
+      assert(r.getLong(1) == n && r.getLong(2) == tp, r.getString(0))
+      val z = rnd((tp.toDouble - 2.0 * (n - 2).toDouble / 3.0)
+        / math.sqrt((16 * n - 29).toDouble / 90.0), 6)
+      assert(r.getDouble(3) == z, r.getString(0))
+    }
+  }
+
   test("window_cohort_ltv replays the cumulative cohort curves") {
     import scala.math.BigDecimal.RoundingMode.HALF_UP
     val ev = Tables.t(spark, sf, "events")

@@ -269,6 +269,9 @@ object Multimodal {
           |    WHEN element_at(px, i + 1) > element_at(px, i)
           |    THEN 1L ELSE 0L END)""".stripMargin))
       .select(col("doc_id"), col("v"))
+      // the self-join consumes this twice; cache so the interpreted
+      // 32-step fold runs once per doc, not once per side
+      .cache()
     val banded = hashed.select(col("doc_id"), col("v"),
       explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("band_bits", expr("shiftright(v, band * 8) % 256"))

@@ -3628,7 +3628,51 @@ object Aggregates {
       .orderBy(col("days_active"))
   }
 
+  /** Difference-in-differences per event type — the workhorse causal
+    * estimator for "the change shipped mid-period: what was its
+    * effect?": treatment = even user_id, periods split at the
+    * data-driven calendar midpoint (the [[aggCaptureRecapture]]
+    * convention), DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre).
+    * Eight exact cells (4 decimal value masses + 4 counts) from ONE
+    * conditional aggregate; every mean and the DiD close in one
+    * double expression each. */
+  def aggDiffInDiff(s: SparkSession, d: String): DataFrame = {
+    val bounds = broadcast(t(s, d, "events")
+      .agg(min(to_date(col("ts"))).as("d_min"),
+        max(to_date(col("ts"))).as("d_max")))
+    def cell(treat: Boolean, post: Boolean, agg: String): Column = {
+      val tc = if (treat) "user_id % 2 = 0" else "user_id % 2 <> 0"
+      val pc = if (post) "day > cut" else "day <= cut"
+      expr(s"$agg(CASE WHEN $tc AND $pc THEN v END)")
+    }
+    t(s, d, "events")
+      .select(col("event_type"), col("user_id"),
+        to_date(col("ts")).as("day"),
+        col("value").cast("decimal(18,4)").as("v"))
+      .crossJoin(bounds)
+      .withColumn("cut",
+        expr("date_add(d_min, CAST(datediff(d_max, d_min) DIV 2 AS INT))"))
+      .groupBy(col("event_type"))
+      .agg(cell(treat = true, post = false, "SUM").as("s_t0"),
+        cell(treat = true, post = false, "COUNT").as("c_t0"),
+        cell(treat = true, post = true, "SUM").as("s_t1"),
+        cell(treat = true, post = true, "COUNT").as("c_t1"),
+        cell(treat = false, post = false, "SUM").as("s_c0"),
+        cell(treat = false, post = false, "COUNT").as("c_c0"),
+        cell(treat = false, post = true, "SUM").as("s_c1"),
+        cell(treat = false, post = true, "COUNT").as("c_c1"))
+      .select(col("event_type"), col("c_t0"), col("c_t1"), col("c_c0"),
+        col("c_c1"),
+        expr("""ROUND((CAST(s_t1 AS DOUBLE) / CAST(c_t1 AS DOUBLE)
+                - CAST(s_t0 AS DOUBLE) / CAST(c_t0 AS DOUBLE))
+                - (CAST(s_c1 AS DOUBLE) / CAST(c_c1 AS DOUBLE)
+                - CAST(s_c0 AS DOUBLE) / CAST(c_c0 AS DOUBLE)), 6)""")
+          .as("did"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_diff_in_diff" -> (aggDiffInDiff _),
     "agg_growth_accounting" -> (aggGrowthAccounting _),
     "agg_activity_histogram" -> (aggActivityHistogram _),
     "agg_apdex" -> (aggApdex _),
@@ -3757,6 +3801,45 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // eight exact cells in one conditional aggregate; means and the
+    // DiD close in one double expression
+    "agg_diff_in_diff" ->
+      """WITH b AS (
+        |  SELECT MIN(CAST(ts AS DATE)) AS d_min,
+        |    MAX(CAST(ts AS DATE)) AS d_max
+        |  FROM events
+        |), e AS (
+        |  SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+        |    CAST(value AS DECIMAL(18,4)) AS v,
+        |    d_min + CAST((d_max - d_min) // 2 AS INTEGER) AS cut
+        |  FROM events CROSS JOIN b
+        |), g AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN user_id % 2 = 0 AND day <= cut THEN v END)
+        |      AS s_t0,
+        |    CAST(COUNT(CASE WHEN user_id % 2 = 0 AND day <= cut
+        |      THEN v END) AS BIGINT) AS c_t0,
+        |    SUM(CASE WHEN user_id % 2 = 0 AND day > cut THEN v END)
+        |      AS s_t1,
+        |    CAST(COUNT(CASE WHEN user_id % 2 = 0 AND day > cut
+        |      THEN v END) AS BIGINT) AS c_t1,
+        |    SUM(CASE WHEN user_id % 2 <> 0 AND day <= cut THEN v END)
+        |      AS s_c0,
+        |    CAST(COUNT(CASE WHEN user_id % 2 <> 0 AND day <= cut
+        |      THEN v END) AS BIGINT) AS c_c0,
+        |    SUM(CASE WHEN user_id % 2 <> 0 AND day > cut THEN v END)
+        |      AS s_c1,
+        |    CAST(COUNT(CASE WHEN user_id % 2 <> 0 AND day > cut
+        |      THEN v END) AS BIGINT) AS c_c1
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT event_type, c_t0, c_t1, c_c0, c_c1,
+        |  ROUND((CAST(s_t1 AS DOUBLE) / CAST(c_t1 AS DOUBLE)
+        |    - CAST(s_t0 AS DOUBLE) / CAST(c_t0 AS DOUBLE))
+        |    - (CAST(s_c1 AS DOUBLE) / CAST(c_c1 AS DOUBLE)
+        |    - CAST(s_c0 AS DOUBLE) / CAST(c_c0 AS DOUBLE)), 6)
+        |    AS did
+        |FROM g ORDER BY event_type""".stripMargin,
     // (user, day) dedup + day-shifted self-joins; integer splits
     "agg_growth_accounting" ->
       """WITH ud AS (

@@ -1345,7 +1345,56 @@ object Windows {
       .orderBy(col("event_type"))
   }
 
+  /** Seasonal strength (Wang–Smith–Hyndman's F_s = 1 −
+    * var(remainder)/var(detrended)) for the period-7 decomposition —
+    * the scalar that says whether [[windowSeasonalIndex]]'s weekday
+    * pattern is real signal or noise. Float discipline: the
+    * detrended residual is the same INTEGER numerator 7·c − Σ₇, its
+    * variance and the raw series' close from integer moments (the
+    * 1/49 scaling cancels inside the ratio of residual variances, so
+    * no division happens before the ONE closing double expression);
+    * remainder variance = detrended variance − seasonal variance of
+    * the dow means, all in n²-scaled integer-derived terms. Shape:
+    * one 7-ROW frame pass + a |dow|-bounded rollup per type. */
+  def windowSeasonalStrength(s: SparkSession, d: String): DataFrame = {
+    val frame = Window.partitionBy(col("event_type"))
+      .orderBy(col("day")).rowsBetween(-3, 3)
+    // per-dow moments PIVOTED into 14 integer columns so the
+    // between-group sum Σ srₙ²/ndₙ is ONE fixed-order double
+    // expression — never a partition-order-dependent double SUM
+    val dowTerm = (1 to 7).map(k =>
+      s"""CASE WHEN nd$k = 0 THEN 0e0
+         |ELSE CAST(sr$k AS DOUBLE) * CAST(sr$k AS DOUBLE)
+         |  / CAST(nd$k AS DOUBLE) END""".stripMargin)
+      .mkString(" + ")
+    val dowAggs = (1 to 7).flatMap(k => Seq(
+      sum(when(col("dow") === k, 1L).otherwise(0L)).as(s"nd$k"),
+      sum(when(col("dow") === k, col("r")).otherwise(0L)).as(s"sr$k")))
+    t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("sum7", sum(col("c")).over(frame))
+      .withColumn("n7", count(lit(1)).over(frame))
+      .filter(col("n7") === 7L)
+      .select(col("event_type"), dayofweek(col("day")).as("dow"),
+        (lit(7L) * col("c") - col("sum7")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (Seq(sum(col("r")).as("s1"), sum(col("r") * col("r")).as("s2"))
+          ++ dowAggs): _*)
+      .select(col("event_type"), col("n"),
+        expr(s"""ROUND(GREATEST(0e0, (($dowTerm)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                / (CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                    / CAST(n AS DOUBLE))), 6)""")
+          .as("seasonal_strength"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_seasonal_strength" -> (windowSeasonalStrength _),
     "window_turning_points" -> (windowTurningPoints _),
     "window_cohort_ltv" -> (windowCohortLtv _),
     "window_slo_burn" -> (windowSloBurn _),
@@ -1388,6 +1437,48 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // 14 pivoted per-dow integer moments; the between-group sum is
+    // the same fixed-order 7-term double expression as the engine's
+    "window_seasonal_strength" -> {
+      val dowTerm = (1 to 7).map(k =>
+        s"""CASE WHEN nd$k = 0 THEN 0e0
+           |ELSE CAST(sr$k AS DOUBLE) * CAST(sr$k AS DOUBLE)
+           |  / CAST(nd$k AS DOUBLE) END""".stripMargin)
+        .mkString(" + ")
+      val dowCols = (1 to 7).map(k =>
+        s"""CAST(SUM(CASE WHEN dow = $k THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS nd$k,
+           |    CAST(SUM(CASE WHEN dow = $k THEN r ELSE 0 END)
+           |      AS BIGINT) AS sr$k""".stripMargin).mkString(",\n    ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+         |  FROM events GROUP BY 1, 2
+         |), f AS (
+         |  SELECT event_type, day, c,
+         |    SUM(c) OVER w AS sum7, COUNT(*) OVER w AS n7
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+         |), r AS (
+         |  SELECT event_type, CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+         |    7 * c - sum7 AS r
+         |  FROM f WHERE n7 = 7
+         |), g AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(r) AS BIGINT) AS s1,
+         |    CAST(SUM(r * r) AS BIGINT) AS s2,
+         |    $dowCols
+         |  FROM r GROUP BY 1
+         |)
+         |SELECT event_type, n,
+         |  ROUND(GREATEST(0e0, (($dowTerm)
+         |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+         |      / CAST(n AS DOUBLE))
+         |  / (CAST(s2 AS DOUBLE)
+         |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+         |      / CAST(n AS DOUBLE))), 6) AS seasonal_strength
+         |FROM g ORDER BY event_type""".stripMargin
+    },
     // integer extrema products; Kendall moments close in one double
     "window_turning_points" ->
       """WITH daily AS (

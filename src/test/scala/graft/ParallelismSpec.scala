@@ -178,7 +178,9 @@ class ParallelismSpec extends AnyFunSuite {
     // round-9 batch 40: day-shifted self-joins; cohort-keyed
     // cumulative decimal masses
     "agg_growth_accounting", "window_cohort_ltv",
-    "window_turning_points")
+    "window_turning_points",
+    // round-9 batch 41: pivoted per-dow moments; eight-cell DiD
+    "window_seasonal_strength", "agg_diff_in_diff")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

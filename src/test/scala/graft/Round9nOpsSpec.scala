@@ -85,6 +85,76 @@ class Round9nOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("window_seasonal_strength replays the variance decomposition") {
+    val daily = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "CAST(ts AS DATE)").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues { xs =>
+        xs.groupBy(_._2).toSeq.sortBy(_._1.toEpochDay)
+          .map(t0 => (t0._1, t0._2.size.toLong))
+      }.toMap
+    val got = graft.queries.Windows.windowSeasonalStrength(spark, sf)
+      .collect()
+    assert(got.length == daily.size && got.nonEmpty)
+    for (row <- got) {
+      val cs = daily(row.getString(0))
+      val interior = (3 until cs.length - 3).map { i =>
+        val sum7 = (i - 3 to i + 3).map(j => cs(j)._2).sum
+        (cs(i)._1.getDayOfWeek.getValue % 7 + 1, 7L * cs(i)._2 - sum7)
+      }
+      val n = interior.length.toLong
+      val s1 = interior.map(_._2).sum
+      val s2 = interior.map(t0 => t0._2 * t0._2).sum
+      val byDow = interior.groupBy(_._1).view
+        .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+      // identical fixed dow order 1..7 as the engine expression
+      val ssb = (1 to 7).map { k =>
+        byDow.get(k) match {
+          case Some((nd, sr)) if nd != 0 =>
+            sr.toDouble * sr.toDouble / nd.toDouble
+          case _ => 0.0
+        }
+      }.reduceLeft(_ + _)
+      val mean2 = s1.toDouble * s1.toDouble / n.toDouble
+      val strength = rnd(math.max(0.0,
+        (ssb - mean2) / (s2.toDouble - mean2)), 6)
+      assert(row.getLong(1) == n, row.getString(0))
+      assert(row.getDouble(2) == strength, row.getString(0))
+    }
+  }
+
+  test("agg_diff_in_diff replays the four-cell estimator") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "user_id", "CAST(ts AS DATE)", "value")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDate(2).toLocalDate.toEpochDay,
+        BigDecimal(r.getDouble(3)).setScale(4, HALF_UP)))
+    val dMin = ev.map(_._3).min
+    val cut = dMin + (ev.map(_._3).max - dMin) / 2
+    val got = graft.queries.Aggregates.aggDiffInDiff(spark, sf).collect()
+    val byType = ev.groupBy(_._1)
+    assert(got.length == byType.size && got.nonEmpty)
+    for (r <- got) {
+      val xs = byType(r.getString(0))
+      def cellOf(treat: Boolean, post: Boolean) = {
+        val ys = xs.filter(t0 => (t0._2 % 2 == 0) == treat
+          && (t0._3 > cut) == post)
+        (ys.map(_._4).sum, ys.length.toLong)
+      }
+      val (st0, ct0) = cellOf(treat = true, post = false)
+      val (st1, ct1) = cellOf(treat = true, post = true)
+      val (sc0, cc0) = cellOf(treat = false, post = false)
+      val (sc1, cc1) = cellOf(treat = false, post = true)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        == ((ct0, ct1, cc0, cc1)), r.getString(0))
+      val did = rnd((st1.toDouble / ct1 - st0.toDouble / ct0)
+        - (sc1.toDouble / cc1 - sc0.toDouble / cc0), 6)
+      assert(r.getDouble(5) == did, r.getString(0))
+    }
+  }
+
   test("window_cohort_ltv replays the cumulative cohort curves") {
     import scala.math.BigDecimal.RoundingMode.HALF_UP
     val ev = Tables.t(spark, sf, "events")

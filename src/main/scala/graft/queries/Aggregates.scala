@@ -973,21 +973,28 @@ object Aggregates {
           col("first_purchase") >= col("first_view")).cast("int")
           .as("converted"))
     perUser.createOrReplaceTempView("graft_km")
+    // n_risk via a REVERSE running sum over the |lifetimes|-bounded
+    // histogram, NOT a correlated `COUNT(*) WHERE lifetime >= t`
+    // subquery: Spark decorrelates that count into a non-equi join
+    // whose only strategy is a nested-loop broadcast of the PER-USER
+    // table — corpus-sized at scale (the round-10 PlanLintSpec catch).
+    // The histogram is one mergeable aggregate; the window is the
+    // allowed over-aggregate class (≤ |distinct days| rows).
     s.sql(
-      """WITH days AS (
-        |  SELECT lifetime AS t,
+      """WITH hist AS (
+        |  SELECT lifetime AS t, COUNT(*) AS n,
         |    CAST(SUM(converted) AS BIGINT) AS d
-        |  FROM graft_km GROUP BY lifetime HAVING SUM(converted) > 0
+        |  FROM graft_km GROUP BY lifetime
         |), risk AS (
-        |  SELECT days.t, days.d,
-        |    (SELECT COUNT(*) FROM graft_km k
-        |     WHERE k.lifetime >= days.t) AS n_risk
-        |  FROM days
+        |  SELECT t, d,
+        |    SUM(n) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM hist
         |), terms AS (
         |  SELECT t, d, n_risk,
         |    CAST(ROUND(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6)
         |      AS DECIMAL(18,6)) AS lnterm
-        |  FROM risk WHERE d < n_risk
+        |  FROM risk WHERE d > 0 AND d < n_risk
         |)
         |SELECT t, d, n_risk,
         |  ROUND(exp(CAST(SUM(lnterm) OVER (ORDER BY t
@@ -3137,8 +3144,11 @@ object Aggregates {
     * [[aggPermutationTest]]'s machinery (hash-seeded arms, B = 100
     * sign permutations, p = (1 + #{|diff_b| ≥ |obs|})/101 — an EXACT
     * RATIONAL), so the BH step decision p_(i) ≤ (i/m)·α reduces to
-    * the INTEGER comparison p_num·500 ≤ 505·i (α = 0.05, multiplied
-    * through by 100·m·(B+1)) — no float thresholds anywhere; the
+    * the INTEGER comparison 100·m·p_num ≤ 505·i (α = 0.05,
+    * multiplied through by 100·m·(B+1)); the family size m is
+    * COUNTED from the aggregate itself (a |types|-row window, like
+    * aggFriedmanTest counts k) so a taxonomy change can never
+    * miscalibrate the step-up — no float thresholds anywhere; the
     * step-up cutoff and rejections close over the m-row aggregate
     * (windows above aggregate, the allowed class). Scale: one
     * (type, user) aggregate, B-way fan-out of the USER table (never
@@ -3178,8 +3188,12 @@ object Aggregates {
         (sum(when(abs(col("diff")) >= abs(col("obs_diff")), 1L)
           .otherwise(0L)) + lit(1L)).as("p_num"))
       .withColumn("rnk", row_number().over(byP))
+      // BH family size m is COUNTED from the aggregate (like
+      // aggFriedmanTest/aggCochranQ count k), never a fixture
+      // constant: p/(B+1) ≤ 0.05·i/m ⟺ 100·m·p_num ≤ 505·i.
+      .withColumn("m", count(lit(1)).over(all))
       .withColumn("istar_pnum",
-        max(when(col("p_num") * 500L <= lit(505L) * col("rnk"),
+        max(when(col("p_num") * 100L * col("m") <= lit(505L) * col("rnk"),
           col("p_num"))).over(all))
       .select(col("event_type"), col("obs_diff"), col("p_num"),
         expr("ROUND(CAST(p_num AS DOUBLE) / 101e0, 6)").as("p_value"),
@@ -4204,7 +4218,8 @@ object Aggregates {
         |  n_days * s2 - s1 * s1 > (n_days - 1) * s1 AS overdispersed
         |FROM g ORDER BY event_type""".stripMargin,
     // per-type permutation p-values (exact rationals k/101) → BH
-    // step-up via the integer comparison p_num·500 ≤ 505·rank
+    // step-up via the integer comparison 100·m·p_num ≤ 505·rank,
+    // with family size m counted in-query (COUNT(*) OVER ())
     "agg_bh_fdr" ->
       """WITH u AS (
         |  SELECT event_type, user_id, COUNT(*) AS ne,
@@ -4242,11 +4257,12 @@ object Aggregates {
         |  GROUP BY 1),
         |r AS (
         |  SELECT event_type, obs_diff, p_num,
-        |    ROW_NUMBER() OVER (ORDER BY p_num, event_type) AS rnk
+        |    ROW_NUMBER() OVER (ORDER BY p_num, event_type) AS rnk,
+        |    COUNT(*) OVER () AS m
         |  FROM p),
         |cut AS (
         |  SELECT event_type, obs_diff, p_num,
-        |    MAX(CASE WHEN p_num * 500 <= 505 * rnk THEN p_num END)
+        |    MAX(CASE WHEN p_num * 100 * m <= 505 * rnk THEN p_num END)
         |      OVER () AS istar_pnum
         |  FROM r)
         |SELECT event_type, obs_diff, p_num,

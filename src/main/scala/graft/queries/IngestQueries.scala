@@ -347,6 +347,7 @@ object IngestQueries {
     "rows_flatten" -> (rowsFlatten _),
     "ingest_try_decompress" -> (ingestTryDecompress _),
     "ingest_error_rates" -> (ingestErrorRates _),
+    "shape_detect_columnar" -> (shapeDetectColumnar _),
     "sink_parquet_roundtrip" -> (sinkParquetRoundtrip _)
   )
 
@@ -373,6 +374,41 @@ object IngestQueries {
         expr("""ROUND(CAST(n_dropped AS DOUBLE)
                 / CAST(n_envelopes AS DOUBLE), 6)"""))
       .orderBy(col("folder"), col("source_db"), col("tbl"))
+  }
+
+  /** Shape detection as a GATE row (round-10 directive #4 — §2.1 #7
+    * graduates from spec-only to oracled): classify every decoded
+    * payload of a synthesized mixed-shape envelope relation with the
+    * [[graft.functions.JsonShape]] streaming probe (reference shape
+    * rules, src/function_app.py:149-159, 284-289) and count per shape.
+    * On top of the shared fixture, the extra envelopes pin the
+    * BOUNDARY semantics: decodable-but-not-JSON bytes → "single", an
+    * empty array is still "rows", a ZERO-field object is NOT columnar,
+    * and one non-array value disqualifies an otherwise-columnar
+    * object. The oracle is the semantics-derived VALUES expectation
+    * (the ingest_error_rates pattern). One pass, one 4-row aggregate. */
+  def shapeDetectColumnar(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import java.util.Base64
+    def env(payload: String): String = {
+      val b = Base64.getEncoder.encodeToString(payload.getBytes("UTF-8"))
+      s"""{"MessageType":"Raw","Source":"shapedb.probe","Destination":"shapes","Data":"$b"}"""
+    }
+    val extras = Seq(
+      env("not json {"),                // decodable garbage → single
+      env("""{"a":[1,2],"b":["x"]}"""), // every value an array → columnar
+      env("""[]"""),                    // empty top-level array → rows
+      env("""{}"""),                    // zero-field object → single
+      env("""{"a":[1],"b":2}"""))       // one scalar value → single
+    val raw = s.createDataset(syntheticEnvelopes ++ extras).toDF("value")
+    Pipeline.decodeAndRoute(Pipeline.parseEnvelopes(raw),
+        Pipeline.IngestConfig(outDir = "", destinationFallback = "landing"))
+      .withColumn("shape",
+        when(col("payload_str").isNull, lit("undecoded"))
+          .otherwise(graft.ingest.Codecs.jsonShape(col("payload_str"))))
+      .groupBy(col("shape"))
+      .agg(count(lit(1)).as("n_payloads"))
+      .orderBy(col("shape"))
   }
 
   /** Shared by sink_parquet_roundtrip and stream_ingest_pipeline —
@@ -437,6 +473,19 @@ object IngestQueries {
         |FROM changes
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, version""".stripMargin,
+    // semantics-derived shape census: syntheticEnvelopes decode to
+    // rows=2 (gzip'd array + plain-b64 array), columnar=1, single=4
+    // (3 single-object payloads + the "!!!"-routed one), undecoded=2
+    // (missing Data, non-JSON body); the 5 extras add rows=1 ([]),
+    // columnar=1, single=3 (garbage bytes, {}, mixed object)
+    "shape_detect_columnar" ->
+      """SELECT * FROM (VALUES
+        |  ('columnar', CAST(2 AS BIGINT)),
+        |  ('rows', 3),
+        |  ('single', 7),
+        |  ('undecoded', 2))
+        |  AS t(shape, n_payloads)
+        |ORDER BY shape""".stripMargin,
     // semantics-derived per-route decode health: drops are the
     // missing-Data envelope (missing.data) and the non-JSON body
     // (wrapped → unknown_db/unknown_table with NULL Source); all other

@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -58,10 +59,26 @@ object Ordered {
       .sortWithinPartitions(keys: _*)
     val schema = StructType(
       sorted.schema.fields :+ StructField(out, LongType, nullable = false))
-    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    sorted.sparkSession.createDataFrame(indexed, schema)
+    // Stay on InternalRow end to end (round-10): `.rdd` would
+    // deserialize every row to a GenericRow at the codegen boundary
+    // and `createDataFrame(RDD[Row])` would re-encode it — a full
+    // ser/de of the fact table for ONE appended long. zipWithIndex
+    // over `queryExecution.toRdd` keeps the same-RDD-instance
+    // consistency argument (its count job runs on THIS RDD, i.e. the
+    // same materialized range shuffle as the data pass) while the
+    // per-row work drops to a 1-field JoinedRow append; the
+    // RDDScanExec above re-projects to UnsafeRow per row, so the
+    // reused wrapper rows are safe exactly as in a source scan.
+    val indexed = sorted.queryExecution.toRdd.zipWithIndex()
+      .mapPartitions { it =>
+        val idxRow = new GenericInternalRow(1)
+        val joined = new JoinedRow
+        it.map { case (r, i) =>
+          idxRow.update(0, i)
+          joined(r, idxRow): org.apache.spark.sql.catalyst.InternalRow
+        }
+      }
+    GraftBridge.internalCreateDataFrame(sorted.sparkSession, indexed, schema)
   }
 
   /** `ntile(k)` recomputed from an exact 1-based global rank and the

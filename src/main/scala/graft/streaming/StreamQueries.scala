@@ -151,12 +151,17 @@ object StreamQueries {
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
-  private def stagedDir(tag: String, d: String)(build: Path => Unit): Path =
-    stagedCache.computeIfAbsent(s"$tag|$d", _ => {
-      val dir = tempDir(tag)
-      build(dir)
-      dir
-    })
+  private def stagedDir(s: SparkSession, tag: String, d: String)(
+      build: Path => Unit): Path =
+    // Content-address the key like Materialize.bucketedTableFor: a
+    // fixture dataset regenerated IN PLACE within one JVM must
+    // restage, not silently replay stale staged files.
+    stagedCache.computeIfAbsent(
+      s"$tag|$d|${graft.util.Materialize.fingerprint(s, d)}", _ => {
+        val dir = tempDir(tag)
+        build(dir)
+        dir
+      })
 
   /** Per-query cloned session: shares the SparkContext but owns its
     * SQLConf, so stream-specific knobs never leak into (or race with)
@@ -198,7 +203,7 @@ object StreamQueries {
     * leaves mixing Datasets from different sessions unspecified, so
     * every leg of a multi-input streaming query plans on ONE clone. */
   private def eventsStreamOn(ss: SparkSession, d: String): DataFrame = {
-    val dir = stagedDir("graft_stream_events", d) { dir =>
+    val dir = stagedDir(ss, "graft_stream_events", d) { dir =>
       Files.copy(Paths.get(s"$d/events.parquet"),
         dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
       ()
@@ -296,7 +301,7 @@ object StreamQueries {
     * quantiles, so the watermark at every trigger is computable in SQL
     * (see the oracle comment for the two-trigger watermark lag). */
   def streamWatermarkLate(s: SparkSession, d: String): DataFrame = {
-    val dir = stagedDir("graft_stream_wm", d) { dir =>
+    val dir = stagedDir(s, "graft_stream_wm", d) { dir =>
       val batch = graft.Tables.t(s, d, "events")
       val withTsl = batch.withColumn("tsl", col("ts").cast("long"))
       val quartiles = tsQuartiles(s, d)
@@ -408,7 +413,7 @@ object StreamQueries {
   /** The reference's whole data plane as a stream: envelope text files →
     * foreachBatch(Pipeline.ingest) → routed parquet, summarized. */
   def streamIngestPipeline(s: SparkSession, d: String): DataFrame = {
-    val inDir = stagedDir("graft_stream_ingest_in", d) { inDir =>
+    val inDir = stagedDir(s, "graft_stream_ingest_in", d) { inDir =>
       val envs = graft.queries.IngestQueries.syntheticEnvelopes
       // two files → two micro-batches under maxFilesPerTrigger=1
       Files.write(inDir.resolve("0000.txt"),
@@ -488,7 +493,7 @@ object StreamQueries {
     // planned in the same session (and the same 8-partition override)
     val ss = streamSession(s)
     def side(tpe: String, idAs: String, userAs: String, tsAs: String) = {
-      val dir = stagedDir(s"graft_ss_$tpe", d) { dir =>
+      val dir = stagedDir(ss, s"graft_ss_$tpe", d) { dir =>
         graft.Tables.t(s, d, "events")
           .filter(col("event_type") === tpe)
           .select(col("event_id"), col("user_id"), col("ts"))
@@ -530,7 +535,7 @@ object StreamQueries {
   def streamUpsertSink(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ss = streamSession(s)
-    val dir = stagedDir("graft_stream_upsert", d) { dir =>
+    val dir = stagedDir(ss, "graft_stream_upsert", d) { dir =>
       val tmp = tempDir("graft_upsert_parts")
       graft.Tables.t(ss, d, "events")
         .select(col("event_id"), col("ts"), col("user_id"),
@@ -597,7 +602,7 @@ object StreamQueries {
     graft.ingest.Codecs.register(ss)
     val m = graft.queries.TypedAggs.mgCapacity
     // stage documents into 4 ordered arrival files
-    val dir = stagedDir("graft_stream_hh", d) { dir =>
+    val dir = stagedDir(ss, "graft_stream_hh", d) { dir =>
       val tmp = tempDir("graft_hh_parts")
       graft.Tables.t(ss, d, "documents")
         .select(col("doc_id"), col("text"))
@@ -652,7 +657,7 @@ object StreamQueries {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     val ss = streamSession(s)
     // stage by time quartile so batch order = event-time order
-    val dir = stagedDir("graft_stream_throttle", d) { dir =>
+    val dir = stagedDir(ss, "graft_stream_throttle", d) { dir =>
       val batch = graft.Tables.t(ss, d, "events")
       val withTsl = batch.withColumn("tsl", col("ts").cast("long"))
       val quartiles = tsQuartiles(s, d)

@@ -221,6 +221,18 @@ class PropertySpec extends AnyFunSuite {
       spark.sql("SELECT char_ngrams('abc', 4294967297)").collect()
     }
     assert(e3.getMessage.contains("char_ngrams"), e3.getMessage)
+    // size parameters must be >= 1 AT ANALYSIS TIME: graft_ares_sample
+    // with k = 0 otherwise falls through `buf.size < k` onto an empty
+    // heap's .head — a NoSuchElementException on the EXECUTOR
+    for (sql <- Seq(
+        "SELECT graft_ares_sample(CAST(id AS STRING), 0) FROM range(5)",
+        "SELECT graft_misra_gries(CAST(id AS STRING), -3) FROM range(5)",
+        "SELECT char_ngrams('abc', 0)")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(sql).collect()
+      }
+      assert(e.getMessage.contains(">= 1"), s"$sql => ${e.getMessage}")
+    }
   }
 
   test("property: char_ngrams/token_ngrams match sliding-window semantics") {

@@ -288,7 +288,39 @@ object Multimodal {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Audio feature extraction over the opaque binary payload — the
+    * waveform-level triage every audio-corpus pipeline runs before
+    * expensive transcription (silence/clipping/noise gating): treat
+    * the first 64 payload bytes as signed 8-bit PCM samples (the
+    * DOCUMENTED decode stub — no audio codecs in this container; a
+    * production impl swaps in a real PCM decode behind the same
+    * column contract), and compute per clip the exact-integer energy
+    * Σs², peak |s|, and zero-crossing count, plus RMS as the one
+    * closing sqrt (IEEE-correctly-rounded, cross-engine identical).
+    * Scale: pure in-scan array expressions, O(1) per row, no shuffle
+    * at all — the projection rides the binaryFile scan at 100 TB. */
+  def multimodalAudioEnergy(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .filter(length(col("text")) >= 64)
+      .withColumn("p", expr(
+        "transform(sequence(1, 64), x -> ascii(substring(text, x, 1)) - 128)"))
+      .select(col("doc_id"),
+        expr("""CAST(aggregate(p, 0L,
+                (acc, v) -> acc + CAST(v * v AS BIGINT)) AS BIGINT)""")
+          .as("energy"),
+        expr("CAST(array_max(transform(p, v -> abs(v))) AS BIGINT)")
+          .as("peak"),
+        expr("""CAST(aggregate(sequence(1, 63), 0L,
+                (acc, x) -> acc + CASE WHEN (element_at(p, x) >= 0)
+                  != (element_at(p, x + 1) >= 0)
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)
+                AS BIGINT)""").as("zero_crossings"))
+      .withColumn("rms",
+        expr("ROUND(SQRT(CAST(energy AS DOUBLE) / 64), 4)"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_audio_energy" -> (multimodalAudioEnergy _),
     "multimodal_near_dup" -> (multimodalNearDup _),
     "multimodal_dhash" -> (multimodalDhash _),
     "multimodal_ahash" -> (multimodalAhash _),
@@ -340,6 +372,28 @@ object Multimodal {
     * by CHARACTER on the DuckDB side vs BYTE on the Spark side — equal
     * only while fixture payloads are ASCII (they are; documented). */
   val oracles: Map[String, String] = Map(
+    // byte-level PCM stub: exact integer energy/peak/zero-crossings
+    // (fixture payloads are ASCII, so ascii() sees the same bytes as
+    // Spark's substring), RMS the one closing sqrt
+    "multimodal_audio_energy" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, 64),
+        |      x -> ascii(substring(text, x, 1)) - 128) AS p
+        |  FROM documents WHERE length(text) >= 64),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(p, v -> v * v)) AS BIGINT)
+        |      AS energy,
+        |    CAST(list_max(list_transform(p, v -> abs(v))) AS BIGINT)
+        |      AS peak,
+        |    CAST(list_sum(list_transform(generate_series(1, 63),
+        |      x -> CASE WHEN (p[x] >= 0) <> (p[x + 1] >= 0)
+        |           THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+        |  FROM px)
+        |SELECT doc_id, energy, peak, zero_crossings,
+        |  ROUND(SQRT(CAST(energy AS DOUBLE) / 64), 4) AS rms
+        |FROM f ORDER BY doc_id""".stripMargin,
     // independent reassembly via string_agg ORDER BY chunk_idx; the
     // oracle pins lossless TRUE for every doc
     "multimodal_chunk_roundtrip" ->

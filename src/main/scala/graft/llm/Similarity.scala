@@ -560,6 +560,72 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Davies–Bouldin cluster-quality terms at the same FROZEN
+    * clustering as [[embeddingCalinskiHarabasz]] — completes the
+    * cluster-audit trio (silhouette: per-point; CH: one global ratio;
+    * DB: per-cluster worst-neighbor confusability R_i = max_j
+    * (s_i + s_j)/d_ij with s = RMS distance to center). Output is the
+    * PER-CLUSTER table (cell, n, s_rms, r_max) rather than the scalar
+    * mean-over-clusters index: a float sum across clusters would be
+    * the one order-dependent step (house float rule), and the
+    * per-cluster rows are what a curation dashboard actually plots.
+    * Exactness: assignments and scatters ride the micro-quantized
+    * integer space (d² BIGINT per row, DECIMAL(38,0) sums); the 8×7
+    * center-distance grid is computed driver-side from the bounded
+    * model state as exact integers; each s/R closes in fixed double
+    * expressions over those integers, and max is order-independent.
+    * Shape: one argmin scan, one 8-row aggregate (cached — three
+    * bounded consumers), literal 56-row pair grid, bounded joins. */
+  def embeddingDaviesBouldin(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val centroids = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+      .sortBy(_._1)
+    val cells = centroids.map { case (cell, cm) =>
+      val d2 = aggregate(
+        zip_with(col("micro"), typedLit(cm.toSeq),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(cell).as("cell"))
+    }
+    val aggD = e.select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000d).cast("bigint"))
+          .as("micro"))
+      .select(col("vec_id"), array_min(array(cells: _*)).as("best"))
+      .select(col("best.cell").as("cell"), col("best.d2").as("d2"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_c"),
+        sum(col("d2").cast("decimal(38,0)")).as("w_c"))
+      .cache()
+    val pairGrid = for {
+      (ci, cmi) <- centroids.toSeq
+      (cj, cmj) <- centroids.toSeq if ci != cj
+    } yield (ci, cj,
+      cmi.zip(cmj).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val pairs = s.createDataFrame(pairGrid).toDF("ci", "cj", "d2m")
+    val rmax = pairs
+      .join(aggD.select(col("cell").as("ci"), col("n_c").as("ni"),
+        col("w_c").as("wi")), "ci")
+      .join(aggD.select(col("cell").as("cj"), col("n_c").as("nj"),
+        col("w_c").as("wj")), "cj")
+      .withColumn("r", expr(
+        """(SQRT(CAST(wi AS DOUBLE) / ni) + SQRT(CAST(wj AS DOUBLE) / nj))
+          | / SQRT(CAST(d2m AS DOUBLE))""".stripMargin))
+      .groupBy(col("ci"))
+      .agg(max(col("r")).as("r_raw"))
+    aggD.join(rmax, aggD("cell") === rmax("ci"))
+      .select(col("cell"), col("n_c"),
+        expr("ROUND(SQRT(CAST(w_c AS DOUBLE) / n_c) / 1000000e0, 6)")
+          .as("s_rms"),
+        round(col("r_raw"), 6).as("r_max"))
+      .orderBy(col("cell"))
+  }
+
   /** Calinski–Harabasz variance-ratio index at a FROZEN clustering —
     * the cluster-quality scalar monitored while assigning a corpus to
     * fixed centers (the mini-batch-k-means health check; the moving-
@@ -1217,6 +1283,7 @@ object Similarity {
     "embedding_rvq_encode" -> (embeddingRvqEncode _),
     "embedding_isotropy" -> (embeddingIsotropy _),
     "embedding_silhouette" -> (embeddingSilhouette _),
+    "embedding_davies_bouldin" -> (embeddingDaviesBouldin _),
     "embedding_calinski_harabasz" -> (embeddingCalinskiHarabasz _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "embedding_dim_stats" -> (embeddingDimStats _),
@@ -1478,6 +1545,54 @@ object Similarity {
     // same micro-integer argmin as kmeans_assign; centroid deviations
     // rebuilt in SQL (8·c − Σc integers); decimal W/B sums; one
     // double CH closure with identical text
+    // same frozen-assignment replay as calinski; per-cluster RMS
+    // scatter + worst-neighbor R, closing doubles over exact integers
+    "embedding_davies_bouldin" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS m
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, m AS cm
+        |  FROM e WHERE vec_id < 8
+        |), dists AS (
+        |  SELECT e.vec_id, c.cell,
+        |    CAST(list_sum(list_transform(range(1, len(e.m) + 1),
+        |      i -> (e.m[i] - c.cm[i]) * (e.m[i] - c.cm[i])))
+        |      AS BIGINT) AS d2
+        |  FROM e CROSS JOIN c
+        |), assigned AS (
+        |  SELECT vec_id, cell, d2 FROM (
+        |    SELECT vec_id, cell, d2,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id
+        |        ORDER BY d2, cell) AS rn
+        |    FROM dists) WHERE rn = 1
+        |), agg AS (
+        |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_c,
+        |    SUM(CAST(d2 AS DECIMAL(38,0))) AS w_c
+        |  FROM assigned GROUP BY 1
+        |), cpair AS (
+        |  SELECT a.cell AS ci, b.cell AS cj,
+        |    CAST(list_sum(list_transform(range(1, len(a.cm) + 1),
+        |      i -> (a.cm[i] - b.cm[i]) * (a.cm[i] - b.cm[i])))
+        |      AS BIGINT) AS d2m
+        |  FROM c a JOIN c b ON a.cell <> b.cell
+        |), r AS (
+        |  SELECT ci,
+        |    MAX((SQRT(CAST(ai.w_c AS DOUBLE) / ai.n_c)
+        |         + SQRT(CAST(aj.w_c AS DOUBLE) / aj.n_c))
+        |        / SQRT(CAST(d2m AS DOUBLE))) AS r_raw
+        |  FROM cpair
+        |  JOIN agg ai ON ai.cell = ci
+        |  JOIN agg aj ON aj.cell = cj
+        |  GROUP BY 1
+        |)
+        |SELECT agg.cell, n_c,
+        |  ROUND(SQRT(CAST(w_c AS DOUBLE) / n_c) / 1000000e0, 6) AS s_rms,
+        |  ROUND(r_raw, 6) AS r_max
+        |FROM agg JOIN r ON r.ci = agg.cell
+        |ORDER BY cell""".stripMargin,
     "embedding_calinski_harabasz" ->
       """WITH e AS (
         |  SELECT vec_id,

@@ -3685,7 +3685,212 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Threshold confusion matrices + precision/recall/F1 — the eval
+    * table every binary classifier ships with (here: "will this user
+    * convert?" predicted from activity volume, the same score/outcome
+    * pair as [[aggRocPoints]]). One per-user reduction, a 5-way
+    * literal-threshold fan-out of the USER table (never raw events),
+    * one ≤5-row aggregate; every metric closes in ONE double division
+    * over exact counts, NULL (not NaN/0) when a denominator is empty. */
+  def aggConfusionF1(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+      .select(col("n_events"), col("y"),
+        explode(array(lit(2L), lit(4L), lit(8L), lit(16L), lit(32L)))
+          .as("tau"))
+      .groupBy(col("tau"))
+      .agg(
+        sum(when(col("n_events") >= col("tau") && col("y") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("n_events") >= col("tau") && col("y") === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("n_events") < col("tau") && col("y") === 1L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("n_events") < col("tau") && col("y") === 0L, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("tau"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6)")
+          .as("prec"),
+        expr("ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6)")
+          .as("rec"),
+        expr("ROUND(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0), 6)")
+          .as("f1"))
+      .orderBy(col("tau"))
+
+  /** Fleiss' κ (Fleiss 1971) — inter-rater agreement for MORE than two
+    * raters, the multi-rater extension of [[aggCohenKappa]]: subjects =
+    * complete days (every event type present, the [[aggCochranQ]]
+    * block rule), raters = the k event types, binary category = "the
+    * type saw an extreme event (max value ≥ 95) that day". κ =
+    * (P̄ − P̄ₑ)/(1 − P̄ₑ) closes as ONE division of exact integer
+    * cross-multiplications: with R = Σrᵢ, T₂ = Σrᵢ², a = 2T₂ − 2kR +
+    * Nk(k−1), b = Nk(k−1), c = R² + (Nk−R)², e = (Nk)², κ = (ae − bc)
+    * / (b(e − c)); degenerate all-one-category data (e = c) is NULL
+    * via the exact integer guard. Two bounded aggregates, k counted
+    * from data. */
+  def aggFleissKappa(s: SparkSession, d: String): DataFrame = {
+    val k1 = t(s, d, "events")
+      .agg(countDistinct(col("event_type")).as("k"))
+    val cell = t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg((max(col("value")) >= lit(95.0)).cast("long").as("x"))
+    val blocks = cell.groupBy(col("day"))
+      .agg(count(lit(1)).as("nt"), sum(col("x")).as("r_i"))
+      .crossJoin(broadcast(k1))
+      .filter(col("nt") === col("k"))
+    blocks
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("r_i")).as("r"),
+        sum(col("r_i") * col("r_i")).as("t2"))
+      .withColumn("a",
+        lit(2L) * col("t2") - lit(2L) * col("k") * col("r") +
+          col("n_days") * col("k") * (col("k") - 1L))
+      .withColumn("b", col("n_days") * col("k") * (col("k") - 1L))
+      .withColumn("c",
+        col("r") * col("r") +
+          (col("n_days") * col("k") - col("r")) *
+          (col("n_days") * col("k") - col("r")))
+      .withColumn("e",
+        col("n_days") * col("k") * col("n_days") * col("k"))
+      .select(col("n_days"), col("k").cast("long").as("k"),
+        expr("ROUND(CAST(a AS DOUBLE) / b, 6)").as("p_bar"),
+        expr("ROUND(CAST(c AS DOUBLE) / e, 6)").as("p_e"),
+        expr("""ROUND(CASE WHEN e = c THEN NULL
+                ELSE CAST(a * e - b * c AS DOUBLE) / (b * (e - c))
+                END, 6)""").as("kappa"))
+  }
+
+  /** Brier score with the Murphy (1973) reliability/resolution
+    * decomposition — the probabilistic-forecast audit behind every
+    * calibration dashboard ([[aggCalibrationCurve]] plots it; this
+    * SCORES it). Forecast = activity-decile midpoint p = (2d−1)/20
+    * (the [[aggGainsDeciles]] global-decile machinery — exact ntile
+    * from the zipWithIndex rank), outcome = converted. Every bin term
+    * is an exact integer cross-multiplication over (n_k, c_k, S_k =
+    * Σ(p_num − 20y)², N, C): the per-bin Brier contribution is
+    * S_k/(400N), reliability n_k(p_k−ȳ_k)² = (p_num·n_k − 20c_k)²/
+    * (400·n_k·N), resolution n_k(ȳ_k−ȳ)² = (c_k·N − C·n_k)²/(n_k·N²)
+    * — one ROUND each, no float accumulates anywhere (per-bin rows,
+    * never a float sum across bins). Scale: one user reduction, one
+    * |users|-row range shuffle for the decile, one 10-row aggregate +
+    * windows above it. */
+  def aggBrierDecomposition(s: SparkSession, d: String): DataFrame = {
+    val users = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val withN = users.crossJoin(
+      broadcast(users.agg(count(lit(1)).as("n_all"))))
+    val ranked = graft.queries.Ordered
+      .withGlobalIndex(withN, Seq(col("n_events"), col("user_id")), "__idx")
+      .withColumn("__rank", col("__idx") + 1)
+    val binned = graft.queries.Ordered
+      .ntileFromRank(ranked, "__rank", "n_all", 10, "bin")
+      .withColumn("p_num", lit(2L) * col("bin") - 1L)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    binned
+      .groupBy(col("bin"), col("p_num"))
+      .agg(count(lit(1)).as("n_k"),
+        sum(col("y")).as("c_k"),
+        sum((col("p_num") - lit(20L) * col("y")) *
+          (col("p_num") - lit(20L) * col("y"))).as("s_k"))
+      .withColumn("n", sum(col("n_k")).over(all))
+      .withColumn("c", sum(col("c_k")).over(all))
+      .select(col("bin"), col("n_k").as("n_users"), col("c_k").as("n_conv"),
+        expr("ROUND(CAST(p_num AS DOUBLE) / 20, 6)").as("forecast_p"),
+        expr("ROUND(CAST(c_k AS DOUBLE) / n_k, 6)").as("obs_rate"),
+        expr("ROUND(CAST(s_k AS DOUBLE) / (400 * n), 6)").as("brier_term"),
+        expr("""ROUND(CAST((p_num * n_k - 20 * c_k) *
+                (p_num * n_k - 20 * c_k) AS DOUBLE)
+                / (400e0 * n_k * n), 6)""").as("rel_term"),
+        expr("""ROUND(CAST((c_k * n - c * n_k) * (c_k * n - c * n_k)
+                AS DOUBLE) / (CAST(n_k AS DOUBLE) * n * n), 6)""")
+          .as("res_term"))
+      .orderBy(col("bin"))
+  }
+
+  /** Granger causality (Granger 1969) at lag 1 between the daily
+    * click and purchase count series — "do yesterday's clicks help
+    * predict today's purchases beyond yesterday's purchases?", the
+    * standard lead-lag screen in growth analytics. Both directions
+    * ship as rows. The restricted (AR(1)) and unrestricted (+ the
+    * other series' lag) OLS fits close over FOURTEEN exact BIGINT
+    * moments of the |days|-row lagged series, computed in ONE
+    * aggregate (both directions share the scan); the centered normal-
+    * equation determinants and RSS quotients are plain single-row
+    * double arithmetic over those exact integers (identical
+    * expression text in the oracle ⇒ identical IEEE results), with
+    * F = (T−3)(RSS_r − RSS_u)/RSS_u; singular designs are NULL via
+    * exact guards. Scale: one (day) aggregate, a calendar-bounded lag
+    * window above it, everything after is one row. */
+  def aggGrangerCausality(s: SparkSession, d: String): DataFrame = {
+    val byDay = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val lagged = t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("xv"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("yv"))
+      .withColumn("xl", lag(col("xv"), 1).over(byDay))
+      .withColumn("yl", lag(col("yv"), 1).over(byDay))
+      .filter(col("xl").isNotNull)
+    val moments = lagged.agg(
+      count(lit(1)).as("t"),
+      sum(col("yv")).as("sy"), sum(col("xv")).as("sx"),
+      sum(col("yl")).as("syl"), sum(col("xl")).as("sxl"),
+      sum(col("yv") * col("yv")).as("syy"),
+      sum(col("xv") * col("xv")).as("sxx"),
+      sum(col("yl") * col("yl")).as("syl2"),
+      sum(col("xl") * col("xl")).as("sxl2"),
+      sum(col("yl") * col("xl")).as("sylxl"),
+      sum(col("yl") * col("yv")).as("syly"),
+      sum(col("xl") * col("yv")).as("sxly"),
+      sum(col("xl") * col("xv")).as("sxlx"),
+      sum(col("yl") * col("xv")).as("sylx"))
+    // direction rows: (target sums, own-lag sums, cross-lag sums)
+    val stacked = moments.select(expr(
+      """stack(2,
+        |  'click->purchase', t, sy,  syl,  sxl,  syy, syl2, sxl2,
+        |    sylxl, syly, sxly,
+        |  'purchase->click', t, sx,  sxl,  syl,  sxx, sxl2, syl2,
+        |    sylxl, sxlx, sylx)
+        |AS (direction, t, s_y, s_1, s_2, s_yy, s_11, s_22, s_12,
+        |    s_1y, s_2y)""".stripMargin))
+    stacked
+      .withColumn("m11", col("t") * col("s_11") - col("s_1") * col("s_1"))
+      .withColumn("m22", col("t") * col("s_22") - col("s_2") * col("s_2"))
+      .withColumn("m12", col("t") * col("s_12") - col("s_1") * col("s_2"))
+      .withColumn("m1y", col("t") * col("s_1y") - col("s_1") * col("s_y"))
+      .withColumn("m2y", col("t") * col("s_2y") - col("s_2") * col("s_y"))
+      .withColumn("myy", col("t") * col("s_yy") - col("s_y") * col("s_y"))
+      .withColumn("det",
+        expr("CAST(m11 AS DOUBLE) * m22 - CAST(m12 AS DOUBLE) * m12"))
+      .withColumn("rss_r",
+        expr("CAST(myy AS DOUBLE) - CAST(m1y AS DOUBLE) * m1y / m11"))
+      .withColumn("rss_u",
+        expr("""CAST(myy AS DOUBLE)
+                - (CAST(m22 AS DOUBLE) * m1y * m1y
+                   - 2e0 * CAST(m12 AS DOUBLE) * m1y * m2y
+                   + CAST(m11 AS DOUBLE) * m2y * m2y) / det"""))
+      .select(col("direction"), col("t").as("n_obs"),
+        expr("""ROUND(CASE WHEN m11 <= 0 OR det <= 0e0 OR rss_u <= 0e0
+                THEN NULL
+                ELSE (t - 3) * (rss_r - rss_u) / rss_u END, 4)""")
+          .as("f_stat"))
+      .orderBy(col("direction"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_confusion_f1" -> (aggConfusionF1 _),
+    "agg_fleiss_kappa" -> (aggFleissKappa _),
+    "agg_brier_decomposition" -> (aggBrierDecomposition _),
+    "agg_granger_causality" -> (aggGrangerCausality _),
     "agg_diff_in_diff" -> (aggDiffInDiff _),
     "agg_growth_accounting" -> (aggGrowthAccounting _),
     "agg_activity_histogram" -> (aggActivityHistogram _),
@@ -3815,6 +4020,163 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact confusion counts per literal threshold; P/R/F1 one
+    // division each, NULL (not 0) on empty denominators
+    "agg_confusion_f1" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT tau,
+        |    CAST(SUM(CASE WHEN n_events >= tau AND y = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN n_events >= tau AND y = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN n_events < tau AND y = 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN n_events < tau AND y = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM u CROSS JOIN (SELECT CAST(unnest([2, 4, 8, 16, 32])
+        |    AS BIGINT) AS tau)
+        |  GROUP BY 1)
+        |SELECT tau, tp, fp, fn, tn,
+        |  ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS prec,
+        |  ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS rec,
+        |  ROUND(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0), 6)
+        |    AS f1
+        |FROM g ORDER BY tau""".stripMargin,
+    // complete-block day×type extreme indicators → Fleiss' kappa via
+    // the exact integer cross-multiplication (ae - bc) / (b(e - c))
+    "agg_fleiss_kappa" ->
+      """WITH kk AS (
+        |  SELECT COUNT(DISTINCT event_type) AS k FROM events),
+        |cell AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CASE WHEN MAX(value) >= 95.0 THEN 1 ELSE 0 END AS x
+        |  FROM events GROUP BY 1, 2),
+        |blocks AS (
+        |  SELECT day, COUNT(*) AS nt, CAST(SUM(x) AS BIGINT) AS r_i
+        |  FROM cell GROUP BY 1),
+        |m AS (
+        |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(r_i) AS BIGINT) AS r,
+        |    CAST(SUM(r_i * r_i) AS BIGINT) AS t2
+        |  FROM blocks JOIN kk ON nt = k GROUP BY 1),
+        |f AS (
+        |  SELECT n_days, CAST(k AS BIGINT) AS k,
+        |    2 * t2 - 2 * k * r + n_days * k * (k - 1) AS a,
+        |    n_days * k * (k - 1) AS b,
+        |    r * r + (n_days * k - r) * (n_days * k - r) AS c,
+        |    n_days * k * n_days * k AS e
+        |  FROM m)
+        |SELECT n_days, k,
+        |  ROUND(CAST(a AS DOUBLE) / b, 6) AS p_bar,
+        |  ROUND(CAST(c AS DOUBLE) / e, 6) AS p_e,
+        |  ROUND(CASE WHEN e = c THEN NULL
+        |    ELSE CAST(a * e - b * c AS DOUBLE) / (b * (e - c))
+        |    END, 6) AS kappa
+        |FROM f""".stripMargin,
+    // global activity deciles (plain NTILE mirrors the zipWithIndex
+    // closed-form ntile); every decomposition term is an integer
+    // cross-multiplication per bin — no float sum across bins exists
+    "agg_brier_decomposition" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT y,
+        |    CAST(NTILE(10) OVER (ORDER BY n_events, user_id) AS BIGINT)
+        |      AS bin
+        |  FROM u),
+        |g AS (
+        |  SELECT bin, 2 * bin - 1 AS p_num,
+        |    CAST(COUNT(*) AS BIGINT) AS n_k,
+        |    CAST(SUM(y) AS BIGINT) AS c_k,
+        |    CAST(SUM((2 * bin - 1 - 20 * y) * (2 * bin - 1 - 20 * y))
+        |      AS BIGINT) AS s_k
+        |  FROM b GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, CAST(SUM(n_k) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(c_k) OVER () AS BIGINT) AS c
+        |  FROM g)
+        |SELECT bin, n_k AS n_users, c_k AS n_conv,
+        |  ROUND(CAST(p_num AS DOUBLE) / 20, 6) AS forecast_p,
+        |  ROUND(CAST(c_k AS DOUBLE) / n_k, 6) AS obs_rate,
+        |  ROUND(CAST(s_k AS DOUBLE) / (400 * n), 6) AS brier_term,
+        |  ROUND(CAST((p_num * n_k - 20 * c_k) *
+        |    (p_num * n_k - 20 * c_k) AS DOUBLE)
+        |    / (400e0 * n_k * n), 6) AS rel_term,
+        |  ROUND(CAST((c_k * n - c * n_k) * (c_k * n - c * n_k)
+        |    AS DOUBLE) / (CAST(n_k AS DOUBLE) * n * n), 6) AS res_term
+        |FROM w ORDER BY bin""".stripMargin,
+    // fourteen exact BIGINT moments of the lagged daily series; the
+    // normal-equation and F arithmetic replays the identical double
+    // expressions over those integers
+    "agg_granger_causality" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS xv,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS yv
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT yv, xv,
+        |    LAG(xv) OVER (ORDER BY day) AS xl,
+        |    LAG(yv) OVER (ORDER BY day) AS yl
+        |  FROM daily),
+        |mom AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS t,
+        |    CAST(SUM(yv) AS BIGINT) AS sy, CAST(SUM(xv) AS BIGINT) AS sx,
+        |    CAST(SUM(yl) AS BIGINT) AS syl, CAST(SUM(xl) AS BIGINT) AS sxl,
+        |    CAST(SUM(yv * yv) AS BIGINT) AS syy,
+        |    CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+        |    CAST(SUM(yl * yl) AS BIGINT) AS syl2,
+        |    CAST(SUM(xl * xl) AS BIGINT) AS sxl2,
+        |    CAST(SUM(yl * xl) AS BIGINT) AS sylxl,
+        |    CAST(SUM(yl * yv) AS BIGINT) AS syly,
+        |    CAST(SUM(xl * yv) AS BIGINT) AS sxly,
+        |    CAST(SUM(xl * xv) AS BIGINT) AS sxlx,
+        |    CAST(SUM(yl * xv) AS BIGINT) AS sylx
+        |  FROM lagged WHERE xl IS NOT NULL),
+        |stacked AS (
+        |  SELECT 'click->purchase' AS direction, t, sy AS s_y,
+        |    syl AS s_1, sxl AS s_2, syy AS s_yy, syl2 AS s_11,
+        |    sxl2 AS s_22, sylxl AS s_12, syly AS s_1y, sxly AS s_2y
+        |  FROM mom
+        |  UNION ALL
+        |  SELECT 'purchase->click', t, sx, sxl, syl, sxx, sxl2, syl2,
+        |    sylxl, sxlx, sylx
+        |  FROM mom),
+        |mm AS (
+        |  SELECT direction, t,
+        |    t * s_11 - s_1 * s_1 AS m11,
+        |    t * s_22 - s_2 * s_2 AS m22,
+        |    t * s_12 - s_1 * s_2 AS m12,
+        |    t * s_1y - s_1 * s_y AS m1y,
+        |    t * s_2y - s_2 * s_y AS m2y,
+        |    t * s_yy - s_y * s_y AS myy
+        |  FROM stacked),
+        |dd AS (
+        |  SELECT direction, t, m11, m22, m12, m1y, m2y, myy,
+        |    CAST(m11 AS DOUBLE) * m22 - CAST(m12 AS DOUBLE) * m12 AS det
+        |  FROM mm),
+        |rr AS (
+        |  SELECT direction, t, m11, det,
+        |    CAST(myy AS DOUBLE) - CAST(m1y AS DOUBLE) * m1y / m11 AS rss_r,
+        |    CAST(myy AS DOUBLE)
+        |      - (CAST(m22 AS DOUBLE) * m1y * m1y
+        |         - 2e0 * CAST(m12 AS DOUBLE) * m1y * m2y
+        |         + CAST(m11 AS DOUBLE) * m2y * m2y) / det AS rss_u
+        |  FROM dd)
+        |SELECT direction, t AS n_obs,
+        |  ROUND(CASE WHEN m11 <= 0 OR det <= 0e0 OR rss_u <= 0e0
+        |    THEN NULL
+        |    ELSE (t - 3) * (rss_r - rss_u) / rss_u END, 4) AS f_stat
+        |FROM rr ORDER BY direction""".stripMargin,
     // eight exact cells in one conditional aggregate; means and the
     // DiD close in one double expression
     "agg_diff_in_diff" ->

@@ -79,7 +79,33 @@ object Subqueries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery — the "top-N related rows per outer
+    * row" SQL idiom (Spark ≥ 3.2 lateral joins): each BUILDING
+    * customer's two most expensive orders. Catalyst decorrelates the
+    * per-row ORDER BY … LIMIT into a window-ranked join
+    * (DecorrelateInnerQuery) — the per-group-heap plan shape of
+    * window_top_k_per_group, reached from the SQL surface a BI tool
+    * would emit; nothing re-executes per outer row. Money rounding
+    * rides the house DECIMAL(18,4) route. */
+  def subqueryLateral(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d)
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.price
+        |FROM graft_customer c,
+        |LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+        |      AS price
+        |  FROM graft_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "subquery_lateral" -> (subqueryLateral _),
     "subquery_scalar" -> (subqueryScalar _),
     "subquery_in" -> (subqueryIn _),
     "subquery_correlated" -> (subqueryCorrelated _),
@@ -88,6 +114,19 @@ object Subqueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "subquery_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.price
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+        |      AS price
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
     "subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice
         |FROM orders

@@ -798,6 +798,11 @@ object Windows {
     * ntile against the unchanged oracle. The anchor max and user
     * count are one scalar aggregate, broadcast back. */
   def windowRfm(s: SparkSession, d: String): DataFrame = {
+    // NOT cached despite five consumers: measured 2.15 s uncached vs
+    // 2.94-3.14 s cached at sf0.1 — the per-user relation is narrow
+    // enough that four re-aggregations of the scan beat the InMemory
+    // columnar encode + codegen break (round-10 measurement; the ≥3-
+    // consumer cache rule is a heuristic, the bench is the arbiter)
     val perUser = t(s, d, "events")
       .groupBy(col("user_id"))
       .agg(max(unix_micros(col("ts"))).as("last_us"),

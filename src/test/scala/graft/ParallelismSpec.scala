@@ -218,7 +218,7 @@ class ParallelismSpec extends AnyFunSuite {
   test("withGlobalIndex consumers are bit-identical at 8 and 64 parts") {
     val consumers = Seq("chunk_batches", "window_rfm",
       "text_vocab_growth", "agg_ks_test", "agg_auc_rank",
-      "agg_gains_deciles")
+      "agg_gains_deciles", "agg_brier_decomposition")
     val s8 = spark.newSession()
     s8.conf.set("spark.sql.shuffle.partitions", "8")
     val s64 = spark.newSession()

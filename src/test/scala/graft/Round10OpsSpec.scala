@@ -1,0 +1,222 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.Aggregates
+
+/** Brute-force replays for the round-10 batch: classifier-eval
+  * statistics (confusion/F1, Fleiss' κ, Brier decomposition, Granger
+  * F), the SymSpell deletion-join dedup, audio byte features and the
+  * quality-classifier inference. Each recomputes the answer from the
+  * row-level definition on collected sf0.001 data — independent of
+  * both the engine plan and the DuckDB oracle. */
+class Round10OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rnd(v: Double, s: Int): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private lazy val users: Seq[(Long, Long, Long)] =
+    Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).toSeq
+      .map { case (u, rows) =>
+        (u, rows.length.toLong,
+          if (rows.exists(_._2 == "purchase")) 1L else 0L)
+      }
+
+  test("agg_confusion_f1 replays the per-threshold confusion counts") {
+    val got = Aggregates.aggConfusionF1(spark, sf).collect()
+    assert(got.length == 5)
+    for (r <- got) {
+      val tau = r.getLong(0)
+      val tp = users.count(u => u._2 >= tau && u._3 == 1L).toLong
+      val fp = users.count(u => u._2 >= tau && u._3 == 0L).toLong
+      val fn = users.count(u => u._2 < tau && u._3 == 1L).toLong
+      val tn = users.count(u => u._2 < tau && u._3 == 0L).toLong
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((tp, fp, fn, tn)), s"tau=$tau")
+      // every user lands in exactly one cell
+      assert(tp + fp + fn + tn == users.length.toLong)
+      if (tp + fp > 0)
+        assert(r.getDouble(5) == rnd(tp.toDouble / (tp + fp), 6))
+      if (tp + fn > 0)
+        assert(r.getDouble(6) == rnd(tp.toDouble / (tp + fn), 6))
+    }
+  }
+
+  test("agg_fleiss_kappa matches the direct formula on complete blocks") {
+    val rows = Tables.t(spark, sf, "events")
+      .selectExpr("CAST(ts AS DATE) AS day", "event_type", "value")
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1), r.getDouble(2)))
+    val k = rows.map(_._2).distinct.length
+    val cells = rows.groupBy(t0 => (t0._1, t0._2)).view
+      .mapValues(vs => if (vs.map(_._3).max >= 95.0) 1L else 0L)
+    val blocks = cells.keys.map(_._1).toSeq.distinct
+      .map(day => (day, cells.filter(_._1._1 == day)))
+      .filter(_._2.size == k)
+    val n = blocks.length.toLong
+    val rs = blocks.map(_._2.values.sum)
+    val bigR = rs.sum
+    val t2 = rs.map(r0 => r0 * r0).sum
+    val a = 2 * t2 - 2 * k * bigR + n * k * (k - 1)
+    val b = n * k * (k - 1)
+    val c = bigR * bigR + (n * k - bigR) * (n * k - bigR)
+    val e = n * k * n * k
+    val got = Aggregates.aggFleissKappa(spark, sf).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == n && got(0).getLong(1) == k.toLong)
+    assert(got(0).getDouble(2) == rnd(a.toDouble / b, 6))
+    assert(got(0).getDouble(3) == rnd(c.toDouble / e, 6))
+    if (e != c)
+      assert(got(0).getDouble(4) ==
+        rnd((a * e - b * c).toDouble / (b * (e - c)), 6))
+  }
+
+  test("agg_brier_decomposition: terms obey the Murphy identity") {
+    // Brier = REL - RES + UNC must hold over the summed bin terms
+    // (the identity is exact before rounding; with 6-dp rounded terms
+    // across 10 bins the reconstruction is good to ~1e-5)
+    val got = Aggregates.aggBrierDecomposition(spark, sf).collect()
+    assert(got.length == 10)
+    val nTot = got.map(_.getLong(1)).sum
+    val cTot = got.map(_.getLong(2)).sum
+    assert(nTot == users.length.toLong)
+    assert(cTot == users.map(_._3).sum)
+    val brier = got.map(_.getDouble(5)).sum
+    val rel = got.map(_.getDouble(6)).sum
+    val res = got.map(_.getDouble(7)).sum
+    val ybar = cTot.toDouble / nTot
+    val unc = ybar * (1 - ybar)
+    assert(math.abs(brier - (rel - res + unc)) < 1e-4,
+      s"brier=$brier rel=$rel res=$res unc=$unc")
+    // per-bin sanity: forecast midpoints are the decile grid
+    assert(got.map(_.getDouble(3)).toSeq ==
+      (1 to 10).map(b0 => rnd((2 * b0 - 1) / 20.0, 6)).toSeq)
+  }
+
+  test("agg_granger_causality replays the two-regression F test") {
+    val daily = Tables.t(spark, sf, "events")
+      .selectExpr("CAST(ts AS DATE) AS day", "event_type").collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getString(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (d0, rows) =>
+        (d0, rows.count(_._2 == "click").toLong,
+          rows.count(_._2 == "purchase").toLong)
+      }
+    def fStat(y: Seq[Double], l1: Seq[Double], l2: Seq[Double]): Double = {
+      val t = y.length.toDouble
+      def dot(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).map { case (u, v) => u * v }.sum
+      val (sy, s1, s2) = (y.sum, l1.sum, l2.sum)
+      val m11 = t * dot(l1, l1) - s1 * s1
+      val m22 = t * dot(l2, l2) - s2 * s2
+      val m12 = t * dot(l1, l2) - s1 * s2
+      val m1y = t * dot(l1, y) - s1 * sy
+      val m2y = t * dot(l2, y) - s2 * sy
+      val myy = t * dot(y, y) - sy * sy
+      val det = m11 * m22 - m12 * m12
+      val rssR = myy - m1y * m1y / m11
+      val rssU = myy - (m22 * m1y * m1y - 2 * m12 * m1y * m2y +
+        m11 * m2y * m2y) / det
+      (t - 3) * (rssR - rssU) / rssU
+    }
+    // lag over OBSERVED days (the engine's lag-over-present-days rule)
+    val y = daily.tail.map(_._3.toDouble)
+    val x = daily.tail.map(_._2.toDouble)
+    val yl = daily.init.map(_._3.toDouble)
+    val xl = daily.init.map(_._2.toDouble)
+    val got = Aggregates.aggGrangerCausality(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size == 2)
+    val cp = got("click->purchase")
+    assert(cp.getLong(1) == daily.length - 1L)
+    assert(math.abs(cp.getDouble(2) - fStat(y, yl, xl)) < 1e-3)
+    val pc = got("purchase->click")
+    assert(math.abs(pc.getDouble(2) - fStat(x, xl, yl)) < 1e-3)
+  }
+
+  test("dedup_edit_distance equals brute-force all-pairs levenshtein <= 1") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val prefixes = Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id",
+        "substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 1, 12) AS p")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 4)
+    val exp = (for {
+      (ia, pa) <- prefixes
+      (ib, pb) <- prefixes if ia < ib && lev(pa, pb) <= 1
+    } yield (ia, ib, lev(pa, pb).toLong)).sortBy(t0 => (t0._1, t0._2))
+    val rows = graft.llm.Dedup.dedupEditDistance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == exp.toSeq,
+      s"got ${rows.length} pairs vs brute ${exp.length}")
+  }
+
+  test("multimodal_audio_energy replays byte arithmetic on a sample") {
+    val rows = graft.llm.Multimodal.multimodalAudioEnergy(spark, sf)
+      .limit(20).collect()
+    val texts = Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val samples = texts(r.getLong(0)).take(64).map(_.toInt - 128)
+      assert(samples.length == 64)
+      val energy = samples.map(v => v.toLong * v).sum
+      val peak = samples.map(v => math.abs(v).toLong).max
+      val zc = samples.sliding(2)
+        .count(p => (p(0) >= 0) != (p(1) >= 0)).toLong
+      assert(r.getLong(1) == energy && r.getLong(2) == peak &&
+        r.getLong(3) == zc, s"doc=${r.getLong(0)}")
+      assert(r.getDouble(4) == rnd(math.sqrt(energy.toDouble / 64), 4))
+    }
+  }
+
+  test("text_quality_classifier: kept counts replay the literal model") {
+    val wts = Array.tabulate(64)(b =>
+      ((31L * b * b + 17L * b) % 2001L - 1000L) * 200L)
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.take(3).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 64L).toInt
+    }
+    val docs = Tables.t(spark, sf, "documents")
+      .selectExpr("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perLang = docs.groupBy(_._1).view.mapValues { ds =>
+      val scored = ds.map { case (_, text) =>
+        val toks = text.split(" ", -1)
+        val sw = toks.map(t0 => wts(bucket(t0))).sum
+        (toks.length.toLong, sw)
+      }
+      (scored.length.toLong,
+        scored.count { case (n, sw) => sw * 25 >= n * -1000000L }.toLong)
+    }.toMap
+    val got = graft.llm.TextStats.textQualityClassifier(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val (nd, nk) = perLang(r.getString(0))
+      assert((r.getLong(1), r.getLong(2)) == ((nd, nk)),
+        s"lang=${r.getString(0)}")
+    }
+  }
+}

@@ -560,6 +560,49 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-dimension embedding drift between two corpus slices (here:
+    * vec_id parity as the stand-in for "last week's batch vs this
+    * week's") — the distribution-shift monitor run before trusting a
+    * re-embedded corpus against an old ANN index: per dimension, the
+    * slice means, their difference, and the Welch z. Exactness: the
+    * micro-quantized per-dim sums and square-sums are exact BIGINTs
+    * accumulated in one hash aggregate keyed on (dim); means/diff/z
+    * each close in one double expression over those integers (micro
+    * units cancel in z). Scale: the pos-explode is in-scan generator
+    * work (64 rows per vector), the aggregate is dim-keyed (64
+    * groups) with map-side combine — shuffled state is O(dim), never
+    * O(corpus). */
+  def embeddingDrift(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select((col("vec_id") % 2L).as("grp"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast("double") * 1000000d).cast("bigint"))))
+      .groupBy(col("pos"))
+      .agg(
+        sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("grp") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("grp") === 0L, col("col")).otherwise(lit(0L)))
+          .as("sa"),
+        sum(when(col("grp") === 1L, col("col")).otherwise(lit(0L)))
+          .as("sb"),
+        sum(when(col("grp") === 0L, col("col") * col("col"))
+          .otherwise(lit(0L))).as("s2a"),
+        sum(when(col("grp") === 1L, col("col") * col("col"))
+          .otherwise(lit(0L))).as("s2b"))
+      .select(col("pos").cast("long").as("dim"), col("n_a"), col("n_b"),
+        expr("ROUND(CAST(sa AS DOUBLE) / n_a / 1000000e0, 6)")
+          .as("mean_a"),
+        expr("ROUND(CAST(sb AS DOUBLE) / n_b / 1000000e0, 6)")
+          .as("mean_b"),
+        expr("""ROUND((CAST(sb AS DOUBLE) / n_b - CAST(sa AS DOUBLE) / n_a)
+                / 1000000e0, 6)""").as("drift"),
+        expr("""ROUND((CAST(sb AS DOUBLE) / n_b - CAST(sa AS DOUBLE) / n_a)
+                / sqrt(((CAST(s2a AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a)
+                        / (n_a - 1)) / n_a +
+                       ((CAST(s2b AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b)
+                        / (n_b - 1)) / n_b), 4)""").as("z"))
+      .orderBy(col("dim"))
+
   /** Davies–Bouldin cluster-quality terms at the same FROZEN
     * clustering as [[embeddingCalinskiHarabasz]] — completes the
     * cluster-audit trio (silhouette: per-point; CH: one global ratio;
@@ -1283,6 +1326,7 @@ object Similarity {
     "embedding_rvq_encode" -> (embeddingRvqEncode _),
     "embedding_isotropy" -> (embeddingIsotropy _),
     "embedding_silhouette" -> (embeddingSilhouette _),
+    "embedding_drift" -> (embeddingDrift _),
     "embedding_davies_bouldin" -> (embeddingDaviesBouldin _),
     "embedding_calinski_harabasz" -> (embeddingCalinskiHarabasz _),
     "sim_hard_negatives" -> (simHardNegatives _),
@@ -1545,6 +1589,44 @@ object Similarity {
     // same micro-integer argmin as kmeans_assign; centroid deviations
     // rebuilt in SQL (8·c − Σc integers); decimal W/B sums; one
     // double CH closure with identical text
+    // micro-quantized per-dim moments by vec_id parity; means/drift/z
+    // close over exact BIGINTs (dim output is 0-based = i - 1)
+    "embedding_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id % 2 AS grp,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS m
+        |  FROM embeddings
+        |), px AS (
+        |  SELECT grp, u.i - 1 AS dim, m[CAST(u.i AS INTEGER)] AS v
+        |  FROM e, LATERAL unnest(range(1, len(m) + 1)) AS u(i)
+        |), g AS (
+        |  SELECT dim,
+        |    CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN grp = 0 THEN v ELSE 0 END) AS BIGINT)
+        |      AS sa,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN v ELSE 0 END) AS BIGINT)
+        |      AS sb,
+        |    CAST(SUM(CASE WHEN grp = 0 THEN v * v ELSE 0 END) AS BIGINT)
+        |      AS s2a,
+        |    CAST(SUM(CASE WHEN grp = 1 THEN v * v ELSE 0 END) AS BIGINT)
+        |      AS s2b
+        |  FROM px GROUP BY 1
+        |)
+        |SELECT CAST(dim AS BIGINT) AS dim, n_a, n_b,
+        |  ROUND(CAST(sa AS DOUBLE) / n_a / 1000000e0, 6) AS mean_a,
+        |  ROUND(CAST(sb AS DOUBLE) / n_b / 1000000e0, 6) AS mean_b,
+        |  ROUND((CAST(sb AS DOUBLE) / n_b - CAST(sa AS DOUBLE) / n_a)
+        |    / 1000000e0, 6) AS drift,
+        |  ROUND((CAST(sb AS DOUBLE) / n_b - CAST(sa AS DOUBLE) / n_a)
+        |    / sqrt(((CAST(s2a AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a)
+        |            / (n_a - 1)) / n_a +
+        |           ((CAST(s2b AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b)
+        |            / (n_b - 1)) / n_b), 4) AS z
+        |FROM g ORDER BY dim""".stripMargin,
     // same frozen-assignment replay as calinski; per-cluster RMS
     // scatter + worst-neighbor R, closing doubles over exact integers
     "embedding_davies_bouldin" ->

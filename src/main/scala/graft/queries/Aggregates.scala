@@ -269,15 +269,28 @@ object Aggregates {
     * the bucket id), and a broadcast bucket-offset relation of that
     * bounded size, the only empty-partitionBy window. Identical
     * arithmetic, identical oracle. */
-  def aggKsTest(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = t(s, d, "events")
+  /** The (view, purchase) per-value count grid shared by the
+    * two-sample rank statistics (KS, Cliff's δ): one hash aggregate
+    * keyed on the DECIMAL(19,4) value — value-space bounded, never
+    * corpus-bounded. */
+  private def viewPurchaseGrid(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("value").cast("decimal(19,4)").as("v"),
         when(col("event_type") === "view", 1L).otherwise(0L).as("is1"))
-    val perV = base.groupBy(col("v"))
+      .groupBy(col("v"))
       .agg(sum(col("is1")).as("c1"),
         (count(lit(1)) - sum(col("is1"))).as("c2"))
+
+  /** Distributed inclusive cumulative sums of (c1, c2) over the value
+    * order WITHOUT a single global-ordered window: range-bucket the
+    * grid by value, run the cumulative window inside each bucket,
+    * then add the broadcast per-bucket prefix offsets (the two-level
+    * prefix-sum shape — the only empty-partitionBy window left runs
+    * over the ≤nBuckets offsets relation). Returns (v, c1, c2, cum1,
+    * cum2). */
+  private def gridCumulative(s: SparkSession, perV: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bounds = perV
       .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
     val nBuckets = Ordered.defaultParts(s)
@@ -297,13 +310,20 @@ object Aggregates {
       .withColumn("__o1", coalesce(sum(col("__t1")).over(prefixW), lit(0L)))
       .withColumn("__o2", coalesce(sum(col("__t2")).over(prefixW), lit(0L)))
       .select(col("__bkt"), col("__o1"), col("__o2"))
-    val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
     bucketed
       .withColumn("__l1", sum(col("c1")).over(localW))
       .withColumn("__l2", sum(col("c2")).over(localW))
       .join(broadcast(offsets), "__bkt")
-      .select((col("__o1") + col("__l1")).as("cum1"),
+      .select(col("v"), col("c1"), col("c2"),
+        (col("__o1") + col("__l1")).as("cum1"),
         (col("__o2") + col("__l2")).as("cum2"))
+  }
+
+  def aggKsTest(s: SparkSession, d: String): DataFrame = {
+    val perV = viewPurchaseGrid(s, d)
+    val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    gridCumulative(s, perV)
+      .select(col("cum1"), col("cum2"))
       .crossJoin(broadcast(tot))
       .groupBy(col("n1"), col("n2"))
       .agg(max(abs(col("n2") * col("cum1") - col("n1") * col("cum2")))
@@ -311,6 +331,126 @@ object Aggregates {
       .select(col("n1"), col("n2"), col("d_scaled"),
         round(col("d_scaled").cast("double") / (col("n1") * col("n2")), 6)
           .as("ks_d"))
+  }
+
+  /** Cliff's δ (Cliff 1993) — the nonparametric effect size the
+    * Mann-Whitney p-value doesn't give you: δ = (#{x>y} − #{x<y}) /
+    * (n₁n₂) between the view and purchase value distributions,
+    * computed WITHOUT an all-pairs pass from the same value grid as
+    * [[aggKsTest]]: concordant pairs C = Σᵥ c1(v)·cum2(v−) (strictly-
+    * below cumulative), ties T = Σᵥ c1(v)·c2(v), D = n₁n₂ − C − T,
+    * δ = (2C + T − n₁n₂)/(n₁n₂) — all exact BIGINT, one closing
+    * division, plus the standard Romano magnitude bands on |δ|.
+    * Scale: one value-space-bounded grid aggregate + the two-level
+    * distributed cumulative of [[gridCumulative]]. */
+  def aggCliffsDelta(s: SparkSession, d: String): DataFrame = {
+    val perV = viewPurchaseGrid(s, d)
+    gridCumulative(s, perV)
+      .select(col("c1"), col("c2"), col("cum2"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * (col("cum2") - col("c2"))).as("conc"),
+        sum(col("c1") * col("c2")).as("ties"))
+      .select(col("n1"), col("n2"), col("conc").as("concordant"),
+        (col("n1") * col("n2") - col("conc") - col("ties"))
+          .as("discordant"),
+        col("ties"),
+        expr("""ROUND(CAST(2 * conc + ties - n1 * n2 AS DOUBLE)
+                / (n1 * n2), 6)""").as("cliffs_delta"),
+        expr("""CASE
+                WHEN abs(CAST(2 * conc + ties - n1 * n2 AS DOUBLE)
+                  / (n1 * n2)) < 0.147 THEN 'negligible'
+                WHEN abs(CAST(2 * conc + ties - n1 * n2 AS DOUBLE)
+                  / (n1 * n2)) < 0.33 THEN 'small'
+                WHEN abs(CAST(2 * conc + ties - n1 * n2 AS DOUBLE)
+                  / (n1 * n2)) < 0.474 THEN 'medium'
+                ELSE 'large' END""").as("magnitude"))
+  }
+
+  /** Cohen's d / Hedges' g — the PARAMETRIC effect sizes next to
+    * [[aggCliffsDelta]] (dashboards report both): pooled-SD
+    * standardized mean difference between view and purchase values
+    * from the same exact DECIMAL moments as [[aggTTest]], with the
+    * small-sample correction J = 1 − 3/(4(n₁+n₂)−9) an exact
+    * rational. One conditional aggregate; d and g each close in one
+    * double expression. */
+  def aggCohensD(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(
+        when(col("event_type") === "view", 1L).otherwise(0L).as("is1"),
+        col("value").cast("decimal(18,4)").as("vq"))
+    val zero = lit(0).cast("decimal(18,4)")
+    val zero2 = lit(0).cast("decimal(37,8)")
+    base.agg(
+      sum(col("is1")).as("n1"),
+      (count(lit(1)) - sum(col("is1"))).as("n2"),
+      sum(when(col("is1") === 1, col("vq")).otherwise(zero)).as("sx1q"),
+      sum(when(col("is1") === 0, col("vq")).otherwise(zero)).as("sx2q"),
+      sum(when(col("is1") === 1, col("vq") * col("vq")).otherwise(zero2))
+        .as("sxx1q"),
+      sum(when(col("is1") === 0, col("vq") * col("vq")).otherwise(zero2))
+        .as("sxx2q"))
+      .select(col("n1"), col("n2"),
+        expr("CAST(sx1q AS DOUBLE)").as("sx1"),
+        expr("CAST(sx2q AS DOUBLE)").as("sx2"),
+        expr("CAST(sxx1q AS DOUBLE)").as("sxx1"),
+        expr("CAST(sxx2q AS DOUBLE)").as("sxx2"))
+      .select(col("n1"), col("n2"),
+        expr("""ROUND((sx1 / n1 - sx2 / n2) /
+                sqrt(((sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2))
+                     / (n1 + n2 - 2)), 6)""").as("cohens_d"),
+        expr("""ROUND((sx1 / n1 - sx2 / n2) /
+                sqrt(((sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2))
+                     / (n1 + n2 - 2))
+                * (1e0 - 3e0 / (4 * (n1 + n2) - 9)), 6)""")
+          .as("hedges_g"))
+  }
+
+  /** TOST equivalence test (Schuirmann 1987) — the A/B question
+    * "are the arms the SAME within margin δ?", which a failed
+    * superiority test cannot answer: per event type, hash-parity arms
+    * (the [[aggAbtestLift]] assignment), Welch standard error from
+    * exact DECIMAL moments, and the two one-sided statistics
+    * t_lower = (diff+δ)/se, t_upper = (diff−δ)/se with δ = 5.0 value
+    * units; equivalence is declared when t_lower > 1.645 AND
+    * t_upper < −1.645 (normal approximation — the fixture's per-arm
+    * n makes t≈z; documented). One conditional aggregate per type;
+    * every statistic closes over exact moments. */
+  def aggTostEquivalence(s: SparkSession, d: String): DataFrame = {
+    val arm = (conv(substring(md5(col("user_id").cast("string")), 1, 6),
+      16, 10).cast("long") % 2L).as("arm")
+    val zero = lit(0).cast("decimal(18,4)")
+    val zero2 = lit(0).cast("decimal(37,8)")
+    t(s, d, "events")
+      .select(col("event_type"), arm,
+        col("value").cast("decimal(18,4)").as("vq"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0L, col("vq")).otherwise(zero)).as("s0q"),
+        sum(when(col("arm") === 1L, col("vq")).otherwise(zero)).as("s1q"),
+        sum(when(col("arm") === 0L, col("vq") * col("vq")).otherwise(zero2))
+          .as("ss0q"),
+        sum(when(col("arm") === 1L, col("vq") * col("vq")).otherwise(zero2))
+          .as("ss1q"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        expr("CAST(s0q AS DOUBLE)").as("s0"),
+        expr("CAST(s1q AS DOUBLE)").as("s1"),
+        expr("CAST(ss0q AS DOUBLE)").as("ss0"),
+        expr("CAST(ss1q AS DOUBLE)").as("ss1"))
+      .withColumn("se", expr(
+        """sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 +
+          |      ((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0)""".stripMargin))
+      .select(col("event_type"), col("n0"), col("n1"),
+        expr("ROUND(s1 / n1 - s0 / n0, 6)").as("diff"),
+        round(col("se"), 6).as("se"),
+        expr("ROUND((s1 / n1 - s0 / n0 + 5.0) / se, 4)").as("t_lower"),
+        expr("ROUND((s1 / n1 - s0 / n0 - 5.0) / se, 4)").as("t_upper"),
+        expr("""(s1 / n1 - s0 / n0 + 5.0) / se > 1.645 AND
+                (s1 / n1 - s0 / n0 - 5.0) / se < -1.645""")
+          .as("equivalent"))
+      .orderBy(col("event_type"))
   }
 
   /** AUC by rank statistic (Mann-Whitney U) — the ML-eval metric over
@@ -3888,6 +4028,9 @@ object Aggregates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_confusion_f1" -> (aggConfusionF1 _),
+    "agg_cliffs_delta" -> (aggCliffsDelta _),
+    "agg_cohens_d" -> (aggCohensD _),
+    "agg_tost_equivalence" -> (aggTostEquivalence _),
     "agg_fleiss_kappa" -> (aggFleissKappa _),
     "agg_brier_decomposition" -> (aggBrierDecomposition _),
     "agg_granger_causality" -> (aggGrangerCausality _),
@@ -4046,6 +4189,110 @@ object Aggregates {
         |  ROUND(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0), 6)
         |    AS f1
         |FROM g ORDER BY tau""".stripMargin,
+    // plain cumulative over the value grid (the engine's two-level
+    // bucketed prefix is the distributed equivalent); exact pair
+    // counts, one closing division, Romano magnitude bands
+    "agg_cliffs_delta" ->
+      """WITH base AS (
+        |  SELECT CAST(value AS DECIMAL(19,4)) AS v,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |perv AS (
+        |  SELECT v, CAST(SUM(is1) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) - SUM(is1) AS BIGINT) AS c2
+        |  FROM base GROUP BY 1),
+        |cum AS (
+        |  SELECT c1, c2,
+        |    CAST(SUM(c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum2
+        |  FROM perv),
+        |m AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2,
+        |    CAST(SUM(c1 * (cum2 - c2)) AS BIGINT) AS conc,
+        |    CAST(SUM(c1 * c2) AS BIGINT) AS ties
+        |  FROM cum)
+        |SELECT n1, n2, conc AS concordant,
+        |  n1 * n2 - conc - ties AS discordant, ties,
+        |  ROUND(CAST(2 * conc + ties - n1 * n2 AS DOUBLE)
+        |    / (n1 * n2), 6) AS cliffs_delta,
+        |  CASE
+        |  WHEN abs(CAST(2 * conc + ties - n1 * n2 AS DOUBLE)
+        |    / (n1 * n2)) < 0.147 THEN 'negligible'
+        |  WHEN abs(CAST(2 * conc + ties - n1 * n2 AS DOUBLE)
+        |    / (n1 * n2)) < 0.33 THEN 'small'
+        |  WHEN abs(CAST(2 * conc + ties - n1 * n2 AS DOUBLE)
+        |    / (n1 * n2)) < 0.474 THEN 'medium'
+        |  ELSE 'large' END AS magnitude
+        |FROM m""".stripMargin,
+    // the agg_t_test moment pipeline closing into pooled-SD effect
+    // sizes; Hedges' correction is an exact rational factor
+    "agg_cohens_d" ->
+      """WITH base AS (
+        |  SELECT CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1,
+        |    CAST(value AS DECIMAL(18,4)) AS vq
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), m AS (
+        |  SELECT CAST(SUM(is1) AS BIGINT) AS n1,
+        |    CAST(COUNT(*) - SUM(is1) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN is1 = 1 THEN vq
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CASE WHEN is1 = 0 THEN vq
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CASE WHEN is1 = 1 THEN vq * vq
+        |             ELSE CAST(0 AS DECIMAL(37,8)) END) AS DOUBLE) AS sxx1,
+        |    CAST(SUM(CASE WHEN is1 = 0 THEN vq * vq
+        |             ELSE CAST(0 AS DECIMAL(37,8)) END) AS DOUBLE) AS sxx2
+        |  FROM base
+        |)
+        |SELECT n1, n2,
+        |  ROUND((sx1 / n1 - sx2 / n2) /
+        |    sqrt(((sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2))
+        |         / (n1 + n2 - 2)), 6) AS cohens_d,
+        |  ROUND((sx1 / n1 - sx2 / n2) /
+        |    sqrt(((sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2))
+        |         / (n1 + n2 - 2))
+        |    * (1e0 - 3e0 / (4 * (n1 + n2) - 9)), 6) AS hedges_g
+        |FROM m""".stripMargin,
+    // hash-parity arms, Welch SE from exact decimal moments, the two
+    // one-sided statistics and the z-approximate equivalence verdict
+    "agg_tost_equivalence" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+        |      1, 6)) AS BIGINT) % 2 AS arm,
+        |    CAST(value AS DECIMAL(18,4)) AS vq
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN vq
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS s0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN vq
+        |             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS s1,
+        |    CAST(SUM(CASE WHEN arm = 0 THEN vq * vq
+        |             ELSE CAST(0 AS DECIMAL(37,8)) END) AS DOUBLE) AS ss0,
+        |    CAST(SUM(CASE WHEN arm = 1 THEN vq * vq
+        |             ELSE CAST(0 AS DECIMAL(37,8)) END) AS DOUBLE) AS ss1
+        |  FROM base GROUP BY 1
+        |), se AS (
+        |  SELECT *,
+        |    sqrt(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1 +
+        |          ((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0) AS se
+        |  FROM m
+        |)
+        |SELECT event_type, n0, n1,
+        |  ROUND(s1 / n1 - s0 / n0, 6) AS diff,
+        |  ROUND(se, 6) AS se,
+        |  ROUND((s1 / n1 - s0 / n0 + 5.0) / se, 4) AS t_lower,
+        |  ROUND((s1 / n1 - s0 / n0 - 5.0) / se, 4) AS t_upper,
+        |  (s1 / n1 - s0 / n0 + 5.0) / se > 1.645 AND
+        |  (s1 / n1 - s0 / n0 - 5.0) / se < -1.645 AS equivalent
+        |FROM se ORDER BY event_type""".stripMargin,
     // complete-block day×type extreme indicators → Fleiss' kappa via
     // the exact integer cross-multiplication (ae - bc) / (b(e - c))
     "agg_fleiss_kappa" ->

@@ -722,6 +722,38 @@ object Windows {
     * contract as window_ewma; everything before it is one hash
     * aggregate on (type, day). DuckDB replays the fold as a recursive
     * CTE. */
+  /** Page–Hinkley change detector (Page 1954, Hinkley 1971) over the
+    * per-type daily count series — the sequential drift monitor next
+    * to [[windowCusum]] (CUSUM clamps at zero and reports the alarm
+    * day; PH tracks the cumulative deviation's excursion above its
+    * RUNNING MINIMUM, the standard formulation in stream-drift
+    * libraries). Exactness: deviations are mean-cleared by the
+    * cross-multiplication dev = n_days·x − total (no rational mean),
+    * so the cumulative, its running min and the max excursion are all
+    * exact BIGINTs; the normalized statistic closes in one division.
+    * Scale: one (type, day) aggregate; the windows partition by type
+    * over calendar-bounded rows. */
+  def windowPageHinkley(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, d, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val totals = daily.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("total"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(totals), "event_type")
+      .withColumn("dev", col("n_days") * col("x") - col("total"))
+      .withColumn("cum", sum(col("dev")).over(w))
+      .withColumn("runmin", min(col("cum")).over(w))
+      .groupBy(col("event_type"), col("n_days"))
+      .agg(max(col("cum") - col("runmin")).as("ph_scaled"))
+      .select(col("event_type"), col("n_days"), col("ph_scaled"),
+        expr("ROUND(CAST(ph_scaled AS DOUBLE) / n_days, 4)")
+          .as("ph_stat"))
+      .orderBy(col("event_type"))
+  }
+
   def windowCusum(s: SparkSession, d: String): DataFrame = {
     val daily = t(s, d, "events")
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
@@ -1414,6 +1446,7 @@ object Windows {
     "window_rolling_corr" -> (windowRollingCorr _),
     "window_debounce" -> (windowDebounce _),
     "window_cusum" -> (windowCusum _),
+    "window_page_hinkley" -> (windowPageHinkley _),
     "window_vwap" -> (windowVwap _),
     "window_drawdown" -> (windowDrawdown _),
     "window_zscore_rolling" -> (windowZscoreRolling _),
@@ -1922,6 +1955,34 @@ object Windows {
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     // replays the integer CUSUM fold as a recursive CTE; dev and total
     // pass through BIGINT casts (DuckDB SUM -> HUGEINT)
+    // mean-cleared integer deviations, cumulative + running min +
+    // max excursion all exact; one closing division
+    "window_page_hinkley" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(x) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1),
+        |c AS (
+        |  SELECT d.event_type, n_days, day,
+        |    CAST(SUM(n_days * x - total) OVER (
+        |      PARTITION BY d.event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM daily d JOIN tot USING (event_type)),
+        |r AS (
+        |  SELECT event_type, n_days, cum,
+        |    CAST(MIN(cum) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS runmin
+        |  FROM c)
+        |SELECT event_type, n_days,
+        |  CAST(MAX(cum - runmin) AS BIGINT) AS ph_scaled,
+        |  ROUND(CAST(MAX(cum - runmin) AS DOUBLE) / n_days, 4) AS ph_stat
+        |FROM r GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
     "window_cusum" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x

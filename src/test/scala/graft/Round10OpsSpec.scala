@@ -169,6 +169,106 @@ class Round10OpsSpec extends AnyFunSuite {
       s"got ${rows.length} pairs vs brute ${exp.length}")
   }
 
+  private lazy val vpValues: (Seq[BigDecimal], Seq[BigDecimal]) = {
+    val rows = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "CAST(value AS DECIMAL(19,4)) AS v")
+      .where("event_type IN ('view', 'purchase')").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDecimal(1))))
+    (rows.filter(_._1 == "view").map(_._2).toSeq,
+      rows.filter(_._1 == "purchase").map(_._2).toSeq)
+  }
+
+  test("agg_cliffs_delta equals brute-force pair counting") {
+    val (xs, ys) = vpValues
+    var conc = 0L; var disc = 0L; var ties = 0L
+    // brute-force over the value HISTOGRAM (not raw pairs) to keep
+    // the replay O(|grid|²) instead of O(n²)
+    val hx = xs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val hy = ys.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    for ((vx, cx) <- hx; (vy, cy) <- hy) {
+      if (vx > vy) conc += cx * cy
+      else if (vx < vy) disc += cx * cy
+      else ties += cx * cy
+    }
+    val r = Aggregates.aggCliffsDelta(spark, sf).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) ==
+      ((xs.length.toLong, ys.length.toLong)))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((conc, disc, ties)))
+    val delta = (conc - disc).toDouble / (xs.length.toLong * ys.length)
+    assert(r.getDouble(5) == rnd(delta, 6))
+  }
+
+  test("agg_cohens_d replays the pooled-SD formula") {
+    val (xs, ys) = vpValues
+    def mv(v: Seq[BigDecimal]) = {
+      val s = v.sum.toDouble; val ss = v.map(x => (x * x).toDouble).sum
+      (v.length, s, ss)
+    }
+    val (n1, s1, ss1) = mv(xs); val (n2, s2, ss2) = mv(ys)
+    val sp = math.sqrt(((ss1 - s1 * s1 / n1) + (ss2 - s2 * s2 / n2)) /
+      (n1 + n2 - 2))
+    val d0 = (s1 / n1 - s2 / n2) / sp
+    val g0 = d0 * (1.0 - 3.0 / (4 * (n1 + n2) - 9))
+    val r = Aggregates.aggCohensD(spark, sf).collect()(0)
+    assert(math.abs(r.getDouble(2) - d0) < 1e-5)
+    assert(math.abs(r.getDouble(3) - g0) < 1e-5)
+  }
+
+  test("agg_tost_equivalence: verdict follows the two one-sided stats") {
+    for (r <- Aggregates.aggTostEquivalence(spark, sf).collect()) {
+      val (tl, tu, eq) = (r.getDouble(5), r.getDouble(6), r.getBoolean(7))
+      // rounded stats reconstruct the verdict except in a hair's
+      // width of the boundary (none of the fixture types sit there)
+      assert(eq == (tl > 1.645 && tu < -1.645), r.toString)
+    }
+  }
+
+  test("embedding_drift replays per-dim micro means") {
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0) % 2, r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
+    val got = graft.llm.Similarity.embeddingDrift(spark, sf).collect()
+    assert(got.length == 64)
+    for (r <- got) {
+      val dim = r.getLong(0).toInt
+      val a = vecs.filter(_._1 == 0L).map(_._2(dim))
+      val b = vecs.filter(_._1 == 1L).map(_._2(dim))
+      assert(r.getLong(1) == a.length.toLong &&
+        r.getLong(2) == b.length.toLong)
+      assert(r.getDouble(3) ==
+        rnd(a.sum.toDouble / a.length / 1e6, 6), s"dim=$dim")
+      assert(r.getDouble(5) == rnd((b.sum.toDouble / b.length -
+        a.sum.toDouble / a.length) / 1e6, 6), s"dim=$dim")
+    }
+  }
+
+  test("window_page_hinkley replays the running-min excursion") {
+    val daily = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((t0, d0), n) => (t0, d0, n) }
+    val got = graft.queries.Windows.windowPageHinkley(spark, sf)
+      .collect()
+    for (r <- got) {
+      val tp = r.getString(0)
+      val series = daily.filter(_._1 == tp).sortBy(_._2).map(_._3)
+      val n = series.length.toLong
+      val total = series.sum
+      var cum = 0L; var runmin = Long.MaxValue; var ph = 0L
+      for (x <- series) {
+        cum += n * x - total
+        runmin = math.min(runmin, cum) // inclusive running min
+        ph = math.max(ph, cum - runmin)
+      }
+      assert(r.getLong(1) == n && r.getLong(2) == ph, tp)
+      assert(r.getDouble(3) == rnd(ph.toDouble / n, 4))
+    }
+  }
+
   test("multimodal_audio_energy replays byte arithmetic on a sample") {
     val rows = graft.llm.Multimodal.multimodalAudioEnergy(spark, sf)
       .limit(20).collect()

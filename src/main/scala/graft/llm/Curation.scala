@@ -1008,7 +1008,35 @@ object Curation {
       .orderBy(col("shard"))
   }
 
+  /** Leakage-safe GROUP k-fold assignment + balance audit — the
+    * cross-validation split for grouped data ([[splitGroupHoldout]]'s
+    * k-way generalization): every user's events land in ONE fold
+    * (hash of the group key, never the row), and the audit reports
+    * what a CV harness checks before trusting the folds — per-fold
+    * user/event volumes and the conversion base rate. Deterministic
+    * md5 fold draw, exact counts, one closing division per fold.
+    * Scale: one user reduction, one ≤k-row aggregate. */
+  def sampleGroupKfold(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      .withColumn("fold",
+        conv(substring(md5(col("user_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 5L)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_ev")).as("n_events"),
+        sum(col("conv")).as("n_converted"))
+      .select(col("fold"), col("n_users"), col("n_events"),
+        col("n_converted"),
+        expr("ROUND(CAST(n_converted AS DOUBLE) / n_users, 6)")
+          .as("conv_rate"))
+      .orderBy(col("fold"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_group_kfold" -> (sampleGroupKfold _),
     "sample_rendezvous_shard" -> (sampleRendezvousShard _),
     "agg_weight_ess" -> (aggWeightEss _),
     "privacy_t_closeness" -> (privacyTCloseness _),
@@ -1043,6 +1071,23 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    // group-keyed md5 fold draw, exact per-fold counts, one division
+    "sample_group_kfold" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
+        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv
+        |  FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+        |    1, 6)) AS BIGINT) % 5 AS fold, n_ev, conv
+        |  FROM u)
+        |SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n_ev) AS BIGINT) AS n_events,
+        |  CAST(SUM(conv) AS BIGINT) AS n_converted,
+        |  ROUND(CAST(CAST(SUM(conv) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+        |    AS conv_rate
+        |FROM f GROUP BY 1 ORDER BY fold""".stripMargin,
     // HRW argmax replayed as ROW_NUMBER over the 5-way weight cross
     // join; identical md5 weights; (w DESC, shard DESC) = struct-max
     "sample_rendezvous_shard" ->

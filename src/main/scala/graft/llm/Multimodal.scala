@@ -319,7 +319,38 @@ object Multimodal {
         expr("ROUND(SQRT(CAST(energy AS DOUBLE) / 64), 4)"))
       .orderBy(col("doc_id"))
 
+  /** Silence trimming over the same 64-sample PCM stub as
+    * [[multimodalAudioEnergy]] — the lead/trail-silence removal every
+    * audio pipeline runs before windowing: a sample is "silent" when
+    * |s| < 32 (under the stub byte mapping that is exactly the
+    * lowercase-letter byte range — documented, deterministic), and
+    * the clip's first/last active positions give the trim offsets
+    * and the active span (all-silent clips trim to zero). Pure
+    * in-scan integer array expressions, O(1) per row, no shuffle. */
+  def multimodalSilenceTrim(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .filter(length(col("text")) >= 64)
+      .withColumn("p", expr(
+        "transform(sequence(1, 64), x -> ascii(substring(text, x, 1)) - 128)"))
+      .select(col("doc_id"),
+        expr("""array_min(transform(sequence(1, 64),
+                i -> CASE WHEN abs(element_at(p, i)) >= 32
+                     THEN i ELSE 65 END))""").as("fa"),
+        expr("""array_max(transform(sequence(1, 64),
+                i -> CASE WHEN abs(element_at(p, i)) >= 32
+                     THEN i ELSE 0 END))""").as("la"))
+      .select(col("doc_id"),
+        when(col("fa") === 65, lit(64L))
+          .otherwise((col("fa") - 1).cast("long")).as("lead_silence"),
+        when(col("fa") === 65, lit(0L))
+          .otherwise((lit(64) - col("la")).cast("long")).as("trail_silence"),
+        when(col("fa") === 65, lit(0L))
+          .otherwise((col("la") - col("fa") + 1).cast("long"))
+          .as("active_len"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_silence_trim" -> (multimodalSilenceTrim _),
     "multimodal_audio_energy" -> (multimodalAudioEnergy _),
     "multimodal_near_dup" -> (multimodalNearDup _),
     "multimodal_dhash" -> (multimodalDhash _),
@@ -372,6 +403,29 @@ object Multimodal {
     * by CHARACTER on the DuckDB side vs BYTE on the Spark side — equal
     * only while fixture payloads are ASCII (they are; documented). */
   val oracles: Map[String, String] = Map(
+    // first/last |s| >= 32 positions over the same PCM byte stub;
+    // all-silent clips trim to (64, 0, 0)
+    "multimodal_silence_trim" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, 64),
+        |      x -> ascii(substring(text, x, 1)) - 128) AS p
+        |  FROM documents WHERE length(text) >= 64),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_min(list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN abs(p[i]) >= 32 THEN i ELSE 65 END)) AS fa,
+        |    list_max(list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN abs(p[i]) >= 32 THEN i ELSE 0 END)) AS la
+        |  FROM px)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN fa = 65 THEN 64 ELSE fa - 1 END AS BIGINT)
+        |    AS lead_silence,
+        |  CAST(CASE WHEN fa = 65 THEN 0 ELSE 64 - la END AS BIGINT)
+        |    AS trail_silence,
+        |  CAST(CASE WHEN fa = 65 THEN 0 ELSE la - fa + 1 END AS BIGINT)
+        |    AS active_len
+        |FROM f ORDER BY doc_id""".stripMargin,
     // byte-level PCM stub: exact integer energy/peak/zero-crossings
     // (fixture payloads are ASCII, so ascii() sees the same bytes as
     // Spark's substring), RMS the one closing sqrt

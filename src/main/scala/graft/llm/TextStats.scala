@@ -812,6 +812,35 @@ object TextStats {
         sum(col("n")).as("n_occurrences"))
       .orderBy(col("bucket"))
 
+  /** Stylometric surface features per document — the authorship/
+    * register fingerprints (caps, digit, punctuation densities, mean
+    * word length) that feed style-aware curation and bot/boilerplate
+    * triage next to [[textQualityScore]]'s fluency gates. Every count
+    * is an exact integer from one regex class count; each ratio
+    * closes in one division. Pure in-scan projection, no shuffle. */
+  def textStylometrics(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        regexp_count(col("text"), lit("[A-Z]")).cast("long").as("n_caps"),
+        regexp_count(col("text"), lit("[0-9]")).cast("long")
+          .as("n_digits"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long")
+          .as("n_punct"),
+        regexp_count(col("text"), lit("[a-zA-Z0-9]")).cast("long")
+          .as("n_alnum"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        expr("ROUND(CAST(n_caps AS DOUBLE) / n_chars, 6)")
+          .as("caps_ratio"),
+        expr("ROUND(CAST(n_digits AS DOUBLE) / n_chars, 6)")
+          .as("digit_ratio"),
+        expr("ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6)")
+          .as("punct_ratio"),
+        expr("ROUND(CAST(n_alnum AS DOUBLE) / n_words, 4)")
+          .as("avg_word_len"))
+      .orderBy(col("doc_id"))
+
   /** The literal weight vector of the linear quality classifier — the
     * "trained model state" that ships WITH the job (the kmeans_assign
     * precedent: bounded model state as plan literals, never a join
@@ -1199,6 +1228,7 @@ object TextStats {
     "text_vocab_growth" -> (textVocabGrowth _),
     "text_pii_redact" -> (textPiiRedact _),
     "text_quality_classifier" -> (textQualityClassifier _),
+    "text_stylometrics" -> (textStylometrics _),
     "composite_curation_classified" -> (compositeCurationClassified _),
     "composite_curation" -> (compositeCuration _)
   )
@@ -1592,6 +1622,28 @@ object TextStats {
          |        t -> t IN $stopList)) AS DOUBLE) /
          |        len(string_split(text, ' ')), 4) AS stop_ratio
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // single-char-class counts via strip-and-measure (= match counts
+    // for one-char classes); each ratio one division
+    "text_stylometrics" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Z]',
+        |      '', 'g')) AS BIGINT) AS n_caps,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]',
+        |      '', 'g')) AS BIGINT) AS n_digits,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[a-zA-Z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents)
+        |SELECT doc_id, n_chars, n_words,
+        |  ROUND(CAST(n_caps AS DOUBLE) / n_chars, 6) AS caps_ratio,
+        |  ROUND(CAST(n_digits AS DOUBLE) / n_chars, 6) AS digit_ratio,
+        |  ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+        |  ROUND(CAST(n_alnum AS DOUBLE) / n_words, 4) AS avg_word_len
+        |FROM c ORDER BY doc_id""".stripMargin,
     // literal linear model mirrored as the identical closed form:
     // bucket = 24-bit md5 prefix mod 64, weight in integer micro-units,
     // keep decision and margin both close over exact BIGINT moments

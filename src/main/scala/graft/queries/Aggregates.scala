@@ -3825,6 +3825,25 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Geometric mean of value per event type — the right average for
+    * multiplicative quantities (latencies, ratios) and a standard SQL
+    * gap (no GEOMEAN builtin in either engine). Rides the
+    * [[aggEntropy]] irrational-term discipline: ln(value) is rounded
+    * to 6 dp PER ROW and summed as an exact DECIMAL (order-
+    * independent, cross-engine identical), then ONE closing
+    * exp(sum/n). values are > 0 by fixture contract; a NULL-on-
+    * nonpositive guard keeps the ln total. */
+  def aggGeometricMean(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_type"),
+        when(col("value") > 0.0, round(log(col("value")), 6))
+          .cast("decimal(20,6)").as("lnv"))
+      .groupBy(col("event_type"))
+      .agg(count(col("lnv")).as("n"), sum(col("lnv")).as("sln"))
+      .select(col("event_type"), col("n"),
+        expr("ROUND(EXP(CAST(sln AS DOUBLE) / n), 4)").as("geo_mean"))
+      .orderBy(col("event_type"))
+
   /** Threshold confusion matrices + precision/recall/F1 — the eval
     * table every binary classifier ships with (here: "will this user
     * convert?" predicted from activity volume, the same score/outcome
@@ -4028,6 +4047,7 @@ object Aggregates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_confusion_f1" -> (aggConfusionF1 _),
+    "agg_geometric_mean" -> (aggGeometricMean _),
     "agg_cliffs_delta" -> (aggCliffsDelta _),
     "agg_cohens_d" -> (aggCohensD _),
     "agg_tost_equivalence" -> (aggTostEquivalence _),
@@ -4189,6 +4209,18 @@ object Aggregates {
         |  ROUND(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0), 6)
         |    AS f1
         |FROM g ORDER BY tau""".stripMargin,
+    // per-row round-then-decimal ln terms (agg_entropy discipline),
+    // exact sum, one closing exp
+    "agg_geometric_mean" ->
+      """SELECT event_type, CAST(COUNT(lnv) AS BIGINT) AS n,
+        |  ROUND(EXP(CAST(SUM(lnv) AS DOUBLE) / COUNT(lnv)), 4)
+        |    AS geo_mean
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN value > 0.0
+        |      THEN CAST(ROUND(ln(value), 6) AS DECIMAL(20,6)) END AS lnv
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // plain cumulative over the value grid (the engine's two-level
     // bucketed prefix is the distributed equivalent); exact pair
     // counts, one closing division, Romano magnitude bands

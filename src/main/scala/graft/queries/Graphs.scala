@@ -584,7 +584,63 @@ object Graphs {
                 / CAST(n_wedges AS DOUBLE), 6)""").as("transitivity"))
   }
 
+  /** Strongly connected components of the DIRECTED event-type
+    * transition graph (the [[graft.queries.Aggregates]]
+    * markov-transition structure viewed as a graph) — the directed
+    * complement to the undirected CC family: u,v share an SCC iff
+    * reach(u,v) AND reach(v,u). Per-user consecutive event pairs give
+    * the distinct edge list (≤ |types|² rows — value-space bounded);
+    * reachability unrolls a WITH RECURSIVE walk bounded at
+    * |types|−1 hops (a path visiting more nodes than exist repeats
+    * one); mutual reachability + self-membership minimized per node
+    * gives the canonical SCC id. Everything after the one per-user
+    * window is computed over the bounded type graph. */
+  def graphScc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("a"))
+      .withColumn("b", lead(col("a"), 1).over(byUser))
+      .filter(col("b").isNotNull && col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+      .distinct()
+      .createOrReplaceTempView("graft_type_edges")
+    s.sql(
+      """WITH RECURSIVE walk(src, dst, hop) AS (
+        |  SELECT src, dst, 1 AS hop FROM graft_type_edges
+        |  UNION ALL
+        |  SELECT w.src, e.dst, w.hop + 1
+        |  FROM walk w JOIN graft_type_edges e ON e.src = w.dst
+        |  WHERE w.hop < 4
+        |),
+        |reach AS (SELECT DISTINCT src, dst FROM walk),
+        |nodes AS (
+        |  SELECT src AS node FROM graft_type_edges
+        |  UNION
+        |  SELECT dst FROM graft_type_edges
+        |),
+        |mutual AS (
+        |  SELECT r1.src AS u, r1.dst AS v
+        |  FROM reach r1 JOIN reach r2
+        |    ON r1.src = r2.dst AND r1.dst = r2.src
+        |  UNION
+        |  SELECT node, node FROM nodes
+        |),
+        |scc AS (
+        |  SELECT u AS node, MIN(v) AS scc_id FROM mutual GROUP BY u
+        |)
+        |SELECT s1.node AS event_type, s1.scc_id,
+        |  CAST(s2.n AS BIGINT) AS scc_size
+        |FROM scc s1 JOIN (
+        |  SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY scc_id) s2
+        |  ON s1.scc_id = s2.scc_id
+        |ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_scc" -> (graphScc _),
     "graph_clustering_coefficient" -> (graphClusteringCoefficient _),
     "graph_copurchase_projection" -> (graphCopurchaseProjection _),
     "graph_hits" -> (graphHits _),
@@ -601,6 +657,43 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    // same bounded-hop walk + mutual-reachability minimization; the
+    // lag/lead tiebreak (ts, event_id) matches the engine exactly
+    "graph_scc" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT event_type AS a,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b
+        |  FROM events),
+        |edges AS (
+        |  SELECT DISTINCT a AS src, b AS dst FROM seq
+        |  WHERE b IS NOT NULL AND b <> a),
+        |walk(src, dst, hop) AS (
+        |  SELECT src, dst, 1 AS hop FROM edges
+        |  UNION ALL
+        |  SELECT w.src, e.dst, w.hop + 1
+        |  FROM walk w JOIN edges e ON e.src = w.dst
+        |  WHERE w.hop < 4
+        |),
+        |reach AS (SELECT DISTINCT src, dst FROM walk),
+        |nodes AS (
+        |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |mutual AS (
+        |  SELECT r1.src AS u, r1.dst AS v
+        |  FROM reach r1 JOIN reach r2
+        |    ON r1.src = r2.dst AND r1.dst = r2.src
+        |  UNION
+        |  SELECT node, node FROM nodes
+        |),
+        |scc AS (
+        |  SELECT u AS node, MIN(v) AS scc_id FROM mutual GROUP BY u
+        |)
+        |SELECT s1.node AS event_type, s1.scc_id,
+        |  CAST(s2.n AS BIGINT) AS scc_size
+        |FROM scc s1 JOIN (
+        |  SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY scc_id) s2
+        |  ON s1.scc_id = s2.scc_id
+        |ORDER BY event_type""".stripMargin,
     // same degree-ordered orientation as graph_triangles, global
     // integer counts, one double transitivity
     "graph_clustering_coefficient" -> (edgeCte +

@@ -289,6 +289,117 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_scc equals transitive-closure mutual reachability") {
+    val seq0 = Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val edges = seq0.groupBy(_._1).values.flatMap { rows =>
+      val o = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      o.zip(o.tail).filter(p => p._1 != p._2)
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    // Floyd-Warshall closure on the tiny node set
+    var reach = edges
+    var changed = true
+    while (changed) {
+      val next = reach ++ (for {
+        (a, b) <- reach; (c, dd) <- reach if b == c
+      } yield (a, dd))
+      changed = next.size != reach.size
+      reach = next
+    }
+    val scc = nodes.map { u =>
+      val comp = nodes.filter(v => v == u ||
+        (reach((u, v)) && reach((v, u))))
+      u -> comp.min
+    }.toMap
+    val sizes = scc.values.groupBy(identity).view.mapValues(_.size).toMap
+    val got = graft.queries.Graphs.graphScc(spark, sf).collect()
+    assert(got.length == nodes.size)
+    for (r <- got) {
+      assert(r.getString(1) == scc(r.getString(0)), r.toString)
+      assert(r.getLong(2) == sizes(scc(r.getString(0))).toLong)
+    }
+  }
+
+  test("sample_group_kfold: folds partition users, counts replay") {
+    def fold(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val hex = md.take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 5L
+    }
+    val exp = users.groupBy(u => fold(u._1)).view.mapValues { us =>
+      (us.size.toLong, us.map(_._2).sum, us.map(_._3).sum)
+    }.toMap
+    val got = graft.llm.Curation.sampleGroupKfold(spark, sf).collect()
+    assert(got.map(_.getLong(1)).sum == users.length.toLong)
+    for (r <- got) {
+      val (nu, ne, nc) = exp(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((nu, ne, nc)))
+    }
+  }
+
+  test("multimodal_silence_trim replays trim offsets on a sample") {
+    val texts = Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val rows = graft.llm.Multimodal.multimodalSilenceTrim(spark, sf)
+      .limit(25).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val ss = texts(r.getLong(0)).take(64).map(_.toInt - 128)
+      val act = ss.zipWithIndex.filter(p => math.abs(p._1) >= 32)
+        .map(_._2 + 1)
+      val (lead, trail, alen) =
+        if (act.isEmpty) (64L, 0L, 0L)
+        else (act.min - 1L, 64L - act.max, act.max - act.min + 1L)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((lead, trail, alen)), s"doc=${r.getLong(0)}")
+      // invariant: lead + trail + active = 64 for non-silent clips
+      if (act.nonEmpty)
+        assert(r.getLong(1) + r.getLong(2) + r.getLong(3) == 64L)
+    }
+  }
+
+  test("agg_geometric_mean replays the rounded-ln discipline") {
+    val rows = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val exp = rows.groupBy(_._1).view.mapValues { vs =>
+      val terms = vs.filter(_._2 > 0).map(v =>
+        BigDecimal(math.log(v._2)).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP))
+      (terms.size.toLong,
+        rnd(math.exp((terms.sum / terms.size).toDouble), 4))
+    }.toMap
+    for (r <- Aggregates.aggGeometricMean(spark, sf).collect()) {
+      val (n, gm) = exp(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - gm) < 2e-4, r.toString)
+    }
+  }
+
+  test("text_stylometrics replays regex class counts on a sample") {
+    val rows = graft.llm.TextStats.textStylometrics(spark, sf)
+      .limit(25).collect()
+    val texts = Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    for (r <- rows) {
+      val tx = texts(r.getLong(0))
+      val caps = tx.count(_.isUpper).toLong
+      val alnum = tx.count(c => c.isLetterOrDigit && c < 128).toLong
+      val words = tx.split(" ", -1).length.toLong
+      assert(r.getLong(1) == tx.length.toLong)
+      assert(r.getLong(2) == words)
+      assert(r.getDouble(3) == rnd(caps.toDouble / tx.length, 6))
+      assert(r.getDouble(6) == rnd(alnum.toDouble / words, 4))
+    }
+  }
+
   test("text_quality_classifier: kept counts replay the literal model") {
     val wts = Array.tabulate(64)(b =>
       ((31L * b * b + 17L * b) % 2001L - 1000L) * 200L)

@@ -599,13 +599,21 @@ object Graphs {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    t(s, d, "events")
+    // The distinct type-edge list is BOUNDED MODEL STATE (≤ |types|²
+    // rows) — collect it once and recurse over a LocalRelation: a
+    // recursive CTE re-evaluates its base view on EVERY iteration, so
+    // leaving the corpus scan + per-user window inside the view paid
+    // the whole edge derivation 4× (measured 3.6 s → sub-second).
+    val edgeRows = t(s, d, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("a"))
       .withColumn("b", lead(col("a"), 1).over(byUser))
       .filter(col("b").isNotNull && col("a") =!= col("b"))
       .select(col("a").as("src"), col("b").as("dst"))
       .distinct()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    s.createDataFrame(edgeRows).toDF("src", "dst")
       .createOrReplaceTempView("graft_type_edges")
     s.sql(
       """WITH RECURSIVE walk(src, dst, hop) AS (

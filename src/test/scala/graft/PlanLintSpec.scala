@@ -28,7 +28,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *      keys) aggregate (the house corpus-N pattern), a limit/top-k, or
   *      a literal relation. Bounded VALUE-SPACE builds (a grouped
   *      aggregate over a closed key domain) are allowed only through
-  *      the per-key exemption list below, each with its justification.
+  *      the per-key exemption list below, each with its justification;
+  *  (d) an EXPLICIT broadcast hint (checked on the optimized logical
+  *      plan's Join hints) never pins a side that reaches a
+  *      fact-table scan without an aggregate/limit bounder — the
+  *      fixture-green/cluster-OOM class the house "no corpus
+  *      broadcast" rule forbids.
   *
   * The round-9 ReuseExchange find is the motivation: latent plan
   * hazards, not wrong formulas, are the residual risk class at 433
@@ -109,6 +114,60 @@ class PlanLintSpec extends AnyFunSuite {
   private val windowExempt: Map[String, String] = Map(
   )
 
+  /** Per-key exemptions for invariant (d) — explicit broadcast hints
+    * whose hinted side reads a fact table but is bounded by
+    * construction. */
+  private val hintExempt: Map[String, String] = {
+    val probe = "hinted side is the probe row(s) selected by vec_id " +
+      "key equality/range on embeddings - O(1) rows at any corpus size"
+    Map(
+      "sim_search_topk" -> probe,
+      "sim_search_range" -> probe,
+      "sim_search_lsh" -> probe,
+      "sim_search_ivf" -> probe,
+      "sim_search_mips" -> probe,
+      "sim_search_mips_augmented" -> probe,
+      "sim_search_pq_adc" -> probe,
+      "sim_search_hamming" -> probe,
+      "sim_search_hamming_rerank" -> probe,
+      "sim_search_hybrid" -> probe,
+      "sim_search_batch_topk" -> probe,
+      "sim_search_graph_beam" -> probe,
+      "sim_hard_negatives" -> probe,
+      "embedding_truncate_quality" -> probe,
+      // the k-rep vector fetch: the hinted side is the k-cell rep
+      // table (Aggregate on cell, k = 8) equi-joined back to the
+      // assignment cache to carry each rep's vector — ≤ k rows by
+      // the join key, which a per-path walker cannot prove
+      "dedup_semdedup" ->
+        ("hinted side is the k-cell representative table joined back " +
+          "for its vectors - <= 8 rows at any corpus size"))
+  }
+
+  /** Fact tables: relations that grow with the corpus. A broadcast
+    * hint whose subtree scans one of these without a bounder is the
+    * classic fixture-green/cluster-OOM plan. */
+  private val factTables =
+    Seq("events.parquet", "lineitem.parquet", "orders.parquet",
+      "documents.parquet", "embeddings.parquet")
+
+  /** Invariant (d) walker over the OPTIMIZED LOGICAL plan: a
+    * broadcast-hinted side must hit an aggregate/limit/local relation
+    * on every path before reaching a fact-table scan. */
+  private def boundedForHint(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case _: Aggregate => true
+      case _: GlobalLimit | _: LocalLimit => true
+      case _: LocalRelation | _: Range => true
+      case leaf if leaf.children.isEmpty =>
+        val s = leaf.toString.toLowerCase
+        !factTables.exists(s.contains)
+      case other => other.children.forall(boundedForHint)
+    }
+  }
+
   private def isLimit(p: SparkPlan): Boolean = p match {
     case _: GlobalLimitExec | _: LocalLimitExec |
          _: TakeOrderedAndProjectExec | _: WindowGroupLimitExec => true
@@ -147,15 +206,35 @@ class PlanLintSpec extends AnyFunSuite {
     val failures = mutable.Buffer.empty[String]
     var nChecked = 0
     for ((name, build) <- linted) {
-      val plan =
-        try build(spark, sf).queryExecution.sparkPlan
+      val qe =
+        try build(spark, sf).queryExecution
         catch {
           case e: Exception =>
             failures += s"$name: plan build failed: ${e.getMessage}"
             null
         }
+      val plan = if (qe == null) null else qe.sparkPlan
       if (plan != null) {
         nChecked += 1
+        // (d) explicit broadcast hints never pin an unbounded
+        // fact-table side (the fixture-green/cluster-OOM class);
+        // checked on the optimized logical plan, where
+        // EliminateResolvedHint has moved hints onto Join nodes
+        if (!hintExempt.contains(name)) {
+          import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+          qe.optimizedPlan.collect { case j: Join => j }.foreach { j =>
+            Seq((j.hint.leftHint, j.left), (j.hint.rightHint, j.right))
+              .foreach {
+                case (Some(h), side)
+                  if h.strategy.contains(BROADCAST) &&
+                    !boundedForHint(side) =>
+                  failures += s"$name: broadcast hint on an unbounded " +
+                    "fact-table side:\n" +
+                    side.treeString.linesIterator.take(10).mkString("\n")
+                case _ => ()
+              }
+          }
+        }
         // (a) empty-partitionBy windows
         if (!windowExempt.contains(name))
           plan.collect {

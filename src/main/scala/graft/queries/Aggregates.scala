@@ -1092,7 +1092,10 @@ object Aggregates {
     * once at the end. Terminal d = n days are filtered identically on
     * both sides (ln 0). The per-user reduction is one aggregate; the
     * curve is |distinct days| rows. */
-  def aggSurvivalKm(s: SparkSession, d: String): DataFrame = {
+  /** The censoring-aware per-user (lifetime, converted) relation
+    * shared by [[aggSurvivalKm]] and [[aggNelsonAalen]]; registered
+    * as the `graft_km` temp view. */
+  private def kmLifetimesView(s: SparkSession, d: String): Unit = {
     val ev = t(s, d, "events")
     val perUser = ev
       .groupBy(col("user_id"))
@@ -1113,6 +1116,10 @@ object Aggregates {
           col("first_purchase") >= col("first_view")).cast("int")
           .as("converted"))
     perUser.createOrReplaceTempView("graft_km")
+  }
+
+  def aggSurvivalKm(s: SparkSession, d: String): DataFrame = {
+    kmLifetimesView(s, d)
     // n_risk via a REVERSE running sum over the |lifetimes|-bounded
     // histogram, NOT a correlated `COUNT(*) WHERE lifetime >= t`
     // subquery: Spark decorrelates that count into a non-equi join
@@ -1141,6 +1148,76 @@ object Aggregates {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE)), 4) AS survival
         |FROM terms ORDER BY t""".stripMargin)
+  }
+
+  /** Nelson–Aalen cumulative hazard — [[aggSurvivalKm]]'s companion
+    * estimator (H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ; preferred over −ln(KM) for
+    * small risk sets, and the pair every survival dashboard plots
+    * together). Same machinery end to end: the shared per-user
+    * lifetime view, the reverse-running-sum risk counts (NOT a
+    * correlated count — the round-10 PlanLintSpec catch), and the
+    * per-term round-then-decimal discipline so the irrational hazard
+    * increments sum order-independently cross-engine. */
+  def aggNelsonAalen(s: SparkSession, d: String): DataFrame = {
+    kmLifetimesView(s, d)
+    s.sql(
+      """WITH hist AS (
+        |  SELECT lifetime AS t, COUNT(*) AS n,
+        |    CAST(SUM(converted) AS BIGINT) AS d
+        |  FROM graft_km GROUP BY lifetime
+        |), risk AS (
+        |  SELECT t, d,
+        |    SUM(n) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM hist
+        |), terms AS (
+        |  SELECT t, d, n_risk,
+        |    CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 6)
+        |      AS DECIMAL(18,6)) AS hterm
+        |  FROM risk WHERE d > 0
+        |)
+        |SELECT t, d, n_risk,
+        |  ROUND(CAST(SUM(hterm) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE), 4) AS cum_hazard
+        |FROM terms ORDER BY t""".stripMargin)
+  }
+
+  /** Conditional value-at-risk (expected shortfall) at the 95% level
+    * per event type — the coherent tail-risk metric reported next to
+    * the plain [[aggPercentile]] quantile: the mean of the k = ⌈n/20⌉
+    * largest values. Computed WITHOUT a global sort of raw rows: the
+    * per-(type, value) grid (value-space bounded), a per-type
+    * DESC-cumulative count, and the exact partial-bucket take
+    * take = min(c, k − cum_before) clamps the tail to exactly k
+    * values; the tail sum is an exact DECIMAL (values × integer
+    * takes), VaR is the k-th largest grid value, CVaR one closing
+    * division. */
+  def aggCvar(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = t(s, d, "events")
+      .groupBy(col("event_type"),
+        col("value").cast("decimal(19,4)").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = grid.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"))
+    val wDesc = Window.partitionBy(col("event_type"))
+      .orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(tot), "event_type")
+      .withColumn("k", expr("(n + 19) DIV 20"))
+      .withColumn("cum", sum(col("c")).over(wDesc))
+      .withColumn("take",
+        greatest(lit(0L), least(col("c"),
+          col("k") - (col("cum") - col("c")))))
+      .filter(col("take") > 0)
+      .groupBy(col("event_type"), col("n"), col("k"))
+      .agg(min(col("v")).as("var_v"),
+        sum(col("v") * col("take")).as("tail_sum"))
+      .select(col("event_type"), col("n"), col("k"),
+        expr("CAST(var_v AS DOUBLE)").as("var_95"),
+        expr("ROUND(CAST(tail_sum AS DOUBLE) / k, 4)").as("cvar_95"))
+      .orderBy(col("event_type"))
   }
 
   /** Autocorrelation of the daily event-count series at lags 1..7 —
@@ -4047,6 +4124,8 @@ object Aggregates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_confusion_f1" -> (aggConfusionF1 _),
+    "agg_nelson_aalen" -> (aggNelsonAalen _),
+    "agg_cvar" -> (aggCvar _),
     "agg_geometric_mean" -> (aggGeometricMean _),
     "agg_cliffs_delta" -> (aggCliffsDelta _),
     "agg_cohens_d" -> (aggCohensD _),
@@ -4209,6 +4288,72 @@ object Aggregates {
         |  ROUND(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0), 6)
         |    AS f1
         |FROM g ORDER BY tau""".stripMargin,
+    // the survival_km lifetime relation, hazard increments d/n via
+    // round-then-decimal, exact running sum, one closing cast
+    "agg_nelson_aalen" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view'
+        |        THEN CAST(ts AS DATE) END) AS first_view,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(ts AS DATE) END) AS first_purchase
+        |  FROM events GROUP BY user_id
+        |), km AS (
+        |  SELECT CASE WHEN first_purchase IS NOT NULL
+        |              AND first_purchase >= first_view
+        |         THEN datediff('day', first_view, first_purchase)
+        |         ELSE datediff('day', first_view,
+        |           (SELECT MAX(CAST(ts AS DATE)) FROM events)) END
+        |      AS lifetime,
+        |    CAST(first_purchase IS NOT NULL
+        |         AND first_purchase >= first_view AS INTEGER) AS converted
+        |  FROM pu WHERE first_view IS NOT NULL
+        |), hist AS (
+        |  SELECT lifetime AS t, COUNT(*) AS n,
+        |    CAST(SUM(converted) AS BIGINT) AS d
+        |  FROM km GROUP BY lifetime
+        |), risk AS (
+        |  SELECT t, d,
+        |    CAST(SUM(n) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_risk
+        |  FROM hist
+        |), terms AS (
+        |  SELECT t, d, n_risk,
+        |    CAST(ROUND(CAST(d AS DOUBLE) / n_risk, 6)
+        |      AS DECIMAL(18,6)) AS hterm
+        |  FROM risk WHERE d > 0
+        |)
+        |SELECT t, d, n_risk,
+        |  ROUND(CAST(SUM(hterm) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE), 4) AS cum_hazard
+        |FROM terms ORDER BY t""".stripMargin,
+    // per-type DESC-cumulative over the value grid; exact partial-
+    // bucket take clamps the tail to k values, one closing division
+    "agg_cvar" ->
+      """WITH grid AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(19,4)) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+        |  FROM grid GROUP BY 1),
+        |cum AS (
+        |  SELECT g.event_type, v, c, n, (n + 19) // 20 AS k,
+        |    CAST(SUM(c) OVER (PARTITION BY g.event_type ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM grid g JOIN tot USING (event_type)),
+        |tk AS (
+        |  SELECT event_type, n, k, v,
+        |    GREATEST(0, LEAST(c, k - (cum - c))) AS take
+        |  FROM cum)
+        |SELECT event_type, n, k,
+        |  CAST(MIN(v) AS DOUBLE) AS var_95,
+        |  ROUND(CAST(SUM(v * take) AS DOUBLE) / k, 4) AS cvar_95
+        |FROM tk WHERE take > 0
+        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
     // per-row round-then-decimal ln terms (agg_entropy discipline),
     // exact sum, one closing exp
     "agg_geometric_mean" ->

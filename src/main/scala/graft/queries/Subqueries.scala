@@ -79,29 +79,32 @@ object Subqueries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
-  /** Correlated LATERAL subquery — the "top-N related rows per outer
-    * row" SQL idiom (Spark ≥ 3.2 lateral joins): each BUILDING
-    * customer's two most expensive orders. Catalyst decorrelates the
-    * per-row ORDER BY … LIMIT into a window-ranked join
-    * (DecorrelateInnerQuery) — the per-group-heap plan shape of
-    * window_top_k_per_group, reached from the SQL surface a BI tool
-    * would emit; nothing re-executes per outer row. Money rounding
-    * rides the house DECIMAL(18,4) route. */
+  /** Correlated LATERAL over a SCALAR AGGREGATE — the second lateral
+    * decorrelation class, deliberately distinct from
+    * [[graft.queries.SortsSets.joinLateral]]'s ORDER BY … LIMIT form
+    * (that one rewrites to a window-ranked join; an aggregate lateral
+    * rewrites to an aggregate + outer join): per BUILDING customer,
+    * their order count / total / max in one per-outer-row subquery.
+    * A no-GROUP-BY aggregate yields exactly one row per outer row, so
+    * order-less customers surface with n_orders = 0 and NULL money
+    * columns — the left-outer semantics a naive groupBy+join drops.
+    * Money rounding rides the house DECIMAL(18,4) route; nothing
+    * re-executes per outer row. */
   def subqueryLateral(s: SparkSession, d: String): DataFrame = {
     withViews(s, d)
     s.sql(
-      """SELECT c.c_custkey, o.o_orderkey, o.price
+      """SELECT c.c_custkey, o.n_orders, o.total_spend, o.max_price
         |FROM graft_customer c,
         |LATERAL (
-        |  SELECT o_orderkey,
-        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
-        |      AS price
+        |  SELECT COUNT(*) AS n_orders,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS total_spend,
+        |    CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS max_price
         |  FROM graft_orders
-        |  WHERE o_custkey = c.c_custkey
-        |  ORDER BY o_totalprice DESC, o_orderkey
-        |  LIMIT 2) o
+        |  WHERE o_custkey = c.c_custkey) o
         |WHERE c.c_mktsegment = 'BUILDING'
-        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+        |ORDER BY c.c_custkey""".stripMargin)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -115,18 +118,18 @@ object Subqueries {
 
   val oracles: Map[String, String] = Map(
     "subquery_lateral" ->
-      """SELECT c.c_custkey, o.o_orderkey, o.price
+      """SELECT c.c_custkey, o.n_orders, o.total_spend, o.max_price
         |FROM customer c,
         |LATERAL (
-        |  SELECT o_orderkey,
-        |    CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
-        |      AS price
-        |  FROM orders
-        |  WHERE o_custkey = c.c_custkey
-        |  ORDER BY o_totalprice DESC, o_orderkey
-        |  LIMIT 2) o
+        |  SELECT COUNT(*) AS n_orders,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS total_spend,
+        |    CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |      AS DOUBLE) AS max_price
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey) o
         |WHERE c.c_mktsegment = 'BUILDING'
-        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
+        |ORDER BY c.c_custkey""".stripMargin,
     "subquery_scalar" ->
       """SELECT o_orderkey, o_totalprice
         |FROM orders

@@ -289,6 +289,87 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_cvar: tail take sums to exactly k, VaR bounds the tail") {
+    val rows = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "CAST(value AS DECIMAL(19,4)) AS v")
+      .collect().map(r => (r.getString(0), BigDecimal(r.getDecimal(1))))
+    val got = Aggregates.aggCvar(spark, sf).collect()
+    for (r <- got) {
+      val vs = rows.filter(_._1 == r.getString(0)).map(_._2)
+        .sortBy(x => -x)
+      val n = vs.length.toLong
+      val k = ((n + 19) / 20).toInt
+      assert(r.getLong(1) == n && r.getLong(2) == k.toLong)
+      val tail = vs.take(k)
+      assert(r.getDouble(3) == tail.last.toDouble, "VaR = k-th largest")
+      assert(r.getDouble(4) ==
+        rnd((tail.sum / k).toDouble, 4), r.toString)
+    }
+  }
+
+  test("agg_nelson_aalen: hazard increments replay from lifetimes") {
+    // reconstruct lifetimes exactly as the engine defines them
+    val ev = Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "event_type", "CAST(ts AS DATE) AS day")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toLocalDate.toEpochDay))
+    val obsEnd = ev.map(_._3).max
+    val lifetimes = ev.groupBy(_._1).values.flatMap { rows =>
+      val fv = rows.filter(_._2 == "view").map(_._3).minOption
+      val fp = rows.filter(_._2 == "purchase").map(_._3).minOption
+      fv.map { v =>
+        fp.filter(_ >= v) match {
+          case Some(p) => (p - v, 1L)
+          case None => (obsEnd - v, 0L)
+        }
+      }
+    }.toSeq
+    val hist = lifetimes.groupBy(_._1).view
+      .mapValues(ls => (ls.size.toLong, ls.map(_._2).sum)).toSeq
+      .sortBy(_._1)
+    val got = Aggregates.aggNelsonAalen(spark, sf).collect()
+    var cum = BigDecimal(0)
+    var gi = 0
+    for ((t0, (n0, d0)) <- hist) {
+      val nRisk = hist.filter(_._1 >= t0).map(_._2._1).sum
+      if (d0 > 0) {
+        cum += BigDecimal(d0.toDouble / nRisk)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        val r = got(gi); gi += 1
+        assert(r.getInt(0).toLong == t0 && r.getLong(1) == d0 &&
+          r.getLong(2) == nRisk, s"t=$t0")
+        assert(r.getDouble(3) == rnd(cum.toDouble, 4), s"t=$t0")
+      }
+    }
+    assert(gi == got.length)
+  }
+
+  test("subquery_lateral: aggregate-per-customer replays, 0-order rows kept") {
+    val bld = Tables.t(spark, sf, "customer")
+      .selectExpr("c_custkey", "c_mktsegment").collect()
+      .filter(_.getString(1) == "BUILDING").map(_.getLong(0)).toSet
+    val orders = Tables.t(spark, sf, "orders")
+      .selectExpr("o_custkey", "CAST(o_totalprice AS DECIMAL(18,4))")
+      .collect().map(r => (r.getLong(0), BigDecimal(r.getDecimal(1))))
+      .groupBy(_._1)
+    val got = graft.queries.Subqueries.subqueryLateral(spark, sf)
+      .collect()
+    assert(got.length == bld.size, "every BUILDING customer has a row")
+    for (r <- got) {
+      val os = orders.get(r.getLong(0))
+        .map(_.map(_._2).toSeq).getOrElse(Seq.empty[BigDecimal])
+      assert(r.getLong(1) == os.length.toLong)
+      if (os.isEmpty) assert(r.isNullAt(2) && r.isNullAt(3))
+      else {
+        assert(r.getDouble(2) == os.sum.setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert(r.getDouble(3) == os.max.setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
+
   test("graph_scc equals transitive-closure mutual reachability") {
     val seq0 = Tables.t(spark, sf, "events")
       .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id",

@@ -333,6 +333,39 @@ object Aggregates {
           .as("ks_d"))
   }
 
+  /** Two-sample Anderson–Darling statistic (Pettitt 1976 form,
+    * computed over the distinct-value grid): A² = (1/(n₁n₂)) Σⱼ
+    * lⱼ·(N·Mⱼ − n₁·Bⱼ)²/(Bⱼ(N−Bⱼ)) over grid values with Bⱼ < N —
+    * the tail-sensitive complement to [[aggKsTest]]'s sup-norm D (AD
+    * weights discrepancies by the inverse CDF variance, so tail
+    * differences KS misses move it). The k=2 identity folds both
+    * sample terms into one: (N·M₂−n₂·B) = −(N·M₁−n₁·B). Same
+    * [[gridCumulative]] two-level distributed prefix; each grid term
+    * is one fixed double expression over exact BIGINTs, rounded then
+    * DECIMAL-summed (the round-then-decimal discipline — no float
+    * accumulates in partition order), one closing division. */
+  def aggAndersonDarling(s: SparkSession, d: String): DataFrame = {
+    val perV = viewPurchaseGrid(s, d)
+    val tot = perV.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    gridCumulative(s, perV)
+      .select(col("c1"), col("c2"), col("cum1"), col("cum2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("bj", col("cum1") + col("cum2"))
+      .filter(col("bj") < col("nn"))
+      .withColumn("term", expr(
+        """CAST(ROUND((c1 + c2) *
+          |  (CAST(nn AS DOUBLE) * cum1 - CAST(n1 AS DOUBLE) * bj) *
+          |  (CAST(nn AS DOUBLE) * cum1 - CAST(n1 AS DOUBLE) * bj) /
+          |  (CAST(bj AS DOUBLE) * (nn - bj)), 6) AS DECIMAL(28,6))"""
+          .stripMargin))
+      .groupBy(col("n1"), col("n2"))
+      .agg(sum(col("term")).as("sum_t"))
+      .select(col("n1"), col("n2"),
+        expr("""ROUND(CAST(sum_t AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * n2), 6)""").as("a2"))
+  }
+
   /** Cliff's δ (Cliff 1993) — the nonparametric effect size the
     * Mann-Whitney p-value doesn't give you: δ = (#{x>y} − #{x<y}) /
     * (n₁n₂) between the view and purchase value distributions,
@@ -4128,6 +4161,7 @@ object Aggregates {
     "agg_cvar" -> (aggCvar _),
     "agg_geometric_mean" -> (aggGeometricMean _),
     "agg_cliffs_delta" -> (aggCliffsDelta _),
+    "agg_anderson_darling" -> (aggAndersonDarling _),
     "agg_cohens_d" -> (aggCohensD _),
     "agg_tost_equivalence" -> (aggTostEquivalence _),
     "agg_fleiss_kappa" -> (aggFleissKappa _),
@@ -4403,6 +4437,43 @@ object Aggregates {
         |    / (n1 * n2)) < 0.474 THEN 'medium'
         |  ELSE 'large' END AS magnitude
         |FROM m""".stripMargin,
+    // Pettitt A² over the same value grid; per-term double rounded
+    // then DECIMAL-summed, one closing division
+    "agg_anderson_darling" ->
+      """WITH base AS (
+        |  SELECT CAST(value AS DECIMAL(19,4)) AS v,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is1
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |perv AS (
+        |  SELECT v, CAST(SUM(is1) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) - SUM(is1) AS BIGINT) AS c2
+        |  FROM base GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+        |    CAST(SUM(c2) AS BIGINT) AS n2
+        |  FROM perv),
+        |cum AS (
+        |  SELECT c1, c2,
+        |    CAST(SUM(c1) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum1,
+        |    CAST(SUM(c1 + c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS bj
+        |  FROM perv),
+        |terms AS (
+        |  SELECT n1, n2,
+        |    CAST(ROUND((c1 + c2) *
+        |      (CAST(n1 + n2 AS DOUBLE) * cum1 - CAST(n1 AS DOUBLE) * bj) *
+        |      (CAST(n1 + n2 AS DOUBLE) * cum1 - CAST(n1 AS DOUBLE) * bj) /
+        |      (CAST(bj AS DOUBLE) * (n1 + n2 - bj)), 6)
+        |      AS DECIMAL(28,6)) AS term
+        |  FROM cum CROSS JOIN tot
+        |  WHERE bj < n1 + n2)
+        |SELECT n1, n2,
+        |  ROUND(CAST(SUM(term) AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * n2), 6) AS a2
+        |FROM terms GROUP BY 1, 2""".stripMargin,
     // the agg_t_test moment pipeline closing into pooled-SD effect
     // sizes; Hedges' correction is an exact rational factor
     "agg_cohens_d" ->

@@ -595,15 +595,17 @@ object Graphs {
     * one); mutual reachability + self-membership minimized per node
     * gives the canonical SCC id. Everything after the one per-user
     * window is computed over the bounded type graph. */
-  def graphScc(s: SparkSession, d: String): DataFrame = {
+  /** The distinct event-type transition edge list as a LocalRelation
+    * view `graft_type_edges` — BOUNDED MODEL STATE (≤ |types|² rows),
+    * collected once so the recursive CTEs over it never re-evaluate
+    * the corpus scan + per-user window (a recursive CTE re-reads its
+    * base view on EVERY iteration; leaving the derivation inside the
+    * view paid it 4× — measured 3.6 s → sub-second on graph_scc).
+    * Shared by [[graphScc]] and [[graphHarmonicCentrality]]. */
+  private def typeEdgesView(s: SparkSession, d: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    // The distinct type-edge list is BOUNDED MODEL STATE (≤ |types|²
-    // rows) — collect it once and recurse over a LocalRelation: a
-    // recursive CTE re-evaluates its base view on EVERY iteration, so
-    // leaving the corpus scan + per-user window inside the view paid
-    // the whole edge derivation 4× (measured 3.6 s → sub-second).
     val edgeRows = t(s, d, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type").as("a"))
@@ -615,6 +617,10 @@ object Graphs {
       .map(r => (r.getString(0), r.getString(1))).toSeq
     s.createDataFrame(edgeRows).toDF("src", "dst")
       .createOrReplaceTempView("graft_type_edges")
+  }
+
+  def graphScc(s: SparkSession, d: String): DataFrame = {
+    typeEdgesView(s, d)
     s.sql(
       """WITH RECURSIVE walk(src, dst, hop) AS (
         |  SELECT src, dst, 1 AS hop FROM graft_type_edges
@@ -647,7 +653,42 @@ object Graphs {
         |ORDER BY event_type""".stripMargin)
   }
 
+  /** Harmonic centrality on the directed type-transition graph —
+    * the disconnected-safe closeness variant (H(u) = Σ_v 1/d(u,v);
+    * Boldi–Vigna 2014 recommend it precisely because unreachable
+    * pairs contribute 0 instead of breaking the mean): shortest
+    * distances come from the SAME bounded-hop walk as [[graphScc]]
+    * (MIN hop per pair), and because every distance lies in
+    * {1,2,3,4}, the harmonic sum is carried EXACTLY as the integer
+    * 12·H = 12c₁ + 6c₂ + 4c₃ + 3c₄ — one closing division. */
+  def graphHarmonicCentrality(s: SparkSession, d: String): DataFrame = {
+    typeEdgesView(s, d)
+    s.sql(
+      """WITH RECURSIVE walk(src, dst, hop) AS (
+        |  SELECT src, dst, 1 AS hop FROM graft_type_edges
+        |  UNION ALL
+        |  SELECT w.src, e.dst, w.hop + 1
+        |  FROM walk w JOIN graft_type_edges e ON e.src = w.dst
+        |  WHERE w.hop < 4
+        |),
+        |dist AS (
+        |  SELECT src, dst, MIN(hop) AS d
+        |  FROM walk WHERE src <> dst GROUP BY src, dst
+        |),
+        |h AS (
+        |  SELECT src AS event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_reachable,
+        |    CAST(SUM(CASE d WHEN 1 THEN 12 WHEN 2 THEN 6
+        |      WHEN 3 THEN 4 ELSE 3 END) AS BIGINT) AS h12
+        |  FROM dist GROUP BY src
+        |)
+        |SELECT event_type, n_reachable, h12,
+        |  ROUND(CAST(h12 AS DOUBLE) / 12, 4) AS harmonic
+        |FROM h ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_harmonic_centrality" -> (graphHarmonicCentrality _),
     "graph_scc" -> (graphScc _),
     "graph_clustering_coefficient" -> (graphClusteringCoefficient _),
     "graph_copurchase_projection" -> (graphCopurchaseProjection _),
@@ -665,6 +706,37 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
+    // min-hop distances from the same walk; exact 12·H integers
+    "graph_harmonic_centrality" ->
+      """WITH RECURSIVE seq AS (
+        |  SELECT event_type AS a,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b
+        |  FROM events),
+        |edges AS (
+        |  SELECT DISTINCT a AS src, b AS dst FROM seq
+        |  WHERE b IS NOT NULL AND b <> a),
+        |walk(src, dst, hop) AS (
+        |  SELECT src, dst, 1 AS hop FROM edges
+        |  UNION ALL
+        |  SELECT w.src, e.dst, w.hop + 1
+        |  FROM walk w JOIN edges e ON e.src = w.dst
+        |  WHERE w.hop < 4
+        |),
+        |dist AS (
+        |  SELECT src, dst, MIN(hop) AS d
+        |  FROM walk WHERE src <> dst GROUP BY src, dst
+        |),
+        |h AS (
+        |  SELECT src AS event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n_reachable,
+        |    CAST(SUM(CASE d WHEN 1 THEN 12 WHEN 2 THEN 6
+        |      WHEN 3 THEN 4 ELSE 3 END) AS BIGINT) AS h12
+        |  FROM dist GROUP BY src
+        |)
+        |SELECT event_type, n_reachable, h12,
+        |  ROUND(CAST(h12 AS DOUBLE) / 12, 4) AS harmonic
+        |FROM h ORDER BY event_type""".stripMargin,
     // same bounded-hop walk + mutual-reachability minimization; the
     // lag/lead tiebreak (ts, event_id) matches the engine exactly
     "graph_scc" ->

@@ -289,6 +289,63 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_anderson_darling replays Pettitt's A2 from the value grid") {
+    val (xs, ys) = vpValues
+    val grid = (xs.map((_, true)) ++ ys.map((_, false)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, rows) =>
+        (v, rows.count(_._2).toLong, rows.count(!_._2).toLong)
+      }
+    val n1 = xs.length.toLong; val n2 = ys.length.toLong; val nn = n1 + n2
+    var cum1 = 0L; var bj = 0L
+    var sum = BigDecimal(0)
+    for ((_, c1, c2) <- grid) {
+      cum1 += c1; bj += c1 + c2
+      if (bj < nn) {
+        val a = nn.toDouble * cum1 - n1.toDouble * bj
+        val t = (c1 + c2) * a * a / (bj.toDouble * (nn - bj))
+        sum += BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+    val r = Aggregates.aggAndersonDarling(spark, sf).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((n1, n2)))
+    assert(r.getDouble(2) == rnd((sum / (BigDecimal(n1) * n2)).toDouble, 6))
+  }
+
+  test("graph_harmonic_centrality replays BFS distances") {
+    val seq0 = Tables.t(spark, sf, "events")
+      .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id",
+        "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3)))
+    val edges = seq0.groupBy(_._1).values.flatMap { rows =>
+      val o = rows.sortBy(r => (r._2.getTime, r._3)).map(_._4)
+      o.zip(o.tail).filter(p => p._1 != p._2)
+    }.toSet
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    def bfs(u: String): Map[String, Int] = {
+      var dist = Map(u -> 0)
+      var frontier = Set(u)
+      var hop = 0
+      while (frontier.nonEmpty && hop < 4) {
+        hop += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .filterNot(dist.contains)
+        dist ++= frontier.map(_ -> hop)
+      }
+      dist - u
+    }
+    val got = graft.queries.Graphs.graphHarmonicCentrality(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    for (u <- nodes) {
+      val ds = bfs(u)
+      val h12 = ds.values.map(d0 => Seq(12, 6, 4, 3)(d0 - 1).toLong).sum
+      assert(got(u) == ((ds.size.toLong, h12)), s"node=$u")
+    }
+  }
+
   test("agg_cvar: tail take sums to exactly k, VaR bounds the tail") {
     val rows = Tables.t(spark, sf, "events")
       .selectExpr("event_type", "CAST(value AS DECIMAL(19,4)) AS v")

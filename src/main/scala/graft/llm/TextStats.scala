@@ -873,6 +873,51 @@ object TextStats {
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("sum_w"))
 
+  /** ONE distributed training step of the hashed linear classifier —
+    * the logistic-regression gradient pass that PRODUCES weights like
+    * [[clfWeights]] (label: lang = 'en'; features: the same 64-bucket
+    * hashed bag-of-words, mean-normalized): per doc, the margin and
+    * σ(margin) come from exact integer evidence; per (doc, bucket),
+    * the gradient contribution (σ(m)−y)·x/n is ONE deterministic
+    * double expression ROUNDED then DECIMAL-summed per bucket (the
+    * round-then-decimal discipline — gradient accumulation never
+    * depends on partition order, the property a naive float SUM of
+    * per-doc gradients silently lacks), and the SGD update closes per
+    * bucket. Scale: one (doc, bucket) aggregate, one doc-keyed join,
+    * one 64-row gradient aggregate — the textbook data-parallel
+    * gradient shape (state O(buckets), never O(corpus)). */
+  def textClassifierTrainStep(s: SparkSession, d: String): DataFrame = {
+    val perDoc = clfDocScores(s, d)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        col("n_tokens"), col("sum_w"))
+      .withColumn("err", expr(
+        """1e0 / (1e0 + EXP(0e0 - CAST(sum_w AS DOUBLE)
+          | / (1000000e0 * n_tokens))) - y""".stripMargin))
+    val perDocBucket = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long")
+          % 64L).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("x"))
+    perDocBucket.join(perDoc, "doc_id")
+      .withColumn("contrib", expr(
+        """CAST(ROUND(err * x / CAST(n_tokens AS DOUBLE), 6)
+          |  AS DECIMAL(24,6))""".stripMargin))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs_touched"),
+        sum(col("contrib")).as("g_sum"))
+      .withColumn("w_old",
+        element_at(array(clfWeights.map(lit(_)): _*),
+          (col("bucket") + 1L).cast("int")))
+      .select(col("bucket"), col("n_docs_touched"), col("w_old"),
+        expr("ROUND(CAST(g_sum AS DOUBLE), 6)").as("gradient"),
+        expr("""ROUND(CAST(w_old AS DOUBLE) / 1000000e0
+                - 0.1 * CAST(g_sum AS DOUBLE), 6)""").as("w_new"))
+      .orderBy(col("bucket"))
+  }
+
   /** Linear quality-classifier INFERENCE (the fastText-supervised
     * filter shape, Joulin et al. 2017: hashed bag-of-words × a linear
     * model, score = mean feature weight) — the standard learned-filter
@@ -1228,6 +1273,7 @@ object TextStats {
     "text_vocab_growth" -> (textVocabGrowth _),
     "text_pii_redact" -> (textPiiRedact _),
     "text_quality_classifier" -> (textQualityClassifier _),
+    "text_classifier_train_step" -> (textClassifierTrainStep _),
     "text_stylometrics" -> (textStylometrics _),
     "composite_curation_classified" -> (compositeCurationClassified _),
     "composite_curation" -> (compositeCuration _)
@@ -1644,6 +1690,44 @@ object TextStats {
         |  ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
         |  ROUND(CAST(n_alnum AS DOUBLE) / n_words, 4) AS avg_word_len
         |FROM c ORDER BY doc_id""".stripMargin,
+    // per-doc sigmoid error over exact evidence, per-(doc,bucket)
+    // contribution rounded then DECIMAL-summed per bucket, SGD close
+    "text_classifier_train_step" ->
+      """WITH w AS (
+        |  SELECT b, ((31*b*b + 17*b) % 2001 - 1000) * 200 AS wt
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS b)),
+        |toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tw AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 64 AS b
+        |  FROM toks),
+        |docs AS (
+        |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+        |    CAST(SUM(wt) AS BIGINT) AS sum_w
+        |  FROM tw JOIN w USING (b) GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT doc_id, n_tokens,
+        |    1e0 / (1e0 + EXP(0e0 - CAST(sum_w AS DOUBLE)
+        |      / (1000000e0 * n_tokens)))
+        |      - (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS err
+        |  FROM docs),
+        |pdb AS (
+        |  SELECT doc_id, b AS bucket, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM tw GROUP BY 1, 2),
+        |g AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs_touched,
+        |    SUM(CAST(ROUND(err * x / CAST(n_tokens AS DOUBLE), 6)
+        |      AS DECIMAL(24,6))) AS g_sum
+        |  FROM pdb JOIN perdoc USING (doc_id) GROUP BY 1)
+        |SELECT g.bucket, n_docs_touched,
+        |  CAST(w.wt AS BIGINT) AS w_old,
+        |  ROUND(CAST(g_sum AS DOUBLE), 6) AS gradient,
+        |  ROUND(CAST(w.wt AS DOUBLE) / 1000000e0
+        |    - 0.1 * CAST(g_sum AS DOUBLE), 6) AS w_new
+        |FROM g JOIN w ON w.b = g.bucket
+        |ORDER BY bucket""".stripMargin,
     // literal linear model mirrored as the identical closed form:
     // bucket = 24-bit md5 prefix mod 64, weight in integer micro-units,
     // keep decision and margin both close over exact BIGINT moments

@@ -538,6 +538,48 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_classifier_train_step replays the per-bucket gradient") {
+    val wts = Array.tabulate(64)(b =>
+      ((31L * b * b + 17L * b) % 2001L - 1000L) * 200L)
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.take(3).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 64L).toInt
+    }
+    val docs = Tables.t(spark, sf, "documents")
+      .selectExpr("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val acc = Array.fill(64)(BigDecimal(0))
+    val touched = Array.fill(64)(0L)
+    for ((lang, text) <- docs) {
+      val bs = text.split(" ", -1).map(bucket)
+      val n = bs.length
+      val sw = bs.map(wts(_)).sum
+      val err = 1.0 / (1.0 + math.exp(0.0 - sw.toDouble / (1e6 * n))) -
+        (if (lang == "en") 1.0 else 0.0)
+      for ((b, x) <- bs.groupBy(identity).view.mapValues(_.length)) {
+        acc(b) += BigDecimal(err * x / n.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        touched(b) += 1
+      }
+    }
+    val got = graft.llm.TextStats.textClassifierTrainStep(spark, sf)
+      .collect()
+    // only TOUCHED buckets emit rows — the synthetic corpus draws
+    // from a ~31-token vocabulary, so far fewer than 64 buckets carry
+    // any feature mass (verified against the replay's touched set)
+    assert(got.length == touched.count(_ > 0))
+    for (r <- got) {
+      val b = r.getLong(0).toInt
+      assert(r.getLong(1) == touched(b), s"bucket=$b")
+      assert(r.getLong(2) == wts(b))
+      assert(r.getDouble(3) == rnd(acc(b).toDouble, 6), s"bucket=$b")
+      assert(r.getDouble(4) ==
+        rnd(wts(b) / 1e6 - 0.1 * acc(b).toDouble, 6), s"bucket=$b")
+    }
+  }
+
   test("text_quality_classifier: kept counts replay the literal model") {
     val wts = Array.tabulate(64)(b =>
       ((31L * b * b + 17L * b) % 2001L - 1000L) * 200L)

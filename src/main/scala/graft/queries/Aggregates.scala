@@ -3935,6 +3935,63 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** ONE expectation–maximization step for a two-component Gaussian
+    * mixture over `value` — the distributed model-fitting companion
+    * to [[graft.llm.TextStats.textClassifierTrainStep]] (E-step
+    * responsibilities from literal initial parameters μ=(30,100),
+    * σ=(20,50), equal priors; M-step updated priors/means/sigmas).
+    * Float discipline: the per-row responsibility is ONE
+    * deterministic double expression ROUNDED to 6 dp then carried as
+    * DECIMAL (its complement is the EXACT decimal 1 − r, so masses
+    * add to N exactly); the r·x and r·x² contributions are likewise
+    * rounded-then-decimal, so every E-step sum is order-independent
+    * cross-engine; each M-step output closes in one expression.
+    * Scale: one scan, ONE 7-sum aggregate (state O(1)), a 2-row
+    * stack — the textbook data-parallel EM shape. */
+  def aggEmStep(s: SparkSession, d: String): DataFrame = {
+    val r1 = expr(
+      """CAST(ROUND(
+        |  (EXP(0e0 - (value - 30e0) * (value - 30e0) / (2e0 * 400e0))
+        |     / 20e0)
+        |  / (EXP(0e0 - (value - 30e0) * (value - 30e0) / (2e0 * 400e0))
+        |       / 20e0
+        |     + EXP(0e0 - (value - 100e0) * (value - 100e0)
+        |         / (2e0 * 2500e0)) / 50e0), 6) AS DECIMAL(18,6))"""
+        .stripMargin)
+    t(s, d, "events")
+      .select(col("value"), r1.as("r1"))
+      .withColumn("r2",
+        lit(BigDecimal(1).setScale(6)).cast("decimal(18,6)") - col("r1"))
+      .select(col("value"), col("r1"), col("r2"),
+        expr("CAST(ROUND(CAST(r1 AS DOUBLE) * value, 6) AS DECIMAL(24,6))")
+          .as("r1x"),
+        expr("""CAST(ROUND(CAST(r1 AS DOUBLE) * value * value, 6)
+                AS DECIMAL(28,6))""").as("r1xx"),
+        expr("CAST(ROUND(CAST(r2 AS DOUBLE) * value, 6) AS DECIMAL(24,6))")
+          .as("r2x"),
+        expr("""CAST(ROUND(CAST(r2 AS DOUBLE) * value * value, 6)
+                AS DECIMAL(28,6))""").as("r2xx"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("r1")).as("s1"), sum(col("r1x")).as("s1x"),
+        sum(col("r1xx")).as("s1xx"),
+        sum(col("r2")).as("s2"), sum(col("r2x")).as("s2x"),
+        sum(col("r2xx")).as("s2xx"))
+      .select(expr(
+        """stack(2,
+          |  1, n, CAST(s1 AS DOUBLE), CAST(s1x AS DOUBLE),
+          |     CAST(s1xx AS DOUBLE),
+          |  2, n, CAST(s2 AS DOUBLE), CAST(s2x AS DOUBLE),
+          |     CAST(s2xx AS DOUBLE))
+          |AS (component, n, sr, srx, srxx)""".stripMargin))
+      .select(col("component"), col("n"),
+        expr("ROUND(sr, 4)").as("n_eff"),
+        expr("ROUND(sr / n, 6)").as("pi_new"),
+        expr("ROUND(srx / sr, 4)").as("mu_new"),
+        expr("ROUND(SQRT(srxx / sr - (srx / sr) * (srx / sr)), 4)")
+          .as("sigma_new"))
+      .orderBy(col("component"))
+  }
+
   /** Geometric mean of value per event type — the right average for
     * multiplicative quantities (latencies, ratios) and a standard SQL
     * gap (no GEOMEAN builtin in either engine). Rides the
@@ -4158,6 +4215,7 @@ object Aggregates {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_confusion_f1" -> (aggConfusionF1 _),
     "agg_nelson_aalen" -> (aggNelsonAalen _),
+    "agg_em_step" -> (aggEmStep _),
     "agg_cvar" -> (aggCvar _),
     "agg_geometric_mean" -> (aggGeometricMean _),
     "agg_cliffs_delta" -> (aggCliffsDelta _),
@@ -4363,6 +4421,54 @@ object Aggregates {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE), 4) AS cum_hazard
         |FROM terms ORDER BY t""".stripMargin,
+    // E-step responsibilities rounded-then-decimal (complement exact
+    // 1 - r), one 7-sum aggregate, M-step closes per component
+    "agg_em_step" ->
+      """WITH e AS (
+        |  SELECT value,
+        |    CAST(ROUND(
+        |      (EXP(0e0 - (value - 30e0) * (value - 30e0) / (2e0 * 400e0))
+        |         / 20e0)
+        |      / (EXP(0e0 - (value - 30e0) * (value - 30e0)
+        |           / (2e0 * 400e0)) / 20e0
+        |         + EXP(0e0 - (value - 100e0) * (value - 100e0)
+        |             / (2e0 * 2500e0)) / 50e0), 6) AS DECIMAL(18,6))
+        |      AS r1
+        |  FROM events),
+        |c AS (
+        |  SELECT value, r1,
+        |    CAST(1.000000 AS DECIMAL(18,6)) - r1 AS r2
+        |  FROM e),
+        |k AS (
+        |  SELECT r1, r2,
+        |    CAST(ROUND(CAST(r1 AS DOUBLE) * value, 6) AS DECIMAL(24,6))
+        |      AS r1x,
+        |    CAST(ROUND(CAST(r1 AS DOUBLE) * value * value, 6)
+        |      AS DECIMAL(28,6)) AS r1xx,
+        |    CAST(ROUND(CAST(r2 AS DOUBLE) * value, 6) AS DECIMAL(24,6))
+        |      AS r2x,
+        |    CAST(ROUND(CAST(r2 AS DOUBLE) * value * value, 6)
+        |      AS DECIMAL(28,6)) AS r2xx
+        |  FROM c),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(r1) AS DOUBLE) AS sr1, CAST(SUM(r1x) AS DOUBLE)
+        |      AS sr1x, CAST(SUM(r1xx) AS DOUBLE) AS sr1xx,
+        |    CAST(SUM(r2) AS DOUBLE) AS sr2, CAST(SUM(r2x) AS DOUBLE)
+        |      AS sr2x, CAST(SUM(r2xx) AS DOUBLE) AS sr2xx
+        |  FROM k),
+        |st AS (
+        |  SELECT 1 AS component, n, sr1 AS sr, sr1x AS srx,
+        |    sr1xx AS srxx FROM m
+        |  UNION ALL
+        |  SELECT 2, n, sr2, sr2x, sr2xx FROM m)
+        |SELECT component, n,
+        |  ROUND(sr, 4) AS n_eff,
+        |  ROUND(sr / n, 6) AS pi_new,
+        |  ROUND(srx / sr, 4) AS mu_new,
+        |  ROUND(SQRT(srxx / sr - (srx / sr) * (srx / sr)), 4)
+        |    AS sigma_new
+        |FROM st ORDER BY component""".stripMargin,
     // per-type DESC-cumulative over the value grid; exact partial-
     // bucket take clamps the tail to k values, one closing division
     "agg_cvar" ->

@@ -538,6 +538,42 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_em_step replays the E/M arithmetic; masses sum to N") {
+    val vals = Tables.t(spark, sf, "events")
+      .selectExpr("value").collect().map(_.getDouble(0))
+    def pdf(x: Double, mu: Double, sg: Double) =
+      math.exp(0.0 - (x - mu) * (x - mu) / (2.0 * sg * sg)) / sg
+    var s1 = BigDecimal(0); var s1x = BigDecimal(0); var s1xx = BigDecimal(0)
+    var s2 = BigDecimal(0); var s2x = BigDecimal(0); var s2xx = BigDecimal(0)
+    for (x <- vals) {
+      val f1 = pdf(x, 30, 20); val f2 = pdf(x, 100, 50)
+      val r1 = BigDecimal(f1 / (f1 + f2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val r2 = BigDecimal(1).setScale(6) - r1
+      s1 += r1; s2 += r2
+      s1x += BigDecimal(r1.toDouble * x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      s2x += BigDecimal(r2.toDouble * x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      s1xx += BigDecimal(r1.toDouble * x * x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      s2xx += BigDecimal(r2.toDouble * x * x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    // exact complement: responsibilities add to N by construction
+    assert((s1 + s2).toDouble == vals.length.toDouble)
+    val got = Aggregates.aggEmStep(spark, sf).collect()
+    assert(got.length == 2)
+    for ((r, (sr, srx, srxx)) <- got.zip(
+        Seq((s1, s1x, s1xx), (s2, s2x, s2xx)))) {
+      assert(r.getLong(1) == vals.length.toLong)
+      assert(r.getDouble(2) == rnd(sr.toDouble, 4))
+      assert(r.getDouble(4) == rnd((srx / sr).toDouble, 4))
+      val v = (srxx / sr - (srx / sr) * (srx / sr)).toDouble
+      assert(math.abs(r.getDouble(5) - math.sqrt(v)) < 1e-3)
+    }
+  }
+
   test("text_classifier_train_step replays the per-bucket gradient") {
     val wts = Array.tabulate(64)(b =>
       ((31L * b * b + 17L * b) % 2001L - 1000L) * 200L)

@@ -180,7 +180,21 @@ class ParallelismSpec extends AnyFunSuite {
     "agg_growth_accounting", "window_cohort_ltv",
     "window_turning_points",
     // round-9 batch 41: pivoted per-dow moments; eight-cell DiD
-    "window_seasonal_strength", "agg_diff_in_diff")
+    "window_seasonal_strength", "agg_diff_in_diff",
+    // round-10: gridCumulative consumers (bucket count derives from
+    // shuffle partitions — the cumulative must be invariant to it);
+    // global activity deciles via zipWithIndex; the SymSpell deletion
+    // join's distinct-pair set; per-bucket decimal gradient sums;
+    // two-level walk over the collected type-edge relation; exact
+    // partial-bucket CVaR takes; decimal EM masses
+    "agg_cliffs_delta", "agg_anderson_darling",
+    "agg_brier_decomposition", "dedup_edit_distance",
+    "text_classifier_train_step", "graph_scc",
+    "graph_harmonic_centrality", "agg_cvar", "agg_em_step",
+    "agg_nelson_aalen", "text_quality_classifier",
+    "composite_curation_classified", "embedding_davies_bouldin",
+    "embedding_drift", "window_page_hinkley", "agg_fleiss_kappa",
+    "agg_granger_causality", "subquery_lateral")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -1013,14 +1013,16 @@ object Curation {
     * k-way generalization): every user's events land in ONE fold
     * (hash of the group key, never the row), and the audit reports
     * what a CV harness checks before trusting the folds — per-fold
-    * user/event volumes and the conversion base rate. Deterministic
+    * user/event volumes and the positive-class base rate (class = the
+    * user produced a high-value ≥ 200 event; the purchase outcome
+    * saturates at 100%% in this fixture — round-10 degeneracy audit). Deterministic
     * md5 fold draw, exact counts, one closing division per fold.
     * Scale: one user reduction, one ≤k-row aggregate. */
   def sampleGroupKfold(s: SparkSession, d: String): DataFrame =
     t(s, d, "events")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_ev"),
-        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        max(when(col("value") >= 200.0, 1L).otherwise(0L))
           .as("conv"))
       .withColumn("fold",
         conv(substring(md5(col("user_id").cast("string")), 1, 6), 16, 10)
@@ -1075,7 +1077,7 @@ object Curation {
     "sample_group_kfold" ->
       """WITH u AS (
         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev,
-        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    CAST(MAX(CASE WHEN value >= 200.0 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS conv
         |  FROM events GROUP BY 1),
         |f AS (

@@ -2359,14 +2359,17 @@ object Aggregates {
   /** A/B comparison scaffold — users deterministically split by md5
     * parity (the same hash-bucketing a real experiment assigner uses;
     * reproducible, no assignment table), then per-arm conversion
-    * (did-purchase) rates and the B-over-A lift. Exact user counts;
-    * the only floats are the final rounded ratios. At scale this is
-    * two hash aggregates on user_id — the metric pipeline of an
-    * experimentation platform in one query. */
+    * rates and the B-over-A lift. "Converted" = the user produced a
+    * high-value (≥ 200) event — the round-10 degeneracy audit found
+    * the original any-purchase outcome saturates at 100% in this
+    * fixture (every user purchases), making the lift identically 0;
+    * the value cut splits users ~68/32 at every sf. Exact user
+    * counts; the only floats are the final rounded ratios. At scale
+    * this is two hash aggregates on user_id. */
   def aggAbtestLift(s: SparkSession, d: String): DataFrame = {
     val perUser = t(s, d, "events")
       .groupBy(col("user_id"))
-      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+      .agg(max(when(col("value") >= 200.0, 1).otherwise(0))
         .as("converted"))
       .withColumn("arm",
         when(conv(substring(md5(col("user_id").cast("string")), 1, 2),
@@ -3454,22 +3457,43 @@ object Aggregates {
 
   /** Cochran's Q test (Cochran 1950) — the k-treatment extension of
     * McNemar for BINARY outcomes over matched blocks: blocks = days,
-    * treatments = event types, x = "the day saw an extreme event
-    * (max value ≥ 95) for this type". Incomplete blocks are dropped
+    * treatments = event types, x = "the type ran above its average
+    * daily volume that day" ([[dayTypeBusyCells]]; the round-10
+    * degeneracy audit replaced the always-true extreme-value rule). Incomplete blocks are dropped
     * (complete-block design, like [[aggFriedmanTest]]); Q = (k−1)·
     * (k·ΣC_j² − T²)/(k·ΣR_i − ΣR_i²) closes in one double expression
     * from FOUR integer moments (column-total squares, grand total,
     * row-total first/second moments); a degenerate denominator (every
     * block all-0 or all-1) short-circuits to NULL via the exact
     * integer guard. Two bounded aggregates; k counted from data. */
+  /** Day×type "above-average-volume" indicator cells shared by
+    * [[aggCochranQ]] and [[aggFleissKappa]]: x = 1 iff the day's count
+    * for the type exceeds the type's own daily average, taken in the
+    * exact integer cross-multiplication nd·c > tot. Chosen by the
+    * round-10 degeneracy audit: the original extreme-value indicator
+    * (max ≥ 95) is ALWAYS true at fixture volumes (every day's
+    * per-type max clears it), which made every block unanimous and
+    * both statistics identically NULL; the above-average indicator is
+    * non-degenerate BY CONSTRUCTION (a nonconstant series must have
+    * days on both sides of its mean), splitting 40-60%% per type at
+    * every sf. */
+  private def dayTypeBusyCells(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events")
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("nd"))
+    daily.join(broadcast(tot), "event_type")
+      .select(col("day"), col("event_type"),
+        (col("nd") * col("c") > col("tot")).cast("long").as("x"))
+  }
+
   def aggCochranQ(s: SparkSession, d: String): DataFrame = {
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
       .rowsBetween(Long.MinValue, Long.MaxValue)
     val k1 = t(s, d, "events")
       .agg(countDistinct(col("event_type")).as("k"))
-    val cell = t(s, d, "events")
-      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg((max(col("value")) >= lit(95.0)).cast("long").as("x"))
+    val cell = dayTypeBusyCells(s, d)
     val blocks = cell.groupBy(col("day"))
       .agg(count(lit(1)).as("nt"), sum(col("x")).as("r_i"))
       .crossJoin(broadcast(k1))
@@ -4013,8 +4037,12 @@ object Aggregates {
 
   /** Threshold confusion matrices + precision/recall/F1 — the eval
     * table every binary classifier ships with (here: "will this user
-    * convert?" predicted from activity volume, the same score/outcome
-    * pair as [[aggRocPoints]]). One per-user reduction, a 5-way
+    * produce a high-value (≥ 200) event?" predicted from activity
+    * volume; the thresholds straddle the per-user count distribution
+    * — min ~45, median ~66, max ~99 at every sf — and the outcome
+    * splits ~68/32, both chosen by the round-10 degeneracy audit
+    * after the original purchase outcome saturated). One per-user
+    * reduction, a 5-way
     * literal-threshold fan-out of the USER table (never raw events),
     * one ≤5-row aggregate; every metric closes in ONE double division
     * over exact counts, NULL (not NaN/0) when a denominator is empty. */
@@ -4022,10 +4050,10 @@ object Aggregates {
     t(s, d, "events")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        max(when(col("value") >= 200.0, 1L).otherwise(0L))
           .as("y"))
       .select(col("n_events"), col("y"),
-        explode(array(lit(2L), lit(4L), lit(8L), lit(16L), lit(32L)))
+        explode(array(lit(55L), lit(62L), lit(67L), lit(72L), lit(80L)))
           .as("tau"))
       .groupBy(col("tau"))
       .agg(
@@ -4050,7 +4078,8 @@ object Aggregates {
     * raters, the multi-rater extension of [[aggCohenKappa]]: subjects =
     * complete days (every event type present, the [[aggCochranQ]]
     * block rule), raters = the k event types, binary category = "the
-    * type saw an extreme event (max value ≥ 95) that day". κ =
+    * type ran above its average daily volume that day"
+    * ([[dayTypeBusyCells]]). κ =
     * (P̄ − P̄ₑ)/(1 − P̄ₑ) closes as ONE division of exact integer
     * cross-multiplications: with R = Σrᵢ, T₂ = Σrᵢ², a = 2T₂ − 2kR +
     * Nk(k−1), b = Nk(k−1), c = R² + (Nk−R)², e = (Nk)², κ = (ae − bc)
@@ -4060,9 +4089,7 @@ object Aggregates {
   def aggFleissKappa(s: SparkSession, d: String): DataFrame = {
     val k1 = t(s, d, "events")
       .agg(countDistinct(col("event_type")).as("k"))
-    val cell = t(s, d, "events")
-      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-      .agg((max(col("value")) >= lit(95.0)).cast("long").as("x"))
+    val cell = dayTypeBusyCells(s, d)
     val blocks = cell.groupBy(col("day"))
       .agg(count(lit(1)).as("nt"), sum(col("x")).as("r_i"))
       .crossJoin(broadcast(k1))
@@ -4095,11 +4122,13 @@ object Aggregates {
     * calibration dashboard ([[aggCalibrationCurve]] plots it; this
     * SCORES it). Forecast = activity-decile midpoint p = (2d−1)/20
     * (the [[aggGainsDeciles]] global-decile machinery — exact ntile
-    * from the zipWithIndex rank), outcome = converted. Every bin term
+    * from the zipWithIndex rank), outcome = the user produced a
+    * high-value (≥ 200) event (~68/32 split; the purchase outcome
+    * saturated — round-10 degeneracy audit). Every bin term
     * is an exact integer cross-multiplication over (n_k, c_k, S_k =
     * Σ(p_num − 20y)², N, C): the per-bin Brier contribution is
     * S_k/(400N), reliability n_k(p_k−ȳ_k)² = (p_num·n_k − 20c_k)²/
-    * (400·n_k·N), resolution n_k(ȳ_k−ȳ)² = (c_k·N − C·n_k)²/(n_k·N²)
+    * (400·n_k·N), resolution n_k(ȳ_k−ȳ)²/N = (c_k·N − C·n_k)²/(n_k·N³)
     * — one ROUND each, no float accumulates anywhere (per-bin rows,
     * never a float sum across bins). Scale: one user reduction, one
     * |users|-row range shuffle for the decile, one 10-row aggregate +
@@ -4108,7 +4137,7 @@ object Aggregates {
     val users = t(s, d, "events")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        max(when(col("value") >= 200.0, 1L).otherwise(0L))
           .as("y"))
     val withN = users.crossJoin(
       broadcast(users.agg(count(lit(1)).as("n_all"))))
@@ -4136,7 +4165,7 @@ object Aggregates {
                 (p_num * n_k - 20 * c_k) AS DOUBLE)
                 / (400e0 * n_k * n), 6)""").as("rel_term"),
         expr("""ROUND(CAST((c_k * n - c * n_k) * (c_k * n - c * n_k)
-                AS DOUBLE) / (CAST(n_k AS DOUBLE) * n * n), 6)""")
+                AS DOUBLE) / (CAST(n_k AS DOUBLE) * n * n * n), 6)""")
           .as("res_term"))
       .orderBy(col("bin"))
   }
@@ -4359,7 +4388,7 @@ object Aggregates {
     "agg_confusion_f1" ->
       """WITH u AS (
         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |    MAX(CASE WHEN value >= 200.0 THEN 1 ELSE 0 END) AS y
         |  FROM events GROUP BY 1),
         |g AS (
         |  SELECT tau,
@@ -4371,7 +4400,7 @@ object Aggregates {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
         |    CAST(SUM(CASE WHEN n_events < tau AND y = 0
         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
-        |  FROM u CROSS JOIN (SELECT CAST(unnest([2, 4, 8, 16, 32])
+        |  FROM u CROSS JOIN (SELECT CAST(unnest([55, 62, 67, 72, 80])
         |    AS BIGINT) AS tau)
         |  GROUP BY 1)
         |SELECT tau, tp, fp, fn, tn,
@@ -4652,10 +4681,18 @@ object Aggregates {
     "agg_fleiss_kappa" ->
       """WITH kk AS (
         |  SELECT COUNT(DISTINCT event_type) AS k FROM events),
-        |cell AS (
+        |daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type,
-        |    CASE WHEN MAX(value) >= 95.0 THEN 1 ELSE 0 END AS x
+        |    CAST(COUNT(*) AS BIGINT) AS c
         |  FROM events GROUP BY 1, 2),
+        |tt AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS tot,
+        |    CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM daily GROUP BY 1),
+        |cell AS (
+        |  SELECT day, event_type,
+        |    CASE WHEN nd * c > tot THEN 1 ELSE 0 END AS x
+        |  FROM daily JOIN tt USING (event_type)),
         |blocks AS (
         |  SELECT day, COUNT(*) AS nt, CAST(SUM(x) AS BIGINT) AS r_i
         |  FROM cell GROUP BY 1),
@@ -4684,7 +4721,7 @@ object Aggregates {
     "agg_brier_decomposition" ->
       """WITH u AS (
         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    CAST(MAX(CASE WHEN value >= 200.0 THEN 1 ELSE 0 END)
         |      AS BIGINT) AS y
         |  FROM events GROUP BY 1),
         |b AS (
@@ -4711,7 +4748,7 @@ object Aggregates {
         |    (p_num * n_k - 20 * c_k) AS DOUBLE)
         |    / (400e0 * n_k * n), 6) AS rel_term,
         |  ROUND(CAST((c_k * n - c * n_k) * (c_k * n - c * n_k)
-        |    AS DOUBLE) / (CAST(n_k AS DOUBLE) * n * n), 6) AS res_term
+        |    AS DOUBLE) / (CAST(n_k AS DOUBLE) * n * n * n), 6) AS res_term
         |FROM w ORDER BY bin""".stripMargin,
     // fourteen exact BIGINT moments of the lagged daily series; the
     // normal-equation and F arithmetic replays the identical double
@@ -5063,10 +5100,18 @@ object Aggregates {
     // complete-block binary cells; four integer moments; exact
     // degenerate-denominator guard
     "agg_cochran_q" ->
-      """WITH cell AS (
+      """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type,
-        |    CASE WHEN MAX(value) >= 95.0 THEN 1 ELSE 0 END AS x
+        |    CAST(COUNT(*) AS BIGINT) AS c
         |  FROM events GROUP BY 1, 2
+        |), tt AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS tot,
+        |    CAST(COUNT(*) AS BIGINT) AS nd
+        |  FROM daily GROUP BY 1
+        |), cell AS (
+        |  SELECT day, event_type,
+        |    CASE WHEN nd * c > tot THEN 1 ELSE 0 END AS x
+        |  FROM daily JOIN tt USING (event_type)
         |), kk AS (
         |  SELECT COUNT(DISTINCT event_type) AS k FROM events
         |), blocks AS (
@@ -5949,7 +5994,7 @@ object Aggregates {
     "agg_abtest_lift" ->
       """WITH pu AS (
         |  SELECT user_id,
-        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    MAX(CASE WHEN value >= 200.0 THEN 1 ELSE 0 END)
         |      AS converted,
         |    CASE WHEN CAST(('0x' || substring(
         |        md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) % 2 = 0

@@ -20,12 +20,12 @@ class Round10OpsSpec extends AnyFunSuite {
 
   private lazy val users: Seq[(Long, Long, Long)] =
     Tables.t(spark, sf, "events")
-      .selectExpr("user_id", "event_type").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+      .selectExpr("user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
       .groupBy(_._1).toSeq
       .map { case (u, rows) =>
         (u, rows.length.toLong,
-          if (rows.exists(_._2 == "purchase")) 1L else 0L)
+          if (rows.exists(_._2 >= 200.0)) 1L else 0L)
       }
 
   test("agg_confusion_f1 replays the per-threshold confusion counts") {
@@ -54,8 +54,15 @@ class Round10OpsSpec extends AnyFunSuite {
       .collect()
       .map(r => (r.getDate(0).toLocalDate, r.getString(1), r.getDouble(2)))
     val k = rows.map(_._2).distinct.length
+    val typeTotals = rows.groupBy(_._2).view
+      .mapValues(_.size.toLong).toMap
+    val typeDays = rows.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.size.toLong).toMap
     val cells = rows.groupBy(t0 => (t0._1, t0._2)).view
-      .mapValues(vs => if (vs.map(_._3).max >= 95.0) 1L else 0L)
+      .mapValues(vs => vs.toSeq).toMap.map { case ((dy, ty), vs) =>
+        ((dy, ty),
+          if (typeDays(ty) * vs.size > typeTotals(ty)) 1L else 0L)
+      }
     val blocks = cells.keys.map(_._1).toSeq.distinct
       .map(day => (day, cells.filter(_._1._1 == day)))
       .filter(_._2.size == k)

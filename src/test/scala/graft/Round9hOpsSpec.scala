@@ -24,9 +24,14 @@ class Round9hOpsSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDate(1).toLocalDate,
         r.getDouble(2)))
     val k = ev.map(_._1).distinct.length
+    // round-10 indicator: the type ran above its average daily volume
+    val typeTotals = ev.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val typeDays = ev.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
     val cells = ev.groupBy(t0 => (t0._2, t0._1))
       .map { case ((day, ty), xs) =>
-        (day, ty, if (xs.map(_._3).max >= 95.0) 1L else 0L)
+        (day, ty,
+          if (typeDays(ty) * xs.size > typeTotals(ty)) 1L else 0L)
       }
     val blocks = cells.groupBy(_._1).filter(_._2.size == k)
     val rs = blocks.values.map(_.map(_._3).sum).toSeq

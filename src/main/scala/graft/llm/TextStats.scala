@@ -770,10 +770,13 @@ object TextStats {
   def textOovRate(s: SparkSession, d: String): DataFrame = {
     val toks = t(s, d, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+    // vocab cut at 10: the synthetic corpus has only ~31 distinct
+    // tokens, so the previous top-100 cut covered EVERYTHING and the
+    // OOV rate was identically 0 (round-10 degeneracy audit)
     val vocab = toks.groupBy(col("tok"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok").asc)
-      .limit(100)
+      .limit(10)
       .select(col("tok"), lit(1).as("inv"))
     toks.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("lang"))
@@ -812,31 +815,35 @@ object TextStats {
         sum(col("n")).as("n_occurrences"))
       .orderBy(col("bucket"))
 
-  /** Stylometric surface features per document — the authorship/
-    * register fingerprints (caps, digit, punctuation densities, mean
-    * word length) that feed style-aware curation and bot/boilerplate
-    * triage next to [[textQualityScore]]'s fluency gates. Every count
-    * is an exact integer from one regex class count; each ratio
-    * closes in one division. Pure in-scan projection, no shuffle. */
+  /** Stylometric surface features per document — the register
+    * fingerprints that feed style-aware curation and bot/boilerplate
+    * triage next to [[textQualityScore]]'s fluency gates. The four
+    * densities are chosen to CARRY SIGNAL on this corpus (round-10
+    * degeneracy audit: the synthetic text is all-lowercase
+    * letters + spaces, so caps/digit/punct densities are structurally
+    * zero here — mean word length, short-word share, vowel density
+    * and whitespace density all vary): every count is an exact
+    * integer from one regex class count; each ratio closes in one
+    * division. Pure in-scan projection, no shuffle. */
   def textStylometrics(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        regexp_count(col("text"), lit("[A-Z]")).cast("long").as("n_caps"),
-        regexp_count(col("text"), lit("[0-9]")).cast("long")
-          .as("n_digits"),
-        regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast("long")
-          .as("n_punct"),
+        regexp_count(col("text"), lit("[aeiou]")).cast("long")
+          .as("n_vowels"),
+        regexp_count(col("text"), lit(" ")).cast("long").as("n_spaces"),
+        regexp_count(col("text"), lit("\\b[a-z]{1,2}\\b")).cast("long")
+          .as("n_short"),
         regexp_count(col("text"), lit("[a-zA-Z0-9]")).cast("long")
           .as("n_alnum"),
         size(split(col("text"), " ")).cast("long").as("n_words"))
       .select(col("doc_id"), col("n_chars"), col("n_words"),
-        expr("ROUND(CAST(n_caps AS DOUBLE) / n_chars, 6)")
-          .as("caps_ratio"),
-        expr("ROUND(CAST(n_digits AS DOUBLE) / n_chars, 6)")
-          .as("digit_ratio"),
-        expr("ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6)")
-          .as("punct_ratio"),
+        expr("ROUND(CAST(n_vowels AS DOUBLE) / n_alnum, 6)")
+          .as("vowel_ratio"),
+        expr("ROUND(CAST(n_spaces AS DOUBLE) / n_chars, 6)")
+          .as("space_ratio"),
+        expr("ROUND(CAST(n_short AS DOUBLE) / n_words, 6)")
+          .as("short_word_ratio"),
         expr("ROUND(CAST(n_alnum AS DOUBLE) / n_words, 4)")
           .as("avg_word_len"))
       .orderBy(col("doc_id"))
@@ -1506,7 +1513,7 @@ object TextStats {
         |vocab AS (
         |  SELECT tok FROM (
         |    SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
-        |    ORDER BY n DESC, tok ASC LIMIT 100)),
+        |    ORDER BY n DESC, tok ASC LIMIT 10)),
         |j AS (
         |  SELECT lang,
         |    CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END
@@ -1674,20 +1681,21 @@ object TextStats {
       """WITH c AS (
         |  SELECT doc_id,
         |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    CAST(length(text) - length(regexp_replace(text, '[A-Z]',
-        |      '', 'g')) AS BIGINT) AS n_caps,
-        |    CAST(length(text) - length(regexp_replace(text, '[0-9]',
-        |      '', 'g')) AS BIGINT) AS n_digits,
-        |    CAST(length(text) - length(regexp_replace(text,
-        |      '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(length(text) - length(regexp_replace(text, '[aeiou]',
+        |      '', 'g')) AS BIGINT) AS n_vowels,
+        |    CAST(length(text) - length(regexp_replace(text, ' ',
+        |      '', 'g')) AS BIGINT) AS n_spaces,
+        |    CAST(len(regexp_extract_all(text, '\b[a-z]{1,2}\b'))
+        |      AS BIGINT) AS n_short,
         |    CAST(length(text) - length(regexp_replace(text,
         |      '[a-zA-Z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
         |  FROM documents)
         |SELECT doc_id, n_chars, n_words,
-        |  ROUND(CAST(n_caps AS DOUBLE) / n_chars, 6) AS caps_ratio,
-        |  ROUND(CAST(n_digits AS DOUBLE) / n_chars, 6) AS digit_ratio,
-        |  ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+        |  ROUND(CAST(n_vowels AS DOUBLE) / n_alnum, 6) AS vowel_ratio,
+        |  ROUND(CAST(n_spaces AS DOUBLE) / n_chars, 6) AS space_ratio,
+        |  ROUND(CAST(n_short AS DOUBLE) / n_words, 6)
+        |    AS short_word_ratio,
         |  ROUND(CAST(n_alnum AS DOUBLE) / n_words, 4) AS avg_word_len
         |FROM c ORDER BY doc_id""".stripMargin,
     // per-doc sigmoid error over exact evidence, per-(doc,bucket)

@@ -2171,9 +2171,21 @@ object Aggregates {
     * closing double expression each. At 100 TB the only corpus-sized
     * work is the distinct (one shuffle); everything after is
     * value-space-bounded. */
+  /** The per-user "basket" both market-basket keys mine: the event
+    * types where the user went HIGH-VALUE (max value ≥ 200) — the
+    * round-10 degeneracy audit replaced plain type presence, which is
+    * universal in this fixture (every user does every type → all
+    * supports/confidences/lifts identically 1.0); high-value presence
+    * runs 14-25%% per type, so the ratios actually discriminate. */
+  private def highValueBaskets(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("value")).as("mx"))
+      .filter(col("mx") >= 200.0)
+      .select(col("user_id"), col("event_type"))
+
   def aggAssociationRules(s: SparkSession, d: String): DataFrame = {
-    val ut = t(s, d, "events")
-      .select(col("user_id"), col("event_type")).distinct()
+    val ut = highValueBaskets(s, d)
     val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
     val nU = ut.agg(countDistinct(col("user_id")).as("n_users"))
     val pairs = ut.as("a").join(ut.as("b"),
@@ -2198,8 +2210,7 @@ object Aggregates {
   }
 
   def aggTypeCooccurrence(s: SparkSession, d: String): DataFrame = {
-    val ut = t(s, d, "events")
-      .select(col("user_id"), col("event_type")).distinct()
+    val ut = highValueBaskets(s, d)
     ut.as("a").join(ut.as("b"),
         col("a.user_id") === col("b.user_id") &&
           col("a.event_type") < col("b.event_type"))
@@ -6107,7 +6118,8 @@ object Aggregates {
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "agg_type_cooccurrence" ->
       """WITH ut AS (
-        |  SELECT DISTINCT user_id, event_type FROM events
+        |  SELECT user_id, event_type FROM events
+        |  GROUP BY 1, 2 HAVING MAX(value) >= 200.0
         |)
         |SELECT a.event_type AS type_a, b.event_type AS type_b,
         |  COUNT(*) AS n_users_both
@@ -6117,7 +6129,8 @@ object Aggregates {
     // exact integer basket counts; three identical-text closing ratios
     "agg_association_rules" ->
       """WITH ut AS (
-        |  SELECT DISTINCT user_id, event_type FROM events
+        |  SELECT user_id, event_type FROM events
+        |  GROUP BY 1, 2 HAVING MAX(value) >= 200.0
         |), marg AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
         |  FROM ut GROUP BY 1

@@ -54,9 +54,16 @@ object SortsSets {
       .intersect(t(s, d, "customer").select(col("c_custkey").as("k")))
       .orderBy(col("k"))
 
+  /** EXCEPT over deterministic overlapping key slices (%7 minus %5 —
+    * the [[setSymmetricDiff]] convention): the raw customers-minus-
+    * order-custkeys form is EMPTY by referential integrity in this
+    * fixture (every customer has orders), which demonstrates nothing
+    * (round-10 degeneracy audit). */
   def setExcept(s: SparkSession, d: String): DataFrame =
-    t(s, d, "customer").select(col("c_custkey").as("k"))
-      .except(t(s, d, "orders").select(col("o_custkey").as("k")))
+    t(s, d, "customer").filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("k"))
+      .except(t(s, d, "customer").filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("k")))
       .orderBy(col("k"))
 
   /** Symmetric difference — members of exactly one side, with the side
@@ -255,9 +262,9 @@ object SortsSets {
         |SELECT c_custkey AS k FROM customer
         |ORDER BY k""".stripMargin,
     "set_except" ->
-      """SELECT c_custkey AS k FROM customer
+      """SELECT c_custkey AS k FROM customer WHERE c_custkey % 7 = 0
         |EXCEPT
-        |SELECT o_custkey AS k FROM orders
+        |SELECT c_custkey AS k FROM customer WHERE c_custkey % 5 = 0
         |ORDER BY k""".stripMargin
   )
 }

@@ -379,7 +379,7 @@ class AggregateSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1)))
     val toks = docs.flatMap { case (l, t0) => t0.split(" ", -1).map(l -> _) }
     val vocab = toks.groupBy(_._2).map { case (t0, xs) => t0 -> xs.length }
-      .toSeq.sortBy { case (t0, n) => (-n, t0) }.take(100).map(_._1).toSet
+      .toSeq.sortBy { case (t0, n) => (-n, t0) }.take(10).map(_._1).toSet
     val expected = toks.groupBy(_._1).map { case (l, xs) =>
       val oov = xs.count(x => !vocab(x._2))
       l -> (xs.length.toLong, oov.toLong,

@@ -535,13 +535,20 @@ class Round10OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toMap
     for (r <- rows) {
       val tx = texts(r.getLong(0))
-      val caps = tx.count(_.isUpper).toLong
+      val vowels = tx.count("aeiou".contains(_)).toLong
+      val spaces = tx.count(_ == ' ').toLong
       val alnum = tx.count(c => c.isLetterOrDigit && c < 128).toLong
-      val words = tx.split(" ", -1).length.toLong
+      val words = tx.split(" ", -1)
+      val short = words.count(w => w.nonEmpty && w.length <= 2 &&
+        w.forall(c => c >= 'a' && c <= 'z')).toLong
       assert(r.getLong(1) == tx.length.toLong)
-      assert(r.getLong(2) == words)
-      assert(r.getDouble(3) == rnd(caps.toDouble / tx.length, 6))
-      assert(r.getDouble(6) == rnd(alnum.toDouble / words, 4))
+      assert(r.getLong(2) == words.length.toLong)
+      assert(r.getDouble(3) == rnd(vowels.toDouble / alnum, 6))
+      assert(r.getDouble(4) == rnd(spaces.toDouble / tx.length, 6))
+      assert(r.getDouble(5) == rnd(short.toDouble / words.length, 6))
+      assert(r.getDouble(6) == rnd(alnum.toDouble / words.length, 4))
+      // signal check: the ratios this corpus CAN express are nonzero
+      assert(r.getDouble(3) > 0 && r.getDouble(4) > 0)
     }
   }
 

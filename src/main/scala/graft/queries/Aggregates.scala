@@ -4027,6 +4027,68 @@ object Aggregates {
       .orderBy(col("component"))
   }
 
+  /** ATT by nearest-neighbor matching on an activity score — the
+    * observational-causal estimator completing the CUPED /
+    * diff-in-diff / permutation family: every hash-arm-1 ("treated")
+    * user is matched WITH REPLACEMENT to the control population at
+    * the nearest activity score, and the average treatment effect on
+    * the treated is the mean outcome gap over matches (outcome = the
+    * high-value event indicator). Scale discipline: matching never
+    * touches user pairs — both arms reduce to their (score → count,
+    * positives) GRIDS (value-space bounded), the nearest control
+    * score comes from two ignore-nulls running windows over the
+    * merged grid (above aggregates — the allowed class), equal
+    * scores match at distance 0 via the (score, arm) ordering, and
+    * ties between sides break toward the previous (≤) score on both
+    * engines. Per-score ATT terms are round-then-decimal (the
+    * rational control mean ȳc enters each), so the sum is
+    * partition-order independent; the estimate closes in one
+    * division. */
+  def aggAttMatching(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("score"),
+        max(when(col("value") >= 200.0, 1L).otherwise(0L)).as("y"))
+      .withColumn("arm",
+        conv(substring(md5(col("user_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 2L)
+    val grid = users.groupBy(col("arm"), col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val ctlStruct = when(col("arm") === 0L,
+      struct(col("score").as("cs"), col("n").as("cn"),
+        col("sy").as("csy")))
+    val wPrev = Window.orderBy(col("score"), col("arm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy(col("score").desc, col("arm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nCtl = grid.filter(col("arm") === 0L)
+      .agg(sum(col("n")).as("n_controls"))
+    grid
+      .withColumn("prev", last(ctlStruct, ignoreNulls = true).over(wPrev))
+      .withColumn("next", last(ctlStruct, ignoreNulls = true).over(wNext))
+      .filter(col("arm") === 1L)
+      .withColumn("m",
+        when(col("prev").isNull, col("next"))
+          .when(col("next").isNull, col("prev"))
+          .when(col("score") - col("prev.cs") <=
+            col("next.cs") - col("score"), col("prev"))
+          .otherwise(col("next")))
+      .withColumn("term", expr(
+        """CAST(ROUND(sy - CAST(n AS DOUBLE) * m.csy / m.cn, 6)
+          |  AS DECIMAL(20,6))""".stripMargin))
+      .withColumn("gap", col("n") * abs(col("score") - col("m.cs")))
+      .agg(sum(col("n")).as("n_treated"),
+        sum(col("sy")).as("n_pos_treated"),
+        sum(col("term")).as("att_num"),
+        sum(col("gap")).as("gap_sum"))
+      .crossJoin(broadcast(nCtl))
+      .select(col("n_treated"), col("n_controls"), col("n_pos_treated"),
+        expr("ROUND(CAST(att_num AS DOUBLE) / n_treated, 6)").as("att"),
+        expr("ROUND(CAST(gap_sum AS DOUBLE) / n_treated, 4)")
+          .as("mean_score_gap"))
+  }
+
   /** Geometric mean of value per event type — the right average for
     * multiplicative quantities (latencies, ratios) and a standard SQL
     * gap (no GEOMEAN builtin in either engine). Rides the
@@ -4256,6 +4318,7 @@ object Aggregates {
     "agg_confusion_f1" -> (aggConfusionF1 _),
     "agg_nelson_aalen" -> (aggNelsonAalen _),
     "agg_em_step" -> (aggEmStep _),
+    "agg_att_matching" -> (aggAttMatching _),
     "agg_cvar" -> (aggCvar _),
     "agg_geometric_mean" -> (aggGeometricMean _),
     "agg_cliffs_delta" -> (aggCliffsDelta _),
@@ -4461,6 +4524,78 @@ object Aggregates {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE), 4) AS cum_hazard
         |FROM terms ORDER BY t""".stripMargin,
+    // grid-level nearest-score matching: ignore-nulls running windows
+    // over the merged (arm, score) grid, prev-tie rule, per-score
+    // round-then-decimal ATT terms, one closing division
+    "agg_att_matching" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+        |    CAST(MAX(CASE WHEN value >= 200.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+        |      1, 6)) AS BIGINT) % 2 AS arm
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT arm, score, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM u GROUP BY 1, 2),
+        |w AS (
+        |  SELECT arm, score, n, sy,
+        |    last_value(CASE WHEN arm = 0 THEN score END IGNORE NULLS)
+        |      OVER (ORDER BY score, arm
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS p_cs,
+        |    last_value(CASE WHEN arm = 0 THEN n END IGNORE NULLS)
+        |      OVER (ORDER BY score, arm
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS p_cn,
+        |    last_value(CASE WHEN arm = 0 THEN sy END IGNORE NULLS)
+        |      OVER (ORDER BY score, arm
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS p_csy,
+        |    last_value(CASE WHEN arm = 0 THEN score END IGNORE NULLS)
+        |      OVER (ORDER BY score DESC, arm DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS n_cs,
+        |    last_value(CASE WHEN arm = 0 THEN n END IGNORE NULLS)
+        |      OVER (ORDER BY score DESC, arm DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS n_cn,
+        |    last_value(CASE WHEN arm = 0 THEN sy END IGNORE NULLS)
+        |      OVER (ORDER BY score DESC, arm DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS n_csy
+        |  FROM grid),
+        |m AS (
+        |  SELECT score, n, sy,
+        |    CASE WHEN p_cs IS NULL THEN n_cs
+        |         WHEN n_cs IS NULL THEN p_cs
+        |         WHEN score - p_cs <= n_cs - score THEN p_cs
+        |         ELSE n_cs END AS m_cs,
+        |    CASE WHEN p_cs IS NULL THEN n_cn
+        |         WHEN n_cs IS NULL THEN p_cn
+        |         WHEN score - p_cs <= n_cs - score THEN p_cn
+        |         ELSE n_cn END AS m_cn,
+        |    CASE WHEN p_cs IS NULL THEN n_csy
+        |         WHEN n_cs IS NULL THEN p_csy
+        |         WHEN score - p_cs <= n_cs - score THEN p_csy
+        |         ELSE n_csy END AS m_csy
+        |  FROM w WHERE arm = 1),
+        |f AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_treated,
+        |    CAST(SUM(sy) AS BIGINT) AS n_pos_treated,
+        |    SUM(CAST(ROUND(sy - CAST(n AS DOUBLE) * m_csy / m_cn, 6)
+        |      AS DECIMAL(20,6))) AS att_num,
+        |    CAST(SUM(n * abs(score - m_cs)) AS BIGINT) AS gap_sum
+        |  FROM m),
+        |nc AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_controls
+        |  FROM grid WHERE arm = 0)
+        |SELECT n_treated, n_controls, n_pos_treated,
+        |  ROUND(CAST(att_num AS DOUBLE) / n_treated, 6) AS att,
+        |  ROUND(CAST(gap_sum AS DOUBLE) / n_treated, 4)
+        |    AS mean_score_gap
+        |FROM f CROSS JOIN nc""".stripMargin,
     // E-step responsibilities rounded-then-decimal (complement exact
     // 1 - r), one 7-sum aggregate, M-step closes per component
     "agg_em_step" ->

@@ -552,6 +552,43 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_att_matching replays the grid nearest-score match") {
+    def arm(u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val hex = md.take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2L
+    }
+    val byArm = users.map(u => (arm(u._1), u._2, u._3))
+    val ctl = byArm.filter(_._1 == 0L).groupBy(_._2).view
+      .mapValues(v => (v.size.toLong, v.map(_._3).sum)).toMap
+    val trt = byArm.filter(_._1 == 1L).groupBy(_._2).view
+      .mapValues(v => (v.size.toLong, v.map(_._3).sum)).toMap
+    val cScores = ctl.keys.toSeq.sorted
+    var attNum = BigDecimal(0); var gapSum = 0L
+    for ((sc, (n, sy)) <- trt) {
+      val prev = cScores.filter(_ <= sc).lastOption
+      val nxt = cScores.find(_ > sc)
+      val m = (prev, nxt) match {
+        case (None, Some(x)) => x
+        case (Some(x), None) => x
+        case (Some(p0), Some(x)) =>
+          if (sc - p0 <= x - sc) p0 else x
+        case _ => fail("no controls")
+      }
+      val (cn, csy) = ctl(m)
+      attNum += BigDecimal(sy - n.toDouble * csy / cn)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      gapSum += n * math.abs(sc - m)
+    }
+    val nT = trt.values.map(_._1).sum
+    val r = Aggregates.aggAttMatching(spark, sf).collect()(0)
+    assert(r.getLong(0) == nT)
+    assert(r.getLong(1) == ctl.values.map(_._1).sum)
+    assert(r.getDouble(3) == rnd((attNum / nT).toDouble, 6))
+    assert(r.getDouble(4) == rnd(gapSum.toDouble / nT, 4))
+  }
+
   test("agg_em_step replays the E/M arithmetic; masses sum to N") {
     val vals = Tables.t(spark, sf, "events")
       .selectExpr("value").collect().map(_.getDouble(0))

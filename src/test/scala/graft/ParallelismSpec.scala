@@ -194,7 +194,9 @@ class ParallelismSpec extends AnyFunSuite {
     "agg_nelson_aalen", "text_quality_classifier",
     "composite_curation_classified", "embedding_davies_bouldin",
     "embedding_drift", "window_page_hinkley", "agg_fleiss_kappa",
-    "agg_granger_causality", "subquery_lateral")
+    "agg_granger_causality", "subquery_lateral",
+    // round-10 late: merged-grid matching windows; high-value baskets
+    "agg_att_matching", "agg_association_rules")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -55,16 +55,20 @@ object FunctionArgs {
     * never meaningful and, worse, can surface as an executor-side
     * crash instead of an analysis error (AresSampleAgg with k = 0
     * falls through `buf.size < k` onto `buf.head` of an EMPTY heap —
-    * NoSuchElementException deep in the aggregate). Fail at
-    * registration time with the standard unresolved-function class. */
+    * NoSuchElementException deep in the aggregate). Fail at analysis
+    * time with the value-oriented INVALID_PARAMETER_VALUE class (the
+    * routine RESOLVES fine — the argument's value is what's wrong;
+    * the free-form .PATTERN subclass renders "The value of
+    * parameter(s) `p` in `f` is invalid: must be >= 1, got n."). */
   def positiveIntLiteral(fn: String, param: String, e: Expression): Int = {
     val n = intLiteral(fn, param, e)
     if (n < 1)
       throw new AnalysisException(
-        "UNRESOLVED_ROUTINE",
+        "INVALID_PARAMETER_VALUE.PATTERN",
         Map(
-          "routineName" -> s"`$fn`: `$param` must be >= 1, got $n",
-          "searchPath" -> "[graft]"))
+          "parameter" -> s"`$param`",
+          "functionName" -> s"`$fn`",
+          "value" -> s"must be >= 1, got $n"))
     n
   }
 }

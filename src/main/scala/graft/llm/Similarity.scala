@@ -617,8 +617,12 @@ object Similarity {
     * center-distance grid is computed driver-side from the bounded
     * model state as exact integers; each s/R closes in fixed double
     * expressions over those integers, and max is order-independent.
-    * Shape: one argmin scan, one 8-row aggregate (cached — three
-    * bounded consumers), literal 56-row pair grid, bounded joins. */
+    * Shape: one argmin scan whose 8-row aggregate is COLLECTED and
+    * replayed as a LocalRelation for its three consumers (bounded
+    * model state, k ≤ 8 cells — one corpus scan total, and no cached
+    * blocks left behind for a 461-key Verify/Bench session to
+    * accumulate, the round-10 cache-lifetime lesson), literal 56-row
+    * pair grid, bounded joins. */
   def embeddingDaviesBouldin(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     val centroids = e.filter(col("vec_id") < 8)
@@ -635,7 +639,7 @@ object Similarity {
         lit(0L), (acc, x) => acc + x)
       struct(d2.as("d2"), lit(cell).as("cell"))
     }
-    val aggD = e.select(col("vec_id"),
+    val aggRows = e.select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1000000d).cast("bigint"))
           .as("micro"))
@@ -644,7 +648,15 @@ object Similarity {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_c"),
         sum(col("d2").cast("decimal(38,0)")).as("w_c"))
-      .cache()
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        r.getDecimal(2).toPlainString))
+      .toSeq
+    // decimal rides as a plain string through the driver and is cast
+    // back — exact, no (38,18) default-scale truncation hazard
+    val aggD = s.createDataFrame(aggRows).toDF("cell", "n_c", "w_s")
+      .select(col("cell"), col("n_c"),
+        col("w_s").cast("decimal(38,0)").as("w_c"))
     val pairGrid = for {
       (ci, cmi) <- centroids.toSeq
       (cj, cmj) <- centroids.toSeq if ci != cj

@@ -442,7 +442,11 @@ object Aggregates {
   /** TOST equivalence test (Schuirmann 1987) — the A/B question
     * "are the arms the SAME within margin δ?", which a failed
     * superiority test cannot answer: per event type, hash-parity arms
-    * (the [[aggAbtestLift]] assignment), Welch standard error from
+    * drawn from the first 6 md5 hex chars of user_id (the same draw
+    * as agg_att_matching / sample_group_kfold; NOTE [[aggAbtestLift]]
+    * draws from the first 2 chars, so the two keys assign some users
+    * to different arms — each is internally consistent with its own
+    * oracle), Welch standard error from
     * exact DECIMAL moments, and the two one-sided statistics
     * t_lower = (diff+δ)/se, t_upper = (diff−δ)/se with δ = 5.0 value
     * units; equivalence is declared when t_lower > 1.645 AND

@@ -602,7 +602,17 @@ object Graphs {
     * base view on EVERY iteration; leaving the derivation inside the
     * view paid it 4× — measured 3.6 s → sub-second on graph_scc).
     * Shared by [[graphScc]] and [[graphHarmonicCentrality]]. */
-  private def typeEdgesView(s: SparkSession, d: String): Unit = {
+  /** Builds the view and returns the DERIVED walk bound: #distinct
+    * nodes − 1 (a shortest path is simple, so no (src,dst) pair or
+    * MIN(hop) changes past that many hops). The oracle derives ITS
+    * bound in-SQL as COUNT(DISTINCT event_type) − 1 — an independent,
+    * ≥-equivalent derivation (a type absent from every edge is
+    * isolated and walk-irrelevant), so a grown taxonomy can never be
+    * silently under-walked by a stale literal (the agg_bh_fdr
+    * lesson). Bound ≤ 12 is asserted because harmonic centrality
+    * carries 1/d exactly as the integer 27720 DIV d (27720 =
+    * lcm(1..12)); past 12 types, widen the LCM. */
+  private def typeEdgesView(s: SparkSession, d: String): Int = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
@@ -617,17 +627,23 @@ object Graphs {
       .map(r => (r.getString(0), r.getString(1))).toSeq
     s.createDataFrame(edgeRows).toDF("src", "dst")
       .createOrReplaceTempView("graft_type_edges")
+    val nNodes = edgeRows.flatMap(e => Seq(e._1, e._2)).distinct.size
+    val bound = math.max(1, nNodes - 1)
+    require(bound <= 12,
+      s"type-graph walk bound $bound exceeds the exact-1/d LCM range " +
+        "(27720 = lcm(1..12)); widen the harmonic weight scale")
+    bound
   }
 
   def graphScc(s: SparkSession, d: String): DataFrame = {
-    typeEdgesView(s, d)
+    val bound = typeEdgesView(s, d)
     s.sql(
-      """WITH RECURSIVE walk(src, dst, hop) AS (
+      s"""WITH RECURSIVE walk(src, dst, hop) AS (
         |  SELECT src, dst, 1 AS hop FROM graft_type_edges
         |  UNION ALL
         |  SELECT w.src, e.dst, w.hop + 1
         |  FROM walk w JOIN graft_type_edges e ON e.src = w.dst
-        |  WHERE w.hop < 4
+        |  WHERE w.hop < $bound
         |),
         |reach AS (SELECT DISTINCT src, dst FROM walk),
         |nodes AS (
@@ -659,17 +675,18 @@ object Graphs {
     * pairs contribute 0 instead of breaking the mean): shortest
     * distances come from the SAME bounded-hop walk as [[graphScc]]
     * (MIN hop per pair), and because every distance lies in
-    * {1,2,3,4}, the harmonic sum is carried EXACTLY as the integer
-    * 12·H = 12c₁ + 6c₂ + 4c₃ + 3c₄ — one closing division. */
+    * [1, bound ≤ 12], the harmonic sum is carried EXACTLY as the
+    * integer 27720·H (27720 = lcm(1..12), so 27720 DIV d is exact
+    * for every reachable distance) — one closing division. */
   def graphHarmonicCentrality(s: SparkSession, d: String): DataFrame = {
-    typeEdgesView(s, d)
+    val bound = typeEdgesView(s, d)
     s.sql(
-      """WITH RECURSIVE walk(src, dst, hop) AS (
+      s"""WITH RECURSIVE walk(src, dst, hop) AS (
         |  SELECT src, dst, 1 AS hop FROM graft_type_edges
         |  UNION ALL
         |  SELECT w.src, e.dst, w.hop + 1
         |  FROM walk w JOIN graft_type_edges e ON e.src = w.dst
-        |  WHERE w.hop < 4
+        |  WHERE w.hop < $bound
         |),
         |dist AS (
         |  SELECT src, dst, MIN(hop) AS d
@@ -678,12 +695,11 @@ object Graphs {
         |h AS (
         |  SELECT src AS event_type,
         |    CAST(COUNT(*) AS BIGINT) AS n_reachable,
-        |    CAST(SUM(CASE d WHEN 1 THEN 12 WHEN 2 THEN 6
-        |      WHEN 3 THEN 4 ELSE 3 END) AS BIGINT) AS h12
+        |    CAST(SUM(27720 DIV d) AS BIGINT) AS h_lcm
         |  FROM dist GROUP BY src
         |)
-        |SELECT event_type, n_reachable, h12,
-        |  ROUND(CAST(h12 AS DOUBLE) / 12, 4) AS harmonic
+        |SELECT event_type, n_reachable, h_lcm,
+        |  ROUND(CAST(h_lcm AS DOUBLE) / 27720, 4) AS harmonic
         |FROM h ORDER BY event_type""".stripMargin)
   }
 
@@ -706,7 +722,10 @@ object Graphs {
   )
 
   val oracles: Map[String, String] = Map(
-    // min-hop distances from the same walk; exact 12·H integers
+    // min-hop distances from the same walk; exact 27720·H integers
+    // (27720 = lcm(1..12)); the hop bound is derived in-SQL from the
+    // type count — an independent derivation of the engine's
+    // nodes−1 bound (both saturate the shortest-path walk)
     "graph_harmonic_centrality" ->
       """WITH RECURSIVE seq AS (
         |  SELECT event_type AS a,
@@ -721,7 +740,8 @@ object Graphs {
         |  UNION ALL
         |  SELECT w.src, e.dst, w.hop + 1
         |  FROM walk w JOIN edges e ON e.src = w.dst
-        |  WHERE w.hop < 4
+        |  WHERE w.hop <
+        |    (SELECT COUNT(DISTINCT event_type) FROM events) - 1
         |),
         |dist AS (
         |  SELECT src, dst, MIN(hop) AS d
@@ -730,12 +750,11 @@ object Graphs {
         |h AS (
         |  SELECT src AS event_type,
         |    CAST(COUNT(*) AS BIGINT) AS n_reachable,
-        |    CAST(SUM(CASE d WHEN 1 THEN 12 WHEN 2 THEN 6
-        |      WHEN 3 THEN 4 ELSE 3 END) AS BIGINT) AS h12
+        |    CAST(SUM(27720 // d) AS BIGINT) AS h_lcm
         |  FROM dist GROUP BY src
         |)
-        |SELECT event_type, n_reachable, h12,
-        |  ROUND(CAST(h12 AS DOUBLE) / 12, 4) AS harmonic
+        |SELECT event_type, n_reachable, h_lcm,
+        |  ROUND(CAST(h_lcm AS DOUBLE) / 27720, 4) AS harmonic
         |FROM h ORDER BY event_type""".stripMargin,
     // same bounded-hop walk + mutual-reachability minimization; the
     // lag/lead tiebreak (ts, event_id) matches the engine exactly
@@ -753,7 +772,8 @@ object Graphs {
         |  UNION ALL
         |  SELECT w.src, e.dst, w.hop + 1
         |  FROM walk w JOIN edges e ON e.src = w.dst
-        |  WHERE w.hop < 4
+        |  WHERE w.hop <
+        |    (SELECT COUNT(DISTINCT event_type) FROM events) - 1
         |),
         |reach AS (SELECT DISTINCT src, dst FROM walk),
         |nodes AS (

@@ -148,20 +148,49 @@ object StreamQueries {
     * file copy + four Spark staging writes per repeated family run
     * (bench warm-up + timed pass, Verify after a spec suite, …). */
   private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Path)]()
   private val tsTypeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+  /** The source-dir fingerprint walk is O(#files); memoize it per
+    * dataset dir behind a cheap top-dir-mtime probe so repeated
+    * builder calls (13 stream families × warm-up + timed pass) pay
+    * one walk, while an in-place regeneration (which rewrites the
+    * direct children, bumping the dir mtime) still re-walks. */
+  private val fpCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, String)]()
+  private def dirFingerprint(s: SparkSession, d: String): String = {
+    val mtime =
+      try Files.getLastModifiedTime(Paths.get(d)).toMillis
+      catch { case _: Exception => -1L }
+    fpCache.compute(d, (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else (mtime, graft.util.Materialize.fingerprint(s, d)))._2
+  }
   private def stagedDir(s: SparkSession, tag: String, d: String)(
       build: Path => Unit): Path =
-    // Content-address the key like Materialize.bucketedTableFor: a
+    // Content-address the VALUE (not the key) like Materialize: a
     // fixture dataset regenerated IN PLACE within one JVM must
-    // restage, not silently replay stale staged files.
-    stagedCache.computeIfAbsent(
-      s"$tag|$d|${graft.util.Materialize.fingerprint(s, d)}", _ => {
+    // restage, not silently replay stale staged files — and the
+    // superseded staging dir is deleted NOW, not at JVM exit, so a
+    // long session holds at most one staged copy per (tag, dataset).
+    stagedCache.compute(s"$tag|$d", (_, prev) => {
+      val fp = dirFingerprint(s, d)
+      if (prev != null && prev._1 == fp) prev
+      else {
+        if (prev != null) {
+          tempDirs.remove(prev._2)
+          try {
+            val walk = Files.walk(prev._2)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { Files.deleteIfExists(p); () })
+            finally walk.close()
+          } catch { case _: Exception => () }
+        }
         val dir = tempDir(tag)
         build(dir)
-        dir
-      })
+        (fp, dir)
+      }
+    })._2
 
   /** Per-query cloned session: shares the SparkContext but owns its
     * SQLConf, so stream-specific knobs never leak into (or race with)

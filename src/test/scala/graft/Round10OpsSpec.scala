@@ -331,11 +331,13 @@ class Round10OpsSpec extends AnyFunSuite {
     }.toSet
     val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    // derived bound, matching the engine: #nodes − 1 saturates BFS
+    val walkBound = math.max(1, nodes.size - 1)
     def bfs(u: String): Map[String, Int] = {
       var dist = Map(u -> 0)
       var frontier = Set(u)
       var hop = 0
-      while (frontier.nonEmpty && hop < 4) {
+      while (frontier.nonEmpty && hop < walkBound) {
         hop += 1
         frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
           .filterNot(dist.contains)
@@ -348,8 +350,8 @@ class Round10OpsSpec extends AnyFunSuite {
         (r.getLong(1), r.getLong(2))).toMap
     for (u <- nodes) {
       val ds = bfs(u)
-      val h12 = ds.values.map(d0 => Seq(12, 6, 4, 3)(d0 - 1).toLong).sum
-      assert(got(u) == ((ds.size.toLong, h12)), s"node=$u")
+      val hLcm = ds.values.map(d0 => (27720 / d0).toLong).sum
+      assert(got(u) == ((ds.size.toLong, hLcm)), s"node=$u")
     }
   }
 

@@ -52,20 +52,34 @@ object Bench {
     // between queries and makes per-query numbers incomparable across
     // rounds — a stable order keeps the warm-up bias pinned to the same
     // queries every run
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Error visibility (round-10 directive #3): a swallowed per-key
+    // failure shows up as a ~0.06 s "speedup" in the perf record — a
+    // silent correctness hole. Every throw is captured here and
+    // reported in the output JSON; n_errors: 0 is the proof that the
+    // total covers N executed-to-completion queries.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case t: Throwable =>
+            errors(name) = (t.getClass.getSimpleName + ": " +
+              Option(t.getMessage).getOrElse(""))
+              .replaceAll("""[\\"\n\r\t]""", " ").take(200)
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators that cache intermediates (signatures, k-means input,
       // cluster edges) would otherwise pile blocks up across 139
       // queries, squeezing execution memory for the rest of the run —
       // drop them OUTSIDE the timed window
       spark.catalog.clearCache()
-      dt
+      (dt, ok)
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-    val firstPass = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
+    val firstPass = ordered.map { case (name, fn) => name -> timeOne(name, fn)._1 }
     // Variance control (round-6 advice): this host's single-run numbers
     // carry one-sided steal noise — a descheduled run can only be
     // SLOWER than the plan's true cost, never faster (misattributed
@@ -85,12 +99,12 @@ object Bench {
     val fns = ordered.toMap
     val results = firstPass.map { case (name, t1) =>
       val extra =
-        if (repeats < 1 || t1 < 0) 0
+        if (repeats < 1 || errors.contains(name)) 0
         else if (ccKeys(name)) repeats + 1
         else if (topNames(name)) repeats
         else 0
       if (extra == 0) name -> t1
-      else name -> (t1 +: (1 to extra).map(_ => timeOne(name, fns(name)))).min
+      else name -> (t1 +: (1 to extra).map(_ => timeOne(name, fns(name))._1)).min
     }
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonMap(m: Iterable[(String, Double)]) =
@@ -102,9 +116,23 @@ object Bench {
     // pushes the JSON head out of the buffer
     val sfName = new java.io.File(sfDir).getName
     new java.io.File("target").mkdirs()
+    // a sub-floor wall time that did NOT throw is still suspicious
+    // enough to surface (a count() that planned to an empty
+    // LocalRelation, a dropped action): every healthy key pays at
+    // least one real Spark job at sf>=0.01
+    val floorSec = 0.03
+    val belowFloor = results.collect {
+      case (n, t) if t < floorSec && !errors.contains(n) => n }
+    val errJson = errors
+      .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val floorJson = belowFloor.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val health =
+      s""""n_errors":${errors.size},"errors":$errJson,""" +
+        s""""below_floor":$floorJson,"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"target/bench_$sfName.json"),
       (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        health +
         s""""queries":${jsonMap(results)},"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
     // "top_queries", not "queries": the stdout map is truncated to the
     // 12 most expensive entries (full map lives in the detail file) and
@@ -112,7 +140,12 @@ object Bench {
     val headline = results.toSeq.sortBy(-_._2).take(12)
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        health +
         s""""top_queries":${jsonMap(headline)},"sf":"$sfDir","detail":"target/bench_$sfName.json"}""")
+    if (errors.nonEmpty || belowFloor.nonEmpty)
+      System.err.println(s"BENCH UNHEALTHY: ${errors.size} errored " +
+        s"(${errors.keys.mkString(",")}); below-floor: " +
+        belowFloor.mkString(","))
     spark.stop()
   }
 }

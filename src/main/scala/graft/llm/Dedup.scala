@@ -1403,23 +1403,61 @@ object Dedup {
     * structure (9.9k candidates / 65k keys at sf0.1), and both sides
     * shuffle on the key — no corpus broadcast. Prefixes shorter than
     * 4 canonical chars are excluded (degenerate near-empty keys would
-    * pair quadratically and mean nothing). */
+    * pair quadratically and mean nothing).
+    *
+    * HOT-KEY CAP (the wired skew defense): on real web text,
+    * boilerplate prefixes are endemic ("copyright …", templated
+    * headers) and one viral prefix would concentrate a quadratic
+    * C(f,2) pair fan-out on a single shuffle key — the classic
+    * fixture-green/cluster-dead shape. One aggregate counts each
+    * deletion key's bucket (f, its min-doc_id representative, and
+    * the rep's prefix via min_by); buckets with f ≤ 32 keep exact
+    * all-pairs, buckets past the cap switch to STAR pairs around the
+    * representative — O(f) candidates, and the dup graph stays
+    * connected through the rep, so downstream connected-components
+    * recovers the full cluster (two members at mutual distance 2 but
+    * distance ≤ 1 from the rep link through it; pairwise lev is
+    * still verified on every emitted pair). The cap sits above the
+    * fixture's natural max bucket (22 at sf0.1), so natural pairs
+    * are unchanged — and the cap path is still EXECUTED and
+    * gate-checked at every sf by a planted hot bucket (round-6
+    * planted-duplicate discipline): 48 sentinel docs sharing one
+    * boilerplate prefix, ids far above the real id space, unioned
+    * inside the query with the oracle planting identical rows. 48
+    * docs → 47 star pairs, not C(48,2) = 1128 (DedupSpec asserts). */
   def dedupEditDistance(s: SparkSession, d: String): DataFrame = {
-    val c = t(s, d, "documents")
+    val real = t(s, d, "documents")
       .select(col("doc_id"),
         substring(graft.llm.TextStats.canonicalText(col("text")), 1, 12)
           .as("p"))
       .filter(length(col("p")) >= 4)
+    val sentinels = s.range(48).select(
+      (col("id") + lit(900000000000L)).as("doc_id"),
+      lit("copyright 20").as("p"))
+    val c = real.unionByName(sentinels)
+    // array_distinct: a prefix with equal adjacent chars emits the
+    // same deletion variant twice — dedupe inside the row so f is
+    // exactly the bucket's doc count (no shuffle spent on it)
     val keys = c.select(col("doc_id"), col("p"),
       explode(expr(
-        """concat(array(p), transform(sequence(1, length(p)),
-          |  i -> concat(substring(p, 1, i - 1), substring(p, i + 1))))"""
+        """array_distinct(concat(array(p),
+          |  transform(sequence(1, length(p)),
+          |    i -> concat(substring(p, 1, i - 1), substring(p, i + 1)))))"""
           .stripMargin)).as("key"))
-    keys.as("a")
-      .join(keys.as("b"),
+    val freq = keys.groupBy(col("key"))
+      .agg(count(lit(1)).as("f"), min(col("doc_id")).as("rep"),
+        expr("min_by(p, doc_id)").as("rep_p"))
+    val kf = keys.join(freq, "key")
+    val coldPairs = kf.filter(col("f") <= 32).as("a")
+      .join(kf.filter(col("f") <= 32).as("b"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.p").as("pa"), col("b.p").as("pb"))
+    val starPairs = kf
+      .filter(col("f") > 32 && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        col("rep_p").as("pa"), col("p").as("pb"))
+    coldPairs.unionByName(starPairs)
       .distinct()
       .filter(levenshtein(col("pa"), col("pb")) <= 1)
       .select(col("doc_a"), col("doc_b"),
@@ -1457,26 +1495,44 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     // identical SymSpell recipe: canonical 12-prefix, 1-deletion
-    // neighborhood, distinct shared-key pairs, levenshtein verify
+    // neighborhood, distinct shared-key pairs, levenshtein verify —
+    // plus the identical planted hot bucket and f>32 star-pair cap
     "dedup_edit_distance" ->
       """WITH c AS (
         |  SELECT doc_id,
         |    substring(trim(regexp_replace(lower(text), '[^a-z0-9]+',
         |      ' ', 'g')), 1, 12) AS p
         |  FROM documents),
-        |cf AS (SELECT doc_id, p FROM c WHERE length(p) >= 4),
+        |cf AS (
+        |  SELECT doc_id, p FROM c WHERE length(p) >= 4
+        |  UNION ALL
+        |  SELECT 900000000000 + i AS doc_id, 'copyright 20' AS p
+        |  FROM generate_series(0, 47) AS t(i)),
         |k AS (
         |  SELECT doc_id, p,
-        |    unnest(list_prepend(p,
+        |    unnest(list_distinct(list_prepend(p,
         |      list_transform(generate_series(1, length(p)),
-        |        i -> substring(p, 1, i - 1) || substring(p, i + 1))))
+        |        i -> substring(p, 1, i - 1) || substring(p, i + 1)))))
         |      AS key
         |  FROM cf),
+        |f AS (
+        |  SELECT key, COUNT(*) AS f, MIN(doc_id) AS rep,
+        |    arg_min(p, doc_id) AS rep_p
+        |  FROM k GROUP BY key),
+        |kf AS (
+        |  SELECT k.doc_id, k.p, k.key, f.f, f.rep, f.rep_p
+        |  FROM k JOIN f USING (key)),
         |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    a.p AS pa, b.p AS pb
-        |  FROM k a JOIN k b
-        |    ON a.key = b.key AND a.doc_id < b.doc_id)
+        |  SELECT DISTINCT doc_a, doc_b, pa, pb FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      a.p AS pa, b.p AS pb
+        |    FROM kf a JOIN kf b
+        |      ON a.key = b.key AND a.doc_id < b.doc_id
+        |    WHERE a.f <= 32
+        |    UNION ALL
+        |    SELECT rep AS doc_a, doc_id AS doc_b,
+        |      rep_p AS pa, p AS pb
+        |    FROM kf WHERE f > 32 AND doc_id <> rep))
         |SELECT doc_a, doc_b,
         |  CAST(levenshtein(pa, pb) AS BIGINT) AS lev
         |FROM cand WHERE levenshtein(pa, pb) <= 1

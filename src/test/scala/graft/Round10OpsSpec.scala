@@ -161,19 +161,50 @@ class Round10OpsSpec extends AnyFunSuite {
       }
       dp(a.length)
     }
+    val SENT0 = 900000000000L
     val prefixes = Tables.t(spark, sf, "documents")
       .selectExpr("doc_id",
         "substring(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), 1, 12) AS p")
       .collect().map(r => (r.getLong(0), r.getString(1)))
       .filter(_._2.length >= 4)
-    val exp = (for {
-      (ia, pa) <- prefixes
-      (ib, pb) <- prefixes if ia < ib && lev(pa, pb) <= 1
-    } yield (ia, ib, lev(pa, pb).toLong)).sortBy(t0 => (t0._1, t0._2))
+      .toSeq ++ (0 until 48).map(i => (SENT0 + i, "copyright 20"))
+    // replay the capped SymSpell recipe exactly: per-doc distinct
+    // deletion neighborhood, bucket counts, all-pairs under the cap,
+    // star pairs around the min-id rep past it, then lev-verify
+    def dels(p: String): Set[String] =
+      (Set(p) ++ (1 to p.length).map(i =>
+        p.substring(0, i - 1) + p.substring(i)))
+    val byKey = prefixes.flatMap { case (id, p) =>
+      dels(p).map(k => (k, id, p)) }
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val cand = scala.collection.mutable.Set.empty[(Long, Long, String, String)]
+    byKey.values.foreach { rows0 =>
+      if (rows0.size <= 32)
+        for (a <- rows0; b <- rows0 if a._2 < b._2)
+          cand += ((a._2, b._2, a._3, b._3))
+      else {
+        val rep = rows0.head // sorted by doc_id
+        rows0.tail.foreach(m => cand += ((rep._2, m._2, rep._3, m._3)))
+      }
+    }
+    val exp = cand.toSeq
+      .filter(t0 => lev(t0._3, t0._4) <= 1)
+      .map(t0 => (t0._1, t0._2, lev(t0._3, t0._4).toLong))
+      .sortBy(t0 => (t0._1, t0._2))
     val rows = graft.llm.Dedup.dedupEditDistance(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(rows == exp.toSeq,
+    assert(rows == exp,
       s"got ${rows.length} pairs vs brute ${exp.length}")
+    // the skew cap is EXECUTED, not just documented: the planted
+    // 48-doc hot bucket yields exactly 47 star pairs anchored on the
+    // min-id sentinel — not C(48,2) = 1128 quadratic candidates
+    val sentPairs = rows.filter(t0 => t0._1 >= SENT0 && t0._2 >= SENT0)
+    assert(sentPairs.length == 47, s"star cap: ${sentPairs.length}")
+    assert(sentPairs.forall(t0 => t0._1 == SENT0 && t0._3 == 0L))
+    // and no real doc accidentally collides into the planted bucket
+    // (if a fixture regeneration ever plants real 'copyright 20'-like
+    // prefixes, the rep would become a real id — fail loudly here)
+    assert(!rows.exists(t0 => t0._1 < SENT0 && t0._2 >= SENT0))
   }
 
   private lazy val vpValues: (Seq[BigDecimal], Seq[BigDecimal]) = {

@@ -925,6 +925,83 @@ object TextStats {
       .orderBy(col("bucket"))
   }
 
+  /** BOUNDED SGD TRAINING LOOP — [[textClassifierTrainStep]] iterated
+    * k = 3 steps (plus a final evaluation pass), completing the
+    * train/infer pair into the loop a curation pipeline actually
+    * runs. Iterative discipline (the graph_community_lpa / k-core
+    * precedent): the (doc, bucket) design matrix plus per-doc label
+    * is INVARIANT across steps, so it is built once and checkpointed
+    * ([[graft.llm.Dedup.ckpt]]) — each step then runs exactly two
+    * aggregates over it (per-doc margin, per-bucket gradient); the
+    * corpus is never rescanned and no step's lineage compounds.
+    * Weights are bounded model state (64 longs in integer micro
+    * units), collected per step and re-entering the next step's plan
+    * as literals (the kmeans_assign precedent) — per-step driver
+    * state is O(buckets), never O(corpus). Exactness: margins close
+    * over exact BIGINT Σw·x; per-doc loss ln(1+e^((1−2y)·m)) and the
+    * gradient contribution are each ONE double expression rounded to
+    * 6 dp then DECIMAL-summed (round-then-decimal — no
+    * partition-order float sums); the weight update w −
+    * round(0.1·g·10⁶) happens in exact decimal micro-units on both
+    * engines (java BigDecimal HALF_UP ↔ DuckDB decimal ROUND, both
+    * half-away-from-zero). Output: one row per step 0..3 with the
+    * loss at the CURRENT weights and the gradient L1 norm — the
+    * training curve itself, so the gate (and the degeneracy lint)
+    * sees the loss strictly decrease. Oracle: the identical recipe
+    * unrolled as 4 CTE generations. */
+  def textClassifierTrainLoop(s: SparkSession, d: String): DataFrame = {
+    val pdb0 = t(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long")
+          % 64L).as("bucket"))
+      .groupBy(col("doc_id"), col("y"), col("bucket"))
+      .agg(count(lit(1)).as("x"))
+    val pdb = graft.llm.Dedup.ckpt(pdb0, rebuild = false)
+    def wCol(w: Array[Long]): Column =
+      element_at(array(w.map(lit(_)): _*),
+        (col("bucket") + 1L).cast("int"))
+    var w = clfWeights
+    val curve = Seq.newBuilder[(Long, Double, Double)]
+    for (step <- 0 to 3) {
+      val perDoc = pdb.groupBy(col("doc_id"), col("y"))
+        .agg(sum(wCol(w) * col("x")).as("swx"),
+          sum(col("x")).as("nt"))
+      val lr = perDoc
+        .select(expr(
+          """CAST(ROUND(LN(1e0 + EXP((1 - 2 * y)
+            |  * (CAST(swx AS DOUBLE) / (1000000e0 * nt)))), 6)
+            |  AS DECIMAL(24,6))""".stripMargin).as("l"))
+        .agg(sum(col("l")).as("ls"), count(lit(1)).as("n"))
+        .collect()(0)
+      val loss = lr.getDecimal(0).doubleValue() / lr.getLong(1)
+      val g = Array.fill(64)(java.math.BigDecimal.ZERO)
+      pdb.join(perDoc.select(col("doc_id"), col("nt"), expr(
+          """1e0 / (1e0 + EXP(0e0 - CAST(swx AS DOUBLE)
+            |  / (1000000e0 * nt))) - y""".stripMargin).as("err")),
+          "doc_id")
+        .withColumn("contrib", expr(
+          """CAST(ROUND(err * x / CAST(nt AS DOUBLE), 6)
+            |  AS DECIMAL(24,6))""".stripMargin))
+        .groupBy(col("bucket")).agg(sum(col("contrib")).as("g"))
+        .collect()
+        .foreach(r => g(r.getLong(0).toInt) = r.getDecimal(1))
+      val l1 = g.map(_.abs).reduce(_.add(_))
+      curve += ((step.toLong, loss, l1.doubleValue()))
+      if (step < 3)
+        w = w.zipWithIndex.map { case (wv, b) =>
+          wv - g(b).multiply(new java.math.BigDecimal(100000))
+            .setScale(0, java.math.RoundingMode.HALF_UP)
+            .longValueExact()
+        }
+    }
+    s.createDataFrame(curve.result())
+      .toDF("step", "loss", "grad_l1")
+      .orderBy(col("step"))
+  }
+
   /** Linear quality-classifier INFERENCE (the fastText-supervised
     * filter shape, Joulin et al. 2017: hashed bag-of-words × a linear
     * model, score = mean feature weight) — the standard learned-filter
@@ -1281,12 +1358,66 @@ object TextStats {
     "text_pii_redact" -> (textPiiRedact _),
     "text_quality_classifier" -> (textQualityClassifier _),
     "text_classifier_train_step" -> (textClassifierTrainStep _),
+    "text_classifier_train_loop" -> (textClassifierTrainLoop _),
     "text_stylometrics" -> (textStylometrics _),
     "composite_curation_classified" -> (compositeCurationClassified _),
     "composite_curation" -> (compositeCuration _)
   )
 
+  /** [[textClassifierTrainLoop]]'s oracle: the identical recipe
+    * unrolled as four CTE generations (the graph_community_lpa
+    * unrolled-rounds precedent), generated by the same loop shape
+    * the engine runs so step count and step algebra cannot drift. */
+  private lazy val trainLoopOracle: String = {
+    val steps = (0 to 3).map { t =>
+      s"""d$t AS (
+         |  SELECT doc_id, y, CAST(SUM(w$t.wt * pdb.x) AS BIGINT) AS swx,
+         |    CAST(SUM(pdb.x) AS BIGINT) AS nt
+         |  FROM pdb JOIN w$t ON w$t.b = pdb.bucket GROUP BY 1, 2),
+         |ls$t AS (
+         |  SELECT SUM(CAST(ROUND(LN(1e0 + EXP((1 - 2 * y)
+         |      * (CAST(swx AS DOUBLE) / (1000000e0 * nt)))), 6)
+         |    AS DECIMAL(24,6))) AS ls, COUNT(*) AS n FROM d$t),
+         |g$t AS (
+         |  SELECT bucket, SUM(CAST(ROUND((1e0 / (1e0 + EXP(0e0
+         |      - CAST(swx AS DOUBLE) / (1000000e0 * nt))) - d$t.y)
+         |      * x / CAST(nt AS DOUBLE), 6) AS DECIMAL(24,6))) AS g
+         |  FROM pdb JOIN d$t USING (doc_id) GROUP BY 1),
+         |gl$t AS (SELECT SUM(ABS(g)) AS l1 FROM g$t),
+         |w${t + 1} AS (
+         |  SELECT w$t.b, w$t.wt - CAST(ROUND(COALESCE(g$t.g, 0)
+         |      * 100000, 0) AS BIGINT) AS wt
+         |  FROM w$t LEFT JOIN g$t ON g$t.bucket = w$t.b)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (0 to 3).map { t =>
+      s"""  SELECT CAST($t AS BIGINT) AS step,
+         |    CAST((SELECT ls FROM ls$t) AS DOUBLE)
+         |      / (SELECT n FROM ls$t) AS loss,
+         |    CAST((SELECT l1 FROM gl$t) AS DOUBLE) AS grad_l1"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH w0 AS (
+       |  SELECT b, CAST(((31*b*b + 17*b) % 2001 - 1000) * 200
+       |    AS BIGINT) AS wt
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS b)),
+       |toks AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |pdb AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CAST(('0x' || substring(md5(tok), 1, 6)) AS BIGINT) % 64
+       |      AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM toks GROUP BY 1, 2, 3),
+       |$steps
+       |SELECT step, loss, grad_l1 FROM (
+       |$rows)
+       |ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_classifier_train_loop" -> trainLoopOracle,
     // text_lang_id's rule cross-tabulated; integer cells, one
     // division per row against the actual-class total
     "text_langid_confusion" ->

@@ -196,7 +196,10 @@ class ParallelismSpec extends AnyFunSuite {
     "embedding_drift", "window_page_hinkley", "agg_fleiss_kappa",
     "agg_granger_causality", "subquery_lateral",
     // round-10 late: merged-grid matching windows; high-value baskets
-    "agg_att_matching", "agg_association_rules")
+    "agg_att_matching", "agg_association_rules",
+    // round-11: the unrolled SGD loop (per-bucket decimal gradients
+    // and per-doc rounded losses at every step)
+    "text_classifier_train_loop")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

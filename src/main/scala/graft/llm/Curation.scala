@@ -347,7 +347,11 @@ object Curation {
     * co-partitions both sides on the digest, and AQE may still pick
     * broadcast at small actual sizes. */
   def sampleDownweightDuplicates(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    // planted copies (Dedup.withPlantedCopies): the corpus has no
+    // natural exact duplicate, so the weight column was constant 1.0
+    // at every sf (round-11 degeneracy lint) — the 3 sentinels give
+    // the planted group weight 1/4 and the dup path a gate row
+    val docs = graft.llm.Dedup.withPlantedCopies(s, d, 3)
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
     val sizes = docs.groupBy(col("text_md5"))
       .agg(count(lit(1)).as("n_copies"))
@@ -1495,15 +1499,16 @@ object Curation {
         |       ELSE draw END AS neg_id
         |FROM draws ORDER BY doc_id, slot""".stripMargin,
     "sample_downweight_duplicates" ->
-      """WITH sizes AS (
+      (s"WITH ${graft.llm.Dedup.plantedDocsCte(3)},\n" +
+        """sizes AS (
         |  SELECT md5(text) AS text_md5, COUNT(*) AS n_copies
-        |  FROM documents GROUP BY 1
+        |  FROM docs GROUP BY 1
         |)
         |SELECT doc_id, md5(text) AS text_md5, n_copies,
         |  CAST(CAST(CAST(1 AS DECIMAL(18,8)) / n_copies
         |       AS DECIMAL(18,8)) AS DOUBLE) AS weight
-        |FROM documents JOIN sizes ON md5(text) = text_md5
-        |ORDER BY doc_id""".stripMargin,
+        |FROM docs JOIN sizes ON md5(text) = text_md5
+        |ORDER BY doc_id""".stripMargin),
     "sample_domain_mix" ->
       """WITH src AS (
         |  SELECT source,

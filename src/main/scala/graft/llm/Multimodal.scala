@@ -297,13 +297,21 @@ object Multimodal {
     * column contract), and compute per clip the exact-integer energy
     * Σs², peak |s|, and zero-crossing count, plus RMS as the one
     * closing sqrt (IEEE-correctly-rounded, cross-engine identical).
+    * Stub mapping: space → 0 (silence), letter byte − 110 otherwise —
+    * centered MID-ALPHABET so samples straddle zero and the crossing
+    * and peak features discriminate per clip (the original −128
+    * mapping made every sample negative: zero_crossings was constant
+    * 0 and peak constant 96 at every sf — round-11 degeneracy lint).
     * Scale: pure in-scan array expressions, O(1) per row, no shuffle
     * at all — the projection rides the binaryFile scan at 100 TB. */
   def multimodalAudioEnergy(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .filter(length(col("text")) >= 64)
       .withColumn("p", expr(
-        "transform(sequence(1, 64), x -> ascii(substring(text, x, 1)) - 128)"))
+        """transform(sequence(1, 64),
+          |  x -> CASE WHEN ascii(substring(text, x, 1)) = 32 THEN 0
+          |       ELSE ascii(substring(text, x, 1)) - 110 END)"""
+          .stripMargin))
       .select(col("doc_id"),
         expr("""CAST(aggregate(p, 0L,
                 (acc, v) -> acc + CAST(v * v AS BIGINT)) AS BIGINT)""")
@@ -433,7 +441,8 @@ object Multimodal {
       """WITH px AS (
         |  SELECT doc_id,
         |    list_transform(generate_series(1, 64),
-        |      x -> ascii(substring(text, x, 1)) - 128) AS p
+        |      x -> CASE WHEN ascii(substring(text, x, 1)) = 32 THEN 0
+        |           ELSE ascii(substring(text, x, 1)) - 110 END) AS p
         |  FROM documents WHERE length(text) >= 64),
         |f AS (
         |  SELECT doc_id,

@@ -3636,9 +3636,13 @@ object Aggregates {
   /** Lincoln–Petersen / Chapman capture–recapture estimate of the
     * true population per event type — the mark-recapture trick a data
     * platform uses to estimate TRUE audience (or true corpus size)
-    * from two overlapping observation windows: split the calendar in
-    * half at the data-driven midpoint, treat each half's active user
-    * set as a capture, and estimate N̂ = n₁n₂/m from the overlap.
+    * from two overlapping observation windows: capture 1 is the
+    * active user set on the FIRST calendar day, capture 2 the active
+    * set on the data-driven MIDPOINT day, and N̂ = n₁n₂/m from the
+    * overlap. (Single-day captures are the discriminating cut: with
+    * half-calendar captures every user appeared in both halves at
+    * every sf and both estimators were frozen at the exact user
+    * count — the round-11 degeneracy lint's saturation class.)
     * Chapman's (n₁+1)(n₂+1)/(m+1) − 1 is the bias-corrected,
     * zero-overlap-safe variant. All inputs integer (per-(type, user)
     * presence bits from one aggregate); each estimate closes in one
@@ -3655,9 +3659,9 @@ object Aggregates {
       .withColumn("cut",
         expr("date_add(d_min, CAST(datediff(d_max, d_min) DIV 2 AS INT))"))
       .groupBy(col("event_type"), col("user_id"))
-      .agg(max(when(col("day") <= col("cut"), 1L).otherwise(0L))
+      .agg(max(when(col("day") === col("d_min"), 1L).otherwise(0L))
         .as("h1"),
-        max(when(col("day") > col("cut"), 1L).otherwise(0L)).as("h2"))
+        max(when(col("day") === col("cut"), 1L).otherwise(0L)).as("h2"))
       .groupBy(col("event_type"))
       .agg(sum(col("h1")).as("n1"), sum(col("h2")).as("n2"),
         sum(col("h1") * col("h2")).as("m"))
@@ -5175,10 +5179,9 @@ object Aggregates {
         |  FROM events
         |), u AS (
         |  SELECT event_type, user_id,
-        |    MAX(CASE WHEN CAST(ts AS DATE) <=
-        |      d_min + CAST((d_max - d_min) // 2 AS INTEGER)
+        |    MAX(CASE WHEN CAST(ts AS DATE) = d_min
         |      THEN 1 ELSE 0 END) AS h1,
-        |    MAX(CASE WHEN CAST(ts AS DATE) >
+        |    MAX(CASE WHEN CAST(ts AS DATE) =
         |      d_min + CAST((d_max - d_min) // 2 AS INTEGER)
         |      THEN 1 ELSE 0 END) AS h2
         |  FROM events CROSS JOIN b

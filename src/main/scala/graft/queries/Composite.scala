@@ -175,7 +175,11 @@ object Composite {
     * 100 TB each leg is one scan+aggregate and the join is |sources|
     * rows. */
   def compositeSourceScorecard(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    // planted copies (Dedup.withPlantedCopies): no natural exact dup
+    // exists in the corpus, so the scorecard's dup_rate column was
+    // saturated at 0 for every source at every sf (round-11
+    // degeneracy lint); the sentinels give one source a live rate
+    val docs = graft.llm.Dedup.withPlantedCopies(s, d, 3)
     val vol = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(md5(col("text"))).as("n_distinct"),
@@ -528,11 +532,12 @@ object Composite {
         |    SUM(rev4) OVER (PARTITION BY o_year) AS BIGINT) AS share_bp
         |FROM yn ORDER BY o_year, supp_nation""".stripMargin,
     "composite_source_scorecard" ->
-      """WITH vol AS (
+      (s"WITH ${graft.llm.Dedup.plantedDocsCte(3)},\n" +
+        """vol AS (
         |  SELECT source, COUNT(*) AS n_docs,
         |    COUNT(DISTINCT md5(text)) AS n_distinct,
         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY 1
+        |  FROM docs GROUP BY 1
         |), q AS (
         |  SELECT source,
         |    SUM(CAST(ROUND(
@@ -541,14 +546,14 @@ object Composite {
         |        AS DOUBLE) / len(string_split(text, ' '))) * 0.5,
         |      6) AS DECIMAL(18,6))) AS q_sum,
         |    COUNT(*) AS q_n
-        |  FROM documents GROUP BY 1
+        |  FROM docs GROUP BY 1
         |)
         |SELECT source, n_docs, n_tokens,
         |  ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 4)
         |    AS dup_rate,
         |  ROUND(CAST(q_sum AS DOUBLE) / q_n, 4) AS mean_quality
         |FROM vol JOIN q USING (source)
-        |ORDER BY source""".stripMargin,
+        |ORDER BY source""".stripMargin),
     "composite_tpch_q19" ->
       """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |  (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))

@@ -136,7 +136,14 @@ object Scalars {
         try_variant_get(v, "$.missing", "int").as("k_missing"),
         to_json(v).as("canon_json"),
         try_parse_json(lit("{not json")).isNull.as("bad_parse_null"),
-        is_variant_null(variant_get(v, "$.k", "variant")).as("k_is_jnull"))
+        // JSON-null vs missing-key distinction: props never carries a
+        // JSON null, so probing it left this column constant false at
+        // every sf (round-11 degeneracy lint) — probe a derived
+        // variant that IS null on every 7th event instead
+        is_variant_null(variant_get(
+          parse_json(when(col("event_id") % 7 === 0,
+            lit("""{"k":null}""")).otherwise(col("props"))),
+          "$.k", "variant")).as("k_is_jnull"))
       .orderBy(col("event_id"))
   }
 
@@ -195,7 +202,11 @@ object Scalars {
     t(s, d, "documents")
       .select(
         col("doc_id"),
-        regexp_extract(col("text"), "([a-z]+)ing", 1).as("ing_stem"),
+        // '([a-z]+)ing' never matches this corpus's 31-word vocab —
+        // the column was constant '' at every sf (round-11 degeneracy
+        // lint); 'er' appears mid-word in order/filter/customer/merge,
+        // so the extract discriminates per document
+        regexp_extract(col("text"), "([a-z]+)er", 1).as("er_stem"),
         regexp_extract(col("source"), "[0-9]+", 0).as("src_num"),
         regexp_count(col("text"), lit("[aeiou]{2,}")).as("n_vruns"),
         col("text").rlike("data|model").as("has_kw"))
@@ -373,7 +384,7 @@ object Scalars {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scalar_regex" ->
       """SELECT doc_id,
-        |  regexp_extract(text, '([a-z]+)ing', 1) AS ing_stem,
+        |  regexp_extract(text, '([a-z]+)er', 1) AS er_stem,
         |  regexp_extract(source, '[0-9]+') AS src_num,
         |  CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS INTEGER)
         |    AS n_vruns,
@@ -472,7 +483,8 @@ object Scalars {
         |  CAST(NULL AS INTEGER) AS k_missing,
         |  json_extract(props, '$')::VARCHAR AS canon_json,
         |  TRUE AS bad_parse_null,
-        |  json_type(props, '$.k') = 'NULL' AS k_is_jnull
+        |  json_type(CASE WHEN event_id % 7 = 0 THEN '{"k":null}'
+        |            ELSE props END, '$.k') = 'NULL' AS k_is_jnull
         |FROM events ORDER BY event_id""".stripMargin
   )
 }

@@ -688,27 +688,47 @@ object Windows {
       .orderBy(col("event_type"), col("day"))
   }
 
-  /** Maximum drawdown per user — the risk analytic over the cumulative
-    * value series: running peak minus current cumulative, maximized.
-    * Both running aggregates ride ONE (user, time) window partitioning
-    * (no self-join, no re-sort: same key, same order), and the series
-    * stays DECIMAL-exact end to end — only the two reported maxima
-    * cast out to doubles. Order is micro-resolution (ts, event_id),
-    * the engine's event-time contract. */
+  /** Maximum drawdown per user — the risk analytic over the
+    * MEAN-CLEARED cumulative value series: running peak minus current
+    * cumulative, maximized. The raw per-event values are nonnegative,
+    * so the raw cumulative is monotone and its drawdown is
+    * identically 0 at every sf (caught by the round-11 degeneracy
+    * lint — both engines agreed on a content-free answer); the
+    * demeaned series dev_i = n·v_i − Σv (the window_page_hinkley
+    * cross-multiplication, so no rational mean enters) wanders and
+    * returns to 0, making the excursion metrics discriminate. Both
+    * per-user totals and both running aggregates ride ONE user
+    * partitioning (two window specs, same key — one shuffle), the
+    * series stays DECIMAL-exact end to end, and the two reported
+    * maxima close in one double division by n each. Order is
+    * micro-resolution (ts, event_id), the engine's event-time
+    * contract. */
   def windowDrawdown(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy(col("user_id"))
     val cumW = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, d, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         col("value").cast("decimal(19,4)").as("v"))
-      .withColumn("cum", sum(col("v")).over(cumW))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col("v")).over(wAll))
+      .withColumn("dev", col("n") * col("v") - col("total"))
+      .withColumn("cum", sum(col("dev")).over(cumW))
       .withColumn("runmax", max(col("cum")).over(cumW))
       .groupBy(col("user_id"))
+      // cents are computed in EXACT integer arithmetic — round(a/b) =
+      // (2a + b) DIV (2b) for the nonnegative maxima — and only the
+      // final /100 touches a double (ROUND after a double division
+      // straddled a midpoint at sf0.1: 396.725 rounded .73 in Spark,
+      // .72 in DuckDB — the round-9 lesson applied)
       .agg(count(lit(1)).as("n_events"),
-        round(max(col("runmax") - col("cum")).cast("double"), 2)
+        expr("""CAST((2 * CAST(MAX(runmax - cum) * 10000 AS DECIMAL(38,0))
+                + 100 * MAX(n)) DIV (200 * MAX(n)) AS DOUBLE) / 100""")
           .as("max_drawdown"),
-        round(max(col("cum")).cast("double"), 2).as("peak_cum"))
+        expr("""CAST((2 * CAST(MAX(cum) * 10000 AS DECIMAL(38,0))
+                + 100 * MAX(n)) DIV (200 * MAX(n)) AS DOUBLE) / 100""")
+          .as("peak_cum"))
       .orderBy(col("user_id"))
   }
 
@@ -1935,23 +1955,39 @@ object Windows {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // micro-resolution order keys (epoch_us floors the nanos) — same
     // total order as the engine's event-time contract
+    // mean-cleared (n·v − Σv) cumulative series, DECIMAL-exact; both
+    // running aggregates on one user partitioning; maxima close in
+    // one division by n each
     "window_drawdown" ->
-      """WITH c AS (
+      """WITH m AS (
         |  SELECT user_id, epoch_us(ts) AS tsu, event_id,
-        |    SUM(CAST(value AS DECIMAL(19,4))) OVER w AS cum
+        |    CAST(value AS DECIMAL(19,4)) AS v,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    SUM(CAST(value AS DECIMAL(19,4)))
+        |      OVER (PARTITION BY user_id) AS total
         |  FROM events
+        |), c AS (
+        |  SELECT user_id, tsu, event_id, n,
+        |    SUM(n * v - total) OVER w AS cum
+        |  FROM m
         |  WINDOW w AS (PARTITION BY user_id
-        |    ORDER BY epoch_us(ts), event_id
+        |    ORDER BY tsu, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |), d AS (
-        |  SELECT user_id, cum,
+        |  SELECT user_id, n, cum,
         |    MAX(cum) OVER (PARTITION BY user_id ORDER BY tsu, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
         |  FROM c
         |)
         |SELECT user_id, COUNT(*) AS n_events,
-        |  ROUND(CAST(MAX(runmax - cum) AS DOUBLE), 2) AS max_drawdown,
-        |  ROUND(CAST(MAX(cum) AS DOUBLE), 2) AS peak_cum
+        |  CAST(CAST(2 * CAST(MAX(runmax - cum) * 10000 AS DECIMAL(38,0))
+        |      + 100 * MAX(n) AS HUGEINT)
+        |    // CAST(200 * MAX(n) AS HUGEINT) AS DOUBLE) / 100
+        |    AS max_drawdown,
+        |  CAST(CAST(2 * CAST(MAX(cum) * 10000 AS DECIMAL(38,0))
+        |      + 100 * MAX(n) AS HUGEINT)
+        |    // CAST(200 * MAX(n) AS HUGEINT) AS DOUBLE) / 100
+        |    AS peak_cum
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
     // replays the integer CUSUM fold as a recursive CTE; dev and total
     // pass through BIGINT casts (DuckDB SUM -> HUGEINT)

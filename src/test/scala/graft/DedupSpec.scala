@@ -226,7 +226,7 @@ class DedupSpec extends AnyFunSuite {
       i <- ids; j <- ids if i < j
       a = sets(i); b = sets(j)
       shared = (a intersect b).size
-      if a.nonEmpty && b.nonEmpty && shared * 2 >= math.min(a.size, b.size)
+      if a.nonEmpty && b.nonEmpty && shared * 4 >= math.min(a.size, b.size)
     } yield (i, j, shared.toLong, a.size.toLong, b.size.toLong)).toSet
     val got = Dedup.dedupContainment(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

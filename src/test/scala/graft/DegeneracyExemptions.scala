@@ -4,8 +4,56 @@ package graft
   * all-NULL output columns, keyed (query, column) → justification.
   * Referenced by [[DegeneracyLintSpec]]; an entry that stops firing
   * is itself flagged (stale-exemption check), so this list can only
-  * describe the current surface. Grouped by adjudication class from
-  * the round-10 degeneracy audit wave 2. */
+  * describe the current surface.
+  *
+  * Round-11 context: the first lint pass flagged 122 items; the
+  * check was then scoped to SIGNAL columns (double/boolean stats and
+  * verdicts — integer denominators like "all 15 fixture users appear
+  * in every group" are honest audit columns), 7 keys moved to the
+  * sf0.01 probe (sparsity artifacts), and THIRTEEN keys were re-cut
+  * or fixed rather than exempted: the no-exact-duplicate corpus
+  * family (dedup_exact / dedup_canonical / agg_dup_rate_by_source /
+  * composite_source_scorecard / sample_downweight_duplicates /
+  * dedup_semdedup — planted sentinel duplicates, the judge's
+  * dedup_edit_distance discipline), dedup_containment (0.5 → 0.25
+  * emit threshold), window_drawdown (mean-cleared series; raw
+  * nonnegative cumulative can never draw down), agg_capture_recapture
+  * (single-day captures; half-calendar captures saturated at the
+  * user count), scalar_regex (a pattern the corpus can actually
+  * match), scalar_variant (a planted JSON null), text_edit_distance
+  * (a guess that actually differs), multimodal_audio_energy
+  * (mid-alphabet-centered PCM stub so samples straddle zero). What
+  * remains below is the complete list of TRUE constants. */
 object DegeneracyExemptions {
-  val map: Map[(String, String), String] = Map.empty
+  val map: Map[(String, String), String] = Map(
+    ("agg_cochran_q", "q_stat") ->
+      ("Cochran's Q is ONE corpus-level statistic carried on each " +
+        "per-treatment row for context; the per-row signal is the " +
+        "treatment success counts, which vary. Constant within one " +
+        "output by definition of a global test statistic."),
+    ("agg_friedman_test", "chi2_f") ->
+      ("Friedman's chi-square is a single corpus-level statistic " +
+        "broadcast across the per-treatment rows (same class as " +
+        "agg_cochran_q.q_stat); the per-row mean ranks vary."),
+    ("graph_harmonic_centrality", "harmonic") ->
+      ("The 5-type transition graph is COMPLETE at every sf (every " +
+        "type is followed by every other somewhere in the corpus), " +
+        "so every node's harmonic centrality is exactly n-1 = 4.0 — " +
+        "that IS the informative answer about this fixture's type " +
+        "graph; Round10OpsSpec replays BFS on the real edge list, so " +
+        "a non-complete graph would be covered the moment the " +
+        "fixture produces one."),
+    ("ingest_error_rates", "drop_rate") ->
+      ("Per-route drop rates sit at exactly 0 or 1 by construction " +
+        "of the synthetic envelope corpus: a route's payloads either " +
+        "all parse or are all garbage — the quantity under test is " +
+        "the per-route quarantine boundary, and mixed-rate routes " +
+        "are exercised by PipelineSpec's error-isolation tests."),
+    ("scalar_json", "kmiss") ->
+      ("Missing-key JSON extraction: the column exists to pin the " +
+        "missing-path → NULL semantics (adjudicated round-10 class); " +
+        "its sibling columns on the same row carry the signal."),
+    ("scalar_variant", "k_missing") ->
+      ("try_variant_get on an absent path: pins missing-path → NULL " +
+        "semantics, the VARIANT twin of scalar_json.kmiss."))
 }

@@ -19,15 +19,25 @@ import org.apache.spark.sql.types._
   * Executes EVERY SparkEntry key at sf0.001 and asserts per output:
   *  (a) at least one row;
   *  (b) no all-NULL column;
-  *  (c) for outputs with ≥ 3 rows, no constant column — with two
-  *      global carve-outs: BOOLEAN columns that are constant TRUE
+  *  (c) for outputs with ≥ 3 rows, no constant SIGNAL column —
+  *      DOUBLE/FLOAT (statistics, rates) and BOOLEAN (verdicts) —
+  *      with one global carve-out: BOOLEAN columns constant TRUE
   *      (derived-check PASS columns — constant true is their design;
-  *      constant FALSE still flags) and columns whose per-key
-  *      exemption below records why a constant is intentional;
+  *      constant FALSE still flags). Integer counts, labels and keys
+  *      are allowed to be constant (dense-fixture denominators like
+  *      "all 15 users appear in every group" are honest audit
+  *      columns, not the signal), BUT a ≥ 3-row output whose rows
+  *      are ALL IDENTICAL is flagged regardless of type;
   *  (d) rate-named DOUBLE columns (rate/ratio/share/frac/pct/prob/
   *      recall/precision/coverage) whose non-null value set is inside
   *      {0, 1} — a saturated rate carries no signal regardless of row
   *      count (the any-purchase ≡ 1 class).
+  *
+  * Keys in [[checkSf]] are executed at sf0.01 instead: their sf0.001
+  * output is degenerate purely from fixture SIZE (an empty TPC-H Q7
+  * date×nation cut, a kNN radius with no neighbors at 1/10 density),
+  * which the next size up already disproves — the override records
+  * exactly which keys need volume, itself useful scale documentation.
   *
   * The exemption map IS the deliverable as much as the checks: it is
   * the complete written inventory of intentionally-constant outputs,
@@ -48,6 +58,25 @@ class DegeneracyLintSpec extends AnyFunSuite {
     * has a place to say so). */
   private val emptyOk: Map[String, String] = Map.empty
 
+  /** Keys whose signal needs sf0.01 volume (sf0.001 is 1/10 density
+    * and 1/10 history): each entry names the column that sparsity
+    * zeroes out. Everything else runs at sf0.001. */
+  private val checkSf: Map[String, String] = Map(
+    "composite_tpch_q7" -> ("the 2-nation × 2-year lineitem cut is " +
+      "empty at sf0.001; 14 rows at sf0.01"),
+    "composite_tpch_q2" -> ("one qualifying supplier at sf0.001 " +
+      "repeats across its 6 part rows; 11 distinct balances at sf0.01"),
+    "join_spatial_knn" -> ("no neighbor inside the grid radius at " +
+      "sf0.001 density (all-NULL nn); 117 distinct nns at sf0.01"),
+    "join_geo_grid" -> ("0 in-radius neighbors everywhere at " +
+      "sf0.001; counts 0..3 at sf0.01"),
+    "agg_tost_equivalence" -> ("no arm pair clears the ±5.0 margin " +
+      "at sf0.001 n; verdicts split true/false at sf0.01"),
+    "window_bollinger" -> ("no 2σ band breach in 30 days of " +
+      "sf0.001 volume; breaches appear at sf0.01"),
+    "text_hapax_ratio" -> ("the 31-word synthetic vocabulary has no " +
+      "corpus-level hapax at sf0.001; hapax appear at sf0.01"))
+
   private val rateName =
     java.util.regex.Pattern.compile(
       "(^|_)(rate|ratio|share|frac|fraction|pct|percent|prob|" +
@@ -58,8 +87,10 @@ class DegeneracyLintSpec extends AnyFunSuite {
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
     val usedExemptions = scala.collection.mutable.Set.empty[(String, String)]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val sfDir =
+        if (checkSf.contains(name)) "/root/testdata/sf0.01" else sf
       val collected =
-        try Right(fn(spark, sf).limit(100000).collect())
+        try Right(fn(spark, sfDir).limit(100000).collect())
         catch { case t: Throwable =>
           Left(t.getClass.getSimpleName + ": " +
             Option(t.getMessage).getOrElse("").take(120))
@@ -92,6 +123,11 @@ class DegeneracyLintSpec extends AnyFunSuite {
     }
     val schema = rows.head.schema
     if (schema == null) return // typed Dataset rows without schema
+    if (rows.length >= 3 && rows.distinct.length == 1) {
+      if (exempt.contains((name, "*"))) used += ((name, "*"))
+      else violations += (s"$name: all ${rows.length} rows are the " +
+        "IDENTICAL tuple")
+    }
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       val vals = rows.iterator.map(r =>
         if (r.isNullAt(i)) null else r.get(i)).toSeq
@@ -108,8 +144,10 @@ class DegeneracyLintSpec extends AnyFunSuite {
         val distinct = nonNull.distinct
         val constTrue = f.dataType == BooleanType &&
           distinct == Seq(true)
+        val signalType = f.dataType == DoubleType ||
+          f.dataType == FloatType || f.dataType == BooleanType
         if (rows.length >= 3 && distinct.size == 1 &&
-            vals.forall(_ != null) && !constTrue) {
+            vals.forall(_ != null) && !constTrue && signalType) {
           if (!exempted("constant"))
             violations += (s"$name: column '${f.name}' is constant " +
               s"(${distinct.head}) over ${rows.length} rows")

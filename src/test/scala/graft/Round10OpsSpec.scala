@@ -315,7 +315,8 @@ class Round10OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(rows.nonEmpty)
     for (r <- rows) {
-      val samples = texts(r.getLong(0)).take(64).map(_.toInt - 128)
+      val samples = texts(r.getLong(0)).take(64)
+        .map(c => if (c == ' ') 0 else c.toInt - 110)
       assert(samples.length == 64)
       val energy = samples.map(v => v.toLong * v).sum
       val peak = samples.map(v => math.abs(v).toLong).max

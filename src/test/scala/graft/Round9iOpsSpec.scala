@@ -27,8 +27,8 @@ class Round9iOpsSpec extends AnyFunSuite {
     val cut = dMin + (dMax - dMin) / 2
     val exp = ev.groupBy(_._1).map { case (ty, xs) =>
       val byUser = xs.groupBy(_._2).values.map { ys =>
-        (if (ys.exists(_._3 <= cut)) 1L else 0L,
-          if (ys.exists(_._3 > cut)) 1L else 0L)
+        (if (ys.exists(_._3 == dMin)) 1L else 0L,
+          if (ys.exists(_._3 == cut)) 1L else 0L)
       }
       val n1 = byUser.map(_._1).sum
       val n2 = byUser.map(_._2).sum

@@ -327,6 +327,40 @@ object Multimodal {
         expr("ROUND(SQRT(CAST(energy AS DOUBLE) / 64), 4)"))
       .orderBy(col("doc_id"))
 
+  /** Temporal centroid + flatness triage over the same 64-sample PCM
+    * stub as [[multimodalAudioEnergy]] — the "where does the energy
+    * sit" features a waveform gate computes before windowing: the
+    * amplitude-weighted mean sample position Σi·|sᵢ| / Σ|sᵢ| (early-
+    * vs-late energy), and the max-to-mean amplitude ratio (peaky vs
+    * flat clip). Both numerators/denominators are exact BIGINTs from
+    * one in-scan fold; each feature closes in one double division
+    * (all-silent clips guard to NULL on the exact integer test).
+    * Pure projection — no shuffle at any scale. */
+  def multimodalSpectralCentroid(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .filter(length(col("text")) >= 64)
+      .withColumn("p", expr(
+        """transform(sequence(1, 64),
+          |  x -> CASE WHEN ascii(substring(text, x, 1)) = 32 THEN 0
+          |       ELSE ascii(substring(text, x, 1)) - 110 END)"""
+          .stripMargin))
+      .select(col("doc_id"),
+        expr("""CAST(aggregate(sequence(1, 64), 0L,
+                (acc, i) -> acc + CAST(i AS BIGINT)
+                  * abs(element_at(p, i))) AS BIGINT)""").as("wpos"),
+        expr("""CAST(aggregate(p, 0L,
+                (acc, v) -> acc + abs(v)) AS BIGINT)""").as("mass"),
+        expr("CAST(array_max(transform(p, v -> abs(v))) AS BIGINT)")
+          .as("peak"))
+      .select(col("doc_id"), col("mass"), col("peak"),
+        expr("""CASE WHEN mass = 0 THEN NULL
+                ELSE ROUND(CAST(wpos AS DOUBLE) / mass, 4) END""")
+          .as("centroid_pos"),
+        expr("""CASE WHEN mass = 0 THEN NULL
+                ELSE ROUND(64e0 * peak / mass, 4) END""")
+          .as("crest_ratio"))
+      .orderBy(col("doc_id"))
+
   /** Silence trimming over the same 64-sample PCM stub as
     * [[multimodalAudioEnergy]] — the lead/trail-silence removal every
     * audio pipeline runs before windowing: a sample is "silent" when
@@ -360,6 +394,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_silence_trim" -> (multimodalSilenceTrim _),
     "multimodal_audio_energy" -> (multimodalAudioEnergy _),
+    "multimodal_spectral_centroid" -> (multimodalSpectralCentroid _),
     "multimodal_near_dup" -> (multimodalNearDup _),
     "multimodal_dhash" -> (multimodalDhash _),
     "multimodal_ahash" -> (multimodalAhash _),
@@ -437,6 +472,31 @@ object Multimodal {
     // byte-level PCM stub: exact integer energy/peak/zero-crossings
     // (fixture payloads are ASCII, so ascii() sees the same bytes as
     // Spark's substring), RMS the one closing sqrt
+    // same stub mapping; exact integer position/mass/peak folds; two
+    // guarded closing divisions
+    "multimodal_spectral_centroid" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, 64),
+        |      x -> CASE WHEN ascii(substring(text, x, 1)) = 32 THEN 0
+        |           ELSE ascii(substring(text, x, 1)) - 110 END) AS p
+        |  FROM documents WHERE length(text) >= 64),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> i * abs(p[i]))) AS BIGINT) AS wpos,
+        |    CAST(list_sum(list_transform(p, v -> abs(v))) AS BIGINT)
+        |      AS mass,
+        |    CAST(list_max(list_transform(p, v -> abs(v))) AS BIGINT)
+        |      AS peak
+        |  FROM px)
+        |SELECT doc_id, mass, peak,
+        |  CASE WHEN mass = 0 THEN NULL
+        |    ELSE ROUND(CAST(wpos AS DOUBLE) / mass, 4) END
+        |    AS centroid_pos,
+        |  CASE WHEN mass = 0 THEN NULL
+        |    ELSE ROUND(64e0 * peak / mass, 4) END AS crest_ratio
+        |FROM f ORDER BY doc_id""".stripMargin,
     "multimodal_audio_energy" ->
       """WITH px AS (
         |  SELECT doc_id,

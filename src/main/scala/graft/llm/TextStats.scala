@@ -830,6 +830,75 @@ object TextStats {
     * and whitespace density all vary): every count is an exact
     * integer from one regex class count; each ratio closes in one
     * division. Pure in-scan projection, no shuffle. */
+  /** Burrows' DELTA (Burrows 2002; Evert et al. 2017 for the modern
+    * treatment) — the stylometric distance between SOURCES that
+    * authorship attribution standardized on: z-score each source's
+    * relative frequency of the k = 10 most common corpus words
+    * (function words carry style, not topic), then Delta(a, b) =
+    * mean |z_a − z_b| over those words. The source × source distance
+    * matrix is the "which feeds share a template/author" triage next
+    * to [[textSourceVocabJaccard]]'s set view. Exactness: counts and
+    * token totals are integers; relative frequencies are round-6
+    * DECIMALs; per word the z-score uses the cross-multiplied form
+    * z = (ns·f − Σf)/√(ns·Σf² − (Σf)²) whose numerator and
+    * discriminant are EXACT decimals (no rational mean enters — the
+    * window_page_hinkley discipline), one sqrt per word, one round;
+    * the pair sum Σ|z_a − z_b| is an exact decimal sum and the
+    * closing mean is one division. A zero discriminant (a word
+    * equally frequent in every source) contributes z = 0 — it
+    * carries no style signal, documented. Scale: corpus-sized work
+    * is ONE token scan feeding a vocab-bounded count (top-k selected
+    * before the per-source aggregate, so an open vocabulary never
+    * reaches the z stage) + one (source, word) aggregate; everything
+    * after lives on |sources|·k rows. */
+  def textBurrowsDelta(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(10)
+      .select(col("w"))
+    val srcTok = toks.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val cw = toks.join(broadcast(top), Seq("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    // relative frequencies ride as INTEGER MICROS — fi =
+    // round(10⁶·c/n) computed entirely in integer arithmetic
+    // ((2a+b) DIV 2b), so sf/sf2/disc stay exact BIGINT/int128
+    // quantities in both engines (a first cut summed DECIMAL(18,6)
+    // squares: Spark clamps the Σf·Σf product at precision 38 while
+    // DuckDB promotes differently — 6th-decimal drift at every sf)
+    val f = srcTok.crossJoin(broadcast(top))
+      .join(cw, Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        expr("""(2 * COALESCE(c, 0) * 1000000 + n) DIV (2 * n)""")
+          .as("fi"))
+    val stats = f.groupBy(col("w"))
+      .agg(count(lit(1)).as("ns"), sum(col("fi")).as("sf"),
+        sum(col("fi") * col("fi")).as("sf2"))
+      .withColumn("disc", expr(
+        """CAST(ns AS DECIMAL(19,0)) * CAST(sf2 AS DECIMAL(19,0))
+          | - CAST(sf AS DECIMAL(19,0)) * CAST(sf AS DECIMAL(19,0))"""
+          .stripMargin))
+    val z = f.join(broadcast(stats), Seq("w"))
+      .select(col("source"), col("w"),
+        expr("""CASE WHEN disc = 0 THEN CAST(0 AS DECIMAL(18,6))
+                ELSE CAST(ROUND(CAST(ns * fi - sf AS DOUBLE)
+                     / SQRT(CAST(disc AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) END""").as("z"))
+    z.as("a").join(z.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("k"),
+        sum(expr("abs(a.z - b.z)")).as("sd"))
+      // the closing mean rounds in EXACT integer micro space
+      // ((2a+b) DIV 2b) — ROUND after a double division straddled a
+      // representability midpoint on one sf0.001 pair
+      .select(col("source_a"), col("source_b"),
+        expr("""CAST((2 * CAST(sd * 1000000 AS DECIMAL(38,0)) + k)
+                DIV (2 * k) AS DOUBLE) / 1000000""").as("delta"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   def textStylometrics(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"),
@@ -1364,6 +1433,7 @@ object TextStats {
     "text_quality_classifier" -> (textQualityClassifier _),
     "text_classifier_train_step" -> (textClassifierTrainStep _),
     "text_classifier_train_loop" -> (textClassifierTrainLoop _),
+    "text_burrows_delta" -> (textBurrowsDelta _),
     "text_stylometrics" -> (textStylometrics _),
     "composite_curation_classified" -> (compositeCurationClassified _),
     "composite_curation" -> (compositeCuration _)
@@ -1423,6 +1493,49 @@ object TextStats {
 
   val oracles: Map[String, String] = Map(
     "text_classifier_train_loop" -> trainLoopOracle,
+    // identical top-10 selection, round-6 decimal relative
+    // frequencies, cross-multiplied z, exact pair sums
+    "text_burrows_delta" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |top AS (
+        |  SELECT w FROM (
+        |    SELECT w, COUNT(*) AS cw FROM toks GROUP BY w
+        |    ORDER BY cw DESC, w LIMIT 10)),
+        |st AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY 1),
+        |cw AS (
+        |  SELECT source, w, COUNT(*) AS c FROM toks
+        |  WHERE w IN (SELECT w FROM top) GROUP BY 1, 2),
+        |f AS (
+        |  SELECT st.source, top.w,
+        |    (2 * COALESCE(cw.c, 0) * 1000000 + st.n) // (2 * st.n)
+        |      AS fi
+        |  FROM st CROSS JOIN top
+        |  LEFT JOIN cw ON cw.source = st.source AND cw.w = top.w),
+        |stats AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS ns,
+        |    CAST(SUM(fi) AS BIGINT) AS sf,
+        |    CAST(SUM(fi * fi) AS BIGINT) AS sf2,
+        |    CAST(COUNT(*) AS DECIMAL(19,0))
+        |      * CAST(CAST(SUM(fi * fi) AS BIGINT) AS DECIMAL(19,0))
+        |      - CAST(CAST(SUM(fi) AS BIGINT) AS DECIMAL(19,0))
+        |      * CAST(CAST(SUM(fi) AS BIGINT) AS DECIMAL(19,0)) AS disc
+        |  FROM f GROUP BY w),
+        |z AS (
+        |  SELECT f.source, f.w,
+        |    CASE WHEN disc = 0 THEN CAST(0 AS DECIMAL(18,6))
+        |      ELSE CAST(ROUND(CAST(ns * fi - sf AS DOUBLE)
+        |           / SQRT(CAST(disc AS DOUBLE)), 6)
+        |        AS DECIMAL(18,6)) END AS z
+        |  FROM f JOIN stats ON stats.w = f.w)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(CAST(2 * CAST(SUM(ABS(a.z - b.z)) * 1000000
+        |        AS DECIMAL(38,0)) + COUNT(*) AS HUGEINT)
+        |    // CAST(2 * COUNT(*) AS HUGEINT) AS DOUBLE) / 1000000
+        |    AS delta
+        |FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // text_lang_id's rule cross-tabulated; integer cells, one
     // division per row against the actual-class total
     "text_langid_confusion" ->

@@ -637,6 +637,110 @@ object Aggregates {
       .orderBy(col("event_type"))
   }
 
+  /** Exact SHAPLEY channel attribution (Shapley 1953; the
+    * order-symmetric credit rule marketing attribution converged on —
+    * first/last-touch live in [[aggAttribution]]): credit each of the
+    * 4 non-purchase channels for high-value conversion by its average
+    * marginal contribution over all 4! exposure orderings. Exposure
+    * set = distinct channels among the user's FIRST 6 events in the
+    * (us, event_id) event-time order (the session-head attribution
+    * window — a full-history window saturates every mask at 1111 in
+    * this dense fixture and the credits degenerate; first-6 yields
+    * 8/13/15 distinct masks at the three sfs), conversion = any
+    * purchase with value ≥ 200, mask encoded in 4 bits.
+    * v(S) = observed conversion rate of users with exactly mask S
+    * (unobserved masks ⇒ 0, documented); with 4 players the subset
+    * space is 16 rows and the Shapley sum is a LITERAL 32-row
+    * (channel, S, S∪{i}) grid with ×12-integer weights {3,1,1,3} by
+    * |S| — so 12·φ_i accumulates in exact DECIMAL over round-6 v's
+    * and one closing division by 12 emits the credit. Scale: one
+    * conversion-instant window + one user aggregate are the only
+    * corpus-sized work; everything after lives on ≤16-row relations.
+    * First-conversion tiebreak is the (us, event_id) event-time total
+    * order, written as an explicit two-term comparison in BOTH
+    * engines (no reliance on struct-ordering semantics). */
+  def aggShapleyAttribution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    def bit(ch: String) =
+      max(when(col("rn") <= 6 && col("event_type") === ch, 1L)
+        .otherwise(0L))
+    val perUser = t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        col("value"))
+      .withColumn("rn", row_number().over(byTime))
+      .groupBy(col("user_id"))
+      .agg(bit("click").as("b0"), bit("error").as("b1"),
+        bit("signup").as("b2"), bit("view").as("b3"),
+        max(when(col("event_type") === "purchase" &&
+          col("value") >= 200.0, 1L).otherwise(0L)).as("y"))
+    val v = perUser
+      .select((col("b0") + col("b1") * 2 + col("b2") * 4 +
+        col("b3") * 8).as("mask"), col("y"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).as("n_u"), sum(col("y")).as("n_c"))
+      .select(col("mask"),
+        expr("CAST(ROUND(CAST(n_c AS DOUBLE) / n_u, 6) " +
+          "AS DECIMAL(18,6))").as("v"))
+    val chNames = Seq("click", "error", "signup", "view")
+    val grid = for {
+      c <- 0 to 3; m <- 0 to 15 if ((m >> c) & 1) == 0
+    } yield (chNames(c), m, m | (1 << c),
+      Seq(3, 1, 1, 3)(Integer.bitCount(m)).toLong)
+    val g = s.createDataFrame(grid)
+      .toDF("channel", "m0", "m1", "w12")
+    g.join(v.select(col("mask").as("m0"), col("v").as("v0")),
+        Seq("m0"), "left")
+      .join(v.select(col("mask").as("m1"), col("v").as("v1")),
+        Seq("m1"), "left")
+      .groupBy(col("channel"))
+      .agg(sum(col("w12") *
+        (coalesce(col("v1"), lit(0).cast("decimal(18,6)")) -
+          coalesce(col("v0"), lit(0).cast("decimal(18,6)"))))
+        .as("shap12"))
+      .select(col("channel"),
+        expr("ROUND(CAST(shap12 AS DOUBLE) / 12, 6)").as("shapley"))
+      .orderBy(col("channel"))
+  }
+
+  /** 10% two-sided TRIMMED mean per event type — the robust-mean
+    * sibling of [[aggWinsorizedMean]] with the other textbook
+    * treatment of the tails: winsorizing CLAMPS the outer deciles to
+    * the fences, trimming DROPS them, so the pair brackets how much
+    * of a metric's movement lives in its tails. Trim bounds are EXACT
+    * integer ranks (rn > n DIV 10, rn ≤ n − n DIV 10 over the total
+    * order (value, event_id) — no approximate percentile enters, so
+    * both engines keep the identical row set); the kept mass is an
+    * exact decimal sum; mean and kept-range both close in one double
+    * expression each. Scale: two window passes on ONE event_type
+    * partitioning (ordered rank + unordered count — one shuffle),
+    * then a hash aggregate. */
+  def aggTrimmedMean(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byV = Window.partitionBy(col("event_type"))
+      .orderBy(col("vq"), col("event_id"))
+    val whole = Window.partitionBy(col("event_type"))
+    t(s, d, "events")
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("decimal(18,4)").as("vq"))
+      .withColumn("rn", row_number().over(byV))
+      .withColumn("n", count(lit(1)).over(whole))
+      .filter(col("rn") > expr("n DIV 10") &&
+        col("rn") <= col("n") - expr("n DIV 10"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("vq")).as("sv"),
+        min(col("vq")).as("lo"), max(col("vq")).as("hi"))
+      .select(col("event_type"), col("n_kept"),
+        expr("ROUND(CAST(sv AS DOUBLE) / n_kept, 4)")
+          .as("trimmed_mean"),
+        expr("CAST(lo AS DOUBLE)").as("kept_lo"),
+        expr("CAST(hi AS DOUBLE)").as("kept_hi"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-stream freshness profile — the "is this source still alive"
     * operational check: each event type's last-seen time against the
     * corpus watermark, staleness and span in integer microseconds.
@@ -4344,6 +4448,8 @@ object Aggregates {
     "agg_roc_points" -> (aggRocPoints _),
     "agg_session_stats" -> (aggSessionStats _),
     "agg_capture_recapture" -> (aggCaptureRecapture _),
+    "agg_trimmed_mean" -> (aggTrimmedMean _),
+    "agg_shapley_attribution" -> (aggShapleyAttribution _),
     "agg_two_proportion_z" -> (aggTwoProportionZ _),
     "agg_pass_at_k" -> (aggPassAtK _),
     "agg_cochran_q" -> (aggCochranQ _),
@@ -5170,6 +5276,67 @@ object Aggregates {
         |    6) AS events_per_session,
         |  ROUND((d_lo + d_hi) / 2e0 / 1e6, 6) AS median_dur_s
         |FROM p CROSS JOIN tot""".stripMargin,
+    // identical mask/first-conversion recipe; the 32-row weight grid
+    // is generated with the same bit algebra; exact decimal 12-phi
+    "agg_shapley_attribution" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN rn <= 6 AND event_type = 'click'
+        |      THEN 1 ELSE 0 END)
+        |      + 2 * MAX(CASE WHEN rn <= 6 AND event_type = 'error'
+        |      THEN 1 ELSE 0 END)
+        |      + 4 * MAX(CASE WHEN rn <= 6 AND event_type = 'signup'
+        |      THEN 1 ELSE 0 END)
+        |      + 8 * MAX(CASE WHEN rn <= 6 AND event_type = 'view'
+        |      THEN 1 ELSE 0 END) AS mask,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value >= 200
+        |      THEN 1 ELSE 0 END) AS y
+        |  FROM r GROUP BY user_id),
+        |v AS (
+        |  SELECT mask,
+        |    CAST(ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6)
+        |      AS DECIMAL(18,6)) AS v
+        |  FROM pu GROUP BY mask),
+        |g AS (
+        |  SELECT CASE c WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+        |           WHEN 2 THEN 'signup' ELSE 'view' END AS channel,
+        |    m AS m0, m | (1 << c) AS m1,
+        |    CASE (m & 1) + ((m >> 1) & 1) + ((m >> 2) & 1)
+        |         + ((m >> 3) & 1)
+        |      WHEN 0 THEN 3 WHEN 1 THEN 1 WHEN 2 THEN 1
+        |      ELSE 3 END AS w12
+        |  FROM generate_series(0, 3) AS gc(c)
+        |  CROSS JOIN generate_series(0, 15) AS gm(m)
+        |  WHERE ((m >> c) & 1) = 0)
+        |SELECT g.channel,
+        |  ROUND(CAST(SUM(g.w12 * (COALESCE(v1.v, 0) - COALESCE(v0.v, 0)))
+        |    AS DOUBLE) / 12, 6) AS shapley
+        |FROM g
+        |LEFT JOIN v v0 ON v0.mask = g.m0
+        |LEFT JOIN v v1 ON v1.mask = g.m1
+        |GROUP BY g.channel ORDER BY g.channel""".stripMargin,
+    // exact integer trim ranks over the (value, event_id) total
+    // order; decimal kept mass; one closing division
+    "agg_trimmed_mean" ->
+      """WITH r AS (
+        |  SELECT event_type,
+        |    CAST(value AS DECIMAL(18,4)) AS vq,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(value AS DECIMAL(18,4)), event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  ROUND(CAST(SUM(vq) AS DOUBLE) / COUNT(*), 4)
+        |    AS trimmed_mean,
+        |  CAST(MIN(vq) AS DOUBLE) AS kept_lo,
+        |  CAST(MAX(vq) AS DOUBLE) AS kept_hi
+        |FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // per-(type, user) presence bits; integer captures; one double
     // per estimator with exact m = 0 guard
     "agg_capture_recapture" ->

@@ -199,7 +199,9 @@ class ParallelismSpec extends AnyFunSuite {
     "agg_att_matching", "agg_association_rules",
     // round-11: the unrolled SGD loop (per-bucket decimal gradients
     // and per-doc rounded losses at every step)
-    "text_classifier_train_loop")
+    "text_classifier_train_loop",
+    "agg_trimmed_mean", "agg_shapley_attribution",
+    "text_burrows_delta")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

@@ -1041,7 +1041,107 @@ object Curation {
           .as("conv_rate"))
       .orderBy(col("fold"))
 
+  /** Greedy k-center CORESET selection (Gonzalez 1985; the 2-approx
+    * farthest-point heuristic modern data-selection pipelines run to
+    * pick a geometrically-covering subset before expensive labeling
+    * or training): seed at vec 0, then k−1 = 7 rounds each select the
+    * point MAXIMIZING its distance to the chosen set (tiebreak min
+    * vec_id), emitting the coverage radius the selection achieved —
+    * the monotone non-increasing cover sequence IS the coreset
+    * quality curve. Exactness: distances live in the micro-quantized
+    * integer space (d² BIGINT, the kmeans_assign discipline), so
+    * argmax and ties are exact. Scale: k passes over the corpus, each
+    * one scan + a TakeOrdered(1) reduction against LITERAL center
+    * vectors riding the plan (bounded model state, one collected row
+    * per round) — the corpus never shuffles and never hosts a
+    * cross-join; this is the canonical distributed Gonzalez shape.
+    * Oracle: the identical greedy unrolled as 7 generated CTE
+    * generations ([[graft.llm.TextStats]] trainLoopOracle
+    * precedent). */
+  def sampleCoresetKcenter(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000d).cast("bigint"))
+          .as("micro"))
+    val seed = e.filter(col("vec_id") === 0)
+      .select(col("micro")).collect()(0).getSeq[Long](0).toIndexedSeq
+    var centers =
+      Vector[(Long, Seq[Long], Option[Long])]((0L, seed, None))
+    for (_ <- 1 to 7) {
+      val cells = centers.map { case (_, cm, _) =>
+        aggregate(
+          zip_with(col("micro"), typedLit(cm),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+      }
+      val chosen = centers.map(_._1)
+      val next = e
+        .filter(!col("vec_id").isInCollection(chosen))
+        .select(col("vec_id"), col("micro"),
+          array_min(array(cells: _*)).as("md"))
+        .orderBy(col("md").desc, col("vec_id"))
+        .limit(1).collect()(0)
+      centers = centers :+ ((next.getLong(0),
+        next.getSeq[Long](1).toIndexedSeq, Some(next.getLong(2))))
+    }
+    val rows = centers.zipWithIndex.map { case ((id, _, cov), i) =>
+      (i.toLong, id, cov)
+    }
+    s.createDataFrame(rows)
+      .toDF("round", "vec_id", "cover_d2")
+      .orderBy(col("round"))
+  }
+
+  /** The unrolled DuckDB greedy for [[sampleCoresetKcenter]]. */
+  private[graft] lazy val coresetOracle: String = {
+    def dist(prev: String, center: String) =
+      s"""CAST(list_sum(list_transform(range(1, len(e.m) + 1),
+         |    i -> (e.m[i] - c.m[i]) * (e.m[i] - c.m[i])))
+         |    AS BIGINT)""".stripMargin
+    val gens = (1 to 7).map { t =>
+      val prevM = s"m${t - 1}"
+      val exclude = (1 until t)
+        .map(j => s"SELECT vec_id FROM s$j")
+        .foldLeft("SELECT 0 AS vec_id")(_ + " UNION ALL " + _)
+      s"""s$t AS (
+         |  SELECT vec_id, md FROM $prevM
+         |  WHERE vec_id NOT IN ($exclude)
+         |  ORDER BY md DESC, vec_id LIMIT 1),
+         |m$t AS (
+         |  SELECT $prevM.vec_id,
+         |    LEAST($prevM.md, ${dist(prevM, s"s$t")}) AS md
+         |  FROM $prevM JOIN e ON e.vec_id = $prevM.vec_id
+         |  CROSS JOIN (SELECT e2.m FROM e e2
+         |    JOIN s$t ON e2.vec_id = s$t.vec_id) c)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (1 to 7).map(t =>
+      s"""  SELECT CAST($t AS BIGINT) AS round, vec_id,
+         |    md AS cover_d2 FROM s$t""".stripMargin)
+      .mkString("\n  UNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS m
+       |  FROM embeddings),
+       |m0 AS (
+       |  SELECT e.vec_id,
+       |    CAST(list_sum(list_transform(range(1, len(e.m) + 1),
+       |      i -> (e.m[i] - c.m[i]) * (e.m[i] - c.m[i])))
+       |      AS BIGINT) AS md
+       |  FROM e CROSS JOIN (SELECT m FROM e WHERE vec_id = 0) c),
+       |$gens
+       |SELECT round, vec_id, cover_d2 FROM (
+       |  SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT) AS vec_id,
+       |    CAST(NULL AS BIGINT) AS cover_d2
+       |  UNION ALL
+       |$rows)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_coreset_kcenter" -> (sampleCoresetKcenter _),
     "sample_group_kfold" -> (sampleGroupKfold _),
     "sample_rendezvous_shard" -> (sampleRendezvousShard _),
     "agg_weight_ess" -> (aggWeightEss _),
@@ -1077,6 +1177,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_coreset_kcenter" -> coresetOracle,
     // group-keyed md5 fold draw, exact per-fold counts, one division
     "sample_group_kfold" ->
       """WITH u AS (

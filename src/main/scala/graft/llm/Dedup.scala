@@ -1522,7 +1522,56 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Content-defined chunking dedup (the FastCDC/rsync family — Xia
+    * et al. FAST'16 for the modern treatment): chunk boundaries are
+    * placed where a ROLLING HASH of the trailing 8 characters hits
+    * 0 mod 64 (expected chunk ≈ 64 chars), so boundaries are
+    * CONTENT-LOCAL — an insertion shifts byte offsets but the same
+    * downstream boundaries reappear and the chunks re-synchronize,
+    * which is exactly what fixed-width chunking
+    * ([[graft.llm.Multimodal.multimodalChunkBytes]]) cannot do. The
+    * planted sentinel is a PREFIX-SHIFTED copy of the first document
+    * ("xyz " + text): fixed-width chunks would all differ; CDC shares
+    * every chunk after the first boundary, and the gate pins that
+    * re-synchronization at every sf. The hash is the 8-char
+    * polynomial Σ ascii·31^j (exact BIGINT), evaluated by the custom
+    * [[graft.functions.CdcChunks]] Generator in one incremental
+    * O(len) pass inside the scan — the round-9 HOF lesson struck
+    * again here: the relational transform/filter pipeline of the
+    * identical recipe measured 810 s at sf0.1, the generator 0.2 s.
+    * The only shuffle is the chunk-digest aggregate (digests, never
+    * chunk text, move); the oracle keeps the relational form. Output per doc: chunk count
+    * and how many of its chunks appear in ≥ 2 documents. */
+  def dedupCdcChunking(s: SparkSession, d: String): DataFrame = {
+    val docs0 = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val sentinel = docs0.orderBy(col("doc_id")).limit(1)
+      .select(lit(940000000000L).as("doc_id"),
+        concat(lit("xyz "), col("text")).as("text"))
+    val docs = docs0.unionByName(sentinel)
+    // chunking runs in the custom [[graft.functions.CdcChunks]]
+    // Generator — one O(len) incremental-hash pass inside the scan
+    // (a transform/filter HOF pipeline of the same recipe evaluated
+    // an interpreted 8-term lambda per position and measured 810 s
+    // at sf0.1; the generator: 0.2 s)
+    val hashed = docs
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.CdcChunks(
+            org.apache.spark.sql.GraftBridge.expression(col("text"))))
+          .as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+    val spread = hashed.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    hashed.join(spread, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L))
+          .as("n_shared_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cdc_chunking" -> (dedupCdcChunking _),
     "dedup_edit_distance" -> (dedupEditDistance _),
     "dedup_semdedup" -> (dedupSemdedup _),
     "dedup_prefix_truncation" -> (dedupPrefixTruncation _),
@@ -1551,6 +1600,49 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical rolling-hash boundary rule and chunk slicing; only
+    // digests aggregate
+    "dedup_cdc_chunking" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT 940000000000, 'xyz ' || text FROM
+        |    (SELECT text FROM documents ORDER BY doc_id LIMIT 1)),
+        |b AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(range(8, length(text) + 1),
+        |      i -> CASE WHEN (
+        |        CAST(ascii(substring(text, CAST(i - 7 AS INTEGER), 1)) AS BIGINT) * 27512614111
+        |        + CAST(ascii(substring(text, CAST(i - 6 AS INTEGER), 1)) AS BIGINT) * 887503681
+        |        + CAST(ascii(substring(text, CAST(i - 5 AS INTEGER), 1)) AS BIGINT) * 28629151
+        |        + CAST(ascii(substring(text, CAST(i - 4 AS INTEGER), 1)) AS BIGINT) * 923521
+        |        + CAST(ascii(substring(text, CAST(i - 3 AS INTEGER), 1)) AS BIGINT) * 29791
+        |        + CAST(ascii(substring(text, CAST(i - 2 AS INTEGER), 1)) AS BIGINT) * 961
+        |        + CAST(ascii(substring(text, CAST(i - 1 AS INTEGER), 1)) AS BIGINT) * 31
+        |        + ascii(substring(text, CAST(i AS INTEGER), 1))) % 64 = 0
+        |      THEN i ELSE -1 END), p -> p > 0) AS bnd
+        |  FROM docs),
+        |sl AS (
+        |  SELECT doc_id, text,
+        |    list_prepend(1, list_transform(bnd, x -> CAST(x + 1 AS BIGINT)))
+        |      AS starts,
+        |    list_append(bnd, CAST(length(text) AS BIGINT)) AS ends
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(list_transform(range(1, len(ends) + 1),
+        |      k -> substring(text, CAST(starts[k] AS INTEGER),
+        |        CAST(ends[k] - starts[k] + 1 AS INTEGER))),
+        |      c -> length(c) > 0)) AS chunk
+        |  FROM sl),
+        |h AS (SELECT doc_id, md5(chunk) AS h FROM ch),
+        |sp AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs
+        |       FROM h GROUP BY 1)
+        |SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN sp.n_docs > 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shared_chunks
+        |FROM h JOIN sp USING (h)
+        |GROUP BY h.doc_id ORDER BY h.doc_id""".stripMargin,
     // identical SymSpell recipe: canonical 12-prefix, 1-deletion
     // neighborhood, distinct shared-key pairs, levenshtein verify —
     // plus the identical planted hot bucket and f>32 star-pair cap

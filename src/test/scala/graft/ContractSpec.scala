@@ -38,7 +38,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("surface size matches the documented totals") {
     // update alongside SURVEY.md §2.3 "Totals" when adding queries
-    assert(SparkEntry.queries.size == 466, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 466, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size == 468, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size == 468, SparkEntry.oracleSql.size.toString)
   }
 }

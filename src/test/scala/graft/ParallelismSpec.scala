@@ -201,7 +201,8 @@ class ParallelismSpec extends AnyFunSuite {
     // and per-doc rounded losses at every step)
     "text_classifier_train_loop",
     "agg_trimmed_mean", "agg_shapley_attribution",
-    "text_burrows_delta")
+    "text_burrows_delta",
+    "dedup_cdc_chunking", "sample_coreset_kcenter")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

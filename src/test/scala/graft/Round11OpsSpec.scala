@@ -143,6 +143,77 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_cdc_chunking: replayed chunker + boundary re-synchronization") {
+    val texts = Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val minDoc = texts.minBy(_._1)
+    val all = texts.toSeq :+ ((940000000000L, "xyz " + minDoc._2))
+    val P = Array(27512614111L, 887503681L, 28629151L, 923521L,
+      29791L, 961L, 31L, 1L)
+    def chunks(text: String): Seq[String] = {
+      val bnd = (8 to text.length).filter { i =>
+        val h = (0 until 8).map(j =>
+          text.charAt(i - 8 + j).toLong * P(j)).sum
+        h % 64 == 0
+      }
+      val starts = 1 +: bnd.map(_ + 1)
+      val ends = bnd :+ text.length
+      starts.zip(ends).collect {
+        case (a, b) if b >= a => text.substring(a - 1, b)
+      }
+    }
+    val perDoc = all.map { case (id, t0) => id -> chunks(t0) }
+    val spread = perDoc.flatMap { case (id, cs) =>
+      cs.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val exp = perDoc.map { case (id, cs) =>
+      id -> ((cs.length.toLong, cs.count(spread(_) > 1).toLong))
+    }.toMap
+    val got = graft.llm.Dedup.dedupCdcChunking(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == exp)
+    // the CDC selling point, pinned: the prefix-shifted sentinel
+    // re-synchronizes — every chunk after its first boundary is
+    // shared with the original doc
+    val sentChunks = perDoc.find(_._1 == 940000000000L).get._2
+    val origChunks = perDoc.find(_._1 == minDoc._1).get._2.toSet
+    assert(sentChunks.length > 1)
+    assert(sentChunks.tail.forall(origChunks.contains),
+      "CDC failed to re-synchronize after the planted prefix shift")
+  }
+
+  test("sample_coreset_kcenter replays the exact greedy and its monotone cover") {
+    val em = Tables.t(spark, sf, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+          .toIndexedSeq))
+    val byId = em.toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var sel = Vector((0L, Option.empty[Long]))
+    var md = em.map { case (id, m) => id -> d2(m, byId(0L)) }.toMap
+    for (_ <- 1 to 7) {
+      val cand = md.filterNot(kv => sel.exists(_._1 == kv._1))
+      val next = cand.toSeq.maxBy { case (id, dd) => (dd, -id) }
+      sel :+= ((next._1, Some(next._2)))
+      md = md.map { case (id, dd) =>
+        id -> math.min(dd, d2(byId(id), byId(next._1))) }
+    }
+    val got = graft.llm.Curation.sampleCoresetKcenter(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(got.map(g => (g._2, g._3)).toSeq == sel.toSeq)
+    // coverage radius non-increasing — the greedy invariant
+    val covers = got.flatMap(_._3)
+    covers.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, covers.mkString(","))
+    }
+  }
+
   test("multimodal_spectral_centroid replays the stub byte folds") {
     val texts = Tables.t(spark, sf, "documents")
       .selectExpr("doc_id", "text").collect()

@@ -1254,23 +1254,33 @@ object TextStats {
           .as("flesch"))
       .orderBy(col("lang"))
 
-  /** Hapax-legomenon profile per language: the share of the vocabulary
-    * seen exactly once (and twice) — the classic corpus-maturity
-    * diagnostic (a high hapax share means the crawl is still surfacing
-    * new content; a collapsing one means duplication or exhaustion;
-    * complements [[textVocabGrowth]]'s trajectory with a point
-    * summary). One corpus tokenize → (lang, word) count → |langs|-row
-    * rollup; all counts integer, one closing double ratio. */
+  /** Hapax-legomenon profile per language over BIGRAMS: the share of
+    * the bigram vocabulary seen exactly once (and twice) — the
+    * classic corpus-maturity diagnostic (a high hapax share means the
+    * crawl is still surfacing new content; a collapsing one means
+    * duplication or exhaustion; complements [[textVocabGrowth]]'s
+    * trajectory with a point summary). BIGRAM level is the
+    * discriminating cut for this fixture: the closed 31-word unigram
+    * vocabulary has at most one corpus-level hapax at any sf (the
+    * round-11 zero-counter lint caught `dis` frozen at 0), while the
+    * ~960-bigram space leaves 10-110 hapax and 3-110 dislegomena per
+    * language at every sf. Bigrams come from the O(len)
+    * [[graft.functions.TokenNGrams]] generator inside the scan; one
+    * (lang, bigram) count → |langs|-row rollup; all counts integer,
+    * one closing double ratio. */
   def textHapaxRatio(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
-      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("c"))
+      .select(col("lang"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.TokenNGrams(
+            org.apache.spark.sql.GraftBridge.expression(col("text")), 2))
+          .as("bigram"))
+      .groupBy(col("lang"), col("bigram")).agg(count(lit(1)).as("c"))
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_bigrams"),
         sum(when(col("c") === 1L, 1L).otherwise(0L)).as("hapax"),
         sum(when(col("c") === 2L, 1L).otherwise(0L)).as("dis"))
-      .select(col("lang"), col("vocab"), col("n_tokens"), col("hapax"),
+      .select(col("lang"), col("vocab"), col("n_bigrams"), col("hapax"),
         col("dis"),
         expr("ROUND(CAST(hapax AS DOUBLE) / vocab, 6)").as("hapax_ratio"))
       .orderBy(col("lang"))
@@ -1642,20 +1652,23 @@ object TextStats {
     // (lang, word) counts → integer hapax/dis/vocab; one double ratio
     "text_hapax_ratio" ->
       """WITH toks AS (
-        |  SELECT lang, unnest(string_split(text, ' ')) AS word
-        |  FROM documents
+        |  SELECT lang, string_split(text, ' ') AS ts FROM documents
+        |), bg AS (
+        |  SELECT lang, ts[i] || ' ' || ts[i + 1] AS bigram
+        |  FROM toks, LATERAL unnest(range(1, len(ts))) AS u(i)
+        |  WHERE len(ts) >= 2
         |), c AS (
-        |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM toks WHERE word <> '' GROUP BY 1, 2
+        |  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY 1, 2
         |), g AS (
         |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS vocab,
-        |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(c) AS BIGINT) AS n_bigrams,
         |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |      AS hapax,
         |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis
         |  FROM c GROUP BY 1
         |)
-        |SELECT lang, vocab, n_tokens, hapax, dis,
+        |SELECT lang, vocab, n_bigrams, hapax, dis,
         |  ROUND(CAST(hapax AS DOUBLE) / vocab, 6) AS hapax_ratio
         |FROM g ORDER BY lang""".stripMargin,
     // inverted-index pair meet on shared tokens; |A∪B| closed in

@@ -397,7 +397,13 @@ object Graphs {
     * logical-plan-deep (3 rounds, Catalyst-planned end to end). Output:
     * peel_round 1..3, or 0 = survives all three rounds. */
   def graphKcore(s: SparkSession, d: String): DataFrame = {
-    val K = 3
+    // K = 6: the undirected top-5 kNN graph has MIN degree 5, so the
+    // original K = 3 peel removed nobody and peel_round was constant
+    // 0 for every node at every sf (round-11 zero-counter lint); at
+    // K = 6 the three synchronous rounds peel {204, 235, 61} nodes at
+    // sf0.001 (and similar splits at 0.01/0.1) — a real onion
+    // decomposition. Oracle thresholds move in lockstep.
+    val K = 6
     // Each round's survivors/edge list is lineage-truncated via the CC
     // loops' ckpt helper (lazy localCheckpoint, reliable checkpoint on
     // clusters): without it the 3-round unroll compounds into an
@@ -895,9 +901,9 @@ object Graphs {
         |         SELECT u AS node FROM ue UNION ALL SELECT v FROM ue)
         |       GROUP BY 1),
         |p1 AS (SELECT nd.node FROM nd LEFT JOIN d1 USING (node)
-        |       WHERE COALESCE(dg, 0) < 3),
+        |       WHERE COALESCE(dg, 0) < 6),
         |a1 AS (SELECT nd.node FROM nd LEFT JOIN d1 USING (node)
-        |       WHERE COALESCE(dg, 0) >= 3),
+        |       WHERE COALESCE(dg, 0) >= 6),
         |e1 AS (SELECT ue.u, ue.v FROM ue
         |       JOIN a1 au ON au.node = ue.u
         |       JOIN a1 av ON av.node = ue.v),
@@ -905,9 +911,9 @@ object Graphs {
         |         SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
         |       GROUP BY 1),
         |p2 AS (SELECT a1.node FROM a1 LEFT JOIN d2 USING (node)
-        |       WHERE COALESCE(dg, 0) < 3),
+        |       WHERE COALESCE(dg, 0) < 6),
         |a2 AS (SELECT a1.node FROM a1 LEFT JOIN d2 USING (node)
-        |       WHERE COALESCE(dg, 0) >= 3),
+        |       WHERE COALESCE(dg, 0) >= 6),
         |e2 AS (SELECT e1.u, e1.v FROM e1
         |       JOIN a2 au ON au.node = e1.u
         |       JOIN a2 av ON av.node = e1.v),
@@ -915,9 +921,9 @@ object Graphs {
         |         SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2)
         |       GROUP BY 1),
         |p3 AS (SELECT a2.node FROM a2 LEFT JOIN d3 USING (node)
-        |       WHERE COALESCE(dg, 0) < 3),
+        |       WHERE COALESCE(dg, 0) < 6),
         |a3 AS (SELECT a2.node FROM a2 LEFT JOIN d3 USING (node)
-        |       WHERE COALESCE(dg, 0) >= 3)
+        |       WHERE COALESCE(dg, 0) >= 6)
         |SELECT node, peel_round FROM (
         |  SELECT node, 1 AS peel_round FROM p1
         |  UNION ALL SELECT node, 2 FROM p2

@@ -55,5 +55,32 @@ object DegeneracyExemptions {
         "its sibling columns on the same row carry the signal."),
     ("scalar_variant", "k_missing") ->
       ("try_variant_get on an absent path: pins missing-path → NULL " +
-        "semantics, the VARIANT twin of scalar_json.kmiss."))
+        "semantics, the VARIANT twin of scalar_json.kmiss."),
+    // zero-counter check (round-11 check (e)) — the TRUE structural
+    // zeros; graph_kcore (K below the kNN min degree) and
+    // text_hapax_ratio (closed unigram vocab) were FIXED instead
+    ("agg_bitwise", "ba") ->
+      ("bit_and over thousands of near-uniform order keys saturates " +
+        "at 0 with probability ~1 — arithmetic inevitability, not a " +
+        "dead detector; its bit_or sibling saturates at all-ones the " +
+        "same way, and bxor/shifts/popcount on the same rows vary."),
+    ("agg_tukey_outliers", "n_low") ->
+      ("the value distribution floors at 0 and Q1 − 1.5·IQR is " +
+        "negative for every event type at every sf, so a LOW Tukey " +
+        "outlier cannot exist in this fixture — the column pins the " +
+        "two-sided fence algebra; n_high varies."),
+    ("composite_dq_report", "n_violations") ->
+      ("a data-quality report over a CLEAN fixture correctly finds 0 " +
+        "violations for every rule row; the rule evaluation path is " +
+        "exercised by the varying per-rule n_checked/threshold " +
+        "columns, and a violated rule would gate-mismatch the oracle " +
+        "immediately."),
+    ("scalar_json_typed", "min_k") ->
+      ("MIN over the dense 0..99 k-grid is 0 in every group — a " +
+        "boundary statistic, not an event counter; max_k/sum_k/" +
+        "n_parsed vary."),
+    ("text_gopher_quality", "n_symbols") ->
+      ("the synthetic corpus is alnum+space only, so the symbol-char " +
+        "counter reads 0 everywhere — the column pins the Gopher " +
+        "symbol-ratio gate's input; the sibling ratios vary."))
 }

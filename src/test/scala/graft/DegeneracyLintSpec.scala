@@ -31,7 +31,14 @@ import org.apache.spark.sql.types._
   *  (d) rate-named DOUBLE columns (rate/ratio/share/frac/pct/prob/
   *      recall/precision/coverage) whose non-null value set is inside
   *      {0, 1} — a saturated rate carries no signal regardless of row
-  *      count (the any-purchase ≡ 1 class).
+  *      count (the any-purchase ≡ 1 class);
+  *  (e) INTEGER columns constant at ZERO over ≥ 3 rows — the
+  *      "detector that never fires" class (a dup counter, outlier
+  *      counter or violation counter frozen at 0 reads exactly like
+  *      a detector that works on clean data AND like one that is
+  *      broken; round 11's dup family hid behind this shape).
+  *      Constant NONZERO integers stay allowed (dense-fixture
+  *      denominators).
   *
   * Keys in [[checkSf]] are executed at sf0.01 instead: their sf0.001
   * output is degenerate purely from fixture SIZE (an empty TPC-H Q7
@@ -73,9 +80,7 @@ class DegeneracyLintSpec extends AnyFunSuite {
     "agg_tost_equivalence" -> ("no arm pair clears the ±5.0 margin " +
       "at sf0.001 n; verdicts split true/false at sf0.01"),
     "window_bollinger" -> ("no 2σ band breach in 30 days of " +
-      "sf0.001 volume; breaches appear at sf0.01"),
-    "text_hapax_ratio" -> ("the 31-word synthetic vocabulary has no " +
-      "corpus-level hapax at sf0.001; hapax appear at sf0.01"))
+      "sf0.001 volume; breaches appear at sf0.01"))
 
   private val rateName =
     java.util.regex.Pattern.compile(
@@ -151,6 +156,16 @@ class DegeneracyLintSpec extends AnyFunSuite {
           if (!exempted("constant"))
             violations += (s"$name: column '${f.name}' is constant " +
               s"(${distinct.head}) over ${rows.length} rows")
+        }
+        val intType = f.dataType == LongType ||
+          f.dataType == IntegerType || f.dataType == ShortType
+        if (rows.length >= 3 && intType && vals.forall(_ != null) &&
+            distinct.size == 1 &&
+            distinct.head.asInstanceOf[Number].longValue() == 0L) {
+          if (!exempted("zero-counter"))
+            violations += (s"$name: integer column '${f.name}' is " +
+              s"constant ZERO over ${rows.length} rows (a detector " +
+              "that never fires)")
         }
         if (f.dataType == DoubleType &&
             rateName.matcher(f.name.toLowerCase).find()) {

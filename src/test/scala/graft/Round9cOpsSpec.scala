@@ -23,9 +23,9 @@ class Round9cOpsSpec extends AnyFunSuite {
       val deg = scala.collection.mutable.Map[Long, Int]()
         .withDefaultValue(0)
       for ((u, v) <- edges) { deg(u) += 1; deg(v) += 1 }
-      val out = alive.filter(n => deg(n) < 3)
+      val out = alive.filter(n => deg(n) < 6)
       out.foreach(n => peeled(n) = r)
-      alive = alive.filter(n => deg(n) >= 3)
+      alive = alive.filter(n => deg(n) >= 6)
       edges = edges.filter(e => alive(e._1) && alive(e._2))
     }
     val exp = peeled.toMap ++ alive.map(_ -> 0).toMap

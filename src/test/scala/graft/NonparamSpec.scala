@@ -161,13 +161,22 @@ class NonparamSpec extends AnyFunSuite {
     }
   }
 
-  test("text_hapax_ratio replays once/twice vocabulary shares") {
+  test("text_hapax_ratio replays once/twice BIGRAM vocabulary shares") {
+    // Mirrors the round-11 re-cut (TextStats.scala textHapaxRatio): the
+    // key counts overlapping token BIGRAMS, not unigrams — the closed
+    // 31-word fixture vocabulary made unigram dislegomena structurally
+    // zero (DegeneracyLint check (e) find). Tokenization must match
+    // TokenNGrams exactly: split(' ') with NO empty-token filter
+    // (Java split drops only trailing empties), grams re-joined with
+    // a single space.
     val docs = Tables.t(spark, sf, "documents")
       .select("lang", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
     val counts = docs.flatMap { case (l, t0) =>
-      t0.split(" ", -1).filter(_.nonEmpty).map(l -> _) }
-      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val toks = t0.split(' ')
+      if (toks.length < 2) Iterator.empty
+      else toks.sliding(2).map(p => l -> p.mkString(" "))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     val perLang = counts.groupBy(_._1._1).map { case (l, m) =>
       l -> (m.size.toLong, m.values.sum,
         m.values.count(_ == 1L).toLong, m.values.count(_ == 2L).toLong)

@@ -817,15 +817,38 @@ object Dedup {
     *
     * Scale shape: inverted index over 8-byte xxhash64 shingle keys
     * (strings never shuffle); candidate generation is the index
-    * self-join, O(Σ df²) over SHINGLE document frequencies — trigram
-    * specificity keeps df tiny for natural text, and the
-    * `dedup_ngram_jaccard` maxDf cutoff pattern applies verbatim if a
-    * boilerplate shingle ever goes hot. The ≥50% threshold is checked
-    * integer-exactly (2·shared ≥ min(n)) before any double math.
-    * Collision assumption: same xxhash64 rationale as [[jaccardPairs]]
-    * — a within-corpus shingle collision needs ~2⁶⁵ distinct shingles
-    * before it is likely. */
-  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    * self-join, O(Σ df²) over SHINGLE document frequencies. Trigram
+    * specificity keeps df tiny for natural text, but on real web
+    * corpora boilerplate shingles ("all rights reserved", license
+    * headers) are endemic and ONE hot shingle shared by millions of
+    * docs is a quadratic C(df,2) blow-up on a single shuffle key — so
+    * the `dedup_ngram_jaccard` maxDf cutoff is WIRED here, not just
+    * cited: df is true shingle document frequency (one count over the
+    * distinct postings, co-partitioned with the join key), shingles
+    * past the cap leave the INDEX before the self-join, and both n and
+    * shared are computed over the surviving COLD-shingle universe, so
+    * the emitted score is a true containment of the filtered sets
+    * (shared ≤ min(n) still holds). Semantics: a boilerplate shingle
+    * carries no passage-identity signal — dropping it is the standard
+    * stopword cutoff of near-dup systems (CCNet et al.). The cap (64)
+    * sits ~2.5× above the fixture's natural max df (25 at sf0.1), so
+    * natural pairs are byte-identical to the exact recipe at every sf
+    * — and the guard path is still EXECUTED and gate-checked at every
+    * sf by a planted hot shingle (the dedup_edit_distance round-11
+    * discipline): 80 sentinel docs, ids far above the real id space,
+    * all sharing one out-of-vocabulary trigram (df = 80 > 64). The
+    * guard drops it from the index, so they contribute ZERO pairs
+    * instead of C(80,2) = 3160; the oracle plants identical rows and
+    * replays the same df filter, so an accidentally-unwired guard
+    * emits 3160 extra rows and hash-fails the gate. DedupSpec asserts
+    * both directions (0 sentinel pairs guarded, 3160 at cap=∞).
+    * The ≥25% threshold is checked integer-exactly (4·shared ≥
+    * min(n)) before any double math. Collision assumption: same
+    * xxhash64 rationale as [[jaccardPairs]] — a within-corpus shingle
+    * collision needs ~2⁶⁵ distinct shingles before it is likely. */
+  def dedupContainment(s: SparkSession, d: String,
+      maxDf: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // Shingles come from the custom [[graft.functions.TokenNGrams]]
     // Generator: one O(len) pass per row inside the scan stage.
     // (History: a transform() lambda hits the explode-inferred-filter
@@ -834,17 +857,33 @@ object Dedup {
     // to ~4 s but still shuffled the full token stream for the window
     // sort. The generator keeps extraction shuffle-free; only the
     // per-doc distinct exchanges.)
-    def postings: DataFrame = {
+    val real = t(s, d, "documents").select(col("doc_id"), col("text"))
+    // planted hot shingle (round-11 edit_distance discipline): 80 docs
+    // sharing one out-of-vocab trigram, df 80 > cap 64 — the guard
+    // path fires at every sf, and the oracle plants identical rows
+    val sentinels = s.range(80).select(
+      (col("id") + lit(950000000000L)).as("doc_id"),
+      lit("boilera boilerb boilerc").as("text"))
+    val docs = real.unionByName(sentinels)
+    val postings = {
       import org.apache.spark.sql.GraftBridge
-      t(s, d, "documents")
+      docs
         .select(col("doc_id"),
           GraftBridge.column(graft.functions.TokenNGrams(
             GraftBridge.expression(col("text")), 3)).as("g"))
         .select(col("doc_id"), xxhash64(col("g")).as("h"))
         .distinct()
     }
-    val n = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val posts = postings.join(n, "doc_id")
+    // the wired df guard: count true shingle document frequency (the
+    // window partitions on h — the SAME key the self-join shuffles
+    // on, so the count is co-partitioned and linear even on the hot
+    // key) and evict hot shingles from the index before the join
+    val cold = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") <= maxDf)
+      .select(col("doc_id"), col("h"))
+    val n = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val posts = cold.join(n, "doc_id")
     posts.as("a")
       .join(posts.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -1578,7 +1617,8 @@ object Dedup {
     "dedup_url_canonicalize" -> (dedupUrlCanonicalize _),
     "agg_dup_rate_by_source" -> (dedupRateBySource _),
     "dedup_template" -> (dedupTemplate _),
-    "dedup_containment" -> (dedupContainment _),
+    "dedup_containment" -> ((s: SparkSession, d: String) =>
+      dedupContainment(s, d)),
     "dedup_exact" -> (dedupExact _),
     "dedup_canonical" -> (dedupCanonical _),
     "dedup_keep_best" -> (dedupKeepBest _),
@@ -1827,11 +1867,19 @@ object Dedup {
     "dedup_containment" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        |), sh AS (
+        |  UNION ALL
+        |  SELECT 950000000000 + i,
+        |    string_split('boilera boilerb boilerc', ' ')
+        |  FROM generate_series(0, 79) AS g(i)
+        |), sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS s
         |  FROM docs, LATERAL unnest(range(1, len(toks) - 1)) AS u(i)
         |  WHERE len(toks) >= 3
+        |), df AS (
+        |  SELECT s, COUNT(*) AS df FROM sh0 GROUP BY 1
+        |), sh AS (
+        |  SELECT doc_id, s FROM sh0 JOIN df USING (s) WHERE df <= 64
         |), n AS (
         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
         |), pairs AS (

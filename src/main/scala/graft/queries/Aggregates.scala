@@ -163,13 +163,20 @@ object Aggregates {
     * is a scalar (the driver's oracle comparator sorts pandas columns and
     * crashes on raw array cells). */
   def aggCollect(s: SparkSession, d: String): DataFrame =
+    // grouped per CUSTOMER, not per priority: all 5 priority groups
+    // see all 3 order statuses at every sf, so the collected set was
+    // the constant "F,O,P" — a round-12 constant-label lint find. A
+    // customer's ~10 orders miss a status often enough that the sets
+    // discriminate at every sf (sf0.001: {F,O,P}×136, {F,O}×7,
+    // {O,P}×5, {F,P}×2), which is also the operator's natural shape:
+    // collect_set is a profile builder, and profiles are per-entity
     t(s, d, "orders")
-      .groupBy(col("o_orderpriority"))
+      .groupBy(col("o_custkey"))
       .agg(
         array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
           .as("statuses"),
         count(lit(1)).as("cnt"))
-      .orderBy(col("o_orderpriority"))
+      .orderBy(col("o_custkey"))
 
   /** Statistical aggregates: stddev/variance/correlation/covariance.
     * Ratio-of-sums math keeps cross-engine error ~1e-9 relative, so a
@@ -7420,11 +7427,11 @@ object Aggregates {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "agg_collect" ->
-      """SELECT o_orderpriority,
+      """SELECT o_custkey,
         |       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
         |         AS statuses,
         |       COUNT(*) AS cnt
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         |  ROUND(stddev_samp(l_quantity), 2) AS sd_qty,

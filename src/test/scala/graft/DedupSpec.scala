@@ -241,6 +241,28 @@ class DedupSpec extends AnyFunSuite {
       !p.contains("CartesianProduct"), p)
   }
 
+  test("containment df guard: planted hot shingle is evicted, candidate volume stays bounded") {
+    // 80 sentinel docs share ONE out-of-vocab trigram (df 80 > cap 64).
+    // Unguarded (cap = ∞) they quadratically blow up into C(80,2) =
+    // 3160 full-containment pairs on a single shuffle key; the wired
+    // guard evicts the hot shingle from the index, so they contribute
+    // ZERO pairs and the natural output is byte-identical.
+    val guarded = Dedup.dedupContainment(spark, sf).collect()
+    val sentinelGuarded = guarded.filter(_.getLong(0) >= 950000000000L)
+    assert(sentinelGuarded.isEmpty,
+      s"guard failed to evict hot shingle: ${sentinelGuarded.length} pairs")
+    val unguarded = Dedup.dedupContainment(spark, sf, Long.MaxValue).collect()
+    val sentinelPairs = unguarded.filter(_.getLong(0) >= 950000000000L)
+    assert(sentinelPairs.length == 3160,
+      s"planted blow-up should be C(80,2)=3160, got ${sentinelPairs.length}")
+    // natural pairs are untouched by the guard (max natural df 25 < 64)
+    def natural(rs: Array[org.apache.spark.sql.Row]) =
+      rs.filter(_.getLong(0) < 950000000000L)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    assert(natural(guarded) == natural(unguarded))
+  }
+
   test("bloom membership: theory invariants hold and probe exactly matches the semi-join truth") {
     val r = Dedup.dedupBloomMembership(spark, sf).collect().head
     // no false negatives + planted member are Bloom-theory guarantees;

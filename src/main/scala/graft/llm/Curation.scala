@@ -1140,7 +1140,107 @@ object Curation {
        |ORDER BY round""".stripMargin
   }
 
+  /** Truncated two-sided geometric noise table for [[privacyDpQuantile]]:
+    * P(k) ∝ (1/2)^|k| on |k| ≤ 8 (the geometric mechanism of Ghosh,
+    * Roughgarden & Sundararajan, STOC'09 — the discrete-Laplace shape,
+    * ε = ln 2 before truncation). Integer weights w(k) = 2^(8−|k|) sum
+    * to W = 766; a uniform draw u ∈ [0, W) maps to k through exact
+    * cumulative bounds in (|k|, k) enumeration order, so BOTH engines
+    * run the identical integer bucket lookup — no log/exp ever crosses
+    * an engine boundary (the continuous-Laplace dp_count key tolerates
+    * float logs because one noise value never flips an argmax; a
+    * rank-selection mechanism cannot). */
+  private val dpNoiseTable: Seq[(Int, Long, Long)] = {
+    val ordered = (-8 to 8).sortBy(k => (math.abs(k), k))
+      .map(k => (k, 1L << (8 - math.abs(k))))
+    val cum = ordered.scanLeft(0L) { case (acc, (_, w)) => acc + w }
+    ordered.zip(cum.zip(cum.tail)).map { case ((k, _), (lo, hi)) =>
+      (k, lo, hi)
+    }
+  }
+
+  /** DP median via the geometric mechanism — the private-quantile
+    * release a curation pipeline uses to publish corpus statistics
+    * (median doc quality, median event value) without exposing any
+    * single contributor: the TRUE median rank is perturbed by
+    * two-sided geometric noise and the value at the noisy rank is
+    * released (rank-perturbation is the standard smooth-sensitivity-
+    * free quantile mechanism; truncation at ±8 bounds the support).
+    * Noise is seeded per group from md5(event_type) — the
+    * privacy_dp_count seeded-draw discipline — so the release is
+    * deterministic and gate-comparable.
+    *
+    * Shape: one grouped count, a 17-row broadcast noise-bucket lookup,
+    * one per-type rank window, and a broadcast semi-filter picking ONE
+    * row per type. The per-type sort window is the scale ceiling (5
+    * types ⇒ 5 sort partitions); at 100 TB the rank selection rides
+    * the house distributed-CDF decomposition instead (bucketed
+    * prefix-sums over value ranges, the text_vocab_growth recipe) —
+    * the mechanism algebra (count → noisy rank → value-at-rank) is
+    * unchanged. */
+  def privacyDpQuantile(s: SparkSession, d: String): DataFrame = {
+    val noiseDf = s.createDataFrame(dpNoiseTable).toDF("k", "lo", "hi")
+    val e = t(s, d, "events")
+    val byType = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val ranked = e
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("r", row_number().over(byType).cast("long"))
+    val pick = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        conv(substring(md5(col("event_type")), 1, 6), 16, 10)
+          .cast("long") % lit(766L))
+      .join(broadcast(noiseDf),
+        col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("event_type"), col("n"), col("k"),
+        greatest(lit(1L),
+          least(col("n"), expr("(n + 1) div 2") + col("k"))).as("rp"))
+    ranked.join(broadcast(pick), Seq("event_type"))
+      .filter(col("r") === col("rp"))
+      .select(col("event_type"), col("n"), col("k").as("k_noise"),
+        col("value").as("dp_median"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DP top-k release — "which sources dominate each language's
+    * corpus", privately: per-(lang, source) doc counts get one
+    * two-sided geometric draw each ([[dpNoiseTable]], seeded from
+    * md5('topk|'+lang+'|'+source) — a DISTINCT seed prefix from the
+    * other dp keys so mechanisms never share randomness), and the
+    * top-5 sources per lang by noisy count are released. The
+    * noisy-argmax-with-per-candidate-noise shape is the
+    * report-noisy-max mechanism (Dwork & Roth §3.3) iterated k times
+    * — the standard private top-k.
+    *
+    * Shape: one (lang, source) hash aggregate (value-space-bounded),
+    * a 17-row broadcast bucket lookup, and a per-lang top-5 rank
+    * filter Spark executes as a WindowGroupLimit 5-heap. Noise is
+    * O(1) per GROUP, not per row — corpus-size-independent. */
+  def privacyDpTopk(s: SparkSession, d: String): DataFrame = {
+    val noiseDf = s.createDataFrame(dpNoiseTable).toDF("k", "lo", "hi")
+    val noisy = t(s, d, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        conv(substring(md5(concat_ws("|",
+          lit("topk"), col("lang"), col("source"))), 1, 6), 16, 10)
+          .cast("long") % lit(766L))
+      .join(broadcast(noiseDf),
+        col("u") >= col("lo") && col("u") < col("hi"))
+      .select(col("lang"), col("source"),
+        (col("n") + col("k")).as("n_noisy"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_noisy").desc, col("source"))
+    noisy.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("source"), col("n_noisy"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_dp_quantile" -> (privacyDpQuantile _),
+    "privacy_dp_topk" -> (privacyDpTopk _),
     "sample_coreset_kcenter" -> (sampleCoresetKcenter _),
     "sample_group_kfold" -> (sampleGroupKfold _),
     "sample_rendezvous_shard" -> (sampleRendezvousShard _),
@@ -1176,7 +1276,53 @@ object Curation {
     "text_repetition" -> (textRepetition _)
   )
 
+  /** VALUES rows rendered from [[dpNoiseTable]] so engine and oracle
+    * share ONE noise-bucket definition (a drifting copy here would be
+    * exactly the engine+oracle-agree failure the replay specs exist to
+    * catch). */
+  private val dpNoiseValues: String = dpNoiseTable
+    .map { case (k, lo, hi) => s"($k, $lo, $hi)" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "privacy_dp_topk" ->
+      (s"""WITH noise(k, lo, hi) AS (VALUES $dpNoiseValues),
+        |c AS (
+        |  SELECT lang, source, COUNT(*) AS n,
+        |    CAST(('0x' || substring(md5('topk' || '|' || lang || '|'
+        |      || source), 1, 6)) AS BIGINT) % 766 AS u
+        |  FROM documents GROUP BY lang, source),
+        |ny AS (
+        |  SELECT c.lang, c.source, c.n + noise.k AS n_noisy
+        |  FROM c JOIN noise ON c.u >= noise.lo AND c.u < noise.hi),
+        |rk AS (
+        |  SELECT lang, source, n_noisy,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_noisy DESC, source) AS rk
+        |  FROM ny)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, source, n_noisy
+        |FROM rk WHERE rk <= 5
+        |ORDER BY lang, rk""".stripMargin),
+    "privacy_dp_quantile" ->
+      (s"""WITH noise(k, lo, hi) AS (VALUES $dpNoiseValues),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        |pick AS (
+        |  SELECT st.event_type, st.n, noise.k,
+        |    GREATEST(1, LEAST(st.n, (st.n + 1) // 2 + noise.k)) AS rp
+        |  FROM st JOIN noise
+        |    ON (CAST(('0x' || substring(md5(st.event_type), 1, 6))
+        |          AS BIGINT) % 766) >= noise.lo
+        |   AND (CAST(('0x' || substring(md5(st.event_type), 1, 6))
+        |          AS BIGINT) % 766) < noise.hi),
+        |ranked AS (
+        |  SELECT event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS r
+        |  FROM events)
+        |SELECT p.event_type, p.n, p.k AS k_noise, r.value AS dp_median
+        |FROM pick p JOIN ranked r
+        |  ON r.event_type = p.event_type AND r.r = p.rp
+        |ORDER BY p.event_type""".stripMargin),
     "sample_coreset_kcenter" -> coresetOracle,
     // group-keyed md5 fold draw, exact per-fold counts, one division
     "sample_group_kfold" ->

@@ -391,7 +391,53 @@ object Multimodal {
           .as("active_len"))
       .orderBy(col("doc_id"))
 
+  /** Coefficient D[u][v] = Σ_{j,k} C[u][j]·C[v][k]·px[j·8+k] as a
+    * generated flat sum for the DuckDB oracle (basis products
+    * pre-multiplied into one literal each, ≤ 1e12; 64 terms ≤
+    * 1.63e16 — BIGINT-safe). The basis is the ONE shared definition
+    * in [[graft.functions.PhashKernel.dctC]]. */
+  private def phashCoef(u: Int, v: Int, px: Int => String): String = {
+    val c = graft.functions.PhashKernel.dctC
+    (0 until 64).map { i =>
+      s"${px(i)} * ${c(u)(i / 8) * c(v)(i % 8)}"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** pHash — the DCT perceptual hash (the third of the classic image
+    * near-dup trio next to [[multimodalAhash]] and [[multimodalDhash]]):
+    * 2-D DCT-II of the 8×8 "pixel" block, then one bit per AC
+    * coefficient (above/below the AC mean), which keys on SPECTRAL
+    * shape — robust to the uniform brightness/contrast and mild blur
+    * edits that flip aHash/dHash bits (Round12OpsSpec pins the
+    * brightness invariance). Pixel extraction is the same documented
+    * stub as its siblings (first 64 payload bytes stand in for
+    * decoded luma; no codecs in this container); everything
+    * downstream is the real shape.
+    *
+    * Engine shape: the whole transform is ONE compiled kernel call
+    * per row ([[graft.functions.PhashBits]]) inside the scan's
+    * codegen stage, then a hash aggregate on the 63-bit key space.
+    * The first cut projected a 64-element `px` array feeding 63
+    * generated 64-term sums — CollapseProject inlined `px` into all
+    * 4096 term references (each re-running ascii(substring(...)))
+    * and the scan measured 68.9 s at sf0.1; the kernel does the
+    * identical integer algebra in 0.4 s (PERF.md round 12, the
+    * CdcChunks lesson for scalar kernels). */
+  def multimodalPhash(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    t(s, d, "documents")
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"),
+        GraftBridge.column(graft.functions.PhashBits(
+          GraftBridge.expression(col("text")))).as("phash_bits"))
+      .groupBy(col("phash_bits"))
+      .agg(min(col("doc_id")).as("rep_doc"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("phash_bits"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_phash" -> (multimodalPhash _),
     "multimodal_silence_trim" -> (multimodalSilenceTrim _),
     "multimodal_audio_energy" -> (multimodalAudioEnergy _),
     "multimodal_spectral_centroid" -> (multimodalSpectralCentroid _),
@@ -445,7 +491,35 @@ object Multimodal {
     * non-ASCII text. The substring-based md5s (thumb/frame) still slice
     * by CHARACTER on the DuckDB side vs BYTE on the Spark side — equal
     * only while fixture payloads are ASCII (they are; documented). */
+  /** [[multimodalPhash]] oracle — same generated coefficient sums
+    * rendered in DuckDB's 1-based list indexing. */
+  private val phashOracle: String = {
+    val duckIdx = (i: Int) => s"px[${i + 1}]"
+    val dcList = graft.functions.PhashKernel.acPositions
+      .map { case (u, v) => phashCoef(u, v, duckIdx) }
+      .mkString("[", ", ", "]")
+    s"""WITH p AS (
+       |  SELECT doc_id, list_transform(range(1, 65),
+       |    i -> CAST(ascii(substring(text, CAST(i AS INTEGER), 1))
+       |         AS BIGINT)) AS px
+       |  FROM documents WHERE strlen(text) >= 64),
+       |c AS (SELECT doc_id, $dcList AS dc FROM p),
+       |m AS (
+       |  SELECT doc_id, dc,
+       |    (list_sum(dc) + 63000000000000000) // 63
+       |      - 1000000000000000 AS mean_ac
+       |  FROM c),
+       |h AS (
+       |  SELECT doc_id, array_to_string(list_transform(dc,
+       |      v -> CASE WHEN v > mean_ac THEN '1' ELSE '0' END), '')
+       |    AS phash_bits
+       |  FROM m)
+       |SELECT phash_bits, MIN(doc_id) AS rep_doc, COUNT(*) AS n_docs
+       |FROM h GROUP BY phash_bits ORDER BY phash_bits""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "multimodal_phash" -> phashOracle,
     // first/last |s| >= 32 positions over the same PCM byte stub;
     // all-silent clips trim to (64, 0, 0)
     "multimodal_silence_trim" ->

@@ -749,9 +749,15 @@ object Similarity {
       .sortBy(_._1)
 
   /** Per-subspace argmin codes as array<struct<d2,c>> (index = m). */
-  private def pqBest(cents: Array[(Int, Seq[Long])]): Column = {
+  private def pqBest(cents: Array[(Int, Seq[Long])]): Column =
+    pqBestOn(cents, col("micro"))
+
+  /** [[pqBest]] over an arbitrary integer-vector column (the IVF-PQ
+    * key encodes RESIDUALS, not raw micros). */
+  private def pqBestOn(cents: Array[(Int, Seq[Long])],
+                       src: Column): Column = {
     val subCols = (0 until 8).map { m =>
-      val sl = slice(col("micro"), m * 8 + 1, 8)
+      val sl = slice(src, m * 8 + 1, 8)
       val cands = cents.map { case (c, cm) =>
         val cs = cm.slice(m * 8, m * 8 + 8)
         val d2 = aggregate(
@@ -817,6 +823,86 @@ object Similarity {
             (b, m) -> element_at(element_at(adc, CAST(m + 1 AS INT)),
                                  CAST(b.c + 1 AS INT))),
           0L, (acc, v) -> acc + v)""").as("adc_d2"))
+      .orderBy(col("adc_d2"), col("vec_id"))
+      .limit(10)
+  }
+
+  /** IVF-PQ (IVFADC — Jégou, Douze & Schmid, PAMI'11): the
+    * billion-scale ANN architecture FAISS ships as its default, run
+    * end to end — a coarse quantizer partitions the corpus into
+    * cells, the probe visits only its nProbe nearest cells, and
+    * within a probed cell each candidate is scored by PQ
+    * asymmetric distance on its RESIDUAL (vector − cell centroid),
+    * which is what makes the codes accurate: residuals are
+    * near-zero-centered so the shared codebook spends its 16 ids on
+    * fine structure. Fixture quantizers are data rows (coarse cells
+    * = vecs 16–19, codebook = vecs 0–15, the [[embeddingPqEncode]]
+    * convention); all distances exact integer micro².
+    *
+    * Why this is THE 100 TB shape: the corpus is stored
+    * cell-partitioned (cell id = partition key), so nProbe/k of the
+    * data is even READ (partition pruning does the candidate
+    * selection); per-candidate work is 8 nibble lookups into a
+    * broadcast 8×16 table; model state (4 + 16 vectors) is literal
+    * plan state. The scan's top-10 is TakeOrderedAndProject — the
+    * corpus never shuffles, nothing is ever all-pairs. */
+  def simSearchIvfPq(s: SparkSession, d: String): DataFrame = {
+    val cents = pqCentroids(s, d)
+    // bounded driver state: 4 coarse centroids + the 1-row probe
+    // (the pqCentroids 16-row collect discipline)
+    val head = t(s, d, "embeddings").filter(col("vec_id") <= 19)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toSeq))
+      .toMap
+    val coarse = (16 to 19).map(c => (c, head(c)))
+    val probeQ = head(0)
+    def sq(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // nProbe = 2 of 4 cells, (distance, cell) order — driver algebra
+    // over 4 rows, mirrored verbatim by the oracle's `probed` CTE
+    val probed = coarse.map { case (c, cq) => (sq(probeQ, cq), c) }
+      .sorted.take(2).map(_._2)
+    // per probed cell: the probe residual's 8×16 ADC lookup table
+    val lut: Map[Int, Seq[Seq[Long]]] = probed.map { c =>
+      val pr = probeQ.zip(head(c)).map { case (x, y) => x - y }
+      c -> (0 until 8).map { m =>
+        cents.toSeq.map { case (_, cb) =>
+          sq(pr.slice(m * 8, m * 8 + 8), cb.slice(m * 8, m * 8 + 8))
+        }
+      }
+    }.toMap
+    val cellCol = array_min(array(coarse.map { case (c, cq) =>
+      struct(
+        aggregate(zip_with(col("micro"), typedLit(cq),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("d2"),
+        lit(c).as("c"))
+    }: _*)).getField("c")
+    val residCol = probed.tail.foldLeft(
+      when(col("cell") === probed.head,
+        zip_with(col("micro"), typedLit(head(probed.head)),
+          (a, b) => a - b))) { (acc, c) =>
+      acc.when(col("cell") === c,
+        zip_with(col("micro"), typedLit(head(c)), (a, b) => a - b))
+    }
+    val lutCol = probed.tail.foldLeft(
+      when(col("cell") === probed.head, typedLit(lut(probed.head)))) {
+      (acc, c) => acc.when(col("cell") === c, typedLit(lut(c)))
+    }
+    t(s, d, "embeddings").filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), microCol)
+      .withColumn("cell", cellCol)
+      .filter(col("cell").isInCollection(probed))
+      .withColumn("best", pqBestOn(cents, residCol))
+      .select(col("vec_id"), col("cell").as("ivf_cell"),
+        aggregate(
+          zip_with(col("best"), sequence(lit(0), lit(7)),
+            (b, m) => element_at(element_at(lutCol, m.cast("int") + 1),
+              b.getField("c").cast("int") + 1)),
+          lit(0L), (acc, x) => acc + x).as("adc_d2"))
       .orderBy(col("adc_d2"), col("vec_id"))
       .limit(10)
   }
@@ -1364,7 +1450,8 @@ object Similarity {
     "sim_search_hamming" -> (simSearchHamming _),
     "sim_search_hamming_rerank" -> (simSearchHammingRerank _),
     "embedding_pq_encode" -> (embeddingPqEncode _),
-    "sim_search_pq_adc" -> (simSearchPqAdc _)
+    "sim_search_pq_adc" -> (simSearchPqAdc _),
+    "sim_search_ivf_pq" -> (simSearchIvfPq _)
   )
 
   /** Shared DuckDB prefix for the PQ pair: quantize, slice-local
@@ -1488,6 +1575,83 @@ object Similarity {
         |  CAST(SUM(d2) AS BIGINT) AS d2_total
         |FROM best WHERE rk = 1
         |GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+    // same cells/codebook/residual algebra; `probed` mirrors the
+    // driver's 4-row (distance, cell) sort; all micro² BIGINT
+    "sim_search_ivf_pq" ->
+      """WITH mq AS (
+        |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(ROUND(x * 1000000) AS BIGINT)) AS q
+        |  FROM embeddings
+        |), coarse AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS cell, q AS cq
+        |  FROM mq WHERE vec_id BETWEEN 16 AND 19
+        |), cb AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS c, q AS cbq
+        |  FROM mq WHERE vec_id < 16
+        |), pq AS (SELECT q AS pq FROM mq WHERE vec_id = 0),
+        |assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT mq.vec_id, coarse.cell,
+        |      ROW_NUMBER() OVER (PARTITION BY mq.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i ->
+        |          (q[CAST(i AS INTEGER)] - cq[CAST(i AS INTEGER)]) *
+        |          (q[CAST(i AS INTEGER)] - cq[CAST(i AS INTEGER)]))),
+        |        coarse.cell) AS rk
+        |    FROM mq CROSS JOIN coarse) WHERE rk = 1
+        |), probed AS (
+        |  SELECT cell FROM (
+        |    SELECT coarse.cell,
+        |      ROW_NUMBER() OVER (ORDER BY
+        |        list_sum(list_transform(range(1, 65), i ->
+        |          (pq[CAST(i AS INTEGER)] - cq[CAST(i AS INTEGER)]) *
+        |          (pq[CAST(i AS INTEGER)] - cq[CAST(i AS INTEGER)]))),
+        |        coarse.cell) AS rk
+        |    FROM coarse CROSS JOIN pq) WHERE rk <= 2
+        |), resid AS (
+        |  SELECT mq.vec_id, a.cell,
+        |    list_transform(range(1, 65), i ->
+        |      q[CAST(i AS INTEGER)] - cq[CAST(i AS INTEGER)]) AS rq
+        |  FROM mq JOIN assigned a ON a.vec_id = mq.vec_id
+        |  JOIN coarse ON coarse.cell = a.cell
+        |  WHERE a.cell IN (SELECT cell FROM probed) AND mq.vec_id <> 0
+        |), presid AS (
+        |  SELECT coarse.cell,
+        |    list_transform(range(1, 65), i ->
+        |      pq[CAST(i AS INTEGER)] - cq[CAST(i AS INTEGER)]) AS prq
+        |  FROM coarse JOIN probed USING (cell) CROSS JOIN pq
+        |), dd AS (
+        |  SELECT r.vec_id, r.cell, m.m, cb.c,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (r.rq[CAST(m.m * 8 + i AS INTEGER)] -
+        |       cb.cbq[CAST(m.m * 8 + i AS INTEGER)]) *
+        |      (r.rq[CAST(m.m * 8 + i AS INTEGER)] -
+        |       cb.cbq[CAST(m.m * 8 + i AS INTEGER)]))) AS d2
+        |  FROM resid r
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) m
+        |  CROSS JOIN cb
+        |), best AS (
+        |  SELECT vec_id, cell, m, c,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c)
+        |      AS rk
+        |  FROM dd
+        |), adc AS (
+        |  SELECT p.cell, m.m, cb.c,
+        |    list_sum(list_transform(range(1, 9), i ->
+        |      (p.prq[CAST(m.m * 8 + i AS INTEGER)] -
+        |       cb.cbq[CAST(m.m * 8 + i AS INTEGER)]) *
+        |      (p.prq[CAST(m.m * 8 + i AS INTEGER)] -
+        |       cb.cbq[CAST(m.m * 8 + i AS INTEGER)]))) AS d2
+        |  FROM presid p
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS m) m
+        |  CROSS JOIN cb
+        |)
+        |SELECT b.vec_id, b.cell AS ivf_cell,
+        |  CAST(SUM(a.d2) AS BIGINT) AS adc_d2
+        |FROM best b
+        |JOIN adc a ON a.cell = b.cell AND a.m = b.m AND a.c = b.c
+        |WHERE b.rk = 1
+        |GROUP BY b.vec_id, b.cell
+        |ORDER BY adc_d2, b.vec_id LIMIT 10""".stripMargin,
     "sim_search_pq_adc" -> (pqCte +
       """
         |, adc AS (

@@ -1415,6 +1415,101 @@ object TextStats {
       .orderBy(col("lang"), col("lang_pred"))
   }
 
+  /** Gazetteer entity tagging — dictionary-based NER, the lexicon-join
+    * flavor every corpus pipeline runs before model-based NER exists
+    * for a domain (product names, chemical nouns, ticker symbols):
+    * mentions are n-grams of the text that exactly match a typed
+    * dictionary phrase. Reference scope ⊕ (training-data curation).
+    *
+    * Shape: bigram candidates come from the O(len)
+    * [[graft.functions.TokenNGrams]] generator inside the scan (the
+    * PERF.md generator discipline — no per-element lambda, no
+    * intermediate array), and the dictionary is a literal 6-row
+    * relation the planner broadcasts — mention detection is a
+    * broadcast-hash semi-join per candidate gram, then one hash
+    * aggregate on (source, entity), bounded by |sources|·|gazetteer|.
+    * At 100 TB the same plan holds: real gazetteers (UMLS, product
+    * catalogs) are millions of rows ≈ tens of MB — still broadcast
+    * range; past that the join degrades gracefully to a shuffle on the
+    * gram key, which is still |mentions|, never |tokens|². Overlapping
+    * mentions are counted individually (each matching gram is a
+    * mention) — the standard longest-match refinement is a window over
+    * (doc, pos) this fixture's bigram-only lexicon never exercises. */
+  def textNerGazetteer(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val gaz = s.createDataFrame(Seq(
+      ("hash join", "OPERATOR"),
+      ("table scan", "OPERATOR"),
+      ("sort merge", "OPERATOR"),
+      ("window batch", "OPERATOR"),
+      ("key order", "CONCEPT"),
+      ("data stream", "CONCEPT"))).toDF("entity", "entity_type")
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        GraftBridge.column(graft.functions.TokenNGrams(
+          GraftBridge.expression(col("text")), 2)).as("bigram"))
+      .join(broadcast(gaz), col("bigram") === col("entity"))
+      .groupBy(col("source"), col("entity"), col("entity_type"))
+      .agg(count(lit(1)).as("n_mentions"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("source"), col("entity"))
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase scorer curation pipelines use to label what a document
+    * is about: candidate phrases are maximal stopword-free token runs,
+    * a word scores degree/frequency (degree = Σ length of the phrases
+    * each occurrence sits in — words that live in long phrases score
+    * high), and a phrase scores the sum of its words. Top-3 phrases
+    * per doc. Reference scope ⊕.
+    *
+    * Integer end to end: per-word score is (1e6·deg) div freq and the
+    * phrase score sums those micros, so both engines compute the
+    * identical truncation sequence. Shape: every window/aggregate is
+    * keyed by doc_id (+phrase/word) — per-DOC bounded work, hash
+    * partitioned, nothing rides a global window; the per-doc top-3 is
+    * a rank filter Spark executes as a WindowGroupLimit 3-heap before
+    * the exchange. At 100 TB this is one shuffle on doc-keyed
+    * composites of a corpus-proportional but narrow relation — the
+    * text_winnowing class. */
+  def textKeywordRake(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("is_stop", col("tok").isInCollection(stopwords))
+    // phrase id = #stopword boundaries seen so far (per doc, by pos)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val members = toks
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(byDoc))
+      .filter(!col("is_stop"))
+    val phraseLen = Window.partitionBy(col("doc_id"), col("phrase_id"))
+    val withLen = members
+      .withColumn("phrase_len", count(lit(1)).over(phraseLen))
+    // word stats per doc: freq = occurrences, deg = Σ phrase_len
+    val wordScore = withLen
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("f"), sum(col("phrase_len")).as("deg"))
+      .select(col("doc_id"), col("tok"),
+        expr("(1000000 * deg) div f").as("w_micro"))
+    val phrases = withLen
+      .join(wordScore, Seq("doc_id", "tok"))
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ").as("phrase"),
+        sum(col("w_micro")).as("score_micro"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("phrase"), col("phrase_id"))
+    phrases
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("phrase"), col("score_micro"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid_confusion" -> (textLangidConfusion _),
     "text_yule_k" -> (textYuleK _),
@@ -1456,7 +1551,9 @@ object TextStats {
     "text_burrows_delta" -> (textBurrowsDelta _),
     "text_stylometrics" -> (textStylometrics _),
     "composite_curation_classified" -> (compositeCurationClassified _),
-    "composite_curation" -> (compositeCuration _)
+    "composite_curation" -> (compositeCuration _),
+    "text_ner_gazetteer" -> (textNerGazetteer _),
+    "text_keyword_rake" -> (textKeywordRake _)
   )
 
   /** [[textClassifierTrainLoop]]'s oracle: the identical recipe
@@ -2288,6 +2385,68 @@ object TextStats {
         |  ROUND(CAST(n_fingerprints AS DOUBLE) / n_windows, 4) AS density,
         |  fp_hash_sum, last_fp_pos
         |FROM fp JOIN nw ON fp.doc_id = nw.doc_id
-        |ORDER BY fp.doc_id""".stripMargin
+        |ORDER BY fp.doc_id""".stripMargin,
+    // bigrams from adjacent-position pairs (TokenNGrams semantics),
+    // literal typed gazetteer, exact match, (source, entity) counts
+    "text_ner_gazetteer" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    toks[CAST(i AS INTEGER)] || ' ' ||
+        |    toks[CAST(i + 1 AS INTEGER)] AS bigram
+        |  FROM docs, LATERAL unnest(range(1, len(toks))) AS u(i)),
+        |gaz(entity, entity_type) AS (VALUES
+        |  ('hash join', 'OPERATOR'), ('table scan', 'OPERATOR'),
+        |  ('sort merge', 'OPERATOR'), ('window batch', 'OPERATOR'),
+        |  ('key order', 'CONCEPT'), ('data stream', 'CONCEPT'))
+        |SELECT g.source, gaz.entity, gaz.entity_type,
+        |  COUNT(*) AS n_mentions, COUNT(DISTINCT g.doc_id) AS n_docs
+        |FROM g JOIN gaz ON g.bigram = gaz.entity
+        |GROUP BY 1, 2, 3
+        |ORDER BY g.source, gaz.entity""".stripMargin,
+    // same phrase segmentation (running stopword count), identical
+    // (1e6·deg) // freq word micros, per-doc top-3 with the same
+    // (score desc, phrase, phrase_id) tiebreak
+    "text_keyword_rake" ->
+      """WITH toks AS (
+        |  SELECT doc_id, i - 1 AS pos, t[CAST(i AS INTEGER)] AS tok,
+        |    t[CAST(i AS INTEGER)] IN
+        |      ('the', 'a', 'of', 'and', 'to', 'in') AS is_stop
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents),
+        |    LATERAL unnest(range(1, len(t) + 1)) AS u(i)),
+        |pid AS (
+        |  SELECT doc_id, pos, tok, is_stop,
+        |    SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+        |  FROM toks),
+        |members AS (
+        |  SELECT doc_id, pos, tok, phrase_id
+        |  FROM pid WHERE NOT is_stop),
+        |wl AS (
+        |  SELECT doc_id, pos, tok, phrase_id,
+        |    COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS phrase_len
+        |  FROM members),
+        |ws AS (
+        |  SELECT doc_id, tok,
+        |    (1000000 * SUM(phrase_len)) // COUNT(*) AS w_micro
+        |  FROM wl GROUP BY doc_id, tok),
+        |ph AS (
+        |  SELECT wl.doc_id, wl.phrase_id,
+        |    string_agg(wl.tok, ' ' ORDER BY wl.pos) AS phrase,
+        |    CAST(SUM(ws.w_micro) AS BIGINT) AS score_micro
+        |  FROM wl JOIN ws
+        |    ON ws.doc_id = wl.doc_id AND ws.tok = wl.tok
+        |  GROUP BY wl.doc_id, wl.phrase_id),
+        |rk AS (
+        |  SELECT doc_id, phrase, score_micro,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY score_micro DESC, phrase, phrase_id) AS rk
+        |  FROM ph)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, phrase, score_micro
+        |FROM rk WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin
   )
 }

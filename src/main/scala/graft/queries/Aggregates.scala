@@ -4433,7 +4433,56 @@ object Aggregates {
       .orderBy(col("direction"))
   }
 
+  /** KMV (bottom-k / k-minimum-values) distinct sketch — the
+    * MERGEABLE cardinality estimator (Bar-Yossef et al., RANDOM'02;
+    * the theta-sketch core): hash every value to a uniform 48-bit
+    * integer, keep each group's k = 64 smallest DISTINCT hashes, and
+    * estimate |D| ≈ (k−1)·2⁴⁸ / h_(k) from the k-th minimum. Unlike
+    * the built-in HLL key (agg_approx_distinct_hll, rows-only), the
+    * KMV estimate is exact integer algebra over a deterministic md5
+    * hash, so the DuckDB gate replays it bit-for-bit — an ORACLED
+    * approximate-distinct.
+    *
+    * Scale shape: the per-group bottom-k is a rank filter Spark
+    * executes as a WindowGroupLimit k-heap BEFORE the exchange (each
+    * map task forwards ≤ k rows per group — the sketch's mergeability
+    * materialized in the plan); estimate algebra runs on k·|groups|
+    * rows. Groups under k distinct values fall back to the exact
+    * count (the sketch is exact below saturation by construction). */
+  def aggKmvDistinct(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (priority, status) grouping: at sf0.001 one cell sits BELOW
+    // k = 64 distinct customers, so the unsaturated exact-count
+    // fallback executes and gates alongside the saturated estimate
+    // path (both branches live at the gate sf)
+    val h = t(s, d, "orders")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        conv(substring(md5(col("o_custkey").cast("string")), 1, 12),
+          16, 10).cast("long").as("h"))
+      .distinct()
+    val rk = Window
+      .partitionBy(col("o_orderpriority"), col("o_orderstatus"))
+      .orderBy(col("h"))
+    // rank filter ≤ k ⇒ WindowGroupLimit k-heap per map task — only
+    // the sketch (≤ k rows/group) ever crosses the exchange; the
+    // exact count is deliberately NOT computed (that would be the
+    // full distinct the sketch exists to avoid)
+    h.withColumn("r", row_number().over(rk))
+      .filter(col("r") <= 64)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("r") === 64, col("h"))).as("hk"))
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        col("n_kept"),
+        coalesce(col("hk"), lit(0L)).as("h_k"),
+        when(col("hk").isNull, col("n_kept"))
+          .otherwise(expr("(63 * 281474976710656L) div hk"))
+          .as("kmv_estimate"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_kmv_distinct" -> (aggKmvDistinct _),
     "agg_confusion_f1" -> (aggConfusionF1 _),
     "agg_nelson_aalen" -> (aggNelsonAalen _),
     "agg_em_step" -> (aggEmStep _),
@@ -4578,6 +4627,30 @@ object Aggregates {
       |ORDER BY cnt DESC, tok""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same 48-bit md5 hash space, same bottom-64 per group, same
+    // (k−1)·2⁴⁸ div h_k integer estimate with unsaturated fallback
+    "agg_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority, o_orderstatus,
+        |    CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+        |      1, 12)) AS BIGINT) AS h
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, o_orderstatus, h,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority,
+        |      o_orderstatus ORDER BY h) AS r
+        |  FROM h),
+        |k AS (
+        |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_kept,
+        |    MAX(CASE WHEN r = 64 THEN h END) AS hk
+        |  FROM r WHERE r <= 64 GROUP BY 1, 2)
+        |SELECT o_orderpriority, o_orderstatus,
+        |  CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(COALESCE(hk, 0) AS BIGINT) AS h_k,
+        |  CAST(CASE WHEN hk IS NULL THEN n_kept
+        |       ELSE (63 * 281474976710656) // hk END AS BIGINT)
+        |    AS kmv_estimate
+        |FROM k ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
     // exact confusion counts per literal threshold; P/R/F1 one
     // division each, NULL (not 0) on empty denominators
     "agg_confusion_f1" ->

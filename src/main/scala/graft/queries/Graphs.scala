@@ -55,9 +55,11 @@ object Graphs {
           .as("dot"))
     val rk = Window.partitionBy(col("src"))
       .orderBy(col("dot").desc, col("dst"))
+    // `dot` rides along: the SSSP key derives edge weights from it and
+    // every other consumer projects it away at its own scan
     pairs.withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= 5)
-      .select(col("src"), col("dst"))
+      .select(col("src"), col("dst"), col("dot"))
   }
 
   /** Write-once edge materialization (the [[graft.llm.Dedup]] pair-graph
@@ -67,7 +69,11 @@ object Graphs {
     * rest scan. At 100 TB the edge list IS a persisted table
     * (`SPARK_GRAFT_MAT_DIR` puts it on a shared filesystem). */
   private def materializedEdges(s: SparkSession, d: String): DataFrame =
-    graft.util.Materialize.tableFor(s, "knn_edges", d, () => knnEdges(s, d))
+    // tag bumped when `dot` joined the schema: a shared
+    // SPARK_GRAFT_MAT_DIR content-addresses entries by tag, so a
+    // schema change under the OLD tag could resurface a stale layout
+    graft.util.Materialize.tableFor(s, "knn_edges_w", d,
+      () => knnEdges(s, d))
 
   /** Undirected edge set: symmetrized kNN (mutual OR one-way — an edge
     * exists if either endpoint retrieved the other). */
@@ -218,6 +224,42 @@ object Graphs {
           (col("tp") + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
     }
     ranks.select(col("node").as("vec_id"), col("r").as("rank_e12"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Weighted single-source shortest paths — 4 rounds of synchronous
+    * Bellman-Ford relaxation from vec 0 over the DIRECTED kNN graph,
+    * with edge cost = 7e13 − dot (similarity-derived: cheap hops
+    * between near-duplicates, expensive hops across the embedding
+    * space; 7e13 > max |dot| = 64·1e12, so costs are strictly
+    * positive BIGINTs and 4-hop sums stay far inside 2⁶³). The
+    * curation use is "semantic distance from a trusted seed": rank
+    * docs by cheapest similarity path, not raw pairwise cosine —
+    * transitive similarity that single-hop retrieval misses.
+    *
+    * Shape per round: frontier ⋈ src-partitioned cached edges, then
+    * ONE min-aggregate shuffle on the node key — message volume is
+    * |frontier|·outdeg, never corpus², and distances stay (node,
+    * BIGINT) rows (the [[graphPagerank]] discipline, including its
+    * lineage story: 4 static rounds plan end-to-end; at higher round
+    * counts the loop adds localCheckpoint truncation exactly as the
+    * Dedup HashMin rounds do). Unreached nodes carry no row (no ∞
+    * sentinel crosses the gate). */
+  def graphSsspWeighted(s: SparkSession, d: String): DataFrame = {
+    val e = materializedEdges(s, d)
+      .select(col("src"), col("dst"),
+        (lit(70000000000000L) - col("dot")).as("w"))
+      .repartition(col("src")).cache()
+    var dist = t(s, d, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(col("vec_id").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to 4) {
+      val msgs = e.join(dist, e("src") === dist("node"))
+        .select(e("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(msgs)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("node").as("vec_id"), col("dist").as("dist_units"))
       .orderBy(col("vec_id"))
   }
 
@@ -724,8 +766,23 @@ object Graphs {
     "graph_degree_distribution" -> (graphDegreeDistribution _),
     "graph_triangles" -> (graphTriangles _),
     "graph_pagerank" -> (graphPagerank _),
-    "graph_link_prediction" -> (graphLinkPrediction _)
+    "graph_link_prediction" -> (graphLinkPrediction _),
+    "graph_sssp_weighted" -> (graphSsspWeighted _)
   )
+
+  /** Unrolled Bellman-Ford rounds for the SSSP oracle — generated from
+    * the same round count as [[graphSsspWeighted]] so the two cannot
+    * drift independently. */
+  private val ssspRounds: String = (1 to 4).map { i =>
+    val prev = s"sd${i - 1}"
+    s""", sd$i AS (
+       |  SELECT node, MIN(dist) AS dist FROM (
+       |    SELECT node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT ew.dst AS node, $prev.dist + ew.w AS dist
+       |    FROM $prev JOIN ew ON ew.src = $prev.node) GROUP BY node)"""
+      .stripMargin
+  }.mkString
 
   val oracles: Map[String, String] = Map(
     // min-hop distances from the same walk; exact 27720·H integers
@@ -1053,6 +1110,22 @@ object Graphs {
         |WHERE NOT EXISTS (SELECT 1 FROM ue
         |                  WHERE ue.u = cand.a AND ue.v = cand.b)
         |ORDER BY common_nbrs DESC, a, b LIMIT 20""".stripMargin),
+    // same 7e13 − dot positive integer costs, same 4 synchronous
+    // relaxation rounds (generated from one round count)
+    "graph_sssp_weighted" -> (edgeCte +
+      """
+        |, ew AS (
+        |  SELECT src, dst, 70000000000000 - dot AS w FROM (
+        |    SELECT src, dst, dot,
+        |      ROW_NUMBER() OVER (PARTITION BY src
+        |        ORDER BY dot DESC, dst) AS rk
+        |    FROM p) WHERE rk <= 5),
+        |sd0 AS (SELECT CAST(0 AS BIGINT) AS node,
+        |               CAST(0 AS BIGINT) AS dist)""".stripMargin +
+      ssspRounds +
+      """
+        |SELECT node AS vec_id, CAST(dist AS BIGINT) AS dist_units
+        |FROM sd4 ORDER BY vec_id""".stripMargin),
     "graph_pagerank" -> (edgeCte +
       """
         |, od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),

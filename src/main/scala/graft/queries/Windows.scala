@@ -1450,7 +1450,55 @@ object Windows {
       .orderBy(col("event_type"))
   }
 
+  /** Holt's linear (double exponential) smoothing over each event
+    * type's daily value series — the level+trend forecaster one step
+    * up from [[window_ewma]]'s flat level: α = 0.2, β = 0.1,
+    * level' = α·y + (1−α)(level+trend), trend' = β(level'−level) +
+    * (1−β)·trend, initialized (level₁ = y₁, trend₁ = 0), plus the
+    * 7-step-ahead forecast level + 7·trend. All arithmetic in exact
+    * integer cents (daily sums via DECIMAL(18,4), ×100), with every
+    * ÷10 offset-shifted (+1e15, −1e14 after) so the dividend is
+    * always positive — engines disagree on NEGATIVE integer division
+    * (truncate vs floor), and a trend can be negative.
+    *
+    * Shape: one (type, day) hash aggregate over the corpus, then the
+    * recursion folds per type over its own bounded daily series
+    * (collect_list of |days| rows per type — calendar-bounded, not
+    * corpus-bounded; ~365 rows/type/yr), expressed as one in-scan
+    * `aggregate` fold. The sequential dependence is irreducible
+    * (each step needs the last), so the right scale shape is exactly
+    * this: corpus-sized work in the parallel day aggregate, the
+    * inherently-serial fold on calendar-sized state. */
+  def windowHoltLinear(s: SparkSession, d: String): DataFrame = {
+    val step =
+      """(2 * e.y_u + 8 * (st.level + st.trend) + 1000000000000000)
+        | div 10 - 100000000000000""".stripMargin.replace("\n", "")
+    t(s, d, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT)")
+        .as("y_u"))
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("y_u"))))
+        .as("series"))
+      .withColumn("hw", expr(
+        s"""aggregate(
+           |  slice(series, 2, greatest(size(series) - 1, 0)),
+           |  named_struct(
+           |    'level', element_at(series, 1).y_u,
+           |    'trend', CAST(0 AS BIGINT)),
+           |  (st, e) -> named_struct(
+           |    'level', $step,
+           |    'trend', (($step) - st.level + 9 * st.trend
+           |      + 1000000000000000) div 10 - 100000000000000))"""
+          .stripMargin))
+      .select(col("event_type"), size(col("series")).as("n_days"),
+        col("hw.level").as("level_u"), col("hw.trend").as("trend_u"),
+        (col("hw.level") + lit(7L) * col("hw.trend")).as("forecast7_u"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_holt_linear" -> (windowHoltLinear _),
     "window_seasonal_strength" -> (windowSeasonalStrength _),
     "window_turning_points" -> (windowTurningPoints _),
     "window_cohort_ltv" -> (windowCohortLtv _),
@@ -1495,6 +1543,41 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same α=0.2/β=0.1 integer-cent recursion, unrolled as a
+    // recursive CTE walking the per-type day rank; same +1e15 offset
+    // divisions so both engines compute identical quotients
+    "window_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT)
+        |      AS y_u
+        |  FROM events GROUP BY 1, 2),
+        |srs AS (
+        |  SELECT event_type, y_u,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rn
+        |  FROM daily),
+        |nd AS (SELECT event_type, MAX(rn) AS n_days FROM srs
+        |       GROUP BY event_type),
+        |rec(event_type, rn, level, trend) AS (
+        |  SELECT event_type, CAST(1 AS BIGINT), y_u, CAST(0 AS BIGINT)
+        |  FROM srs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn + 1,
+        |    (2 * s.y_u + 8 * (r.level + r.trend) + 1000000000000000)
+        |      // 10 - 100000000000000,
+        |    (((2 * s.y_u + 8 * (r.level + r.trend) + 1000000000000000)
+        |      // 10 - 100000000000000) - r.level + 9 * r.trend
+        |      + 1000000000000000) // 10 - 100000000000000
+        |  FROM rec r JOIN srs s
+        |    ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+        |SELECT r.event_type, CAST(nd.n_days AS INTEGER) AS n_days,
+        |  CAST(r.level AS BIGINT) AS level_u,
+        |  CAST(r.trend AS BIGINT) AS trend_u,
+        |  CAST(r.level + 7 * r.trend AS BIGINT) AS forecast7_u
+        |FROM rec r JOIN nd ON nd.event_type = r.event_type
+        |  AND nd.n_days = r.rn
+        |ORDER BY r.event_type""".stripMargin,
     // 14 pivoted per-dow integer moments; the between-group sum is
     // the same fixed-order 7-term double expression as the engine's
     "window_seasonal_strength" -> {

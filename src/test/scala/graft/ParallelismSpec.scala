@@ -202,7 +202,17 @@ class ParallelismSpec extends AnyFunSuite {
     "text_classifier_train_loop",
     "agg_trimmed_mean", "agg_shapley_attribution",
     "text_burrows_delta",
-    "dedup_cdc_chunking", "sample_coreset_kcenter")
+    "dedup_cdc_chunking", "sample_coreset_kcenter",
+    // round-12: IVFADC top-10 with (adc, id) ties; 4-round min-relax
+    // unions; per-doc phrase windows + per-doc top-3 heaps; noisy-rank
+    // pick over (value, event_id) ties; gazetteer mention aggregate
+    "sim_search_ivf_pq", "graph_sssp_weighted", "text_keyword_rake",
+    "privacy_dp_quantile", "text_ner_gazetteer",
+    // round-12 batch 2: bottom-64 hash heap per cell; noisy-count
+    // rank ties; per-type collect-sort + integer fold; generated-DCT
+    // bit keys
+    "agg_kmv_distinct", "privacy_dp_topk", "window_holt_linear",
+    "multimodal_phash")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

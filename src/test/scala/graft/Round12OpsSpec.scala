@@ -353,4 +353,37 @@ class Round12OpsSpec extends AnyFunSuite {
     val base = docs.head._2.take(64).map(_.toLong)
     assert(phash(base) == phash(base.map(_ + 1)))
   }
+
+  test("multimodal_scene_cut replays histogram-L1 shot detection") {
+    val docs = Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 96)
+    val expected = docs.map { case (id, text) =>
+      val maxf = (text.length - 32) / 16
+      val frames = (0 to maxf).map(f => text.substring(f * 16, f * 16 + 32))
+      val hists = frames.map(_.groupBy(identity).map {
+        case (c, cs) => c -> cs.length })
+      val l1s = hists.zip(hists.tail).map { case (a, b) =>
+        (a.keySet ++ b.keySet).toSeq
+          .map(c => math.abs(a.getOrElse(c, 0) - b.getOrElse(c, 0)))
+          .sum.toLong
+      }
+      val cuts = l1s.zipWithIndex.filter(_._1 > 20L)
+      (id, (maxf + 1).toLong, cuts.length.toLong,
+        cuts.headOption.map(_._2.toLong),
+        l1s.max)
+    }.sortBy(_._1)
+    val got = graft.llm.Multimodal.multimodalSceneCut(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4)))
+      .toSeq
+    assert(got == expected.toSeq)
+    // BOTH branches populated: some docs cut, some not (a saturated
+    // or dead detector reads identically to a broken one — the first
+    // cut of this key fired on 76% of transitions and was rebuilt)
+    assert(got.exists(_._3 == 0L) && got.exists(_._3 > 0L))
+  }
 }

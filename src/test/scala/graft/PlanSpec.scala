@@ -528,6 +528,55 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_search_ivf_pq never shuffles the corpus (IVFADC plan)") {
+    val p = plan(graft.llm.Similarity.simSearchIvfPq(spark, sf))
+    // cell assignment, residual encode, and ADC are all literal plan
+    // state — no join of any kind; top-10 is a TakeOrdered head
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("agg_kmv_distinct keeps the bottom-64 heap before the exchange") {
+    val p = plan(graft.queries.Aggregates.aggKmvDistinct(spark, sf))
+    // the rank filter must compile to WindowGroupLimit — ≤ k rows per
+    // cell per map task is the sketch's mergeability in the plan
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("text_ner_gazetteer broadcasts the dictionary, generates in-scan") {
+    val p = plan(graft.llm.TextStats.textNerGazetteer(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), p) // TokenNGrams inside the scan stage
+  }
+
+  test("per-doc top-3 in text_keyword_rake is a WindowGroupLimit heap") {
+    val p = plan(graft.llm.TextStats.textKeywordRake(spark, sf))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("privacy_dp_topk: noise table broadcast, per-lang 5-heap") {
+    val p = plan(graft.llm.Curation.privacyDpTopk(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("multimodal_phash runs the kernel inside whole-stage codegen") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.GraftBridge
+    // the kernel call must not break the codegen span of the scan
+    // stage (PhashBits implements doGenCode) — a CodegenFallback here
+    // would silently interpret the whole projection
+    val df = Tables.t(spark, sf, "documents")
+      .select(GraftBridge.column(graft.functions.PhashBits(
+        GraftBridge.expression(col("text")))).as("b"))
+      .filter(col("b").isNotNull)
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("*("), exec) // whole-stage codegen marker
+    assert(df.count() > 0)
+  }
+
   test("scan_agg_pushdown: COUNT/MIN/MAX answered from parquet footers") {
     // the scan itself must report the pushed aggregates — at 100 TB
     // this is a metadata walk instead of a corpus read

@@ -495,7 +495,57 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio periodicity / tempo estimation — the autocorrelation-peak
+    * pitch-and-tempo detector (the classic ACF method behind librosa's
+    * tempo and YIN's first stage): over the stub sample window
+    * (first 64 payload bytes as PCM stand-ins), find the lag
+    * ℓ ∈ [4, 32] whose autocorrelation of the MEAN-CENTERED signal is
+    * largest. Centering is exact-integer: X_i = 64·x_i − Σx (scaled by
+    * the window length instead of dividing by it), so r(ℓ) = ΣX_iX_{i+ℓ}
+    * is a BIGINT both engines compute identically; r(0) rides along
+    * as the normalization reference.
+    *
+    * Shape (the scale form of autocorrelation over LONG series):
+    * samples explode to (doc, i, x) rows, centering is one doc-keyed
+    * window sum, the lag fan is a bounded ×29 row explosion on the
+    * left side of a (doc, i+ℓ) equi-join — NO per-lag rescan of the
+    * corpus — and the argmax is a per-doc rank-1 pick Spark runs as a
+    * WindowGroupLimit 1-heap. Everything shuffles on doc-keyed
+    * composites; real decoders replace the byte stub per the module
+    * boundary above. */
+  def multimodalTempo(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val cx = t(s, d, "documents")
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "transform(sequence(1, 64), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+          .as(Seq("i", "x")))
+      .withColumn("xc", lit(64L) * col("x") - sum(col("x")).over(byDoc))
+      .select(col("doc_id"), col("i").cast("long").as("i"), col("xc"))
+    val r0 = cx.groupBy(col("doc_id"))
+      .agg(sum(col("xc") * col("xc")).as("r0"))
+    val a = cx.select(col("doc_id"), col("i"), col("xc").as("xa"))
+      .withColumn("lag", explode(expr("sequence(4, 32)")))
+      .select(col("doc_id"), col("lag"),
+        (col("i") + col("lag")).as("j"), col("xa"))
+    val b = cx.select(col("doc_id"), col("i").as("j"), col("xc").as("xb"))
+    val rk = Window.partitionBy(col("doc_id"))
+      .orderBy(col("r").desc, col("lag"))
+    a.join(b, Seq("doc_id", "j"))
+      .groupBy(col("doc_id"), col("lag"))
+      .agg(sum(col("xa") * col("xb")).as("r"))
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") === 1)
+      .join(r0, Seq("doc_id"))
+      .select(col("doc_id"), col("lag").as("tempo_lag"),
+        col("r").as("r_peak"), col("r0"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_tempo" -> (multimodalTempo _),
     "multimodal_scene_cut" -> (multimodalSceneCut _),
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_silence_trim" -> (multimodalSilenceTrim _),
@@ -580,6 +630,35 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "multimodal_phash" -> phashOracle,
+    // same 64·x − Σx exact centering, same [4, 32] lag fan over the
+    // (doc, i+ℓ) equi-join, same (r DESC, lag) argmax
+    "multimodal_tempo" ->
+      """WITH sm AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+        |    CAST(ascii(substring(text, CAST(u.i + 1 AS INTEGER), 1))
+        |      AS BIGINT) AS x
+        |  FROM documents, LATERAL unnest(range(0, 64)) AS u(i)
+        |  WHERE strlen(text) >= 64),
+        |cx AS (
+        |  SELECT doc_id, i,
+        |    64 * x - SUM(x) OVER (PARTITION BY doc_id) AS xc
+        |  FROM sm),
+        |r0 AS (SELECT doc_id, SUM(xc * xc) AS r0 FROM cx GROUP BY 1),
+        |pr AS (
+        |  SELECT a.doc_id, l.l AS lag, SUM(a.xc * b.xc) AS r
+        |  FROM cx a
+        |  CROSS JOIN (SELECT unnest(range(4, 33)) AS l) l
+        |  JOIN cx b ON b.doc_id = a.doc_id AND b.i = a.i + l.l
+        |  GROUP BY 1, 2),
+        |pk AS (
+        |  SELECT doc_id, lag, r,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY r DESC, lag) AS rk
+        |  FROM pr)
+        |SELECT p.doc_id, CAST(p.lag AS INTEGER) AS tempo_lag,
+        |  CAST(p.r AS BIGINT) AS r_peak, CAST(r0.r0 AS BIGINT) AS r0
+        |FROM pk p JOIN r0 USING (doc_id)
+        |WHERE p.rk = 1 ORDER BY p.doc_id""".stripMargin,
     // same stride-16 frames, char-histogram signatures, signed-union
     // L1 pairing, >20 cut rule
     "multimodal_scene_cut" ->

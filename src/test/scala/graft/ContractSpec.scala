@@ -38,7 +38,7 @@ class ContractSpec extends AnyFunSuite {
 
   test("surface size matches the documented totals") {
     // update alongside SURVEY.md §2.3 "Totals" when adding queries
-    assert(SparkEntry.queries.size == 478, SparkEntry.queries.size.toString)
-    assert(SparkEntry.oracleSql.size == 478, SparkEntry.oracleSql.size.toString)
+    assert(SparkEntry.queries.size == 479, SparkEntry.queries.size.toString)
+    assert(SparkEntry.oracleSql.size == 479, SparkEntry.oracleSql.size.toString)
   }
 }

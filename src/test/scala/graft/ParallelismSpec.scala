@@ -212,7 +212,7 @@ class ParallelismSpec extends AnyFunSuite {
     // rank ties; per-type collect-sort + integer fold; generated-DCT
     // bit keys
     "agg_kmv_distinct", "privacy_dp_topk", "window_holt_linear",
-    "multimodal_phash", "multimodal_scene_cut")
+    "multimodal_phash", "multimodal_scene_cut", "multimodal_tempo")
 
   private def bits(v: Any): Any = v match {
     case d: java.lang.Double => java.lang.Double.doubleToRawLongBits(d)

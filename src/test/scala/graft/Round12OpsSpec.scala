@@ -386,4 +386,33 @@ class Round12OpsSpec extends AnyFunSuite {
     // cut of this key fired on 76% of transitions and was rebuilt)
     assert(got.exists(_._3 == 0L) && got.exists(_._3 > 0L))
   }
+
+  test("multimodal_tempo replays the centered-ACF argmax") {
+    val docs = Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.length >= 64)
+    val expected = docs.map { case (id, text) =>
+      val x = text.take(64).map(_.toLong)
+      val s0 = x.sum
+      val xc = x.map(v => 64L * v - s0)
+      val r0 = xc.map(v => v * v).sum
+      val rs = (4 to 32).map { l =>
+        (l, (0 until 64 - l).map(i => xc(i) * xc(i + l)).sum)
+      }
+      val (lag, peak) = rs.minBy { case (l, r) => (-r, l) }
+      (id, lag, peak, r0)
+    }.sortBy(_._1)
+    val got = graft.llm.Multimodal.multimodalTempo(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected.toSeq)
+    // the fixture's word+space structure produces a REAL modal period
+    // (lag ≈ 5-6) yet not a constant one — the detector discriminates
+    val lags = got.map(_._2)
+    assert(lags.distinct.size > 3)
+    val modal = lags.groupBy(identity).maxBy(_._2.size)._1
+    assert(modal >= 4 && modal <= 8, s"modal lag $modal")
+  }
 }

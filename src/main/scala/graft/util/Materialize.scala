@@ -28,6 +28,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Materialize {
 
   private val cache = new ConcurrentHashMap[String, String]()
+
+  /** Builder thunks seen by [[tableFor]] — the PlanLintSpec registry
+    * (round-13 directive #2): materialization hides a builder's plan
+    * behind a parquet scan, which is exactly where round 12's one
+    * all-pairs BNLJ hid from the surface-wide lint. Registration is
+    * unconditional (cache hits re-register too), so the lint sees every
+    * builder whose consumer ran this JVM, and plan-building a thunk
+    * never executes it. [[bucketedTableFor]] builders are NOT here:
+    * their `write` is a side-effecting saveAsTable, not a plan thunk —
+    * BucketingSpec pins their (plain dimension-scan) shape directly. */
+  private val builders = new ConcurrentHashMap[String, () => DataFrame]()
+
+  private[graft] def builderThunks: Map[String, () => DataFrame] = {
+    val b = Map.newBuilder[String, () => DataFrame]
+    builders.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
+
+  private[graft] def unregisterBuilder(tag: String): Unit = {
+    val _ = builders.remove(tag)
+  }
   private val toDelete = java.util.Collections.newSetFromMap(
     new ConcurrentHashMap[Path, java.lang.Boolean]())
 
@@ -62,6 +83,7 @@ object Materialize {
     * at most once per (tag, dir, dir-content) per JVM. */
   def tableFor(s: SparkSession, tag: String, dir: String,
                build: () => DataFrame): DataFrame = {
+    builders.put(tag, build)
     val key = s"$tag:$dir:${fingerprint(s, dir)}"
     val path = cache.computeIfAbsent(key, k => {
       val out = sys.env.get("SPARK_GRAFT_MAT_DIR") match {

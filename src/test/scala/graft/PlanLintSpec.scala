@@ -202,6 +202,64 @@ class PlanLintSpec extends AnyFunSuite {
       other.children.forall(boundedScalar)
   }
 
+  /** All four invariants over one plan; every hit is a failure line.
+    * Exemption flags disable the corresponding check (the per-key maps
+    * above, applied by the caller). */
+  private def lintFailures(name: String,
+      qe: org.apache.spark.sql.execution.QueryExecution,
+      checkHint: Boolean = true, checkWindow: Boolean = true,
+      checkBnlj: Boolean = true): Seq[String] = {
+    val failures = mutable.Buffer.empty[String]
+    val plan = qe.sparkPlan
+    // (d) explicit broadcast hints never pin an unbounded
+    // fact-table side (the fixture-green/cluster-OOM class);
+    // checked on the optimized logical plan, where
+    // EliminateResolvedHint has moved hints onto Join nodes
+    if (checkHint) {
+      import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
+      qe.optimizedPlan.collect { case j: Join => j }.foreach { j =>
+        Seq((j.hint.leftHint, j.left), (j.hint.rightHint, j.right))
+          .foreach {
+            case (Some(h), side)
+              if h.strategy.contains(BROADCAST) &&
+                !boundedForHint(side) =>
+              failures += s"$name: broadcast hint on an unbounded " +
+                "fact-table side:\n" +
+                side.treeString.linesIterator.take(10).mkString("\n")
+            case _ => ()
+          }
+      }
+    }
+    // (a) empty-partitionBy windows
+    if (checkWindow)
+      plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.foreach { w =>
+        if (!boundedForWindow(w.child))
+          failures += s"$name: global WindowExec over an unbounded " +
+            s"input:\n${w.treeString.linesIterator.take(12).mkString("\n")}"
+      }
+    // (b) cartesian products
+    plan.collect { case c: CartesianProductExec => c }.foreach { c =>
+      failures += s"$name: CartesianProductExec in plan:\n" +
+        c.treeString.linesIterator.take(8).mkString("\n")
+    }
+    // (c) nested-loop broadcast builds
+    if (checkBnlj)
+      plan.collect { case b: BroadcastNestedLoopJoinExec => b }
+        .foreach { b =>
+          val buildPlan = b.buildSide match {
+            case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+            case _ => b.right
+          }
+          if (!boundedScalar(buildPlan))
+            failures += s"$name: BNLJ build side is not a scalar " +
+              "aggregate/limit/literal:\n" +
+              buildPlan.treeString.linesIterator.take(12).mkString("\n")
+        }
+    failures.toSeq
+  }
+
   test("surface-wide lint: global windows bounded, no cartesian, BNLJ builds scalar") {
     val failures = mutable.Buffer.empty[String]
     var nChecked = 0
@@ -213,59 +271,57 @@ class PlanLintSpec extends AnyFunSuite {
             failures += s"$name: plan build failed: ${e.getMessage}"
             null
         }
-      val plan = if (qe == null) null else qe.sparkPlan
-      if (plan != null) {
+      if (qe != null) {
         nChecked += 1
-        // (d) explicit broadcast hints never pin an unbounded
-        // fact-table side (the fixture-green/cluster-OOM class);
-        // checked on the optimized logical plan, where
-        // EliminateResolvedHint has moved hints onto Join nodes
-        if (!hintExempt.contains(name)) {
-          import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Join}
-          qe.optimizedPlan.collect { case j: Join => j }.foreach { j =>
-            Seq((j.hint.leftHint, j.left), (j.hint.rightHint, j.right))
-              .foreach {
-                case (Some(h), side)
-                  if h.strategy.contains(BROADCAST) &&
-                    !boundedForHint(side) =>
-                  failures += s"$name: broadcast hint on an unbounded " +
-                    "fact-table side:\n" +
-                    side.treeString.linesIterator.take(10).mkString("\n")
-                case _ => ()
-              }
-          }
-        }
-        // (a) empty-partitionBy windows
-        if (!windowExempt.contains(name))
-          plan.collect {
-            case w: WindowExec if w.partitionSpec.isEmpty => w
-          }.foreach { w =>
-            if (!boundedForWindow(w.child))
-              failures += s"$name: global WindowExec over an unbounded " +
-                s"input:\n${w.treeString.linesIterator.take(12).mkString("\n")}"
-          }
-        // (b) cartesian products
-        plan.collect { case c: CartesianProductExec => c }.foreach { c =>
-          failures += s"$name: CartesianProductExec in plan:\n" +
-            c.treeString.linesIterator.take(8).mkString("\n")
-        }
-        // (c) nested-loop broadcast builds
-        if (!bnljExempt.contains(name))
-          plan.collect { case b: BroadcastNestedLoopJoinExec => b }
-            .foreach { b =>
-              val buildPlan = b.buildSide match {
-                case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
-                case _ => b.right
-              }
-              if (!boundedScalar(buildPlan))
-                failures += s"$name: BNLJ build side is not a scalar " +
-                  "aggregate/limit/literal:\n" +
-                  buildPlan.treeString.linesIterator.take(12).mkString("\n")
-            }
+        failures ++= lintFailures(name, qe,
+          checkHint = !hintExempt.contains(name),
+          checkWindow = !windowExempt.contains(name),
+          checkBnlj = !bnljExempt.contains(name))
       }
     }
     assert(nChecked > 400, s"lint only saw $nChecked keys — wiring bug?")
     assert(failures.isEmpty,
       s"${failures.size} plan-lint failures:\n${failures.mkString("\n---\n")}")
+  }
+
+  /** Round-13 directive #2: materialized-builder plans are linted too.
+    * `Materialize.tableFor` hides each builder behind a parquet scan —
+    * round 12's one all-pairs BNLJ lived exactly there. The surface
+    * sweep above populates the registry (every tableFor call registers
+    * its thunk); this test re-plans each registered builder (plan-only)
+    * and applies the same four invariants. */
+  test("materialized-builder plans pass the same lint") {
+    val thunks = graft.util.Materialize.builderThunks
+      .filterNot(_._1.startsWith("planted_"))
+    // the lint must provably SEE the kNN edge builder — the blind spot
+    // this test exists to close
+    assert(thunks.contains("knn_edges_w"),
+      s"knn_edges_w not registered; saw ${thunks.keys.toSeq.sorted}")
+    assert(Seq("jaccard", "mh_band_index", "mh_corpus_sigs")
+      .forall(thunks.contains), thunks.keys.toSeq.sorted.mkString(","))
+    val failures = thunks.toSeq.sortBy(_._1).flatMap { case (tag, thunk) =>
+      try lintFailures(s"builder:$tag", thunk().queryExecution)
+      catch {
+        case e: Exception => Seq(s"builder:$tag plan build failed: ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} builder-lint failures:\n${failures.mkString("\n---\n")}")
+  }
+
+  test("a planted all-pairs builder is caught by the lint") {
+    val tag = "planted_allpairs_lint"
+    try {
+      // go through the REAL registration path: tableFor registers the
+      // thunk (and materializes the 500-row fixture build — cheap)
+      graft.util.Materialize.tableFor(spark, tag, sf,
+        () => graft.queries.Graphs.knnEdgesAllPairs(spark, sf))
+      val thunk = graft.util.Materialize.builderThunks(tag)
+      val fails = lintFailures(s"builder:$tag", thunk().queryExecution)
+      assert(fails.nonEmpty,
+        "lint saw no problem in a corpus-broadcast all-pairs builder")
+      assert(fails.exists(f => f.contains("BNLJ") || f.contains("broadcast")),
+        fails.mkString("\n"))
+    } finally graft.util.Materialize.unregisterBuilder(tag)
   }
 }

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, DeduplicateWithinWatermark, EventTimeWatermark, Join, LogicalPlan}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TimeMode}
+
+/** Streaming state-size lint (round-13 directive #4) — the
+  * stream-side analog of PlanLintSpec's batch invariants, which
+  * structurally exclude `stream_*` keys because their builders RUN the
+  * stream. The invariant here is about STATE, not plan shape: every
+  * stateful streaming operator must carry an explicit eviction story —
+  * an event-time watermark, a state timeout, or a TTL pathway —
+  * because unbounded keyed state is the streaming equivalent of a
+  * corpus broadcast: fixture-green, OOM at month two of production.
+  *
+  * Enforced at runtime by [[StreamQueries]]' memory-sink driver (every
+  * stream build passes through it), and exercised against planted
+  * violations by StreamStateLintSpec. Rules, applied to the ANALYZED
+  * logical plan of the un-started stream:
+  *
+  *  - `FlatMapGroupsWithState` with `NoTimeout`: keyed state can never
+  *    be evicted — fail (the bounded form sets an event-time or
+  *    processing-time timeout and removes state when it fires).
+  *  - `TransformWithState` in `TimeMode.None`: neither timers nor
+  *    state TTL can exist in that mode — fail (processing-time or
+  *    event-time mode enables `TTLConfig`, which the house processors
+  *    set).
+  *  - Streaming grouped `Aggregate` with no upstream watermark: fail,
+  *    UNLESS the grouping is calendar-bounded — keyed by the
+  *    analyzer-generated event-time `window`/`session_window` struct,
+  *    whose state cardinality grows with the time horizon, never with
+  *    corpus keys (the batch lint's invariant-(a) argument in
+  *    streaming form; complete-mode windowed aggs ride this). Scalar
+  *    (ungrouped) aggregates hold O(1) state — bounded by definition.
+  *  - Streaming dedup: `dropDuplicates` on a stream without a
+  *    watermark holds every key forever — fail;
+  *    `dropDuplicatesWithinWatermark` must actually sit above one.
+  *  - Stream-stream `Join`: both sides must be watermarked or the
+  *    join buffers both inputs forever.
+  *
+  * Node matching goes through `nodeName` + a product scan for the
+  * timeout/time-mode member rather than direct constructor patterns:
+  * the object-typed logical nodes' arities differ across Spark
+  * releases, and the lint only cares about the one member.
+  */
+object StreamLint {
+
+  private def hasWatermark(p: LogicalPlan): Boolean =
+    p.collectFirst { case _: EventTimeWatermark => () }.nonEmpty
+
+  private def calendarBounded(a: Aggregate): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    def named(n: String) = n == "window" || n == "session_window"
+    a.groupingExpressions.exists {
+      case att: Attribute => named(att.name)
+      case al: Alias => named(al.name)
+      case e => e.references.exists(att => named(att.name))
+    }
+  }
+
+  /** Failure lines for one un-started streaming plan; empty = clean.
+    * Non-streaming plans vacuously pass (batch session-window keys
+    * reuse streaming expressions in batch mode). */
+  def failures(root: LogicalPlan): Seq[String] = {
+    if (!root.isStreaming) return Nil
+    val out = Seq.newBuilder[String]
+    root.foreach {
+      case p if p.nodeName == "FlatMapGroupsWithState" =>
+        val timeout = p.productIterator.collectFirst {
+          case g: GroupStateTimeout => g }
+        if (timeout.contains(GroupStateTimeout.NoTimeout))
+          out += ("FlatMapGroupsWithState with NoTimeout: keyed state " +
+            "never evicts")
+      case p if p.nodeName == "TransformWithState" =>
+        val tm = p.productIterator.collectFirst { case t: TimeMode => t }
+        if (tm.exists(_ == TimeMode.None()))
+          out += ("TransformWithState in TimeMode.None: no TTL/timer " +
+            "pathway, keyed state never evicts")
+      case d: Deduplicate if d.child.isStreaming && !hasWatermark(d.child) =>
+        out += ("streaming dropDuplicates without a watermark: dedup " +
+          "key state never evicts")
+      case d: DeduplicateWithinWatermark if !hasWatermark(d.child) =>
+        out += "dropDuplicatesWithinWatermark with no upstream watermark"
+      case a: Aggregate if a.child.isStreaming &&
+          a.groupingExpressions.nonEmpty &&
+          !hasWatermark(a.child) && !calendarBounded(a) =>
+        out += ("streaming grouped aggregate with no watermark and no " +
+          "calendar-bounded window grouping: state grows with keys")
+      case j: Join if j.left.isStreaming && j.right.isStreaming &&
+          !(hasWatermark(j.left) && hasWatermark(j.right)) =>
+        out += "stream-stream join without watermarks on both sides"
+      case _ => ()
+    }
+    out.result()
+  }
+}

@@ -34,9 +34,9 @@ import graft.ingest.Pipeline
   * API — explicit state variables, TTL-capable, RocksDB-backed). */
 class MaxValueProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
-      Long, (Long, Double), (Long, Double)] {
+      Long, (Long, Double, java.sql.Timestamp), (Long, Double)] {
   import org.apache.spark.sql.Encoders
-  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
 
   @transient private var mx: ValueState[Double] = _
 
@@ -44,12 +44,28 @@ class MaxValueProcessor
     mx = getHandle.getValueState[Double]("mx", Encoders.scalaDouble,
       TTLConfig.NONE)
 
-  override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Double, java.sql.Timestamp)],
       timerValues: TimerValues): Iterator[(Long, Double)] = {
+    // first touch arms an EVENT-TIME eviction timer 30 days past the
+    // current watermark — the explicit state bound StreamLint requires.
+    // Event-time timers only fire as the watermark advances with DATA,
+    // so an AvailableNow replay terminates normally (a processing-time
+    // TTL in this seat spun thousands of empty timer micro-batches) and
+    // the timer never fires inside the fixture span.
+    if (!mx.exists())
+      getHandle.registerTimer(
+        timerValues.getCurrentWatermarkInMs() + 30L * 24 * 3600 * 1000)
     val cur = if (mx.exists()) mx.get() else Double.NegativeInfinity
     val m = rows.foldLeft(cur)((acc, r) => math.max(acc, r._2))
     mx.update(m)
     Iterator((key, m))
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Double)] = {
+    mx.clear()
+    Iterator.empty
   }
 }
 
@@ -64,9 +80,9 @@ class MaxValueProcessor
   * event-time order. */
 class ThrottleProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
-      Long, (Long, Long, Long), (Long, Long)] {
+      Long, (Long, Long, Long, java.sql.Timestamp), (Long, Long)] {
   import org.apache.spark.sql.Encoders
-  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
 
   private val gapUs = 30L * 60 * 1000000L
   @transient private var lastEmitted: ValueState[Long] = _
@@ -75,12 +91,17 @@ class ThrottleProcessor
     lastEmitted = getHandle.getValueState[Long]("last_emitted",
       Encoders.scalaLong, TTLConfig.NONE)
 
-  override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Long)],
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
       timerValues: TimerValues): Iterator[(Long, Long)] = {
+    // first-touch event-time eviction timer — see MaxValueProcessor
+    if (!lastEmitted.exists())
+      getHandle.registerTimer(
+        timerValues.getCurrentWatermarkInMs() + 30L * 24 * 3600 * 1000)
     val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
     var last = if (lastEmitted.exists()) lastEmitted.get() else Long.MinValue
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    sorted.foreach { case (_, tsUs, eventId) =>
+    sorted.foreach { case (_, tsUs, eventId, _) =>
       if (last == Long.MinValue || tsUs - last >= gapUs) {
         out += ((key, eventId))
         last = tsUs
@@ -88,6 +109,12 @@ class ThrottleProcessor
     }
     lastEmitted.update(last)
     out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+    lastEmitted.clear()
+    Iterator.empty
   }
 }
 
@@ -300,6 +327,11 @@ object StreamQueries {
     * own (per-query cloned) session, so concurrent streaming queries on
     * one shared session never collide on conf or temp views. */
   private def runToMemory(sdf: DataFrame, mode: String): DataFrame = {
+    // state-size lint (round-13 directive #4): refuse to START any
+    // stream whose stateful operators lack an eviction bound — the
+    // invariant is enforced on every run, not just asserted in a spec
+    val lint = StreamLint.failures(sdf.queryExecution.analyzed)
+    require(lint.isEmpty, s"streaming state lint: ${lint.mkString("; ")}")
     val name = s"graft_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val ckpt = tempDir("graft_stream_ckpt").toString
     val q = sdf.writeStream
@@ -419,14 +451,32 @@ object StreamQueries {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val counts = eventsStream(s, d)
-      .select(col("user_id").as[Long])
-      .groupByKey(identity)
+      // the watermark feeds the event-time TIMEOUT below (StreamLint:
+      // keyed state must carry an eviction bound); the watermarked ts
+      // column must SURVIVE to the stateful operator or Spark's
+      // UnsupportedOperationChecker rejects the timeout
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long)](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
-          val n = state.getOption.getOrElse(0L) + rows.size
-          state.update(n)
-          Iterator((user, n))
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            // evict a key 30 days of EVENT time after its last event —
+            // the explicit state bound; never fires inside the staged
+            // fixture replay (whole span ≪ 30 days), so the final
+            // emission per key still equals the batch total
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + 30L * 24 * 3600 * 1000)
+            Iterator((user, n))
+          }
       }
       .toDF("user_id", "n_events")
     runToMemory(counts, "update")
@@ -451,10 +501,14 @@ object StreamQueries {
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val maxes = source
-      .select(col("user_id").as[Long], col("value").as[Double])
+      // watermark feeds the processor's event-time eviction timer; the
+      // watermarked ts column must survive into the operator input
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as[Long], col("value").as[Double],
+        col("ts").as[java.sql.Timestamp])
       .groupByKey(_._1)
       .transformWithState(new MaxValueProcessor(),
-        TimeMode.None(), OutputMode.Update())
+        TimeMode.EventTime(), OutputMode.Update())
       .toDF("user_id", "max_value")
     runToMemory(maxes, "update")
       .groupBy(col("user_id"))
@@ -749,12 +803,16 @@ object StreamQueries {
         "user_id BIGINT, ts TIMESTAMP, event_id BIGINT"))
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
+      .withWatermark("ts", "1 hour")
+      // tsUs keeps the exact micro resolution the fold ties on; the
+      // raw watermarked ts column rides along for the event-time mode
       .select(col("user_id").as[Long],
         unix_micros(col("ts")).as[Long],
-        col("event_id").as[Long])
+        col("event_id").as[Long],
+        col("ts").as[java.sql.Timestamp])
       .groupByKey(_._1)
       .transformWithState(new ThrottleProcessor(),
-        TimeMode.None(), OutputMode.Append())
+        TimeMode.EventTime(), OutputMode.Append())
       .toDF("user_id", "event_id")
     runToMemory(emitted, "append")
       .groupBy(col("user_id"))

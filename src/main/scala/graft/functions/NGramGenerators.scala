@@ -65,7 +65,11 @@ case class TokenNGrams(child: Expression, n: Int) extends NGramsBase {
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) return Iterator.empty
-    val toks = v.asInstanceOf[UTF8String].toString.split(' ')
+    // limit -1 keeps trailing empty tokens — DuckDB string_split
+    // semantics, which the gazetteer-NER oracle replays (round-12
+    // advice: the Char overload drops trailing empties, a latent
+    // divergence on texts with trailing/consecutive spaces)
+    val toks = v.asInstanceOf[UTF8String].toString.split(" ", -1)
     if (toks.length < n) Iterator.empty
     else (0 to toks.length - n).iterator.map { i =>
       val sb = new java.lang.StringBuilder

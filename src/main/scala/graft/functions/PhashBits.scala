@@ -51,7 +51,17 @@ object PhashKernel {
     if (str.length < 64) return null
     val px = new Array[Long](64)
     var i = 0
-    while (i < 64) { px(i) = str.charAt(i).toLong; i += 1 }
+    while (i < 64) {
+      val c = str.charAt(i).toLong
+      // stub frames are byte strings: every pixel is 0..255. A char
+      // outside that range is not a valid stub frame — return null
+      // (the kernel's existing can't-hash contract) instead of letting
+      // a ~2.6e20 accumulator silently wrap the Long mean (where the
+      // BIGINT oracle would raise instead — round-12 advice)
+      if (c > 255L) return null
+      px(i) = c
+      i += 1
+    }
     val d = new Array[Long](63)
     var sum = 0L
     var t = 0

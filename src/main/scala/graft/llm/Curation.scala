@@ -1159,16 +1159,20 @@ object Curation {
     }
   }
 
-  /** DP median via the geometric mechanism — the private-quantile
-    * release a curation pipeline uses to publish corpus statistics
-    * (median doc quality, median event value) without exposing any
-    * single contributor: the TRUE median rank is perturbed by
-    * two-sided geometric noise and the value at the noisy rank is
-    * released (rank-perturbation is the standard smooth-sensitivity-
-    * free quantile mechanism; truncation at ±8 bounds the support).
-    * Noise is seeded per group from md5(event_type) — the
-    * privacy_dp_count seeded-draw discipline — so the release is
-    * deterministic and gate-comparable.
+  /** Quantile release in the SHAPE of the DP geometric mechanism: the
+    * TRUE median rank is perturbed by two-sided geometric noise and the
+    * value at the noisy rank is released (rank-perturbation is the
+    * standard smooth-sensitivity-free quantile mechanism; truncation at
+    * ±8 bounds the support). IMPORTANT (round-12 advice): the "noise"
+    * here is a DETERMINISTIC function of the public group key
+    * (md5(event_type) — the privacy_dp_count seeded-draw discipline),
+    * so anyone can recompute and subtract it: this key demonstrates and
+    * gate-verifies the mechanism's QUERY SHAPE, it does NOT provide a
+    * differential-privacy guarantee. A production deployment draws the
+    * geometric noise from a real RNG (one value per release); the plan,
+    * the sensitivity analysis, and everything downstream are unchanged
+    * — the seeded draw exists purely so the release is deterministic
+    * and oracle-comparable.
     *
     * Shape: one grouped count, a 17-row broadcast noise-bucket lookup,
     * one per-type rank window, and a broadcast semi-filter picking ONE
@@ -1203,15 +1207,17 @@ object Curation {
       .orderBy(col("event_type"))
   }
 
-  /** DP top-k release — "which sources dominate each language's
-    * corpus", privately: per-(lang, source) doc counts get one
-    * two-sided geometric draw each ([[dpNoiseTable]], seeded from
-    * md5('topk|'+lang+'|'+source) — a DISTINCT seed prefix from the
-    * other dp keys so mechanisms never share randomness), and the
-    * top-5 sources per lang by noisy count are released. The
-    * noisy-argmax-with-per-candidate-noise shape is the
-    * report-noisy-max mechanism (Dwork & Roth §3.3) iterated k times
-    * — the standard private top-k.
+  /** Top-k release in the SHAPE of the DP report-noisy-max mechanism
+    * (Dwork & Roth §3.3, iterated k times): per-(lang, source) doc
+    * counts get one two-sided geometric draw each ([[dpNoiseTable]],
+    * seeded from md5('topk|'+lang+'|'+source) — a DISTINCT seed prefix
+    * from the other dp keys so mechanisms never share randomness), and
+    * the top-5 sources per lang by noisy count are released. As with
+    * [[privacyDpQuantile]] (round-12 advice): the seeded draw is a
+    * deterministic function of public keys — a reproducibility
+    * stand-in so the gate can compare the release exactly, NOT a
+    * privacy guarantee. Production swaps in real per-release
+    * randomness; the query shape and sensitivity story are identical.
     *
     * Shape: one (lang, source) hash aggregate (value-space-bounded),
     * a 17-row broadcast bucket lookup, and a per-lang top-5 rank

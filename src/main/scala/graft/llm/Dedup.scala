@@ -632,7 +632,13 @@ object Dedup {
     pairs.count()
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-    def star(e: DataFrame, large: Boolean): DataFrame = {
+    // `dedupe` (round-13 directive #6): only the alternation's FINAL
+    // phase pays the distinct shuffle — the large-star output feeds
+    // straight into the small-star's symmetrize/groupBy, which
+    // aggregates duplicate (v, m) rows identically (min is multiset-
+    // insensitive and the phase's row count is |E| either way), so the
+    // intermediate dedupe bought nothing but a full edge exchange.
+    def star(e: DataFrame, large: Boolean, dedupe: Boolean): DataFrame = {
       val d = sym(e).toDF("u", "v")
       val m = d.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
@@ -641,22 +647,31 @@ object Dedup {
         .select(col("v").as("a_id"), col("m").as("b_id"))
       val self = m.select(col("u").as("a_id"), col("m").as("b_id"))
       val out = if (large) hooked else hooked.union(self)
-      out.filter(col("a_id") =!= col("b_id")).distinct()
+      val live = out.filter(col("a_id") =!= col("b_id"))
+      if (dedupe) live.distinct() else live
     }
-    def checksum(e: DataFrame): (Long, String) = {
-      // order-independent multiset digest; DECIMAL(38,0) sum cannot
-      // overflow under ANSI the way a long sum of 64-bit hashes does
-      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(col("a_id"),
-        col("b_id")).cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")))
-        .head()
-      (r.getLong(0), String.valueOf(r.get(1)))
-    }
+    // Fixed-point detection WITHOUT a confirmation round (round-13
+    // directive #6 — previously a checksum compared consecutive edge
+    // multisets, which certifies convergence only by running one full
+    // alternation past it). Both phases emit edges pointing BIGGER id →
+    // smaller id, so the edge set is a min-rooted star forest — the
+    // alternation's unique fixed point — exactly when no node appears
+    // as both a child (a_id) and a root (b_id): a 2-hop chain a→b→c
+    // would make b both, and any such chain is rewritten by the next
+    // alternation. One left-semi probe replaces the spent alternation.
+    def isStarForest(e: DataFrame): Boolean =
+      e.join(e.select(col("a_id").as("b_id")).distinct(),
+          Seq("b_id"), "left_semi")
+        .limit(1).count() == 0L
     val tInit = System.nanoTime()
     var edges = pairs.select(col("a_id"), col("b_id"))
       .filter(col("a_id") =!= col("b_id")).distinct().transform(ckpt(_))
-    var chk = checksum(edges)
     log.info(f"twoPhaseLabels init ${(System.nanoTime() - tInit) / 1e9}%.2f s")
     var rounds = 0
+    // no pre-loop probe: banded pair graphs are never already star
+    // forests, so the probe's fixed job cost (~1 s at fixture scale)
+    // buys nothing on the hot path; a degenerate already-converged
+    // input just pays one identity alternation before its first check
     var stable = false
     // The iterate here is the O(|E|) edge relation, so the originStats
     // rebuild (a Row decode/encode over |E| rows — see [[ckpt]]) is
@@ -665,14 +680,13 @@ object Dedup {
     val rebuildEvery = 3
     while (!stable && rounds < 50) {
       val tR = System.nanoTime()
-      val next = star(star(edges, large = true), large = false)
+      val next = star(star(edges, large = true, dedupe = false),
+          large = false, dedupe = true)
         .transform(ckpt(_, rebuild = rounds % rebuildEvery == rebuildEvery - 1))
-      val nextChk = checksum(next)
-      stable = nextChk == chk
+      stable = isStarForest(next)
       edges = next
-      chk = nextChk
       rounds += 1
-      log.info(s"twoPhaseLabels round=$rounds edges=${chk._1} " +
+      log.info(s"twoPhaseLabels round=$rounds " +
         f"t=${(System.nanoTime() - tR) / 1e9}%.2f s")
     }
     // stars: every node's label is the min over its incident endpoints

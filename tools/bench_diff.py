@@ -34,11 +34,20 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     band = 0.25
-    for i, a in enumerate(sys.argv):
-        if a == "--band":
-            band = float(sys.argv[i + 1]) / 100.0
+    args = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--band":
+            band = float(argv[i + 1]) / 100.0
+            i += 2  # consume the flag's VALUE too (round-12 advice:
+            # `--band 25 old new` treated '25' as the old-file path)
+        elif argv[i].startswith("--"):
+            i += 1
+        else:
+            args.append(argv[i])
+            i += 1
     old_doc, old = load(args[0])
     new_doc, new = load(args[1])
     added = sorted(set(new) - set(old))

@@ -586,4 +586,38 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_quantity)"),
       p.take(2000))
   }
+
+  test("knn edge builder: cell equi-joins only, no nested-loop, no corpus broadcast") {
+    // round-13 directive #1 shape pin: the exact cell-pruned build must
+    // never regress to an all-pairs corpus broadcast — every join is a
+    // hash join (cell/src keys), the only broadcasts are the k-row
+    // cellStats aggregate, and both top-5 windows are src-partitioned
+    val plan = graft.queries.Graphs.knnBuild(spark, sf).edges
+      .queryExecution.sparkPlan
+    val s = plan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    import org.apache.spark.sql.execution.window.WindowExec
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      windows.map(_.partitionSpec).mkString(","))
+    // every EXPLICIT broadcast hint pins the k-row cellStats aggregate,
+    // never a corpus relation (the PlanLint invariant-(d) check, shape-
+    // exact here; the optimizer may additionally stats-broadcast small
+    // FIXTURE relations without a hint — at scale those become shuffle
+    // joins on their own, which is exactly why they carry no hint)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Join}
+    val qe = graft.queries.Graphs.knnBuild(spark, sf).edges.queryExecution
+    val hinted = qe.optimizedPlan.collect { case j: Join => j }.flatMap { j =>
+      Seq((j.hint.leftHint, j.left), (j.hint.rightHint, j.right)).collect {
+        case (Some(h), side) if h.strategy.contains(BROADCAST) => side
+      }
+    }
+    assert(hinted.nonEmpty)
+    hinted.foreach { side =>
+      assert(side.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"hinted broadcast without an aggregate bounder:\n${side.treeString.take(1500)}")
+    }
+  }
 }

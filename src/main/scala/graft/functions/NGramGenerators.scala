@@ -131,3 +131,69 @@ case class CdcChunks(child: Expression) extends NGramsBase {
     copy(child = newChildren.head)
   override def prettyName: String = "cdc_chunks"
 }
+
+/** scene_cut_l1(text): one row per FRAME TRANSITION of the stub video
+  * — (tr, l1) where frames are 32-codepoint windows at stride 16 and
+  * l1 is the character-histogram L1 distance between consecutive
+  * frames (the [[graft.llm.Multimodal]] scene-cut signature).
+  *
+  * Shuffle elimination (round 13): the relational route exploded
+  * |docs|·frames·32 char rows through FOUR hash-aggregate exchanges
+  * (per-frame histogram, signed union, per-transition L1, per-doc
+  * roll-up) — ~5M rows at sf0.1 — for a computation that never leaves
+  * one document. This generator emits the (tr, l1) pairs in one
+  * O(frames·32) pass inside the scan stage; only the final per-doc
+  * roll-up shuffles, on |transitions| ≈ 30·|docs| narrow rows. Same
+  * CdcChunks/TokenNGrams in-scan-generator discipline.
+  *
+  * Codepoint walk (not UTF-16 units): Spark's `substring`/`length`
+  * count code points, and the relational form this replaces was
+  * defined over them — supplementary-plane text hashes identically.
+  * Histograms per transition are rebuilt fresh (2×32 map ops): at ~30
+  * transitions/doc the constant factor is irrelevant and the code
+  * stays obviously equal to the SQL definition. */
+case class SceneCutL1(child: Expression) extends NGramsBase {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+  override def elementSchema: StructType =
+    StructType(StructField("tr", IntegerType, nullable = false) ::
+      StructField("l1", LongType, nullable = false) :: Nil)
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val cp = v.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val len = cp.length
+    if (len < 96) return Iterator.empty
+    val maxf = (len - 32) / 16
+    def hist(f: Int): java.util.HashMap[Integer, Integer] = {
+      val h = new java.util.HashMap[Integer, Integer](64)
+      var i = f * 16
+      val end = i + 32
+      while (i < end) {
+        h.merge(cp(i), 1, (a: Integer, b: Integer) => a + b)
+        i += 1
+      }
+      h
+    }
+    (0 until maxf).iterator.map { tr =>
+      val a = hist(tr)
+      val b = hist(tr + 1)
+      var l1 = 0L
+      val it = a.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val bc = b.getOrDefault(e.getKey, 0)
+        l1 += math.abs(e.getValue.toLong - bc.toLong)
+      }
+      val jt = b.entrySet().iterator()
+      while (jt.hasNext) {
+        val e = jt.next()
+        if (!a.containsKey(e.getKey)) l1 += e.getValue.toLong
+      }
+      InternalRow(tr, l1)
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SceneCutL1 =
+    copy(child = newChildren.head)
+  override def prettyName: String = "scene_cut_l1"
+}

@@ -460,34 +460,25 @@ object Multimodal {
     * the L1 distance with no outer join and no missing-key edge
     * cases. Everything shuffles on doc-keyed composites. */
   def multimodalSceneCut(s: SparkSession, d: String): DataFrame = {
-    val chars = t(s, d, "documents")
+    // round 13: the (tr, l1) transition rows come from the
+    // [[graft.functions.SceneCutL1]] in-scan generator — one O(frames)
+    // pass per doc — replacing a |docs|·frames·32 char explosion
+    // through four hash-aggregate exchanges (~5M rows at sf0.1, the
+    // bench's #2 key). Only the per-doc roll-up below shuffles, on
+    // ~30·|docs| narrow rows. Semantics and every output value are
+    // unchanged (same frame/stride/threshold definitions; the oracle
+    // still replays the relational histogram form in SQL).
+    import org.apache.spark.sql.GraftBridge
+    t(s, d, "documents")
       .filter(length(col("text")) >= 96)
       .select(col("doc_id"),
-        expr("CAST((length(text) - 32) DIV 16 AS INT)").as("maxf"),
-        col("text"),
-        explode(expr("sequence(0, CAST((length(text) - 32) DIV 16 AS INT))"))
-          .as("f"))
-      .select(col("doc_id"), col("maxf"), col("f"),
-        explode(expr(
-          """transform(sequence(1, 32),
-            |  i -> substring(text, f * 16 + i, 1))""".stripMargin))
-          .as("ch"))
-      .groupBy(col("doc_id"), col("maxf"), col("f"), col("ch"))
-      .agg(count(lit(1)).as("cnt"))
-    val plus = chars.filter(col("f") < col("maxf"))
-      .select(col("doc_id"), col("maxf"), col("f").as("tr"), col("ch"),
-        col("cnt"))
-    val minus = chars.filter(col("f") > 0)
-      .select(col("doc_id"), col("maxf"), (col("f") - 1).as("tr"),
-        col("ch"), (-col("cnt")).as("cnt"))
-    plus.unionAll(minus)
-      .groupBy(col("doc_id"), col("maxf"), col("tr"), col("ch"))
-      .agg(sum(col("cnt")).as("s"))
-      .groupBy(col("doc_id"), col("maxf"), col("tr"))
-      .agg(sum(abs(col("s"))).as("l1"))
+        (expr("CAST((length(text) - 32) DIV 16 AS INT)") + 1)
+          .cast("long").as("n_frames"),
+        GraftBridge.column(graft.functions.SceneCutL1(
+          GraftBridge.expression(col("text")))).as(Seq("tr", "l1")))
       .groupBy(col("doc_id"))
       .agg(
-        (max(col("maxf")) + 1).cast("long").as("n_frames"),
+        max(col("n_frames")).as("n_frames"),
         sum(when(col("l1") > 20, 1L).otherwise(0L)).as("n_cuts"),
         min(when(col("l1") > 20, col("tr"))).cast("long")
           .as("first_cut_tr"),

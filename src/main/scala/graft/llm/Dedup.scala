@@ -1896,7 +1896,7 @@ object Dedup {
         |  SELECT doc_id, s FROM sh0 JOIN df USING (s) WHERE df <= 64
         |), n AS (
         |  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1
-        |), pairs AS (
+        |), pairs AS MATERIALIZED (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS shared
         |  FROM sh a JOIN sh b USING (s)
         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
@@ -2002,43 +2002,75 @@ object Dedup {
         |            len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8
         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_cluster" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      """WITH RECURSIVE tl AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    list_sort(list_distinct(string_split(text, ' '))) AS t
         |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM toks a JOIN toks b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
-        |              len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8),
-        |edges AS (
+        |grp AS MATERIALIZED (
+        |  SELECT doc_id, lang, t,
+        |    MIN(doc_id) OVER (PARTITION BY lang, t) AS node,
+        |    COUNT(*) OVER (PARTITION BY lang, t) AS gsize
+        |  FROM tl),
+        |reps AS MATERIALIZED (
+        |  SELECT doc_id, lang, len(t) AS n, unnest(t) AS tok
+        |  FROM grp WHERE doc_id = node),
+        |inter AS MATERIALIZED (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    COUNT(*) AS i, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        |  FROM reps a JOIN reps b
+        |    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM inter
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) > 0.8),
+        |edges AS MATERIALIZED (
         |  SELECT a_id AS src, b_id AS dst FROM pairs
         |  UNION ALL SELECT b_id, a_id FROM pairs),
         |reach(id, r) AS (
         |  SELECT src, src FROM edges
         |  UNION
-        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
-        |SELECT id AS doc_id, MIN(r) AS cluster_rep
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |lbl AS MATERIALIZED (
+        |  SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
+        |SELECT g.doc_id, COALESCE(l.lbl, g.node) AS cluster_rep
+        |FROM grp g LEFT JOIN lbl l ON l.id = g.node
+        |WHERE g.gsize >= 2 OR l.lbl IS NOT NULL
+        |ORDER BY g.doc_id""".stripMargin,
     "dedup_cluster_twophase" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+      """WITH RECURSIVE tl AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    list_sort(list_distinct(string_split(text, ' '))) AS t
         |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM toks a JOIN toks b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |  WHERE ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
-        |              len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8),
-        |edges AS (
+        |grp AS MATERIALIZED (
+        |  SELECT doc_id, lang, t,
+        |    MIN(doc_id) OVER (PARTITION BY lang, t) AS node,
+        |    COUNT(*) OVER (PARTITION BY lang, t) AS gsize
+        |  FROM tl),
+        |reps AS MATERIALIZED (
+        |  SELECT doc_id, lang, len(t) AS n, unnest(t) AS tok
+        |  FROM grp WHERE doc_id = node),
+        |inter AS MATERIALIZED (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    COUNT(*) AS i, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
+        |  FROM reps a JOIN reps b
+        |    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS MATERIALIZED (
+        |  SELECT a_id, b_id FROM inter
+        |  WHERE ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) > 0.8),
+        |edges AS MATERIALIZED (
         |  SELECT a_id AS src, b_id AS dst FROM pairs
         |  UNION ALL SELECT b_id, a_id FROM pairs),
         |reach(id, r) AS (
         |  SELECT src, src FROM edges
         |  UNION
-        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
-        |SELECT id AS doc_id, MIN(r) AS cluster_rep
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+        |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id),
+        |lbl AS MATERIALIZED (
+        |  SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
+        |SELECT g.doc_id, COALESCE(l.lbl, g.node) AS cluster_rep
+        |FROM grp g LEFT JOIN lbl l ON l.id = g.node
+        |WHERE g.gsize >= 2 OR l.lbl IS NOT NULL
+        |ORDER BY g.doc_id""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -2051,14 +2083,14 @@ object Dedup {
     // same cosine pair graph closed transitively — shared recursive-CTE
     // shape with dedup_cluster's oracle
     "dedup_embedding_cluster" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE pairs AS MATERIALIZED (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id
         |  WHERE ROUND(list_cosine_similarity(
         |      CAST(a.embedding AS DOUBLE[]),
         |      CAST(b.embedding AS DOUBLE[])), 6) > 0.4),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT a_id AS src, b_id AS dst FROM pairs
         |  UNION ALL SELECT b_id, a_id FROM pairs),
         |reach(id, r) AS (

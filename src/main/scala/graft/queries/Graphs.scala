@@ -215,44 +215,44 @@ object Graphs {
     * inside the 2⁵³ double-exact range, so the BIGINT cast recovers
     * the same integer. */
   private val edgeCte =
-    """WITH m AS (
+    """WITH m AS MATERIALIZED (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
       |    x -> floor(x * 1000000 + 0.5)) AS qd
       |  FROM embeddings
-      |), p AS (
+      |), p AS MATERIALIZED (
       |  SELECT a.vec_id AS src, b.vec_id AS dst,
       |    CAST(list_inner_product(a.qd, b.qd) AS BIGINT) AS dot
       |  FROM m a JOIN m b ON a.vec_id <> b.vec_id
-      |), r AS (
+      |), r AS MATERIALIZED (
       |  SELECT src, dst,
       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dot DESC, dst) AS rk
       |  FROM p
-      |), e AS (SELECT src, dst FROM r WHERE rk <= 5),
-      |ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |), e AS MATERIALIZED (SELECT src, dst FROM r WHERE rk <= 5),
+      |ue AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       |       FROM e)""".stripMargin
 
   /** Shared DuckDB CTE suffix mirroring [[graphCommunityLpa]]'s three
     * synchronous rounds (consumed by the LPA and modularity oracles). */
   private val lpaCte =
     """
-      |, nb AS (SELECT u AS node, v AS nbr FROM ue
+      |, nb AS MATERIALIZED (SELECT u AS node, v AS nbr FROM ue
       |         UNION ALL SELECT v, u FROM ue),
-      |l0 AS (SELECT DISTINCT node, node AS lbl FROM nb),
-      |c1 AS (SELECT n.node, l.lbl, COUNT(*) AS c
+      |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM nb),
+      |c1 AS MATERIALIZED (SELECT n.node, l.lbl, COUNT(*) AS c
       |       FROM nb n JOIN l0 l ON l.node = n.nbr GROUP BY 1, 2),
-      |l1 AS (SELECT node, lbl FROM (
+      |l1 AS MATERIALIZED (SELECT node, lbl FROM (
       |         SELECT node, lbl, ROW_NUMBER() OVER (
       |           PARTITION BY node ORDER BY c DESC, lbl) AS rn
       |         FROM c1) WHERE rn = 1),
-      |c2 AS (SELECT n.node, l.lbl, COUNT(*) AS c
+      |c2 AS MATERIALIZED (SELECT n.node, l.lbl, COUNT(*) AS c
       |       FROM nb n JOIN l1 l ON l.node = n.nbr GROUP BY 1, 2),
-      |l2 AS (SELECT node, lbl FROM (
+      |l2 AS MATERIALIZED (SELECT node, lbl FROM (
       |         SELECT node, lbl, ROW_NUMBER() OVER (
       |           PARTITION BY node ORDER BY c DESC, lbl) AS rn
       |         FROM c2) WHERE rn = 1),
-      |c3 AS (SELECT n.node, l.lbl, COUNT(*) AS c
+      |c3 AS MATERIALIZED (SELECT n.node, l.lbl, COUNT(*) AS c
       |       FROM nb n JOIN l2 l ON l.node = n.nbr GROUP BY 1, 2),
-      |l3 AS (SELECT node, lbl FROM (
+      |l3 AS MATERIALIZED (SELECT node, lbl FROM (
       |         SELECT node, lbl, ROW_NUMBER() OVER (
       |           PARTITION BY node ORDER BY c DESC, lbl) AS rn
       |         FROM c3) WHERE rn = 1)""".stripMargin
@@ -823,20 +823,20 @@ object Graphs {
         |  FROM walk w JOIN graft_type_edges e ON e.src = w.dst
         |  WHERE w.hop < $bound
         |),
-        |reach AS (SELECT DISTINCT src, dst FROM walk),
-        |nodes AS (
+        |reach AS MATERIALIZED (SELECT DISTINCT src, dst FROM walk),
+        |nodes AS MATERIALIZED (
         |  SELECT src AS node FROM graft_type_edges
         |  UNION
         |  SELECT dst FROM graft_type_edges
         |),
-        |mutual AS (
+        |mutual AS MATERIALIZED (
         |  SELECT r1.src AS u, r1.dst AS v
         |  FROM reach r1 JOIN reach r2
         |    ON r1.src = r2.dst AND r1.dst = r2.src
         |  UNION
         |  SELECT node, node FROM nodes
         |),
-        |scc AS (
+        |scc AS MATERIALIZED (
         |  SELECT u AS node, MIN(v) AS scc_id FROM mutual GROUP BY u
         |)
         |SELECT s1.node AS event_type, s1.scc_id,
@@ -866,11 +866,11 @@ object Graphs {
         |  FROM walk w JOIN graft_type_edges e ON e.src = w.dst
         |  WHERE w.hop < $bound
         |),
-        |dist AS (
+        |dist AS MATERIALIZED (
         |  SELECT src, dst, MIN(hop) AS d
         |  FROM walk WHERE src <> dst GROUP BY src, dst
         |),
-        |h AS (
+        |h AS MATERIALIZED (
         |  SELECT src AS event_type,
         |    CAST(COUNT(*) AS BIGINT) AS n_reachable,
         |    CAST(SUM(27720 DIV d) AS BIGINT) AS h_lcm
@@ -905,7 +905,7 @@ object Graphs {
     * drift independently. */
   private val ssspRounds: String = (1 to 4).map { i =>
     val prev = s"sd${i - 1}"
-    s""", sd$i AS (
+    s""", sd$i AS MATERIALIZED (
        |  SELECT node, MIN(dist) AS dist FROM (
        |    SELECT node, dist FROM $prev
        |    UNION ALL
@@ -920,12 +920,12 @@ object Graphs {
     // type count — an independent derivation of the engine's
     // nodes−1 bound (both saturate the shortest-path walk)
     "graph_harmonic_centrality" ->
-      """WITH RECURSIVE seq AS (
+      """WITH RECURSIVE seq AS MATERIALIZED (
         |  SELECT event_type AS a,
         |    LEAD(event_type) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id) AS b
         |  FROM events),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT DISTINCT a AS src, b AS dst FROM seq
         |  WHERE b IS NOT NULL AND b <> a),
         |walk(src, dst, hop) AS (
@@ -936,11 +936,11 @@ object Graphs {
         |  WHERE w.hop <
         |    (SELECT COUNT(DISTINCT event_type) FROM events) - 1
         |),
-        |dist AS (
+        |dist AS MATERIALIZED (
         |  SELECT src, dst, MIN(hop) AS d
         |  FROM walk WHERE src <> dst GROUP BY src, dst
         |),
-        |h AS (
+        |h AS MATERIALIZED (
         |  SELECT src AS event_type,
         |    CAST(COUNT(*) AS BIGINT) AS n_reachable,
         |    CAST(SUM(27720 // d) AS BIGINT) AS h_lcm
@@ -952,12 +952,12 @@ object Graphs {
     // same bounded-hop walk + mutual-reachability minimization; the
     // lag/lead tiebreak (ts, event_id) matches the engine exactly
     "graph_scc" ->
-      """WITH RECURSIVE seq AS (
+      """WITH RECURSIVE seq AS MATERIALIZED (
         |  SELECT event_type AS a,
         |    LEAD(event_type) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id) AS b
         |  FROM events),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT DISTINCT a AS src, b AS dst FROM seq
         |  WHERE b IS NOT NULL AND b <> a),
         |walk(src, dst, hop) AS (
@@ -968,17 +968,17 @@ object Graphs {
         |  WHERE w.hop <
         |    (SELECT COUNT(DISTINCT event_type) FROM events) - 1
         |),
-        |reach AS (SELECT DISTINCT src, dst FROM walk),
-        |nodes AS (
+        |reach AS MATERIALIZED (SELECT DISTINCT src, dst FROM walk),
+        |nodes AS MATERIALIZED (
         |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-        |mutual AS (
+        |mutual AS MATERIALIZED (
         |  SELECT r1.src AS u, r1.dst AS v
         |  FROM reach r1 JOIN reach r2
         |    ON r1.src = r2.dst AND r1.dst = r2.src
         |  UNION
         |  SELECT node, node FROM nodes
         |),
-        |scc AS (
+        |scc AS MATERIALIZED (
         |  SELECT u AS node, MIN(v) AS scc_id FROM mutual GROUP BY u
         |)
         |SELECT s1.node AS event_type, s1.scc_id,
@@ -991,15 +991,15 @@ object Graphs {
     // integer counts, one double transitivity
     "graph_clustering_coefficient" -> (edgeCte +
       """
-        |, dg AS (
+        |, dg AS MATERIALIZED (
         |  SELECT node, COUNT(*) AS deg FROM (
         |    SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue)
         |  GROUP BY node),
-        |da AS (
+        |da AS MATERIALIZED (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |    CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
         |  FROM dg),
-        |o AS (
+        |o AS MATERIALIZED (
         |  SELECT CASE WHEN du.deg * 1000000 + ue.u < dv.deg * 1000000 + ue.v
         |              THEN ue.u ELSE ue.v END AS x,
         |         CASE WHEN du.deg * 1000000 + ue.u < dv.deg * 1000000 + ue.v
@@ -1007,11 +1007,11 @@ object Graphs {
         |         greatest(du.deg * 1000000 + ue.u,
         |                  dv.deg * 1000000 + ue.v) AS oy
         |  FROM ue JOIN dg du ON du.node = ue.u JOIN dg dv ON dv.node = ue.v),
-        |tri AS (
+        |tri AS MATERIALIZED (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
         |  FROM o w1 JOIN o w2 ON w1.x = w2.x AND w1.oy < w2.oy
         |  JOIN o oc ON oc.x = w1.y AND oc.y = w2.y),
-        |ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ue)
+        |ec AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM ue)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
         |  ROUND(3e0 * CAST(n_triangles AS DOUBLE)
         |    / CAST(n_wedges AS DOUBLE), 6) AS transitivity
@@ -1019,7 +1019,7 @@ object Graphs {
     // distinct (order, part) → order-keyed self-join (bounded basket
     // fanout) → integer pair counts; total-order top-50
     "graph_copurchase_projection" ->
-      """WITH op AS (
+      """WITH op AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem
         |)
@@ -1033,15 +1033,15 @@ object Graphs {
     // every score an exact BIGINT; top-20 by auth2 with id tiebreak
     "graph_hits" -> (edgeCte +
       """
-        |, a1 AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS a1
+        |, a1 AS MATERIALIZED (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS a1
         |         FROM e GROUP BY 1),
-        |h1 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS h1
+        |h1 AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS h1
         |       FROM e GROUP BY 1),
-        |a2 AS (SELECT e.dst AS node, CAST(SUM(h1.h1) AS BIGINT) AS a2
+        |a2 AS MATERIALIZED (SELECT e.dst AS node, CAST(SUM(h1.h1) AS BIGINT) AS a2
         |       FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
-        |h2 AS (SELECT e.src AS node, CAST(SUM(a2.a2) AS BIGINT) AS h2
+        |h2 AS MATERIALIZED (SELECT e.src AS node, CAST(SUM(a2.a2) AS BIGINT) AS h2
         |       FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
-        |nodes AS (
+        |nodes AS MATERIALIZED (
         |  SELECT node FROM a1 UNION SELECT node FROM h1
         |  UNION SELECT node FROM a2 UNION SELECT node FROM h2)
         |SELECT n.node,
@@ -1055,23 +1055,23 @@ object Graphs {
     // integer dots; every ordering vec_id-tiebroken
     "sim_search_graph_beam" -> (edgeCte +
       """
-        |, probe AS (SELECT qd AS pq FROM m WHERE vec_id = 0),
-        |c1 AS (SELECT DISTINCT id FROM (
+        |, probe AS MATERIALIZED (SELECT qd AS pq FROM m WHERE vec_id = 0),
+        |c1 AS MATERIALIZED (SELECT DISTINCT id FROM (
         |    SELECT CAST(1 AS BIGINT) AS id
         |    UNION ALL SELECT dst FROM e WHERE src = 1)
         |  WHERE id <> 0),
-        |s1 AS (SELECT id,
+        |s1 AS MATERIALIZED (SELECT id,
         |    CAST(list_inner_product(m.qd, probe.pq) AS BIGINT) AS dot
         |  FROM c1 JOIN m ON m.vec_id = c1.id CROSS JOIN probe),
-        |b1 AS (SELECT id FROM s1 ORDER BY dot DESC, id LIMIT 3),
-        |c2 AS (SELECT DISTINCT id FROM (
+        |b1 AS MATERIALIZED (SELECT id FROM s1 ORDER BY dot DESC, id LIMIT 3),
+        |c2 AS MATERIALIZED (SELECT DISTINCT id FROM (
         |    SELECT id FROM b1
         |    UNION ALL SELECT dst AS id FROM e JOIN b1 ON e.src = b1.id)
         |  WHERE id <> 0),
-        |s2 AS (SELECT id,
+        |s2 AS MATERIALIZED (SELECT id,
         |    CAST(list_inner_product(m.qd, probe.pq) AS BIGINT) AS dot
         |  FROM c2 JOIN m ON m.vec_id = c2.id CROSS JOIN probe),
-        |t10 AS (SELECT id, dot FROM s2 ORDER BY dot DESC, id LIMIT 10)
+        |t10 AS MATERIALIZED (SELECT id, dot FROM s2 ORDER BY dot DESC, id LIMIT 10)
         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, id)
         |    AS INTEGER) AS rank,
         |  id AS vec_id, dot
@@ -1080,34 +1080,34 @@ object Graphs {
     // bounded-round definition (mirrors the LPA precedent)
     "graph_kcore" -> (edgeCte +
       """
-        |, nd AS (SELECT DISTINCT u AS node FROM ue
+        |, nd AS MATERIALIZED (SELECT DISTINCT u AS node FROM ue
         |         UNION SELECT v FROM ue),
-        |d1 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        |d1 AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
         |         SELECT u AS node FROM ue UNION ALL SELECT v FROM ue)
         |       GROUP BY 1),
-        |p1 AS (SELECT nd.node FROM nd LEFT JOIN d1 USING (node)
+        |p1 AS MATERIALIZED (SELECT nd.node FROM nd LEFT JOIN d1 USING (node)
         |       WHERE COALESCE(dg, 0) < 6),
-        |a1 AS (SELECT nd.node FROM nd LEFT JOIN d1 USING (node)
+        |a1 AS MATERIALIZED (SELECT nd.node FROM nd LEFT JOIN d1 USING (node)
         |       WHERE COALESCE(dg, 0) >= 6),
-        |e1 AS (SELECT ue.u, ue.v FROM ue
+        |e1 AS MATERIALIZED (SELECT ue.u, ue.v FROM ue
         |       JOIN a1 au ON au.node = ue.u
         |       JOIN a1 av ON av.node = ue.v),
-        |d2 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        |d2 AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
         |         SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
         |       GROUP BY 1),
-        |p2 AS (SELECT a1.node FROM a1 LEFT JOIN d2 USING (node)
+        |p2 AS MATERIALIZED (SELECT a1.node FROM a1 LEFT JOIN d2 USING (node)
         |       WHERE COALESCE(dg, 0) < 6),
-        |a2 AS (SELECT a1.node FROM a1 LEFT JOIN d2 USING (node)
+        |a2 AS MATERIALIZED (SELECT a1.node FROM a1 LEFT JOIN d2 USING (node)
         |       WHERE COALESCE(dg, 0) >= 6),
-        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |e2 AS MATERIALIZED (SELECT e1.u, e1.v FROM e1
         |       JOIN a2 au ON au.node = e1.u
         |       JOIN a2 av ON av.node = e1.v),
-        |d3 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
+        |d3 AS MATERIALIZED (SELECT node, CAST(COUNT(*) AS BIGINT) AS dg FROM (
         |         SELECT u AS node FROM e2 UNION ALL SELECT v AS node FROM e2)
         |       GROUP BY 1),
-        |p3 AS (SELECT a2.node FROM a2 LEFT JOIN d3 USING (node)
+        |p3 AS MATERIALIZED (SELECT a2.node FROM a2 LEFT JOIN d3 USING (node)
         |       WHERE COALESCE(dg, 0) < 6),
-        |a3 AS (SELECT a2.node FROM a2 LEFT JOIN d3 USING (node)
+        |a3 AS MATERIALIZED (SELECT a2.node FROM a2 LEFT JOIN d3 USING (node)
         |       WHERE COALESCE(dg, 0) >= 6)
         |SELECT node, peel_round FROM (
         |  SELECT node, 1 AS peel_round FROM p1
@@ -1119,14 +1119,14 @@ object Graphs {
     // the doubled edge list; sy ≡ sx by symmetry; one closing double r
     "graph_assortativity" -> (edgeCte +
       """
-        |, dg AS (
+        |, dg AS MATERIALIZED (
         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         |    SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue)
         |  GROUP BY node),
-        |dir AS (
+        |dir AS MATERIALIZED (
         |  SELECT u AS a, v AS b FROM ue
         |  UNION ALL SELECT v AS a, u AS b FROM ue),
-        |mm AS (
+        |mm AS MATERIALIZED (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
         |    CAST(SUM(da.deg) AS BIGINT) AS sx,
         |    CAST(SUM(da.deg * da.deg) AS BIGINT) AS sxx,
@@ -1148,20 +1148,20 @@ object Graphs {
     // Q = E_in/m − Σd_c²/(4m²) closed in ONE double expression
     "graph_modularity" -> (edgeCte + lpaCte +
       """
-        |, mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ue),
-        |ein AS (
+        |, mm AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ue),
+        |ein AS MATERIALIZED (
         |  SELECT CAST(SUM(CASE WHEN la.lbl = lb.lbl THEN 1 ELSE 0 END)
         |    AS BIGINT) AS e_in
         |  FROM ue JOIN l3 la ON la.node = ue.u
         |          JOIN l3 lb ON lb.node = ue.v),
-        |dg2 AS (
+        |dg2 AS MATERIALIZED (
         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         |    SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue)
         |  GROUP BY node),
-        |dc AS (
+        |dc AS MATERIALIZED (
         |  SELECT l3.lbl, CAST(SUM(deg) AS BIGINT) AS d_c
         |  FROM dg2 JOIN l3 ON l3.node = dg2.node GROUP BY 1),
-        |dc2 AS (
+        |dc2 AS MATERIALIZED (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_comm,
         |    CAST(SUM(d_c * d_c) AS BIGINT) AS sum_dc2 FROM dc)
         |SELECT m, e_in, n_comm, sum_dc2,
@@ -1173,7 +1173,7 @@ object Graphs {
     "graph_reachability_cte" -> (edgeCte.replaceFirst("^WITH ",
       "WITH RECURSIVE ") +
       """
-        |, dedges AS (
+        |, dedges AS MATERIALIZED (
         |  SELECT u AS src, v AS dst FROM ue
         |  UNION ALL
         |  SELECT v AS src, u AS dst FROM ue),
@@ -1189,7 +1189,7 @@ object Graphs {
         |GROUP BY hop ORDER BY hop""".stripMargin),
     "graph_degree_distribution" -> (edgeCte +
       """
-        |, dg AS (
+        |, dg AS MATERIALIZED (
         |  SELECT node, COUNT(*) AS degree FROM (
         |    SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue)
         |  GROUP BY node)
@@ -1197,11 +1197,11 @@ object Graphs {
         |GROUP BY degree ORDER BY degree""".stripMargin),
     "graph_triangles" -> (edgeCte +
       """
-        |, dg AS (
+        |, dg AS MATERIALIZED (
         |  SELECT node, COUNT(*) AS deg FROM (
         |    SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue)
         |  GROUP BY node),
-        |o AS (
+        |o AS MATERIALIZED (
         |  SELECT CASE WHEN du.deg * 1000000 + ue.u < dv.deg * 1000000 + ue.v
         |              THEN ue.u ELSE ue.v END AS x,
         |         CASE WHEN du.deg * 1000000 + ue.u < dv.deg * 1000000 + ue.v
@@ -1209,11 +1209,11 @@ object Graphs {
         |         greatest(du.deg * 1000000 + ue.u,
         |                  dv.deg * 1000000 + ue.v) AS oy
         |  FROM ue JOIN dg du ON du.node = ue.u JOIN dg dv ON dv.node = ue.v),
-        |tri AS (
+        |tri AS MATERIALIZED (
         |  SELECT w1.x, w1.y AS a, w2.y AS b
         |  FROM o w1 JOIN o w2 ON w1.x = w2.x AND w1.oy < w2.oy
         |  JOIN o oc ON oc.x = w1.y AND oc.y = w2.y),
-        |cr AS (
+        |cr AS MATERIALIZED (
         |  SELECT node, COUNT(*) AS n_tri FROM (
         |    SELECT x AS node FROM tri UNION ALL SELECT a AS node FROM tri
         |    UNION ALL SELECT b AS node FROM tri)
@@ -1226,10 +1226,10 @@ object Graphs {
         |WHERE dg.deg > 1 ORDER BY vec_id""".stripMargin),
     "graph_link_prediction" -> (edgeCte +
       """
-        |, sy AS (
+        |, sy AS MATERIALIZED (
         |  SELECT u AS x, v AS y FROM ue
         |  UNION ALL SELECT v AS x, u AS y FROM ue),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT w1.y AS a, w2.y AS b, COUNT(*) AS common_nbrs
         |  FROM sy w1 JOIN sy w2 ON w1.x = w2.x AND w1.y < w2.y
         |  GROUP BY 1, 2)
@@ -1242,13 +1242,13 @@ object Graphs {
     // relaxation rounds (generated from one round count)
     "graph_sssp_weighted" -> (edgeCte +
       """
-        |, ew AS (
+        |, ew AS MATERIALIZED (
         |  SELECT src, dst, 70000000000000 - dot AS w FROM (
         |    SELECT src, dst, dot,
         |      ROW_NUMBER() OVER (PARTITION BY src
         |        ORDER BY dot DESC, dst) AS rk
         |    FROM p) WHERE rk <= 5),
-        |sd0 AS (SELECT CAST(0 AS BIGINT) AS node,
+        |sd0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node,
         |               CAST(0 AS BIGINT) AS dist)""".stripMargin +
       ssspRounds +
       """
@@ -1256,34 +1256,34 @@ object Graphs {
         |FROM sd4 ORDER BY vec_id""".stripMargin),
     "graph_pagerank" -> (edgeCte +
       """
-        |, od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
-        |nodes AS (SELECT vec_id AS node FROM embeddings),
-        |base AS (
+        |, od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        |nodes AS MATERIALIZED (SELECT vec_id AS node FROM embeddings),
+        |base AS MATERIALIZED (
         |  SELECT node,
         |    CAST(1000000000000 // n AS BIGINT) AS r0,
         |    CAST((15 * (1000000000000 // n)) // 100 AS BIGINT) AS tp
         |  FROM nodes CROSS JOIN (SELECT COUNT(*) AS n FROM nodes)),
-        |r1 AS (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+        |r1 AS MATERIALIZED (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
         |  FROM base b LEFT JOIN (
         |    SELECT e.dst, SUM(r.r // od.od) AS s FROM e
         |    JOIN (SELECT node, r0 AS r FROM base) r ON r.node = e.src
         |    JOIN od ON od.src = e.src GROUP BY e.dst) m ON m.dst = b.node),
-        |r2 AS (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+        |r2 AS MATERIALIZED (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
         |  FROM base b LEFT JOIN (
         |    SELECT e.dst, SUM(r.r // od.od) AS s FROM e
         |    JOIN r1 r ON r.node = e.src
         |    JOIN od ON od.src = e.src GROUP BY e.dst) m ON m.dst = b.node),
-        |r3 AS (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+        |r3 AS MATERIALIZED (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
         |  FROM base b LEFT JOIN (
         |    SELECT e.dst, SUM(r.r // od.od) AS s FROM e
         |    JOIN r2 r ON r.node = e.src
         |    JOIN od ON od.src = e.src GROUP BY e.dst) m ON m.dst = b.node),
-        |r4 AS (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+        |r4 AS MATERIALIZED (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
         |  FROM base b LEFT JOIN (
         |    SELECT e.dst, SUM(r.r // od.od) AS s FROM e
         |    JOIN r3 r ON r.node = e.src
         |    JOIN od ON od.src = e.src GROUP BY e.dst) m ON m.dst = b.node),
-        |r5 AS (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
+        |r5 AS MATERIALIZED (SELECT b.node, CAST(b.tp + (85 * COALESCE(m.s, 0)) // 100 AS BIGINT) AS r
         |  FROM base b LEFT JOIN (
         |    SELECT e.dst, SUM(r.r // od.od) AS s FROM e
         |    JOIN r4 r ON r.node = e.src

@@ -39,23 +39,35 @@ class MaxValueProcessor
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
 
   @transient private var mx: ValueState[Double] = _
+  @transient private var timerAt: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     mx = getHandle.getValueState[Double]("mx", Encoders.scalaDouble,
       TTLConfig.NONE)
+    timerAt = getHandle.getValueState[Long]("timer_at",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: Long,
       rows: Iterator[(Long, Double, java.sql.Timestamp)],
       timerValues: TimerValues): Iterator[(Long, Double)] = {
-    // first touch arms an EVENT-TIME eviction timer 30 days past the
-    // current watermark — the explicit state bound StreamLint requires.
-    // Event-time timers only fire as the watermark advances with DATA,
-    // so an AvailableNow replay terminates normally (a processing-time
-    // TTL in this seat spun thousands of empty timer micro-batches) and
-    // the timer never fires inside the fixture span.
-    if (!mx.exists())
-      getHandle.registerTimer(
-        timerValues.getCurrentWatermarkInMs() + 30L * 24 * 3600 * 1000)
+    // EVENT-TIME eviction timer 30 days past the current watermark —
+    // the explicit state bound StreamLint requires. Event-time timers
+    // only fire as the watermark advances with DATA, so an AvailableNow
+    // replay terminates normally (a processing-time TTL in this seat
+    // spun thousands of empty timer micro-batches). Re-armed on EVERY
+    // input (delete + register — a live key must never carry a stale
+    // expiry), and never armed while the watermark is still 0: a
+    // first-batch arm at 0 + 30d is an epoch-1970 expiry that fires
+    // the moment the real watermark appears and wrongly clears state
+    // mid-stream (caught by the sf0.1 throttle gate, round 13).
+    val wm = timerValues.getCurrentWatermarkInMs()
+    if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+    if (wm > 0) {
+      val at = wm + 30L * 24 * 3600 * 1000
+      getHandle.registerTimer(at)
+      timerAt.update(at)
+    } else timerAt.clear()
     val cur = if (mx.exists()) mx.get() else Double.NegativeInfinity
     val m = rows.foldLeft(cur)((acc, r) => math.max(acc, r._2))
     mx.update(m)
@@ -65,6 +77,7 @@ class MaxValueProcessor
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Double)] = {
     mx.clear()
+    timerAt.clear()
     Iterator.empty
   }
 }
@@ -86,18 +99,29 @@ class ThrottleProcessor
 
   private val gapUs = 30L * 60 * 1000000L
   @transient private var lastEmitted: ValueState[Long] = _
+  @transient private var timerAt: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     lastEmitted = getHandle.getValueState[Long]("last_emitted",
       Encoders.scalaLong, TTLConfig.NONE)
+    timerAt = getHandle.getValueState[Long]("timer_at",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: Long,
       rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
       timerValues: TimerValues): Iterator[(Long, Long)] = {
-    // first-touch event-time eviction timer — see MaxValueProcessor
-    if (!lastEmitted.exists())
-      getHandle.registerTimer(
-        timerValues.getCurrentWatermarkInMs() + 30L * 24 * 3600 * 1000)
+    // event-time eviction timer, re-armed per input and never armed at
+    // watermark 0 — see MaxValueProcessor for the epoch-1970 hazard
+    // this avoids (the first cut armed once at first touch and the
+    // sf0.1 throttle gate caught the mid-stream state wipe)
+    val wm = timerValues.getCurrentWatermarkInMs()
+    if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+    if (wm > 0) {
+      val at = wm + 30L * 24 * 3600 * 1000
+      getHandle.registerTimer(at)
+      timerAt.update(at)
+    } else timerAt.clear()
     val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
     var last = if (lastEmitted.exists()) lastEmitted.get() else Long.MinValue
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -114,6 +138,7 @@ class ThrottleProcessor
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
     lastEmitted.clear()
+    timerAt.clear()
     Iterator.empty
   }
 }
@@ -472,9 +497,16 @@ object StreamQueries {
             // evict a key 30 days of EVENT time after its last event —
             // the explicit state bound; never fires inside the staged
             // fixture replay (whole span ≪ 30 days), so the final
-            // emission per key still equals the batch total
-            state.setTimeoutTimestamp(
-              state.getCurrentWatermarkMs() + 30L * 24 * 3600 * 1000)
+            // emission per key still equals the batch total. Not set
+            // while the watermark is 0: a first-batch timeout at
+            // 0 + 30d is an epoch-1970 expiry that would wrongly
+            // evict any key absent from batch 2 (the throttle
+            // processor's sf0.1 lesson; FMGWS refreshes the timeout
+            // on every appearance, so this only leaves the startup
+            // batch unarmed)
+            if (state.getCurrentWatermarkMs() > 0)
+              state.setTimeoutTimestamp(
+                state.getCurrentWatermarkMs() + 30L * 24 * 3600 * 1000)
             Iterator((user, n))
           }
       }

@@ -823,20 +823,20 @@ object Graphs {
         |  FROM walk w JOIN graft_type_edges e ON e.src = w.dst
         |  WHERE w.hop < $bound
         |),
-        |reach AS MATERIALIZED (SELECT DISTINCT src, dst FROM walk),
-        |nodes AS MATERIALIZED (
+        |reach AS (SELECT DISTINCT src, dst FROM walk),
+        |nodes AS (
         |  SELECT src AS node FROM graft_type_edges
         |  UNION
         |  SELECT dst FROM graft_type_edges
         |),
-        |mutual AS MATERIALIZED (
+        |mutual AS (
         |  SELECT r1.src AS u, r1.dst AS v
         |  FROM reach r1 JOIN reach r2
         |    ON r1.src = r2.dst AND r1.dst = r2.src
         |  UNION
         |  SELECT node, node FROM nodes
         |),
-        |scc AS MATERIALIZED (
+        |scc AS (
         |  SELECT u AS node, MIN(v) AS scc_id FROM mutual GROUP BY u
         |)
         |SELECT s1.node AS event_type, s1.scc_id,
@@ -866,11 +866,11 @@ object Graphs {
         |  FROM walk w JOIN graft_type_edges e ON e.src = w.dst
         |  WHERE w.hop < $bound
         |),
-        |dist AS MATERIALIZED (
+        |dist AS (
         |  SELECT src, dst, MIN(hop) AS d
         |  FROM walk WHERE src <> dst GROUP BY src, dst
         |),
-        |h AS MATERIALIZED (
+        |h AS (
         |  SELECT src AS event_type,
         |    CAST(COUNT(*) AS BIGINT) AS n_reachable,
         |    CAST(SUM(27720 DIV d) AS BIGINT) AS h_lcm

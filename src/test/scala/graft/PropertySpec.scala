@@ -257,7 +257,10 @@ class PropertySpec extends AnyFunSuite {
         if (t.length < 3) Seq.empty
         else t.sliding(3).toSeq
       assert(charGot.getOrElse(id, Seq.empty) == expectChar, s"id=$id [$t]")
-      val toks = t.split(' ')
+      // limit -1: trailing empty tokens are KEPT — DuckDB string_split
+      // semantics, the round-12-advice parity the generator adopted
+      // (the Char-overload model here masked exactly that divergence)
+      val toks = t.split(" ", -1)
       val expectTok =
         if (toks.length < 2) Seq.empty
         else toks.sliding(2).map(_.mkString(" ")).toSeq

@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nCpus = cpus.toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,6 +13,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.LogQuiet.suppressKnownBenign()
     graft.ingest.Codecs.register(spark)
     // untimed warm-up: JIT + codegen + file-index setup, so the first
     // timed queries don't absorb session warm-up costs. Beyond the
@@ -47,18 +49,33 @@ object Bench {
     // driver never sets it, so full-surface totals stay comparable)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    // alphabetical execution order: Map hash order reshuffles whenever a
-    // query is added, which moves first-run JIT/codegen warm-up costs
-    // between queries and makes per-query numbers incomparable across
-    // rounds — a stable order keeps the warm-up bias pinned to the same
-    // queries every run
     // Error visibility (round-10 directive #3): a swallowed per-key
     // failure shows up as a ~0.06 s "speedup" in the perf record — a
     // silent correctness hole. Every throw is captured here and
     // reported in the output JSON; n_errors: 0 is the proof that the
     // total covers N executed-to-completion queries.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // PER-KEY contention witness (round-13 directive #1): two
+    // consecutive driver artifacts were steal-contaminated, and the
+    // run-level canary/steal telemetry provably missed a band that
+    // inflated 174 keys — three point samples cannot see a band that
+    // sits between them. Process CPU time is the per-key mechanical
+    // witness: a key whose threads were descheduled by the host
+    // accrues WALL time but not PROCESS-CPU time, so cpu/wall ≪ 1
+    // brands the reading dirty with its own evidence — no narrative,
+    // no hand re-measure. A genuinely expensive key is the opposite
+    // shape (parallel stages push cpu/wall toward the core count).
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def procCpuNs(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    // (wall sec, process-cpu sec) per successful run, in run order
+    val runs = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[(Double, Double)]]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val c0 = procCpuNs()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -70,21 +87,21 @@ object Bench {
             false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      val c1 = procCpuNs()
+      val dc = if (c0 >= 0 && c1 >= 0) (c1 - c0) / 1e9 else -1.0
+      if (ok)
+        runs.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer.empty) += ((dt, dc))
       // operators that cache intermediates (signatures, k-means input,
-      // cluster edges) would otherwise pile blocks up across 139
+      // cluster edges) would otherwise pile blocks up across 479
       // queries, squeezing execution memory for the rest of the run —
       // drop them OUTSIDE the timed window
       spark.catalog.clearCache()
       (dt, ok)
     }
-    // Contention self-evidence (round-13 directive #3): the round-12
-    // artifact was contaminated by host steal that only a quiet-machine
-    // re-measure exposed. Two mechanical witnesses now ride in the
-    // health block so steal attribution needs no narrative:
-    //  - a fixed CANARY key timed at start / middle / end of the sweep
-    //    (agg_autocorrelation: 0.5 s isolated, the key contention
-    //    inflated 31x in r12) — a spread >> 1 brands the window dirty;
-    //  - /proc/stat steal% and /proc/loadavg deltas over the whole run.
+    // Run-level witnesses (round-13 directive #3), kept alongside the
+    // per-key witness: a fixed CANARY key timed at start / middle /
+    // end, and /proc/stat steal% + loadavg deltas over the whole run.
     def cpuStat(): Option[(Long, Long)] =
       try {
         val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
@@ -111,6 +128,11 @@ object Bench {
     val statStart = cpuStat()
     val loadStart = loadavg()
     val canaryStart = canaryTime()
+    // alphabetical execution order: Map hash order reshuffles whenever
+    // a query is added, which moves first-run JIT/codegen warm-up costs
+    // between queries and makes per-query numbers incomparable across
+    // rounds — a stable order keeps the warm-up bias pinned to the same
+    // queries every run
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
     val (firstHalf, secondHalf) = ordered.splitAt(ordered.size / 2)
@@ -120,53 +142,77 @@ object Bench {
     val firstPass = firstPassA ++ firstPassB
     // Variance control (round-6 advice, hardened round-12): this host's
     // single-run numbers carry one-sided steal noise — a descheduled
-    // run can only be SLOWER than the plan's true cost, never faster
-    // (misattributed 10+ s to zscore in r5 and twophase in r6; the CC
-    // family was steal-flagged three rounds running under min-of-2).
-    // Re-run the 12 most expensive queries and report min-of-N: the
-    // cheapest unbiased-under-one-sided-noise estimator. Default is
-    // now min-of-3 for the top-12 (repeats=2), making steal
-    // attribution mechanical instead of a manual quiet-machine
-    // protocol (round-11 directive #5); override with --repeat N or
-    // SPARK_GRAFT_BENCH_REPEAT=N (N extra runs beyond the first).
+    // run can only be SLOWER than the plan's true cost, never faster.
+    // Re-run the 12 most expensive queries and report min-of-N; the
+    // iterative-CC family (6-10 chained jobs per query — integrates
+    // noise over the longest wall-span) gets one extra repeat.
     val repeatArg = args.sliding(2).collectFirst {
       case Array("--repeat", n) => n.toInt }
     val repeats = repeatArg.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEAT", "2").toInt)
     val topNames = firstPass.sortBy(-_._2).take(12).map(_._1).toSet
-    // The iterative-CC family runs 6-10 chained jobs per query, so it
-    // integrates steal noise over a longer wall-span than any one-job
-    // query — min-of-2 repeatedly failed to shed the noise for exactly
-    // these keys (r7: fuzzy_cluster 8.6 s driver vs 7.0 s isolated;
-    // r8 directive 4). Give them one extra repeat: min-of-3.
     val ccKeys = Set("dedup_fuzzy_cluster", "dedup_cluster",
       "dedup_cluster_twophase", "dedup_embedding_cluster")
     val fns = ordered.toMap
-    val results = firstPass.map { case (name, t1) =>
+    for ((name, _) <- firstPass) {
       val extra =
         if (repeats < 1 || errors.contains(name)) 0
         else if (ccKeys(name)) repeats + 1
         else if (topNames(name)) repeats
         else 0
-      if (extra == 0) name -> t1
-      else {
-        // an errored re-run fails fast, and letting its wall time into
-        // the min would report an intermittently-failing query as a
-        // speedup (judge advice) — only successful repeats compete;
-        // the error itself is still recorded in the health block
-        val okTimes = (1 to extra).map(_ => timeOne(name, fns(name)))
-          .collect { case (dt, true) => dt }
-        name -> (t1 +: okTimes).min
+      // an errored re-run fails fast and is excluded from the ledger by
+      // timeOne itself, so it can never report an intermittently-
+      // failing query as a speedup; the error stays in the health block
+      (1 to extra).foreach(_ => timeOne(name, fns(name)))
+    }
+    def best(name: String): Option[(Double, Double)] =
+      runs.get(name).filter(_.nonEmpty).map(_.minBy(_._1))
+    // raw_total preserves the previous rounds' headline methodology
+    // (first-pass reading, min-of-N only for top-12/CC keys) so the
+    // r11→r14 series stays comparable
+    val rawResults = firstPass.map { case (name, t1) =>
+      name -> best(name).map(_._1).getOrElse(t1)
+    }
+    // Dirty-key adjudication: a key whose BEST run still shows
+    // cpu/wall below the ratio floor at non-trivial wall time was
+    // descheduled in every run so far — re-run it (min-of-N over up to
+    // `dirtyRepeats` extras, stopping early at the first clean
+    // reading). Thresholds are empirical on this host (see PERF.md
+    // round-14 calibration): clean keys at sf0.1 measure cpu/wall
+    // 1.2–20 on batch plans and ≥0.55 on trigger-wait-bound streaming
+    // keys; the r13 contamination shape (agg_count_distinct 11.9 s for
+    // a 0.45 s plan) is cpu/wall ≈ 0.1. The floor keeps sub-second
+    // readings out: a 0.3 s reading cannot contaminate a 479-key total.
+    val dirtyRatio = sys.env.getOrElse("SPARK_GRAFT_DIRTY_RATIO", "0.45").toDouble
+    val dirtyFloor = sys.env.getOrElse("SPARK_GRAFT_DIRTY_FLOOR", "0.75").toDouble
+    val dirtyRepeats = sys.env.getOrElse("SPARK_GRAFT_DIRTY_REPEATS", "2").toInt
+    def isDirty(wall: Double, cpu: Double): Boolean =
+      wall >= dirtyFloor && cpu >= 0 && cpu / wall < dirtyRatio
+    val dirtyKeys = ordered.map(_._1).filter(n =>
+      best(n).exists { case (w, c) => isDirty(w, c) })
+    for (name <- dirtyKeys) {
+      var extra = 0
+      while (extra < dirtyRepeats &&
+          best(name).exists { case (w, c) => isDirty(w, c) }) {
+        timeOne(name, fns(name))
+        extra += 1
       }
+    }
+    val stillDirty = dirtyKeys.filter(n =>
+      best(n).exists { case (w, c) => isDirty(w, c) })
+    // headline value = the self-adjudicated clean total: per-key min
+    // over every successful run, dirty keys re-measured. raw_total is
+    // what previous rounds reported.
+    val results = firstPass.map { case (name, t1) =>
+      name -> best(name).map(_._1).getOrElse(t1)
     }
     def fmt(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonMap(m: Iterable[(String, Double)]) =
       m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    def jsonArr(xs: Iterable[String]) =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // full per-query detail goes to the stable file artifact; stdout
-    // gets a SHORT line (headline = 12 most expensive queries) because
-    // the driver's stdout tail truncates long lines and a 133-entry map
-    // pushes the JSON head out of the buffer
+    val rawTotal = rawResults.map(_._2).sum
     val sfName = new java.io.File(sfDir).getName
     new java.io.File("target").mkdirs()
     // a sub-floor wall time that did NOT throw is still suspicious
@@ -178,9 +224,6 @@ object Bench {
       case (n, t) if t < floorSec && !errors.contains(n) => n }
     val errJson = errors
       .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
-    val floorJson = belowFloor.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // self-documenting repeat policy: per-key figures for the top-12
-    // are min-of-(repeats+1), the iterative-CC family min-of-(repeats+2)
     val canaryEnd = canaryTime()
     val loadEnd = loadavg()
     val stealPct = (statStart, cpuStat()) match {
@@ -197,17 +240,47 @@ object Bench {
       } else -1.0
     val health =
       s""""n_errors":${errors.size},"errors":$errJson,""" +
-        s""""below_floor":$floorJson,""" +
+        s""""below_floor":${jsonArr(belowFloor)},""" +
+        // value == clean_total (the self-adjudicated number); raw_total
+        // is the pre-adjudication methodology of rounds ≤13
+        s""""raw_total":${fmt(rawTotal)},"clean_total":${fmt(total)},""" +
         s""""min_of_top12":${repeats + 1},"min_of_cc":${repeats + 2},""" +
+        s""""dirty":{"ratio":$dirtyRatio,"floor":$dirtyFloor,""" +
+        s""""cores":${nCpus.toInt},"keys":${jsonArr(dirtyKeys)},""" +
+        s""""still_dirty":${jsonArr(stillDirty)}},""" +
         s""""canary":{"key":"$canaryKey","start":${fmt(canaryStart)},""" +
         s""""mid":${fmt(canaryMid)},"end":${fmt(canaryEnd)},""" +
         s""""spread":$canarySpread},"steal_pct":$stealPct,""" +
         s""""load_start":$loadStart,"load_end":$loadEnd,"""
+    // per-key witness detail: best wall, that run's process-cpu sec,
+    // cpu/wall ratio, and run count — every inflated reading carries
+    // its own evidence
+    val witness = results.map { case (name, _) =>
+      val (w, c) = best(name).getOrElse((-1.0, -1.0))
+      val n = runs.get(name).map(_.size).getOrElse(0)
+      val ratio = if (w > 0 && c >= 0) c / w else -1.0
+      s"\"$name\":{\"wall\":${fmt(w)},\"cpu\":${fmt(c)}," +
+        s"\"ratio\":${fmt(ratio)},\"runs\":$n}"
+    }.mkString("{", ",", "}")
+    // IMMUTABLE detail artifact (round-13 directive #6): the stable
+    // name target/bench_<sf>.json is clobbered by ANY later local run —
+    // round 13's driver detail was lost exactly that way. Each run now
+    // also writes a uniquely-named copy and points stdout's "detail" at
+    // it; the stable name stays for diff tooling convenience.
+    val runId = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now()) + "_" +
+      ProcessHandle.current().pid()
+    val detailJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        health +
+        s""""queries":${jsonMap(results)},"witness":$witness,"sf":"$sfDir","run_id":"$runId"}""" + "\n"
+    val immutablePath = s"target/bench_${sfName}_$runId.json"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(immutablePath), detailJson.getBytes("UTF-8"))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"target/bench_$sfName.json"),
-      (s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-        health +
-        s""""queries":${jsonMap(results)},"sf":"$sfDir"}""" + "\n").getBytes("UTF-8"))
+      detailJson.getBytes("UTF-8"))
     // "top_queries", not "queries": the stdout map is truncated to the
     // 12 most expensive entries (full map lives in the detail file) and
     // the key name must not let a consumer mistake it for the full map
@@ -215,11 +288,14 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         health +
-        s""""top_queries":${jsonMap(headline)},"sf":"$sfDir","detail":"target/bench_$sfName.json"}""")
+        s""""top_queries":${jsonMap(headline)},"sf":"$sfDir","detail":"$immutablePath"}""")
     if (errors.nonEmpty || belowFloor.nonEmpty)
       System.err.println(s"BENCH UNHEALTHY: ${errors.size} errored " +
         s"(${errors.keys.mkString(",")}); below-floor: " +
         belowFloor.mkString(","))
+    if (stillDirty.nonEmpty)
+      System.err.println("BENCH CONTENTION: still-dirty after " +
+        s"min-of-${dirtyRepeats + 1}: ${stillDirty.mkString(",")}")
     spark.stop()
   }
 }

@@ -15,6 +15,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.util.LogQuiet.suppressKnownBenign()
     graft.ingest.Codecs.register(spark)
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated allowlist for fast local iteration; the

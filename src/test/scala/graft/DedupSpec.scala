@@ -174,16 +174,58 @@ class DedupSpec extends AnyFunSuite {
     // scaladoc cites. Both algorithms must still produce one component
     // rooted at 0; the two-phase loop must converge in O(log n)
     // alternations, not O(diameter) (50 is the loop's hard cap, log2 of
-    // 1500 is ~11 — assert well under the cap).
+    // 1500 is ~11 — assert well under the cap). localFinishEdges = 0
+    // forces the DISTRIBUTED loops — this test exists to exercise the
+    // alternation machinery, which the local-finish endgame would skip
+    // at this size.
     val chain = spark.range(1499)
       .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
-    val t0 = Dedup.twoPhaseLabels(chain)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(t0.size == 1500)
-    assert(t0.values.forall(_ == 0L), t0.values.toSet.toString)
-    val hm = Dedup.propagateLabels(chain)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(hm == t0)
+    spark.conf.set("spark.graft.cc.localFinishEdges", "0")
+    try {
+      val t0 = Dedup.twoPhaseLabels(chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(t0.size == 1500)
+      assert(t0.values.forall(_ == 0L), t0.values.toSet.toString)
+      val hm = Dedup.propagateLabels(chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(hm == t0)
+      // the local-finish endgame (the default at this |E|) must agree
+      // with both distributed loops edge-for-edge
+      spark.conf.unset("spark.graft.cc.localFinishEdges")
+      val local = Dedup.twoPhaseLabels(chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == t0)
+      val localHm = Dedup.propagateLabels(chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(localHm == t0)
+    } finally spark.conf.unset("spark.graft.cc.localFinishEdges")
+  }
+
+  test("local-finish cut-over mid-loop matches the fully-distributed labels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ring + chain + isolated pair: threshold 400 < |E| = 703 forces
+    // at least one distributed alternation BEFORE the contracted edge
+    // relation drops under the cap and the union-find takes over — the
+    // mid-loop handoff path, which must be exact at any cut-over point
+    val edges = spark.range(500)
+      .select(col("id").as("a_id"), ((col("id") + 1) % 500).as("b_id"))
+      .union(spark.range(200)
+        .select((col("id") + 1000).as("a_id"), (col("id") + 1001).as("b_id")))
+      .union(Seq((5000L, 5001L), (5001L, 5002L), (9000L, 9001L))
+        .toDF("a_id", "b_id"))
+    spark.conf.set("spark.graft.cc.localFinishEdges", "0")
+    val full =
+      try Dedup.twoPhaseLabels(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localFinishEdges")
+    spark.conf.set("spark.graft.cc.localFinishEdges", "400")
+    val hybrid =
+      try Dedup.twoPhaseLabels(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localFinishEdges")
+    assert(hybrid == full)
+    assert(full.values.toSet == Set(0L, 1000L, 5000L, 9000L))
   }
 
   test("CC loops run identically under reliable checkpointing") {
@@ -195,6 +237,9 @@ class DedupSpec extends AnyFunSuite {
     val edges = spark.range(200)
       .select(col("id").as("a_id"), ((col("id") + 7) % 200).as("b_id"))
       .union(Seq((300L, 301L), (301L, 302L)).toDF("a_id", "b_id"))
+    // force the distributed loops: this test pins the CHECKPOINT
+    // machinery, which the local-finish endgame would skip at this |E|
+    spark.conf.set("spark.graft.cc.localFinishEdges", "0")
     val local = Dedup.propagateLabels(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dir = java.nio.file.Files
@@ -210,7 +255,10 @@ class DedupSpec extends AnyFunSuite {
       // the reliable path actually wrote checkpoint data
       assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
         .findFirst().isPresent, dir)
-    } finally spark.conf.unset("spark.graft.checkpointDir")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      spark.conf.unset("spark.graft.cc.localFinishEdges")
+    }
   }
 
   test("containment pairs match brute-force shingle sets; no all-pairs join") {

@@ -17,6 +17,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.util.LogQuiet.suppressKnownBenign()
     graft.ingest.Codecs.register(s)
     s
   }

@@ -278,14 +278,22 @@ object Bench {
         s""""spread":$canarySpread},"steal_pct":$stealPct,""" +
         s""""load_start":$loadStart,"load_end":$loadEnd,"""
     // per-key witness detail: best wall, that run's process-cpu sec,
-    // cpu/wall ratio, and run count — every inflated reading carries
-    // its own evidence
+    // cpu/wall ratio, run count, AND the first-pass wall — every
+    // inflated reading carries its own evidence, and `first` makes the
+    // one systematic min-of-N shed visible too: a re-run of the first
+    // consumer of a Materialize table scans the already-written parquet,
+    // so its min drops the one-time build from clean_total (round-14
+    // review). That shed is CONSISTENT with the bench's steady-state
+    // methodology (builds are warmed out like JIT), but first − wall on
+    // a clean-ratio key is exactly the build cost, now in the artifact
+    // instead of needing a hand re-measure to quantify.
     val witness = results.map { case (name, _) =>
       val (w, c) = best(name).getOrElse((-1.0, -1.0))
       val n = runs.get(name).map(_.size).getOrElse(0)
+      val f = runs.get(name).filter(_.nonEmpty).map(_.head._1).getOrElse(-1.0)
       val ratio = if (w > 0 && c >= 0) c / w else -1.0
       s"\"$name\":{\"wall\":${fmt(w)},\"cpu\":${fmt(c)}," +
-        s"\"ratio\":${fmt(ratio)},\"runs\":$n}"
+        s"\"ratio\":${fmt(ratio)},\"runs\":$n,\"first\":${fmt(f)}}"
     }.mkString("{", ",", "}")
     // IMMUTABLE detail artifact (round-13 directive #6): the stable
     // name target/bench_<sf>.json is clobbered by ANY later local run —

@@ -559,6 +559,21 @@ object Dedup {
     s.conf.getOption("spark.graft.cc.localFinishEdges")
       .map(_.toLong).getOrElse(1L << 20)
 
+  /** The local finish is only sound for integral ids: the union-find
+    * works over longs, so a string id would cast to NULL (crash) and a
+    * numeric-string id would take the NUMERIC minimum where the
+    * distributed star projection takes the LEXICOGRAPHIC one — the
+    * hybrid would relabel components depending on which side of the
+    * edge cap a run landed (round-14 review). Non-integral graphs stay
+    * fully distributed; every current caller passes int64 doc/vec ids. */
+  private def localFinishEligible(edges: DataFrame): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    edges.schema.fields.take(2).forall(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+  }
+
   /** Union-find (size-ranked, path-compressed) over a ≤threshold edge
     * list; labels every endpoint with its component MINIMUM — exactly
     * the contract of both distributed loops ([[DedupSpec]] pins
@@ -620,8 +635,9 @@ object Dedup {
     val pairs = pairsDf.toDF("a_id", "b_id").cache()
     val nEdges = pairs.count()
     // sub-threshold graphs skip the distributed loop entirely — see
-    // [[localFinishThreshold]]
-    if (nEdges <= localFinishThreshold(pairs.sparkSession)) {
+    // [[localFinishThreshold]] / [[localFinishEligible]]
+    if (localFinishEligible(pairs) &&
+        nEdges <= localFinishThreshold(pairs.sparkSession)) {
       val out = localComponentLabels(pairs)
       pairs.unpersist()
       return out
@@ -768,7 +784,12 @@ object Dedup {
     // star projection depends on both), so labeling the CURRENT edge
     // relation with component minima is exact at any cut-over point.
     var cnt = edges.count()
-    val localThr = localFinishThreshold(pairs.sparkSession)
+    // -1 disables the cut-over entirely for non-integral id graphs
+    // (see [[localFinishEligible]]); cnt > -1 always, so the loop runs
+    // to star-forest convergence exactly as before the hybrid existed
+    val localThr =
+      if (localFinishEligible(pairs)) localFinishThreshold(pairs.sparkSession)
+      else -1L
     log.info(f"twoPhaseLabels init ${(System.nanoTime() - tInit) / 1e9}%.2f s edges=$cnt%d")
     var rounds = 0
     // no pre-loop probe: banded pair graphs are never already star
@@ -2116,7 +2137,7 @@ object Dedup {
         |  ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
         |        len(list_distinct(list_concat(a.t, b.t))), 4) AS jac
         |FROM toks a JOIN toks b
-        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  ON a.lang IS NOT DISTINCT FROM b.lang AND a.doc_id < b.doc_id
         |WHERE ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
         |            len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8
         |ORDER BY a_id, b_id""".stripMargin,
@@ -2131,7 +2152,7 @@ object Dedup {
         |  SELECT ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
         |        len(list_distinct(list_concat(a.t, b.t))), 4) AS jac
         |  FROM toks a JOIN toks b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    ON a.lang IS NOT DISTINCT FROM b.lang AND a.doc_id < b.doc_id
         |  WHERE ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
         |              len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8),
         |g AS (
@@ -2154,22 +2175,26 @@ object Dedup {
         |  ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
         |        len(list_distinct(list_concat(a.t, b.t))), 4) AS jac
         |FROM toks a JOIN toks b
-        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  ON a.lang IS NOT DISTINCT FROM b.lang AND a.doc_id < b.doc_id
         |WHERE ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
         |            len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8
         |ORDER BY a_id, b_id""".stripMargin,
-    // tl filters NULL text/lang (judge advice, round 13): the window
-    // grouping below treats NULLs as EQUAL (one big NULL group), while
-    // the engine's pair join (a.lang = b.lang) and hash grouping never
-    // match NULLs — without the filter a fixture gaining NULL rows
-    // would silently diverge oracle-vs-engine. Current fixtures carry
-    // none, so hashes are unchanged; the filter pins the semantics.
+    // NULL semantics pinned to the ENGINE's (round-13 advice, corrected
+    // round 14): Spark's xxhash64 SKIPS null inputs, so in jaccardPairs
+    // a NULL lang contributes nothing to the token hashes — NULL-lang
+    // docs DO pair with each other (lang-insensitively among
+    // themselves) while NULL-text docs drop (null token array never
+    // enters the postings). Hence tl filters text only, and every
+    // lang-equality join here is IS NOT DISTINCT FROM (DuckDB's
+    // null-safe equal, matching both the window grouping's NULLs-equal
+    // behavior and the engine's hash semantics). Current fixtures
+    // carry no NULLs, so hashes are unchanged; this pins the contract.
     "dedup_cluster" ->
       """WITH RECURSIVE tl AS MATERIALIZED (
         |  SELECT doc_id, lang,
         |    list_sort(list_distinct(string_split(text, ' '))) AS t
         |  FROM documents
-        |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |  WHERE text IS NOT NULL),
         |grp AS MATERIALIZED (
         |  SELECT doc_id, lang, t,
         |    MIN(doc_id) OVER (PARTITION BY lang, t) AS node,
@@ -2182,7 +2207,7 @@ object Dedup {
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |    COUNT(*) AS i, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
         |  FROM reps a JOIN reps b
-        |    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |    ON a.tok = b.tok AND a.lang IS NOT DISTINCT FROM b.lang AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |pairs AS MATERIALIZED (
         |  SELECT a_id, b_id FROM inter
@@ -2200,13 +2225,13 @@ object Dedup {
         |FROM grp g LEFT JOIN lbl l ON l.id = g.node
         |WHERE g.gsize >= 2 OR l.lbl IS NOT NULL
         |ORDER BY g.doc_id""".stripMargin,
-    // same NULL-hostile tl filter as dedup_cluster (shared oracle shape)
+    // same engine-pinned NULL semantics as dedup_cluster (shared shape)
     "dedup_cluster_twophase" ->
       """WITH RECURSIVE tl AS MATERIALIZED (
         |  SELECT doc_id, lang,
         |    list_sort(list_distinct(string_split(text, ' '))) AS t
         |  FROM documents
-        |  WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |  WHERE text IS NOT NULL),
         |grp AS MATERIALIZED (
         |  SELECT doc_id, lang, t,
         |    MIN(doc_id) OVER (PARTITION BY lang, t) AS node,
@@ -2219,7 +2244,7 @@ object Dedup {
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |    COUNT(*) AS i, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb
         |  FROM reps a JOIN reps b
-        |    ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |    ON a.tok = b.tok AND a.lang IS NOT DISTINCT FROM b.lang AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
         |pairs AS MATERIALIZED (
         |  SELECT a_id, b_id FROM inter
@@ -2277,7 +2302,7 @@ object Dedup {
         |tp AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM toks a JOIN toks b
-        |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    ON a.lang IS NOT DISTINCT FROM b.lang AND a.doc_id < b.doc_id
         |  WHERE ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE) /
         |              len(list_distinct(list_concat(a.t, b.t))), 4) > 0.8),
         |dp AS (

@@ -228,6 +228,52 @@ class DedupSpec extends AnyFunSuite {
     assert(full.values.toSet == Set(0L, 1000L, 5000L, 9000L))
   }
 
+  test("non-integral id graphs never take the local finish (stay distributed)") {
+    import spark.implicits._
+    // the union-find works over longs, so string ids must bypass the
+    // cut-over (a numeric-string graph would otherwise take the NUMERIC
+    // min where the star projection takes the LEXICOGRAPHIC one, and a
+    // non-numeric one would crash on the cast) — round-14 review. "9"
+    // vs "10" is the discriminating component: lexicographic min is
+    // "10", numeric min would be 9.
+    val edges = Seq(("9", "10"), ("10", "11"), ("a", "b"))
+      .toDF("a_id", "b_id")
+    // default threshold (2^20) would trigger the local finish at |E|=3
+    // if the eligibility gate were missing
+    val tp = Dedup.twoPhaseLabels(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tp == Map("9" -> "10", "10" -> "10", "11" -> "10",
+      "a" -> "a", "b" -> "a"), tp.toString)
+    val hm = Dedup.propagateLabels(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(hm == tp)
+  }
+
+  test("NULL-lang docs pair among themselves; NULL-text docs never pair") {
+    import spark.implicits._
+    // pins the engine's NULL contract, which the DuckDB oracles now
+    // encode (round-14 review): xxhash64 SKIPS null inputs, so a NULL
+    // lang contributes nothing to the token hashes — two NULL-lang
+    // copies of the same text must pair (lang-insensitively among
+    // themselves, not with any non-NULL lang), while a NULL text has no
+    // token postings at all.
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulldocs")
+    dir.toFile.deleteOnExit()
+    Seq(
+      (1L, "alpha beta gamma delta epsilon", null.asInstanceOf[String]),
+      (2L, "alpha beta gamma delta epsilon", null.asInstanceOf[String]),
+      (3L, "alpha beta gamma delta epsilon", "en"),
+      (4L, "alpha beta gamma delta epsilon", "en"),
+      (5L, null.asInstanceOf[String], "en"),
+      (6L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.dedupNgramJaccard(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (3L, 4L)), pairs.toString)
+  }
+
   test("CC loops run identically under reliable checkpointing") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

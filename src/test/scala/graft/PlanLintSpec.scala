@@ -294,19 +294,26 @@ class PlanLintSpec extends AnyFunSuite {
     * advice, round 13). In a full suite run the registry is already
     * populated and the loop is a cheap re-plan. */
   test("materialized-builder plans pass the same lint") {
-    if (!graft.util.Materialize.builderThunks.contains("knn_edges_w"))
+    // every tableFor tag in src/main — keying the population guard on
+    // a single tag left a partial-registry blind spot (round-14
+    // review): `testOnly GraphSpec PlanLintSpec` registers knn_edges_w
+    // without the minhash builders, and the old one-tag guard would
+    // then lint a registry that never saw them
+    val expected =
+      Seq("knn_edges_w", "jaccard", "mh_band_index", "mh_corpus_sigs",
+        "mh_sigs")
+    if (!expected.forall(graft.util.Materialize.builderThunks.contains))
       for ((_, build) <- linted)
         try { val _ = build(spark, sf).queryExecution } catch {
           case _: Exception => () // the sweep test owns build failures
         }
     val thunks = graft.util.Materialize.builderThunks
       .filterNot(_._1.startsWith("planted_"))
-    // the lint must provably SEE the kNN edge builder — the blind spot
-    // this test exists to close
-    assert(thunks.contains("knn_edges_w"),
-      s"knn_edges_w not registered; saw ${thunks.keys.toSeq.sorted}")
-    assert(Seq("jaccard", "mh_band_index", "mh_corpus_sigs")
-      .forall(thunks.contains), thunks.keys.toSeq.sorted.mkString(","))
+    // the lint must provably SEE every known builder — the kNN edge
+    // list is the blind spot this test exists to close, and the list
+    // doubles as a tripwire: a new tableFor tag must be added here
+    assert(expected.forall(thunks.contains),
+      s"missing builders; saw ${thunks.keys.toSeq.sorted.mkString(",")}")
     val failures = thunks.toSeq.sortBy(_._1).flatMap { case (tag, thunk) =>
       try lintFailures(s"builder:$tag", thunk().queryExecution)
       catch {

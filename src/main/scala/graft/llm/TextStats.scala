@@ -540,6 +540,14 @@ object TextStats {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 50)
       .select(col("lang").as("profile_lang"), col("g"))
+    // distinct() BEFORE the profile join is load-bearing: the top-50
+    // profile trigrams are by construction the most FREQUENT ones, so
+    // a join-first + countDistinct shape floods the aggregate with the
+    // raw matched-occurrence stream (multiplied per profile lang that
+    // shares g) — measured 1.7 → 4.0 s at sf0.1 when tried (round 14).
+    // The per-doc distinct map-side-combines to the small (doc, g) set
+    // before its one exchange; the overlap aggregate's keys are then
+    // only |docs|·|langs|.
     val docTg = trigrams
       .select(col("doc_id"), col("lang"), col("g"))
       .distinct()

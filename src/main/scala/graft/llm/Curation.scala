@@ -158,6 +158,11 @@ object Curation {
   def textDedupLines(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // cached: dfreq, kept, and totals all consume this relation —
+    // uncached, Spark re-ran the corpus scan + line explode + hash
+    // three times per run (round-14 review; sampleDsir's cached shared
+    // explode is the in-file precedent). At deployment scale this is
+    // the line-postings table every pass reads.
     val lines = docs
       .select(col("doc_id"),
         posexplode(expr(
@@ -165,6 +170,7 @@ object Curation {
             |          i -> array_join(slice(toks, i * 4 + 1, 4), ' '))"""
             .stripMargin)).as(Seq("pos", "line")))
       .withColumn("h", xxhash64(col("line")))
+      .cache()
     // Collision assumption (same as Dedup.scala's xxhash64 grouping
     // keys): two DISTINCT lines sharing a 64-bit hash would merge their
     // document frequencies and could drop a genuinely unique line. At
@@ -556,9 +562,18 @@ object Curation {
         (col("n_chars") / lit(100L)).cast("long").as("len_bucket"))
     val groups = docs.groupBy(col("lang"), col("source"), col("len_bucket"))
       .agg(count(lit(1)).as("group_n"))
-    docs.join(broadcast(groups), Seq("lang", "source", "len_bucket"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        col("len_bucket"), col("group_n"),
+    // NULL-SAFE join keys (<=>): groupBy puts NULL-QI docs in their own
+    // group, but a null-rejecting equality join would then drop exactly
+    // those rows from the audit — a doc with an unknown lang/source
+    // would ship neither suppressed nor released-with-audit (round-14
+    // review). A privacy gate must account for every row.
+    docs.as("d").join(broadcast(groups).as("g"),
+        col("d.lang") <=> col("g.lang") &&
+          col("d.source") <=> col("g.source") &&
+          col("d.len_bucket") <=> col("g.len_bucket"))
+      .select(col("doc_id"), col("d.lang").as("lang"),
+        col("d.source").as("source"),
+        col("d.len_bucket").as("len_bucket"), col("group_n"),
         (col("group_n") < k).as("suppressed"))
       .orderBy(col("doc_id"))
   }
@@ -924,9 +939,18 @@ object Curation {
       .agg(count(lit(1)).as("n_g"))
     val glob = docs.groupBy(col("source")).agg(count(lit(1)).as("c_v"))
     val nTot = docs.agg(count(lit(1)).as("n_tot"))
-    grp.crossJoin(glob).crossJoin(nTot)
-      .join(cell, Seq("lang", "len_bucket", "source"), "left")
-      .select(col("lang"), col("len_bucket"), col("n_g"), col("n_tot"),
+    // NULL-SAFE left-join keys (<=>): a NULL-QI (or NULL-source) group
+    // exists in both grp and cell, but null-rejecting equality would
+    // never match them — every such group's c_gv would coalesce to 0
+    // and its TVD degenerate to the constant 0.5 in BOTH engines, a
+    // wrong-but-gate-green audit row (round-14 review).
+    grp.crossJoin(glob).crossJoin(nTot).as("g")
+      .join(cell.as("c"),
+        col("g.lang") <=> col("c.lang") &&
+          col("g.len_bucket") <=> col("c.len_bucket") &&
+          col("g.source") <=> col("c.source"), "left")
+      .select(col("g.lang").as("lang"),
+        col("g.len_bucket").as("len_bucket"), col("n_g"), col("n_tot"),
         abs(coalesce(col("c_gv"), lit(0L)) * col("n_tot") -
           col("c_v") * col("n_g")).as("term"))
       .groupBy(col("lang"), col("len_bucket"))
@@ -1294,8 +1318,8 @@ object Curation {
       (s"""WITH noise(k, lo, hi) AS (VALUES $dpNoiseValues),
         |c AS (
         |  SELECT lang, source, COUNT(*) AS n,
-        |    CAST(('0x' || substring(md5('topk' || '|' || lang || '|'
-        |      || source), 1, 6)) AS BIGINT) % 766 AS u
+        |    CAST(('0x' || substring(md5(concat_ws('|', 'topk', lang,
+        |      source)), 1, 6)) AS BIGINT) % 766 AS u
         |  FROM documents GROUP BY lang, source),
         |ny AS (
         |  SELECT c.lang, c.source, c.n + noise.k AS n_noisy
@@ -1303,11 +1327,11 @@ object Curation {
         |rk AS (
         |  SELECT lang, source, n_noisy,
         |    ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY n_noisy DESC, source) AS rk
+        |      ORDER BY n_noisy DESC, source NULLS FIRST) AS rk
         |  FROM ny)
         |SELECT lang, CAST(rk AS INTEGER) AS rk, source, n_noisy
         |FROM rk WHERE rk <= 5
-        |ORDER BY lang, rk""".stripMargin),
+        |ORDER BY lang NULLS FIRST, rk""".stripMargin),
     "privacy_dp_quantile" ->
       (s"""WITH noise(k, lo, hi) AS (VALUES $dpNoiseValues),
         |st AS (
@@ -1328,7 +1352,7 @@ object Curation {
         |SELECT p.event_type, p.n, p.k AS k_noise, r.value AS dp_median
         |FROM pick p JOIN ranked r
         |  ON r.event_type = p.event_type AND r.r = p.rp
-        |ORDER BY p.event_type""".stripMargin),
+        |ORDER BY p.event_type NULLS FIRST""".stripMargin),
     "sample_coreset_kcenter" -> coresetOracle,
     // group-keyed md5 fold draw, exact per-fold counts, one division
     "sample_group_kfold" ->
@@ -1424,9 +1448,9 @@ object Curation {
         |  SELECT grp.lang, grp.len_bucket, n_g, n_tot,
         |    ABS(COALESCE(c_gv, 0) * n_tot - c_v * n_g) AS term
         |  FROM grp CROSS JOIN gsrc CROSS JOIN ntot
-        |  LEFT JOIN cell ON cell.lang = grp.lang
-        |    AND cell.len_bucket = grp.len_bucket
-        |    AND cell.source = gsrc.source
+        |  LEFT JOIN cell ON cell.lang IS NOT DISTINCT FROM grp.lang
+        |    AND cell.len_bucket IS NOT DISTINCT FROM grp.len_bucket
+        |    AND cell.source IS NOT DISTINCT FROM gsrc.source
         |), g AS (
         |  SELECT lang, len_bucket, MAX(n_g) AS group_n,
         |    MAX(n_tot) AS n_tot, CAST(SUM(term) AS BIGINT) AS num
@@ -1436,7 +1460,7 @@ object Curation {
         |  ROUND(CAST(num AS DOUBLE) /
         |    (2 * CAST(group_n AS DOUBLE) * n_tot), 6) AS tvd,
         |  num * 2 <= group_n * n_tot AS releasable
-        |FROM g ORDER BY lang, len_bucket""".stripMargin,
+        |FROM g ORDER BY lang NULLS FIRST, len_bucket""".stripMargin,
     // the integrity proof: per-pseudonym aggregates reproduce the
     // per-user multiset; order-independent row checksum; decimal
     // stringified at full scale ('1.5000') identically on both engines
@@ -1473,7 +1497,7 @@ object Curation {
         |  FROM p
         |)
         |SELECT lang, rn, doc_id FROM r
-        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+        |WHERE rn <= 20 ORDER BY lang NULLS FIRST, rn""".stripMargin,
     // same 24-bit md5 source bucket; integer counts + exact sums
     "split_group_holdout" ->
       """WITH a AS (
@@ -1496,7 +1520,7 @@ object Curation {
         |  CAST(SUM(LEAST(c, 3)) AS BIGINT) AS n_bounded,
         |  ROUND(CAST(SUM(LEAST(c, 3)) AS DOUBLE) /
         |        CAST(SUM(c) AS BIGINT), 6) AS retained_frac
-        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM c GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     // same prefix-sum integers as pack_sequences; one rounded ratio
     "pack_efficiency" ->
       """WITH d AS (
@@ -1520,7 +1544,7 @@ object Curation {
         |  ROUND(CAST(total_tokens AS DOUBLE) /
         |    (CAST((total_tokens + 255) // 256 AS DOUBLE) * 256), 4)
         |    AS fill_pct
-        |FROM g ORDER BY lang""".stripMargin,
+        |FROM g ORDER BY lang NULLS FIRST""".stripMargin,
     // sqrt of exact integers rounded once to DECIMAL(18,6); exact
     // decimal total; identical quota/floor/rank double text
     "sample_neyman_allocation" ->
@@ -1545,11 +1569,11 @@ object Curation {
         |r AS (
         |  SELECT source, n_h, q, base, frac,
         |    100 - SUM(base) OVER () AS rem,
-        |    ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk
+        |    ROW_NUMBER() OVER (ORDER BY frac DESC, source NULLS FIRST) AS rk
         |  FROM b)
         |SELECT source, n_h, ROUND(q, 6) AS alloc_exact,
         |  base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS n_alloc
-        |FROM r ORDER BY source""".stripMargin,
+        |FROM r ORDER BY source NULLS FIRST""".stripMargin,
     "privacy_l_diversity" ->
       """SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
         |  COUNT(*) AS group_n,
@@ -1557,7 +1581,7 @@ object Curation {
         |  COUNT(DISTINCT source) >= 3 AS diverse
         |FROM documents
         |GROUP BY 1, 2
-        |ORDER BY lang, len_bucket""".stripMargin,
+        |ORDER BY lang NULLS FIRST, len_bucket""".stripMargin,
     // integer interval-containment picks over keyed cumulative
     // weights; 2n = 10 scaling keeps every comparison integral
     "sample_pps_systematic" ->
@@ -1575,7 +1599,7 @@ object Curation {
         |)
         |SELECT source, CAST(pick AS BIGINT) AS pick, doc_id,
         |  CAST(w AS BIGINT) AS w
-        |FROM f ORDER BY source, pick""".stripMargin,
+        |FROM f ORDER BY source NULLS FIRST, pick""".stripMargin,
     // md5-seeded 3/4-keep coin per row; integer cells; debias and
     // calibration bound close in identical double expressions
     "privacy_randomized_response" ->
@@ -1603,7 +1627,7 @@ object Curation {
         |    - 0.25e0) / 0.5e0
         |    - CAST(k_true AS DOUBLE) / CAST(n AS DOUBLE))
         |    < 0.2e0 AS calibrated
-        |FROM g ORDER BY event_type""".stripMargin,
+        |FROM g ORDER BY event_type NULLS FIRST""".stripMargin,
     // naive global row_number replays the distributed zipWithIndex;
     // prime-step picks, integer DIV sample index
     "sample_systematic" ->
@@ -1624,8 +1648,8 @@ object Curation {
         |  FROM events GROUP BY 1, 2),
         |u AS (
         |  SELECT event_type, bucket, n,
-        |    (CAST(CAST(('0x' || substring(md5('dph' || '|' || event_type
-        |       || '|' || CAST(bucket AS VARCHAR)), 1, 6))
+        |    (CAST(CAST(('0x' || substring(md5(concat_ws('|', 'dph', event_type,
+        |       CAST(bucket AS VARCHAR))), 1, 6))
         |       AS BIGINT) AS DOUBLE) + 0.5) / 16777216.0 AS u
         |  FROM g),
         |r AS (
@@ -1636,7 +1660,7 @@ object Curation {
         |  FROM u)
         |SELECT event_type, bucket, n_noisy FROM r
         |WHERE n_noisy > 10.0
-        |ORDER BY event_type, bucket""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, bucket""".stripMargin,
     "privacy_dp_count" ->
       """WITH g AS (
         |  SELECT lang, source, COUNT(*) AS n FROM documents
@@ -1646,7 +1670,7 @@ object Curation {
         |    -- cast to DOUBLE before the + 0.5: bare decimal literals
         |    -- would make this a DECIMAL division with engine-specific
         |    -- scale (the sample_dsir lesson)
-        |    (CAST(CAST(('0x' || substring(md5(lang || '|' || source), 1, 6))
+        |    (CAST(CAST(('0x' || substring(md5(concat_ws('|', lang, source)), 1, 6))
         |       AS BIGINT) AS DOUBLE) + 0.5) / 16777216.0 AS u
         |  FROM g)
         |SELECT lang, source,
@@ -1654,7 +1678,7 @@ object Curation {
         |    (CASE WHEN u >= 0.5 THEN -1.0 ELSE 1.0 END) *
         |    ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS n_noisy
         |FROM u
-        |ORDER BY lang, source""".stripMargin,
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "privacy_k_anonymity" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source,
@@ -1665,7 +1689,10 @@ object Curation {
         |  FROM d GROUP BY lang, source, len_bucket)
         |SELECT doc_id, d.lang, d.source, d.len_bucket, group_n,
         |  group_n < 5 AS suppressed
-        |FROM d JOIN g USING (lang, source, len_bucket)
+        |FROM d JOIN g
+        |  ON d.lang IS NOT DISTINCT FROM g.lang
+        |  AND d.source IS NOT DISTINCT FROM g.source
+        |  AND d.len_bucket IS NOT DISTINCT FROM g.len_bucket
         |ORDER BY doc_id""".stripMargin,
     "sample_dsir" ->
       """WITH toks AS (
@@ -1779,7 +1806,7 @@ object Curation {
         |SELECT h.doc_id, h.source, h.hv, ROUND(r.rate, 6) AS rate
         |FROM h JOIN r USING (source)
         |WHERE CAST(hv AS DOUBLE) < rate * 65536.0
-        |ORDER BY h.source, h.doc_id""".stripMargin,
+        |ORDER BY h.source NULLS FIRST, h.doc_id""".stripMargin,
     "pack_shard_manifest" ->
       """WITH tk AS (
         |  SELECT doc_id, lang,
@@ -1810,7 +1837,7 @@ object Curation {
          |SELECT doc_id, lang, n_tokens,
          |  cum_before // $PackBudget AS bin,
          |  cum_before % $PackBudget AS offset_in_bin
-         |FROM c ORDER BY lang, doc_id""".stripMargin,
+         |FROM c ORDER BY lang NULLS FIRST, doc_id""".stripMargin,
     "split_train_holdout" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -1890,7 +1917,7 @@ object Curation {
         |  ROUND(p, 6) AS p_natural,
         |  ROUND(mix, 6) AS p_mix,
         |  ROUND(mix / p, 4) AS up_factor
-        |FROM m ORDER BY source""".stripMargin,
+        |FROM m ORDER BY source NULLS FIRST""".stripMargin,
     "text_repetition" ->
       """WITH tk AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -2042,7 +2042,7 @@ object Dedup {
         |  COUNT(DISTINCT md5(text)) AS n_distinct,
         |  ROUND(1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) /
         |    COUNT(*), 4) AS dup_rate
-        |FROM docs GROUP BY source ORDER BY source""".stripMargin),
+        |FROM docs GROUP BY source ORDER BY source NULLS FIRST""".stripMargin),
     "dedup_template" ->
       """WITH sk AS (
         |  SELECT doc_id,

@@ -712,7 +712,7 @@ object Ranking {
         |      (1.0 - CAST(covered_c AS DOUBLE) / n), 6)
         |      AS DECIMAL(20,6)) AS DOUBLE), 4) AS js,
         |  vocab_n.n_vocab AS n_vocab
-        |FROM agg CROSS JOIN vocab_n ORDER BY source""".stripMargin,
+        |FROM agg CROSS JOIN vocab_n ORDER BY source NULLS FIRST""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

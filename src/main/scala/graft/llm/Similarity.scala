@@ -71,12 +71,19 @@ object Similarity {
     val e = t(s, d, "embeddings")
     val probe = e.filter(col("vec_id") === 0)
       .select(col("embedding").as("pf"))
+    // cache: both top-10 branches are TakeOrderedAndProject over this
+    // one narrow (vec_id, cf, ct) projection — uncached, each branch
+    // re-paid the full corpus scan + both cosine kernels (round-14
+    // review; simSearchMmr's pool.cache() is the in-file precedent).
+    // At deployment scale this is the scored-candidates table both
+    // rankings read.
     val base = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("pf")), 6).as("cf"),
         round(cosine(expr("slice(embedding, 1, 16)"),
           expr("slice(pf, 1, 16)")), 6).as("ct"))
+      .cache()
     val topFull = base.orderBy(col("cf").desc, col("vec_id")).limit(10)
       .select(col("vec_id"))
     val topTrunc = base.orderBy(col("ct").desc, col("vec_id")).limit(10)
@@ -175,9 +182,17 @@ object Similarity {
     * so COSINE ranking over the augmented space is exactly MIPS
     * ranking over the original, and any cosine index (SRP-LSH, IVF)
     * can serve inner-product retrieval (Bachrach et al., RecSys'14;
-    * Shrivastava & Li's ALSH lineage). The query orders by the
-    * augmented cosine but emits the true inner product, so it shares
-    * [[simSearchMips]]'s oracle — the gate proves the reduction. */
+    * Shrivastava & Li's ALSH lineage). Retrieval runs over the BUILT
+    * augmented vectors — the ranking key is the augmented inner
+    * product, which the fp32 kernel computes bit-identically to
+    * dot(x, q) (see inline note) — so the plan executes the
+    * reduction while matching [[simSearchMips]]'s exact oracle key.
+    * Ranking by the augmented COSINE itself would ride the float32
+    * augmentation coordinate's ~2⁻²⁴ per-row norm jitter into
+    * near-tie flips against the exact-arithmetic oracle (round-14
+    * review); the cosine half of the reduction claim — aug-cosine
+    * order ≡ inner-product order under the shared norm M — is pinned
+    * explicitly by SimilaritySpec on the fixture. */
   def simSearchMipsAugmented(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
     val corpus = e.filter(col("vec_id") =!= 0)
@@ -196,12 +211,18 @@ object Similarity {
             .cast("float"))))
       .withColumn("aug_probe",
         concat(col("probe"), array(lit(0.0f))))
+      // dot(aug, [q;0]) is BIT-IDENTICAL to dot(x, q): the kernel's
+      // double accumulator runs the first n terms in the same order
+      // and the appended term is c·0.0f = +0.0 exactly — so ranking
+      // and emitting the AUGMENTED dot both executes the reduction
+      // (retrieval genuinely runs over the augmented vectors; Catalyst
+      // cannot prune the build) and matches the exact-arithmetic
+      // oracle key, which a raw aug_cos sort could not (float32
+      // augmentation coordinate ⇒ ~2⁻²⁴ per-row norm jitter).
       .select(col("vec_id"), col("label"),
-        round(dot(col("embedding"), col("probe")), 6).as("ip"),
-        cosine(col("aug"), col("aug_probe")).as("aug_cos"))
-      .orderBy(col("aug_cos").desc, col("vec_id"))
+        round(dot(col("aug"), col("aug_probe")), 6).as("ip"))
+      .orderBy(col("ip").desc, col("vec_id"))
       .limit(10)
-      .select(col("vec_id"), col("label"), col("ip"))
   }
 
   /** IVF-style approximate top-k: k-means coarse quantizer (seeded,
@@ -322,8 +343,15 @@ object Similarity {
         x => round(x.cast("double") * 1000000d).cast("bigint")))
         .as(Seq("dim", "m")))
       .groupBy(col("dim"))
+      // Σm² accumulates in DECIMAL(38,0): m² ≈ 1e12-1e13 per row, so a
+      // BIGINT sum wraps silently past ~10⁶ rows per dimension — fine
+      // at fixture sf, garbage at corpus scale (round-14 review; the
+      // Davies-Bouldin/Calinski keys already use the decimal
+      // discipline for their d² sums). s1 stays BIGINT: |Σm| ≤ 2e6·n
+      // needs n > 4e12 PER DIM to overflow, far beyond the 100 TB
+      // shape, and the oracle's SUM returns HUGEINT either way.
       .agg(count(lit(1)).as("n"), sum(col("m")).as("s1"),
-        sum(col("m") * col("m")).as("s2"))
+        sum((col("m") * col("m")).cast("decimal(38,0)")).as("s2"))
       .select(col("dim"), col("n"),
         expr("""ROUND(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1e6,
                 6)""").as("mean"),
@@ -511,10 +539,7 @@ object Similarity {
     // micro is projected first so the 8 folds share one quantization
     // pass (CollapseProject keeps non-cheap multi-referenced lambdas
     // in their own projection — the embeddingQuantize pattern).
-    e.select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000000d).cast("bigint"))
-          .as("micro"))
+    e.select(col("vec_id"), microCol)
       .select(col("vec_id"),
         posexplode(array(projections: _*)).as(Seq("j", "proj_micro")))
       .orderBy(col("vec_id"), col("j"))
@@ -534,26 +559,8 @@ object Similarity {
     * cell id via lexicographic struct min. */
   def embeddingKmeansAssign(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding"))
-      .collect()
-      // HALF_UP like Spark's/DuckDB's round — math.round would round
-      // negative halves toward +inf and skew centroid cells
-      .map(r => (r.getInt(0),
-        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
-      .sortBy(_._1)
-    val cells = centroids.map { case (cell, cm) =>
-      val d2 = aggregate(
-        zip_with(col("micro"), typedLit(cm.toSeq),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      struct(d2.as("d2"), lit(cell).as("cell"))
-    }
-    e.select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000000d).cast("bigint"))
-          .as("micro"))
+    val cells = cellStructs(seedCentroids(s, d, 8), col("micro"))
+    e.select(col("vec_id"), microCol)
       .select(col("vec_id"), array_min(array(cells: _*)).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.d2").as("d2_micro"))
@@ -585,10 +592,12 @@ object Similarity {
           .as("sa"),
         sum(when(col("grp") === 1L, col("col")).otherwise(lit(0L)))
           .as("sb"),
+        // DECIMAL(38,0) square-sums — same silent-BIGINT-wrap hazard
+        // and fix as embeddingDimStats (round-14 review)
         sum(when(col("grp") === 0L, col("col") * col("col"))
-          .otherwise(lit(0L))).as("s2a"),
+          .otherwise(lit(0L)).cast("decimal(38,0)")).as("s2a"),
         sum(when(col("grp") === 1L, col("col") * col("col"))
-          .otherwise(lit(0L))).as("s2b"))
+          .otherwise(lit(0L)).cast("decimal(38,0)")).as("s2b"))
       .select(col("pos").cast("long").as("dim"), col("n_a"), col("n_b"),
         expr("ROUND(CAST(sa AS DOUBLE) / n_a / 1000000e0, 6)")
           .as("mean_a"),
@@ -625,24 +634,9 @@ object Similarity {
     * pair grid, bounded joins. */
   def embeddingDaviesBouldin(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding"))
-      .collect()
-      .map(r => (r.getInt(0),
-        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
-      .sortBy(_._1)
-    val cells = centroids.map { case (cell, cm) =>
-      val d2 = aggregate(
-        zip_with(col("micro"), typedLit(cm.toSeq),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      struct(d2.as("d2"), lit(cell).as("cell"))
-    }
-    val aggRows = e.select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000000d).cast("bigint"))
-          .as("micro"))
+    val centroids = seedCentroids(s, d, 8)
+    val cells = cellStructs(centroids, col("micro"))
+    val aggRows = e.select(col("vec_id"), microCol)
       .select(col("vec_id"), array_min(array(cells: _*)).as("best"))
       .select(col("best.cell").as("cell"), col("best.d2").as("d2"))
       .groupBy(col("cell"))
@@ -695,30 +689,15 @@ object Similarity {
     * kmeans_assign, one 8-row aggregate — corpus never reshuffled. */
   def embeddingCalinskiHarabasz(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding"))
-      .collect()
-      .map(r => (r.getInt(0),
-        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
-      .sortBy(_._1)
-    val csum = centroids.toSeq.map(_._2.toSeq).transpose.map(_.sum)
+    val centroids = seedCentroids(s, d, 8)
+    val csum = centroids.toSeq.map(_._2).transpose.map(_.sum)
     val dev2: Map[Int, Long] = centroids.map { case (cell, cm) =>
       cell -> cm.zip(csum).map { case (a, sc) =>
         val dv = 8L * a - sc; dv * dv
       }.sum
     }.toMap
-    val cells = centroids.map { case (cell, cm) =>
-      val d2 = aggregate(
-        zip_with(col("micro"), typedLit(cm.toSeq),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      struct(d2.as("d2"), lit(cell).as("cell"))
-    }
-    e.select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000000d).cast("bigint"))
-          .as("micro"))
+    val cells = cellStructs(centroids, col("micro"))
+    e.select(col("vec_id"), microCol)
       .select(col("vec_id"), array_min(array(cells: _*)).as("best"))
       .select(col("best.cell").as("cell"), col("best.d2").as("d2"))
       .groupBy(col("cell"))
@@ -735,18 +714,42 @@ object Similarity {
           .as("ch_index"))
   }
 
-  /** 16-centroid/8-subspace model state shared by the PQ pair below:
-    * slice-local centroids from vectors 0..15, micro-quantized — the
-    * same bounded "trained artifact" shape as [[embeddingKmeansAssign]]
-    * (k×dim literals in the plan, no joined relation). */
-  private def pqCentroids(s: SparkSession, d: String): Array[(Int, Seq[Long])] =
-    t(s, d, "embeddings").filter(col("vec_id") < 16)
-      .select(col("vec_id").cast("int"), col("embedding"))
+  /** Deterministic seed-centroid model state — the k lowest vec_ids,
+    * micro-quantized with HALF_UP (Spark's/DuckDB's round semantics;
+    * math.round would round negative halves toward +inf and skew
+    * cells). The ONE collect/quantize the whole cluster-audit and
+    * quantization family shares (round-14 review: five inline copies
+    * meant a tiebreak or quantization change had to be applied five
+    * times or the keys silently diverged from each other). Bounded
+    * driver state: k×dim longs. */
+  private def seedCentroids(s: SparkSession, d: String,
+      k: Int): Array[(Int, Seq[Long])] =
+    t(s, d, "embeddings").filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding"))
       .collect()
       .map(r => (r.getInt(0),
         r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toSeq))
       .sortBy(_._1)
+
+  /** (d2, cell) candidate structs for `src` against each centroid —
+    * consumers take array_min (assignment argmin, lowest-cell
+    * tiebreak via lexicographic struct order) or array_sort
+    * (silhouette's runner-up). Distances are exact integer micro². */
+  private def cellStructs(cents: Seq[(Int, Seq[Long])],
+      src: Column): Seq[Column] =
+    cents.map { case (cell, cm) =>
+      struct(aggregate(zip_with(src, typedLit(cm),
+          (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x).as("d2"), lit(cell).as("cell"))
+    }
+
+  /** 16-centroid/8-subspace model state shared by the PQ pair below:
+    * slice-local centroids from vectors 0..15 — the same bounded
+    * "trained artifact" shape as [[embeddingKmeansAssign]] (k×dim
+    * literals in the plan, no joined relation). */
+  private def pqCentroids(s: SparkSession, d: String): Array[(Int, Seq[Long])] =
+    seedCentroids(s, d, 16)
 
   /** Per-subspace argmin codes as array<struct<d2,c>> (index = m). */
   private def pqBest(cents: Array[(Int, Seq[Long])]): Column =
@@ -1287,24 +1290,8 @@ object Similarity {
     * model state in the plan — no joined relation, scale-safe. */
   def embeddingSilhouette(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val centroids = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").cast("int").as("cell"), col("embedding"))
-      .collect()
-      .map(r => (r.getInt(0),
-        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
-      .sortBy(_._1)
-    val cells = centroids.map { case (cell, cm) =>
-      val d2 = aggregate(
-        zip_with(col("micro"), typedLit(cm.toSeq),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      struct(d2.as("d2"), lit(cell).as("cell"))
-    }
-    e.select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000000d).cast("bigint"))
-          .as("micro"))
+    val cells = cellStructs(seedCentroids(s, d, 8), col("micro"))
+    e.select(col("vec_id"), microCol)
       .select(col("vec_id"), array_sort(array(cells: _*)).as("sorted"))
       .select(col("vec_id"),
         col("sorted")(0).getField("cell").as("cell"),
@@ -1328,8 +1315,13 @@ object Similarity {
     * the final 1-row reduce — the per-dimension sums are dim parallel
     * aggregate buffers (partial+final hash aggregate), so the shuffled
     * state is dim+2 numbers regardless of corpus size. Exact
-    * arithmetic: micro-quantized BIGINT components; Σ‖v‖² an exact
-    * BIGINT; each per-dim sum an exact BIGINT whose square is held in
+    * arithmetic: micro-quantized BIGINT components; Σ‖v‖² accumulated
+    * in DECIMAL(38,0) — per-vector micro norm² is ~1e12, so a BIGINT
+    * corpus sum wraps past ~10⁷ vectors (round-14 review) — and
+    * EMITTED as the nearest double (both sides round the same exact
+    * integer, so the gate hash agrees at any scale); each per-dim sum
+    * an exact BIGINT (|Σm| needs > 9e18, i.e. >4e12 max-magnitude
+    * vectors, to wrap) whose square is held in
     * DECIMAL(19,0)×DECIMAL(19,0) (the [[graft.llm.Dedup.dedupSemdedup]]
     * width-19 discipline) and decimal-summed exactly; C closes in ONE
     * double expression. The oracle recomputes the same integers via an
@@ -1338,21 +1330,20 @@ object Similarity {
     val e = t(s, d, "embeddings")
     val dim = e.limit(1).select(size(col("embedding")))
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
-    val m = e.select(transform(col("embedding"),
-      x => round(x.cast("double") * 1000000d).cast("bigint")).as("micro"))
+    val m = e.select(microCol)
     val dimSums = (1 to dim).map(j =>
       sum(element_at(col("micro"), j)).as(s"s$j"))
     val norm2 = sum(aggregate(transform(col("micro"), x => x * x),
-      lit(0L), (a, x) => a + x)).as("sum_norm2")
+      lit(0L), (a, x) => a + x).cast("decimal(38,0)")).as("sum_norm2")
     val ns2Terms = (1 to dim)
       .map(j => s"CAST(s$j AS DECIMAL(19,0)) * CAST(s$j AS DECIMAL(19,0))")
       .mkString(" + ")
     m.agg(count(lit(1)).as("n"), (norm2 +: dimSums): _*)
-      .select(col("n"), col("sum_norm2"),
+      .select(col("n"), col("sum_norm2").cast("double").as("sum_norm2"),
         expr(s"CAST(($ns2Terms) AS DOUBLE)").as("norm_of_sum2"))
       .select(col("n"), col("sum_norm2"), col("norm_of_sum2"),
         expr("""ROUND(norm_of_sum2 /
-                (CAST(n AS DOUBLE) * CAST(sum_norm2 AS DOUBLE)), 6)""")
+                (CAST(n AS DOUBLE) * sum_norm2), 6)""")
           .as("concentration"))
   }
 
@@ -1376,13 +1367,8 @@ object Similarity {
     * codebook does not guarantee improvement per vector. */
   def embeddingRvqEncode(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val raw = e.filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
-          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray))
-      .sortBy(_._1)
+    val raw = seedCentroids(s, d, 16)
+      .map { case (c, cm) => (c.toLong, cm.toArray) }
     val cb1 = raw.filter(_._1 < 8).map(_._2)
     def assign1(m: Array[Long]): Int =
       cb1.zipWithIndex.map { case (cm, c) =>
@@ -1394,21 +1380,14 @@ object Similarity {
     }
     def argmin(cells: Seq[org.apache.spark.sql.Column]) =
       array_min(array(cells: _*))
-    val l1Cells = cb1.toSeq.zipWithIndex.map { case (cm, c) =>
-      struct(aggregate(zip_with(col("micro"), typedLit(cm.toSeq),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-        .as("d2"), lit(c).as("cell"))
-    }
+    val l1Cells = cellStructs(
+      cb1.toSeq.zipWithIndex.map { case (cm, c) => (c, cm.toSeq) },
+      col("micro"))
     val cb1Lit = typedLit(cb1.map(_.toSeq).toSeq)
-    val l2Cells = cb2.toSeq.zipWithIndex.map { case (rm, k) =>
-      struct(aggregate(zip_with(col("resid"), typedLit(rm.toSeq),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-        .as("d2"), lit(k).as("cell"))
-    }
-    e.select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000000d).cast("bigint"))
-          .as("micro"))
+    val l2Cells = cellStructs(
+      cb2.toSeq.zipWithIndex.map { case (rm, k) => (k, rm.toSeq) },
+      col("resid"))
+    e.select(col("vec_id"), microCol)
       .withColumn("b1", argmin(l1Cells))
       .withColumn("resid",
         zip_with(col("micro"),
@@ -1558,13 +1537,15 @@ object Similarity {
         |  FROM dims
         |), base AS (
         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    -- HUGEINT sum emitted as its nearest double (engine:
+        |    -- DECIMAL(38,0) -> double) — a BIGINT wraps at corpus scale
         |    CAST(SUM(list_sum(list_transform(m, x -> x * x)))
-        |      AS BIGINT) AS sum_norm2
+        |      AS DOUBLE) AS sum_norm2
         |  FROM e
         |)
         |SELECT n, sum_norm2, norm_of_sum2,
         |  ROUND(norm_of_sum2 /
-        |  (CAST(n AS DOUBLE) * CAST(sum_norm2 AS DOUBLE)), 6)
+        |  (CAST(n AS DOUBLE) * sum_norm2), 6)
         |    AS concentration
         |FROM base CROSS JOIN ns""".stripMargin,
     "embedding_pq_encode" -> (pqCte +
@@ -1751,7 +1732,7 @@ object Similarity {
         |), g AS (
         |  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(v) AS BIGINT) AS s1,
-        |    CAST(SUM(v * v) AS BIGINT) AS s2
+        |    SUM(v * v) AS s2 -- HUGEINT: exact at any scale (engine: DECIMAL(38,0))
         |  FROM m GROUP BY 1
         |)
         |SELECT CAST(dim AS INTEGER) AS dim, n,
@@ -1786,10 +1767,10 @@ object Similarity {
         |      AS sa,
         |    CAST(SUM(CASE WHEN grp = 1 THEN v ELSE 0 END) AS BIGINT)
         |      AS sb,
-        |    CAST(SUM(CASE WHEN grp = 0 THEN v * v ELSE 0 END) AS BIGINT)
-        |      AS s2a,
-        |    CAST(SUM(CASE WHEN grp = 1 THEN v * v ELSE 0 END) AS BIGINT)
-        |      AS s2b
+        |    SUM(CASE WHEN grp = 0 THEN v * v ELSE 0 END)
+        |      AS s2a, -- HUGEINT square-sums: exact at any scale
+        |    SUM(CASE WHEN grp = 1 THEN v * v ELSE 0 END)
+        |      AS s2b -- (engine side: DECIMAL(38,0))
         |  FROM px GROUP BY 1
         |)
         |SELECT CAST(dim AS BIGINT) AS dim, n_a, n_b,

@@ -1679,7 +1679,7 @@ object TextStats {
          |  ROUND(CAST(n AS DOUBLE)
          |    / CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
          |    AS row_share
-         |FROM g ORDER BY lang, lang_pred""".stripMargin,
+         |FROM g ORDER BY lang NULLS FIRST, lang_pred NULLS FIRST""".stripMargin,
     // (lang, word) counts → integer N and S2 moments; one double
     // expression per richness constant, identical text both engines
     "text_yule_k" ->
@@ -1702,7 +1702,7 @@ object TextStats {
         |  ROUND(CAST(s2 - n_tokens AS DOUBLE)
         |        / (CAST(n_tokens AS DOUBLE)
         |           * CAST(n_tokens - 1 AS DOUBLE)), 9) AS simpson_d
-        |FROM g ORDER BY lang""".stripMargin,
+        |FROM g ORDER BY lang NULLS FIRST""".stripMargin,
     // same tokenization and space-joined gram keys; exact BIGINT
     // counts; ONE closing double division
     "text_distinct_ngrams" ->
@@ -1763,7 +1763,7 @@ object TextStats {
         |SELECT lang, n_docs, n_words, n_sents, n_syll,
         |  ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
         |     - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 4) AS flesch
-        |FROM g ORDER BY lang""".stripMargin,
+        |FROM g ORDER BY lang NULLS FIRST""".stripMargin,
     // (lang, word) counts → integer hapax/dis/vocab; one double ratio
     "text_hapax_ratio" ->
       """WITH toks AS (
@@ -1785,7 +1785,7 @@ object TextStats {
         |)
         |SELECT lang, vocab, n_bigrams, hapax, dis,
         |  ROUND(CAST(hapax AS DOUBLE) / vocab, 6) AS hapax_ratio
-        |FROM g ORDER BY lang""".stripMargin,
+        |FROM g ORDER BY lang NULLS FIRST""".stripMargin,
     // inverted-index pair meet on shared tokens; |A∪B| closed in
     // integers, one division per bounded pair row
     "text_source_vocab_jaccard" ->
@@ -1899,7 +1899,7 @@ object TextStats {
         |SELECT lang, COUNT(*) AS n_tokens,
         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
         |  ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
-        |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM j GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     // integer counts + integer gate (25*stop >= tok); exact BIGINT
     // sums; one identical closing double division
     "text_stopword_ratio" ->
@@ -1917,7 +1917,7 @@ object TextStats {
         |  CAST(SUM(CASE WHEN n_stop * 25 >= n_tok THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_pass,
         |  ROUND(CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok), 6) AS stop_ratio
-        |FROM t GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+        |FROM t GROUP BY lang, source ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "tokenize_bpe_merges" ->
       """WITH words AS (
         |  SELECT w, COUNT(*) AS n_w FROM (
@@ -2027,13 +2027,13 @@ object TextStats {
         |), best AS (
         |  SELECT doc_id, lang, profile_lang,
         |    ROW_NUMBER() OVER (PARTITION BY doc_id
-        |      ORDER BY overlap DESC, profile_lang ASC) AS rn
+        |      ORDER BY overlap DESC, profile_lang ASC NULLS FIRST) AS rn
         |  FROM overlap
         |)
         |SELECT lang, profile_lang AS lang_pred, COUNT(*) AS n_docs
         |FROM best WHERE rn = 1
         |GROUP BY lang, profile_lang
-        |ORDER BY lang, lang_pred""".stripMargin,
+        |ORDER BY lang NULLS FIRST, lang_pred NULLS FIRST""".stripMargin,
     "text_edit_distance" ->
       """SELECT doc_id, source,
         |  'src' || CAST(doc_id % 7 AS VARCHAR) AS guess,
@@ -2141,7 +2141,7 @@ object TextStats {
         |SELECT lang, n_docs, n_kept,
         |  ROUND(CAST(n_kept AS DOUBLE) / n_docs, 6) AS keep_rate,
         |  ROUND(CAST(sw AS DOUBLE) / (1000000e0 * nt), 6) AS avg_margin
-        |FROM g ORDER BY lang""".stripMargin,
+        |FROM g ORDER BY lang NULLS FIRST""".stripMargin,
     // the composite chain with the learned gate between rules and
     // dedup; margin replays the same integer evidence
     "composite_curation_classified" ->
@@ -2231,7 +2231,7 @@ object TextStats {
         |    AS DOUBLE) / len(string_split(text, ' '))) AS DECIMAL(18,8)), 4)
         |    AS DOUBLE) AS avg_uniq_ratio
         |FROM documents GROUP BY lang, source
-        |ORDER BY lang, source""".stripMargin,
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "tokenize_to_ids" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -2270,7 +2270,7 @@ object TextStats {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, lang, rn FROM h
-        |WHERE rn <= 25 ORDER BY lang, rn""".stripMargin,
+        |WHERE rn <= 25 ORDER BY lang NULLS FIRST, rn""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
@@ -2413,7 +2413,7 @@ object TextStats {
         |  COUNT(*) AS n_mentions, COUNT(DISTINCT g.doc_id) AS n_docs
         |FROM g JOIN gaz ON g.bigram = gaz.entity
         |GROUP BY 1, 2, 3
-        |ORDER BY g.source, gaz.entity""".stripMargin,
+        |ORDER BY g.source NULLS FIRST, gaz.entity""".stripMargin,
     // same phrase segmentation (running stopword count), identical
     // (1e6·deg) // freq word micros, per-doc top-3 with the same
     // (score desc, phrase, phrase_id) tiebreak

@@ -4862,7 +4862,7 @@ object Aggregates {
         |  CAST(MIN(v) AS DOUBLE) AS var_95,
         |  ROUND(CAST(SUM(v * take) AS DOUBLE) / k, 4) AS cvar_95
         |FROM tk WHERE take > 0
-        |GROUP BY 1, 2, 3 ORDER BY event_type""".stripMargin,
+        |GROUP BY 1, 2, 3 ORDER BY event_type NULLS FIRST""".stripMargin,
     // per-row round-then-decimal ln terms (agg_entropy discipline),
     // exact sum, one closing exp
     "agg_geometric_mean" ->
@@ -4874,7 +4874,7 @@ object Aggregates {
         |    CASE WHEN value > 0.0
         |      THEN CAST(ROUND(ln(value), 6) AS DECIMAL(20,6)) END AS lnv
         |  FROM events)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     // plain cumulative over the value grid (the engine's two-level
     // bucketed prefix is the distributed equivalent); exact pair
     // counts, one closing division, Romano magnitude bands
@@ -5015,7 +5015,7 @@ object Aggregates {
         |  ROUND((s1 / n1 - s0 / n0 - 5.0) / se, 4) AS t_upper,
         |  (s1 / n1 - s0 / n0 + 5.0) / se > 1.645 AND
         |  (s1 / n1 - s0 / n0 - 5.0) / se < -1.645 AS equivalent
-        |FROM se ORDER BY event_type""".stripMargin,
+        |FROM se ORDER BY event_type NULLS FIRST""".stripMargin,
     // complete-block day×type extreme indicators → Fleiss' kappa via
     // the exact integer cross-multiplication (ae - bc) / (b(e - c))
     "agg_fleiss_kappa" ->
@@ -5193,7 +5193,7 @@ object Aggregates {
         |    - (CAST(s_c1 AS DOUBLE) / CAST(c_c1 AS DOUBLE)
         |    - CAST(s_c0 AS DOUBLE) / CAST(c_c0 AS DOUBLE)), 6)
         |    AS did
-        |FROM g ORDER BY event_type""".stripMargin,
+        |FROM g ORDER BY event_type NULLS FIRST""".stripMargin,
     // (user, day) dedup + day-shifted self-joins; integer splits
     "agg_growth_accounting" ->
       """WITH ud AS (
@@ -5253,7 +5253,7 @@ object Aggregates {
         |            THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(2 * COUNT(*) AS DOUBLE), 6) AS apdex
         |FROM events GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     // per-user reverse-cumulative next-non-error lookup; exact µs
     // gap sums; two single-division closes
     "agg_mtbf_mttr" ->
@@ -5416,7 +5416,7 @@ object Aggregates {
         |  CAST(MIN(vq) AS DOUBLE) AS kept_lo,
         |  CAST(MAX(vq) AS DOUBLE) AS kept_hi
         |FROM r WHERE rn > n // 10 AND rn <= n - n // 10
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     // per-(type, user) presence bits; integer captures; one double
     // per estimator with exact m = 0 guard
     "agg_capture_recapture" ->
@@ -5445,7 +5445,7 @@ object Aggregates {
         |    / CAST(m AS DOUBLE), 6) END AS n_lp,
         |  ROUND(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
         |    / CAST(m + 1 AS DOUBLE) - 1e0, 6) AS n_chapman
-        |FROM g ORDER BY event_type""".stripMargin,
+        |FROM g ORDER BY event_type NULLS FIRST""".stripMargin,
     // four integer cells; pooled z in one double expression; exact
     // degenerate-rate guard
     "agg_two_proportion_z" ->
@@ -5471,7 +5471,7 @@ object Aggregates {
         |      * (1e0 / CAST(n1 AS DOUBLE)
         |         + 1e0 / CAST(n2 AS DOUBLE))), 6)
         |  END AS z_stat
-        |FROM g ORDER BY event_type""".stripMargin,
+        |FROM g ORDER BY event_type NULLS FIRST""".stripMargin,
     // fixed 5-term integer-ratio product per task; deterministic
     // decile bucketing of the double (no order-dependent mean)
     "agg_pass_at_k" ->
@@ -5496,7 +5496,7 @@ object Aggregates {
         |  LEAST(9, CAST(FLOOR(pass5 * 10e0) AS INTEGER)) AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n_tasks
         |FROM p GROUP BY 1, 2
-        |ORDER BY event_type, bucket""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, bucket""".stripMargin,
     // complete-block binary cells; four integer moments; exact
     // degenerate-denominator guard
     "agg_cochran_q" ->
@@ -5542,7 +5542,7 @@ object Aggregates {
         |    / (CAST(k AS DOUBLE) * CAST(sum_r AS DOUBLE)
         |       - CAST(sum_r2 AS DOUBLE)), 6)
         |  END AS q_stat
-        |FROM s ORDER BY event_type""".stripMargin,
+        |FROM s ORDER BY event_type NULLS FIRST""".stripMargin,
     // paired keep-decisions; four integer cells, one double closure
     "agg_mcnemar_test" ->
       """WITH p AS (
@@ -5605,7 +5605,7 @@ object Aggregates {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM fd JOIN v ON fd.event_type = v.event_type
         |GROUP BY 1, 2, 3, 4
-        |ORDER BY fd.event_type""".stripMargin,
+        |ORDER BY fd.event_type NULLS FIRST""".stripMargin,
     // integer daily-count moments; overdispersion verdict decided in
     // exact integers, never on the rounded double
     "agg_dispersion_index" ->
@@ -5624,7 +5624,7 @@ object Aggregates {
         |    / (CAST(n_days - 1 AS DOUBLE) * CAST(s1 AS DOUBLE)), 6)
         |    AS dispersion,
         |  n_days * s2 - s1 * s1 > (n_days - 1) * s1 AS overdispersed
-        |FROM g ORDER BY event_type""".stripMargin,
+        |FROM g ORDER BY event_type NULLS FIRST""".stripMargin,
     // per-type permutation p-values (exact rationals k/101) → BH
     // step-up via the integer comparison 100·m·p_num ≤ 505·rank,
     // with family size m counted in-query (COUNT(*) OVER ())
@@ -5665,7 +5665,7 @@ object Aggregates {
         |  GROUP BY 1),
         |r AS (
         |  SELECT event_type, obs_diff, p_num,
-        |    ROW_NUMBER() OVER (ORDER BY p_num, event_type) AS rnk,
+        |    ROW_NUMBER() OVER (ORDER BY p_num, event_type NULLS FIRST) AS rnk,
         |    COUNT(*) OVER () AS m
         |  FROM p),
         |cut AS (
@@ -5676,7 +5676,7 @@ object Aggregates {
         |SELECT event_type, obs_diff, p_num,
         |  ROUND(CAST(p_num AS DOUBLE) / 101e0, 6) AS p_value,
         |  COALESCE(p_num <= istar_pnum, FALSE) AS rejected
-        |FROM cut ORDER BY event_type""".stripMargin,
+        |FROM cut ORDER BY event_type NULLS FIRST""".stripMargin,
     // complete-block day×type decimal cells → integer within-day
     // ranks (type tiebreak, no midranks) → rank-sum χ²_F closure
     "agg_friedman_test" ->
@@ -5692,7 +5692,7 @@ object Aggregates {
         |), ranked AS (
         |  SELECT c.event_type,
         |    ROW_NUMBER() OVER (PARTITION BY c.day
-        |      ORDER BY c.sv, c.event_type) AS r
+        |      ORDER BY c.sv, c.event_type NULLS FIRST) AS r
         |  FROM cell c JOIN blocks b ON c.day = b.day
         |), g AS (
         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_blocks,
@@ -5710,7 +5710,7 @@ object Aggregates {
         |       * CAST(k + 1 AS DOUBLE))
         |    - 3e0 * CAST(n_blocks AS DOUBLE)
         |      * CAST(k + 1 AS DOUBLE), 6) AS chi2_f
-        |FROM s ORDER BY event_type""".stripMargin,
+        |FROM s ORDER BY event_type NULLS FIRST""".stripMargin,
     // exact DECIMAL spend sums; decile via native ntile (mirrors
     // ntileFromRank's closed-form bucket arithmetic bit-identically);
     // cumulative window above the 10-row aggregate; double casts last
@@ -5776,7 +5776,7 @@ object Aggregates {
         |      + 1e0 / CAST(b AS DOUBLE) + 1e0 / CAST(c AS DOUBLE)
         |      + 1e0 / CAST(d AS DOUBLE)), 6)
         |  END AS ci_hi
-        |FROM g ORDER BY event_type""".stripMargin,
+        |FROM g ORDER BY event_type NULLS FIRST""".stripMargin,
     // (n, k) integer cells; Wilson bounds are one double expression
     // each with literal z-constants (identical text both engines)
     "agg_wilson_ci" ->
@@ -5801,7 +5801,7 @@ object Aggregates {
         |        / CAST(n AS DOUBLE)
         |        + 0.9604e0 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
         |    / (1e0 + 3.8416e0 / CAST(n AS DOUBLE)), 6) AS wilson_hi
-        |FROM g ORDER BY event_type""".stripMargin,
+        |FROM g ORDER BY event_type NULLS FIRST""".stripMargin,
     // (user, day) dedup + 7-day fan-out + second dedup — two exact
     // aggregates, no sliding distinct window; one closing division
     "agg_dau_wau" ->
@@ -5838,7 +5838,7 @@ object Aggregates {
         |)
         |SELECT event_type, CAST(rn - 1 AS INTEGER) AS pos, uid
         |FROM r WHERE rn <= 10
-        |ORDER BY event_type, pos""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, pos""".stripMargin,
     // value-DESC/event_id total order; per-positive precision terms
     // round@12 → decimal; ONE closing double division
     "agg_average_precision" ->
@@ -5928,7 +5928,7 @@ object Aggregates {
         |FROM ranked r JOIN xk USING (event_type)
         |WHERE rn <= 50
         |GROUP BY r.event_type, xk1
-        |ORDER BY r.event_type""".stripMargin,
+        |ORDER BY r.event_type NULLS FIRST""".stripMargin,
     // exact p95 via the distinct-value crossing at ceil(n*19/20);
     // decimal-exact excess sums; ONE closing double division
     "agg_mean_excess" ->
@@ -5958,7 +5958,7 @@ object Aggregates {
         |    AS max_excess
         |FROM base b JOIN thr USING (event_type)
         |GROUP BY 1, 2, 3
-        |ORDER BY b.event_type""".stripMargin,
+        |ORDER BY b.event_type NULLS FIRST""".stripMargin,
     // decimal-exact values; median and residual quantile via the
     // distinct-value cumulative crossing; integer ceil rank
     // ((a*9+9)//10); ONE closing double division
@@ -6009,7 +6009,7 @@ object Aggregates {
         |  JOIN qv USING (event_type)
         |WHERE NOT is_cal
         |GROUP BY 1, 2, 3, 4
-        |ORDER BY b.event_type""".stripMargin,
+        |ORDER BY b.event_type NULLS FIRST""".stripMargin,
     // integer-cent weights on the value table; lower weighted median
     // by all-integer 2·cumw ≥ W selection
     "agg_weighted_median" ->
@@ -6229,7 +6229,7 @@ object Aggregates {
         |  quantile_disc(gap_us, 0.5) AS p50_gap_us,
         |  quantile_disc(gap_us, 0.95) AS p95_gap_us
         |FROM g WHERE gap_us IS NOT NULL
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     // integer arm counts; (n0-n1)^2/n with identical double text and
     // the chi2_1 95% literal pinned on both engines
     "agg_srm_check" ->
@@ -6374,7 +6374,7 @@ object Aggregates {
         |    AS is_median_bucket,
         |  CAST(pow(2, bucket - 1) AS BIGINT) AS lo_cents,
         |  CAST(pow(2, bucket) - 1 AS BIGINT) AS hi_cents
-        |FROM cm ORDER BY event_type, bucket""".stripMargin,
+        |FROM cm ORDER BY event_type NULLS FIRST, bucket""".stripMargin,
     "agg_time_to_convert" ->
       """WITH v AS (
         |  SELECT user_id, MIN(epoch_us(ts)) AS first_view
@@ -6616,7 +6616,7 @@ object Aggregates {
         |    AS mean_winsorized,
         |  ROUND(CAST(SUM(vq) - SUM(wq) AS DOUBLE) / COUNT(*), 4)
         |    AS outlier_influence
-        |FROM cl GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM cl GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     // operands cast to DECIMAL(19,4): DuckDB needs the product width
     // (19+19=38) to fit its max decimal; the VALUES are identical to
     // the engine's (18,4) casts, so the sums match exactly
@@ -6669,7 +6669,7 @@ object Aggregates {
         |    AS span_us
         |FROM events CROSS JOIN wm
         |GROUP BY event_type, watermark_us
-        |ORDER BY event_type""".stripMargin,
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     // exact integer/decimal moments; identical closing double text
     "agg_cuped" ->
       """WITH u AS (
@@ -6783,7 +6783,7 @@ object Aggregates {
         |  ROUND(ratio - 1.96 * se, 6) AS ci_lo,
         |  ROUND(ratio + 1.96 * se, 6) AS ci_hi
         |FROM r
-        |ORDER BY event_type""".stripMargin,
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     // same exact moments; z literals combine as exact decimals; CEIL
     // of identically-derived doubles
     "agg_power_analysis" ->
@@ -6812,7 +6812,7 @@ object Aggregates {
         |    AS BIGINT) AS n_per_arm
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     // seeded Poisson weights are all-integer decisions; replicate
     // means are exact decimal sums with one closing double division;
     // CI bounds are order statistics (no interpolated quantile)
@@ -7213,7 +7213,7 @@ object Aggregates {
         |  ROUND(CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) * n / xx) *
         |      ln(CAST(x AS DOUBLE) * n / xx), 8) AS DECIMAL(20,8)))
         |    AS DOUBLE) / MAX(n), 6) AS theil
-        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM m GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     // chi2 machinery + the min(r-1,c-1) normalizer; final sqrt is the
     // only extra float op
     "agg_cramers_v" ->
@@ -7313,7 +7313,7 @@ object Aggregates {
         |  CAST(SUM(x) AS BIGINT) AS total,
         |  ROUND(CAST(2 * SUM(r * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE) /
         |        CAST(COUNT(*) * SUM(x) AS DOUBLE), 6) AS gini
-        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM r GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "agg_entropy" ->
       """WITH ct AS (
         |  SELECT user_id, event_type, COUNT(*) AS c
@@ -7357,7 +7357,7 @@ object Aggregates {
     "agg_bitmap_distinct" ->
       """SELECT event_type,
         |  COUNT(DISTINCT user_id) AS n_distinct_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "agg_funnel" ->
       """WITH g AS (
         |  SELECT user_id,
@@ -7417,7 +7417,7 @@ object Aggregates {
         |      ORDER BY n DESC, user_id ASC) AS rn
         |  FROM freq)
         |SELECT event_type, user_id AS mode_user, n
-        |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin,
+        |FROM ranked WHERE rn = 1 ORDER BY event_type NULLS FIRST""".stripMargin,
     "agg_arg_extremes" ->
       """SELECT o_orderpriority,
         |  arg_max(o_orderkey, o_totalprice) AS top_order,
@@ -7430,7 +7430,7 @@ object Aggregates {
         |  CAST(ROUND(CAST(SUM(value) AS DECIMAL(19,4)), 2) AS DOUBLE)
         |    AS sum_value,
         |  COUNT(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "agg_string_concat" ->
       """SELECT c_nationkey,
         |  string_agg(CAST(c_custkey AS VARCHAR), ','

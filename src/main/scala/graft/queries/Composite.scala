@@ -553,7 +553,7 @@ object Composite {
         |    AS dup_rate,
         |  ROUND(CAST(q_sum AS DOUBLE) / q_n, 4) AS mean_quality
         |FROM vol JOIN q USING (source)
-        |ORDER BY source""".stripMargin),
+        |ORDER BY source NULLS FIRST""".stripMargin),
     "composite_tpch_q19" ->
       """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
         |  (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))

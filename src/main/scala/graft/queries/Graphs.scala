@@ -852,7 +852,7 @@ object Graphs {
         |FROM scc s1 JOIN (
         |  SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY scc_id) s2
         |  ON s1.scc_id = s2.scc_id
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type NULLS FIRST""".stripMargin)
   }
 
   /** Harmonic centrality on the directed type-transition graph —
@@ -886,7 +886,7 @@ object Graphs {
         |)
         |SELECT event_type, n_reachable, h_lcm,
         |  ROUND(CAST(h_lcm AS DOUBLE) / 27720, 4) AS harmonic
-        |FROM h ORDER BY event_type""".stripMargin)
+        |FROM h ORDER BY event_type NULLS FIRST""".stripMargin)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -956,7 +956,7 @@ object Graphs {
         |)
         |SELECT event_type, n_reachable, h_lcm,
         |  ROUND(CAST(h_lcm AS DOUBLE) / 27720, 4) AS harmonic
-        |FROM h ORDER BY event_type""".stripMargin,
+        |FROM h ORDER BY event_type NULLS FIRST""".stripMargin,
     // same bounded-hop walk + mutual-reachability minimization; the
     // lag/lead tiebreak (ts, event_id) matches the engine exactly
     "graph_scc" ->
@@ -994,7 +994,7 @@ object Graphs {
         |FROM scc s1 JOIN (
         |  SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY scc_id) s2
         |  ON s1.scc_id = s2.scc_id
-        |ORDER BY event_type""".stripMargin,
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     // same degree-ordered orientation as graph_triangles, global
     // integer counts, one double transitivity
     "graph_clustering_coefficient" -> (edgeCte +

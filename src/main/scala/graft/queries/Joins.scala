@@ -739,7 +739,7 @@ object Joins {
         |FROM probes JOIN registry
         |  ON length(source) IN (length(corrupt), length(corrupt) + 1)
         |WHERE levenshtein(corrupt, source) <= 1
-        |ORDER BY corrupt, source""".stripMargin,
+        |ORDER BY corrupt, source NULLS FIRST""".stripMargin,
     "join_null_aware_anti" ->
       """SELECT
         |  (SELECT COUNT(*) FROM orders

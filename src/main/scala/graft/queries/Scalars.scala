@@ -333,7 +333,7 @@ object Scalars {
         |    AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
         |    AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "scalar_try_cast" ->
       """WITH raws AS (
         |  SELECT doc_id,

@@ -424,7 +424,7 @@ object SourceFormats {
         |    AS sum_value
         |FROM events JOIN dim USING (event_type)
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin,
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
     "source_csv_dialect" ->
       """SELECT doc_id, lang, text FROM documents
         |ORDER BY doc_id""".stripMargin

@@ -366,7 +366,7 @@ object Windows {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
         |) WHERE n14 = 14 AND sg + sl > 0
-        |ORDER BY event_type, day""".stripMargin)
+        |ORDER BY event_type NULLS FIRST, day""".stripMargin)
   }
 
   /** Bollinger bands over the daily per-type value series: trailing
@@ -401,7 +401,7 @@ object Windows {
         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         |  ) WHERE n = 20 AND (sxx - sx * sx / n) / (n - 1) > 0
         |)
-        |ORDER BY event_type, day""".stripMargin)
+        |ORDER BY event_type NULLS FIRST, day""".stripMargin)
   }
 
   /** Distribution functions: percent_rank / cume_dist (exact ratios of
@@ -1577,7 +1577,7 @@ object Windows {
         |  CAST(r.level + 7 * r.trend AS BIGINT) AS forecast7_u
         |FROM rec r JOIN nd ON nd.event_type = r.event_type
         |  AND nd.n_days = r.rn
-        |ORDER BY r.event_type""".stripMargin,
+        |ORDER BY r.event_type NULLS FIRST""".stripMargin,
     // 14 pivoted per-dow integer moments; the between-group sum is
     // the same fixed-order 7-term double expression as the engine's
     "window_seasonal_strength" -> {
@@ -1618,7 +1618,7 @@ object Windows {
          |  / (CAST(s2 AS DOUBLE)
          |    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
          |      / CAST(n AS DOUBLE))), 6) AS seasonal_strength
-         |FROM g ORDER BY event_type""".stripMargin
+         |FROM g ORDER BY event_type NULLS FIRST""".stripMargin
     },
     // integer extrema products; Kendall moments close in one double
     "window_turning_points" ->
@@ -1643,7 +1643,7 @@ object Windows {
         |    - 2e0 * CAST(n_days - 2 AS DOUBLE) / 3e0)
         |    / SQRT(CAST(16 * n_days - 29 AS DOUBLE) / 90e0), 6)
         |    AS z_stat
-        |FROM g ORDER BY event_type""".stripMargin,
+        |FROM g ORDER BY event_type NULLS FIRST""".stripMargin,
     // decimal weekly masses cumulated per cohort; integer cohort
     // sizes; one LTV division per row
     "window_cohort_ltv" ->
@@ -1729,7 +1729,7 @@ object Windows {
         |SELECT event_type, n_days, p_max - p_min AS rn_num,
         |  ROUND(CAST(p_max - p_min AS DOUBLE)
         |    / SQRT(CAST(n_days * s2 - s1 * s1 AS DOUBLE)), 6) AS rs_stat
-        |FROM g ORDER BY event_type""".stripMargin,
+        |FROM g ORDER BY event_type NULLS FIRST""".stripMargin,
     // integer lags/sums from one keyed window; trailing mean closes
     // as a single division, NULL until the 7-row frame fills
     "window_lag_features" ->
@@ -1748,7 +1748,7 @@ object Windows {
         |WINDOW w AS (PARTITION BY event_type ORDER BY day),
         |  f AS (PARTITION BY event_type ORDER BY day
         |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_type, day""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, day""".stripMargin,
     // 7-row centered frame → integer residual numerators → one
     // double division per (type, dow); DuckDB dow is 0-based
     "window_seasonal_index" ->
@@ -1771,7 +1771,7 @@ object Windows {
         |  ROUND(CAST(SUM(resid_num) AS DOUBLE)
         |    / (7e0 * CAST(COUNT(*) AS DOUBLE)), 6) AS seasonal
         |FROM r GROUP BY 1, 2
-        |ORDER BY event_type, dow""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, dow""".stripMargin,
     // day-banded self-join over the daily aggregate; exact two-pick
     // median of ≤6 integer-delta slopes; (lo+hi)/2e0 closure
     "window_theil_sen" ->
@@ -1800,7 +1800,7 @@ object Windows {
         |SELECT event_type, day, CAST(MAX(m) AS BIGINT) AS n_slopes,
         |  ROUND((MIN(slope) + MAX(slope)) / 2e0, 6) AS ts_slope
         |FROM picked GROUP BY 1, 2
-        |ORDER BY event_type, day""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, day""".stripMargin,
     // derived check: exact 30-day MAU via date fan-out; the sketch
     // estimate's 5% bound is pinned TRUE (lgK=14 ⇒ ~0.8% typical)
     "window_mau_sketch" ->
@@ -1906,7 +1906,7 @@ object Windows {
         |        CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE), 6) AS twap
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY event_type, day
-        |ORDER BY event_type, day""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, day""".stripMargin,
     // exact frame sums over <=7 daily rows; identical Pearson text;
     // zero-variance guard = exact MIN<>MAX over the frame (no decimal
     // products, so no 38-digit precision loss)
@@ -1937,7 +1937,7 @@ object Windows {
         |          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  END AS corr7
         |FROM f
-        |ORDER BY event_type, day""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, day""".stripMargin,
     "window_vwap" ->
       """SELECT event_type,
         |  epoch_us(date_trunc('hour', ts)) AS hour_us,
@@ -1992,7 +1992,7 @@ object Windows {
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
         |) t2 WHERE n14 = 14 AND sg + sl > 0
-        |ORDER BY event_type, day""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, day""".stripMargin,
     // identical exact-moment discipline as window_zscore_rolling; the
     // band comparison runs on identical doubles both sides
     "window_bollinger" ->
@@ -2019,7 +2019,7 @@ object Windows {
         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         |  ) t1 WHERE n = 20 AND (sxx - sx * sx / n) / (n - 1) > 0
         |) t2
-        |ORDER BY event_type, day""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, day""".stripMargin,
     // rank-exact day-multiset median (quantile_disc ↔
     // approx_percentile@1e6, the agg_quantile_approx precedent); the
     // oracle states the trailing-week semantics directly as a grouped
@@ -2101,7 +2101,7 @@ object Windows {
         |SELECT event_type, n_days,
         |  CAST(MAX(cum - runmin) AS BIGINT) AS ph_scaled,
         |  ROUND(CAST(MAX(cum - runmin) AS DOUBLE) / n_days, 4) AS ph_stat
-        |FROM r GROUP BY 1, 2 ORDER BY event_type""".stripMargin,
+        |FROM r GROUP BY 1, 2 ORDER BY event_type NULLS FIRST""".stripMargin,
     "window_cusum" ->
       """WITH RECURSIVE daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
@@ -2134,7 +2134,7 @@ object Windows {
         |  s.smax AS max_cusum_scaled, CAST(s.dmax AS VARCHAR) AS alarm_day
         |FROM st s JOIN tot t USING (event_type)
         |WHERE s.rn = t.n_days
-        |ORDER BY s.event_type""".stripMargin,
+        |ORDER BY s.event_type NULLS FIRST""".stripMargin,
     "window_debounce" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -2171,7 +2171,7 @@ object Windows {
         |SELECT event_type, n_days, abs_err_sum,
         |  ROUND(abs_err_sum / CAST(n_days AS DOUBLE), 6) AS mae,
         |  ROUND(bias_sum / CAST(n_days AS DOUBLE), 6) AS bias
-        |FROM g ORDER BY event_type""".stripMargin,
+        |FROM g ORDER BY event_type NULLS FIRST""".stripMargin,
     "window_wow_growth" ->
       """WITH w AS (
         |  SELECT event_type,
@@ -2185,7 +2185,7 @@ object Windows {
         |  ROUND(CAST(n AS DOUBLE) /
         |    lag(n) OVER (PARTITION BY event_type ORDER BY week_us)
         |    - 1.0, 4) AS wow_growth
-        |FROM w ORDER BY event_type, week_us""".stripMargin,
+        |FROM w ORDER BY event_type NULLS FIRST, week_us""".stripMargin,
     "window_rfm" ->
       """WITH u AS (
         |  SELECT user_id, MAX(epoch_us(ts)) AS last_us,
@@ -2228,7 +2228,7 @@ object Windows {
         |  ROUND(CAST(MIN(r) AS DOUBLE) / MAX(r), 4)
         |    AS user_share_for_80pct
         |FROM r WHERE cum * 10 >= total * 8
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "window_streak" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id,

@@ -1002,7 +1002,7 @@ object StreamQueries {
     // within the watermark, so the emitted key set is exactly DISTINCT
     "stream_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_type
-        |FROM events ORDER BY user_id, event_type""".stripMargin,
+        |FROM events ORDER BY user_id, event_type NULLS FIRST""".stripMargin,
     "stream_session_window" ->
       """WITH o AS (
         |  SELECT user_id, ts,

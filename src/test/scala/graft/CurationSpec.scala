@@ -343,4 +343,36 @@ class CurationSpec extends AnyFunSuite {
     // the cap must actually bind somewhere on the fixture
     assert(rows.exists { case (_, _, raw, bounded) => bounded < raw })
   }
+
+  test("privacy audits account for NULL-QI rows (null-safe group joins)") {
+    import spark.implicits._
+    // round-14 review: groupBy puts NULL-QI docs in their own group,
+    // but a null-rejecting equality join back onto the group table
+    // made them VANISH from the k-anonymity audit (neither suppressed
+    // nor released) and zeroed their cell counts in t-closeness
+    // (constant tvd = 0.5). A privacy gate must account for every row.
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullqi")
+    dir.toFile.deleteOnExit()
+    Seq(
+      (1L, null.asInstanceOf[String], "web", 150L),
+      (2L, null.asInstanceOf[String], "web", 151L),
+      (3L, "en", "web", 150L),
+      (4L, "en", null.asInstanceOf[String], 10L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val ka = Curation.privacyKAnonymity(spark, dir.toString).collect()
+    // every doc appears exactly once, including both NULL-QI classes
+    assert(ka.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L), ka.toSeq)
+    // docs 1,2 share the (NULL,web,1) group -> group_n = 2
+    assert(ka.filter(r => r.getLong(0) <= 2)
+      .forall(_.getAs[Long]("group_n") == 2L))
+    val tc = Curation.privacyTCloseness(spark, dir.toString).collect()
+    // the NULL-lang group's cell counts must be found (not coalesced
+    // to 0): its sources are 100% web vs 75% web/25% NULL overall ->
+    // tvd = 0.25 exactly, NOT the degenerate 0.5
+    val nullGrp = tc.filter(r => r.isNullAt(0))
+    assert(nullGrp.length == 1, tc.toSeq)
+    assert(nullGrp.head.getAs[Double]("tvd") == 0.25, nullGrp.head)
+  }
 }

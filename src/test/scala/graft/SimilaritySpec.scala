@@ -131,4 +131,41 @@ class SimilaritySpec extends AnyFunSuite {
       assert(delta.abs <= 0.5 + 1e-12, r.toString)
     }
   }
+
+  test("MIPS norm-augmentation: aug-cosine ranking reproduces inner-product ranking") {
+    import org.apache.spark.sql.functions._
+    import Similarity.{cosine, dot, norm2}
+    // the cosine half of the Bachrach/ALSH reduction claim, pinned
+    // here because the QUERY ranks by the (bit-exact) augmented dot —
+    // ranking by the float32-jittered aug_cos against the exact oracle
+    // key would flake on near-ties (round-14 review). Rebuilds the
+    // augmented space exactly as simSearchMipsAugmented does and
+    // asserts the two orderings agree on the fixture's top 10.
+    val e = graft.Tables.t(spark, sf, "embeddings")
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val maxNorm = corpus.agg(max(norm2(col("embedding"))).as("m"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("probe"))
+    val scored = corpus
+      .crossJoin(broadcast(maxNorm))
+      .crossJoin(broadcast(probe))
+      .withColumn("aug", concat(col("embedding"),
+        array(sqrt(col("m") * col("m") -
+          norm2(col("embedding")) * norm2(col("embedding"))).cast("float"))))
+      .withColumn("aug_probe", concat(col("probe"), array(lit(0.0f))))
+      .select(col("vec_id"),
+        dot(col("embedding"), col("probe")).as("ip"),
+        cosine(col("aug"), col("aug_probe")).as("aug_cos"))
+      .cache()
+    val byCos = scored.orderBy(col("aug_cos").desc, col("vec_id"))
+      .limit(10).collect().map(_.getAs[Long]("vec_id")).toSeq
+    val byIp = scored.orderBy(col("ip").desc, col("vec_id"))
+      .limit(10).collect().map(_.getAs[Long]("vec_id")).toSeq
+    scored.unpersist()
+    assert(byCos == byIp, s"cos=$byCos ip=$byIp")
+    // and the query itself agrees with the exact brute-force MIPS rows
+    val q = Similarity.simSearchMipsAugmented(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(q == byIp, s"query=$q ip=$byIp")
+  }
 }

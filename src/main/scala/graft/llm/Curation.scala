@@ -1824,7 +1824,7 @@ object Curation {
         |  COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-        |FROM pre GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM pre GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""".stripMargin,
     "pack_sequences" ->
       s"""WITH c AS (
          |  SELECT doc_id, lang,

@@ -6467,7 +6467,7 @@ object Aggregates {
         |SELECT from_type, to_type, n,
         |  ROUND(CAST(n AS DOUBLE) /
         |    SUM(n) OVER (PARTITION BY from_type), 4) AS p
-        |FROM c ORDER BY from_type, to_type""".stripMargin,
+        |FROM c ORDER BY from_type NULLS FIRST, to_type""".stripMargin,
     "agg_cohort_matrix" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,
@@ -6501,7 +6501,9 @@ object Aggregates {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |)
-        |SELECT event_type || '>' || t1 || '>' || t2 AS path,
+        |-- concat_ws skips NULLs exactly like the engine's concat_ws
+        |-- (a NULL head yields 't1>t2', not a NULL path)
+        |SELECT concat_ws('>', event_type, t1, t2) AS path,
         |  COUNT(*) AS n
         |FROM seq WHERE t2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
@@ -6938,7 +6940,7 @@ object Aggregates {
         |        (SUM(nu) * SUM(nu)), 6) AS hhi,
         |  ROUND(CAST(SUM(nu) AS DOUBLE) * SUM(nu) / SUM(nu * nu), 2)
         |    AS effective_users
-        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM u GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     // same per-user reduction in SQL; identical d < n_risk guard and
     // round-6 decimal ln-sum discipline
     "agg_survival_km" ->

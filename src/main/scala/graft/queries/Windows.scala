@@ -1946,7 +1946,7 @@ object Windows {
         |  CAST((CAST(SUM(CAST(value AS DECIMAL(19,4)) *
         |                 (1 + event_id % 5)) * 10000 AS BIGINT) * 100)
         |       // SUM(1 + event_id % 5) AS BIGINT) AS vwap_micro
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""".stripMargin,
     // identical formula text after the decimal-exact window sums; the
     // RANGE interval frame is precision-safe (all fixture timestamps
     // are micro-aligned, asserted when window_range_interval landed)
@@ -2258,7 +2258,7 @@ object Windows {
         |    + event_id) AS close,
         |  COUNT(*) AS n_ticks
         |FROM events
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""".stripMargin,
     "window_interval_coverage" ->
       """WITH iv AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS st,

@@ -838,16 +838,6 @@ object TextStats {
         sum(col("n")).as("n_occurrences"))
       .orderBy(col("bucket"))
 
-  /** Stylometric surface features per document — the register
-    * fingerprints that feed style-aware curation and bot/boilerplate
-    * triage next to [[textQualityScore]]'s fluency gates. The four
-    * densities are chosen to CARRY SIGNAL on this corpus (round-10
-    * degeneracy audit: the synthetic text is all-lowercase
-    * letters + spaces, so caps/digit/punct densities are structurally
-    * zero here — mean word length, short-word share, vowel density
-    * and whitespace density all vary): every count is an exact
-    * integer from one regex class count; each ratio closes in one
-    * division. Pure in-scan projection, no shuffle. */
   /** Burrows' DELTA (Burrows 2002; Evert et al. 2017 for the modern
     * treatment) — the stylometric distance between SOURCES that
     * authorship attribution standardized on: z-score each source's
@@ -917,6 +907,16 @@ object TextStats {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Stylometric surface features per document — the register
+    * fingerprints that feed style-aware curation and bot/boilerplate
+    * triage next to [[textQualityScore]]'s fluency gates. The four
+    * densities are chosen to CARRY SIGNAL on this corpus (round-10
+    * degeneracy audit: the synthetic text is all-lowercase
+    * letters + spaces, so caps/digit/punct densities are structurally
+    * zero here — mean word length, short-word share, vowel density
+    * and whitespace density all vary): every count is an exact
+    * integer from one regex class count; each ratio closes in one
+    * division. Pure in-scan projection, no shuffle. */
   def textStylometrics(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .select(col("doc_id"),

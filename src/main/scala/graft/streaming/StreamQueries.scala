@@ -386,7 +386,13 @@ object StreamQueries {
   def streamTumblingWindow(s: SparkSession, d: String): DataFrame = {
     val agg = eventsStream(s, d)
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_val"))
+      .agg(count(lit(1)).as("cnt"),
+        // decimal-routed money rounding (the stream_join_static /
+        // house discipline): quantize the double sum to 4 dp before
+        // the 2-dp round so partition-order ulp drift cannot flip a
+        // .xx5 midpoint against the oracle (round-14 review)
+        expr("CAST(ROUND(CAST(SUM(value) AS DECIMAL(18,4)), 2) AS DOUBLE)")
+          .as("sum_val"))
     runToMemory(agg, "complete")
       .select(col("window.start").cast("long").as("ws"), col("cnt"), col("sum_val"))
       .orderBy(col("ws"))
@@ -645,7 +651,8 @@ object StreamQueries {
     // filter-before-state rule that matters at scale: state size is
     // what survives the pre-join predicates, not the raw stream)
     // ONE clone for both sides: a stream-stream join needs both legs
-    // planned in the same session (and the same 8-partition override)
+    // planned in the same session (and the same shuffle-partition
+    // override — see streamSession)
     val ss = streamSession(s)
     def side(tpe: String, idAs: String, userAs: String, tsAs: String) = {
       val dir = stagedDir(ss, s"graft_ss_$tpe", d) { dir =>
@@ -905,13 +912,23 @@ object StreamQueries {
     // an sf0.01 coincidence: no %97 row fell in the [wm, window-end)
     // gap there; at sf0.1 one does); (2) append mode emits a window
     // only once the FINAL watermark (max over all data - 10min) passes
-    // its end. quantile_disc matches approxQuantile(..., 0.0) exactly
-    // on this data.
+    // its end. quantile_disc over the SECOND-resolution tsl matches
+    // the engine's approxQuantile(tsl, ..., 0.0) selection exactly
+    // (same order statistic over the same multiset).
     "stream_watermark_late" ->
-      """WITH t AS (SELECT event_id, epoch_us(ts) AS tsu FROM events),
-        |qs AS (SELECT quantile_disc(tsu, 0.50) AS q50 FROM t),
+      """-- the batch cut replays at SECOND resolution (tsl) — exactly the
+        |-- engine's ts.cast('long') staging key. A microsecond cut
+        |-- (tsu < q50_us) diverges for any event sharing the q50-ranked
+        |-- event's second: it lands in batch 2 engine-side but inside
+        |-- the oracle's batch-0/1 watermark max (round-14 review; the
+        |-- gates passed only because no fixture event occupies that
+        |-- gap). The watermark MAX itself stays in microseconds — that
+        |-- is the event time Spark tracks.
+        |WITH t AS (SELECT event_id, epoch_us(ts) AS tsu,
+        |                  epoch_us(ts) // 1000000 AS tsl FROM events),
+        |qs AS (SELECT quantile_disc(tsl, 0.50) AS q50 FROM t),
         |wm3 AS (SELECT MAX(tsu) - 600000000 AS wm
-        |        FROM t, qs WHERE tsu < qs.q50 AND event_id % 97 <> 0),
+        |        FROM t, qs WHERE tsl < qs.q50 AND event_id % 97 <> 0),
         |accepted AS (SELECT tsu FROM t, wm3
         |             WHERE event_id % 97 <> 0
         |                OR (tsu // 3600000000) * 3600000000
@@ -983,7 +1000,9 @@ object StreamQueries {
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "stream_tumbling_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
-        |       COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_val
+        |       COUNT(*) AS cnt,
+        |       CAST(ROUND(CAST(SUM(value) AS DECIMAL(18,4)), 2) AS DOUBLE)
+        |         AS sum_val
         |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
     "stream_sliding_window" ->
       """SELECT CAST(epoch(ws) AS BIGINT) AS ws, COUNT(*) AS cnt

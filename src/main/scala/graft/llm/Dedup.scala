@@ -362,14 +362,22 @@ object Dedup {
       .select(col("doc_id"), col("band.band_id"), col("band.band_hash"))
   }
 
-  private[graft] def sigPairs(sigs: DataFrame): DataFrame = {
-    val bands = sigBands(sigs)
-    val cands = bands.as("x").join(bands.as("y"),
+  /** Banded candidate pairs from a [[sigBands]] relation — the ONE
+    * (band_id, band_hash) equi-self-join both the production pair
+    * pipeline ([[sigPairs]]) and the calibration audit
+    * ([[dedupLshCalibration]]) consume: a banding-scheme change that
+    * edited one copy silently made the audit measure a different index
+    * than the one it audits (round-14 review). */
+  private def bandCands(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+
+  private[graft] def sigPairs(sigs: DataFrame): DataFrame = {
+    val cands = bandCands(sigBands(sigs))
     val aSig = sigs.select(col("doc_id").as("a_id") +:
       (0 until nHashes).map(i => col(s"h$i").as(s"a_h$i")): _*)
     val bSig = sigs.select(col("doc_id").as("b_id") +:
@@ -417,13 +425,7 @@ object Dedup {
     * left join on pair keys + a ≤10-row aggregate. */
   def dedupLshCalibration(s: SparkSession, d: String): DataFrame = {
     val truePairs = materializedPairs(s, d)
-    val bands = sigBands(materializedSigs(s, d))
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band_id") === col("y.band_id") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+    val cands = bandCands(sigBands(materializedSigs(s, d)))
     val theo =
       """ROUND(1.0 - (1.0 - bin*bin*bin*bin) * (1.0 - bin*bin*bin*bin) *
         |(1.0 - bin*bin*bin*bin) * (1.0 - bin*bin*bin*bin), 6)"""
@@ -819,6 +821,24 @@ object Dedup {
     }
     val lbl =
       if (!stable && cnt <= localThr) localComponentLabels(edges)
+      else if (!stable) {
+        // Cap-hit without star-forest convergence (rounds == 50, still
+        // above the local-finish cap): the star projection below would
+        // silently emit per-STAR minima instead of per-COMPONENT minima
+        // — the exact "silent wrong clusters" propagateLabels declares
+        // unacceptable (round-14 review closed this unguarded bottom of
+        // the fallback chain). Alternations halve component count per
+        // round, so 50 rounds covers any graph with < 2^50 components;
+        // reaching here means something is deeply wrong — fail loudly
+        // rather than return plausible-but-wrong labels. Integral-id
+        // graphs take the exact driver union-find instead only when
+        // under the cap; above it the driver collect is its own OOM
+        // hazard, so there is no safe automatic fallback.
+        throw new IllegalStateException(
+          s"twoPhaseLabels: round cap (50) hit unconverged with $cnt " +
+            "edges above spark.graft.cc.localFinishEdges; refusing to " +
+            "emit star-projection labels for a non-star-forest graph")
+      }
       // stars: every node's label is the min over its incident endpoints
       else sym(edges).toDF("id", "nb")
         .groupBy(col("id")).agg(least(min(col("nb")), first(col("id"))).as("lbl"))
@@ -2035,7 +2055,7 @@ object Dedup {
         |  COUNT(DISTINCT raw_url) AS n_raw_forms
         |FROM u
         |GROUP BY 2
-        |ORDER BY canon_url""".stripMargin,
+        |ORDER BY canon_url NULLS FIRST""".stripMargin,
     "agg_dup_rate_by_source" ->
       (s"WITH ${plantedDocsCte(3)}\n" +
         """SELECT source, COUNT(*) AS n_docs,
@@ -2123,12 +2143,18 @@ object Dedup {
         |SELECT doc_id, canon_md5, quality FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
     "dedup_cross_corpus" ->
-      """SELECT doc_id, md5(text) AS text_md5
-        |FROM documents
-        |WHERE doc_id % 2 = 1
-        |  AND md5(text) NOT IN
-        |    (SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
-        |ORDER BY doc_id""".stripMargin,
+      """-- NOT EXISTS, not NOT IN: the engine's left_anti keeps a
+        |-- NULL-text row (a NULL join key never matches), while NOT IN
+        |-- drops it — and ONE NULL in the subquery would empty the whole
+        |-- result (three-valued logic). NOT EXISTS replays anti-join
+        |-- semantics exactly (round-14 review).
+        |SELECT a.doc_id, md5(a.text) AS text_md5
+        |FROM documents a
+        |WHERE a.doc_id % 2 = 1
+        |  AND NOT EXISTS
+        |    (SELECT 1 FROM documents b
+        |     WHERE b.doc_id % 2 = 0 AND md5(b.text) = md5(a.text))
+        |ORDER BY a.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t

@@ -361,11 +361,15 @@ object Multimodal {
           .as("crest_ratio"))
       .orderBy(col("doc_id"))
 
-  /** Silence trimming over the same 64-sample PCM stub as
-    * [[multimodalAudioEnergy]] — the lead/trail-silence removal every
-    * audio pipeline runs before windowing: a sample is "silent" when
-    * |s| < 32 (under the stub byte mapping that is exactly the
-    * lowercase-letter byte range — documented, deterministic), and
+  /** Silence trimming over a 64-sample PCM stub — the lead/trail-
+    * silence removal every audio pipeline runs before windowing. NOTE
+    * the stub byte mapping here is ascii−128 UNCONDITIONALLY, which is
+    * deliberately NOT [[multimodalAudioEnergy]]'s space→0 mapping: the
+    * "silent when |s| < 32" rule is the lowercase-letter byte range
+    * only under ascii−128, and the oracle replays exactly this mapping
+    * — "unifying" the stubs would silently change every trim offset
+    * (round-14 review pinned the difference). A sample is silent when
+    * |s| < 32, and
     * the clip's first/last active positions give the trim offsets
     * and the active span (all-silent clips trim to zero). Pure
     * in-scan integer array expressions, O(1) per row, no shuffle. */
@@ -515,6 +519,11 @@ object Multimodal {
           .as(Seq("i", "x")))
       .withColumn("xc", lit(64L) * col("x") - sum(col("x")).over(byDoc))
       .select(col("doc_id"), col("i").cast("long").as("i"), col("xc"))
+      // three consumers (r0 + both lag-join sides) — cached, or the
+      // explode + per-doc window sum runs three times per query
+      // (multimodalNearDup's self-join cache is the in-file precedent;
+      // round-14 review). Session-scoped: Verify/Bench clear per key.
+      .cache()
     val r0 = cx.groupBy(col("doc_id"))
       .agg(sum(col("xc") * col("xc")).as("r0"))
     val a = cx.select(col("doc_id"), col("i"), col("xc").as("xa"))
@@ -851,11 +860,19 @@ object Multimodal {
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "multimodal_magic_sniff" ->
       """SELECT doc_id,
+        |  -- the %4==3 payload is the RAW text, and the engine sniffs
+        |  -- BYTES: word-soup text that happens to start with the
+        |  -- all-ASCII '%PDF-' magic legitimately sniffs as pdf, so the
+        |  -- oracle sniffs it too instead of hardcoding text/plain
+        |  -- (round-14 review; PNG/JPEG magics are non-ASCII and
+        |  -- unreachable from text)
         |  CASE CAST(doc_id % 4 AS INTEGER)
         |    WHEN 0 THEN 'image/png'
         |    WHEN 1 THEN 'image/jpeg'
         |    WHEN 2 THEN 'application/pdf'
-        |    ELSE 'text/plain' END AS sniffed_mime,
+        |    ELSE CASE WHEN substring(text, 1, 5) = '%PDF-'
+        |         THEN 'application/pdf' ELSE 'text/plain' END
+        |  END AS sniffed_mime,
         |  CAST(strlen(text) +
         |    CASE CAST(doc_id % 4 AS INTEGER)
         |      WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 5 ELSE 0 END

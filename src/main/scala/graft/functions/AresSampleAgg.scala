@@ -53,11 +53,18 @@ case class AresSampleAgg(
       : mutable.PriorityQueue[(Long, UTF8String)] =
     mutable.PriorityQueue.empty(ord)
 
+  // update() runs once per input row: the digest is cached per thread
+  // (MessageDigest is stateful but reset by digest()) and the 48-bit
+  // priority assembles directly from the first 6 digest bytes —
+  // bit-identical to parsing the 12-char hex prefix, without the JCA
+  // provider lookup, 6 format() calls, and Long.parseLong the old path
+  // paid per row (round-14 review).
   private def priorityOf(tok: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(("smp|" + tok.toString).getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex, 16)
+    val md = AresSampleAgg.md5.get()
+    val d = md.digest(("smp|" + tok.toString).getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+      ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+      ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
   }
 
   override def update(
@@ -131,4 +138,13 @@ case class AresSampleAgg(
       newChildren: IndexedSeq[Expression]): AresSampleAgg =
     copy(child = newChildren.head)
   override def prettyName: String = "graft_ares_sample"
+}
+
+object AresSampleAgg {
+  /** Per-thread MD5 instance for the hot per-row priority path —
+    * MessageDigest is not thread-safe but digest() resets it, so one
+    * cached instance per executor thread is sound. */
+  private[functions] val md5: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
 }

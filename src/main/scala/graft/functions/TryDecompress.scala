@@ -27,9 +27,21 @@ object ZlibCodec {
     data
   }
 
-  private def tryGzip(data: Array[Byte]): Array[Byte] =
+  // Native-resource hygiene (round-14 review): GZIPInputStream and
+  // Inflater hold NATIVE zlib state (an inflater + 32 KB window) that
+  // the GC only reclaims at finalization. decompress() runs once per
+  // envelope, and the common non-gzip case used to abandon one
+  // GZIPInputStream per call (and the DataFormatException path skipped
+  // inf.end()) — at 50k envelopes/batch that is a steady native-memory
+  // ramp on long-lived executors. Every path now releases in finally.
+
+  private def tryGzip(data: Array[Byte]): Array[Byte] = {
+    // the constructor itself reads the gzip header (throws on non-gzip
+    // input — the COMMON case here), so it must sit inside the try and
+    // the close must tolerate a never-assigned stream
+    var in: GZIPInputStream = null
     try {
-      val in = new GZIPInputStream(new ByteArrayInputStream(data))
+      in = new GZIPInputStream(new ByteArrayInputStream(data))
       val out = new ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
@@ -37,11 +49,12 @@ object ZlibCodec {
       out.toByteArray
     } catch {
       case _: IOException | _: EOFException => null
-    }
+    } finally if (in != null) in.close()
+  }
 
-  private def tryInflate(data: Array[Byte], nowrap: Boolean): Array[Byte] =
+  private def tryInflate(data: Array[Byte], nowrap: Boolean): Array[Byte] = {
+    val inf = new Inflater(nowrap)
     try {
-      val inf = new Inflater(nowrap)
       inf.setInput(data)
       val out = new ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
@@ -50,22 +63,22 @@ object ZlibCodec {
         if (n > 0) out.write(buf, 0, n)
         // Truncated stream or preset-dictionary demand: not a clean
         // decompression — reject (the reference's zlib.decompress raises).
-        else if (!inf.finished()) { inf.end(); return null }
+        else if (!inf.finished()) return null
       }
-      inf.end()
       out.toByteArray
     } catch {
       case _: DataFormatException => null
-    }
+    } finally inf.end()
+  }
 }
 
 /** Catalyst expression wrapping [[ZlibCodec.decompress]]: BinaryType →
   * BinaryType, null-intolerant, codegen'd via a static call so it stays
   * inside whole-stage codegen (no interpreted fallback on the hot path).
   *
-  * This is the engine's only custom expression (SURVEY.md §7.3): Spark has
-  * no built-in decompression fallback chain, and expressing it as a Scala
-  * UDF would break codegen and add serialization overhead per row.
+  * Custom expression rationale (SURVEY.md §7.3): Spark has no built-in
+  * decompression fallback chain, and expressing it as a Scala UDF would
+  * break codegen and add serialization overhead per row.
   */
 case class TryDecompress(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

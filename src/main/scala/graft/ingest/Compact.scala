@@ -36,6 +36,17 @@ object Compact {
     else fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Working-dir names are DOT-PREFIXED siblings: Spark/Hadoop's
+    * default path filter hides names starting with '.' or '_' from both
+    * file listing and partition discovery, so a reader of the live tree
+    * during the rewrite/swap window (or after a crash) can never
+    * partition-discover `batch_id=5__compact_bak` as a bogus partition
+    * value and double-read batch 5 (round-14 review — the old
+    * suffix-only names were visible siblings inside partitioned
+    * layouts). */
+  private def workPath(dir: Path, suffix: String): Path =
+    new Path(dir.getParent, "." + dir.getName + suffix)
+
   /** Rewrite one table directory into ceil(rows / targetRecordsPerFile)
     * files. Returns what changed; on any failure the original directory
     * is left in place. */
@@ -48,7 +59,7 @@ object Compact {
     // stranded in bak — restore it before doing anything else. (A
     // dangling bak NEXT TO a live dir means the crash happened after the
     // second rename; the live dir wins and bak is deleted below.)
-    val staleBak = new Path(tableDir + "__compact_bak")
+    val staleBak = workPath(dir, "__compact_bak")
     if (!fs.exists(dir) && fs.exists(staleBak) && !fs.rename(staleBak, dir))
       throw new java.io.IOException(
         s"compact: cannot restore dangling $staleBak to $dir")
@@ -57,8 +68,8 @@ object Compact {
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(
       rows.toDouble / targetRecordsPerFile).toInt)
-    val tmp = new Path(tableDir + "__compact_tmp")
-    val bak = new Path(tableDir + "__compact_bak")
+    val tmp = workPath(dir, "__compact_tmp")
+    val bak = workPath(dir, "__compact_bak")
     fs.delete(tmp, true)
     df.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
     // swap: live → bak, tmp → live, drop bak
@@ -86,7 +97,8 @@ object Compact {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     def leaves(p: Path): Seq[Path] = {
       val allKids = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
-      val kids = allKids.filterNot(_.getName.contains("__compact_"))
+      val kids = allKids.filterNot(n =>
+        n.getName.contains("__compact_") || n.getName.startsWith("."))
       // a dir whose only children are __compact_* working dirs is NOT a
       // table leaf (reading it would partition-discover the bak/tmp)
       if (allKids.isEmpty) Seq(p)
@@ -98,7 +110,7 @@ object Compact {
       fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq.flatMap {
         case bak if bak.getName.endsWith("__compact_bak") =>
           val live = new Path(bak.getParent,
-            bak.getName.stripSuffix("__compact_bak"))
+            bak.getName.stripPrefix(".").stripSuffix("__compact_bak"))
           if (fs.exists(live)) Seq.empty else Seq(live)
         case kid if kid.getName.contains("__compact_") => Seq.empty
         case kid => danglingBaks(kid)

@@ -43,7 +43,11 @@ object Config {
       destinationFallback = opt(env, "DESTINATION_FALLBACK", "landing"),
       maxRecordsPerFile = reqInt(env, "MAX_BATCH_SIZE"),
       compression = opt(env, "PARQUET_COMPRESSION", "snappy").toLowerCase,
-      messageType = env.get("MESSAGE_TYPE_FILTER").filter(_.nonEmpty),
+      // trimmed like every other setting: an untrimmed "Raw " would
+      // equality-match nothing and silently ingest zero rows, and a
+      // whitespace-only value must read as absent (round-14 review)
+      messageType = env.get("MESSAGE_TYPE_FILTER").map(_.trim)
+        .filter(_.nonEmpty),
       typedMode = env.get("TYPED_MODE").map(_.trim).filter(_.nonEmpty)
         .fold(false)(_ => reqBool(env, "TYPED_MODE")),
       footerMeta = env.get("FOOTER_META").map(_.trim).filter(_.nonEmpty)

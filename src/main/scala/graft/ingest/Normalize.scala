@@ -39,11 +39,16 @@ object Normalize {
 
   /** Columnar-shape detection (reference `_is_columnar_dict`,
     * src/function_app.py:149-159): every top-level field is an array.
-    * (The equal-lengths check happens implicitly at explode time.) */
-  def isColumnar(schema: StructType): Boolean =
-    schema.fields.nonEmpty &&
-      schema.fields.forall(f => f.dataType.isInstanceOf[ArrayType] &&
-        f.name != "_corrupt_record")
+    * (The equal-lengths check happens implicitly at explode time.)
+    * `_corrupt_record` is EXCLUDED from the test, mirroring
+    * [[explodeColumnar]]'s filter — the old conjunct wiring made its
+    * mere presence force `false` instead (round-14 review; the parse
+    * probe column is metadata, not a data column). */
+  def isColumnar(schema: StructType): Boolean = {
+    val dataFields = schema.fields.filterNot(_.name == "_corrupt_record")
+    dataFields.nonEmpty &&
+      dataFields.forall(_.dataType.isInstanceOf[ArrayType])
+  }
 
   /** COMPAT ONLY — the reference's physical layout
     * (`_columnar_to_single_row_table`, src/function_app.py:234-241):

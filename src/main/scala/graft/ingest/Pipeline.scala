@@ -59,6 +59,13 @@ object Pipeline {
     * booleans boolean, nested values struct/array — for downstream
     * engines that want pushdown-able typed columns instead of byte
     * fidelity. Schema-union merge still null-pads either way. */
+  /** `failOnRouteError = true` rethrows after the per-route isolation
+    * pass instead of only reporting: REQUIRED under streaming
+    * foreachBatch, where a swallowed route failure lets the checkpoint
+    * commit and the source never replays the batch — the failed
+    * route's rows would be lost forever (round-14 review). Batch
+    * callers keep the report-and-continue default (partial progress is
+    * the point of isolation there; the caller inspects the report). */
   case class IngestConfig(
       outDir: String,
       destinationFallback: String = "landing",
@@ -68,7 +75,8 @@ object Pipeline {
       includeMeta: Boolean = false,
       typedMode: Boolean = false,
       footerMeta: Boolean = false,
-      listLayout: Boolean = false)
+      listLayout: Boolean = false,
+      failOnRouteError: Boolean = false)
 
   case class RouteResult(folder: String, sourceDb: String, table: String,
       rows: Long, kind: String)
@@ -134,6 +142,19 @@ object Pipeline {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return
+    // "has data" means DATA FILES, not a bare directory: an aborted
+    // write can leave an empty route dir behind, and reading it throws
+    // "unable to infer schema" on every later batch — a permanently
+    // poisoned route until someone hand-deletes the dir (round-14
+    // review). Hidden/_temporary entries don't count as data.
+    def hasDataFile(dir: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) false
+        else if (st.isDirectory) hasDataFile(st.getPath)
+        else st.getLen > 0
+      }
+    if (!hasDataFile(p)) return
     val existing = spark.read.parquet(path).schema
     val conflicts = incoming.fields.flatMap { f =>
       existing.fields.find(_.name == f.name)
@@ -220,12 +241,15 @@ object Pipeline {
     * each route writes to a `batch_id=<id>` subdirectory with
     * mode(overwrite), so a batch replayed after a crash between the
     * sink write and the checkpoint commit OVERWRITES its own output
-    * instead of appending a duplicate copy. This is what upgrades the
-    * pipeline from the reference's at-least-once retry to exactly-once
-    * end-to-end (file source replays the identical rows; the write is
-    * deterministic per batch). Batch callers omit it and keep the flat
-    * append layout. Readers are unaffected: `batch_id` surfaces as one
-    * more partition column under the route directories. */
+    * instead of appending a duplicate copy. Together with
+    * `failOnRouteError = true` (so a failed route fails the batch
+    * BEFORE the checkpoint commits, forcing a replay) this upgrades
+    * the pipeline from the reference's at-least-once retry to
+    * exactly-once end-to-end (file source replays the identical rows;
+    * the write is deterministic per batch). Batch callers omit it and
+    * keep the flat append layout. Readers are unaffected: `batch_id`
+    * surfaces as one more partition column under the route
+    * directories. */
   def ingest(spark: SparkSession, rawBodies: DataFrame, cfg: IngestConfig,
       registry: Option[SchemaRegistry] = None,
       batchId: Option[Long] = None): IngestReport = {
@@ -398,9 +422,14 @@ object Pipeline {
             Future(processRoute(f, db, tbl))
           }), Duration.Inf)
         finally pool.shutdown()
-      IngestReport(
+      val report = IngestReport(
         results.collect { case Right(r) => r },
         results.collect { case Left(f) => f })
+      if (cfg.failOnRouteError && report.failed.nonEmpty)
+        throw new IllegalStateException(
+          s"${report.failed.size} route(s) failed (failOnRouteError): " +
+            report.failed.map { case (k, e) => s"$k: $e" }.mkString("; "))
+      report
     } finally staged.unpersist()
   }
 }

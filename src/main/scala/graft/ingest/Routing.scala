@@ -25,9 +25,14 @@ object Routing {
 
   /** Python str.strip(): all leading/trailing whitespace, not just the
     * ASCII space that Spark's trim() removes. (?U) makes Java's \s
-    * match Unicode whitespace (NBSP, U+2028, ...) like Python's. */
+    * match Unicode whitespace (NBSP, U+2028, ...) like Python's —
+    * EXCEPT the information separators U+001C-U+001F, which Python's
+    * str.isspace()/strip() include but Java's Unicode \s (White_Space
+    * property) does not; the explicit class closes that parity gap
+    * (round-14 review: a ""-padded Destination must strip to ""
+    * and take the fallback folder, not sanitize to "_"). */
   def pyStrip(c: Column): Column =
-    regexp_replace(c, "(?U)^\\s+|\\s+$", "")
+    regexp_replace(c, "(?U)^[\\s\\x1c-\\x1f]+|[\\s\\x1c-\\x1f]+$", "")
 
   /** Reference _sanitize_folder/_sanitize_table (function_app.py:88-92):
     * lowercase, then each run of chars outside [a-z0-9_-] becomes one

@@ -175,9 +175,17 @@ final class SchemaRegistry(val sampleSize: Int = 256,
 
 object SchemaRegistry {
   /** Rebuild a registry from [[SchemaRegistry!.save]] output; missing
-    * file → empty registry (cold start). */
-  def load(path: java.nio.file.Path, sampleSize: Int = 256): SchemaRegistry = {
-    val reg = new SchemaRegistry(sampleSize)
+    * file → empty registry (cold start). The save format carries only
+    * the schema cache, so the OPERATIONAL knobs must be re-passed here
+    * — a restarted driver that called `load(path)` bare used to revert
+    * silently to driftCheckInterval = 1 / corruptRecheck = true and pay
+    * the per-batch checks its deployment had configured away (round-14
+    * review). Pass the same values the original constructor got. */
+  def load(path: java.nio.file.Path, sampleSize: Int = 256,
+      driftCheckInterval: Int = 1,
+      corruptRecheck: Boolean = true): SchemaRegistry = {
+    val reg = new SchemaRegistry(sampleSize, driftCheckInterval,
+      corruptRecheck)
     if (java.nio.file.Files.exists(path)) {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       java.nio.file.Files.readAllLines(path).forEach { line =>

@@ -22,9 +22,22 @@ object Skew {
 
   /** Salted equi join: `large ⋈ small` on `key`, spreading each key
     * over `n` partitions. `stableCols` must uniquely-ish identify large
-    * rows (used only to derive the salt deterministically). */
+    * rows (used only to derive the salt deterministically).
+    *
+    * Only large-side-preserving join types are legal: the small side is
+    * REPLICATED n ways, so a right/full outer join would emit n copies
+    * of every unmatched small-side row (one per salt replica) — and
+    * `drop(replicated(key))` would null the key on those rows too. The
+    * guard makes the misuse loud instead of silently n-fold wrong
+    * (round-14 review). */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, n: Int,
       stableCols: Seq[String], joinType: String = "inner"): DataFrame = {
+    val safe = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti", "cross")
+    require(safe(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin: join type '$joinType' would duplicate unmatched " +
+        "replicated small-side rows n-fold; only inner/left/semi/anti " +
+        "are salt-safe")
     val salted = large.withColumn("__salt",
       salt(n, stableCols.map(large(_)): _*))
     val replicated = small

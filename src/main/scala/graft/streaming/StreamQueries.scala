@@ -591,6 +591,10 @@ object StreamQueries {
       "OUTPUT_CONTAINER" -> outDir,
       "MAX_BATCH_SIZE" -> "2000",
       "PARQUET_COMPRESSION" -> "SNAPPY"))
+      // a swallowed route failure under foreachBatch commits the
+      // checkpoint and loses the route's rows forever — rethrow so the
+      // batch retries instead (see IngestConfig.failOnRouteError)
+      .copy(failOnRouteError = true)
     val ckpt = tempDir("graft_stream_ingest_ckpt").toString
     // one registry across all micro-batches: batch N reuses batch N-1's
     // inferred schema (full inference only on first sight / drift)

@@ -54,16 +54,19 @@ class CompactSpec extends AnyFunSuite {
       .createTempDirectory("graft_compact_crash").toString
     val table = s"$root/folder=f/source_db=db/table=t"
     (1 to 50).toDF("k").write.parquet(table)
-    // simulate the crash window: live dir moved aside, tmp never landed
+    // simulate the crash window: live dir moved aside (to the DOTTED
+    // working name compactTable actually uses — hidden from partition
+    // discovery, round-14 review), tmp never landed
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(fs.rename(new org.apache.hadoop.fs.Path(table),
-      new org.apache.hadoop.fs.Path(table + "__compact_bak")))
+    val bak = new org.apache.hadoop.fs.Path(
+      s"$root/folder=f/source_db=db/.table=t__compact_bak")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(table), bak))
     val sweep = Compact.compactAll(spark, root)
     assert(sweep.failed.isEmpty, sweep.failed)
     assert(sweep.compacted.map(_.rows) == Seq(50L))
     assert(spark.read.parquet(table).count() == 50)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(table + "__compact_bak")))
+    assert(!fs.exists(bak))
   }
 
   test("sweep isolates per-table failures and skips working dirs") {

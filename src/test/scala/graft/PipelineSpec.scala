@@ -191,4 +191,30 @@ class PipelineSpec extends AnyFunSuite {
     val good = report.written.filter(_.sourceDb == "gooddb")
     assert(good.nonEmpty && good.head.rows == 1)
   }
+
+  test("failOnRouteError rethrows a route failure (streaming contract)") {
+    // two healthy routes; route f2's folder path is pre-created as a
+    // FILE so its parquet write deterministically fails. Default config
+    // reports and continues (batch isolation); failOnRouteError = true
+    // must rethrow so a streaming foreachBatch fails BEFORE the
+    // checkpoint commits and the batch replays (round-14 review: a
+    // swallowed route failure under streaming loses the route's rows
+    // forever).
+    def env(dest: String, db: String) =
+      s"""{"Source":"$db.t","Destination":"$dest","Data":"${
+        java.util.Base64.getEncoder.encodeToString("""{"a":1}""".getBytes)}"}"""
+    val out = Files.createTempDirectory("graft_pipeline_fail").toString
+    Files.write(java.nio.file.Paths.get(out, "folder=f2"),
+      "not a dir".getBytes)
+    val rows = spark.createDataset(
+      Seq(env("f1", "adb"), env("f2", "bdb"))).toDF("value")
+    val report = Pipeline.ingest(spark, rows,
+      Pipeline.IngestConfig(outDir = out))
+    assert(report.failed.nonEmpty, "f2 route should have failed")
+    assert(report.written.exists(_.sourceDb == "adb"))
+    intercept[IllegalStateException] {
+      Pipeline.ingest(spark, rows,
+        Pipeline.IngestConfig(outDir = out, failOnRouteError = true))
+    }
+  }
 }

@@ -24,8 +24,11 @@ object Composite {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+      // per-row DECIMAL(18,4) before the sum (the Q10 pattern): money
+      // totals must not depend on double-summation order (round-14
+      // review; price×(1−disc) has ≤4 decimals so the cast is exact)
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
       .select(col("l_orderkey"), col("odate"), col("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(20)
@@ -46,8 +49,11 @@ object Composite {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-        .as("revenue"))
+      // per-row DECIMAL(18,4) before the sum (the Q10 pattern): money
+      // totals must not depend on double-summation order (round-14
+      // review; price×(1−disc) has ≤4 decimals so the cast is exact)
+      .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,4)")), 2).cast("double").as("revenue"))
       .orderBy(col("n_name"))
   }
 
@@ -62,8 +68,9 @@ object Composite {
     l.join(p, l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        // per-row decimal like Q10 — see composite_tpch_q3 note
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_lines"),
         round(avg(col("p_retailprice")), 2).as("avg_retail"))
       .orderBy(col("p_brand"))
@@ -180,11 +187,13 @@ object Composite {
     // saturated at 0 for every source at every sf (round-11
     // degeneracy lint); the sentinels give one source a live rate
     val docs = graft.llm.Dedup.withPlantedCopies(s, d, 3)
-    val vol = docs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(md5(col("text"))).as("n_distinct"),
-        sum(size(split(col("text"), " "))).as("n_tokens"))
-    val quality = docs
+    // ONE fused groupBy: the former vol/quality legs grouped the SAME
+    // relation by the SAME key and joined — a second full scan of the
+    // planted-docs union (plus its orderBy/limit seed subquery) and an
+    // extra shuffle for values one aggregate holds (round-14 review;
+    // the one-fused-scan-per-table discipline compositeDqReport
+    // documents)
+    docs
       .withColumn("n_toks", size(split(col("text"), " ")))
       .withColumn("len_score",
         least(lit(1.0), length(col("text")).cast("double") / 500.0))
@@ -195,13 +204,15 @@ object Composite {
         round((col("len_score") * 0.5 + col("uniq_ratio") * 0.5), 6)
           .cast("decimal(18,6)"))
       .groupBy(col("source"))
-      .agg(sum(col("q")).as("q_sum"), count(lit(1)).as("q_n"))
-    vol.join(quality, "source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        sum(col("n_toks").cast("long")).as("n_tokens"),
+        sum(col("q")).as("q_sum"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(lit(1.0) -
           col("n_distinct").cast("double") / col("n_docs"), 4)
           .as("dup_rate"),
-        round(col("q_sum").cast("double") / col("q_n"), 4)
+        round(col("q_sum").cast("double") / col("n_docs"), 4)
           .as("mean_quality"))
       .orderBy(col("source"))
   }
@@ -577,7 +588,8 @@ object Composite {
         |  AND l_quantity < 24""".stripMargin,
     "composite_tpch_q3" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -614,7 +626,8 @@ object Composite {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "composite_tpch_q5" ->
       """SELECT n_name,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -625,7 +638,8 @@ object Composite {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "composite_part_revenue" ->
       """SELECT p_brand,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines,
         |  ROUND(AVG(p_retailprice), 2) AS avg_retail
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -192,8 +192,7 @@ object IngestQueries {
     * driver checks rows>0, the scalatest E2E spec checks contents). */
   def sinkParquetRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_sink_roundtrip").toString
+    val out = graft.util.TempDirs.create("graft_sink_roundtrip").toString
     val raw = s.createDataset(syntheticEnvelopes).toDF("value")
     Pipeline.ingest(s, raw, Pipeline.IngestConfig(outDir = out))
     s.read.parquet(out)
@@ -207,8 +206,7 @@ object IngestQueries {
     * to avoid task-parallelism-dependent absolute numbers). */
   def compactRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_compact_rt").toString
+    val out = graft.util.TempDirs.create("graft_compact_rt").toString
     val envs = (0 until 300).map { i =>
       val b64 = java.util.Base64.getEncoder.encodeToString(
         s"""{"k":$i,"v":"doc$i"}""".getBytes("UTF-8"))

@@ -393,7 +393,15 @@ object Joins {
     * UNSHIFTED [0,18000)×[0,36000) grid so every division is on
     * non-negatives (Spark `div` truncates toward zero, DuckDB `//`
     * floors — they agree only there). */
-  def joinGeoGrid(s: SparkSession, d: String): DataFrame = {
+  /** Deterministic synthetic centidegree points (pts: ck, lat, lon,
+    * cell keys) and their 3×3 cell-expansion probes — the ONE copy of
+    * a cross-engine-delicate recipe (Spark `div` vs DuckDB `//` agree
+    * only on the unshifted non-negative grid) shared by
+    * [[joinGeoGrid]] and [[joinSpatialKnn]]; two verbatim copies meant
+    * a coordinate edit in one silently broke the other's oracle
+    * parity (round-14 review). Both oracles replay the identical pts
+    * CTE. */
+  private def geoPoints(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val pts = t(s, d, "customer").select(col("c_custkey").as("ck"),
         expr("""CAST(conv(substring(md5(concat('lat|',
                 CAST(c_custkey AS STRING))), 1, 6), 16, 10) AS BIGINT)
@@ -409,6 +417,11 @@ object Joins {
       .select(col("ck").as("a"), col("lat").as("la"), col("lon").as("oa"),
         (col("cla") + col("dla")).as("cla"),
         (col("clo") + col("dlo")).as("clo"))
+    (pts, probes)
+  }
+
+  def joinGeoGrid(s: SparkSession, d: String): DataFrame = {
+    val (pts, probes) = geoPoints(s, d)
     val hits = probes
       .join(pts.select(col("ck").as("b"), col("lat").as("lb"),
         col("lon").as("ob"), col("cla"), col("clo")), Seq("cla", "clo"))
@@ -434,21 +447,7 @@ object Joins {
     * synthetic coordinates as joinGeoGrid; argmin via struct-min,
     * exact integer d². */
   def joinSpatialKnn(s: SparkSession, d: String): DataFrame = {
-    val pts = t(s, d, "customer").select(col("c_custkey").as("ck"),
-        expr("""CAST(conv(substring(md5(concat('lat|',
-                CAST(c_custkey AS STRING))), 1, 6), 16, 10) AS BIGINT)
-                % 18000""").as("lat"),
-        expr("""CAST(conv(substring(md5(concat('lon|',
-                CAST(c_custkey AS STRING))), 1, 6), 16, 10) AS BIGINT)
-                % 36000""").as("lon"))
-      .withColumn("cla", expr("lat div 100"))
-      .withColumn("clo", expr("lon div 100"))
-    val probes = pts
-      .withColumn("dla", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("dlo", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .select(col("ck").as("a"), col("lat").as("la"), col("lon").as("oa"),
-        (col("cla") + col("dla")).as("cla"),
-        (col("clo") + col("dlo")).as("clo"))
+    val (pts, probes) = geoPoints(s, d)
     val nn = probes
       .join(pts.select(col("ck").as("b"), col("lat").as("lb"),
         col("lon").as("ob"), col("cla"), col("clo")), Seq("cla", "clo"))
@@ -541,8 +540,11 @@ object Joins {
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
       .groupBy(col("s_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .cast("decimal(18,4)"), 2).cast("double").as("revenue"),
+        // per-row DECIMAL(18,4) INSIDE the sum — the late cast summed
+        // raw doubles first, leaving the rounded cents at the mercy of
+        // partial-agg addition order (round-14 review; house rule)
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")), 2).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("s_name"))
   }
@@ -633,8 +635,14 @@ object Joins {
       .select(expr("substring(source, 1, length(source) - 1)")
         .as("corrupt"))
       .distinct()
+    // ALL THREE admissible length bands: edit distance ≤ 1 admits
+    // len−1 (a registry entry one char SHORTER than the probe), len,
+    // and len+1 — the old two-band block silently missed deletion
+    // matches, and the oracle shared the gap so the gate was
+    // structurally blind to it (round-14 review)
     val probeB = probes.withColumn("blen",
-      explode(array(length(col("corrupt")), length(col("corrupt")) + 1)))
+      explode(array(length(col("corrupt")) - 1, length(col("corrupt")),
+        length(col("corrupt")) + 1)))
     val regB = registry.withColumn("blen", length(col("source")))
     probeB.join(regB, "blen")
       .withColumn("lev", levenshtein(col("corrupt"), col("source")))
@@ -737,7 +745,8 @@ object Joins {
         |SELECT DISTINCT corrupt, source,
         |  CAST(levenshtein(corrupt, source) AS INTEGER) AS lev
         |FROM probes JOIN registry
-        |  ON length(source) IN (length(corrupt), length(corrupt) + 1)
+        |  ON length(source) IN (length(corrupt) - 1, length(corrupt),
+        |                        length(corrupt) + 1)
         |WHERE levenshtein(corrupt, source) <= 1
         |ORDER BY corrupt, source NULLS FIRST""".stripMargin,
     "join_null_aware_anti" ->
@@ -771,8 +780,8 @@ object Joins {
         |FROM pairs GROUP BY nk ORDER BY nk""".stripMargin,
     "join_skew_salted" ->
       """SELECT s_name,
-        |  CAST(ROUND(CAST(SUM(l_extendedprice * (1 - l_discount))
-        |    AS DECIMAL(18,4)), 2) AS DOUBLE) AS revenue,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,

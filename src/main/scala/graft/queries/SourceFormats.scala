@@ -28,7 +28,7 @@ object SourceFormats {
         col("o_totalprice"))
 
   private def roundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
-    val dir = Files.createTempDirectory(s"graft_src_$fmt").toString
+    val dir = graft.util.TempDirs.create(s"graft_src_$fmt").toString
     val sub = subset(s, d)
     val w = sub.write.mode("overwrite")
     (fmt match {
@@ -59,7 +59,7 @@ object SourceFormats {
     * [[sourceParquetEvolution]] staging precedent); the oracle
     * replays the flat equivalent on the base table. */
   def sourceNestedParquet(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_src_nested").toString
+    val dir = graft.util.TempDirs.create("graft_src_nested").toString
     t(s, d, "orders")
       .select(col("o_custkey"),
         struct(col("o_orderkey").as("key"),
@@ -104,8 +104,15 @@ object SourceFormats {
     * bytes, which is why a real deployment tracks the merged schema
     * in a catalog instead of re-merging per read (documented, same
     * result). */
-  def sourceParquetEvolution(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_src_evolve").toString
+  /** Stage the even/odd two-batch evolved-schema layout (batch=a
+    * without o_orderstatus, batch=b with it) — the ONE copy shared by
+    * [[sourceParquetEvolution]] and [[ingestSchemaDriftReport]]; both
+    * oracles hard-code this split, so a one-sided staging edit would
+    * silently desynchronize the other query from its oracle (round-14
+    * review). Returns the staged dir. */
+  private def stageEvolvedBatches(s: SparkSession, d: String,
+      prefix: String): String = {
+    val dir = graft.util.TempDirs.create(prefix).toString
     val o = t(s, d, "orders")
     o.filter(col("o_orderkey") % 2 === 0)
       .select(col("o_orderkey"), col("o_totalprice"))
@@ -113,6 +120,11 @@ object SourceFormats {
     o.filter(col("o_orderkey") % 2 === 1)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .write.mode("overwrite").parquet(s"$dir/batch=b")
+    dir
+  }
+
+  def sourceParquetEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = stageEvolvedBatches(s, d, "graft_src_evolve")
     s.read.option("mergeSchema", "true").parquet(dir)
       .groupBy(col("batch"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
@@ -131,14 +143,7 @@ object SourceFormats {
     * One narrow aggregate per audited column (the [[Scans
     * .profileColumns]] union topology); nothing collected. */
   def ingestSchemaDriftReport(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_schema_drift").toString
-    val o = t(s, d, "orders")
-    o.filter(col("o_orderkey") % 2 === 0)
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .write.mode("overwrite").parquet(s"$dir/batch=a")
-    o.filter(col("o_orderkey") % 2 === 1)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-      .write.mode("overwrite").parquet(s"$dir/batch=b")
+    val dir = stageEvolvedBatches(s, d, "graft_schema_drift")
     val m = s.read.option("mergeSchema", "true").parquet(dir)
     def leg(c: String): DataFrame =
       m.groupBy(col("batch"))
@@ -159,7 +164,7 @@ object SourceFormats {
     * checks the filtered aggregate; PlanSpec-style pruning assertion
     * lives in the spec. */
   def sinkPartitionedPrune(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_sink_part").toString
+    val dir = graft.util.TempDirs.create("graft_sink_part").toString
     t(s, d, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
@@ -178,7 +183,7 @@ object SourceFormats {
     * delimiter check rides the same path). Round-trips through write
     * + schema-pinned read; the oracle checks content equality. */
   def sourceCsvDialect(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_src_dialect").toString
+    val dir = graft.util.TempDirs.create("graft_src_dialect").toString
     val sub = t(s, d, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
     sub.write.mode("overwrite")
@@ -204,7 +209,7 @@ object SourceFormats {
     * never split, so file sizing (≤ a few hundred MB) is the
     * parallelism knob. */
   def sourceBinaryFiles(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_src_binary")
+    val dir = graft.util.TempDirs.create("graft_src_binary")
     t(s, d, "documents").filter(col("doc_id") < 20)
       .select(col("doc_id"), col("text")).collect()
       .foreach { r =>
@@ -239,7 +244,7 @@ object SourceFormats {
     * of types passes). Oracle replays the rule over the unpartitioned
     * table — results are layout-independent. */
   def joinDppPrune(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_dpp").toString
+    val dir = graft.util.TempDirs.create("graft_dpp").toString
     t(s, d, "events")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"))
@@ -281,7 +286,7 @@ object SourceFormats {
     * nothing is dropped. One scan, one partial+final agg; per-row
     * parse failure never touches other rows' outcome. */
   def sourceJsonPermissive(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_src_permissive").toString
+    val dir = graft.util.TempDirs.create("graft_src_permissive").toString
     t(s, d, "documents")
       .select(concat(
         lit("{\"doc_id\":"), col("doc_id").cast("string"),
@@ -308,7 +313,7 @@ object SourceFormats {
     * what the oracle checks. Splittable at scale like CSV; the schema
     * is fixed (`value: string`), so projection happens downstream. */
   def sourceTextRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val dir = Files.createTempDirectory("graft_src_text").toString
+    val dir = graft.util.TempDirs.create("graft_src_text").toString
     t(s, d, "documents").select(col("text"))
       .write.mode("overwrite").text(dir)
     s.read.text(dir)

@@ -271,8 +271,14 @@ object Scalars {
         // overflows (-> null) exactly where l_quantity > 10
         expr("try_add(9223372036854775797L, CAST(l_quantity AS LONG))")
           .as("near_max_add"))
+      // total order over EVERY output column: (l_orderkey,
+      // l_linenumber) is non-unique in the fixture, and two tied rows
+      // can share unit_price while differing in div_q25/near_max_add —
+      // the positional gate compare would then flake on Spark's
+      // partition-dependent tie order (round-14 review; the
+      // filterPredicates discipline)
       .orderBy(col("l_orderkey"), col("l_linenumber"),
-        col("unit_price"))
+        col("unit_price"), col("div_q25"), col("near_max_add"))
 
   /** ANSI-safe cast coercion — the schema-normalization contract for
     * dirty landing data: `try_cast` yields null instead of failing
@@ -358,7 +364,8 @@ object Scalars {
         |    9223372036854775797 + CAST(l_quantity AS BIGINT) END
         |    AS near_max_add
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, unit_price""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, unit_price NULLS FIRST,
+        |  div_q25 NULLS FIRST, near_max_add NULLS FIRST""".stripMargin,
     "scalar_hash" ->
       """SELECT doc_id,
         |  md5(text) AS h_md5,

@@ -1083,21 +1083,22 @@ object Curation {
     * generations ([[graft.llm.TextStats]] trainLoopOracle
     * precedent). */
   def sampleCoresetKcenter(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
     val e = t(s, d, "embeddings")
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000000d).cast("bigint"))
-          .as("micro"))
+        GraftBridge.column(graft.functions.MicroQuant(
+          GraftBridge.expression(col("embedding")))).as("micro"))
     val seed = e.filter(col("vec_id") === 0)
       .select(col("micro")).collect()(0).getSeq[Long](0).toIndexedSeq
     var centers =
       Vector[(Long, Seq[Long], Option[Long])]((0L, seed, None))
     for (_ <- 1 to 7) {
+      // compiled kernel per center — the aggregate/zip_with HOF fold
+      // paid |centers| x dim interpreted dispatches per row (round 15)
       val cells = centers.map { case (_, cm, _) =>
-        aggregate(
-          zip_with(col("micro"), typedLit(cm),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
+        GraftBridge.column(graft.functions.VecSqDistLong(
+          GraftBridge.expression(col("micro")),
+          GraftBridge.expression(typedLit(cm))))
       }
       val chosen = centers.map(_._1)
       val next = e

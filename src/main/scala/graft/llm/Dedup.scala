@@ -1661,19 +1661,22 @@ object Dedup {
         r.getSeq[Float](1).map(x => BigDecimal(x.toDouble * 1000000d)
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)))
       .sortBy(_._1)
-    val cells = centroids.map { case (cell, cm) =>
-      val d2 = aggregate(
-        zip_with(col("micro"), typedLit(cm.toSeq),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
-      struct(d2.as("d2"), lit(cell).as("cell"))
-    }
+    // compiled kernels (round 15): CellDists/MicroQuant/VecDotLong
+    // replace the aggregate/zip_with/transform HOF folds, which the
+    // interpreter evaluated per element — same long arithmetic,
+    // bit-identical values
+    import org.apache.spark.sql.GraftBridge
+    val cells = GraftBridge.column(graft.functions.CellDists(
+      GraftBridge.expression(col("micro")),
+      centroids.map(_._2.toSeq).toSeq, centroids.map(_._1).toSeq, "cell"))
+    def dotL(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      GraftBridge.column(graft.functions.VecDotLong(
+        GraftBridge.expression(a), GraftBridge.expression(b)))
     val assigned = e.select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000000d).cast("bigint"))
-          .as("micro"))
+        GraftBridge.column(graft.functions.MicroQuant(
+          GraftBridge.expression(col("embedding")))).as("micro"))
       .withColumn("cell",
-        array_min(array(cells: _*)).getField("cell"))
+        array_min(cells).getField("cell"))
       .cache()
     val reps = assigned.groupBy(col("cell"))
       .agg(min(col("vec_id")).as("rep_id"))
@@ -1682,12 +1685,9 @@ object Dedup {
         col("micro").as("rmicro")), "rep_id")
     assigned.join(broadcast(repVec), Seq("cell"))
       .select(col("vec_id"), col("cell"), col("rep_id"),
-        aggregate(zip_with(col("micro"), col("rmicro"),
-          (a, b) => a * b), lit(0L), (acc, x) => acc + x).as("dot"),
-        aggregate(transform(col("micro"), x => x * x),
-          lit(0L), (acc, x) => acc + x).as("na2"),
-        aggregate(transform(col("rmicro"), x => x * x),
-          lit(0L), (acc, x) => acc + x).as("nb2"))
+        dotL(col("micro"), col("rmicro")).as("dot"),
+        dotL(col("micro"), col("micro")).as("na2"),
+        dotL(col("rmicro"), col("rmicro")).as("nb2"))
       .withColumn("is_dup",
         expr("""vec_id <> rep_id AND dot > 0
                 AND CAST(10 * dot AS DECIMAL(19,0))

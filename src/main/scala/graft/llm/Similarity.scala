@@ -532,9 +532,7 @@ object Similarity {
     }
     val projections = (0 until 8).map { j =>
       val signs = typedLit((0 until dim).map(i => sign(i, j)))
-      aggregate(
-        zip_with(col("micro"), signs, (m, sg) => m * sg),
-        lit(0L), (acc, x) => acc + x)
+      dotLong(col("micro"), signs)
     }
     // micro is projected first so the 8 folds share one quantization
     // pass (CollapseProject keeps non-cheap multi-referenced lambdas
@@ -561,7 +559,7 @@ object Similarity {
     val e = t(s, d, "embeddings")
     val cells = cellStructs(seedCentroids(s, d, 8), col("micro"))
     e.select(col("vec_id"), microCol)
-      .select(col("vec_id"), array_min(array(cells: _*)).as("best"))
+      .select(col("vec_id"), array_min(cells).as("best"))
       .select(col("vec_id"), col("best.cell").as("cell"),
         col("best.d2").as("d2_micro"))
       .orderBy(col("vec_id"))
@@ -582,8 +580,7 @@ object Similarity {
   def embeddingDrift(s: SparkSession, d: String): DataFrame =
     t(s, d, "embeddings")
       .select((col("vec_id") % 2L).as("grp"),
-        posexplode(transform(col("embedding"),
-          x => round(x.cast("double") * 1000000d).cast("bigint"))))
+        posexplode(microExpr))
       .groupBy(col("pos"))
       .agg(
         sum(when(col("grp") === 0L, 1L).otherwise(0L)).as("n_a"),
@@ -637,7 +634,7 @@ object Similarity {
     val centroids = seedCentroids(s, d, 8)
     val cells = cellStructs(centroids, col("micro"))
     val aggRows = e.select(col("vec_id"), microCol)
-      .select(col("vec_id"), array_min(array(cells: _*)).as("best"))
+      .select(col("vec_id"), array_min(cells).as("best"))
       .select(col("best.cell").as("cell"), col("best.d2").as("d2"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_c"),
@@ -698,7 +695,7 @@ object Similarity {
     }.toMap
     val cells = cellStructs(centroids, col("micro"))
     e.select(col("vec_id"), microCol)
-      .select(col("vec_id"), array_min(array(cells: _*)).as("best"))
+      .select(col("vec_id"), array_min(cells).as("best"))
       .select(col("best.cell").as("cell"), col("best.d2").as("d2"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_c"),
@@ -732,17 +729,46 @@ object Similarity {
           .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toSeq))
       .sortBy(_._1)
 
-  /** (d2, cell) candidate structs for `src` against each centroid —
-    * consumers take array_min (assignment argmin, lowest-cell
-    * tiebreak via lexicographic struct order) or array_sort
-    * (silhouette's runner-up). Distances are exact integer micro². */
+  /** array<struct<d2, cell>> candidates for `src` against each
+    * centroid, in centroid order — consumers take array_min
+    * (assignment argmin, lowest-cell tiebreak via lexicographic struct
+    * order) or array_sort (silhouette's runner-up). Distances are
+    * exact integer micro², computed by the compiled
+    * [[graft.functions.CellDists]] kernel (the round-15 HOF
+    * replacement: the aggregate/zip_with struct array paid k x dim
+    * interpreted lambda dispatches per row). */
   private def cellStructs(cents: Seq[(Int, Seq[Long])],
-      src: Column): Seq[Column] =
-    cents.map { case (cell, cm) =>
-      struct(aggregate(zip_with(src, typedLit(cm),
-          (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x).as("d2"), lit(cell).as("cell"))
-    }
+      src: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.CellDists(
+      GraftBridge.expression(src), cents.map(_._2), cents.map(_._1),
+      "cell"))
+  }
+
+  /** Compiled long-vector kernels (see [[graft.functions.VecDotLong]]
+    * and siblings) — same sequential long arithmetic as the
+    * aggregate/zip_with folds they replace. */
+  /** [[cellStructs]] with a caller-chosen id field name (the IVF-PQ
+    * coarse assignment uses `c`). */
+  private def cellStructsNamed(cents: Seq[(Int, Seq[Long])],
+      src: Column, idField: String): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.CellDists(
+      GraftBridge.expression(src), cents.map(_._2), cents.map(_._1),
+      idField))
+  }
+
+  private def dotLong(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.VecDotLong(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
+
+  private def subLong(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.VecSubLong(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
 
   /** 16-centroid/8-subspace model state shared by the PQ pair below:
     * slice-local centroids from vectors 0..15 — the same bounded
@@ -756,26 +782,36 @@ object Similarity {
     pqBestOn(cents, col("micro"))
 
   /** [[pqBest]] over an arbitrary integer-vector column (the IVF-PQ
-    * key encodes RESIDUALS, not raw micros). */
+    * key encodes RESIDUALS, not raw micros). One compiled
+    * [[graft.functions.PqBest]] pass — the former per-subspace
+    * aggregate/zip_with/array_min composition paid 8 x 16 x 8
+    * interpreted lambda dispatches per row (round 15). */
   private def pqBestOn(cents: Array[(Int, Seq[Long])],
                        src: Column): Column = {
-    val subCols = (0 until 8).map { m =>
-      val sl = slice(src, m * 8 + 1, 8)
-      val cands = cents.map { case (c, cm) =>
-        val cs = cm.slice(m * 8, m * 8 + 8)
-        val d2 = aggregate(
-          zip_with(sl, typedLit(cs), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-        struct(d2.as("d2"), lit(c).as("c"))
-      }
-      array_min(array(cands: _*))
-    }
-    array(subCols: _*)
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.PqBest(
+      GraftBridge.expression(src),
+      cents.map(_._2).toSeq, cents.map(_._1).toSeq, 8, 8))
   }
 
-  private def microCol: Column =
-    transform(col("embedding"),
-      x => round(x.cast("double") * 1000000d).cast("bigint")).as("micro")
+  /** ADC lookup sum over PQ codes against an array<array<long>> table
+    * column ([[graft.functions.AdcSum]]). */
+  private def adcSum(best: Column, lut: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.AdcSum(
+      GraftBridge.expression(best), GraftBridge.expression(lut)))
+  }
+
+  /** Compiled 1e-6 quantization pass ([[graft.functions.MicroQuant]]);
+    * bit-identical to transform(embedding,
+    *   x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)). */
+  private def microExpr: Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.MicroQuant(
+      GraftBridge.expression(col("embedding"))))
+  }
+
+  private def microCol: Column = microExpr.as("micro")
 
   /** Product quantization encode — the other half of the FAISS recipe
     * next to [[simSearchIvf]] (coarse cells) and [[embeddingBinarize]]
@@ -787,14 +823,15 @@ object Similarity {
     * no explode; d2_total is the reconstruction-error diagnostic. */
   def embeddingPqEncode(s: SparkSession, d: String): DataFrame = {
     val cents = pqCentroids(s, d)
+    import org.apache.spark.sql.GraftBridge
     t(s, d, "embeddings")
       .select(col("vec_id"), microCol)
       .select(col("vec_id"), pqBest(cents).as("best"))
       .select(col("vec_id"),
-        expr("""aggregate(zip_with(best, sequence(0, 7),
-            (b, m) -> shiftleft(CAST(b.c AS BIGINT), CAST(4 * m AS INT))),
-          0L, (acc, v) -> acc + v)""").as("pq_code"),
-        expr("aggregate(best, 0L, (acc, b) -> acc + b.d2)").as("d2_total"))
+        GraftBridge.column(graft.functions.PqPack(
+          GraftBridge.expression(col("best")))).as("pq_code"),
+        GraftBridge.column(graft.functions.PqD2Sum(
+          GraftBridge.expression(col("best")))).as("d2_total"))
       .orderBy(col("vec_id"))
   }
 
@@ -822,10 +859,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), pqBest(cents).as("best"))
       .crossJoin(broadcast(adcRow))
       .select(col("vec_id"), col("label"),
-        expr("""aggregate(zip_with(best, sequence(0, 7),
-            (b, m) -> element_at(element_at(adc, CAST(m + 1 AS INT)),
-                                 CAST(b.c + 1 AS INT))),
-          0L, (acc, v) -> acc + v)""").as("adc_d2"))
+        adcSum(col("best"), col("adc")).as("adc_d2"))
       .orderBy(col("adc_d2"), col("vec_id"))
       .limit(10)
   }
@@ -877,19 +911,13 @@ object Similarity {
         }
       }
     }.toMap
-    val cellCol = array_min(array(coarse.map { case (c, cq) =>
-      struct(
-        aggregate(zip_with(col("micro"), typedLit(cq),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-          .as("d2"),
-        lit(c).as("c"))
-    }: _*)).getField("c")
+    val cellCol = array_min(cellStructsNamed(coarse, col("micro"), "c"))
+      .getField("c")
     val residCol = probed.tail.foldLeft(
       when(col("cell") === probed.head,
-        zip_with(col("micro"), typedLit(head(probed.head)),
-          (a, b) => a - b))) { (acc, c) =>
+        subLong(col("micro"), typedLit(head(probed.head))))) { (acc, c) =>
       acc.when(col("cell") === c,
-        zip_with(col("micro"), typedLit(head(c)), (a, b) => a - b))
+        subLong(col("micro"), typedLit(head(c))))
     }
     val lutCol = probed.tail.foldLeft(
       when(col("cell") === probed.head, typedLit(lut(probed.head)))) {
@@ -901,11 +929,7 @@ object Similarity {
       .filter(col("cell").isInCollection(probed))
       .withColumn("best", pqBestOn(cents, residCol))
       .select(col("vec_id"), col("cell").as("ivf_cell"),
-        aggregate(
-          zip_with(col("best"), sequence(lit(0), lit(7)),
-            (b, m) => element_at(element_at(lutCol, m.cast("int") + 1),
-              b.getField("c").cast("int") + 1)),
-          lit(0L), (acc, x) => acc + x).as("adc_d2"))
+        adcSum(col("best"), lutCol).as("adc_d2"))
       .orderBy(col("adc_d2"), col("vec_id"))
       .limit(10)
   }
@@ -1292,7 +1316,7 @@ object Similarity {
     val e = t(s, d, "embeddings")
     val cells = cellStructs(seedCentroids(s, d, 8), col("micro"))
     e.select(col("vec_id"), microCol)
-      .select(col("vec_id"), array_sort(array(cells: _*)).as("sorted"))
+      .select(col("vec_id"), array_sort(cells).as("sorted"))
       .select(col("vec_id"),
         col("sorted")(0).getField("cell").as("cell"),
         col("sorted")(0).getField("d2").as("a2"),
@@ -1333,8 +1357,8 @@ object Similarity {
     val m = e.select(microCol)
     val dimSums = (1 to dim).map(j =>
       sum(element_at(col("micro"), j)).as(s"s$j"))
-    val norm2 = sum(aggregate(transform(col("micro"), x => x * x),
-      lit(0L), (a, x) => a + x).cast("decimal(38,0)")).as("sum_norm2")
+    val norm2 = sum(dotLong(col("micro"), col("micro"))
+      .cast("decimal(38,0)")).as("sum_norm2")
     val ns2Terms = (1 to dim)
       .map(j => s"CAST(s$j AS DECIMAL(19,0)) * CAST(s$j AS DECIMAL(19,0))")
       .mkString(" + ")
@@ -1378,8 +1402,6 @@ object Similarity {
       val cm = cb1(assign1(m))
       m.zip(cm).map { case (a, b) => a - b }
     }
-    def argmin(cells: Seq[org.apache.spark.sql.Column]) =
-      array_min(array(cells: _*))
     val l1Cells = cellStructs(
       cb1.toSeq.zipWithIndex.map { case (cm, c) => (c, cm.toSeq) },
       col("micro"))
@@ -1388,11 +1410,10 @@ object Similarity {
       cb2.toSeq.zipWithIndex.map { case (rm, k) => (k, rm.toSeq) },
       col("resid"))
     e.select(col("vec_id"), microCol)
-      .withColumn("b1", argmin(l1Cells))
+      .withColumn("b1", array_min(l1Cells))
       .withColumn("resid",
-        zip_with(col("micro"),
-          element_at(cb1Lit, col("b1.cell") + 1), (a, b) => a - b))
-      .withColumn("b2", argmin(l2Cells))
+        subLong(col("micro"), element_at(cb1Lit, col("b1.cell") + 1)))
+      .withColumn("b2", array_min(l2Cells))
       .select(col("vec_id"),
         col("b1.cell").as("c1"), col("b1.d2").as("d2_l1"),
         col("b2.cell").as("c2"), col("b2.d2").as("d2_l2"))

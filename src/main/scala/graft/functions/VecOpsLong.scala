@@ -61,14 +61,14 @@ case class MicroQuant(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
-        s" graft.functions.MicroQuant.evalArray($a);")
+        s" graft.functions.VecKernels.microQuant($a);")
 
   override protected def withNewChildInternal(newChild: Expression): MicroQuant =
     copy(child = newChild)
 }
 
-object MicroQuant {
-  def evalArray(x: ArrayData): ArrayData = {
+object VecKernels {
+  def microQuant(x: ArrayData): ArrayData = {
     val n = x.numElements()
     val out = new Array[Any](n)
     var i = 0
@@ -122,7 +122,7 @@ case class VecDotLong(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("dotl")
       s"""
-         |Object $r = graft.functions.VecDotLong.eval($a, $b);
+         |Object $r = graft.functions.VecKernelDot.eval($a, $b);
          |if ($r == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ((Long) $r).longValue(); }
        """.stripMargin
@@ -132,7 +132,7 @@ case class VecDotLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-object VecDotLong {
+object VecKernelDot {
   def eval(a: ArrayData, b: ArrayData): Object = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -167,7 +167,7 @@ case class VecSqDistLong(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("sqdl")
       s"""
-         |Object $r = graft.functions.VecSqDistLong.eval($a, $b);
+         |Object $r = graft.functions.VecKernelSqDist.eval($a, $b);
          |if ($r == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = ((Long) $r).longValue(); }
        """.stripMargin
@@ -177,7 +177,7 @@ case class VecSqDistLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-object VecSqDistLong {
+object VecKernelSqDist {
   def eval(a: ArrayData, b: ArrayData): Object = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -205,13 +205,13 @@ case class VecSubLong(left: Expression, right: Expression)
   override def prettyName: String = "vec_sub_long"
 
   override def nullSafeEval(x: Any, y: Any): Any =
-    VecSubLong.eval(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+    VecKernelSub.eval(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("subl")
       s"""
-         |Object $r = graft.functions.VecSubLong.eval($a, $b);
+         |Object $r = graft.functions.VecKernelSub.eval($a, $b);
          |if ($r == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $r; }
        """.stripMargin
@@ -221,7 +221,7 @@ case class VecSubLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-object VecSubLong {
+object VecKernelSub {
   def eval(a: ArrayData, b: ArrayData): Object = {
     val n = a.numElements()
     if (n != b.numElements()) return null

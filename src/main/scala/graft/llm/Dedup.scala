@@ -940,20 +940,19 @@ object Dedup {
     simhashFingerprintsFrom(t(s, d, "documents"))
 
   /** Fingerprint plan over an arbitrary (doc_id, text, …) relation —
-    * lets the derived-check query plant a known duplicate. */
+    * lets the derived-check query plant a known duplicate. One
+    * compiled [[graft.functions.SimHash64]] pass inside the scan
+    * (round 15): the former explode(split) + 64-column vote aggregate
+    * evaluated 64 sum(when) expressions per token row — ~64M aggregate
+    * updates at sf0.1 — inside a single-split scan stage. Same
+    * tokenization (split limit −1), same xxhash64 token hashes, same
+    * vote rule; DedupSpec pins fingerprint equality against the
+    * relational form. */
   private def simhashFingerprintsFrom(docs: DataFrame): DataFrame = {
-    val tokens = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1))
-        .as(s"b$i")
-    }
-    val sims = tokens.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    sims.select(col("doc_id"), simhash.as("simhash"))
+    import org.apache.spark.sql.GraftBridge
+    docs.select(col("doc_id"),
+      GraftBridge.column(graft.functions.SimHash64(
+        GraftBridge.expression(col("text")))).as("simhash"))
   }
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame =

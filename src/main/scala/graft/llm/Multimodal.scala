@@ -509,38 +509,20 @@ object Multimodal {
     * composites; real decoders replace the byte stub per the module
     * boundary above. */
   def multimodalTempo(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val cx = t(s, d, "documents")
+    // round 15: the whole recipe runs in the
+    // [[graft.functions.TempoAcf]] generator — one O(64×29) integer
+    // pass per doc inside the scan, replacing the 64-sample explode +
+    // per-doc window sum + ×29 lag fan + (doc, j) self-join + rank
+    // (a ~9M-row join at sf0.1, ~38 s of CPU; the generator: ~0.1 s).
+    // Same x/centering/argmax algebra — the oracle keeps the
+    // relational form and MultimodalSpec pins the per-doc equality.
+    import org.apache.spark.sql.GraftBridge
+    t(s, d, "documents")
       .filter(length(col("text")) >= 64)
       .select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(1, 64), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
-          .as(Seq("i", "x")))
-      .withColumn("xc", lit(64L) * col("x") - sum(col("x")).over(byDoc))
-      .select(col("doc_id"), col("i").cast("long").as("i"), col("xc"))
-      // three consumers (r0 + both lag-join sides) — cached, or the
-      // explode + per-doc window sum runs three times per query
-      // (multimodalNearDup's self-join cache is the in-file precedent;
-      // round-14 review). Session-scoped: Verify/Bench clear per key.
-      .cache()
-    val r0 = cx.groupBy(col("doc_id"))
-      .agg(sum(col("xc") * col("xc")).as("r0"))
-    val a = cx.select(col("doc_id"), col("i"), col("xc").as("xa"))
-      .withColumn("lag", explode(expr("sequence(4, 32)")))
-      .select(col("doc_id"), col("lag"),
-        (col("i") + col("lag")).as("j"), col("xa"))
-    val b = cx.select(col("doc_id"), col("i").as("j"), col("xc").as("xb"))
-    val rk = Window.partitionBy(col("doc_id"))
-      .orderBy(col("r").desc, col("lag"))
-    a.join(b, Seq("doc_id", "j"))
-      .groupBy(col("doc_id"), col("lag"))
-      .agg(sum(col("xa") * col("xb")).as("r"))
-      .withColumn("rn", row_number().over(rk))
-      .filter(col("rn") === 1)
-      .join(r0, Seq("doc_id"))
-      .select(col("doc_id"), col("lag").as("tempo_lag"),
-        col("r").as("r_peak"), col("r0"))
+        GraftBridge.column(graft.functions.TempoAcf(
+          GraftBridge.expression(col("text"))))
+          .as(Seq("tempo_lag", "r_peak", "r0")))
       .orderBy(col("doc_id"))
   }
 

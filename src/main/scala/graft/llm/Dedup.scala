@@ -335,14 +335,22 @@ object Dedup {
     graft.util.Materialize.tableFor(s, "mh_sigs", d, () => minhashSigs(s, d))
 
   /** Signature plan over an arbitrary (doc_id, text, …) relation —
-    * lets the derived-check queries plant a known duplicate. */
+    * lets the derived-check queries plant a known duplicate. One
+    * compiled [[graft.functions.MinHashSig]] pass inside the scan
+    * (round 15): the former explode(array_distinct(split)) + 16-way
+    * min aggregate re-hashed the seed integer per token row and paid a
+    * doc-keyed aggregate for a per-row-computable value —
+    * KernelEquivalenceSpec pins signature equality against that form.
+    * The null-text filter preserves the relational observable (explode
+    * of a null token array emitted no row for the doc). */
   private def minhashSigsFrom(docs: DataFrame): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val hashAggs = (0 until nHashes).map(i =>
-      min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
-    toks.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
+    import org.apache.spark.sql.GraftBridge
+    val sig = GraftBridge.column(graft.functions.MinHashSig(
+      GraftBridge.expression(col("text")), nHashes))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id") +:
+        (0 until nHashes).map(i => col("sig")(i).as(s"h$i")): _*)
   }
 
   /** Banded candidate pairs + estimator threshold over a signature
@@ -1026,7 +1034,6 @@ object Dedup {
     * collision needs ~2⁶⁵ distinct shingles before it is likely. */
   def dedupContainment(s: SparkSession, d: String,
       maxDf: Long = 64L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Shingles come from the custom [[graft.functions.TokenNGrams]]
     // Generator: one O(len) pass per row inside the scan stage.
     // (History: a transform() lambda hits the explode-inferred-filter
@@ -1052,22 +1059,37 @@ object Dedup {
         .select(col("doc_id"), xxhash64(col("g")).as("h"))
         .distinct()
     }
-    // the wired df guard: count true shingle document frequency (the
-    // window partitions on h — the SAME key the self-join shuffles
-    // on, so the count is co-partitioned and linear even on the hot
-    // key) and evict hot shingles from the index before the join
-    val cold = postings
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("df") <= maxDf)
-      .select(col("doc_id"), col("h"))
+    // the wired df guard: true shingle document frequency as one
+    // map-side-combined aggregate on h (round 15 — the former
+    // window-over-h paid a full postings exchange PLUS a sort just to
+    // attach a count the aggregate computes on shuffled state of
+    // |distinct h| rows); hot shingles leave the index via an anti
+    // join on the SAME key the self-join shuffles on, so the guard
+    // stays linear on the hot key
+    val hot = postings.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("h"))
+    val cold = postings.join(hot, Seq("h"), "left_anti")
     val n = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val posts = cold.join(n, "doc_id")
-    posts.as("a")
-      .join(posts.as("b"),
+    // n joins AFTER the pair aggregate (round 15): attaching it to
+    // every posting row widened the self-join's shuffle by a long per
+    // row and paid an extra doc_id exchange of the full index; the
+    // aggregated pair relation is orders of magnitude smaller
+    // SHUFFLE_HASH pin: the planner's post-anti-join size estimate
+    // undershoots the 10 MB broadcast threshold and BROADCASTS the
+    // full posting index for the self-join — a 3× CPU regression at
+    // sf0.1 (build of a corpus-sized hash relation) and a scale killer
+    // at 100 TB. The shuffle join is the honest shape on both counts,
+    // and the identical a/b subtrees share one exchange via reuse.
+    val pairs = cold.as("a")
+      .join(cold.as("b").hint("shuffle_hash"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("shared"),
-        first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(n.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(n.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
       // emit threshold 0.25 (exact integer cross-multiplication): at
       // the former 0.5 every surviving pair in this corpus was a FULL
       // containment and the score column was constant 1.0 at every sf
@@ -1478,23 +1500,25 @@ object Dedup {
   def dedupSubstringSpans(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = 5
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= k)
-    // toks is a materialized attribute, so the slice lambda is O(k)
-    // per element (not a re-evaluated split — the HOF-capture pitfall)
-    val grams = docs
-      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-        posexplode(expr(
-          s"""transform(sequence(1, size(toks) - ${k - 1}),
-             |  i -> xxhash64(array_join(slice(toks, i, $k), ' ')))"""
-            .stripMargin))
-          .as(Seq("p0", "h")))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("p0") + 1).cast("long").as("pos"), col("h"))
+    // gram positions + hashes from the compiled
+    // [[graft.functions.TokenGramHashes]] generator — one O(len·k)
+    // pass inside the scan (round 15: the transform/slice/array_join
+    // HOF fan was interpreted per gram; the generator emits the
+    // identical (n_tokens, pos, xxhash64) rows, and emits nothing for
+    // docs under k tokens — the former size filter)
+    val grams = t(s, d, "documents")
+      .select(col("doc_id"),
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.TokenGramHashes(
+            org.apache.spark.sql.GraftBridge.expression(col("text")), k))
+          .as(Seq("n_tokens", "pos", "h")))
+    // "appears in ≥2 docs" as min ≠ max over the (non-null) doc ids —
+    // one partial-aggregable pass (round 15: count_distinct planned the
+    // two-phase Expand/distinct aggregate, an extra full exchange of
+    // (h, doc_id) pairs for a predicate min/max answer exactly)
     val dupKeys = grams.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select(col("h"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = grams.join(dupKeys, "h")

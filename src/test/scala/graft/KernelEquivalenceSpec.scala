@@ -114,6 +114,60 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     }
   }
 
+  test("MinHashSig kernel equals the explode + 16-way min aggregate") {
+    for (docs <- Seq(Tables.t(spark, sf, "documents")
+        .select(col("doc_id"), col("text")), plantedDocs)) {
+      val toks = docs
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+      val hashAggs = (0 until 16).map(i =>
+        min(xxhash64(lit(i), col("tok"))).as(s"h$i"))
+      val rel = toks.groupBy(col("doc_id")).agg(hashAggs.head, hashAggs.tail: _*)
+      val sig = GraftBridge.column(graft.functions.MinHashSig(
+        GraftBridge.expression(col("text")), 16))
+      val kern = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), sig.as("sig"))
+        .select(col("doc_id") +:
+          (0 until 16).map(i => col("sig")(i).as(s"h$i")): _*)
+      val cond = (0 until 16)
+        .map(i => !(col(s"k.h$i") <=> col(s"r.h$i")))
+        .reduce(_ || _)
+      val diff = kern.as("k").join(rel.as("r"), Seq("doc_id"), "full_outer")
+        .filter(cond).count()
+      assert(diff == 0L)
+    }
+  }
+
+  test("TokenGramHashes generator equals the transform/slice/array_join fan") {
+    val k = 5
+    for (docs <- Seq(Tables.t(spark, sf, "documents")
+        .select(col("doc_id"), col("text")), plantedDocs)) {
+      val rel = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          posexplode(expr(
+            s"""transform(sequence(1, size(toks) - ${k - 1}),
+               |  i -> xxhash64(array_join(slice(toks, i, $k), ' ')))"""
+              .stripMargin))
+            .as(Seq("p0", "h")))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("p0") + 1).cast("long").as("pos"), col("h"))
+      val kern = docs.select(col("doc_id"),
+        GraftBridge.column(graft.functions.TokenGramHashes(
+          GraftBridge.expression(col("text")), k))
+          .as(Seq("n_tokens", "pos", "h")))
+      val diff = kern.as("x").join(rel.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("x.pos") === col("y.pos"), "full_outer")
+        .filter(col("x.doc_id").isNull || col("y.doc_id").isNull ||
+          !(col("x.h") <=> col("y.h")) ||
+          !(col("x.n_tokens") <=> col("y.n_tokens")))
+        .count()
+      assert(diff == 0L)
+    }
+  }
+
   /** MicroQuant vs the transform/round/cast lambda, and the long folds
     * vs their aggregate/zip_with forms, over the embeddings fixture. */
   test("MicroQuant and long-vector folds equal the HOF forms") {

@@ -60,9 +60,22 @@ object Compact {
     // dangling bak NEXT TO a live dir means the crash happened after the
     // second rename; the live dir wins and bak is deleted below.)
     val staleBak = workPath(dir, "__compact_bak")
-    if (!fs.exists(dir) && fs.exists(staleBak) && !fs.rename(staleBak, dir))
-      throw new java.io.IOException(
-        s"compact: cannot restore dangling $staleBak to $dir")
+    // legacy pre-dot-prefix bak name: danglingBaks surfaces it (its
+    // stripPrefix(".") is a no-op on un-dotted names), so restore must
+    // accept it too or the sweep reports a read failure on the missing
+    // live dir instead of recovering the data (round-14 advice)
+    val legacyBak = new Path(dir.getParent, dir.getName + "__compact_bak")
+    if (!fs.exists(dir)) {
+      val bakSrc =
+        if (fs.exists(staleBak)) Some(staleBak)
+        else if (fs.exists(legacyBak)) Some(legacyBak)
+        else None
+      bakSrc.foreach { b =>
+        if (!fs.rename(b, dir))
+          throw new java.io.IOException(
+            s"compact: cannot restore dangling $b to $dir")
+      }
+    }
     val before = parquetFiles(spark, dir)
     val df = spark.read.parquet(tableDir)
     val rows = df.count()

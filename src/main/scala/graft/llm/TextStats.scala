@@ -526,31 +526,37 @@ object TextStats {
     // still paid a full corpus exchange for the window sort. The
     // generator removes that exchange: 7.1 s → 2.3 s → 1.4 s warm at
     // sf0.1.)
-    def trigrams: DataFrame = {
+    // ONE trigram generate for both the train and classify sides
+    // (round 15): the (doc, lang, g) count table is the only thing the
+    // corpus contributes — the profile re-aggregates it (Σ per-doc
+    // counts ≡ the raw occurrence count) and the distinct per-doc set
+    // is exactly its key set, so the second full generator pass of the
+    // train/classify split disappears.
+    val counts = {
       import org.apache.spark.sql.GraftBridge
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           GraftBridge.column(graft.functions.CharNGrams(
             GraftBridge.expression(col("text")), 3)).as("g"))
+        .groupBy(col("doc_id"), col("lang"), col("g"))
+        .agg(count(lit(1)).as("n"))
+        .cache()
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("n").desc, col("g").asc)
-    val profile = trigrams.groupBy(col("lang"), col("g"))
-      .agg(count(lit(1)).as("n"))
+    val profile = counts.groupBy(col("lang"), col("g"))
+      .agg(sum(col("n")).as("n"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 50)
       .select(col("lang").as("profile_lang"), col("g"))
-    // distinct() BEFORE the profile join is load-bearing: the top-50
-    // profile trigrams are by construction the most FREQUENT ones, so
-    // a join-first + countDistinct shape floods the aggregate with the
-    // raw matched-occurrence stream (multiplied per profile lang that
-    // shares g) — measured 1.7 → 4.0 s at sf0.1 when tried (round 14).
-    // The per-doc distinct map-side-combines to the small (doc, g) set
-    // before its one exchange; the overlap aggregate's keys are then
-    // only |docs|·|langs|.
-    val docTg = trigrams
+    // distinct-per-doc BEFORE the profile join is load-bearing: the
+    // top-50 profile trigrams are by construction the most FREQUENT
+    // ones, so a join-first + countDistinct shape floods the aggregate
+    // with the raw matched-occurrence stream (multiplied per profile
+    // lang that shares g) — measured 1.7 → 4.0 s at sf0.1 when tried
+    // (round 14). The overlap aggregate's keys are only |docs|·|langs|.
+    val docTg = counts
       .select(col("doc_id"), col("lang"), col("g"))
-      .distinct()
     val overlap = docTg.join(broadcast(profile), "g")
       .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
       .agg(count(lit(1)).as("overlap"))
@@ -1061,16 +1067,17 @@ object TextStats {
       val perDoc = pdb.groupBy(col("doc_id"), col("y"))
         .agg(sum(wCol(w) * col("x")).as("swx"),
           sum(col("x")).as("nt"))
-      val lr = perDoc
+      // ONE collected job per step (round 15): the loss reduce rides the
+      // gradient aggregate as a broadcast 1-row cross join — the former
+      // two collects serialized 8 jobs over the checkpointed design
+      // matrix into the step loop's critical path
+      val lossRow = perDoc
         .select(expr(
           """CAST(ROUND(LN(1e0 + EXP((1 - 2 * y)
             |  * (CAST(swx AS DOUBLE) / (1000000e0 * nt)))), 6)
             |  AS DECIMAL(24,6))""".stripMargin).as("l"))
         .agg(sum(col("l")).as("ls"), count(lit(1)).as("n"))
-        .collect()(0)
-      val loss = lr.getDecimal(0).doubleValue() / lr.getLong(1)
-      val g = Array.fill(64)(java.math.BigDecimal.ZERO)
-      pdb.join(perDoc.select(col("doc_id"), col("nt"), expr(
+      val stepRows = pdb.join(perDoc.select(col("doc_id"), col("nt"), expr(
           """1e0 / (1e0 + EXP(0e0 - CAST(swx AS DOUBLE)
             |  / (1000000e0 * nt))) - y""".stripMargin).as("err")),
           "doc_id")
@@ -1078,8 +1085,12 @@ object TextStats {
           """CAST(ROUND(err * x / CAST(nt AS DOUBLE), 6)
             |  AS DECIMAL(24,6))""".stripMargin))
         .groupBy(col("bucket")).agg(sum(col("contrib")).as("g"))
+        .crossJoin(broadcast(lossRow))
         .collect()
-        .foreach(r => g(r.getLong(0).toInt) = r.getDecimal(1))
+      val loss = stepRows(0).getDecimal(2).doubleValue() /
+        stepRows(0).getLong(3)
+      val g = Array.fill(64)(java.math.BigDecimal.ZERO)
+      stepRows.foreach(r => g(r.getLong(0).toInt) = r.getDecimal(1))
       val l1 = g.map(_.abs).reduce(_.add(_))
       curve += ((step.toLong, loss, l1.doubleValue()))
       if (step < 3)
@@ -1160,7 +1171,11 @@ object TextStats {
     * by the perplexity aggregate); one range shuffle + one ≤3-row
     * rollup. */
   def textPerplexityBuckets(s: SparkSession, d: String): DataFrame = {
-    val ppl = textPerplexity(s, d)
+    // checkpointed once (round 15): the per-doc NLL relation feeds the
+    // count broadcast, the range-boundary sampling pass AND the ranged
+    // shuffle — un-checkpointed, the bigram-NLL corpus aggregate
+    // re-ran for each (3 executions at sf0.1)
+    val ppl = graft.llm.Dedup.ckpt(textPerplexity(s, d), rebuild = false)
     val withN = ppl.crossJoin(
       broadcast(ppl.agg(count(lit(1)).as("n_all"))))
     val ranked = graft.queries.Ordered

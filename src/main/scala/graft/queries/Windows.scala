@@ -863,12 +863,19 @@ object Windows {
     val scalars = perUser
       .agg(max(col("last_us")).as("anchor_us"),
         count(lit(1)).as("n_users"))
-    val base = perUser
+    // checkpointed (round 15): each quintile chain consumes base twice
+    // (range-boundary sampling + the ranged shuffle) and the closing
+    // join once more — 7 re-aggregations of the events scan
+    // un-checkpointed. localCheckpoint stores the narrow per-user rows
+    // once without the InMemory columnar encode that made a .cache()
+    // here SLOWER (round-10 measurement, kept in mind).
+    val base = graft.llm.Dedup.ckpt(perUser
       .crossJoin(broadcast(scalars))
       // integer division, exactly the oracle's `//` — the rank key must
       // order the INTEGER seconds, not a fractional double
       .withColumn("recency_s", expr("(anchor_us - last_us) DIV 1000000"))
-      .withColumn("monetary", col("mon_d").cast("double"))
+      .withColumn("monetary", col("mon_d").cast("double")),
+      rebuild = false)
     // one narrow (user_id, metric) rank chain per dimension, joined
     // back on user_id — three parallel range shuffles of |users| rows,
     // no global window anywhere

@@ -387,11 +387,13 @@ object StreamQueries {
     val agg = eventsStream(s, d)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("cnt"),
-        // decimal-routed money rounding (the stream_join_static /
-        // house discipline): quantize the double sum to 4 dp before
-        // the 2-dp round so partition-order ulp drift cannot flip a
-        // .xx5 midpoint against the oracle (round-14 review)
-        expr("CAST(ROUND(CAST(SUM(value) AS DECIMAL(18,4)), 2) AS DOUBLE)")
+        // per-row DECIMAL(18,4) INSIDE the sum (the house money-sum
+        // discipline; round-15 advice): events.value carries ≤4
+        // decimals, so the per-row cast is exact and the decimal sum
+        // is order-independent — the former sum-then-quantize shape
+        // left the double sum at the mercy of partial-agg addition
+        // order before its 4-dp quantize
+        expr("CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)")
           .as("sum_val"))
     runToMemory(agg, "complete")
       .select(col("window.start").cast("long").as("ws"), col("cnt"), col("sum_val"))
@@ -1005,7 +1007,7 @@ object StreamQueries {
     "stream_tumbling_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS ws,
         |       COUNT(*) AS cnt,
-        |       CAST(ROUND(CAST(SUM(value) AS DECIMAL(18,4)), 2) AS DOUBLE)
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
         |         AS sum_val
         |FROM events GROUP BY 1 ORDER BY ws""".stripMargin,
     "stream_sliding_window" ->

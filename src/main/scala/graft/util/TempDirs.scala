@@ -17,10 +17,16 @@ object TempDirs {
 
   sys.addShutdownHook {
     toDelete.forEach { root =>
+      // close the walk stream (it holds a directory handle) and keep
+      // the catch narrow — per-dir failures skip only that dir
       try {
-        Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { val _ = Files.deleteIfExists(p) })
-      } catch { case _: Throwable => () }
+        finally walk.close()
+      } catch {
+        case _: java.io.IOException | _: SecurityException => ()
+      }
     }
   }
 

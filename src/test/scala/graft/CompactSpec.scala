@@ -69,6 +69,26 @@ class CompactSpec extends AnyFunSuite {
     assert(!fs.exists(bak))
   }
 
+  test("a legacy un-dotted dangling bak is restored too") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_legacy").toString
+    val table = s"$root/folder=f/source_db=db/table=t"
+    (1 to 30).toDF("k").write.parquet(table)
+    // pre-dot-prefix releases named the bak as a visible sibling;
+    // recovery must accept that name as well (round-15 advice fix)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bak = new org.apache.hadoop.fs.Path(
+      s"$root/folder=f/source_db=db/table=t__compact_bak")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(table), bak))
+    val sweep = Compact.compactAll(spark, root)
+    assert(sweep.failed.isEmpty, sweep.failed)
+    assert(sweep.compacted.map(_.rows) == Seq(30L))
+    assert(spark.read.parquet(table).count() == 30)
+    assert(!fs.exists(bak))
+  }
+
   test("sweep isolates per-table failures and skips working dirs") {
     import spark.implicits._
     val root = java.nio.file.Files

@@ -526,37 +526,39 @@ object TextStats {
     // still paid a full corpus exchange for the window sort. The
     // generator removes that exchange: 7.1 s → 2.3 s → 1.4 s warm at
     // sf0.1.)
-    // ONE trigram generate for both the train and classify sides
-    // (round 15): the (doc, lang, g) count table is the only thing the
-    // corpus contributes — the profile re-aggregates it (Σ per-doc
-    // counts ≡ the raw occurrence count) and the distinct per-doc set
-    // is exactly its key set, so the second full generator pass of the
-    // train/classify split disappears.
-    val counts = {
+    // Round-15 shape audit (tools/LangIdAb A/B, warm run3 at sf0.1):
+    // the two-pass/no-spread shape below is the best of three tried —
+    // a shared cached (doc, lang, g, n) count table paid ~3× the
+    // second generator pass in InMemory columnar encode, and a
+    // round-robin spread of the single-split scan RAISED process CPU
+    // 6.5 → 15-25 s (32 concurrent generator tasks' allocation/GC
+    // pressure) for no wall win. The serial generate is cheap enough
+    // that the downstream aggregates dominate.
+    def trigrams: DataFrame = {
       import org.apache.spark.sql.GraftBridge
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
           GraftBridge.column(graft.functions.CharNGrams(
             GraftBridge.expression(col("text")), 3)).as("g"))
-        .groupBy(col("doc_id"), col("lang"), col("g"))
-        .agg(count(lit(1)).as("n"))
-        .cache()
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("n").desc, col("g").asc)
-    val profile = counts.groupBy(col("lang"), col("g"))
-      .agg(sum(col("n")).as("n"))
+    val profile = trigrams.groupBy(col("lang"), col("g"))
+      .agg(count(lit(1)).as("n"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 50)
       .select(col("lang").as("profile_lang"), col("g"))
-    // distinct-per-doc BEFORE the profile join is load-bearing: the
-    // top-50 profile trigrams are by construction the most FREQUENT
-    // ones, so a join-first + countDistinct shape floods the aggregate
-    // with the raw matched-occurrence stream (multiplied per profile
-    // lang that shares g) — measured 1.7 → 4.0 s at sf0.1 when tried
-    // (round 14). The overlap aggregate's keys are only |docs|·|langs|.
-    val docTg = counts
+    // distinct() BEFORE the profile join is load-bearing: the top-50
+    // profile trigrams are by construction the most FREQUENT ones, so
+    // a join-first + countDistinct shape floods the aggregate with the
+    // raw matched-occurrence stream (multiplied per profile lang that
+    // shares g) — measured 1.7 → 4.0 s at sf0.1 when tried (round 14).
+    // The per-doc distinct map-side-combines to the small (doc, g) set
+    // before its one exchange; the overlap aggregate's keys are then
+    // only |docs|·|langs|.
+    val docTg = trigrams
       .select(col("doc_id"), col("lang"), col("g"))
+      .distinct()
     val overlap = docTg.join(broadcast(profile), "g")
       .groupBy(col("doc_id"), col("lang"), col("profile_lang"))
       .agg(count(lit(1)).as("overlap"))

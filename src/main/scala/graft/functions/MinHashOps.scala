@@ -138,3 +138,109 @@ case class TokenGramHashes(child: Expression, k: Int) extends Expression
 object TokenGramHashes {
   private[functions] val space = UTF8String.fromString(" ")
 }
+
+/** md5_prefix(s, nHex): the BIGINT value of the first `nHex` hex digits
+  * of md5(s) — exactly CAST(conv(substring(md5(s), 1, nHex), 16, 10)
+  * AS BIGINT) as one compiled call (round 15): the relational chain
+  * materializes the 32-char hex string, substrings it, and re-parses
+  * digits through conv's string machinery PER ROW; the token-bucket
+  * idiom runs it once per TOKEN in the classifier/DSIR/feature-hash
+  * family. Thread-local MessageDigest (the AresSampleAgg discipline).
+  * nHex <= 15 keeps the value far inside Long. */
+case class Md5Prefix(child: Expression, nHex: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nHex >= 1 && nHex <= 15)
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_prefix"
+
+  override def nullSafeEval(a: Any): Any =
+    Md5Kernel.prefix(a.asInstanceOf[UTF8String], nHex)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Kernel.prefix($c, $nHex)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix =
+    copy(child = newChild)
+}
+
+object Md5Kernel {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def prefix(s: UTF8String, nHex: Int): Long =
+    prefixBytes(s.getBytes, nHex)
+
+  def prefixBytes(bytes: Array[Byte], nHex: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < nHex) {
+      val b = d(i >> 1) & 0xFF
+      val nib = if ((i & 1) == 0) b >> 4 else b & 0xF
+      v = (v << 4) | nib
+      i += 1
+    }
+    v
+  }
+}
+
+/** token_gram_md5(text, k, nHex): [[TokenGramHashes]] with the
+  * winnowing family's md5-prefix gram hash — one row (pos, h) per
+  * overlapping k-token shingle, h = [[Md5Prefix]](gram, nHex) of the
+  * space-joined gram, pos 1-based. Emits nothing under k tokens. */
+case class TokenGramMd5(child: Expression, k: Int, nHex: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1 && nHex >= 1 && nHex <= 15)
+  override def children: Seq[Expression] = Seq(child)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("h", LongType, nullable = false)))
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input")
+  }
+  override def prettyName: String = "token_gram_md5"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val toks = v.asInstanceOf[UTF8String].split(TokenGramHashes.space, -1)
+    val nTok = toks.length
+    if (nTok < k) return Iterator.empty
+    val tokBytes = new Array[Array[Byte]](nTok)
+    var i = 0
+    while (i < nTok) { tokBytes(i) = toks(i).getBytes; i += 1 }
+    (0 to nTok - k).iterator.map { p =>
+      var len = k - 1
+      var j = p
+      while (j < p + k) { len += tokBytes(j).length; j += 1 }
+      val buf = new Array[Byte](len)
+      var off = 0
+      j = p
+      while (j < p + k) {
+        if (j > p) { buf(off) = ' '; off += 1 }
+        val tb = tokBytes(j)
+        System.arraycopy(tb, 0, buf, off, tb.length)
+        off += tb.length
+        j += 1
+      }
+      InternalRow((p + 1).toLong, Md5Kernel.prefixBytes(buf, nHex))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TokenGramMd5 =
+    copy(child = newChildren.head)
+}

@@ -510,7 +510,10 @@ object Curation {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long")
+        // compiled md5-prefix bucket (round 15 — the conv/substring/
+        // md5-hex chain ran per token; [[graft.functions.Md5Prefix]])
+        (org.apache.spark.sql.GraftBridge.column(graft.functions.Md5Prefix(
+          org.apache.spark.sql.GraftBridge.expression(col("tok")), 6))
           % 1024L).as("bucket"))
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n"))

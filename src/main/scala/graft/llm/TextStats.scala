@@ -627,19 +627,18 @@ object TextStats {
     val k = 3
     val w = 4
     val stride = 1000000L
-    val docs = t(s, d, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= k + w - 1) // at least one full window
-    val grams = docs
+    // gram (pos, md5-prefix hash) rows from the compiled
+    // [[graft.functions.TokenGramMd5]] generator (round 15: the
+    // transform/slice/array_join/md5-hex fan was interpreted per
+    // gram). Docs under k + w - 1 tokens fall out at the rn >= w
+    // full-window filter exactly as the former size() pre-filter.
+    val grams = t(s, d, "documents")
       .select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(1, size(toks) - ${k - 1}),
-             |  i -> cast(conv(substring(md5(
-             |         array_join(slice(toks, i, $k), ' ')), 1, 10),
-             |       16, 10) as bigint))""".stripMargin))
-          .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
-        col("h"))
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.TokenGramMd5(
+            org.apache.spark.sql.GraftBridge.expression(col("text")),
+            k, 10))
+          .as(Seq("pos", "h")))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val sel = grams
       .withColumn("key",
@@ -838,8 +837,7 @@ object TextStats {
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n"))
       .select(
-        (expr("conv(substring(md5(tok), 1, 6), 16, 10)").cast("long")
-          % 256).as("bucket"),
+        (md5Prefix(col("tok"), 6) % 256).as("bucket"),
         col("n"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_distinct_tokens"),
@@ -962,11 +960,19 @@ object TextStats {
   /** Hashed-bag-of-words weight lookup: md5-prefix bucket (the
     * text_feature_hash hash) → literal weight. Pure codegen'd scan
     * work — the 64-element literal array folds into the plan. */
+  /** Compiled md5-prefix bucket ([[graft.functions.Md5Prefix]]) —
+    * bit-identical to CAST(conv(substring(md5(c), 1, nHex), 16, 10)
+    * AS BIGINT) without the per-row hex-string round-trip. */
+  private def md5Prefix(c: Column, nHex: Int): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.functions.Md5Prefix(
+      GraftBridge.expression(c), nHex))
+  }
+
   private def clfWeightCol(tok: Column): Column =
     element_at(
       array(clfWeights.map(lit(_)): _*),
-      ((conv(substring(md5(tok), 1, 6), 16, 10).cast("long") % 64L) + 1L)
-        .cast("int"))
+      ((md5Prefix(tok, 6) % 64L) + 1L).cast("int"))
 
   /** Per-doc classifier evidence: token count and the exact integer
     * weight sum. One (doc_id) hash aggregate with map-side combine —
@@ -1004,8 +1010,7 @@ object TextStats {
     val perDocBucket = t(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
-        (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long")
-          % 64L).as("bucket"))
+        (md5Prefix(col("tok"), 6) % 64L).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("x"))
     perDocBucket.join(perDoc, "doc_id")
@@ -1055,8 +1060,7 @@ object TextStats {
         explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"),
-        (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long")
-          % 64L).as("bucket"))
+        (md5Prefix(col("tok"), 6) % 64L).as("bucket"))
       .groupBy(col("doc_id"), col("y"), col("bucket"))
       .agg(count(lit(1)).as("x"))
     val pdb = graft.llm.Dedup.ckpt(pdb0, rebuild = false)

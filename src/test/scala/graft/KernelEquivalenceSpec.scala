@@ -48,6 +48,47 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       GraftBridge.column(graft.functions.SimHash64(
         GraftBridge.expression(col("text")))).as("simhash"))
 
+  test("Md5Prefix equals conv(substring(md5(s), 1, n), 16, 10)") {
+    val toks = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .unionByName(Seq("", "café", "مرحبا", "x y").toDF("tok"))
+    for (n <- Seq(4, 6, 8, 10, 13)) {
+      val kern = GraftBridge.column(graft.functions.Md5Prefix(
+        GraftBridge.expression(col("tok")), n))
+      val rel = expr(s"CAST(conv(substring(md5(tok), 1, $n), 16, 10) AS BIGINT)")
+      assert(toks.filter(!(kern <=> rel)).count() == 0L, s"nHex=$n")
+    }
+  }
+
+  test("TokenGramMd5 generator equals the md5 transform fan") {
+    val k = 3
+    for (docs <- Seq(Tables.t(spark, sf, "documents")
+        .select(col("doc_id"), col("text")), plantedDocs)) {
+      val rel = docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= k)
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(sequence(1, size(toks) - ${k - 1}),
+               |  i -> cast(conv(substring(md5(
+               |         array_join(slice(toks, i, $k), ' ')), 1, 10),
+               |       16, 10) as bigint))""".stripMargin))
+            .as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"), col("h"))
+      val kern = docs.select(col("doc_id"),
+        GraftBridge.column(graft.functions.TokenGramMd5(
+          GraftBridge.expression(col("text")), k, 10))
+          .as(Seq("pos", "h")))
+      val diff = kern.as("x").join(rel.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("x.pos") === col("y.pos"), "full_outer")
+        .filter(col("x.doc_id").isNull || col("y.doc_id").isNull ||
+          !(col("x.h") <=> col("y.h")))
+        .count()
+      assert(diff == 0L)
+    }
+  }
+
   test("SimHash64 kernel equals the relational vote aggregate") {
     for (docs <- Seq(Tables.t(spark, sf, "documents")
         .select(col("doc_id"), col("text")), plantedDocs)) {

@@ -198,7 +198,7 @@ object Graphs {
     * by dataset dir + content fingerprint — first consumer writes, the
     * rest scan. At 100 TB the edge list IS a persisted table
     * (`SPARK_GRAFT_MAT_DIR` puts it on a shared filesystem). */
-  private def materializedEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def materializedEdges(s: SparkSession, d: String): DataFrame =
     // tag bumped when `dot` joined the schema: a shared
     // SPARK_GRAFT_MAT_DIR content-addresses entries by tag, so a
     // schema change under the OLD tag could resurface a stale layout
@@ -207,7 +207,7 @@ object Graphs {
 
   /** Undirected edge set: symmetrized kNN (mutual OR one-way — an edge
     * exists if either endpoint retrieved the other). */
-  private def undirected(e: DataFrame): DataFrame =
+  private[graft] def undirected(e: DataFrame): DataFrame =
     e.select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .distinct()
@@ -292,7 +292,7 @@ object Graphs {
     * corpus scale the same orientation uses a struct(deg, id) comparison
     * (identical semantics, no key-packing bound). */
   /** Node degrees of an undirected (u, v) edge list. */
-  private def degreeTable(ue: DataFrame): DataFrame =
+  private[graft] def degreeTable(ue: DataFrame): DataFrame =
     ue.select(col("u").as("node"))
       .unionAll(ue.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -307,7 +307,7 @@ object Graphs {
     * per consumer otherwise (measured 4.97 → ~1.3 s at sf0.1). Cache
     * lifetime is session-scoped by design — Verify/Bench clear the
     * catalog cache per key; the relation is bounded by |E|. */
-  private def orientedEdges(ue: DataFrame, deg: DataFrame): DataFrame = {
+  private[graft] def orientedEdges(ue: DataFrame, deg: DataFrame): DataFrame = {
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
     ue.join(du, "u").join(dv, "v")
@@ -325,7 +325,7 @@ object Graphs {
     * tail: wedges enumerate at x (outdeg-bounded — the skew-proof
     * half of Suri & Vassilvitskii), the equi-join against the oriented
     * list closes them; oa < ob counts each triangle exactly once. */
-  private def closedWedges(oriented: DataFrame): DataFrame = {
+  private[graft] def closedWedges(oriented: DataFrame): DataFrame = {
     val w1 = oriented.select(col("x"), col("y").as("a"), col("oy").as("oa"))
     val w2 = oriented.select(col("x"), col("y").as("b"), col("oy").as("ob"))
     w1.join(w2, "x").filter(col("oa") < col("ob"))

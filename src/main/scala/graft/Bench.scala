@@ -205,8 +205,6 @@ object Bench {
         extra += 1
       }
     }
-    val stillDirty = dirtyKeys.filter(n =>
-      best(n).exists { case (w, c) => isDirty(n, w, c) })
     // Long-tail min-of-2 (round 14): the cpu/wall witness only sees
     // DESCHEDULING; run-wide slowdowns that keep threads on-CPU
     // (frequency/cache contention from co-tenants) leave ratio ≈ 1
@@ -224,6 +222,26 @@ object Bench {
         best(n).exists(_._1 >= tailFloor)
     }
     tailKeys.foreach(n => timeOne(n, fns(n)))
+    // Post-tail re-adjudication (round 15 measurement fix): the tail
+    // pass runs AFTER the dirty loop, so a descheduled tail re-run
+    // could become the per-key min with no second look — one round-15
+    // sweep shipped agg_confusion_f1 at 3.61 s wall, cpu/wall 0.47,
+    // through exactly this gap (its first run was on-CPU-slow at ratio
+    // ≥ 0.85, the tail re-run descheduled; the min kept the dirty
+    // reading). Same predicate, same bounded per-key re-run budget.
+    val dirtyTail = ordered.map(_._1).filter(n =>
+      best(n).exists { case (w, c) => isDirty(n, w, c) })
+    for (name <- dirtyTail) {
+      var extra = 0
+      while (extra < dirtyRepeats &&
+          best(name).exists { case (w, c) => isDirty(name, w, c) }) {
+        timeOne(name, fns(name))
+        extra += 1
+      }
+    }
+    val allDirty = (dirtyKeys ++ dirtyTail).distinct
+    val stillDirty = allDirty.filter(n =>
+      best(n).exists { case (w, c) => isDirty(n, w, c) })
     // headline value = the self-adjudicated clean total: per-key min
     // over every successful run, dirty keys re-measured. raw_total is
     // what previous rounds reported.
@@ -271,7 +289,7 @@ object Bench {
         s""""min_of_top12":${repeats + 1},"min_of_cc":${repeats + 2},""" +
         s""""tail_floor":$tailFloor,"n_tail_rerun":${tailKeys.size},""" +
         s""""dirty":{"ratio":$dirtyRatio,"ratio_stream":$dirtyRatioStream,"floor":$dirtyFloor,""" +
-        s""""cores":${nCpus.toInt},"keys":${jsonArr(dirtyKeys)},""" +
+        s""""cores":${nCpus.toInt},"keys":${jsonArr(allDirty)},""" +
         s""""still_dirty":${jsonArr(stillDirty)}},""" +
         s""""canary":{"key":"$canaryKey","start":${fmt(canaryStart)},""" +
         s""""mid":${fmt(canaryMid)},"end":${fmt(canaryEnd)},""" +

@@ -495,14 +495,23 @@ object Curation {
     *
     * Scale shape — the paper's fit-then-score split collapsed to ONE
     * corpus job: the only corpus-sized work is the (doc_id, lang,
-    * bucket) count aggregate, PERSISTED (spill-safe) so the fit side
-    * (bucket totals → 1024-row log-ratio table, broadcast back) and
-    * the score side read the SAME materialized result instead of
-    * re-running the token explode per consumer — PlanSpec executes
-    * the query and asserts exactly one Generate with
-    * InMemoryTableScan reuses. Selection is a TakeOrderedAndProject
-    * heap. Nothing corpus-sized is ever broadcast, re-scanned, or
-    * globally sorted. */
+    * bucket) count aggregate, materialized ONCE via localCheckpoint
+    * (MEMORY_AND_DISK, spill-safe) so the fit side (bucket totals →
+    * 1024-row log-ratio table, broadcast back) and the score side
+    * read the SAME result instead of re-running the token explode per
+    * consumer — PlanSpec executes the query and asserts the shape (no
+    * Generate in the final plan, two scans of the shared RDD).
+    * localCheckpoint, not cache (round 15): the InMemoryRelation's
+    * columnar encode of the bucket table cost 3–8× the rest of the
+    * query at the bench sf (tools/DsirAb interleaved A/B: cache
+    * ~8–24 s cpu/run, checkpoint ~1.4–4.9 s, identical results); the
+    * checkpoint keeps the single-corpus-pass property that matters at
+    * 100 TB without the encode. (Trade-off: a lost executor loses
+    * checkpoint blocks instead of recomputing lineage — on a real
+    * cluster the intermediate would live on shared storage like the
+    * dedup family's materialized tables.) Selection is a
+    * TakeOrderedAndProject heap. Nothing corpus-sized is ever
+    * broadcast, re-scanned, or globally sorted. */
   def sampleDsir(s: SparkSession, d: String): DataFrame = {
     val k = 100
     val docs = t(s, d, "documents")
@@ -517,7 +526,7 @@ object Curation {
           % 1024L).as("bucket"))
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-      .cache()
+      .localCheckpoint()
     val bucketC = db.groupBy(col("bucket")).agg(
       sum(col("n")).as("c_r"),
       sum(when(col("lang") === "en", col("n")).otherwise(0L)).as("c_t"))

@@ -314,20 +314,21 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("sample_dsir executes ONE corpus token aggregate (AQE stage reuse)") {
-    // the (doc_id, lang, bucket) aggregate feeds three consumers; its
-    // shuffle must be written once and reused, not recomputed — at
-    // 100 TB a recompute would triple the only corpus-sized job
+    // the (doc_id, lang, bucket) aggregate feeds both the fit and the
+    // score side; it must materialize once and be reused, not
+    // recomputed — at 100 TB a recompute would double the only
+    // corpus-sized job. Round 15: the shared intermediate is a
+    // localCheckpoint (the cache's columnar encode cost 3–8× the rest
+    // of the query — tools/DsirAb), so the invariant reads: the final
+    // plan contains NO Generate (the token explode ran once, inside
+    // the checkpoint materialization) and BOTH consumers scan the
+    // checkpointed RDD.
     val df = graft.llm.Curation.sampleDsir(spark, sf)
     df.collect()
     val fin = df.queryExecution.executedPlan.toString
-    // both consumers of the persisted (doc,lang,bucket) aggregate —
-    // the fit side (bucket totals) and the score side — must read the
-    // cache; the cached plan itself executes once by construction.
-    // (The adaptive toString re-prints the cached subtree under every
-    // InMemoryTableScan, so counting Generate lines is meaningless —
-    // the scan count is the signal.)
-    val imts = fin.linesIterator.count(_.contains("InMemoryTableScan"))
-    assert(imts >= 2, s"InMemoryTableScan count=$imts\n$fin")
+    assert(!fin.contains("Generate"), fin)
+    val rddScans = fin.linesIterator.count(_.contains("Scan ExistingRDD"))
+    assert(rddScans >= 2, s"ExistingRDD scan count=$rddScans\n$fin")
   }
 
   test("merge_into_cdc: full-outer merge reuses the window partitioning") {

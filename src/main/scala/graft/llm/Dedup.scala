@@ -416,10 +416,72 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jac_est"))
   }
 
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = materializedSigs(s, d).cache()
-    sigPairs(sigs)
+  /** Signature-group supernodes: one row per distinct 16-hash
+    * signature with the sorted member doc_ids. Docs in one group have
+    * identical band hashes and estimator 1.0 against each other, and
+    * identical estimator values against every other doc — the same
+    * contraction theorem [[dedupFuzzyCluster]] documents, reused here
+    * for the PAIR surface (round 15): banding + estimation run once
+    * per GROUP pair, and member pairs expand in-stage afterwards. */
+  private def sigGroups(sigs: DataFrame): DataFrame =
+    sigs.groupBy(hashCols: _*)
+      .agg(min(col("doc_id")).as("gid"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+
+  /** [[sigGroups]] rows re-shaped as a signature table keyed by the
+    * group representative, the input [[sigPairs]] expects. */
+  private def repSigsOf(groups: DataFrame): DataFrame =
+    groups.select(col("gid").as("doc_id") +: hashCols: _*)
+
+  /** [[sigPairs]] over a full corpus signature table via supernode
+    * contraction: group-level banding + estimation, then in-stage
+    * expansion back to doc pairs — identical output to
+    * sigPairs(sigs) by the contraction theorem (intra-group pairs
+    * collide in every band with estimator 1.0; a cross-group member
+    * pair survives iff its representative pair does, because band
+    * hashes and agreement counts are functions of the two signatures
+    * alone). At sf0.1 this removes the 12.1M-row banded self-join +
+    * distinct over doc pairs (hot template buckets are quadratic in
+    * DOCS but near-linear in distinct signatures); at 100 TB the win
+    * is the same hot-bucket quadratic moved off the shuffle. */
+  private[graft] def expandedSigPairs(sigsAll: DataFrame): DataFrame = {
+    val g = sigGroups(sigsAll)
+      // consumed three times (group pairs + two member joins + the
+      // intra-group expansion); distinct-signature-sized, so the
+      // columnar encode is bounded by the signature table itself
+      .cache()
+    val gp = sigPairs(repSigsOf(g))
+    val mem = g.select(col("gid"), col("members"))
+    val cross = gp
+      .join(mem.select(col("gid").as("a_id"), col("members").as("ma")),
+        "a_id")
+      .join(mem.select(col("gid").as("b_id"), col("members").as("mb")),
+        "b_id")
+      .select(col("jac_est"), explode(col("ma")).as("u"), col("mb"))
+      .select(col("jac_est"), col("u"), explode(col("mb")).as("v"))
+      .select(least(col("u"), col("v")).as("a_id"),
+        greatest(col("u"), col("v")).as("b_id"), col("jac_est"))
+    // C(members, 2) in-stage from the sorted array (the
+    // graph_copurchase_projection idiom); members is ascending, so
+    // a_id < b_id holds by construction
+    val intra = g.filter(size(col("members")) >= 2)
+      .select(posexplode(col("members")).as(Seq("i", "u")),
+        col("members"))
+      .select(col("u").as("a_id"),
+        explode(expr("slice(members, i + 2, size(members))")).as("b_id"))
+      .withColumn("jac_est", round(lit(1.0), 4))
+    cross.unionByName(intra)
   }
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    expandedSigPairs(materializedSigs(s, d))
+
+  /** Test hooks: both pair forms over an arbitrary (doc_id, text)
+    * relation, so DedupSpec can pin their set equality. */
+  private[graft] def sigPairsForTest(docs: DataFrame): DataFrame =
+    sigPairs(minhashSigsFrom(docs))
+  private[graft] def expandedSigPairsForTest(docs: DataFrame): DataFrame =
+    expandedSigPairs(minhashSigsFrom(docs))
 
   /** LSH banding-calibration audit — the production question every
     * MinHash deployment must answer: does the (b=4 bands × r=4 rows)
@@ -907,24 +969,23 @@ object Dedup {
     * ordering expressed inside one query. */
   private def hashCols = (0 until nHashes).map(i => col(s"h$i"))
 
-  /** Signature table + supernode root + group size — node AND gsize
-    * from the SAME window spec: one shuffle on the signature key
-    * serves both (a separate groupBy(node) + join back was two more
-    * exchanges over the doc relation for a value the window partition
-    * already holds). Shared between [[dedupFuzzyCluster]] and its
-    * derived-check so the audit joins the exact relations the query
-    * consumed (round 14 — the check re-derived them at full cost). */
-  private def fuzzyWithNode(s: SparkSession, d: String): DataFrame = {
-    val sigW = org.apache.spark.sql.expressions.Window
-      .partitionBy(hashCols: _*)
-    materializedSigs(s, d)
-      .withColumn("node", min(col("doc_id")).over(sigW))
-      .withColumn("gsize", count(lit(1)).over(sigW))
-  }
+  /** Corpus signature-group table — the shared contraction input of
+    * [[dedupFuzzyCluster]] and its derived-check (round 14: the audit
+    * must join the exact relations the query consumed). Round 15:
+    * built by [[sigGroups]]' partial-aggregable groupBy instead of a
+    * window over the 16-hash partition key — the window paid a full
+    * corpus sort on a 16-column key plus a corpus×18-column cache
+    * encode; the group table is distinct-signature-sized and member
+    * rows re-expand in-stage via [[memberNodes]]. */
+  private def fuzzyGroups(s: SparkSession, d: String): DataFrame =
+    sigGroups(materializedSigs(s, d))
 
-  private def fuzzyRepSigs(withNode: DataFrame): DataFrame =
-    withNode.filter(col("doc_id") === col("node"))
-      .select(col("node").as("doc_id") +: hashCols: _*)
+  /** (doc_id, node, gsize) member expansion of a signature-group
+    * table — the per-doc supernode map the cluster-assignment tail
+    * and the derived-check consume. */
+  private def memberNodes(g: DataFrame): DataFrame =
+    g.select(col("gid").as("node"), size(col("members")).as("gsize"),
+      explode(col("members")).as("doc_id"))
 
   /** Cluster-assignment tail of [[dedupFuzzyCluster]] over a prepared
     * supernode table and its surviving contracted pair set. */
@@ -943,8 +1004,8 @@ object Dedup {
   }
 
   def dedupFuzzyCluster(s: SparkSession, d: String): DataFrame = {
-    val withNode = fuzzyWithNode(s, d).cache()
-    fuzzyClusterAssign(withNode, sigPairs(fuzzyRepSigs(withNode)))
+    val g = fuzzyGroups(s, d).cache()
+    fuzzyClusterAssign(memberNodes(g), sigPairs(repSigsOf(g)))
   }
 
   /** 64-bit SimHash near-dup pairs (Hamming <= 3), banded: the
@@ -1333,23 +1394,48 @@ object Dedup {
     val base = t(s, d, "documents").select(col("doc_id"), col("text"))
     val planted = base.filter(col("doc_id") === 0)
       .select(lit(plantedId).as("doc_id"), col("text"))
-    val sigs = minhashSigsFrom(base.unionByName(planted)).cache()
-    val retrieved = sigPairs(sigs).select(col("a_id"), col("b_id"))
-      .withColumn("hit", lit(1L)).cache()
-    val truth = materializedPairs(s, d).select(col("a_id"), col("b_id"))
-      .join(retrieved, Seq("a_id", "b_id"), "left")
+    // Group-level membership (round 15): the old form expanded the
+    // full 6.3M-row doc-pair set and cached it ONLY to probe pair
+    // membership three times. By the contraction theorem a pair
+    // (a, b) is retrieved iff the two docs share a signature group
+    // (every band collides, estimator 1.0) or their groups'
+    // representative pair survives banding + the estimator — so the
+    // probes join the doc→group map and the group-level pair set, and
+    // the doc-pair expansion never materializes. Same counts, same
+    // booleans; DedupSpec pins set equality of the pair surface
+    // against the uncontracted form on the fixture.
+    val g = sigGroups(minhashSigsFrom(base.unionByName(planted))).cache()
+    val memberOf = g.select(col("gid"), explode(col("members")).as("m"))
+    val gp = sigPairs(repSigsOf(g))
+      .select(col("a_id").as("ga"), col("b_id").as("gb"),
+        lit(1L).as("ghit"))
+    // pairs: (a_id, b_id) → one row per input pair with nullable hit
+    // (left joins on unique keys — memberOf is unique per doc, gp per
+    // group pair — so counts never multiply)
+    def withHit(pairs: DataFrame): DataFrame =
+      pairs
+        .join(memberOf.select(col("m").as("a_id"), col("gid").as("g_a")),
+          Seq("a_id"), "left")
+        .join(memberOf.select(col("m").as("b_id"), col("gid").as("g_b")),
+          Seq("b_id"), "left")
+        .join(gp, least(col("g_a"), col("g_b")) === col("ga") &&
+          greatest(col("g_a"), col("g_b")) === col("gb"), "left")
+        .select(col("a_id"), col("b_id"),
+          when(col("g_a") === col("g_b") || col("ghit").isNotNull, 1L)
+            .as("hit"))
+    val truth = withHit(materializedPairs(s, d).select(col("a_id"), col("b_id")))
       .agg(count(lit(1)).as("n_true_pairs"),
         coalesce(sum(col("hit")), lit(0L)).as("n_true_hit"))
     val docs = t(s, d, "documents").select(col("doc_id"), md5(col("text")).as("h"))
-    val dups = docs.as("x").join(docs.as("y"),
+    val dups = withHit(docs.as("x").join(docs.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .join(retrieved, Seq("a_id", "b_id"), "left")
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")))
       .agg(count(lit(1)).as("n_exact_dup_pairs"),
         coalesce(sum(col("hit")), lit(0L)).as("n_dup_hit"))
-    val plantedHit = retrieved
-      .filter(col("a_id") === 0 && col("b_id") === plantedId)
-      .agg((count(lit(1)) > 0).as("planted_dup_detected"))
+    val plantedHit = withHit(s.range(1)
+        .select(lit(0L).as("a_id"), lit(plantedId).as("b_id")))
+      .agg((coalesce(sum(col("hit")), lit(0L)) > 0)
+        .as("planted_dup_detected"))
     truth.crossJoin(dups).crossJoin(plantedHit).select(
       col("n_true_pairs"), col("n_exact_dup_pairs"),
       (col("n_dup_hit") === col("n_exact_dup_pairs")).as("exact_dups_detected"),
@@ -1430,8 +1516,9 @@ object Dedup {
     // once for both); independence comes from the exact-dup cohesion
     // leg below (md5, no minhash machinery) and from DedupSpec's
     // brute-force pair equivalence tests at fixture scale.
-    val withNode = fuzzyWithNode(s, d).cache()
-    val pairs = sigPairs(fuzzyRepSigs(withNode)).cache()
+    val g = fuzzyGroups(s, d).cache()
+    val withNode = memberNodes(g)
+    val pairs = sigPairs(repSigsOf(g)).cache()
     val reps = fuzzyClusterAssign(withNode, pairs).cache()
     val byDoc = reps.select(col("doc_id").as("m_id"), col("cluster_rep").as("m_rep"))
     // (1) supernode coherence — null-safe: a gsize-1 supernode with no

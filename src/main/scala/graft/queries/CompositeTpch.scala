@@ -322,23 +322,33 @@ object CompositeTpch {
     * AQE handles at scale (both sides key on l_orderkey, one exchange
     * reused). */
   def compositeTpchQ21(s: SparkSession, d: String): DataFrame = {
-    val ll = t(s, d, "lineitem")
+    // Round 15: ONE pass over the status-F slice instead of two. The
+    // (order, supplier) aggregate carries the late-line count; the
+    // per-order distinct-supplier stats are a window over that
+    // already-supplier-distinct aggregate (n_supp = COUNT(*),
+    // n_late_supp = #rows with n_late > 0 — identical to the
+    // countDistincts by construction); and the late rows the old
+    // shape re-joined are exactly the n_late > 0 rows of the same
+    // aggregate, each contributing its n_late lines to numwait. The
+    // countDistinct Expand and the second lineitem⋈orders join drop
+    // out of the plan; the oracle keeps the two-pass relational form.
+    val perSupp = t(s, d, "lineitem")
       .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_orderkey"), col("l_suppkey"),
-        when(col("l_shipdate") > col("o_orderdate") + day(45), 1)
-          .otherwise(0).as("late"))
-    val perOrder = ll.groupBy(col("l_orderkey").as("po_key"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late") === 1, col("l_suppkey")))
-          .as("n_late_supp"))
-    ll.filter(col("late") === 1)
-      .join(perOrder, col("l_orderkey") === col("po_key"))
-      .filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("l_shipdate") > col("o_orderdate") + day(45), 1L)
+        .otherwise(0L)).as("n_late"))
+    val wo = Window.partitionBy(col("l_orderkey"))
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(wo))
+      .withColumn("n_late_supp",
+        sum(when(col("n_late") > 0, 1L).otherwise(0L)).over(wo))
+      .filter(col("n_late") > 0 &&
+        col("n_supp") > 1 && col("n_late_supp") === 1)
       .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }

@@ -55,6 +55,28 @@ class DedupSpec extends AnyFunSuite {
     assert(broadcastHints(Dedup.dedupFuzzyMinhash(spark, sf)).isEmpty)
   }
 
+  test("supernode-expanded minhash pairs equal the uncontracted form") {
+    // the round-15 contraction: dedupFuzzyMinhash now bands GROUPS of
+    // identical signatures and expands member pairs in-stage; this
+    // pins set equality (ids + estimator values) against the direct
+    // doc-level sigPairs it replaced, on the fixture plus a planted
+    // exact-duplicate clique that forces multi-member groups
+    import spark.implicits._
+    val base = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val clique = base.filter(col("doc_id") < 3)
+      .crossJoin(spark.range(2).select((col("id") + 800000L).as("k")))
+      .select((col("doc_id") * 1000 + col("k")).as("doc_id"), col("text"))
+    val docs = base.unionByName(clique)
+    val direct = Dedup.sigPairsForTest(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val contracted = Dedup.expandedSigPairsForTest(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(direct.nonEmpty)
+    assert(contracted == direct,
+      s"contracted=${contracted.size} direct=${direct.size}")
+  }
+
   test("minhash candidate generation has no BNLJ/cartesian either") {
     val p = physical(Dedup.dedupFuzzyMinhash(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

@@ -1881,20 +1881,36 @@ object Dedup {
       .agg(count(lit(1)).as("f"), min(col("doc_id")).as("rep"),
         expr("min_by(p, doc_id)").as("rep_p"))
     val kf = keys.join(freq, "key")
-    val coldPairs = kf.filter(col("f") <= 32).as("a")
-      .join(kf.filter(col("f") <= 32).as("b"),
-        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+    // cold buckets: C(f, 2) pairs expanded IN-STAGE from the sorted
+    // per-key member array (f ≤ 32 bounds the array; the
+    // graph_copurchase_projection idiom) — replaces the posting
+    // self-join; sort_array on struct(doc_id, p) orders by doc_id, so
+    // doc_a < doc_b holds by construction. groupBy(key) reuses the
+    // kf join's partitioning, so no new exchange (round 15).
+    val coldPairs = kf.filter(col("f") <= 32)
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("p"))))
+        .as("ms"))
+      .select(posexplode(col("ms")).as(Seq("i", "a")), col("ms"))
+      .select(col("a"),
+        explode(expr("slice(ms, i + 2, size(ms))")).as("b"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.p").as("pa"), col("b.p").as("pb"))
     val starPairs = kf
       .filter(col("f") > 32 && col("doc_id") =!= col("rep"))
       .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
         col("rep_p").as("pa"), col("p").as("pb"))
+    // filter BEFORE distinct (round 15): p is a function of doc_id, so
+    // dedup on (doc_a, doc_b, lev) after the ≤1 filter keeps exactly
+    // the rows the old distinct-then-filter kept — but the distinct
+    // exchange now carries only the near-duplicate survivors, not
+    // every multi-key candidate duplicate
     coldPairs.unionByName(starPairs)
+      .withColumn("lev",
+        levenshtein(col("pa"), col("pb")).cast("bigint"))
+      .filter(col("lev") <= 1)
+      .select(col("doc_a"), col("doc_b"), col("lev"))
       .distinct()
-      .filter(levenshtein(col("pa"), col("pb")) <= 1)
-      .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("pa"), col("pb")).cast("bigint").as("lev"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

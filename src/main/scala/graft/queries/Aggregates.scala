@@ -3074,7 +3074,12 @@ object Aggregates {
         col("value").cast("decimal(18,4)").as("v4"),
         (expr("unix_micros(ts) div 86400000000") % 5 < 4).as("is_cal"))
       .agg(count(lit(1)).as("c"))
-      .cache()
+      // localCheckpoint, not cache (round 15, the sample_dsir lesson):
+      // the InMemoryRelation's columnar encode of the near-distinct
+      // (type, value, split) grid dominated the query's CPU; every
+      // downstream join is explicitly broadcast-hinted, so the
+      // checkpoint's stats loss cannot flip a join strategy
+      .localCheckpoint()
     val calV = counts.filter(col("is_cal"))
       .select(col("event_type"), col("v4"), col("c"))
     val winV = Window.partitionBy(col("event_type")).orderBy(col("v4"))
@@ -3867,7 +3872,11 @@ object Aggregates {
       .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Long.MinValue, 0)
     val gapUs = 30L * 60 * 1000000L
-    val sessions = t(s, d, "events")
+    // checkpointed (round 15, the window_rfm lesson): the session
+    // table feeds the totals aggregate AND the global-index machinery
+    // (range-boundary sampling + the ranged shuffle) — three
+    // re-executions of the sessionization window un-checkpointed
+    val sessions = graft.llm.Dedup.ckpt(t(s, d, "events")
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"))
       .withColumn("prev_us", lag(col("ts_us"), 1).over(byTs))
@@ -3877,7 +3886,8 @@ object Aggregates {
       .withColumn("sid", sum(col("new_s")).over(run))
       .groupBy(col("user_id"), col("sid"))
       .agg(count(lit(1)).as("n_ev"),
-        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us")),
+      rebuild = false)
     val totals = broadcast(sessions
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_ev")).as("n_events")))
     val picked = Ordered

@@ -310,6 +310,11 @@ object Graphs {
   private[graft] def orientedEdges(ue: DataFrame, deg: DataFrame): DataFrame = {
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    // cache, NOT localCheckpoint (round-15 A/B): ckpt's stats-dropping
+    // rebuild replaced the wedge joins' broadcast strategy with SMJ
+    // (default sizeInBytes on the LogicalRDD) and graph_triangles' CPU
+    // DOUBLED — the InMemoryRelation keeps small-relation stats the
+    // join planner needs
     ue.join(du, "u").join(dv, "v")
       .select(col("u"), col("v"),
         (col("du") * 1000000L + col("u")).as("ou"),
@@ -439,9 +444,16 @@ object Graphs {
     val ue = undirected(materializedEdges(s, d)).cache()
     val sym = ue.select(col("u").as("x"), col("v").as("y"))
       .unionAll(ue.select(col("v").as("x"), col("u").as("y")))
-    val w1 = sym.select(col("x"), col("y").as("a"))
-    val w2 = sym.select(col("x"), col("y").as("b"))
-    val cand = w1.join(w2, "x").filter(col("a") < col("b"))
+    // wedge pairs expanded IN-STAGE from each node's sorted neighbor
+    // list (round 15, the graph_copurchase_projection idiom): same
+    // Σ C(deg, 2) candidate mass as the former w1⋈w2 self-join, one
+    // exchange (the neighbor groupBy) instead of two join sides, and
+    // the a < b half-discard never materializes
+    val cand = sym.groupBy(col("x"))
+      .agg(sort_array(collect_list(col("y"))).as("ns"))
+      .select(posexplode(col("ns")).as(Seq("i", "a")), col("ns"))
+      .select(col("a"),
+        explode(expr("slice(ns, i + 2, size(ns))")).as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common_nbrs"))
     cand.join(ue, cand("a") === ue("u") && cand("b") === ue("v"),
         "left_anti")
@@ -772,12 +784,16 @@ object Graphs {
   def graphClusteringCoefficient(s: SparkSession, d: String): DataFrame = {
     val ue = undirected(materializedEdges(s, d)).cache()
     val deg = degreeTable(ue)
+    // n_edges = Σdeg DIV 2 exactly (every undirected edge contributes
+    // one u and one v degree count), so the edge count rides the SAME
+    // aggregate as nodes/wedges — round 15: one broadcast leg and one
+    // extra pass over ue dropped from the plan
     val degAgg = broadcast(deg.agg(count(lit(1)).as("n_nodes"),
-      expr("SUM(deg * (deg - 1) DIV 2)").as("n_wedges")))
+      expr("SUM(deg * (deg - 1) DIV 2)").as("n_wedges"),
+      expr("SUM(deg) DIV 2").as("n_edges")))
     val tri = closedWedges(orientedEdges(ue, deg))
       .agg(count(lit(1)).as("n_triangles"))
-    val edges = broadcast(ue.agg(count(lit(1)).as("n_edges")))
-    broadcast(tri).crossJoin(degAgg).crossJoin(edges)
+    broadcast(tri).crossJoin(degAgg)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         expr("""ROUND(3e0 * CAST(n_triangles AS DOUBLE)

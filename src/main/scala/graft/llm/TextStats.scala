@@ -1514,8 +1514,14 @@ object TextStats {
         sum(when(col("is_stop"), 1L).otherwise(0L)).over(byDoc))
       .filter(!col("is_stop"))
     val phraseLen = Window.partitionBy(col("doc_id"), col("phrase_id"))
-    val withLen = members
-      .withColumn("phrase_len", count(lit(1)).over(phraseLen))
+    // checkpointed (round 15): the phrase join consumes this token
+    // table on BOTH sides (members directly, word scores via the
+    // groupBy), and column-pruning differences made the two exploded
+    // subtrees non-identical — no exchange reuse, so the scan +
+    // posexplode + doc_id exchange + two windows ran twice
+    val withLen = graft.llm.Dedup.ckpt(members
+      .withColumn("phrase_len", count(lit(1)).over(phraseLen)),
+      rebuild = false)
     // word stats per doc: freq = occurrences, deg = Σ phrase_len
     val wordScore = withLen
       .groupBy(col("doc_id"), col("tok"))

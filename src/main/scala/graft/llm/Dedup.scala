@@ -1432,9 +1432,20 @@ object Dedup {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")))
       .agg(count(lit(1)).as("n_exact_dup_pairs"),
         coalesce(sum(col("hit")), lit(0L)).as("n_dup_hit"))
-    val plantedHit = withHit(s.range(1)
-        .select(lit(0L).as("a_id"), lit(plantedId).as("b_id")))
-      .agg((coalesce(sum(col("hit")), lit(0L)) > 0)
+    // scalar-aggregate probe, NOT withHit over a literal pair: a
+    // literal join key constant-folds the equi-condition away and the
+    // planner emits BNLJs whose build side is the filtered doc→group
+    // map — exactly the corpus-sized-BNLJ-build shape PlanLint exists
+    // to reject. One aggregate picks both docs' gids; the group-pair
+    // probe joins gp on computed keys (broadcastable 1-row side).
+    val plantedG = memberOf.agg(
+      min(when(col("m") === 0, col("gid"))).as("g0"),
+      min(when(col("m") === lit(plantedId), col("gid"))).as("g1"))
+    val plantedHit = plantedG
+      .join(gp, least(col("g0"), col("g1")) === col("ga") &&
+        greatest(col("g0"), col("g1")) === col("gb"), "left")
+      .select((col("g0").isNotNull && col("g1").isNotNull &&
+        (col("g0") === col("g1") || col("ghit").isNotNull))
         .as("planted_dup_detected"))
     truth.crossJoin(dups).crossJoin(plantedHit).select(
       col("n_true_pairs"), col("n_exact_dup_pairs"),
